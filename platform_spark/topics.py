@@ -1,0 +1,227 @@
+"""Topic tables: the engine's core data model.
+
+A *topic* is a table carrying the reference's 8 implicit columns
+(server.go:829-841) plus YAML-declared schema-on-read columns extracted
+from the JSON `_value` (config.go:141-155). At rest a topic is Parquet
+partitioned by `_partition` (replacing KFS segments; SURVEY.md §1.3) — the
+Parquet footers give Catalyst the offset/time min-max pruning the reference
+hand-rolls from `.kfst` sidecars and manifests (discovery/time_index.go:58-116).
+
+For tests the driver's TPC-H-ish parquet is *presented* as topics via the
+deterministic envelope in envelope.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_spark import envelope as env
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: implicit columns, in reference order (server.go:1504-1511)
+IMPLICIT_COLUMNS = (
+    "_topic",
+    "_partition",
+    "_offset",
+    "_ts",
+    "_key",
+    "_value",
+    "_headers",
+    "_segment",
+)
+
+#: schema-on-read types (config.go:346-353)
+SCHEMA_TYPES = {
+    "string": "string",
+    "int": "int",
+    "long": "bigint",
+    "double": "double",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+}
+
+#: dot-path subset of JSONPath: `$.a.b` — no array indexing, no wildcards
+#: (server.go:2766-2792 jsonPathValue)
+_DOT_PATH = re.compile(r"^\$(\.[A-Za-z0-9_]+)+$")
+
+
+@dataclass(frozen=True)
+class SchemaColumn:
+    name: str
+    type: str
+    path: str
+
+    def __post_init__(self) -> None:
+        if self.type not in SCHEMA_TYPES:
+            raise ValueError(f"unsupported schema type {self.type!r}")
+        if not _DOT_PATH.match(self.path):
+            raise ValueError(
+                f"unsupported JSON path {self.path!r}: only dot paths ($.a.b)"
+            )
+
+    def spark_expr(self) -> F.Column:
+        """Extraction per schemaValue (server.go:2721-2756): JSON dot-path
+        lookup then typed cast; missing path or uncastable value → NULL
+        (requires non-ANSI cast semantics, set in session.py)."""
+        raw = F.get_json_object(F.col("_value").cast("string"), self.path)
+        return raw.cast(SCHEMA_TYPES[self.type]).alias(self.name)
+
+
+@dataclass(frozen=True)
+class TopicConfig:
+    name: str
+    columns: tuple[SchemaColumn, ...] = field(default_factory=tuple)
+
+
+def _sc(name: str, typ: str, path: str) -> SchemaColumn:
+    return SchemaColumn(name=name, type=typ, path=path)
+
+
+#: FIXTURES.md §2 topic configs (mirrors the reference YAML shape)
+DEFAULT_TOPIC_CONFIGS: dict[str, TopicConfig] = {
+    "events": TopicConfig(
+        "events",
+        (
+            _sc("event_type", "string", "$.event_type"),
+            _sc("user_id", "string", "$.user_id"),
+            _sc("amount", "double", "$.amount"),
+            _sc("depth", "int", "$.props.depth"),
+            _sc("page", "string", "$.props.page"),
+            _sc("flag", "boolean", "$.flag"),
+        ),
+    ),
+    "orders": TopicConfig(
+        "orders",
+        (
+            _sc("order_id", "string", "$.order_id"),
+            _sc("cust_id", "string", "$.cust_id"),
+            _sc("status", "string", "$.status"),
+            _sc("amount", "double", "$.amount"),
+            _sc("priority", "string", "$.priority"),
+            _sc("clerk", "string", "$.nested.clerk"),
+            _sc("missing_col", "long", "$.does_not_exist"),
+        ),
+    ),
+    "payments": TopicConfig(
+        "payments",
+        (
+            _sc("order_id", "string", "$.order_id"),
+            _sc("amount", "double", "$.amount"),
+            _sc("method", "string", "$.method"),
+        ),
+    ),
+}
+
+
+class TopicCatalog:
+    """Resolves topic names to DataFrames with the implicit + schema columns.
+
+    Replaces the reference's etcd topic-metadata resolver
+    (sql-processor internal/metadata/metadata.go:134-180). Raw driver tables
+    are registered as temp views so analytics extensions can use them
+    directly; topic views are built from the envelope SQL.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        configs: dict[str, TopicConfig] | None = None,
+        materialized_root: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.configs = dict(configs or DEFAULT_TOPIC_CONFIGS)
+        self._materialized: dict[str, str] = {}
+        self._register_raw_views()
+        if materialized_root:
+            self.materialize_all(materialized_root)
+
+    # -- raw driver tables ------------------------------------------------
+    def _register_raw_views(self) -> None:
+        for t in TABLES:
+            path = os.path.join(self.sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                self.spark.read.parquet(path).createOrReplaceTempView(t)
+
+    def table(self, name: str) -> DataFrame:
+        """A raw driver table (no envelope)."""
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}")
+        return self.spark.table(name)
+
+    # -- topic views ------------------------------------------------------
+    def topic_names(self) -> list[str]:
+        return sorted(self.configs)
+
+    def topic(self, name: str, with_schema_columns: bool = True) -> DataFrame:
+        """Topic DataFrame: 8 implicit columns (+ declared schema columns)."""
+        if name not in env.ENVELOPE_BUILDERS:
+            raise KeyError(f"unknown topic {name!r}")
+        if name in self._materialized:
+            df = self.spark.read.parquet(self._materialized[name])
+        else:
+            df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
+        df = df.select(*IMPLICIT_COLUMNS)
+        if with_schema_columns:
+            cfg = self.configs.get(name)
+            if cfg:
+                df = df.select("*", *[c.spark_expr() for c in cfg.columns])
+        return df
+
+    def describe(self, name: str) -> list[tuple[str, str, str]]:
+        """DESCRIBE rows: (column, type, source) — server.go:813-861."""
+        rows = [
+            ("_topic", "text", "implicit"),
+            ("_partition", "integer", "implicit"),
+            ("_offset", "bigint", "implicit"),
+            ("_ts", "timestamp", "implicit"),
+            ("_key", "bytea", "implicit"),
+            ("_value", "bytea", "implicit"),
+            ("_headers", "jsonb", "implicit"),
+            ("_segment", "text", "implicit"),
+        ]
+        cfg = self.configs.get(name)
+        if cfg:
+            rows += [(c.name, c.type, c.path) for c in cfg.columns]
+        return rows
+
+    # -- materialization: the real at-rest layout -------------------------
+    def materialize_all(self, root: str) -> None:
+        for name in env.ENVELOPE_BUILDERS:
+            self.materialize(name, root)
+
+    def materialize(self, name: str, root: str) -> str:
+        """Write the topic as Parquet partitioned by `_partition` — the
+        engine's real storage layout (segment files → parquet files within a
+        partition dir, SURVEY.md §1.3). Bench reads this layout so partition
+        pruning and `_offset`/`_ts` min-max stats are exercised for real."""
+        out = os.path.join(root, f"topic={name}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
+            df = df.select(*IMPLICIT_COLUMNS).repartition("_partition")
+            (
+                df.sortWithinPartitions("_partition", "_offset")
+                .write.mode("overwrite")
+                .partitionBy("_partition")
+                .parquet(out)
+            )
+        self._materialized[name] = out
+        return out
