@@ -1,0 +1,452 @@
+"""KAFSQL compiler: Query IR → PySpark DataFrame.
+
+This replaces the reference's hand-rolled execution pipeline
+(server.go:1308-1484 handleSelect → project/sort/tail/limit,
+server.go:1762-2010 handleAggregateSelect, server.go:2281-2464
+handleJoinSelect) with a declarative DataFrame expression; Catalyst then
+provides segment pruning, predicate pushdown, column pruning, spillable
+aggregation and size-aware join strategies — everything §4 of SURVEY.md
+shows the reference hard-codes or lacks.
+
+Semantics parity notes (the "watch list" of SURVEY.md §7):
+- numeric coercion: SUM/AVG/MIN/MAX over JSON paths parse numeric strings
+  and skip non-numeric values (server.go:2095-2109) — expressed as
+  `cast(double)` under non-ANSI mode (bad cast → NULL → skipped).
+- SUM accumulates as float64 in the reference (server.go:2237-2241); we sum
+  exactly as DECIMAL(38,9) and cast to double, which is deterministic under
+  any partitioning/ordering — a strictly stronger guarantee with the same
+  logical value.
+- group rows are emitted sorted by the group-key *string* with `\\x1f`
+  separators and `<nil>` for NULL (server.go:1829-1833, 1968-1981).
+- TAIL = last n records in scan order; scan order is (partition, offset)
+  (segment listing order, discovery.go:115-200).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from platform_spark.errors import ValidationError
+from platform_spark.functions import render
+from platform_spark.sql.ast import (
+    ColumnKind,
+    JoinExpr,
+    JoinExprKind,
+    Query,
+    SelectColumn,
+)
+from platform_spark.topics import IMPLICIT_COLUMNS, TopicCatalog
+
+GROUP_KEY_SEP = "\x1f"
+GROUP_KEY_NULL = "<nil>"
+
+
+@dataclass
+class CompilerOptions:
+    default_limit: int = 1000
+    max_rows: int = 100_000
+    max_unbounded_scan: int = 1000  # row cap applied to SCAN FULL
+    require_time_bound: bool = True
+    #: render _ts/_key/_value projections as reference text (F4/F5)
+    render_text: bool = True
+
+
+class Compiler:
+    def __init__(
+        self,
+        catalog: TopicCatalog,
+        options: CompilerOptions | None = None,
+        now: datetime | None = None,
+    ) -> None:
+        self.catalog = catalog
+        self.opt = options or CompilerOptions()
+        self.now = now  # pinned clock for LAST; None = wall clock
+
+    # ------------------------------------------------------------------
+    def compile(self, q: Query) -> DataFrame:
+        self._validate(q)
+        if q.is_join():
+            return self._compile_join(q)
+        if q.has_aggregates():
+            return self._compile_aggregate(q)
+        return self._compile_select(q)
+
+    # -- validation (server.go:1312-1352, 1888-1911, 2285-2299) --------
+    def _validate(self, q: Query) -> None:
+        if q.order_by and q.order_by != "_ts":
+            raise ValidationError("ORDER BY supports only _ts")
+        if q.tail is not None and (q.order_by or q.has_aggregates()):
+            raise ValidationError("TAIL cannot be combined with ORDER BY/aggregates")
+        if q.has_aggregates():
+            if q.order_by:
+                raise ValidationError("ORDER BY is not supported with aggregates")
+            if any(c.kind == ColumnKind.STAR for c in q.select):
+                raise ValidationError("SELECT * cannot be combined with aggregates")
+            for c in q.select:
+                if c.kind == ColumnKind.FIELD and c.column not in q.group_by:
+                    raise ValidationError(
+                        f"column {c.column!r} must appear in GROUP BY"
+                    )
+                if c.kind in (
+                    ColumnKind.JSON_VALUE,
+                    ColumnKind.JSON_QUERY,
+                    ColumnKind.JSON_EXISTS,
+                ):
+                    raise ValidationError(
+                        "JSON helpers are not supported as plain columns with aggregates"
+                    )
+        if q.group_by and not q.has_aggregates():
+            raise ValidationError("GROUP BY requires aggregate functions")
+        if q.is_join():
+            if q.within_seconds is None or q.last_seconds is None:
+                raise ValidationError("joins require WITHIN and LAST")
+            if q.tail is not None or q.scan_full:
+                raise ValidationError("joins do not support TAIL/SCAN FULL")
+            if q.partition is not None or q.offset_min is not None or q.offset_max is not None:
+                raise ValidationError("joins do not support partition/offset filters")
+            if q.has_aggregates():
+                raise ValidationError("joins do not support aggregates")
+        if (
+            self.opt.require_time_bound
+            and not q.scan_full
+            and q.tail is None
+            and not q.has_time_bound()
+        ):
+            raise ValidationError(
+                "unbounded query: add LAST/TAIL/_ts bounds or SCAN FULL"
+            )
+
+    # -- effective limit (server.go:1321-1346) --------------------------
+    def effective_limit(self, q: Query) -> int:
+        limit = q.limit if q.limit is not None else self.opt.default_limit
+        limit = min(limit, self.opt.max_rows)
+        if q.scan_full and not q.has_time_bound() and q.tail is None:
+            limit = min(limit, self.opt.max_unbounded_scan)
+        return limit
+
+    def _now(self) -> datetime:
+        return self.now if self.now is not None else datetime.utcnow()
+
+    # -- scan + row filters (P4-P7) -------------------------------------
+    def scan(self, topic: str, q: Query, apply_time: bool = True) -> DataFrame:
+        df = self.catalog.topic(topic)
+        if q.partition is not None:
+            df = df.filter(F.col("_partition") == q.partition)
+        if q.offset_min is not None:
+            df = df.filter(F.col("_offset") >= q.offset_min)
+        if q.offset_max is not None:
+            df = df.filter(F.col("_offset") <= q.offset_max)
+        if apply_time:
+            df = self._apply_time_bounds(df, q)
+        return df
+
+    def _apply_time_bounds(self, df: DataFrame, q: Query) -> DataFrame:
+        ts_min, ts_max = self.time_bounds(q)
+        if ts_min is not None:
+            df = df.filter(F.col("_ts") >= F.lit(ts_min))
+        if ts_max is not None:
+            df = df.filter(F.col("_ts") <= F.lit(ts_max))
+        return df
+
+    def time_bounds(self, q: Query) -> tuple[datetime | None, datetime | None]:
+        ts_min, ts_max = q.ts_min, q.ts_max
+        if q.last_seconds is not None:
+            now = self._now()
+            lo = now - timedelta(seconds=q.last_seconds)
+            ts_min = max(ts_min, lo) if ts_min else lo
+            ts_max = min(ts_max, now) if ts_max else now
+        return ts_min, ts_max
+
+    # -- plain SELECT pipeline (server.go:1400-1484) --------------------
+    def _compile_select(self, q: Query) -> DataFrame:
+        df = self.scan(q.topic, q)
+        if q.tail is not None:
+            # last n in scan order = top-n by (partition, offset) descending
+            # (ring buffer server.go:1600-1610); re-emitted in scan order.
+            df = df.orderBy(F.desc("_partition"), F.desc("_offset")).limit(q.tail)
+            df = df.orderBy("_partition", "_offset")
+        elif q.order_by:
+            df = df.orderBy(
+                F.desc("_ts") if q.order_desc else F.asc("_ts"),
+            )
+        if q.tail is None:
+            df = df.limit(self.effective_limit(q))
+        return df.select(*self._projection(q, df))
+
+    # -- projection (P1-P3, F1-F5) --------------------------------------
+    def _projection(self, q: Query, df: DataFrame) -> list[Column]:
+        cols: list[Column] = []
+        for item in q.select:
+            if item.kind == ColumnKind.STAR:
+                cols.extend(self._star_columns(q))
+            else:
+                cols.append(self._item_column(q, item))
+        return cols
+
+    def _star_columns(self, q: Query) -> list[Column]:
+        out = [self._implicit_column(name).alias(name) for name in IMPLICIT_COLUMNS]
+        cfg = self.catalog.configs.get(q.topic)
+        if cfg:
+            out.extend(F.col(c.name) for c in cfg.columns)
+        return out
+
+    def _implicit_column(self, name: str, qualifier: str = "") -> Column:
+        col = F.col(f"{qualifier}{name}" if qualifier else name)
+        if not self.opt.render_text:
+            return col
+        if name == "_ts":
+            return render.ts_text(col)
+        if name in ("_key", "_value"):
+            return render.bytea_text(col)
+        return col
+
+    def _item_column(self, q: Query, item: SelectColumn) -> Column:
+        name = item.output_name()
+        if item.kind == ColumnKind.FIELD:
+            base = (
+                self._implicit_column(item.column)
+                if item.column in IMPLICIT_COLUMNS
+                else F.col(item.column)
+            )
+            return base.alias(name)
+        if item.kind in (ColumnKind.JSON_VALUE, ColumnKind.JSON_QUERY):
+            return self._json_extract(item.column, item.json_path).alias(name)
+        if item.kind == ColumnKind.JSON_EXISTS:
+            return self._json_exists(item.column, item.json_path).alias(name)
+        raise ValidationError(f"cannot project {item.raw!r}")
+
+    def _json_extract(self, column: str, path: str, qualifier: str = "") -> Column:
+        src = F.col(f"{qualifier}{column}" if qualifier else column).cast("string")
+        return F.get_json_object(src, path)
+
+    def _json_exists(self, column: str, path: str) -> Column:
+        """Tri-state (server.go:1719-1729): true/false when `_value` is valid
+        JSON, NULL when it is not."""
+        src = F.col(column).cast("string")
+        # `get_json_object(src, '$')` is NULL iff src is not valid JSON
+        valid = F.get_json_object(src, "$").isNotNull()
+        return F.when(~valid, F.lit(None).cast("boolean")).otherwise(
+            F.get_json_object(src, path).isNotNull()
+        )
+
+    # -- aggregates (server.go:1762-2010) -------------------------------
+    def _agg_arg(self, q: Query, item: SelectColumn) -> Column:
+        if item.agg_json_path:
+            return self._json_extract(item.agg_column, item.agg_json_path)
+        return F.col(item.agg_column)
+
+    def _agg_column(self, q: Query, item: SelectColumn) -> Column:
+        fn = item.agg_func
+        name = item.output_name()
+        if fn == "count":
+            if item.agg_star:
+                return F.count(F.lit(1)).alias(name)
+            return F.count(self._agg_arg(q, item)).alias(name)
+        arg = self._agg_arg(q, item)
+        if fn in ("sum", "avg"):
+            # numeric coercion: strings parse, junk → NULL → skipped
+            dec = arg.cast("decimal(38,9)")
+            if fn == "sum":
+                return F.sum(dec).cast("double").alias(name)
+            # avg = exact decimal sum cast to double, / count — bit-exact
+            # on any engine (IEEE division of deterministic operands)
+            return (
+                F.sum(dec).cast("double") / F.count(dec)
+            ).alias(name)
+        if fn in ("min", "max"):
+            kind = self._minmax_kind(q, item)
+            typed = arg.cast(kind) if kind else arg
+            col = F.min(typed) if fn == "min" else F.max(typed)
+            if self.opt.render_text and kind == "timestamp":
+                col = render.ts_text(col)
+            return col.alias(name)
+        raise ValidationError(f"unknown aggregate {fn!r}")
+
+    def _minmax_kind(self, q: Query, item: SelectColumn) -> str | None:
+        """MIN/MAX value kind. The reference decides per-group from the
+        first value seen in scan order (server.go:2132-2182) — inherently
+        order-dependent. We resolve the kind *statically*: `_ts` →
+        timestamp, declared numeric schema columns and JSON numeric paths →
+        double, everything else → string (documented deviation; identical
+        on homogeneous data, deterministic on mixed data)."""
+        if item.agg_column == "_ts":
+            return "timestamp"
+        if item.agg_column in ("_offset", "_partition"):
+            return None  # already numeric
+        cfg = self.catalog.configs.get(q.topic)
+        if cfg and not item.agg_json_path:
+            for c in cfg.columns:
+                if c.name == item.agg_column:
+                    return (
+                        "double"
+                        if c.type in ("int", "long", "double")
+                        else ("timestamp" if c.type == "timestamp" else "string")
+                    )
+        if item.agg_json_path:
+            return "string"
+        return "string"
+
+    def group_key_string(self, group_cols: list[Column]) -> Column:
+        """The reference's group key: values cast to string, NULL → `<nil>`,
+        joined with 0x1f (server.go:1968-1981)."""
+        parts = [
+            F.coalesce(c.cast("string"), F.lit(GROUP_KEY_NULL)) for c in group_cols
+        ]
+        return F.concat_ws(GROUP_KEY_SEP, *parts)
+
+    def _compile_aggregate(self, q: Query) -> DataFrame:
+        df = self.scan(q.topic, q)
+        aggs = [
+            self._agg_column(q, c)
+            for c in q.select
+            if c.kind == ColumnKind.AGGREGATE
+        ]
+        if not q.group_by:
+            out = df.agg(*aggs)
+            return out.select(*[c.output_name() for c in q.select])
+        group_cols = [F.col(g) for g in q.group_by]
+        out = df.groupBy(*group_cols).agg(*aggs)
+        # deterministic emit order: group-key string ascending (A8)
+        out = out.orderBy(self.group_key_string([F.col(g) for g in q.group_by]))
+        out = out.limit(self.effective_limit(q))
+        # project in select-list order, rendering group cols as needed
+        final: list[Column] = []
+        for item in q.select:
+            if item.kind == ColumnKind.FIELD:
+                base = (
+                    self._implicit_column(item.column)
+                    if item.column in IMPLICIT_COLUMNS
+                    else F.col(item.column)
+                )
+                final.append(base.alias(item.output_name()))
+            else:
+                final.append(F.col(item.output_name()))
+        return out.select(*final)
+
+    # -- joins (server.go:2281-2464) ------------------------------------
+    def _join_key_expr(self, expr: JoinExpr, prefix: str) -> Column:
+        if expr.kind == JoinExprKind.KEY:
+            return F.col(f"{prefix}_key").cast("string")
+        return self._json_extract("_value", expr.json_path, qualifier=prefix)
+
+    def _compile_join(self, q: Query) -> DataFrame:
+        left_alias = q.topic_alias or q.topic
+        right_alias = q.join_alias or q.join_topic
+
+        # Left rows are LAST-window-filtered (server.go:2407-2408). The
+        # reference scans the right side unfiltered (server.go:2384); the
+        # WITHIN band then implies right._ts ∈ [window ± within] — we push
+        # that derived bound so the right scan prunes too (same semantics,
+        # bounded scan at any scale).
+        left = self.scan(q.topic, q)
+        ts_min, ts_max = self.time_bounds(q)
+        right = self.catalog.topic(q.join_topic)
+        w = timedelta(seconds=q.within_seconds)
+        if ts_min is not None:
+            right = right.filter(F.col("_ts") >= F.lit(ts_min - w))
+        if ts_max is not None:
+            right = right.filter(F.col("_ts") <= F.lit(ts_max + w))
+
+        lcols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
+        rcols = [F.col(c).alias(f"__r_{c}") for c in right.columns]
+        left = left.select(*lcols)
+        right = right.select(*rcols)
+
+        on = q.join_on
+        lk = self._join_side_expr(on.left, on.right, left_alias, right_alias, "left")
+        rk = self._join_side_expr(on.left, on.right, left_alias, right_alias, "right")
+        cond = lk == rk
+        # WITHIN band: |l._ts - r._ts| <= d (server.go:2644-2650)
+        band = (
+            F.abs(
+                F.unix_micros(F.col("__l__ts")) - F.unix_micros(F.col("__r__ts"))
+            )
+            <= int(q.within_seconds * 1_000_000)
+        )
+        how = "left" if q.join_type == "left" else "inner"
+        joined = left.join(right, cond & band, how)
+        return joined.select(*self._join_projection(q, left_alias, right_alias))
+
+    def _join_side_expr(
+        self,
+        left_expr: JoinExpr,
+        right_expr: JoinExpr,
+        left_alias: str,
+        right_alias: str,
+        want: str,
+    ) -> Column:
+        """Resolve which ON side belongs to which topic: by alias qualifier
+        when present, positionally otherwise (parser.go:639-693)."""
+        for i, e in enumerate((left_expr, right_expr)):
+            side = (
+                "left"
+                if e.side == left_alias
+                else ("right" if e.side == right_alias else ("left", "right")[i])
+            )
+            if side == want:
+                prefix = "__l_" if want == "left" else "__r_"
+                return self._join_key_expr(e, prefix)
+        raise ValidationError("cannot resolve join expression sides")
+
+    def _join_projection(
+        self, q: Query, left_alias: str, right_alias: str
+    ) -> list[Column]:
+        cols: list[Column] = []
+        for item in q.select:
+            if item.kind == ColumnKind.STAR:
+                # left implicit columns under their own names, right under
+                # `_right_*` (server.go:2581-2589)
+                for name in IMPLICIT_COLUMNS:
+                    cols.append(
+                        self._implicit_column(name, "__l_").alias(name)
+                    )
+                for name in IMPLICIT_COLUMNS:
+                    cols.append(
+                        self._implicit_column(name, "__r_").alias(f"_right{name}")
+                    )
+                continue
+            cols.append(self._join_item(q, item, left_alias, right_alias))
+        return cols
+
+    def _join_item(
+        self, q: Query, item: SelectColumn, left_alias: str, right_alias: str
+    ) -> Column:
+        def prefix_for(source: str, column: str) -> str:
+            if source == left_alias:
+                return "__l_"
+            if source == right_alias:
+                return "__r_"
+            if source:
+                raise ValidationError(f"unknown alias {source!r}")
+            if column.startswith("_right_"):
+                return "__r_"
+            return "__l_"
+
+        name = item.output_name()
+        if item.kind == ColumnKind.FIELD:
+            col_name = item.column
+            prefix = prefix_for(item.source, col_name)
+            if col_name.startswith("_right_"):
+                col_name = "_" + col_name[len("_right_") :]
+            if col_name in IMPLICIT_COLUMNS:
+                return self._implicit_column(col_name, prefix).alias(name)
+            return F.col(f"{prefix}{col_name}").alias(name)
+        if item.kind in (ColumnKind.JSON_VALUE, ColumnKind.JSON_QUERY):
+            prefix = prefix_for(item.source, item.column)
+            return self._json_extract(
+                item.column, item.json_path, qualifier=prefix
+            ).alias(name)
+        if item.kind == ColumnKind.JSON_EXISTS:
+            prefix = prefix_for(item.source, item.column)
+            src = F.col(f"{prefix}{item.column}").cast("string")
+            valid = F.get_json_object(src, "$").isNotNull()
+            return (
+                F.when(~valid, F.lit(None).cast("boolean"))
+                .otherwise(F.get_json_object(src, item.json_path).isNotNull())
+                .alias(name)
+            )
+        raise ValidationError(f"cannot project {item.raw!r} in join")

@@ -1,2 +1,143 @@
+"""KafSqlEngine: the KAFSQL front door.
+
+parse → validate → govern (admission, scan budget, cache) → compile →
+DataFrame. The introspection statements (SHOW TOPICS / SHOW PARTITIONS /
+DESCRIBE / EXPLAIN — server.go:758-962) return small DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+from platform_spark.governance import (
+    QueryLimiter,
+    ResultCache,
+    ScanBudget,
+    estimate_scan,
+)
+from platform_spark.sql import parser
+from platform_spark.sql.ast import Query, QueryType
+from platform_spark.sql.compiler import Compiler, CompilerOptions
+from platform_spark.topics import TopicCatalog
+
+
+@dataclass
+class EngineOptions:
+    compiler: CompilerOptions = field(default_factory=CompilerOptions)
+    budget: ScanBudget = field(default_factory=ScanBudget)
+    max_concurrent: int = 20
+    queue_size: int = 50
+    queue_timeout: float = 10.0
+    cache_ttl: float = 30.0
+    cache_entries: int = 100
+    cache_max_rows: int = 10_000
+    enable_cache: bool = True
+
+
 class KafSqlEngine:
-    pass
+    def __init__(
+        self,
+        catalog: TopicCatalog,
+        options: EngineOptions | None = None,
+        now: datetime | None = None,
+    ) -> None:
+        self.catalog = catalog
+        self.spark = catalog.spark
+        self.opt = options or EngineOptions()
+        self.compiler = Compiler(catalog, self.opt.compiler, now=now)
+        self.limiter = QueryLimiter(
+            self.opt.max_concurrent, self.opt.queue_size, self.opt.queue_timeout
+        )
+        self.cache = ResultCache(
+            self.opt.cache_ttl, self.opt.cache_entries, self.opt.cache_max_rows
+        )
+        self._now = now
+
+    # ------------------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        """Execute a KAFSQL statement, returning a DataFrame."""
+        q = parser.parse(statement)
+        if q.type == QueryType.SHOW_TOPICS:
+            return self._show_topics()
+        if q.type == QueryType.SHOW_PARTITIONS:
+            return self._show_partitions(q.topic)
+        if q.type == QueryType.DESCRIBE:
+            return self._describe(q.topic)
+        if q.type == QueryType.EXPLAIN:
+            return self._explain(q.explain)
+        return self._select(statement, q)
+
+    def _select(self, statement: str, q: Query) -> DataFrame:
+        with self.limiter:
+            self._check_budget(q)
+            cacheable = (
+                self.opt.enable_cache
+                and q.tail is None
+                and not q.scan_full
+                and q.has_time_bound()
+            )
+            if cacheable:
+                key = self.cache.key(statement, self._now)
+                hit = self.cache.get(key)
+                if hit is not None:
+                    return hit
+            df = self.compiler.compile(q)
+            if cacheable:
+                self.cache.put(key, df, n_rows=0)
+            return df
+
+    # -- governance -----------------------------------------------------
+    def _check_budget(self, q: Query) -> None:
+        for topic in filter(None, (q.topic, q.join_topic)):
+            path = self.catalog._materialized.get(topic)
+            if not path:
+                continue  # envelope view: no files to budget
+            ts_min, ts_max = self.compiler.time_bounds(q)
+            est = estimate_scan(path, q.partition, ts_min, ts_max)
+            self.opt.budget.check(est)
+
+    # -- introspection (C1-C4) ------------------------------------------
+    def _show_topics(self) -> DataFrame:
+        rows = [(t,) for t in self.catalog.topic_names()]
+        return self.spark.createDataFrame(rows, "topic: string")
+
+    def _show_partitions(self, topic: str) -> DataFrame:
+        df = self.catalog.topic(topic, with_schema_columns=False)
+        return df.select("_partition").distinct().orderBy("_partition")
+
+    def _describe(self, topic: str) -> DataFrame:
+        rows = self.catalog.describe(topic)
+        return self.spark.createDataFrame(
+            rows, "column: string, type: string, source: string"
+        )
+
+    def _explain(self, q: Query) -> DataFrame:
+        """Plan summary: candidate files + byte/row estimates from parquet
+        footers — our analogue of segment-count/byte estimates
+        (server.go:929-962) — plus Catalyst's physical plan."""
+        self.compiler._validate(q)
+        lines = [f"scan topic={q.topic}"]
+        for topic in filter(None, (q.topic, q.join_topic)):
+            path = self.catalog._materialized.get(topic)
+            if path:
+                ts_min, ts_max = self.compiler.time_bounds(q)
+                est = estimate_scan(path, q.partition, ts_min, ts_max)
+                lines.append(
+                    f"topic={topic} candidate_files={est.files} "
+                    f"est_bytes={est.bytes} est_rows={est.rows}"
+                )
+            else:
+                lines.append(f"topic={topic} source=envelope-view")
+        ts_min, ts_max = self.compiler.time_bounds(q)
+        if ts_min or ts_max:
+            lines.append(f"time_bounds=[{ts_min}, {ts_max}]")
+        if q.partition is not None:
+            lines.append(f"partition={q.partition}")
+        lines.append(f"limit={self.compiler.effective_limit(q)}")
+        df = self.compiler.compile(q)
+        physical = df._jdf.queryExecution().simpleString()
+        lines.extend(physical.splitlines()[:8])
+        return self.spark.createDataFrame([(l,) for l in lines], "plan: string")

@@ -180,6 +180,9 @@ class TopicCatalog:
         else:
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
         df = df.select(*IMPLICIT_COLUMNS)
+        # normalize `_ts` to TimestampType (session tz = UTC, so NTZ inputs
+        # convert identically) — one timestamp semantics across all topics
+        df = df.withColumn("_ts", F.col("_ts").cast("timestamp"))
         if with_schema_columns:
             cfg = self.configs.get(name)
             if cfg:
