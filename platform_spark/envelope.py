@@ -76,7 +76,7 @@ def events_envelope_sql(dialect: str, events_rel: str = "events") -> str:
 SELECT
   'events' AS _topic,
   CAST(event_id % {N_PARTITIONS} AS INT) AS _partition,
-  ROW_NUMBER() OVER (PARTITION BY event_id % {N_PARTITIONS} ORDER BY event_id) - 1 AS _offset,
+  CAST(ROW_NUMBER() OVER (PARTITION BY event_id % {N_PARTITIONS} ORDER BY event_id) - 1 AS BIGINT) AS _offset,
   {ts} AS _ts,
   CASE WHEN event_id % 20 = 0 THEN NULL ELSE CAST(user_id AS {s}) END AS _key,
   CASE WHEN event_id % 53 = 52 THEN 'not-json{{' ELSE {value_json} END AS _value,
@@ -112,7 +112,7 @@ def orders_envelope_sql(dialect: str, orders_rel: str = "orders") -> str:
 SELECT
   'orders' AS _topic,
   CAST(o_orderkey % {N_PARTITIONS} AS INT) AS _partition,
-  ROW_NUMBER() OVER (PARTITION BY o_orderkey % {N_PARTITIONS} ORDER BY o_orderkey) - 1 AS _offset,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % {N_PARTITIONS} ORDER BY o_orderkey) - 1 AS BIGINT) AS _offset,
   {ts} AS _ts,
   CAST(o_orderkey AS {s}) AS _key,
   {value_json} AS _value,
@@ -150,7 +150,7 @@ def payments_envelope_sql(dialect: str, orders_rel: str = "orders") -> str:
 SELECT
   'payments' AS _topic,
   CAST(o_orderkey % {N_PARTITIONS} AS INT) AS _partition,
-  ROW_NUMBER() OVER (PARTITION BY o_orderkey % {N_PARTITIONS} ORDER BY o_orderkey, dup.off) - 1 AS _offset,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % {N_PARTITIONS} ORDER BY o_orderkey, dup.off) - 1 AS BIGINT) AS _offset,
   {ts} AS _ts,
   CAST(o_orderkey AS {s}) AS _key,
   {value_json} AS _value,
