@@ -354,3 +354,340 @@ JOIN t_payments p
  AND abs(epoch_us(o._ts) - epoch_us(p._ts)) <= 600000000"""
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Analytics extension queries (idiomatic Spark SQL over the raw tables;
+# decimal-exact money sums so results are reproducible bit-for-bit under
+# any partitioning — and hash-identical to the oracle)
+# ---------------------------------------------------------------------------
+
+
+def spark_sql(stmt: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog_for(spark, sf_dir)  # ensures raw views are registered
+        return spark.sql(stmt)
+
+    fn.__doc__ = stmt
+    return fn
+
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,9))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+_add("analytics_q1_pricing_summary", spark_sql(_Q1), _Q1)
+
+_Q3 = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+_add("analytics_q3_top_orders", spark_sql(_Q3), _Q3)
+
+_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+_add("analytics_q5_nation_revenue", spark_sql(_Q5), _Q5)
+
+_Q6 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,9))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+_add("analytics_q6_revenue", spark_sql(_Q6), _Q6)
+
+_QW = """
+SELECT user_id, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+_add("analytics_top_event_per_user", spark_sql(_QW), _QW)
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (llmdata/): text analysis, dedup family,
+# similarity search — oracle twins generated from the same constants
+# ---------------------------------------------------------------------------
+
+from platform_spark.llmdata import dedup as _dd
+from platform_spark.llmdata import similarity as _sim
+from platform_spark.llmdata import text as _tx
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _tx.EN_STOPWORDS) + "]"
+
+
+def _llm(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str | None) -> None:
+    _add(name, fn, oracle)
+
+
+def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog_for(spark, sf_dir).table("documents")
+
+
+def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog_for(spark, sf_dir).table("embeddings")
+
+
+# text analysis -------------------------------------------------------------
+
+def _text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tx.analyze(_doc_table(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality", "lang_pred", "fingerprint",
+    )
+
+
+_llm(
+    "llm_text_analysis",
+    _text_analysis,
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS lw,
+    regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens,
+    len(list_filter(regexp_split_to_array(
+      regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', '\\1' || chr(30), 'g'),
+      chr(30)), x -> trim(x) != '')) AS n_bpe_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                    / length(text)::DOUBLE, 6) END AS punct_ratio,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE round(len(list_filter(lw, x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                    / n_tokens::DOUBLE, 6) END AS stopword_ratio,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE round(list_sum(list_transform(w, x -> length(x)::DOUBLE))
+                    / n_tokens::DOUBLE, 6) END AS mean_word_len,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                            '\\s+', ' ', 'g'))) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, mean_word_len,
+  round(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 0.4 ELSE 0.1 END
+        + least(stopword_ratio * 4.0, 1.0) * 0.4
+        + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2, 6) AS quality,
+  CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+  fingerprint
+FROM m
+""",
+)
+
+# exact + normalized dedup --------------------------------------------------
+
+_llm(
+    "llm_dedup_exact",
+    lambda spark, sf_dir: _dd.exact_dedup(_doc_table(spark, sf_dir)),
+    """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+
+_llm(
+    "llm_dedup_normalized",
+    lambda spark, sf_dir: _dd.normalized_dedup(_doc_table(spark, sf_dir)),
+    """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+
+# n-gram Jaccard similarity join -------------------------------------------
+
+_NGRAM_THRESHOLD = 0.12
+
+_DUCK_SHINGLES = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         FROM documents),
+ii AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM ii)
+"""
+
+_llm(
+    "llm_dedup_ngram_jaccard",
+    lambda spark, sf_dir: _dd.ngram_jaccard_pairs(
+        _doc_table(spark, sf_dir), threshold=_NGRAM_THRESHOLD
+    ),
+    f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * 0.2),
+idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= {_NGRAM_THRESHOLD}
+""",
+)
+
+# MinHash signatures (bit-exact portable hashing) ---------------------------
+
+_NUM_PERM = 32
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.minhash_signatures(_doc_table(spark, sf_dir), num_perm=_NUM_PERM)
+
+
+_MH_COLS = ",\n  ".join(
+    f"MIN(CAST(('0x' || substr(md5('s{j}:' || shingle), 1, 12)) AS BIGINT)) AS mh_{j}"
+    for j in range(_NUM_PERM)
+)
+
+_llm(
+    "llm_minhash_signatures",
+    _minhash_sig,
+    f"""
+WITH {_DUCK_SHINGLES}
+SELECT doc_id,
+  {_MH_COLS}
+FROM sh GROUP BY doc_id
+""",
+)
+
+# MinHash-LSH near-dup pairs (rows-only: banding verified in pytest) --------
+
+_llm(
+    "llm_minhash_lsh_pairs",
+    lambda spark, sf_dir: _dd.minhash_dedup_pairs(
+        _doc_table(spark, sf_dir), threshold=0.1
+    ),
+    None,
+)
+
+# SimHash fingerprints ------------------------------------------------------
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _doc_table(spark, sf_dir)
+    return df.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
+
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(60)
+)
+
+_llm(
+    "llm_simhash_fingerprints",
+    _simhash_fp,
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tl
+  FROM documents WHERE trim(text) != ''
+), hh AS (
+  SELECT doc_id,
+    list_transform(tl, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+)
+SELECT doc_id, {_SIMHASH_TERMS} AS sh FROM hh
+""",
+)
+
+# brute-force cosine top-k --------------------------------------------------
+
+
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb_table(spark, sf_dir)
+    return _sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_llm(
+    "llm_ann_brute_topk",
+    _ann_brute,
+    """
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+    round(list_dot_product(c.v, q.v)
+          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))),
+          6) AS cosine
+  FROM q, c WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+
+# IVF-bucketed ANN (rows-only: recall vs brute force asserted in pytest) ----
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb_table(spark, sf_dir)
+    return _sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_llm("llm_ann_ivf_topk", _ann_ivf, None)
+
+# embedding near-dup via hyperplane LSH (rows-only) -------------------------
+
+_llm(
+    "llm_embedding_neardup",
+    lambda spark, sf_dir: _dd.embedding_neardup_pairs(
+        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=8
+    ),
+    None,
+)

@@ -1,0 +1,352 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB posture):
+- exact dedup is one hash-aggregate — a single shuffle on a 16-byte key.
+- ngram-Jaccard uses the inverted-index (prefix-filter-free) set-similarity
+  join: shingle → explode → self-join on shingle → count common → filter by
+  threshold. Shuffle volume is O(total shingles); skew is bounded by
+  dropping ultra-frequent shingles (stop_shingle_df), the standard trick.
+- MinHash+LSH: signatures via portable md5-derived 64-bit integer hashing
+  (reproducible across engines and languages), banded into buckets; only
+  bucket-colliding pairs are candidates, then exact-verified. Everything is
+  joins + aggregates — no driver-side state.
+- SimHash: 64-bit fingerprint via per-bit majority of token hashes,
+  computed with array built-ins (explode-free bit fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from platform_spark.llmdata.text import fingerprint, tokens
+
+# -- portable 60-bit hash: md5 hex prefix as integer ------------------------
+# (identical in DuckDB: CAST(('0x' || substr(md5(s),1,15)) AS BIGINT))
+
+
+def md5_int(col: Column, seed: str = "", hex_digits: int = 15) -> Column:
+    s = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(
+        F.substring(F.md5(s.cast("binary")), 1, hex_digits), 16, 10
+    ).cast("bigint")
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on raw text md5: one row per distinct content with the
+    minimum id as keeper and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-after-normalization dedup (fingerprint from text.py)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# -- shingling --------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of whitespace-tokenized text."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(sh)
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+# -- n-gram Jaccard set-similarity join ------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+    stop_shingle_df: float = 0.2,
+) -> DataFrame:
+    """All pairs (a < b) with k-shingle Jaccard ≥ threshold.
+
+    Inverted-index join: pairs sharing ≥1 shingle are candidates; common
+    counts come from the index join, sizes from a per-doc aggregate.
+    Shingles appearing in > stop_shingle_df of docs are dropped from the
+    *index only* (they generate quadratic candidates but barely move
+    Jaccard); sizes keep them, so Jaccard is exact for surviving pairs.
+    """
+    sh = _shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    n_docs = df.count()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > n_docs * stop_shingle_df)
+        .select("shingle")
+    )
+    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """num_perm-wide MinHash signature per doc over k-shingles.
+
+    "Permutation" j is `min(md5_int("sj:" || shingle))` — seeded md5 keeps
+    the hash portable (bit-identical in any engine/language, e.g. the
+    DuckDB oracle). One explode + one groupBy — no per-row Python. A
+    production cluster would swap md5 for xxhash64(shingle, seed=j)
+    (same structure, cheaper hash).
+    """
+    sh = _shingle_table(df, text_col, id_col, k)
+    aggs = [
+        F.min(md5_int(F.col("shingle"), seed=f"s{j}:", hex_digits=12)).alias(
+            f"mh_{j}"
+        )
+        for j in range(num_perm)
+    ]
+    return sh.groupBy(F.col("doc_id")).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any band
+    bucket become candidate pairs (distinct)."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols).cast("binary")).alias("bucket"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    The verify step reuses the inverted-index join restricted to candidate
+    pairs, so the expensive pairwise work only touches LSH survivors."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
+    cand = minhash_lsh_candidates(sig, num_perm, bands)
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, k=k, threshold=0.0, stop_shingle_df=1.1
+    )
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint: per-bit majority vote of token hashes.
+
+    Implemented as an array fold over distinct tokens: for each bit b,
+    sum(sign) where sign = +1 if token-hash bit b set else -1; bit b of the
+    fingerprint = (sum > 0). Pure built-ins → codegen'd, no UDF.
+    (Uses a 60-bit portable hash, so `bits` ≤ 60.)
+    """
+    bits = min(bits, 60)
+    toks = F.array_distinct(tokens(F.lower(col)))
+    hashes = F.transform(toks, lambda t: md5_int(t))
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
+    banded equality (pigeonhole: ≤ k differing bits ⇒ some band of k+1
+    bands is identical) to avoid the quadratic scan."""
+    bits = 60
+    per = bits // bands
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sh"), b * per)
+            .bitwiseAND(F.lit((1 << per) - 1))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    bb = sh.select("doc_id", "sh", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", "sh", "b.band", "b.chunk"
+    )
+    x, y = bb.alias("x"), bb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_hyperplanes: int = 12,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH (sign sketch) buckets vectors; only
+    same-bucket pairs get exact cosine. Hyperplanes are deterministic
+    (hash-seeded), so results are reproducible.
+    """
+    from platform_spark.llmdata.similarity import cosine_expr, norm_expr
+
+    dim = len(df.select(vec_col).first()[0])
+    import hashlib
+    import struct
+
+    def plane(p: int) -> list[float]:
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane-{p}-{i}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            vals.append((u / float(1 << 64)) * 2.0 - 1.0)
+        return vals
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sketch_bits = []
+    for p in range(n_hyperplanes):
+        w = plane(p)
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sketch_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
+    sketch = sum(sketch_bits[1:], sketch_bits[0])
+    base = df.select(
+        F.col(id_col).alias("vid"), v.alias("v"), sketch.alias("bucket")
+    )
+    x, y = base.alias("x"), base.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vid") < F.col("y.vid")),
+    )
+    cos = cosine_expr(F.col("x.v"), F.col("y.v"))
+    return (
+        cand.select(
+            F.col("x.vid").alias("id_a"),
+            F.col("y.vid").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

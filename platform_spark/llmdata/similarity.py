@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus scan — one pass, no shuffle of the corpus, embarrassingly
+  parallel. This is the exact baseline.
+- IVF-style bucketed ANN: assign corpus vectors to centroid buckets
+  (deterministic hash-seeded centroids here; plug in k-means for recall),
+  probe only the closest buckets per query.
+
+All vector math is built-in array functions (zip_with/aggregate) — JVM
+codegen, no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors. The query side is broadcast (small by construction); ties
+    break on corpus id for determinism; cosine rounded to 6 dp."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Centroids are deterministic pseudo-random unit vectors (hash-seeded);
+    corpus vectors are assigned to their nearest centroid once (a narrow
+    shuffle-free map), queries probe their n_probe nearest centroid buckets.
+    At 100 TB the bucket assignment becomes the partitioning key, so each
+    query touches n_probe/n_centroids of the data.
+    """
+    import hashlib
+    import struct
+
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def centroid(ci: int) -> list[float]:
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"centroid-{ci}-{i}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            vals.append((u / float(1 << 64)) * 2.0 - 1.0)
+        return vals
+
+    cents = [F.array(*[F.lit(x) for x in centroid(i)]) for i in range(n_centroids)]
+
+    def nearest(vec: Column, n: int) -> Column:
+        sims = F.array(*[cosine_expr(vec, c) for c in cents])
+        idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
+        ranked = F.sort_array(
+            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+            asc=False,
+        )
+        return F.slice(F.transform(ranked, lambda r: r["i"]), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("bucket", nearest(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.withColumn("bucket", F.explode(nearest(F.col("qv"), n_probe)))
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path math uses built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs — so these run at full scan speed on
+any corpus size. Each operator is a DataFrame→DataFrame transform over a
+text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small English stopword set for the language-ID heuristic (deterministic,
+#: shared with the DuckDB oracle)
+EN_STOPWORDS = (
+    "the a an of and to in is it that for on as with was are be this at by "
+    "from or we you not have has had but they his her its"
+).split()
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-flavored token estimate: count of word/number/punct runs.
+
+    Splits on the boundaries a byte-pair-ish tokenizer would respect:
+    letter-runs, digit-runs, and individual punctuation marks each count.
+    """
+    pieces = F.regexp_replace(col, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])", "$1\x1e")
+    return F.size(
+        F.filter(F.split(pieces, "\x1e"), lambda x: F.trim(x) != "")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """share of non-alphanumeric, non-space characters, rounded to 6 dp."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(p.cast("double") / n.cast("double"), 6)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(sw.cast("double") / n.cast("double"), 6)
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(total / n.cast("double"), 6))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and
+    sane word lengths, penalizes punctuation soup. Deterministic and
+    closed-form so the oracle can reproduce it exactly."""
+    sw = stopword_ratio(col)
+    pr = punct_ratio(col)
+    mwl = mean_word_len(col)
+    len_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(0.4)).otherwise(F.lit(0.1))
+    sw_term = F.least(sw * 4.0, F.lit(1.0)) * 0.4
+    punct_term = (F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))) * 0.2
+    return F.round(len_term + sw_term + punct_term, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram/stopword language-ID heuristic: English if the stopword ratio
+    clears 5%; extend with per-language stopword tables for more classes."""
+    return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: md5 of lowercased, whitespace-collapsed,
+    punctuation-stripped text — the standard exact-after-normalization
+    dedup key."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return F.md5(norm.cast("binary"))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        mean_word_len(c).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )
