@@ -1,0 +1,118 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Phases:
+1. ingest: materialize the topic envelope to the engine's at-rest layout
+   (parquet partitioned by _partition) — the produce-path analogue of
+   BASELINE.md (a); also reports rows/sec.
+2. scan: full-topic scan-and-count — the consume-from-S3 analogue (b).
+3. queries: the KAFSQL + analytics + llmdata headline set (c), each forced
+   with a noop sink so the full plan executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+def force(df) -> int:
+    """Execute the full plan; return row count."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from platform_spark.gate import NOW, engine_for
+    from platform_spark.session import get_spark
+
+    spark = get_spark("bench")
+    eng = engine_for(spark, sf_dir)
+    cat = eng.catalog
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- phase 1: ingest (envelope -> partitioned parquet topic tables) ----
+    topic_root = os.path.join(BENCH_ROOT, f"topics_sf{sf}")
+    shutil.rmtree(topic_root, ignore_errors=True)
+    t0 = time.time()
+    cat.materialize_all(topic_root)
+    ingest_sec = time.time() - t0
+    n_topic_rows = sum(force(cat.topic(t, with_schema_columns=False)) for t in cat.topic_names())
+    timings["ingest_topics"] = round(ingest_sec, 3)
+
+    # -- phase 2: full scan of the largest topic --------------------------
+    timed("scan_events_full", lambda: force(
+        cat.topic("events").select("_partition", "_offset", "_ts", "event_type")
+    ))
+
+    # -- phase 3: headline queries ----------------------------------------
+    K = [
+        ("q_kafsql_agg", "SELECT _partition, count(*) AS cnt, max(_ts) AS latest, "
+         "sum(json_value(_value, '$.amount')) AS total FROM events LAST 30d "
+         "GROUP BY _partition"),
+        ("q_kafsql_filter", "SELECT _partition, _offset, _ts, event_type FROM events "
+         "WHERE _partition = 2 AND _ts <= '2024-01-31 00:00:00' LIMIT 100000"),
+        ("q_kafsql_topk", "SELECT _offset, _partition, _ts FROM events "
+         "WHERE _ts <= '2024-01-31 00:00:00' ORDER BY _ts DESC LIMIT 100"),
+        ("q_kafsql_join", "SELECT o._key AS okey, json_value(p._value, '$.method') AS m "
+         "FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m LAST 15000d "
+         "LIMIT 100000"),
+        ("q_kafsql_tail", "SELECT _partition, _offset, _key FROM events TAIL 1000"),
+    ]
+    for name, stmt in K:
+        timed(name, lambda s=stmt: force(eng.sql(s)))
+
+    from platform_spark.gate import GATE
+
+    for name in (
+        "analytics_q1_pricing_summary",
+        "analytics_q3_top_orders",
+        "analytics_q5_nation_revenue",
+        "analytics_q6_revenue",
+        "analytics_top_event_per_user",
+        "llm_text_analysis",
+        "llm_dedup_exact",
+        "llm_dedup_ngram_jaccard",
+        "llm_minhash_signatures",
+        "llm_simhash_fingerprints",
+        "llm_ann_brute_topk",
+        "llm_ann_ivf_topk",
+    ):
+        fn, _oracle = GATE[name]
+        timed(name, lambda f=fn: force(f(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -609,10 +609,7 @@ _llm(
 
 
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    df = _doc_table(spark, sf_dir)
-    return df.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
+    return _dd.simhash_table(_doc_table(spark, sf_dir))
 
 
 _SIMHASH_TERMS = " + ".join(

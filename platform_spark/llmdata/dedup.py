@@ -58,9 +58,13 @@ def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # -- shingling --------------------------------------------------------------
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of whitespace-tokenized text."""
-    toks = tokens(F.lower(col))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from an already-materialized token array.
+
+    IMPORTANT: `toks` must reference a concrete column, not an expression —
+    embedding an expression here duplicates its tree into every element_at
+    call (k per position), turning shingling O(tokens²). See _shingle_table.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
     sh = F.transform(
@@ -72,9 +76,14 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
+    """(doc_id, shingle) exploded table; tokenizes once per row."""
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), k)).alias("shingle"),
     )
 
 
@@ -218,17 +227,48 @@ def minhash_dedup_pairs(
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint: per-bit majority vote of token hashes.
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """(doc_id, sh) SimHash fingerprints: per-bit majority vote of token
+    hashes, as an array fold over distinct tokens — pure built-ins, no UDF.
 
-    Implemented as an array fold over distinct tokens: for each bit b,
-    sum(sign) where sign = +1 if token-hash bit b set else -1; bit b of the
-    fingerprint = (sum > 0). Pure built-ins → codegen'd, no UDF.
-    (Uses a 60-bit portable hash, so `bits` ≤ 60.)
+    Layered selects keep the token-hash array a concrete column so the 60
+    per-bit folds reuse it instead of re-hashing (expression-tree
+    duplication would cost 60× otherwise). 60-bit portable hash → bits ≤ 60.
     """
+    bits = min(bits, 60)
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("toks"),
+    )
+    hashed = toked.select(
+        "doc_id", F.transform(F.col("toks"), lambda t: md5_int(t)).alias("hs")
+    )
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return hashed.select("doc_id", out.alias("sh"))
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """Single-column SimHash (convenience; prefer simhash_table for bulk —
+    this form re-evaluates the token-hash array once per bit)."""
     bits = min(bits, 60)
     toks = F.array_distinct(tokens(F.lower(col)))
     hashes = F.transform(toks, lambda t: md5_int(t))
+
     def bit_sum(b: int) -> Column:
         return F.aggregate(
             hashes,
@@ -236,6 +276,7 @@ def simhash(col: Column, bits: int = 64) -> Column:
             lambda acc, h: acc
             + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
         )
+
     out = F.lit(0).cast("bigint")
     for b in range(bits):
         out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
@@ -256,7 +297,7 @@ def simhash_dedup_pairs(
     bands is identical) to avoid the quadratic scan."""
     bits = 60
     per = bits // bands
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_table(df, text_col, id_col)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

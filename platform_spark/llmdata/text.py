@@ -104,16 +104,49 @@ def fingerprint(col: Column) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column family."""
+    """Attach the full text-analysis column family.
+
+    Layered selects materialize the token arrays once, then derive ratios
+    from them, then the composite score from the ratio columns — keeping
+    every split/regex single-evaluation (naively nesting the Column
+    helpers would duplicate the tokenizer tree into each metric).
+    """
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(
         "*",
-        token_count(c).alias("n_tokens"),
+        tokens(c).alias("__toks"),
+        tokens(F.lower(c)).alias("__ltoks"),
+    )
+    n = F.size(F.col("__toks"))
+    sw = F.size(F.filter(F.col("__ltoks"), lambda x: x.isin(EN_STOPWORDS)))
+    total_len = F.aggregate(
+        F.transform(F.col("__toks"), lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    staged = staged.select(
+        "*",
+        n.alias("n_tokens"),
         bpe_ish_token_count(c).alias("n_bpe_tokens"),
         punct_ratio(c).alias("punct_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        mean_word_len(c).alias("mean_word_len"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(sw.cast("double") / n.cast("double"), 6))
+        .alias("stopword_ratio"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(total_len / n.cast("double"), 6))
+        .alias("mean_word_len"),
         fingerprint(c).alias("fingerprint"),
     )
+    mwl, swr, pr = (
+        F.col("mean_word_len"),
+        F.col("stopword_ratio"),
+        F.col("punct_ratio"),
+    )
+    len_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(0.4)).otherwise(F.lit(0.1))
+    sw_term = F.least(swr * 4.0, F.lit(1.0)) * 0.4
+    punct_term = (F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))) * 0.2
+    return staged.select(
+        "*",
+        F.round(len_term + sw_term + punct_term, 6).alias("quality"),
+        F.when(swr >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    ).drop("__toks", "__ltoks")

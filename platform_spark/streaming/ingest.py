@@ -1,0 +1,165 @@
+"""Ingestion: the produce-path analogue (SURVEY.md §3.2).
+
+The reference's broker appends record batches to a partition log, assigns
+contiguous offsets under a single-writer partition lease, and flushes
+segments to S3 (cmd/broker/main.go:982-1122; pkg/storage/log.go:237-269).
+
+Spark-first equivalent: a `TopicWriter` that appends micro-batches of
+records to a topic's partitioned Parquet directory, assigning per-partition
+contiguous `_offset` values. Single-writer-per-partition is guaranteed by
+construction: offsets are assigned with a per-partition row_number on top
+of the previous high-water mark, inside one writing job (Spark's driver
+owns the commit, replacing the etcd partition lease T3). Commit of the
+parquet files IS visibility — the analogue of the completed-segment
+invariant (only footer-sealed segments are queryable, T1/T6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical record schema accepted by the writer (pre-envelope)
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("_key", T.StringType()),
+        T.StructField("_value", T.StringType()),
+        T.StructField("_headers", T.StringType()),
+        T.StructField("_ts", T.TimestampType()),
+        T.StructField("_partition", T.IntegerType()),
+    ]
+)
+
+
+class TopicWriter:
+    """Append-only writer for one topic directory.
+
+    High-water marks are tracked in a small JSON sidecar (`_hwm.json`) —
+    the analogue of etcd's NextOffset (pkg/metadata) — written only after
+    the parquet commit succeeds, so replays after a failed batch reassign
+    the same offsets (at-least-once, like acks-before-flush in the
+    reference; exactly-once needs the streaming checkpoint, see
+    pipeline.py).
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, topic: str, n_partitions: int = 4
+    ) -> None:
+        self.spark = spark
+        self.topic = topic
+        self.n_partitions = n_partitions
+        self.path = os.path.join(root, f"topic={topic}")
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- offset bookkeeping --------------------------------------------
+    @property
+    def _hwm_path(self) -> str:
+        return os.path.join(self.path, "_hwm.json")
+
+    def high_water_marks(self) -> dict[int, int]:
+        """next offset per partition (0 for fresh partitions)."""
+        if os.path.exists(self._hwm_path):
+            with open(self._hwm_path) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        return {}
+
+    def _save_hwm(self, hwm: dict[int, int]) -> None:
+        with open(self._hwm_path, "w") as f:
+            json.dump({str(k): v for k, v in hwm.items()}, f)
+
+    # -- produce --------------------------------------------------------
+    def append(self, records: DataFrame) -> dict[int, int]:
+        """Append records (RECORD_SCHEMA, `_partition` optional — assigned
+        by key hash like the reference's default partitioner when absent)
+        with contiguous per-partition offsets. Returns new high-water marks.
+        """
+        df = records
+        if "_partition" not in df.columns or df.schema["_partition"].nullable:
+            part = F.when(
+                F.col("_partition").isNotNull() if "_partition" in df.columns else F.lit(False),
+                F.col("_partition") if "_partition" in df.columns else F.lit(None),
+            ).otherwise(
+                F.pmod(F.xxhash64(F.col("_key")), F.lit(self.n_partitions)).cast("int")
+            )
+            df = df.withColumn("_partition", part)
+        hwm = self.high_water_marks()
+        base = F.create_map(
+            *[x for p in range(self.n_partitions) for x in (F.lit(p), F.lit(hwm.get(p, 0)))]
+        )
+        w = Window.partitionBy("_partition").orderBy(F.col("_ts"), F.col("_key"))
+        df = df.withColumn(
+            "_offset",
+            (F.row_number().over(w) - 1 + base[F.col("_partition")]).cast("bigint"),
+        )
+        df = df.select(
+            F.lit(self.topic).alias("_topic"),
+            "_partition",
+            "_offset",
+            "_ts",
+            "_key",
+            "_value",
+            F.coalesce(F.col("_headers"), F.lit("{}")).alias("_headers"),
+            F.lit("").alias("_segment"),
+        )
+        df = df.withColumn(
+            "_segment",
+            F.concat(
+                F.lit(f"{self.path}/_partition="),
+                F.col("_partition").cast("string"),
+            ),
+        )
+        (
+            df.repartition("_partition")
+            .sortWithinPartitions("_partition", "_offset")
+            .write.mode("append")
+            .partitionBy("_partition")
+            .parquet(self.path)
+        )
+        # commit offsets only after the parquet commit (visibility = commit)
+        counts = {
+            r["_partition"]: r["n"]
+            for r in df.groupBy("_partition").agg(F.count("*").alias("n")).collect()
+        }
+        for p, n in counts.items():
+            hwm[p] = hwm.get(p, 0) + n
+        self._save_hwm(hwm)
+        return hwm
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+
+class ConsumerGroupOffsets:
+    """Committed-offset surface (T2/T4): a tiny managed table of
+    (group, topic, partition) → offset, the queryable analogue of the
+    reference's etcd consumer-group state (pkg/broker/coordinator.go:353-423).
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.path = os.path.join(root, "_consumer_offsets.json")
+        self._state: dict[str, int] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._state = json.load(f)
+
+    def commit(self, group: str, topic: str, partition: int, offset: int) -> None:
+        self._state[f"{group}/{topic}/{partition}"] = offset
+        with open(self.path, "w") as f:
+            json.dump(self._state, f)
+
+    def fetch(self, group: str, topic: str, partition: int) -> int | None:
+        return self._state.get(f"{group}/{topic}/{partition}")
+
+    def as_dataframe(self) -> DataFrame:
+        rows = [
+            tuple(k.split("/")) + (v,) for k, v in sorted(self._state.items())
+        ]
+        return self.spark.createDataFrame(
+            [(g, t, int(p), o) for g, t, p, o in rows],
+            "group: string, topic: string, partition: int, offset: bigint",
+        )

@@ -1,0 +1,138 @@
+"""Compiler semantics tests (modeled on the reference's server_test.go
+cases: TestHandleSelectTail:248, TestHandleSelectOrderBy:623,
+TestHandleAggregateGroupBy:1393, TestHandleSelectRejectsUnbounded:658)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from platform_spark.errors import ValidationError
+from platform_spark.sql.engine import KafSqlEngine
+
+NOW = datetime(2024, 1, 31)
+
+
+@pytest.fixture(scope="module")
+def engine(catalog):
+    return KafSqlEngine(catalog, now=NOW)
+
+
+def test_rejects_unbounded(engine):
+    with pytest.raises(ValidationError, match="unbounded"):
+        engine.sql("SELECT * FROM events")
+
+
+def test_scan_full_allows_unbounded(engine):
+    assert engine.sql("SELECT _offset FROM events SCAN FULL").count() > 0
+
+
+def test_scan_full_row_cap(engine):
+    # SCAN FULL rows cap at max_unbounded_scan=1000 (server.go:1344-1346)
+    assert engine.sql("SELECT _offset FROM events SCAN FULL LIMIT 5000").count() == 1000
+
+
+def test_default_limit(engine):
+    n = engine.sql("SELECT _offset FROM events LAST 30d").count()
+    assert n == min(1000, 1000)
+
+
+def test_order_by_only_ts(engine):
+    with pytest.raises(ValidationError):
+        engine.sql("SELECT _offset FROM events ORDER BY _offset LAST 1d")
+
+
+def test_tail_conflicts(engine):
+    with pytest.raises(ValidationError):
+        engine.sql("SELECT count(*) FROM events TAIL 10")
+
+
+def test_aggregate_bare_column_needs_group_by(engine):
+    with pytest.raises(ValidationError):
+        engine.sql("SELECT _partition, count(*) FROM events LAST 1d")
+
+
+def test_star_with_aggregate_rejected(engine):
+    with pytest.raises(ValidationError):
+        engine.sql("SELECT *, count(*) FROM events LAST 1d")
+
+
+def test_join_requires_within_and_last(engine):
+    with pytest.raises(ValidationError):
+        engine.sql("SELECT o._key FROM orders o JOIN payments p LAST 1h")
+    with pytest.raises(ValidationError):
+        engine.sql("SELECT o._key FROM orders o JOIN payments p WITHIN 5m")
+
+
+def test_join_rejects_partition_filter(engine):
+    with pytest.raises(ValidationError):
+        engine.sql(
+            "SELECT o._key FROM orders o JOIN payments p WITHIN 5m LAST 1h "
+            "WHERE _partition = 1"
+        )
+
+
+def test_tail_returns_scan_order_tail(engine):
+    rows = engine.sql("SELECT _partition, _offset FROM events TAIL 5").collect()
+    assert len(rows) == 5
+    # tail of scan order = highest (partition, offset) pairs
+    assert all(r["_partition"] == 3 for r in rows)
+    offs = [r["_offset"] for r in rows]
+    assert offs == sorted(offs)
+
+
+def test_order_by_ts_desc(engine):
+    rows = engine.sql(
+        "SELECT _ts FROM events ORDER BY _ts DESC LIMIT 5 LAST 30d"
+    ).collect()
+    vals = [r["_ts"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_group_output_sorted_by_group_key_string(engine):
+    rows = engine.sql(
+        "SELECT event_type, count(*) AS n FROM events LAST 30d GROUP BY event_type"
+    ).collect()
+    keys = [(r["event_type"] if r["event_type"] is not None else "<nil>") for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_sum_numeric_string_coercion(engine, catalog):
+    # numeric strings participate in SUM; non-numeric are skipped
+    row = engine.sql(
+        "SELECT count(*) AS n, count(amount) AS na, "
+        "sum(json_value(_value, '$.amount')) AS s FROM events LAST 30d"
+    ).collect()[0]
+    assert row["n"] > row["na"] > 0  # absent/non-numeric/invalid rows exist
+    assert row["s"] is not None and row["s"] > 0
+
+
+def test_json_exists_tristate(engine):
+    rows = engine.sql(
+        "SELECT json_exists(_value, '$.event_type') AS e, _value FROM events "
+        "WHERE _partition = 0 SCAN FULL LIMIT 1000"
+    ).collect()
+    vals = {r["e"] for r in rows}
+    assert None in vals  # invalid JSON rows → NULL
+    assert True in vals
+
+
+def test_describe_lists_schema_columns(engine):
+    rows = engine.sql("DESCRIBE events").collect()
+    cols = {r["column"] for r in rows}
+    assert {"_topic", "_offset", "event_type", "amount", "flag"} <= cols
+
+
+def test_result_cache_hits(engine):
+    stmt = "SELECT _offset FROM events LAST 2d LIMIT 10"
+    engine.cache.hits = engine.cache.misses = 0
+    engine.sql(stmt)
+    engine.sql(stmt)
+    assert engine.cache.hits >= 1
+
+
+def test_explain_reports_plan(engine):
+    lines = [r["plan"] for r in engine.sql("EXPLAIN SELECT * FROM events LAST 1d").collect()]
+    assert any("scan topic=events" in l for l in lines)
+    assert any("time_bounds" in l for l in lines)

@@ -1,0 +1,145 @@
+"""LLM-data operator tests: pipeline correctness beyond the oracle gate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from platform_spark.llmdata import dedup as D
+from platform_spark.llmdata import multimodal as M
+from platform_spark.llmdata import similarity as S
+from platform_spark.llmdata import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(catalog):
+    return catalog.table("documents")
+
+
+@pytest.fixture(scope="module")
+def embs(catalog):
+    return catalog.table("embeddings")
+
+
+def test_analyze_columns(docs):
+    out = T.analyze(docs.limit(50))
+    row = out.first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_pred"] in ("en", "unk")
+    assert len(row["fingerprint"]) == 32
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    base = docs.limit(20)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = D.exact_dedup(base.unionByName(dup))
+    assert out.count() == 20
+    assert out.filter(F.col("n_copies") == 2).count() == 20
+    # keeper is always the lower id
+    assert out.filter(F.col("keeper") >= 100000).count() == 0
+
+
+def test_minhash_lsh_recovers_near_duplicates(spark, docs):
+    base = docs.limit(30).select("doc_id", "text")
+    # plant near-duplicates: append a token (high jaccard), ids +1000
+    near = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    both = base.unionByName(near)
+    pairs = D.minhash_dedup_pairs(both, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    planted = {(i, i + 1000) for (i,) in base.select("doc_id").collect()}
+    # LSH is probabilistic but near-identical docs collide in ≥1 band
+    assert len(got & planted) >= int(0.9 * len(planted))
+
+
+def test_simhash_near_duplicates_have_small_hamming(spark, docs):
+    base = docs.limit(20).select("doc_id", "text")
+    near = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    fp = D.simhash_table(base.unionByName(near))
+    rows = {r["doc_id"]: r["sh"] for r in fp.collect()}
+    import statistics
+
+    hams = [
+        bin(rows[i] ^ rows[i + 1000]).count("1") for i in rows if i < 1000
+    ]
+    assert statistics.mean(hams) < 8  # one extra rare token flips few bits
+
+
+def test_ngram_jaccard_exact_values(spark):
+    data = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),  # shingles: abc bcd cde vs abc bcd cdx → j=2/4
+            (3, "q r s t u"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = D.ngram_jaccard_pairs(data, threshold=0.1, stop_shingle_df=1.1)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows == {(1, 2): 0.5}
+
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    import numpy as np
+
+    sample = embs.filter(F.col("vec_id") < 50)
+    out = S.brute_force_topk(sample, sample.filter(F.col("vec_id") < 2), k=3)
+    got = {
+        (r["query_id"], r["rank"]): r["corpus_id"] for r in out.collect()
+    }
+    pdf = sample.toPandas().sort_values("vec_id")
+    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    for q in (0, 1):
+        order = [
+            ids[j]
+            for j in sorted(
+                (j for j in range(len(ids)) if ids[j] != q),
+                key=lambda j: (-round(sims[q, j], 6), ids[j]),
+            )
+        ][:3]
+        assert [got[(q, r)] for r in (1, 2, 3)] == order
+
+
+def test_ivf_topk_reasonable_recall(spark, embs):
+    sample = embs.filter(F.col("vec_id") < 200)
+    queries = sample.filter(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(sample, queries, k=5)
+    approx = S.ivf_topk(sample, queries, k=5, n_centroids=8, n_probe=4)
+    b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    assert len(a & b) / len(b) >= 0.4  # probing half the buckets
+
+
+def test_multimodal_decode_and_features(spark):
+    rows = [(i, "image", bytes([i]) * 32, "image/png", None, None, None, None) for i in range(10)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.decode_media(df, decoder=M.fake_decode).collect()
+    assert len(out) == 10
+    assert all(16 <= r["width"] <= 80 for r in out)
+    # real decoder is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        M.decode_media(df, decoder=M.real_decode).collect()
+    feats = M.content_features(df, dim=8).select("media_id", "features").collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 3500), (2, 900)], "media_id: long, duration_ms: long"
+    )
+    out = M.frame_sample_plan(df, every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert by_id[1] == [0, 1000, 2000]
+    assert by_id[2] == [0]

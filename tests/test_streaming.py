@@ -1,0 +1,192 @@
+"""Streaming pipeline tests: ingestion offsets, continuous sink with
+checkpoint replay protection, LFS resolution modes, IDoc explode."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from platform_spark.streaming.idoc import ExplodeConfig, explode_idoc, write_topic_records
+from platform_spark.streaming.ingest import RECORD_SCHEMA, ConsumerGroupOffsets, TopicWriter
+from platform_spark.streaming.lfs import is_lfs_envelope, make_local_fetcher, resolve_lfs
+from platform_spark.streaming.pipeline import ContinuousTopicPipeline, validate_json_payloads
+
+
+def _records(spark, n, start=0):
+    from datetime import datetime, timedelta
+
+    rows = [
+        (
+            f"k{i % 7}",
+            json.dumps({"i": i}),
+            "{}",
+            datetime(2024, 1, 1) + timedelta(seconds=i),
+            i % 4,
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RECORD_SCHEMA)
+
+
+def test_topic_writer_contiguous_offsets(spark, tmp_path):
+    w = TopicWriter(spark, str(tmp_path), "t1")
+    w.append(_records(spark, 40))
+    w.append(_records(spark, 40, start=40))
+    df = w.read()
+    assert df.count() == 80
+    # offsets are contiguous 0..n-1 per partition across both batches
+    per = (
+        df.groupBy("_partition")
+        .agg(F.count("*").alias("n"), F.min("_offset").alias("lo"), F.max("_offset").alias("hi"))
+        .collect()
+    )
+    for r in per:
+        assert r["lo"] == 0
+        assert r["hi"] == r["n"] - 1
+    assert (
+        df.select("_partition", "_offset").distinct().count() == 80
+    )  # no duplicate offsets
+
+
+def test_topic_writer_assigns_partition_by_key_hash(spark, tmp_path):
+    rows = _records(spark, 20).drop("_partition")
+    w = TopicWriter(spark, str(tmp_path), "t2")
+    w.append(rows.withColumn("_partition", F.lit(None).cast("int")))
+    df = w.read()
+    # same key → same partition
+    assert (
+        df.select("_key", "_partition").distinct().groupBy("_key").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_consumer_group_offsets(spark, tmp_path):
+    cg = ConsumerGroupOffsets(spark, str(tmp_path))
+    cg.commit("g1", "t1", 0, 41)
+    cg.commit("g1", "t1", 1, 7)
+    assert cg.fetch("g1", "t1", 0) == 41
+    df = cg.as_dataframe()
+    assert df.count() == 2
+    assert {r["offset"] for r in df.collect()} == {41, 7}
+
+
+def test_continuous_pipeline_exactly_once(spark, tmp_path):
+    src, dst, ckpt = (str(tmp_path / d) for d in ("src", "dst", "ckpt"))
+    w = TopicWriter(spark, src, "t")
+    w.append(_records(spark, 30))
+    pipe = ContinuousTopicPipeline(
+        spark,
+        os.path.join(src, "topic=t"),
+        dst,
+        ckpt,
+        transform=lambda df: df.withColumn("doubled", F.col("_offset") * 2),
+    )
+    pipe.run_available_now()
+    assert spark.read.parquet(dst).count() == 30
+    # re-run without new data: checkpoint must prevent re-processing
+    pipe.run_available_now()
+    assert spark.read.parquet(dst).count() == 30
+    # new data: only the delta lands
+    w.append(_records(spark, 10, start=30))
+    pipe.run_available_now()
+    out = spark.read.parquet(dst)
+    assert out.count() == 40
+    assert out.filter(F.col("doubled") != F.col("_offset") * 2).count() == 0
+
+
+def test_validate_json_payloads(spark):
+    df = spark.createDataFrame(
+        [("1", '{"a": 1}'), ("2", "junk{"), ("3", '{"b": 2}')],
+        "id: string, _value: string",
+    )
+    lenient = validate_json_payloads(df, required_paths=("$.a",), mode="lenient")
+    flags = {r["id"]: r["_valid"] for r in lenient.collect()}
+    assert flags == {"1": True, "2": False, "3": False}
+    strict = validate_json_payloads(df, required_paths=("$.a",), mode="strict")
+    assert [r["id"] for r in strict.collect()] == ["1"]
+
+
+@pytest.fixture()
+def lfs_env(spark, tmp_path):
+    blob_root = tmp_path / "blobs"
+    (blob_root / "bkt").mkdir(parents=True)
+    (blob_root / "bkt" / "blob1").write_bytes(b"the real payload")
+    env = json.dumps(
+        {"kafscale_lfs": True, "version": 1, "bucket": "bkt", "key": "blob1", "size": 16}
+    )
+    missing = json.dumps(
+        {"kafscale_lfs": True, "version": 1, "bucket": "bkt", "key": "nope", "size": 1}
+    )
+    df = spark.createDataFrame(
+        [(1, env), (2, '{"plain": true}'), (3, missing)], "id: long, _value: string"
+    )
+    return df, make_local_fetcher(str(blob_root))
+
+
+def test_lfs_detect_and_resolve(lfs_env):
+    df, fetcher = lfs_env
+    assert df.filter(is_lfs_envelope(F.col("_value"))).count() == 2
+    resolved = {r["id"]: r["_value"] for r in resolve_lfs(df, "resolve", fetcher).collect()}
+    assert resolved[1] == "the real payload"
+    assert resolved[2] == '{"plain": true}'
+    assert resolved[3] is None  # missing blob fails closed in resolve mode
+
+
+def test_lfs_reference_skip_hybrid(lfs_env):
+    df, fetcher = lfs_env
+    ref = resolve_lfs(df, "reference").collect()
+    by_id = {r["id"]: r for r in ref}
+    assert by_id[1]["_lfs_key"] == "blob1" and by_id[1]["_lfs_size"] == 16
+    assert by_id[2]["_lfs_key"] is None
+    assert resolve_lfs(df, "skip").count() == 1
+    hybrid = {r["id"]: r["_value"] for r in resolve_lfs(df, "hybrid", fetcher).collect()}
+    assert hybrid[1] == "the real payload"
+    assert "kafscale_lfs" in hybrid[3]  # unresolvable keeps the envelope
+
+
+_IDOC = """
+<IDOC BEGIN="1">
+  <EDI_DC40><DOCNUM>0000042</DOCNUM></EDI_DC40>
+  <E1EDP01 SEGMENT="1">
+    <POSEX>0010</POSEX>
+    <MENGE>5</MENGE>
+    <E1EDP19><QUALF>002</QUALF><IDTNR>MAT-1</IDTNR></E1EDP19>
+  </E1EDP01>
+  <E1EDP01 SEGMENT="1">
+    <POSEX>0020</POSEX>
+    <MENGE>7</MENGE>
+  </E1EDP01>
+  <E1EDKA1 SEGMENT="1"><PARVW>AG</PARVW><PARTN>CUST-9</PARTN></E1EDKA1>
+  <E1EDK03 SEGMENT="1"><IDDAT>012</IDDAT><DATUM>20240131</DATUM></E1EDK03>
+</IDOC>
+""".strip()
+
+
+def test_idoc_explode_routes(spark, tmp_path):
+    df = spark.createDataFrame([(1, _IDOC)], "doc_id: long, xml: string")
+    out = explode_idoc(df).cache()
+    routes = {r["route"] for r in out.select("route").distinct().collect()}
+    assert {"header", "segments", "items", "partners", "dates"} <= routes
+    items = [json.loads(r["record"]) for r in out.filter(F.col("route") == "items").collect()]
+    assert len(items) == 2
+    first = next(i for i in items if i["fields"].get("POSEX") == "0010")
+    # leaf values fold into the routed parent's fields
+    assert first["fields"]["MENGE"] == "5"
+    assert first["path"] == "IDOC/E1EDP01"
+    partners = [json.loads(r["record"]) for r in out.filter(F.col("route") == "partners").collect()]
+    assert partners[0]["fields"] == {"PARVW": "AG", "PARTN": "CUST-9"}
+    header = json.loads(out.filter(F.col("route") == "header").first()["record"])
+    assert header["root"] == "IDOC" and header["attributes"]["BEGIN"] == "1"
+    # multi-topic write
+    write_topic_records(out, str(tmp_path / "idoc"))
+    items_dir = spark.read.parquet(str(tmp_path / "idoc")).filter(F.col("route") == "items")
+    assert items_dir.count() == 2
+
+
+def test_idoc_invalid_xml(spark):
+    df = spark.createDataFrame([(1, "<broken")], "doc_id: long, xml: string")
+    out = explode_idoc(df).collect()
+    assert out[0]["route"] == "errors"
