@@ -688,3 +688,176 @@ _llm(
     ),
     None,
 )
+
+# ---------------------------------------------------------------------------
+# Introspection + remaining dialect coverage
+# ---------------------------------------------------------------------------
+
+_add(
+    "kafsql_show_topics",
+    lambda spark, sf_dir: engine_for(spark, sf_dir).sql("SHOW TOPICS"),
+    "SELECT * FROM (VALUES ('events'), ('orders'), ('payments')) t(topic)",
+)
+
+
+def _describe_oracle() -> str:
+    from platform_spark.topics import DEFAULT_TOPIC_CONFIGS
+
+    rows = [
+        ("_topic", "text", "implicit"),
+        ("_partition", "integer", "implicit"),
+        ("_offset", "bigint", "implicit"),
+        ("_ts", "timestamp", "implicit"),
+        ("_key", "bytea", "implicit"),
+        ("_value", "bytea", "implicit"),
+        ("_headers", "jsonb", "implicit"),
+        ("_segment", "text", "implicit"),
+    ] + [
+        (c.name, c.type, c.path) for c in DEFAULT_TOPIC_CONFIGS["events"].columns
+    ]
+    values = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in rows)
+    return f'SELECT * FROM (VALUES {values}) t("column", "type", "source")'
+
+
+_add(
+    "kafsql_describe",
+    lambda spark, sf_dir: engine_for(spark, sf_dir).sql("DESCRIBE events"),
+    _describe_oracle(),
+)
+
+# A5 string-kind min/max over a JSON path; A2 count(json_value) resolves
+# (non-null extraction) rather than numeric-castable
+_add(
+    "kafsql_agg_json_minmax_count",
+    kafsql(
+        "SELECT _partition, min(json_value(_value, '$.event_type')) AS mn_et, "
+        "max(json_value(_value, '$.event_type')) AS mx_et, "
+        "count(json_value(_value, '$.amount')) AS n_amount_resolved "
+        "FROM events LAST 30d GROUP BY _partition LIMIT 100000"
+    ),
+    orc.with_topics(
+        f"""
+SELECT _partition,
+  MIN({orc.jval('_value', '$.event_type')}) AS mn_et,
+  MAX({orc.jval('_value', '$.event_type')}) AS mx_et,
+  COUNT({orc.jval('_value', '$.amount')}) AS n_amount_resolved
+FROM t_events
+WHERE _ts >= TIMESTAMP '{_last_lo(30)}' AND _ts <= TIMESTAMP '{_NOW_S}'
+GROUP BY _partition"""
+    ),
+)
+
+# J6: star expansion in a join — left implicit columns + `_right_*` twins
+_add(
+    "kafsql_join_star",
+    kafsql(
+        "SELECT * FROM orders o JOIN payments p ON o._key = p._key "
+        "WITHIN 10m LAST 15000d LIMIT 100000"
+    ),
+    orc.with_topics(
+        f"""
+SELECT o._topic AS _topic, o._partition AS _partition, o._offset AS _offset,
+  {orc.ts('o._ts')} AS _ts, {orc.bytea('o._key')} AS _key,
+  {orc.bytea('o._value')} AS _value, o._headers AS _headers, o._segment AS _segment,
+  p._topic AS _right_topic, p._partition AS _right_partition,
+  p._offset AS _right_offset, {orc.ts('p._ts')} AS _right_ts,
+  {orc.bytea('p._key')} AS _right_key, {orc.bytea('p._value')} AS _right_value,
+  p._headers AS _right_headers, p._segment AS _right_segment
+FROM (SELECT * FROM t_orders
+      WHERE _ts >= TIMESTAMP '{_JOIN_LO}' AND _ts <= TIMESTAMP '{_NOW_S}') o
+JOIN t_payments p
+  ON o._key = p._key
+ AND abs(epoch_us(o._ts) - epoch_us(p._ts)) <= 600000000"""
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# IDoc explode (S12) — deterministic XML built from orders, exploded via
+# mapInPandas (XML parsing is not SQL-expressible → rows-only check; the
+# fold/route semantics are pytest-verified against the reference's rules)
+# ---------------------------------------------------------------------------
+
+
+def _idoc_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.streaming.idoc import explode_idoc
+
+    orders = catalog_for(spark, sf_dir).table("orders").filter(F.col("o_orderkey") < 200)
+    xml = F.concat(
+        F.lit('<IDOC BEGIN="1"><E1EDP01 SEGMENT="1"><POSEX>'),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</POSEX><MENGE>"),
+        (F.col("o_orderkey") % 100).cast("string"),
+        F.lit('</MENGE></E1EDP01><E1EDKA1 SEGMENT="1"><PARVW>AG</PARVW><PARTN>'),
+        F.col("o_custkey").cast("string"),
+        F.lit("</PARTN></E1EDKA1><E1EDK03><IDDAT>012</IDDAT></E1EDK03></IDOC>"),
+    )
+    docs = orders.select(F.col("o_orderkey").alias("doc_id"), xml.alias("xml"))
+    return explode_idoc(docs)
+
+
+_add("streaming_idoc_explode", _idoc_explode, None)
+
+# ---------------------------------------------------------------------------
+# Multimodal: decode + content features over binary payloads (documents'
+# text bytes stand in for media content; sha-derived decode is
+# deterministic, so even the *stubbed* path is oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _doc_table(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.multimodal import decode_media, fake_decode
+
+    return decode_media(_media_df(spark, sf_dir), decoder=fake_decode)
+
+
+_MM_BYTE_SUM = (
+    "list_sum(list_transform(generate_series(0, 31), "
+    "i -> CAST(('0x' || substr(sha256(text), 2*i + 1, 2)) AS INT)))"
+)
+
+_add(
+    "llm_multimodal_decode",
+    _mm_decode,
+    f"""
+SELECT doc_id AS media_id,
+  16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 64 AS width,
+  16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 64 AS height,
+  round({_MM_BYTE_SUM} / 32.0 / 255.0, 6) AS mean_intensity
+FROM documents
+""",
+)
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.multimodal import content_features
+
+    feats = content_features(_media_df(spark, sf_dir), dim=8)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "feature")
+    ).withColumn("feature", F.round(F.col("feature"), 9))
+
+
+_add(
+    "llm_multimodal_features",
+    _mm_features,
+    """
+SELECT doc_id AS media_id, i AS idx,
+  round(CAST(('0x' || substr(sha256(text), 1 + 4*i, 4)) AS INT) / 65535.0, 9) AS feature
+FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
+""",
+)

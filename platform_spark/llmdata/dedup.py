@@ -106,20 +106,28 @@ def ngram_jaccard_pairs(
     *index only* (they generate quadratic candidates but barely move
     Jaccard); sizes keep them, so Jaccard is exact for surviving pairs.
     """
-    sh = _shingle_table(df, text_col, id_col, k).cache()
+    # join on a 60-bit hash of the shingle: integer shuffle keys are far
+    # cheaper than strings at scale; collision odds at 2^60 are negligible
+    # (~1e-8 even at 10^5 distinct shingles — and a collision only perturbs
+    # one candidate pair's count)
+    sh = (
+        _shingle_table(df, text_col, id_col, k)
+        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     n_docs = df.count()
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count("*").alias("df_"))
         .filter(F.col("df_") > n_docs * stop_shingle_df)
-        .select("shingle")
+        .select("sh")
     )
-    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -362,20 +370,28 @@ def embedding_neardup_pairs(
             vals.append((u / float(1 << 64)) * 2.0 - 1.0)
         return vals
 
+    from platform_spark.llmdata.similarity import dot_expr
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sketch_bits = []
-    for p in range(n_hyperplanes):
-        w = plane(p)
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sketch_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
-    sketch = sum(sketch_bits[1:], sketch_bits[0])
-    base = df.select(
-        F.col(id_col).alias("vid"), v.alias("v"), sketch.alias("bucket")
+    # single literal plane-matrix expression (per-plane copies would bloat
+    # codegen); sketch = Σ (dot_p >= 0) << p folded over the matrix
+    plane_matrix = F.array(
+        *[F.array(*[F.lit(x) for x in plane(p)]) for p in range(n_hyperplanes)]
     )
+    staged = df.select(F.col(id_col).alias("vid"), v.alias("v"))
+    dots = F.transform(plane_matrix, lambda w: dot_expr(F.col("v"), w))
+    sketch = F.aggregate(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(n_hyperplanes - 1)),
+            lambda d, i: F.when(
+                d >= 0, F.pow(F.lit(2.0), i.cast("double")).cast("int")
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = staged.select("vid", "v", sketch.alias("bucket"))
     x, y = base.alias("x"), base.alias("y")
     cand = x.join(
         y,

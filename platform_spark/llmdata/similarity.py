@@ -101,10 +101,15 @@ def ivf_topk(
             vals.append((u / float(1 << 64)) * 2.0 - 1.0)
         return vals
 
-    cents = [F.array(*[F.lit(x) for x in centroid(i)]) for i in range(n_centroids)]
+    # one literal centroid *matrix* traversed with transform — a single
+    # compact expression tree (n_centroids copies of cosine_expr would blow
+    # up codegen compile time)
+    cent_matrix = F.array(
+        *[F.array(*[F.lit(x) for x in centroid(i)]) for i in range(n_centroids)]
+    )
 
     def nearest(vec: Column, n: int) -> Column:
-        sims = F.array(*[cosine_expr(vec, c) for c in cents])
+        sims = F.transform(cent_matrix, lambda c: cosine_expr(vec, c))
         idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
         ranked = F.sort_array(
             F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
