@@ -58,6 +58,9 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config(_NANOS_AS_LONG, "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) has no column stats and defeats
+        # timestamp pushdown/pruning; micros keeps `_ts` min/max in footers
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))

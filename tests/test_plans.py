@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the scale contract.
+
+These tests pin the properties that make the engine viable at 100 TB —
+partition pruning, filter pushdown, column pruning, broadcast of the small
+join side — by inspecting executed plans on the real partitioned-parquet
+topic layout. A regression here is a performance bug even if results stay
+correct.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from platform_spark.governance import ScanBudget, estimate_scan
+from platform_spark.errors import GovernanceError
+from platform_spark.sql.engine import KafSqlEngine
+from platform_spark.topics import TopicCatalog
+
+NOW = datetime(2024, 1, 31)
+
+
+@pytest.fixture(scope="module")
+def mat_engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("topics"))
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001", materialized_root=root)
+    return KafSqlEngine(cat, now=NOW)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_and_pushdown(mat_engine):
+    df = mat_engine.sql(
+        "SELECT _offset, _ts FROM events WHERE _partition = 2 AND _offset >= 100 "
+        "AND _ts >= '2024-01-15 00:00:00' LIMIT 100000"
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "_partition" in plan
+    assert "_offset" in plan.split("DataFilters")[1].split("]")[0]
+    assert "Batched: true" in plan  # vectorized parquet reader
+
+
+def test_column_pruning(mat_engine):
+    df = mat_engine.sql("SELECT _offset FROM events LAST 5d LIMIT 10")
+    plan = _plan(df)
+    scan = plan.split("FileScan parquet")[1].split("]")[0]
+    # the scan schema must not include the wide payload columns
+    assert "_value" not in scan and "_headers" not in scan
+
+
+def test_join_broadcasts_and_pushes_derived_bounds(mat_engine):
+    df = mat_engine.sql(
+        "SELECT o._key AS k FROM orders o JOIN payments p ON o._key = p._key "
+        "WITHIN 10m LAST 15000d LIMIT 100000"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the WITHIN band appears as a join condition, not a post-filter
+    assert "unix_micros" in plan.split("Join")[1].split("\n")[0]
+    # derived right-side time bound (window ± within) reaches the scan
+    right_scan = plan.split("BroadcastExchange")[1]
+    assert "23:50:00" in right_scan or "_ts" in right_scan
+
+
+def test_scan_estimate_prunes_partitions_and_time(mat_engine):
+    path = mat_engine.catalog._materialized["events"]
+    full = estimate_scan(path)
+    one_part = estimate_scan(path, partition=1)
+    assert one_part.rows < full.rows
+    # at this tiny SF each partition is a single row group spanning the
+    # whole month, so a partial window can at best tie; the disjoint window
+    # below proves min/max pruning actually fires
+    late = estimate_scan(path, ts_min=datetime(2024, 1, 29))
+    assert late.rows <= full.rows
+    none = estimate_scan(path, ts_min=datetime(2030, 1, 1))
+    assert none.rows == 0 and none.files == 0
+
+
+def test_scan_budget_rejection(mat_engine):
+    est = estimate_scan(mat_engine.catalog._materialized["events"])
+    tight = ScanBudget(max_scan_bytes=10)
+    with pytest.raises(GovernanceError, match="max_scan_bytes"):
+        tight.check(est)
+    ok = ScanBudget()
+    ok.check(est)  # defaults pass
+
+
+def test_engine_budget_preflight(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("topics2"))
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001", materialized_root=root)
+    from platform_spark.sql.engine import EngineOptions
+
+    opts = EngineOptions()
+    opts.budget = ScanBudget(max_scan_bytes=10)
+    eng = KafSqlEngine(cat, options=opts, now=NOW)
+    with pytest.raises(GovernanceError):
+        eng.sql("SELECT _offset FROM events LAST 5d")
