@@ -861,3 +861,124 @@ SELECT doc_id AS media_id, i AS idx,
 FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
 """,
 )
+
+# ---------------------------------------------------------------------------
+# Full-oracle upgrades: LSH banding pipelines are SQL-expressible end-to-end
+# ---------------------------------------------------------------------------
+
+_SIG_CTE = f"""
+{_DUCK_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+    {_MH_COLS}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+_BANDS = 8
+_RPB = _NUM_PERM // _BANDS
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{b * _RPB + r}" for r in range(_RPB))
+    + ")) AS bucket FROM sigs"
+    for b in range(_BANDS)
+)
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {_SIG_CTE},
+buckets AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.1
+"""
+
+# upgrade the rows-only entry to a full oracle check
+_add(
+    "llm_minhash_lsh_pairs",
+    lambda spark, sf_dir: _dd.minhash_dedup_pairs(
+        _doc_table(spark, sf_dir), threshold=0.1
+    ),
+    _MINHASH_PAIRS_ORACLE,
+)
+
+_SH_CTE = f"""
+toks AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tl
+  FROM documents WHERE trim(text) != ''
+), hh AS (
+  SELECT doc_id,
+    list_transform(tl, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+), fp AS (SELECT doc_id, {_SIMHASH_TERMS} AS sh FROM hh)
+"""
+
+_SIM_BANDS = 4
+_SIM_PER = 60 // _SIM_BANDS
+_SIM_CHUNKS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, sh, {b} AS band, (sh >> {b * _SIM_PER}) & {(1 << _SIM_PER) - 1} AS chunk FROM fp"
+    for b in range(_SIM_BANDS)
+)
+
+_add(
+    "llm_simhash_pairs",
+    lambda spark, sf_dir: _dd.simhash_dedup_pairs(
+        _doc_table(spark, sf_dir), max_hamming=12
+    ),
+    f"""
+WITH {_SH_CTE},
+chunks AS ({_SIM_CHUNKS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    x.sh AS sh_a, y.sh AS sh_b
+  FROM chunks x JOIN chunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+""",
+)
+
+# tumbling-window aggregation (T7 extension: window() over topic `_ts`)
+
+
+def _tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = catalog_for(spark, sf_dir).topic("events")
+    return (
+        ev.groupBy(F.window("_ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_add(
+    "analytics_tumbling_window",
+    _tumbling_window,
+    orc.with_topics(
+        f"""
+SELECT strftime(date_trunc('day', _ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  {orc.jval('_value', '$.event_type')} AS event_type, COUNT(*) AS n
+FROM t_events GROUP BY 1, 2"""
+    ),
+)

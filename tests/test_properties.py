@@ -1,0 +1,78 @@
+"""Property tests (hypothesis) for the dialect front-end."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st
+
+from platform_spark.functions.durations import parse_duration, parse_ts_literal
+from platform_spark.sql import parser
+
+
+@given(
+    st.integers(0, 10_000),
+    st.sampled_from(["ms", "s", "m", "h", "d"]),
+)
+def test_duration_single_unit(n, unit):
+    mult = {"ms": 1e-3, "s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    assert parse_duration(f"{n}{unit}") == pytest.approx(n * mult)
+
+
+@given(st.integers(0, 3650), st.integers(0, 23), st.integers(0, 59))
+def test_duration_compound(d, h, m):
+    assert parse_duration(f"{d}d{h}h{m}m") == d * 86400 + h * 3600 + m * 60
+
+
+@given(st.text(max_size=12))
+def test_duration_never_crashes_weirdly(s):
+    try:
+        out = parse_duration(s)
+        assert out >= 0
+    except ValueError:
+        pass
+
+
+@given(
+    st.datetimes(
+        min_value=datetime(1990, 1, 1),
+        max_value=datetime(2100, 1, 1),
+    )
+)
+def test_ts_literal_epoch_roundtrip(dt):
+    ms = int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+    if ms < 10**11:  # epoch-ms literals need >= 12 digits
+        return
+    back = parse_ts_literal(str(ms))
+    assert abs((back - dt.replace(tzinfo=None)).total_seconds()) < 0.001
+
+
+@given(
+    st.datetimes(min_value=datetime(1990, 1, 1), max_value=datetime(2100, 1, 1))
+)
+def test_ts_literal_sql_roundtrip(dt):
+    dt = dt.replace(microsecond=(dt.microsecond // 1000) * 1000)
+    text = dt.strftime("%Y-%m-%d %H:%M:%S.") + f"{dt.microsecond // 1000:03d}"
+    assert parse_ts_literal(text) == dt
+
+
+@settings(max_examples=200)
+@given(
+    st.integers(0, 3),
+    st.integers(0, 10**6),
+    st.integers(0, 10**6),
+    st.sampled_from(["5m", "1h", "3d", "90s"]),
+    st.integers(1, 100000),
+)
+def test_parser_roundtrips_filters(partition, off_lo, off_hi, last, limit):
+    q = parser.parse(
+        f"SELECT _offset FROM events WHERE _partition = {partition} "
+        f"AND _offset >= {off_lo} AND _offset <= {off_hi} LAST {last} LIMIT {limit}"
+    )
+    assert q.partition == partition
+    assert q.offset_min == off_lo and q.offset_max == off_hi
+    assert q.limit == limit
+    assert q.last_seconds == parse_duration(last)

@@ -190,3 +190,31 @@ def test_idoc_invalid_xml(spark):
     df = spark.createDataFrame([(1, "<broken")], "doc_id: long, xml: string")
     out = explode_idoc(df).collect()
     assert out[0]["route"] == "errors"
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """T7 extension: tumbling-window count over a topic stream with a
+    watermark for late data — the Structured Streaming shape the reference
+    delegates to external engines (README.md:105-107)."""
+    src = str(tmp_path / "src")
+    w = TopicWriter(spark, src, "t")
+    w.append(_records(spark, 120))
+    topic_dir = os.path.join(src, "topic=t")
+    schema = spark.read.parquet(topic_dir).schema
+    stream = spark.readStream.schema(schema).parquet(topic_dir)
+    agg = (
+        stream.withWatermark("_ts", "10 minutes")
+        .groupBy(F.window("_ts", "1 minute"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT window.start AS s, count FROM winagg ORDER BY s").collect()
+    assert sum(r["count"] for r in rows) == 120
+    assert all(r["count"] == 60 for r in rows)  # 1 rec/sec → 60 per minute
