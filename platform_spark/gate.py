@@ -982,3 +982,52 @@ SELECT strftime(date_trunc('day', _ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM t_events GROUP BY 1, 2"""
     ),
 )
+
+# more TPC-H shapes: semi-join-ish volume query, grouped top-k, large
+# multi-way join with date predicates
+
+_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name
+"""
+_add("analytics_q7_nation_trade", spark_sql(_Q7), _Q7)
+
+_Q10 = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+_add("analytics_q10_returned_revenue", spark_sql(_Q10), _Q10)
+
+_Q18 = """
+SELECT o_orderkey, o_orderdate_s, o_totalprice, qty FROM (
+  SELECT o_orderkey,
+    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+    o_totalprice,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS qty
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate, o_totalprice
+) WHERE qty > 150
+"""
+# Spark twin needs date_format instead of strftime
+_Q18_SPARK = _Q18.replace("strftime(o_orderdate, '%Y-%m-%d')", "date_format(o_orderdate, 'yyyy-MM-dd')")
+_add("analytics_q18_big_orders", spark_sql(_Q18_SPARK), _Q18)
