@@ -12,6 +12,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame
 
+from platform_spark.errors import GovernanceError
 from platform_spark.governance import (
     QueryLimiter,
     ResultCache,
@@ -35,6 +36,8 @@ class EngineOptions:
     cache_entries: int = 100
     cache_max_rows: int = 10_000
     enable_cache: bool = True
+    #: query timeout (config.go timeout_seconds, default 30); None = off
+    timeout_seconds: float | None = 30.0
 
 
 class KafSqlEngine:
@@ -57,6 +60,29 @@ class KafSqlEngine:
         self._now = now
 
     # ------------------------------------------------------------------
+    def collect_with_timeout(self, df: DataFrame, timeout: float | None = None):
+        """Run an action under the engine's query timeout (the analogue of
+        the reference's per-query context deadline, server.go:472-478):
+        the job group is cancelled when the deadline passes."""
+        import threading
+        import uuid
+
+        timeout = timeout if timeout is not None else self.opt.timeout_seconds
+        if timeout is None:
+            return df.collect()
+        sc = self.spark.sparkContext
+        group = f"kafsql-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "kafsql query", interruptOnCancel=True)
+        timer = threading.Timer(timeout, lambda: sc.cancelJobGroup(group))
+        timer.start()
+        try:
+            return df.collect()
+        except Exception as e:  # noqa: BLE001
+            raise GovernanceError(f"query cancelled (timeout {timeout}s)") from e
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+
     def sql(self, statement: str) -> DataFrame:
         """Execute a KAFSQL statement, returning a DataFrame."""
         q = parser.parse(statement)

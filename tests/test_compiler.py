@@ -136,3 +136,27 @@ def test_explain_reports_plan(engine):
     lines = [r["plan"] for r in engine.sql("EXPLAIN SELECT * FROM events LAST 1d").collect()]
     assert any("scan topic=events" in l for l in lines)
     assert any("time_bounds" in l for l in lines)
+
+
+def test_collect_with_timeout_normal(engine):
+    df = engine.sql("SELECT _offset FROM events LAST 2d LIMIT 5")
+    rows = engine.collect_with_timeout(df, timeout=60)
+    assert len(rows) <= 5
+
+
+def test_collect_with_timeout_cancels(engine, spark):
+    import time
+    from platform_spark.errors import GovernanceError
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    # a deliberately slow job: big cross product
+    slow = (
+        spark.range(200000)
+        .crossJoin(spark.range(4000).withColumnRenamed("id", "id2"))
+        .agg(F.sum(F.col("id") * F.col("id2")))
+    )
+    t0 = time.time()
+    with _pytest.raises(GovernanceError, match="timeout"):
+        engine.collect_with_timeout(slow, timeout=1.0)
+    assert time.time() - t0 < 30
