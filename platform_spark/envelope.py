@@ -163,10 +163,117 @@ WHERE o_orderkey % 5 > 0 AND (dup.off = 0 OR o_orderkey % 20 = 1)
 """.strip()
 
 
+# -- passthrough topics: every driver table presented as a topic ------------
+# (FIXTURES.md §2.4: key = primary key, `_value` = flat JSON of all columns)
+
+#: per-table (pk_expr, [(column, kind)]) where kind ∈ int|double|string|date
+PASSTHROUGH_TABLES: dict[str, tuple[str, list[tuple[str, str]]]] = {
+    "customer": (
+        "c_custkey",
+        [
+            ("c_custkey", "int"),
+            ("c_name", "string"),
+            ("c_nationkey", "int"),
+            ("c_acctbal", "double"),
+            ("c_mktsegment", "string"),
+        ],
+    ),
+    "supplier": (
+        "s_suppkey",
+        [
+            ("s_suppkey", "int"),
+            ("s_name", "string"),
+            ("s_nationkey", "int"),
+            ("s_acctbal", "double"),
+        ],
+    ),
+    "part": (
+        "p_partkey",
+        [
+            ("p_partkey", "int"),
+            ("p_name", "string"),
+            ("p_brand", "string"),
+            ("p_type", "string"),
+            ("p_size", "int"),
+            ("p_retailprice", "double"),
+        ],
+    ),
+    "nation": (
+        "n_nationkey",
+        [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    ),
+    "region": ("r_regionkey", [("r_regionkey", "int"), ("r_name", "string")]),
+    "lineitem": (
+        "l_orderkey * 10 + l_linenumber",
+        [
+            ("l_orderkey", "int"),
+            ("l_partkey", "int"),
+            ("l_suppkey", "int"),
+            ("l_linenumber", "int"),
+            ("l_quantity", "double"),
+            ("l_extendedprice", "double"),
+            ("l_discount", "double"),
+            ("l_tax", "double"),
+            ("l_returnflag", "string"),
+            ("l_linestatus", "string"),
+            ("l_shipdate", "date"),
+        ],
+    ),
+}
+
+
+def passthrough_envelope_sql(dialect: str, table: str) -> str:
+    """Generic topic envelope: `_key` = pk, `_value` = flat JSON of all
+    columns, `_ts` = 2024-01-01 + (pk % 30d) seconds (inside the pinned
+    LAST window; FIXTURES.md §1 timestamp rule)."""
+    s = _str_t(dialect)
+    pk, cols = PASSTHROUGH_TABLES[table]
+    parts = []
+    for name, kind in cols:
+        if kind == "int":
+            parts.append(f"'\"{name}\":' || CAST({name} AS {s})")
+        elif kind == "double":
+            parts.append(f"'\"{name}\":' || {_amount_str(name, dialect)}")
+        elif kind == "date":
+            if dialect == SPARK:
+                d = f"date_format({name}, 'yyyy-MM-dd HH:mm:ss')"
+            else:
+                d = f"strftime({name}, '%Y-%m-%d %H:%M:%S')"
+            parts.append(f"'\"{name}\":\"' || {d} || '\"'")
+        else:
+            parts.append(f"'\"{name}\":\"' || {name} || '\"'")
+    value_json = "'{' || " + " || ',' || ".join(parts) + " || '}'"
+    spread = f"({pk}) % 2592000"
+    if dialect == SPARK:
+        ts = f"timestampadd(SECOND, CAST({spread} AS INT), TIMESTAMP '2024-01-01 00:00:00')"
+    else:
+        ts = f"TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ({spread}) SECOND"
+    return f"""
+SELECT
+  '{table}' AS _topic,
+  CAST(({pk}) % {N_PARTITIONS} AS INT) AS _partition,
+  CAST(ROW_NUMBER() OVER (PARTITION BY ({pk}) % {N_PARTITIONS} ORDER BY {pk}) - 1 AS BIGINT) AS _offset,
+  {ts} AS _ts,
+  CAST({pk} AS {s}) AS _key,
+  {value_json} AS _value,
+  '{{"source":"fixture","seq":"' || CAST({pk} AS {s}) || '"}}' AS _headers,
+  's3://topics/{table}/' || CAST(({pk}) % {N_PARTITIONS} AS {s}) || '/segment-0.kfs' AS _segment
+FROM {table}
+""".strip()
+
+
+def _passthrough_builder(table: str):
+    def build(dialect: str, rel: str | None = None) -> str:
+        return passthrough_envelope_sql(dialect, table)
+
+    return build
+
+
 ENVELOPE_BUILDERS = {
     "events": events_envelope_sql,
     "orders": orders_envelope_sql,
     "payments": payments_envelope_sql,
+    **{t: _passthrough_builder(t) for t in PASSTHROUGH_TABLES},
 }
 
 

@@ -1031,3 +1031,55 @@ SELECT o_orderkey, o_orderdate_s, o_totalprice, qty FROM (
 # Spark twin needs date_format instead of strftime
 _Q18_SPARK = _Q18.replace("strftime(o_orderdate, '%Y-%m-%d')", "date_format(o_orderdate, 'yyyy-MM-dd')")
 _add("analytics_q18_big_orders", spark_sql(_Q18_SPARK), _Q18)
+
+# ---------------------------------------------------------------------------
+# Passthrough topics: every driver table is a topic (FIXTURES.md §2.4) —
+# TPC-H-shaped analytics through the KAFSQL dialect itself
+# ---------------------------------------------------------------------------
+
+_add(
+    "kafsql_show_topics",
+    lambda spark, sf_dir: engine_for(spark, sf_dir).sql("SHOW TOPICS"),
+    "SELECT * FROM (VALUES ('customer'), ('events'), ('lineitem'), ('nation'), "
+    "('orders'), ('part'), ('payments'), ('region'), ('supplier')) t(topic)",
+)
+
+# Q1 pricing summary expressed in KAFSQL over the lineitem topic
+_add(
+    "kafsql_q1_dialect",
+    kafsql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price, "
+        "min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship "
+        "FROM lineitem LAST 31d GROUP BY l_returnflag, l_linestatus LIMIT 100000"
+    ),
+    orc.with_topics(
+        f"""
+SELECT {orc.jval('_value', '$.l_returnflag')} AS l_returnflag,
+  {orc.jval('_value', '$.l_linestatus')} AS l_linestatus,
+  COUNT(*) AS n,
+  {orc.dsum(orc.jval('_value', '$.l_quantity'))} AS sum_qty,
+  {orc.davg(orc.jval('_value', '$.l_extendedprice'))} AS avg_price,
+  {orc.ts("MIN(TRY_CAST(" + orc.jval('_value', '$.l_shipdate') + " AS TIMESTAMP))")} AS first_ship,
+  {orc.ts("MAX(TRY_CAST(" + orc.jval('_value', '$.l_shipdate') + " AS TIMESTAMP))")} AS last_ship
+FROM t_lineitem
+WHERE _ts >= TIMESTAMP '{_last_lo(31)}' AND _ts <= TIMESTAMP '{_NOW_S}'
+GROUP BY 1, 2"""
+    ),
+)
+
+# small passthrough topic end-to-end (schema columns + implicit columns)
+_add(
+    "kafsql_nation_topic",
+    kafsql(
+        "SELECT _partition, _offset, _key, n_name, n_regionkey "
+        "FROM nation SCAN FULL LIMIT 100000"
+    ),
+    orc.with_topics(
+        f"""
+SELECT _partition, _offset, {orc.bytea('_key')} AS _key,
+  {orc.jval('_value', '$.n_name')} AS n_name,
+  TRY_CAST({orc.jval('_value', '$.n_regionkey')} AS BIGINT) AS n_regionkey
+FROM t_nation"""
+    ),
+)

@@ -129,6 +129,17 @@ DEFAULT_TOPIC_CONFIGS: dict[str, TopicConfig] = {
     ),
 }
 
+#: passthrough topics (FIXTURES.md §2.4): schema-on-read column per table
+#: column, typed int→long / double / string / date→timestamp
+_KIND_TO_SCHEMA = {"int": "long", "double": "double", "string": "string", "date": "timestamp"}
+for _t, (_pk, _cols) in env.PASSTHROUGH_TABLES.items():
+    DEFAULT_TOPIC_CONFIGS[_t] = TopicConfig(
+        _t,
+        tuple(
+            _sc(_name, _KIND_TO_SCHEMA[_kind], f"$.{_name}") for _name, _kind in _cols
+        ),
+    )
+
 
 class TopicCatalog:
     """Resolves topic names to DataFrames with the implicit + schema columns.
