@@ -53,6 +53,11 @@ class CompilerOptions:
     require_time_bound: bool = True
     #: render _ts/_key/_value projections as reference text (F4/F5)
     render_text: bool = True
+    #: exact emulation of the reference's MIN/MAX kind rule for JSON paths
+    #: (first value in scan order decides number-vs-string, mismatched kinds
+    #: ignored — server.go:2132-2182). Costs one tiny top-1 job per MIN/MAX
+    #: over a JSON path; off by default in favor of the static rule.
+    first_kind_wins: bool = False
 
 
 class Compiler:
@@ -259,12 +264,39 @@ class Compiler:
             ).alias(name)
         if fn in ("min", "max"):
             kind = self._minmax_kind(q, item)
+            if item.agg_json_path and self.opt.first_kind_wins:
+                kind = self._peek_kind(q, item)
             typed = arg.cast(kind) if kind else arg
+            if kind == "string" and item.agg_json_path and self.opt.first_kind_wins:
+                # string kind: number-valued extractions are a kind
+                # mismatch and are ignored (server.go:2132-2182)
+                typed = F.when(arg.cast("double").isNull(), arg)
             col = F.min(typed) if fn == "min" else F.max(typed)
             if self.opt.render_text and kind == "timestamp":
                 col = render.ts_text(col)
             return col.alias(name)
         raise ValidationError(f"unknown aggregate {fn!r}")
+
+    def _peek_kind(self, q: Query, item: SelectColumn) -> str:
+        """First-seen-kind emulation: look at the first non-null extraction
+        in scan order ((partition, offset)); number-parseable → double kind,
+        else string."""
+        arg = self._json_extract(item.agg_column, item.agg_json_path)
+        rows = (
+            self.scan(q.topic, q)
+            .filter(arg.isNotNull())
+            .orderBy("_partition", "_offset")
+            .select(arg.alias("v"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return "string"
+        try:
+            float(rows[0]["v"])
+            return "double"
+        except (TypeError, ValueError):
+            return "string"
 
     def _minmax_kind(self, q: Query, item: SelectColumn) -> str | None:
         """MIN/MAX value kind. The reference decides per-group from the

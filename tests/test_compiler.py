@@ -160,3 +160,26 @@ def test_collect_with_timeout_cancels(engine, spark):
     with _pytest.raises(GovernanceError, match="timeout"):
         engine.collect_with_timeout(slow, timeout=1.0)
     assert time.time() - t0 < 30
+
+
+def test_minmax_first_kind_wins(catalog):
+    from platform_spark.sql.compiler import CompilerOptions
+    from platform_spark.sql.engine import EngineOptions
+
+    opts = EngineOptions()
+    opts.compiler = CompilerOptions(first_kind_wins=True)
+    eng = KafSqlEngine(catalog, options=opts, now=NOW)
+    # first scan-order amount is a JSON number → numeric kind → numeric
+    # min/max over parseable values ('n/a' ignored)
+    row = eng.sql(
+        "SELECT min(json_value(_value, '$.amount')) AS mn, "
+        "max(json_value(_value, '$.amount')) AS mx FROM events LAST 30d"
+    ).collect()[0]
+    assert isinstance(row["mn"], float) and isinstance(row["mx"], float)
+    assert 0 <= row["mn"] <= row["mx"]
+    # static rule (default) treats JSON paths as strings → lexicographic
+    static = KafSqlEngine(catalog, now=NOW)
+    srow = static.sql(
+        "SELECT min(json_value(_value, '$.amount')) AS mn FROM events LAST 30d"
+    ).collect()[0]
+    assert isinstance(srow["mn"], str)
