@@ -12,6 +12,7 @@ Orders/payments carry 1992-1998 timestamps, so their windows use LAST 15000d.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from datetime import datetime, timedelta
 
@@ -26,10 +27,22 @@ NOW = datetime(2024, 1, 31)
 _ENGINES: dict[tuple[int, str], KafSqlEngine] = {}
 
 
+def _topic_cache_root(sf_dir: str) -> str:
+    """Per-SF lazy-materialization root: topics are written once as
+    `_partition`-partitioned parquet (version-keyed by envelope SQL) so gate
+    queries scan real files — partition pruning + `_ts`/`_offset` footer
+    stats — instead of re-running the envelope window per query."""
+    base = os.environ.get("SPARK_GRAFT_TOPIC_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".topic_cache",
+    )
+    return os.path.join(base, os.path.basename(os.path.normpath(sf_dir)) or "sf")
+
+
 def engine_for(spark: SparkSession, sf_dir: str) -> KafSqlEngine:
     key = (id(spark), sf_dir)
     if key not in _ENGINES:
-        catalog = TopicCatalog(spark, sf_dir)
+        catalog = TopicCatalog(spark, sf_dir, cache_root=_topic_cache_root(sf_dir))
         _ENGINES[key] = KafSqlEngine(catalog, now=NOW)
     return _ENGINES[key]
 

@@ -218,15 +218,42 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
-    The verify step reuses the inverted-index join restricted to candidate
-    pairs, so the expensive pairwise work only touches LSH survivors."""
+    The verify step is restricted to the LSH candidate pairs BEFORE any
+    pairwise work: the shingle index is joined through the candidate list
+    (cand × sh_a on doc_a, then sh_b on (doc_b, shingle)), so common-shingle
+    counting costs O(|candidates| × avg_shingles) — never the all-shared-
+    shingle-pairs blowup of a full inverted-index join. This is what makes
+    LSH actually cheaper than the exact join at scale."""
     sig = minhash_signatures(df, text_col, id_col, k, num_perm)
     cand = minhash_lsh_candidates(sig, num_perm, bands)
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, k=k, threshold=0.0, stop_shingle_df=1.1
+    sh = _shingle_table(df, text_col, id_col, k).select(
+        "doc_id", md5_int(F.col("shingle")).alias("sh")
     )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("__b_doc"), F.col("sh").alias("sh_b"))
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("__b_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -348,15 +375,20 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_hyperplanes: int = 12,
+    n_hyperplanes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
-    Scale path: random-hyperplane LSH (sign sketch) buckets vectors; only
-    same-bucket pairs get exact cosine. Hyperplanes are deterministic
-    (hash-seeded), so results are reproducible.
+    Scale path: random-hyperplane LSH (sign sketch) BANDED like MinHash-LSH:
+    the n_hyperplanes sign bits split into `bands` bands; vectors sharing ANY
+    band bucket become candidates, then exact cosine verifies. A single
+    all-bits bucket would need agreement on every bit (recall
+    (1-θ/π)^n ≈ 28% at cosine 0.95 with 12 bits); OR-ed 4-bit bands give
+    1-(1-p^4)^4 ≈ 98.5% at cosine 0.95 (p = 1-θ/π ≈ 0.90). Hyperplanes are
+    deterministic (hash-seeded), so results are reproducible.
     """
-    from platform_spark.llmdata.similarity import cosine_expr, norm_expr
+    from platform_spark.llmdata.similarity import cosine_expr, dot_expr
 
     dim = len(df.select(vec_col).first()[0])
     import hashlib
@@ -370,8 +402,7 @@ def embedding_neardup_pairs(
             vals.append((u / float(1 << 64)) * 2.0 - 1.0)
         return vals
 
-    from platform_spark.llmdata.similarity import dot_expr
-
+    per = max(1, n_hyperplanes // bands)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # single literal plane-matrix expression (per-plane copies would bloat
     # codegen); sketch = Σ (dot_p >= 0) << p folded over the matrix
@@ -385,25 +416,42 @@ def embedding_neardup_pairs(
             dots,
             F.sequence(F.lit(0), F.lit(n_hyperplanes - 1)),
             lambda d, i: F.when(
-                d >= 0, F.pow(F.lit(2.0), i.cast("double")).cast("int")
-            ).otherwise(F.lit(0)),
+                d >= 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
         ),
-        F.lit(0),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    base = staged.select("vid", "v", sketch.alias("bucket"))
-    x, y = base.alias("x"), base.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.vid") < F.col("y.vid")),
+    base = staged.select("vid", "v", sketch.alias("sk"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sk"), b * per)
+            .bitwiseAND(F.lit((1 << per) - 1))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    bb = base.select("vid", "v", F.explode(F.array(*band_cols)).alias("b")).select(
+        "vid", "v", "b.band", "b.chunk"
     )
-    cos = cosine_expr(F.col("x.v"), F.col("y.v"))
-    return (
-        cand.select(
+    x, y = bb.alias("x"), bb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(
             F.col("x.vid").alias("id_a"),
             F.col("y.vid").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
+            F.col("x.v").alias("v_a"),
+            F.col("y.v").alias("v_b"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return cand.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

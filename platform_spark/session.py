@@ -16,6 +16,47 @@ from pyspark.sql import SparkSession
 # layer (see topics.py).
 _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: Correctness-critical confs the engine depends on, all runtime-settable via
+#: ``spark.conf.set`` — applied to ANY session handed to the engine (the
+#: round-1 driver passed a bare session built without ``get_spark``, and every
+#: query died at catalog init on PARQUET_TYPE_ILLEGAL because these were only
+#: set at builder time). The engine must own its session semantics no matter
+#: who constructed the session.
+RUNTIME_CONFS: dict[str, str] = {
+    # driver fixtures carry TIMESTAMP(NANOS) parquet columns
+    _NANOS_AS_LONG: "true",
+    # reference semantics: bad cast / missing JSON path → NULL, never an
+    # error (server.go:2721-2756); Spark 4 ANSI default would throw
+    "spark.sql.ansi.enabled": "false",
+    # one timestamp semantics everywhere; oracle (DuckDB) compares in UTC
+    "spark.sql.session.timeZone": "UTC",
+    # micros keeps `_ts` min/max footer stats (INT96 has none)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Arrow for the Pandas-UDF extension operators
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # scale posture (all runtime-settable): AQE coalesce/skew handling
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's correctness-critical confs to an existing session.
+
+    Idempotent and safe on sessions the engine didn't build. Static confs
+    (serializer, driver memory) are skipped — only what ``spark.conf.set``
+    accepts post-creation, which covers everything correctness depends on.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a static conf on some future Spark — never fail catalog init
+            pass
+    return spark
+
 
 def get_spark(
     app_name: str = "platform-spark",

@@ -365,6 +365,14 @@ class Compiler:
             return F.col(f"{prefix}_key").cast("string")
         return self._json_extract("_value", expr.json_path, qualifier=prefix)
 
+    def _join_names(self, q: Query) -> tuple[set[str], set[str]]:
+        """Accepted qualifiers per side: the alias AND the topic name
+        (reference resolveJoinSide accepts both even when an alias is
+        declared — parser.go:639-693)."""
+        left = {q.topic} | ({q.topic_alias} if q.topic_alias else set())
+        right = {q.join_topic} | ({q.join_alias} if q.join_alias else set())
+        return left, right
+
     def _compile_join(self, q: Query) -> DataFrame:
         left_alias = q.topic_alias or q.topic
         right_alias = q.join_alias or q.join_topic
@@ -389,8 +397,8 @@ class Compiler:
         right = right.select(*rcols)
 
         on = q.join_on
-        lk = self._join_side_expr(on.left, on.right, left_alias, right_alias, "left")
-        rk = self._join_side_expr(on.left, on.right, left_alias, right_alias, "right")
+        lk = self._join_side_expr(q, on.left, on.right, "left")
+        rk = self._join_side_expr(q, on.left, on.right, "right")
         cond = lk == rk
         # WITHIN band: |l._ts - r._ts| <= d (server.go:2644-2650)
         band = (
@@ -401,23 +409,32 @@ class Compiler:
         )
         how = "left" if q.join_type == "left" else "inner"
         joined = left.join(right, cond & band, how)
+        # LIMIT applies to joins too (reference stops at sent >= limit,
+        # limit = user LIMIT or DefaultLimit, server.go handleJoinSelect).
+        # Deterministic survivor set: emit order is left scan order then
+        # right scan order — orderBy+limit compiles to TakeOrderedAndProject
+        # (distributed top-k, no global sort materialization).
+        joined = joined.orderBy(
+            "__l__partition", "__l__offset", "__r__partition", "__r__offset"
+        ).limit(self.effective_limit(q))
         return joined.select(*self._join_projection(q, left_alias, right_alias))
 
     def _join_side_expr(
         self,
+        q: Query,
         left_expr: JoinExpr,
         right_expr: JoinExpr,
-        left_alias: str,
-        right_alias: str,
         want: str,
     ) -> Column:
-        """Resolve which ON side belongs to which topic: by alias qualifier
-        when present, positionally otherwise (parser.go:639-693)."""
+        """Resolve which ON side belongs to which topic: by qualifier (alias
+        OR topic name both accepted, parser.go:639-693), positionally
+        otherwise."""
+        left_names, right_names = self._join_names(q)
         for i, e in enumerate((left_expr, right_expr)):
             side = (
                 "left"
-                if e.side == left_alias
-                else ("right" if e.side == right_alias else ("left", "right")[i])
+                if e.side in left_names
+                else ("right" if e.side in right_names else ("left", "right")[i])
             )
             if side == want:
                 prefix = "__l_" if want == "left" else "__r_"
@@ -447,14 +464,16 @@ class Compiler:
     def _join_item(
         self, q: Query, item: SelectColumn, left_alias: str, right_alias: str
     ) -> Column:
+        left_names, right_names = self._join_names(q)
+
         def prefix_for(source: str, column: str) -> str:
-            if source == left_alias:
+            # alias OR topic name resolve to their side; unknown qualifiers
+            # fall back to left (reference joinSideFromSource behavior)
+            if source in left_names:
                 return "__l_"
-            if source == right_alias:
+            if source in right_names:
                 return "__r_"
-            if source:
-                raise ValidationError(f"unknown alias {source!r}")
-            if column.startswith("_right_"):
+            if not source and column.startswith("_right_"):
                 return "__r_"
             return "__l_"
 

@@ -73,12 +73,25 @@ class KafSqlEngine:
         sc = self.spark.sparkContext
         group = f"kafsql-{uuid.uuid4().hex[:8]}"
         sc.setJobGroup(group, "kafsql query", interruptOnCancel=True)
-        timer = threading.Timer(timeout, lambda: sc.cancelJobGroup(group))
+        fired = threading.Event()
+
+        def _cancel() -> None:
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        timer = threading.Timer(timeout, _cancel)
         timer.start()
         try:
             return df.collect()
         except Exception as e:  # noqa: BLE001
-            raise GovernanceError(f"query cancelled (timeout {timeout}s)") from e
+            # only report a timeout if OUR timer actually cancelled the job;
+            # genuine failures (analysis errors, OOM, source errors) re-raise
+            # unmasked so callers/logs see the real cause
+            if fired.is_set():
+                raise GovernanceError(
+                    f"query cancelled (timeout {timeout}s)"
+                ) from e
+            raise
         finally:
             timer.cancel()
             sc.setJobGroup("", "")
@@ -109,10 +122,18 @@ class KafSqlEngine:
                 key = self.cache.key(statement, self._now)
                 hit = self.cache.get(key)
                 if hit is not None:
-                    return hit
+                    # serve materialized rows as a local relation: no Spark
+                    # job runs for a cache hit (result_cache.go:26-110)
+                    rows, schema = hit
+                    return self.spark.createDataFrame(rows, schema)
             df = self.compiler.compile(q)
-            if cacheable:
-                self.cache.put(key, df, n_rows=0)
+            if cacheable and self.compiler.effective_limit(q) <= self.opt.cache_max_rows:
+                # small bounded result: execute once, cache the ROWS (the
+                # reference caches rows, not plans); the caller's collect on
+                # the returned local relation re-runs nothing
+                rows = self.collect_with_timeout(df)
+                self.cache.put(key, (rows, df.schema), n_rows=len(rows))
+                return self.spark.createDataFrame(rows, df.schema)
             return df
 
     # -- governance -----------------------------------------------------

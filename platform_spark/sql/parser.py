@@ -247,6 +247,9 @@ def _parse_where(q: Query, tail: str) -> str:
         q.ts_min = parse_ts_literal(bm.group(1))
         q.ts_max = parse_ts_literal(bm.group(2))
         clause = (clause[: bm.start()] + clause[bm.end() :]).strip()
+        # excising a mid-clause BETWEEN leaves "... AND AND ..." — collapse
+        # it, then strip any dangling leading/trailing AND
+        clause = re.sub(r"(?i)\s*\bAND\s+AND\b\s*", " AND ", clause)
         clause = re.sub(r"(?i)^\s*AND\s+|\s+AND\s*$", "", clause)
 
     for pred in re.split(r"(?i)\s+AND\s+", clause):

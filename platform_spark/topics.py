@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from platform_spark import envelope as env
+from platform_spark.session import apply_runtime_confs
 
 TABLES = (
     "region",
@@ -156,11 +157,21 @@ class TopicCatalog:
         sf_dir: str,
         configs: dict[str, TopicConfig] | None = None,
         materialized_root: str | None = None,
+        cache_root: str | None = None,
     ) -> None:
-        self.spark = spark
+        # the engine owns its session semantics: the driver may hand us a
+        # bare session (no get_spark), so apply the runtime-settable
+        # correctness confs (nanos-as-long, ANSI off, UTC, micros) here
+        self.spark = apply_runtime_confs(spark)
         self.sf_dir = sf_dir
         self.configs = dict(configs or DEFAULT_TOPIC_CONFIGS)
         self._materialized: dict[str, str] = {}
+        #: lazy materialization root: on first access each topic is written
+        #: as `_partition`-partitioned parquet (version-keyed by envelope
+        #: SQL), so every later query scans real files with partition
+        #: pruning + `_ts`/`_offset` footer stats instead of re-running the
+        #: envelope's global row_number window per query
+        self.cache_root = cache_root
         self._register_raw_views()
         if materialized_root:
             self.materialize_all(materialized_root)
@@ -186,6 +197,8 @@ class TopicCatalog:
         """Topic DataFrame: 8 implicit columns (+ declared schema columns)."""
         if name not in env.ENVELOPE_BUILDERS:
             raise KeyError(f"unknown topic {name!r}")
+        if name not in self._materialized and self.cache_root:
+            self.materialize(name, self.cache_root)
         if name in self._materialized:
             df = self.spark.read.parquet(self._materialized[name])
         else:
@@ -226,8 +239,16 @@ class TopicCatalog:
         """Write the topic as Parquet partitioned by `_partition` — the
         engine's real storage layout (segment files → parquet files within a
         partition dir, SURVEY.md §1.3). Bench reads this layout so partition
-        pruning and `_offset`/`_ts` min-max stats are exercised for real."""
-        out = os.path.join(root, f"topic={name}")
+        pruning and `_offset`/`_ts` min-max stats are exercised for real.
+
+        The output path is version-keyed by the envelope SQL (so a fixture
+        change can never serve stale cached parquet across processes)."""
+        import hashlib
+
+        ver = hashlib.sha256(
+            env.ENVELOPE_BUILDERS[name](env.SPARK).encode()
+        ).hexdigest()[:10]
+        out = os.path.join(root, f"topic={name}", f"v={ver}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
             df = df.select(*IMPLICIT_COLUMNS).repartition("_partition")

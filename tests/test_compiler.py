@@ -183,3 +183,80 @@ def test_minmax_first_kind_wins(catalog):
         "SELECT min(json_value(_value, '$.amount')) AS mn FROM events LAST 30d"
     ).collect()[0]
     assert isinstance(srow["mn"], str)
+
+
+def test_join_applies_limit(engine):
+    # reference enforces LIMIT on joins (handleJoinSelect stops at
+    # sent >= limit); a small LIMIT must bound the result
+    n = engine.sql(
+        "SELECT o.order_id FROM orders o "
+        "JOIN payments p ON o._key = p._key "
+        "WITHIN 15000d LAST 15000d LIMIT 7"
+    ).count()
+    assert n == 7
+
+
+def test_join_default_limit_applies(engine):
+    # no explicit LIMIT → default_limit caps join output too
+    n = engine.sql(
+        "SELECT o.order_id FROM orders o "
+        "JOIN payments p ON o._key = p._key "
+        "WITHIN 15000d LAST 15000d"
+    ).count()
+    assert n <= engine.opt.compiler.default_limit
+
+
+def test_join_topic_name_qualifier_resolves(engine):
+    # topic NAME works as a qualifier even when an alias is declared
+    # (reference resolveJoinSide accepts both); unknown qualifiers fall
+    # back to the left side rather than erroring
+    rows = engine.sql(
+        "SELECT orders._key, payments._offset FROM orders o "
+        "JOIN payments p ON o._key = p._key "
+        "WITHIN 15000d LAST 15000d LIMIT 3"
+    ).collect()
+    assert len(rows) == 3
+
+
+def test_collect_with_timeout_preserves_real_errors(engine, spark):
+    # a genuine failure must NOT be masked as a timeout
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    from platform_spark.errors import GovernanceError
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        raise ValueError("genuine failure")
+
+    df = spark.range(4).select(boom(F.col("id")))
+    try:
+        engine.collect_with_timeout(df, timeout=120)
+        raise AssertionError("expected the job to fail")
+    except GovernanceError:
+        raise AssertionError("real error masked as timeout")
+    except Exception:
+        pass  # original Spark error surfaced — correct
+
+
+def test_result_cache_serves_rows_without_scan(engine):
+    # a hit returns a LOCAL relation — no file scan, no cluster job
+    stmt = "SELECT _offset FROM events LAST 3d LIMIT 10"
+    engine.sql(stmt)
+    hit = engine.sql(stmt)
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "LocalTableScan" in plan
+        or "LocalRelation" in plan
+        or "ExistingRDD" in plan  # createDataFrame(rows) local relation
+    )
+    assert "FileScan" not in plan and "parquet" not in plan.lower()
+    assert hit.count() == 10
+
+
+def test_result_cache_max_rows_not_eagerly_collected(engine):
+    # effective limit above cache_max_rows → stays a lazy plan (not cached)
+    stmt = "SELECT _offset FROM events LAST 4d LIMIT 99000"
+    df = engine.sql(stmt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan

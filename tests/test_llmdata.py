@@ -143,3 +143,19 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert by_id[1] == [0, 1000, 2000]
     assert by_id[2] == [0]
+
+
+def test_embedding_neardup_banded_recall(spark, embs):
+    # plant exact duplicates (cosine 1.0): banded sign-sketch LSH must
+    # recover nearly all of them (single all-bits bucket recall would be
+    # fine here, but banding is what keeps recall at high-but-<1 cosine)
+    base = embs.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 5000).alias("vec_id"), F.col("embedding")
+    )
+    out = D.embedding_neardup_pairs(
+        base.unionByName(dup), threshold=0.99, n_hyperplanes=16, bands=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 5000) for (i,) in base.select("vec_id").collect()}
+    assert len(got & planted) == len(planted)  # identical vectors always collide

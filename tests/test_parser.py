@@ -144,3 +144,16 @@ def test_durations():
     assert parser.parse("SELECT * FROM t LAST 1.5h").last_seconds == 5400
     assert parser.parse("SELECT * FROM t LAST 7d").last_seconds == 7 * 86400
     assert parser.parse("SELECT * FROM t LAST 250ms").last_seconds == 0.25
+
+
+def test_ts_between_mid_clause():
+    # BETWEEN flanked by other conjuncts: excising it must not leave a
+    # dangling AND AND (reference accepts this shape via regex extraction)
+    q = parser.parse(
+        "SELECT _offset FROM events WHERE _partition = 0 "
+        "AND _ts BETWEEN '2024-01-02 00:00:00' AND '2024-01-03 00:00:00' "
+        "AND _offset >= 5"
+    )
+    assert q.partition == 0
+    assert q.ts_min.day == 2 and q.ts_max.day == 3
+    assert q.offset_min == 5
