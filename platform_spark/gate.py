@@ -325,6 +325,28 @@ JOIN t_payments p
     ),
 )
 
+# J1 + O2: LIMIT is enforced on joins (reference handleJoinSelect stops at
+# sent >= limit); survivor set is deterministic — left scan order then right
+# scan order — so the oracle replicates it with an ORDER BY + LIMIT
+_add(
+    "kafsql_join_limit",
+    kafsql(
+        "SELECT o._key AS okey, o._offset AS ooffset, p._offset AS poffset "
+        "FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m LAST 15000d "
+        "LIMIT 37"
+    ),
+    orc.with_topics(
+        f"""
+SELECT {orc.bytea('o._key')} AS okey, o._offset AS ooffset, p._offset AS poffset
+FROM (SELECT * FROM t_orders
+      WHERE _ts >= TIMESTAMP '{_JOIN_LO}' AND _ts <= TIMESTAMP '{_NOW_S}') o
+JOIN t_payments p
+  ON o._key = p._key
+ AND abs(epoch_us(o._ts) - epoch_us(p._ts)) <= 600000000
+ORDER BY o._partition, o._offset, p._partition, p._offset LIMIT 37"""
+    ),
+)
+
 # J2: left outer with NULL right extension
 _add(
     "kafsql_join_left",
@@ -811,6 +833,51 @@ def _idoc_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _add("streaming_idoc_explode", _idoc_explode, None)
+
+# ---------------------------------------------------------------------------
+# LFS claim-check (S11) — reference-shape envelopes (pkg/lfs/envelope.go:
+# 25-58: int `kfs_lfs` version + required bucket/key/sha256) built
+# deterministically over documents; `reference` mode extracts the pointer
+# columns and is fully SQL-expressible, so DuckDB oracles it exactly.
+# ---------------------------------------------------------------------------
+
+
+def _lfs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.streaming.lfs import resolve_lfs
+
+    docs = _doc_table(spark, sf_dir).filter(F.col("doc_id") < 3000)
+    envelope = F.concat(
+        F.lit('{"kfs_lfs":1,"bucket":"corpus","key":"doc-'),
+        F.col("doc_id").cast("string"),
+        F.lit('","size":'),
+        F.length("text").cast("string"),
+        F.lit(',"sha256":"'),
+        F.sha2(F.col("text").cast("binary"), 256),
+        F.lit('"}'),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, envelope).otherwise(F.col("text")).alias("_value"),
+    )
+    return resolve_lfs(staged, "reference").select(
+        "doc_id", "_lfs_bucket", "_lfs_key", "_lfs_sha256", "_lfs_size"
+    )
+
+
+_add(
+    "streaming_lfs_reference",
+    _lfs_reference,
+    """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'corpus' END AS _lfs_bucket,
+  CASE WHEN doc_id % 3 = 0 THEN 'doc-' || CAST(doc_id AS VARCHAR) END AS _lfs_key,
+  CASE WHEN doc_id % 3 = 0 THEN sha256(text) END AS _lfs_sha256,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) AS BIGINT) END AS _lfs_size
+FROM documents WHERE doc_id < 3000
+""",
+)
 
 # ---------------------------------------------------------------------------
 # Multimodal: decode + content features over binary payloads (documents'

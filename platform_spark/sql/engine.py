@@ -169,6 +169,12 @@ class KafSqlEngine:
         lines = [f"scan topic={q.topic}"]
         for topic in filter(None, (q.topic, q.join_topic)):
             path = self.catalog._materialized.get(topic)
+            if not path and self.catalog.cache_root:
+                # force lazy materialization so EXPLAIN always reports real
+                # candidate file/byte/row estimates (server.go:929-962
+                # always reports segment counts, never a placeholder)
+                self.catalog.topic(topic, with_schema_columns=False)
+                path = self.catalog._materialized.get(topic)
             if path:
                 ts_min, ts_max = self.compiler.time_bounds(q)
                 est = estimate_scan(path, q.partition, ts_min, ts_max)

@@ -1,21 +1,30 @@
 """LFS claim-check resolution (S11).
 
 The reference stores large payloads out-of-band: the record `_value` is a
-JSON envelope pointing at an S3 blob (pkg/lfs/envelope.go:40-66), and the
+JSON envelope pointing at an S3 blob (pkg/lfs/envelope.go:25-37), and the
 iceberg-processor resolves envelopes with a bounded worker pool in modes
 off / resolve / reference / skip / hybrid (iceberg-processor
 internal/processor/lfs.go:31-37, 53-154).
+
+Envelope format (envelope.go:25-58 Envelope/DecodeEnvelope): marker field
+``"kfs_lfs"`` is an INT version that must be non-zero, and ``bucket``,
+``key``, ``sha256`` are required; ``size``/``checksum``/``content_type``/
+``original_headers`` are optional. Detection (IsLfsEnvelope,
+envelope.go:61-74) sniffs the marker; full validation happens at decode.
 
 Spark-first: envelope detection is a pure column predicate (codegen'd);
 resolution is an Arrow-batched Pandas UDF whose fetcher is pluggable — a
 local-directory fetcher stands in for S3 here (the S3 client isn't in this
 container); swap `make_local_fetcher` for a boto3-backed one with the same
 signature on a real cluster. Concurrency is Spark's task parallelism — the
-reference's worker pool falls out of partitioning.
+reference's worker pool falls out of partitioning. SHA-256 verification
+mirrors resolver.go:71-81 (ValidateChecksum): a mismatched blob is treated
+as unresolvable rather than silently substituted.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from collections.abc import Callable
@@ -25,17 +34,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-#: envelope marker field (envelope.go:40-49)
-LFS_FLAG_PATH = "$.kafscale_lfs"
+#: envelope marker field (envelope.go:27 `json:"kfs_lfs"` — int version)
+LFS_MARKER = "kfs_lfs"
 
 MODES = ("off", "resolve", "reference", "skip", "hybrid")
 
 
 def is_lfs_envelope(value_col: Column) -> Column:
-    """True iff `_value` is an LFS claim-check envelope (null-safe: missing
-    marker or invalid JSON → false, so `~is_lfs_envelope` keeps those rows)."""
+    """True iff `_value` is a valid LFS claim-check envelope: non-zero int
+    ``kfs_lfs`` version AND required bucket/key/sha256 present
+    (DecodeEnvelope, envelope.go:50-58). Null-safe: missing marker or
+    invalid JSON → false, so `~is_lfs_envelope` keeps those rows."""
     src = value_col.cast("string")
-    return F.get_json_object(src, LFS_FLAG_PATH).eqNullSafe(F.lit("true"))
+    version = F.get_json_object(src, f"$.{LFS_MARKER}").cast("int")
+    required = [
+        F.get_json_object(src, "$.bucket"),
+        F.get_json_object(src, "$.key"),
+        F.get_json_object(src, "$.sha256"),
+    ]
+    ok = version.isNotNull() & (version != 0)
+    for r in required:
+        ok = ok & r.isNotNull() & (r != "")
+    # eqNullSafe-style: any NULL leg collapses to false, never NULL
+    return F.coalesce(ok, F.lit(False))
+
+
+def _decode_envelope(v: str) -> dict | None:
+    """Python twin of DecodeEnvelope (envelope.go:50-58): parse + validate
+    required fields; None when not a valid envelope."""
+    try:
+        doc = json.loads(v)
+    except (json.JSONDecodeError, TypeError):
+        return None
+    if not isinstance(doc, dict):
+        return None
+    ver = doc.get(LFS_MARKER)
+    if not isinstance(ver, int) or isinstance(ver, bool) or ver == 0:
+        return None
+    if not doc.get("bucket") or not doc.get("key") or not doc.get("sha256"):
+        return None
+    return doc
 
 
 def make_local_fetcher(blob_root: str) -> Callable[[str, str], bytes | None]:
@@ -56,14 +94,18 @@ def resolve_lfs(
     mode: str = "resolve",
     fetcher: Callable[[str, str], bytes | None] | None = None,
     value_col: str = "_value",
+    verify_sha256: bool = True,
 ) -> DataFrame:
     """Resolve LFS envelopes in `value_col` per the reference's modes:
 
     - off:       pass through untouched
     - resolve:   replace envelope values with the fetched blob content
-    - reference: keep the envelope, add `_lfs_ref` (bucket/key/size) columns
+    - reference: keep the envelope, add `_lfs_*` pointer columns
     - skip:      drop envelope rows entirely
     - hybrid:    resolve when the blob is available, else keep the envelope
+
+    With ``verify_sha256`` (resolver.go ValidateChecksum) a fetched blob
+    whose SHA-256 differs from the envelope's is treated as unresolvable.
     """
     if mode not in MODES:
         raise ValueError(f"unknown LFS mode {mode!r}")
@@ -77,6 +119,7 @@ def resolve_lfs(
         return (
             df.withColumn("_lfs_bucket", F.when(env, F.get_json_object(src, "$.bucket")))
             .withColumn("_lfs_key", F.when(env, F.get_json_object(src, "$.key")))
+            .withColumn("_lfs_sha256", F.when(env, F.get_json_object(src, "$.sha256")))
             .withColumn(
                 "_lfs_size",
                 F.when(env, F.get_json_object(src, "$.size").cast("bigint")),
@@ -93,15 +136,14 @@ def resolve_lfs(
             if v is None:
                 out.append(None)
                 continue
-            try:
-                doc = json.loads(v)
-            except (json.JSONDecodeError, TypeError):
+            doc = _decode_envelope(v)
+            if doc is None:
                 out.append(v)
                 continue
-            if not isinstance(doc, dict) or doc.get("kafscale_lfs") is not True:
-                out.append(v)
-                continue
-            blob = fetcher(doc.get("bucket", ""), doc.get("key", ""))
+            blob = fetcher(doc["bucket"], doc["key"])
+            if blob is not None and verify_sha256:
+                if hashlib.sha256(blob).hexdigest() != doc["sha256"]:
+                    blob = None  # checksum mismatch → unresolvable
             if blob is None:
                 out.append(None)  # 'resolve' fails closed; hybrid handles below
             else:

@@ -21,11 +21,21 @@ from platform_spark.topics import TopicCatalog
 NOW = datetime(2024, 1, 31)
 
 
+def _no_cache_opts():
+    # plan tests inspect the real scan plan; the row-level result cache
+    # would otherwise serve small results as local relations
+    from platform_spark.sql.engine import EngineOptions
+
+    opts = EngineOptions()
+    opts.enable_cache = False
+    return opts
+
+
 @pytest.fixture(scope="module")
 def mat_engine(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("topics"))
     cat = TopicCatalog(spark, "/root/testdata/sf0.001", materialized_root=root)
-    return KafSqlEngine(cat, now=NOW)
+    return KafSqlEngine(cat, options=_no_cache_opts(), now=NOW)
 
 
 def _plan(df) -> str:
@@ -98,3 +108,24 @@ def test_engine_budget_preflight(spark, tmp_path_factory):
     eng = KafSqlEngine(cat, options=opts, now=NOW)
     with pytest.raises(GovernanceError):
         eng.sql("SELECT _offset FROM events LAST 5d")
+
+
+def test_lazy_cache_root_plan_has_no_window(spark, tmp_path_factory):
+    # engine_for-style lazy materialization: a _ts-bounded query must scan
+    # partitioned parquet (FileScan, footer stats) — no Window, no global
+    # sort of the base table per query
+    root = str(tmp_path_factory.mktemp("lazycache"))
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001", cache_root=root)
+    eng = KafSqlEngine(cat, options=_no_cache_opts(), now=NOW)
+    df = eng.sql(
+        "SELECT _offset, _ts FROM events "
+        "WHERE _ts BETWEEN '2024-01-05 00:00:00' AND '2024-01-07 00:00:00' "
+        "LIMIT 100000"
+    )
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "FileScan parquet" in plan
+    # same engine: EXPLAIN reports real estimates, never a placeholder
+    lines = [r["plan"] for r in eng.sql("EXPLAIN SELECT _offset FROM events LAST 5d").collect()]
+    assert any("candidate_files=" in l for l in lines)
+    assert not any("envelope-view" in l for l in lines)

@@ -109,30 +109,61 @@ def test_validate_json_payloads(spark):
     assert [r["id"] for r in strict.collect()] == ["1"]
 
 
+_PAYLOAD = b"the real payload"
+#: reference-shape envelopes (field shape from pkg/lfs/envelope_test.go
+#: test vectors — int `kfs_lfs` version, required bucket/key/sha256)
+_SHA_OK = __import__("hashlib").sha256(_PAYLOAD).hexdigest()
+
+
 @pytest.fixture()
 def lfs_env(spark, tmp_path):
     blob_root = tmp_path / "blobs"
     (blob_root / "bkt").mkdir(parents=True)
-    (blob_root / "bkt" / "blob1").write_bytes(b"the real payload")
+    (blob_root / "bkt" / "blob1").write_bytes(_PAYLOAD)
+    (blob_root / "bkt" / "blob2").write_bytes(b"tampered content!")
     env = json.dumps(
-        {"kafscale_lfs": True, "version": 1, "bucket": "bkt", "key": "blob1", "size": 16}
+        {"kfs_lfs": 1, "bucket": "bkt", "key": "blob1", "size": 16, "sha256": _SHA_OK}
     )
     missing = json.dumps(
-        {"kafscale_lfs": True, "version": 1, "bucket": "bkt", "key": "nope", "size": 1}
+        {"kfs_lfs": 1, "bucket": "bkt", "key": "nope", "size": 1, "sha256": "ab" * 32}
+    )
+    tampered = json.dumps(
+        {"kfs_lfs": 1, "bucket": "bkt", "key": "blob2", "size": 17, "sha256": _SHA_OK}
     )
     df = spark.createDataFrame(
-        [(1, env), (2, '{"plain": true}'), (3, missing)], "id: long, _value: string"
+        [(1, env), (2, '{"plain": true}'), (3, missing), (4, tampered)],
+        "id: long, _value: string",
     )
     return df, make_local_fetcher(str(blob_root))
 
 
 def test_lfs_detect_and_resolve(lfs_env):
     df, fetcher = lfs_env
-    assert df.filter(is_lfs_envelope(F.col("_value"))).count() == 2
+    assert df.filter(is_lfs_envelope(F.col("_value"))).count() == 3
     resolved = {r["id"]: r["_value"] for r in resolve_lfs(df, "resolve", fetcher).collect()}
     assert resolved[1] == "the real payload"
     assert resolved[2] == '{"plain": true}'
     assert resolved[3] is None  # missing blob fails closed in resolve mode
+    assert resolved[4] is None  # sha256 mismatch fails closed (resolver.go:75-81)
+
+
+def test_lfs_rejects_invalid_envelopes(spark):
+    # DecodeEnvelope invalid vectors (envelope_test.go:108-127): zero
+    # version, missing bucket/key/sha256, non-JSON — none detect as LFS
+    bad = [
+        "not json",
+        "{}",
+        '{"kfs_lfs":0,"bucket":"b","key":"k","sha256":"s"}',
+        '{"kfs_lfs":1,"key":"k","sha256":"s"}',
+        '{"kfs_lfs":1,"bucket":"b","sha256":"s"}',
+        '{"kfs_lfs":1,"bucket":"b","key":"k"}',
+        '{"kafscale_lfs":true,"bucket":"b","key":"k","sha256":"s"}',  # wrong marker
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(bad)], "id: long, _value: string")
+    assert df.filter(is_lfs_envelope(F.col("_value"))).count() == 0
+    good = '{"kfs_lfs":1,"bucket":"b","key":"k","sha256":"abc"}'
+    df2 = spark.createDataFrame([(0, good)], "id: long, _value: string")
+    assert df2.filter(is_lfs_envelope(F.col("_value"))).count() == 1
 
 
 def test_lfs_reference_skip_hybrid(lfs_env):
@@ -140,11 +171,13 @@ def test_lfs_reference_skip_hybrid(lfs_env):
     ref = resolve_lfs(df, "reference").collect()
     by_id = {r["id"]: r for r in ref}
     assert by_id[1]["_lfs_key"] == "blob1" and by_id[1]["_lfs_size"] == 16
+    assert by_id[1]["_lfs_sha256"] == _SHA_OK
     assert by_id[2]["_lfs_key"] is None
     assert resolve_lfs(df, "skip").count() == 1
     hybrid = {r["id"]: r["_value"] for r in resolve_lfs(df, "hybrid", fetcher).collect()}
     assert hybrid[1] == "the real payload"
-    assert "kafscale_lfs" in hybrid[3]  # unresolvable keeps the envelope
+    assert "kfs_lfs" in hybrid[3]  # unresolvable keeps the envelope
+    assert "kfs_lfs" in hybrid[4]  # checksum-mismatch keeps the envelope too
 
 
 _IDOC = """
