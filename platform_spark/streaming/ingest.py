@@ -112,6 +112,7 @@ class TopicWriter:
                 F.col("_partition").cast("string"),
             ),
         )
+        before = self._data_files()
         (
             df.repartition("_partition")
             .sortWithinPartitions("_partition", "_offset")
@@ -119,18 +120,133 @@ class TopicWriter:
             .partitionBy("_partition")
             .parquet(self.path)
         )
-        # commit offsets only after the parquet commit (visibility = commit)
-        counts = {
-            r["_partition"]: r["n"]
-            for r in df.groupBy("_partition").agg(F.count("*").alias("n")).collect()
-        }
+        # commit offsets only after the parquet commit (visibility = commit).
+        # HWM deltas come from the FILES JUST WRITTEN (parquet footers,
+        # metadata-only) — never from re-evaluating `records`, which a
+        # non-deterministic source could change between the write and a
+        # second action, desyncing _hwm.json from the committed data.
+        counts = self._count_new_rows(before)
         for p, n in counts.items():
             hwm[p] = hwm.get(p, 0) + n
         self._save_hwm(hwm)
         return hwm
 
+    def _data_files(self) -> set[str]:
+        out = set()
+        for dirpath, _dirs, files in os.walk(self.path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(os.path.join(dirpath, fn))
+        return out
+
+    def _count_new_rows(self, before: set[str]) -> dict[int, int]:
+        """Rows per partition in files added since `before`, from parquet
+        footers (no data scan)."""
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for path in self._data_files() - before:
+            part_dir = os.path.basename(os.path.dirname(path))
+            if not part_dir.startswith("_partition="):
+                continue
+            p = int(part_dir.split("=", 1)[1])
+            counts[p] = counts.get(p, 0) + pq.ParquetFile(path).metadata.num_rows
+        return counts
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+
+class ConsumerGroupRegistry:
+    """Group/member/assignment metadata surface (T4) — the queryable
+    analogue of the reference coordinator's group state
+    (pkg/broker/coordinator.go:58-96 groupState/memberState, 126-423
+    JoinGroup/SyncGroup). The rebalance *protocol* itself maps to Spark's
+    task scheduling (SURVEY §4 stance); what users still need is DESCRIBE
+    GROUP-style introspection: members, subscriptions, generation, leader,
+    and a deterministic partition assignment.
+
+    Assignment is range-style per topic (the reference default): partitions
+    split contiguously across members sorted by member id.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.path = os.path.join(root, "_consumer_groups.json")
+        self._groups: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._groups = json.load(f)
+
+    def _save(self) -> None:
+        with open(self.path, "w") as f:
+            json.dump(self._groups, f)
+
+    def join(self, group: str, member_id: str, topics: list[str]) -> None:
+        """Add/refresh a member; bumps the generation (JoinGroup analogue)."""
+        g = self._groups.setdefault(
+            group, {"generation": 0, "leader": "", "members": {}}
+        )
+        g["members"][member_id] = {"topics": sorted(topics)}
+        g["generation"] += 1
+        g["leader"] = sorted(g["members"])[0]
+        self._save()
+
+    def leave(self, group: str, member_id: str) -> None:
+        g = self._groups.get(group)
+        if not g or member_id not in g["members"]:
+            return
+        del g["members"][member_id]
+        g["generation"] += 1
+        g["leader"] = sorted(g["members"])[0] if g["members"] else ""
+        self._save()
+
+    def assignment(
+        self, group: str, n_partitions: dict[str, int]
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Range assignment: per topic, contiguous partition spans across
+        the subscribed members sorted by id (coordinator default)."""
+        g = self._groups.get(group, {"members": {}})
+        out: dict[str, list[tuple[str, int]]] = {m: [] for m in g["members"]}
+        topics = sorted({t for m in g["members"].values() for t in m["topics"]})
+        for topic in topics:
+            subs = sorted(
+                m for m, st in g["members"].items() if topic in st["topics"]
+            )
+            if not subs:
+                continue
+            total = n_partitions.get(topic, 0)
+            per, extra = divmod(total, len(subs))
+            p = 0
+            for i, m in enumerate(subs):
+                take = per + (1 if i < extra else 0)
+                out[m].extend((topic, q) for q in range(p, p + take))
+                p += take
+        return out
+
+    def describe(self, group: str, n_partitions: dict[str, int]) -> DataFrame:
+        """DESCRIBE GROUP rows: one per member with subscription and
+        assignment; empty group → stable-empty row set."""
+        g = self._groups.get(group, {"generation": 0, "leader": "", "members": {}})
+        assign = self.assignment(group, n_partitions)
+        state = "Stable" if g["members"] else "Empty"
+        rows = [
+            (
+                group,
+                state,
+                g["generation"],
+                g["leader"],
+                m,
+                st["topics"],
+                [f"{t}:{p}" for t, p in assign.get(m, [])],
+            )
+            for m, st in sorted(g["members"].items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "group: string, state: string, generation: int, leader: string, "
+            "member_id: string, subscribed: array<string>, assigned: array<string>",
+        )
 
 
 class ConsumerGroupOffsets:

@@ -34,6 +34,7 @@ class ContinuousTopicPipeline:
         checkpoint_dir: str,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         partition_cols: tuple[str, ...] = ("_partition",),
+        iceberg_table: str | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -41,12 +42,45 @@ class ContinuousTopicPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.transform = transform
         self.partition_cols = partition_cols
+        #: when set AND its catalog is configured on the session, batches
+        #: append via `writeTo(table).append()` (iceberg-processor
+        #: sink/iceberg.go:146-204) with widening-only evolution enforced
+        #: (iceberg.go:855-884); otherwise the parquet path below
+        self.iceberg_table = iceberg_table
+
+    def _use_iceberg(self) -> bool:
+        from platform_spark.streaming.iceberg import has_iceberg_catalog
+
+        return self.iceberg_table is not None and has_iceberg_catalog(
+            self.spark, self.iceberg_table
+        )
+
+    def _sink_iceberg(self, batch: DataFrame) -> None:
+        from platform_spark.streaming.iceberg import evolution_violations
+
+        try:
+            existing = self.spark.table(self.iceberg_table).schema
+        except Exception:  # noqa: BLE001 — table doesn't exist yet
+            batch.writeTo(self.iceberg_table).partitionedBy(
+                *[F.col(c) for c in self.partition_cols]
+            ).create()
+            return
+        bad = evolution_violations(existing, batch.schema)
+        if bad:
+            raise ValueError(
+                "iceberg schema evolution rejected (widening-only): "
+                + "; ".join(bad)
+            )
+        batch.writeTo(self.iceberg_table).append()
 
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.transform is not None:
             batch = self.transform(batch)
-        # schema evolution: mergeSchema on write accepts added columns —
-        # the add-column/widen subset the reference allows
+        if self._use_iceberg():
+            self._sink_iceberg(batch)
+            return
+        # parquet fallback — schema evolution: mergeSchema on write accepts
+        # added columns, the add-column subset of the reference's rules
         # (iceberg.go:855-884 schemaNeedsUpdate/isWidening)
         (
             batch.write.mode("append")

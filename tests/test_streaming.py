@@ -251,3 +251,108 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     rows = spark.sql("SELECT window.start AS s, count FROM winagg ORDER BY s").collect()
     assert sum(r["count"] for r in rows) == 120
     assert all(r["count"] == 60 for r in rows)  # 1 rec/sec → 60 per minute
+
+
+def test_topic_writer_hwm_survives_nondeterministic_source(spark, tmp_path):
+    # HWM deltas must come from the files actually written, not from a
+    # re-evaluation of the input (which here changes per evaluation)
+    from platform_spark.streaming.ingest import TopicWriter
+
+    w = TopicWriter(spark, str(tmp_path), "flaky", n_partitions=2)
+    records = (
+        spark.range(500)
+        .filter(F.rand(seed=None) < 0.5)  # non-deterministic row set
+        .select(
+            F.col("id").cast("string").alias("_key"),
+            F.lit("v").alias("_value"),
+            F.lit(None).cast("string").alias("_headers"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_ts"),
+            F.lit(None).cast("int").alias("_partition"),
+        )
+    )
+    hwm = w.append(records)
+    assert sum(hwm.values()) == w.read().count()
+    # second append stays consistent too
+    hwm2 = w.append(records)
+    assert sum(hwm2.values()) == w.read().count()
+
+
+def test_iceberg_evolution_predicate():
+    from pyspark.sql import types as T
+
+    from platform_spark.streaming.iceberg import evolution_violations, is_widening
+
+    assert is_widening(T.IntegerType(), T.LongType())
+    assert is_widening(T.FloatType(), T.DoubleType())
+    assert is_widening(T.DecimalType(10, 2), T.DecimalType(18, 2))
+    assert not is_widening(T.LongType(), T.IntegerType())  # narrowing
+    assert not is_widening(T.DecimalType(10, 2), T.DecimalType(18, 4))  # scale change
+    assert not is_widening(T.StringType(), T.LongType())
+
+    old = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    widened = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),  # added column: fine
+        ]
+    )
+    assert evolution_violations(old, widened) == []
+    narrowed = T.StructType([T.StructField("b", T.IntegerType())])
+    bad = evolution_violations(old, narrowed)
+    assert len(bad) == 1 and "'b'" in bad[0]
+
+
+def test_iceberg_branch_selection(spark, tmp_path):
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    pipe = ContinuousTopicPipeline(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "ckpt"),
+        iceberg_table="ice.db.topics",
+    )
+    # no catalog configured → parquet fallback
+    assert pipe._use_iceberg() is False
+    spark.conf.set(
+        "spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert pipe._use_iceberg() is True
+    finally:
+        spark.conf.unset("spark.sql.catalog.ice")
+    # no table at all → always parquet
+    pipe.iceberg_table = None
+    assert pipe._use_iceberg() is False
+
+
+def test_consumer_group_registry(spark, tmp_path):
+    from platform_spark.streaming.ingest import ConsumerGroupRegistry
+
+    reg = ConsumerGroupRegistry(spark, str(tmp_path))
+    reg.join("g1", "m-b", ["events"])
+    reg.join("g1", "m-a", ["events", "orders"])
+    parts = {"events": 4, "orders": 2}
+    assign = reg.assignment("g1", parts)
+    # every partition assigned exactly once per topic
+    flat = [pq for m in assign.values() for pq in m]
+    assert sorted(flat) == [
+        ("events", 0), ("events", 1), ("events", 2), ("events", 3),
+        ("orders", 0), ("orders", 1),
+    ]
+    # orders only to its one subscriber
+    assert all(t != "orders" for t, _ in assign["m-b"])
+    desc = reg.describe("g1", parts)
+    rows = {r["member_id"]: r for r in desc.collect()}
+    assert rows["m-a"]["leader"] == "m-a" and rows["m-a"]["state"] == "Stable"
+    assert rows["m-a"]["generation"] == 2
+    # leave rebalances deterministically
+    reg.leave("g1", "m-a")
+    assign2 = reg.assignment("g1", parts)
+    assert sorted(assign2["m-b"]) == [("events", p) for p in range(4)]
+    # persistence across instances
+    reg2 = ConsumerGroupRegistry(spark, str(tmp_path))
+    assert reg2.describe("g1", parts).count() == 1
