@@ -26,9 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 
-def force(df) -> int:
-    """Execute the full plan; return row count."""
-    return df.count()
+def force(df) -> None:
+    """Execute the FULL plan via the noop sink. (A bare .count() would let
+    Catalyst prune unreferenced result columns — e.g. drop a sum(json_value)
+    aggregate entirely — and under-report query cost.)"""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -55,7 +57,9 @@ def main() -> None:
     t0 = time.time()
     cat.materialize_all(topic_root)
     ingest_sec = time.time() - t0
-    n_topic_rows = sum(force(cat.topic(t, with_schema_columns=False)) for t in cat.topic_names())
+    n_topic_rows = sum(
+        cat.topic(t, with_schema_columns=False).count() for t in cat.topic_names()
+    )
     timings["ingest_topics"] = round(ingest_sec, 3)
 
     # -- phase 2: full scan of the largest topic --------------------------
@@ -95,6 +99,11 @@ def main() -> None:
         "llm_simhash_fingerprints",
         "llm_ann_brute_topk",
         "llm_ann_ivf_topk",
+        "llm_minhash_lsh_pairs",
+        "llm_embedding_neardup",
+        "llm_dedup_clusters",
+        "analytics_sessionize",
+        "streaming_lfs_reference",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -24,8 +24,6 @@ from platform_spark.topics import TopicCatalog
 
 NOW = datetime(2024, 1, 31)
 
-_ENGINES: dict[tuple[int, str], KafSqlEngine] = {}
-
 
 def _topic_cache_root(sf_dir: str) -> str:
     """Per-SF lazy-materialization root: topics are written once as
@@ -40,11 +38,15 @@ def _topic_cache_root(sf_dir: str) -> str:
 
 
 def engine_for(spark: SparkSession, sf_dir: str) -> KafSqlEngine:
-    key = (id(spark), sf_dir)
-    if key not in _ENGINES:
+    # engines cached ON the session object (an id(spark) key could alias a
+    # new session allocated at the same address after GC)
+    engines: dict[str, KafSqlEngine] = getattr(spark, "_kafsql_engines", None) or {}
+    if not hasattr(spark, "_kafsql_engines"):
+        spark._kafsql_engines = engines
+    if sf_dir not in engines:
         catalog = TopicCatalog(spark, sf_dir, cache_root=_topic_cache_root(sf_dir))
-        _ENGINES[key] = KafSqlEngine(catalog, now=NOW)
-    return _ENGINES[key]
+        engines[sf_dir] = KafSqlEngine(catalog, now=NOW)
+    return engines[sf_dir]
 
 
 def catalog_for(spark: SparkSession, sf_dir: str) -> TopicCatalog:
@@ -605,6 +607,92 @@ WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= {_N
 """,
 )
 
+# Duplicate-cluster resolution: ngram pairs → connected components ----------
+# (iterative min-label propagation in Spark; recursive-CTE closure in DuckDB)
+
+_llm(
+    "llm_dedup_clusters",
+    lambda spark, sf_dir: __import__(
+        "platform_spark.llmdata.clusters", fromlist=["dedup_clusters"]
+    ).dedup_clusters(
+        _dd.ngram_jaccard_pairs(_doc_table(spark, sf_dir), threshold=_NGRAM_THRESHOLD)
+    ),
+    f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * 0.2),
+idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6)
+        >= {_NGRAM_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+  (MIN(r) = node) AS is_keeper
+FROM reach GROUP BY node
+""",
+)
+
+# Sessionization: gap-based sessions per user over events -------------------
+
+_SESS_GAP = 21600  # 6h
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.operators.sessionize import sessionize
+
+    ev = catalog_for(spark, sf_dir).topic("events")
+    return sessionize(ev, key_col="user_id", ts_col="_ts", gap_seconds=_SESS_GAP)
+
+
+_add(
+    "analytics_sessionize",
+    _sessionize_events,
+    orc.with_topics(
+        f"""
+, e AS (
+  SELECT {orc.jval('_value', '$.user_id')} AS user_id, _ts
+  FROM t_events
+  WHERE {orc.jval('_value', '$.user_id')} IS NOT NULL AND _ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, _ts,
+    CASE WHEN lag(_ts) OVER w IS NULL
+           OR CAST(floor(epoch(_ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(_ts) OVER w)) AS BIGINT) > {_SESS_GAP}
+         THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY _ts)
+),
+s AS (
+  SELECT user_id, _ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY _ts) AS sess
+  FROM g
+)
+SELECT user_id AS session_key, MIN(_ts) AS session_start,
+  MAX(_ts) AS session_end, COUNT(*) AS n_events,
+  CAST(floor(epoch(MAX(_ts))) AS BIGINT)
+    - CAST(floor(epoch(MIN(_ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, sess"""
+    ),
+)
+
 # MinHash signatures (bit-exact portable hashing) ---------------------------
 
 _NUM_PERM = 32
@@ -719,7 +807,7 @@ _llm("llm_ann_ivf_topk", _ann_ivf, None)
 _llm(
     "llm_embedding_neardup",
     lambda spark, sf_dir: _dd.embedding_neardup_pairs(
-        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=8
+        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
     ),
     None,
 )

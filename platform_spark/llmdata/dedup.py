@@ -116,11 +116,14 @@ def ngram_jaccard_pairs(
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    n_docs = df.count()
+    # doc count computed IN-PLAN (1-row aggregate broadcast into the filter)
+    # — no driver-side action, no extra full pass over the input at scale
+    n_docs_df = df.select(F.count("*").alias("__n_docs"))
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") > n_docs * stop_shingle_df)
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("df_") > F.col("__n_docs") * stop_shingle_df)
         .select("sh")
     )
     idx = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -432,8 +435,11 @@ def embedding_neardup_pairs(
         )
         for b in range(bands)
     ]
-    bb = base.select("vid", "v", F.explode(F.array(*band_cols)).alias("b")).select(
-        "vid", "v", "b.band", "b.chunk"
+    # candidate generation works on (id, band, chunk) ONLY — deduping
+    # (id_a, id_b) before vectors are touched keeps the shuffle narrow;
+    # vectors re-join by id afterwards (two hash joins on the id key)
+    bb = base.select("vid", F.explode(F.array(*band_cols)).alias("b")).select(
+        "vid", "b.band", "b.chunk"
     )
     x, y = bb.alias("x"), bb.alias("y")
     cand = (
@@ -443,14 +449,12 @@ def embedding_neardup_pairs(
             & (F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.vid") < F.col("y.vid")),
         )
-        .select(
-            F.col("x.vid").alias("id_a"),
-            F.col("y.vid").alias("id_b"),
-            F.col("x.v").alias("v_a"),
-            F.col("y.v").alias("v_b"),
-        )
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
+    va = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    cand = cand.join(va, "id_a").join(vb, "id_b")
     cos = cosine_expr(F.col("v_a"), F.col("v_b"))
     return cand.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")

@@ -411,12 +411,17 @@ class Compiler:
         joined = left.join(right, cond & band, how)
         # LIMIT applies to joins too (reference stops at sent >= limit,
         # limit = user LIMIT or DefaultLimit, server.go handleJoinSelect).
-        # Deterministic survivor set: emit order is left scan order then
-        # right scan order — orderBy+limit compiles to TakeOrderedAndProject
-        # (distributed top-k, no global sort materialization).
-        joined = joined.orderBy(
-            "__l__partition", "__l__offset", "__r__partition", "__r__offset"
-        ).limit(self.effective_limit(q))
+        # Deterministic survivor set for a binding limit: emit order is left
+        # scan order then right scan order (distributed top-k). When the
+        # limit is only the max_rows guardrail cap, skip the sort — below
+        # the cap the limit never selects among rows, and a top-100k sort
+        # would cost a full global sort for nothing.
+        limit = self.effective_limit(q)
+        if limit < self.opt.max_rows:
+            joined = joined.orderBy(
+                "__l__partition", "__l__offset", "__r__partition", "__r__offset"
+            )
+        joined = joined.limit(limit)
         return joined.select(*self._join_projection(q, left_alias, right_alias))
 
     def _join_side_expr(

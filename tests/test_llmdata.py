@@ -159,3 +159,40 @@ def test_embedding_neardup_banded_recall(spark, embs):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     planted = {(i, i + 5000) for (i,) in base.select("vec_id").collect()}
     assert len(got & planted) == len(planted)  # identical vectors always collide
+
+
+def test_dedup_clusters_label_propagation(spark):
+    from platform_spark.llmdata.clusters import cluster_summary, dedup_clusters
+
+    # two components: {1,2,3,4} (a chain, diameter 3) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a: long, doc_b: long"
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert {k: v["cluster_id"] for k, v in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+    }
+    assert out[1]["is_keeper"] and out[10]["is_keeper"]
+    assert not out[4]["is_keeper"]
+    summ = {r["cluster_id"]: r["n_docs"] for r in cluster_summary(dedup_clusters(pairs)).collect()}
+    assert summ == {1: 4, 10: 2}
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from platform_spark.operators.sessionize import sessionize
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, 0)),
+        ("u1", datetime(2024, 1, 1, 0, 10, 0)),   # same session (10m < 30m)
+        ("u1", datetime(2024, 1, 1, 2, 0, 0)),    # new session (110m gap)
+        ("u2", datetime(2024, 1, 1, 0, 0, 0)),    # separate key
+        (None, datetime(2024, 1, 1, 0, 0, 0)),    # dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id: string, _ts: timestamp")
+    out = sessionize(df, gap_seconds=1800)
+    sess = sorted(
+        (r["session_key"], r["n_events"], r["duration_sec"]) for r in out.collect()
+    )
+    assert sess == [("u1", 1, 0), ("u1", 2, 600), ("u2", 1, 0)]
