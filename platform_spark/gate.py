@@ -703,30 +703,28 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_COLS = ",\n  ".join(
-    f"MIN(CAST(('0x' || substr(md5('s{j}:' || shingle), 1, 12)) AS BIGINT)) AS mh_{j}"
-    for j in range(_NUM_PERM)
+    f"MIN(h1 + {j} * h2) AS mh_{j}" for j in range(_NUM_PERM)
 )
 
 _llm(
     "llm_minhash_signatures",
     _minhash_sig,
     f"""
-WITH {_DUCK_SHINGLES}
+WITH {_DUCK_SHINGLES},
+hh AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('h1:' || shingle), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5('h2:' || shingle), 1, 12)) AS BIGINT) AS h2
+  FROM sh
+)
 SELECT doc_id,
   {_MH_COLS}
-FROM sh GROUP BY doc_id
+FROM hh GROUP BY doc_id
 """,
 )
 
-# MinHash-LSH near-dup pairs (rows-only: banding verified in pytest) --------
-
-_llm(
-    "llm_minhash_lsh_pairs",
-    lambda spark, sf_dir: _dd.minhash_dedup_pairs(
-        _doc_table(spark, sf_dir), threshold=0.1
-    ),
-    None,
-)
+# MinHash-LSH near-dup pairs: registered with a full end-to-end oracle in
+# the "Full-oracle upgrades" section below.
 
 # SimHash fingerprints ------------------------------------------------------
 
@@ -1036,10 +1034,16 @@ FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
 
 _SIG_CTE = f"""
 {_DUCK_SHINGLES},
+hh AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('h1:' || shingle), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5('h2:' || shingle), 1, 12)) AS BIGINT) AS h2
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
     {_MH_COLS}
-  FROM sh GROUP BY doc_id
+  FROM hh GROUP BY doc_id
 )
 """
 

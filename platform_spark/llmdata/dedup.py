@@ -165,20 +165,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_perm-wide MinHash signature per doc over k-shingles.
 
-    "Permutation" j is `min(md5_int("sj:" || shingle))` — seeded md5 keeps
-    the hash portable (bit-identical in any engine/language, e.g. the
-    DuckDB oracle). One explode + one groupBy — no per-row Python. A
-    production cluster would swap md5 for xxhash64(shingle, seed=j)
-    (same structure, cheaper hash).
+    Permutation family à la Kirsch-Mitzenmacher: TWO seeded base hashes per
+    shingle (portable md5 — bit-identical in any engine/language, e.g. the
+    DuckDB oracle), and permutation j = `min(h1 + j*h2)`. Two hashes per
+    shingle instead of num_perm keeps the map-side cost flat in num_perm.
+    Values stay < 2^48 + 31·2^48 < 2^53 — exactly representable everywhere.
+    One explode + one groupBy — no per-row Python. A production cluster
+    would swap md5 for xxhash64 (same structure, cheaper hash).
     """
     sh = _shingle_table(df, text_col, id_col, k)
+    hashed = sh.select(
+        "doc_id",
+        md5_int(F.col("shingle"), seed="h1:", hex_digits=12).alias("h1"),
+        md5_int(F.col("shingle"), seed="h2:", hex_digits=12).alias("h2"),
+    )
     aggs = [
-        F.min(md5_int(F.col("shingle"), seed=f"s{j}:", hex_digits=12)).alias(
-            f"mh_{j}"
-        )
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh_{j}")
         for j in range(num_perm)
     ]
-    return sh.groupBy(F.col("doc_id")).agg(*aggs)
+    return hashed.groupBy(F.col("doc_id")).agg(*aggs)
 
 
 def minhash_lsh_candidates(
