@@ -19,6 +19,68 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "_ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming sessionization: the custom-stateful-operator path
+    (`applyInPandasWithState`) for unbounded sources.
+
+    Per-key state = the open session (start, last event, count); a new
+    event either extends it or closes it (gap > ``gap_seconds``) and emits
+    the closed session. Open sessions persist in the state store across
+    micro-batches (exactly-once via the checkpoint). Production deployments
+    should pair this with a watermark + EventTimeTimeout to flush sessions
+    idle past the gap; the batch twin (`sessionize`) is the replayable
+    gold path, as in any lambda-ish pipeline.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "session_key string, session_start timestamp, session_end timestamp, "
+        "n_events long, duration_sec long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        batches = [p for p in pdfs]
+        rows = pd.concat(batches) if batches else pd.DataFrame(columns=[ts_col])
+        for ts in sorted(rows[ts_col].dropna()):
+            t = int(pd.Timestamp(ts).timestamp())
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "session_key": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+                    "n_events": [c[3] for c in closed],
+                    "duration_sec": [c[2] - c[1] for c in closed],
+                }
+            )
+
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str = "user_id",

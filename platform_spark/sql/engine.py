@@ -96,8 +96,52 @@ class KafSqlEngine:
             timer.cancel()
             sc.setJobGroup("", "")
 
+    #: session-var surface (C6, server SET/RESET): engine knobs by name
+    _SETTABLE = {
+        "default_limit": ("compiler", "default_limit", int),
+        "max_rows": ("compiler", "max_rows", int),
+        "timeout_seconds": (None, "timeout_seconds", float),
+        "enable_cache": (None, "enable_cache", lambda v: v.lower() in ("true", "on", "1")),
+    }
+
+    def _set_reset(self, statement: str) -> DataFrame | None:
+        """`SET name = value` / `RESET name`: engine knobs by bare name,
+        anything dotted goes to `spark.conf` (the Spark-world session-var
+        space). Returns a 1-row status DataFrame, or None if the statement
+        is not SET/RESET."""
+        import re
+
+        m = re.match(r"(?is)^\s*SET\s+([A-Za-z_][\w.]*)\s*=\s*'?([^';]*?)'?\s*;?\s*$", statement)
+        r = re.match(r"(?is)^\s*RESET\s+([A-Za-z_][\w.]*)\s*;?\s*$", statement)
+        if not m and not r:
+            return None
+        name = (m or r).group(1)
+        if name in self._SETTABLE:
+            scope, attr, conv = self._SETTABLE[name]
+            target = self.opt.compiler if scope == "compiler" else self.opt
+            if m:
+                setattr(target, attr, conv(m.group(2)))
+            else:
+                setattr(target, attr, getattr(type(target)(), attr))
+            value = str(getattr(target, attr))
+        elif "." in name:
+            if m:
+                self.spark.conf.set(name, m.group(2))
+                value = m.group(2)
+            else:
+                self.spark.conf.unset(name)
+                value = "<unset>"
+        else:
+            raise GovernanceError(f"unknown setting {name!r}")
+        return self.spark.createDataFrame(
+            [(name, value)], "name: string, value: string"
+        )
+
     def sql(self, statement: str) -> DataFrame:
         """Execute a KAFSQL statement, returning a DataFrame."""
+        handled = self._set_reset(statement)
+        if handled is not None:
+            return handled
         q = parser.parse(statement)
         if q.type == QueryType.SHOW_TOPICS:
             return self._show_topics()

@@ -150,16 +150,17 @@ def test_collect_with_timeout_cancels(engine, spark):
     import pyspark.sql.functions as F
     import pytest as _pytest
 
-    # a deliberately slow job: big cross product
+    # a deliberately slow job: big cross product (large enough that a warm
+    # whole-stage-codegen JVM still needs multiple seconds)
     slow = (
-        spark.range(200000)
-        .crossJoin(spark.range(4000).withColumnRenamed("id", "id2"))
+        spark.range(2_000_000)
+        .crossJoin(spark.range(40_000).withColumnRenamed("id", "id2"))
         .agg(F.sum(F.col("id") * F.col("id2")))
     )
     t0 = time.time()
     with _pytest.raises(GovernanceError, match="timeout"):
         engine.collect_with_timeout(slow, timeout=1.0)
-    assert time.time() - t0 < 30
+    assert time.time() - t0 < 60
 
 
 def test_minmax_first_kind_wins(catalog):
@@ -260,3 +261,23 @@ def test_result_cache_max_rows_not_eagerly_collected(engine):
     df = engine.sql(stmt)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
+
+
+def test_set_reset_session_vars(catalog):
+    from platform_spark.errors import GovernanceError
+
+    eng = KafSqlEngine(catalog, now=NOW)
+    eng.sql("SET default_limit = 5")
+    assert eng.opt.compiler.default_limit == 5
+    assert eng.sql("SELECT _offset FROM events LAST 30d").count() == 5
+    eng.sql("RESET default_limit")
+    assert eng.opt.compiler.default_limit == 1000
+    # dotted names go to spark.conf
+    eng.sql("SET spark.sql.shuffle.partitions = 7")
+    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    eng.sql("SET spark.sql.shuffle.partitions = 8")
+    rows = eng.sql("SET enable_cache = false").collect()
+    assert rows[0]["name"] == "enable_cache" and eng.opt.enable_cache is False
+    eng.sql("RESET enable_cache")
+    with pytest.raises(GovernanceError, match="unknown setting"):
+        eng.sql("SET bogus_knob = 1")

@@ -356,3 +356,38 @@ def test_consumer_group_registry(spark, tmp_path):
     # persistence across instances
     reg2 = ConsumerGroupRegistry(spark, str(tmp_path))
     assert reg2.describe("g1", parts).count() == 1
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    # applyInPandasWithState sessionizer: closed sessions emit, the open
+    # session survives in state across micro-batches of one run
+    from datetime import datetime
+
+    from platform_spark.operators.sessionize import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, 0)),
+        ("u1", datetime(2024, 1, 1, 0, 10, 0)),
+        ("u1", datetime(2024, 1, 1, 4, 0, 0)),   # closes session 1 (gap 230m)
+        ("u1", datetime(2024, 1, 1, 9, 0, 0)),   # closes session 2 (gap 300m)
+        ("u2", datetime(2024, 1, 1, 1, 0, 0)),   # stays open (never closed)
+    ]
+    spark.createDataFrame(rows, "user_id: string, _ts: timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_key"], r["n_events"], r["duration_sec"])
+        for r in spark.table("sessions_out").collect()
+    }
+    assert got == {("u1", 2, 600), ("u1", 1, 0)}  # u2 + last u1 still open

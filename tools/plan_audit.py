@@ -1,0 +1,125 @@
+"""Regenerate PLANS.md: formatted physical plans for the hot paths, with
+the scale-critical properties called out (pruning, pushdown, broadcast,
+codegen, no Window on the topic scan path).
+
+    python tools/plan_audit.py [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from platform_spark.gate import catalog_for, engine_for
+    from platform_spark.llmdata import dedup
+    from platform_spark.operators.sessionize import sessionize
+    from platform_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    eng = engine_for(spark, args.sf)
+    eng.opt.enable_cache = False  # audit real scan plans, not cache hits
+    cat = catalog_for(spark, args.sf)
+
+    sections: list[tuple[str, str, list[str], str]] = []
+
+    def add(title: str, note: str, checks: list[str], df) -> None:
+        sections.append((title, note, checks, formatted(df)))
+
+    add(
+        "Filtered topic scan",
+        "Partition pruning (`_partition=2` → one directory) and `_ts`/`_offset` "
+        "predicate pushdown into the parquet scan; vectorized reader.",
+        ["PartitionFilters", "PushedFilters", "Batched: true"],
+        eng.sql(
+            "SELECT _offset, _ts FROM events WHERE _partition = 2 "
+            "AND _ts >= '2024-01-15 00:00:00' LIMIT 100000"
+        ),
+    )
+    add(
+        "Aggregate with JSON coercion",
+        "Partial (map-side) HashAggregate before the exchange; one shuffle on "
+        "the group key; whole-stage codegen end to end.",
+        ["HashAggregate", "Exchange"],
+        eng.sql(
+            "SELECT event_type, count(*) AS n, sum(json_value(_value, '$.amount')) AS s "
+            "FROM events LAST 30d GROUP BY event_type LIMIT 100000"
+        ),
+    )
+    add(
+        "WITHIN join",
+        "Small side broadcast (no shuffle of the big side); the WITHIN band is "
+        "a join condition; the derived right-side `_ts` bound reaches the right "
+        "scan (the reference scans the right side unfiltered).",
+        ["BroadcastHashJoin", "PushedFilters"],
+        eng.sql(
+            "SELECT o._key AS k FROM orders o JOIN payments p ON o._key = p._key "
+            "WITHIN 10m LAST 15000d LIMIT 100000"
+        ),
+    )
+    add(
+        "MinHash signatures",
+        "One explode + two md5s per shingle (KM permutations h1+j*h2), one "
+        "shuffle for the 32-way min aggregate — map-side partial aggregation "
+        "keeps the exchange narrow.",
+        ["HashAggregate", "Generate"],
+        dedup.minhash_signatures(cat.table("documents")),
+    )
+    add(
+        "Sessionization",
+        "lag + running sum in one window (single hash-partition exchange on the "
+        "key), then the session aggregate.",
+        ["Window", "Exchange"],
+        sessionize(cat.topic("events"), key_col="user_id", gap_seconds=21600),
+    )
+
+    out = [
+        "# PLANS.md — physical-plan audit of the hot paths",
+        "",
+        f"Regenerate with `python tools/plan_audit.py` (sf dir: `{args.sf}`).",
+        "Each section lists the scale-critical properties the plan must show;",
+        "`tests/test_plans.py` asserts the same properties in CI.",
+        "",
+    ]
+    ok = True
+    for title, note, checks, plan in sections:
+        out.append(f"## {title}")
+        out.append("")
+        out.append(note)
+        out.append("")
+        for c in checks:
+            mark = "x" if c in plan else " "
+            if c not in plan:
+                ok = False
+            out.append(f"- [{mark}] `{c}`")
+        out.append("")
+        out.append("```")
+        out.append(plan.strip()[:4000])
+        out.append("```")
+        out.append("")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written; all checks present: {ok}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
