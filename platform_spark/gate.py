@@ -1204,6 +1204,51 @@ SELECT o_orderkey, o_orderdate_s, o_totalprice, qty FROM (
 _Q18_SPARK = _Q18.replace("strftime(o_orderdate, '%Y-%m-%d')", "date_format(o_orderdate, 'yyyy-MM-dd')")
 _add("analytics_q18_big_orders", spark_sql(_Q18_SPARK), _Q18)
 
+# Q4: EXISTS semi-join — Catalyst plans LeftSemi, a join shape the
+# reference lacks entirely (SURVEY §2.3 "Not present")
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+_add("analytics_q4_order_priority", spark_sql(_Q4), _Q4)
+
+# Q12-style conditional aggregation (driver's lineitem has no l_shipmode;
+# l_linestatus stands in as the service dimension)
+_Q12 = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+_add("analytics_q12_shipmode", spark_sql(_Q12), _Q12)
+
+# Q14: promo revenue share — two decimal-exact sums ratioed as doubles
+_Q14 = """
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))
+      ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE)
+    AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+_add("analytics_q14_promo_revenue", spark_sql(_Q14), _Q14)
+
 # ---------------------------------------------------------------------------
 # Passthrough topics: every driver table is a topic (FIXTURES.md §2.4) —
 # TPC-H-shaped analytics through the KAFSQL dialect itself

@@ -71,6 +71,27 @@ def brute_force_topk(
     )
 
 
+def fit_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Real IVF centroids: k-means (pyspark.ml, fixed seed) over the corpus
+    (or a sample at scale — centroid quality needs only a sketch of the
+    distribution, so fit on ~1M sampled rows at 100 TB)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = corpus.select(array_to_vector(to_double(F.col(vec_col))).alias("features"))
+    if sample_fraction is not None:
+        data = data.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed).fit(data)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,14 +100,18 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: str | list[list[float]] = "hash",
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Centroids are deterministic pseudo-random unit vectors (hash-seeded);
-    corpus vectors are assigned to their nearest centroid once (a narrow
-    shuffle-free map), queries probe their n_probe nearest centroid buckets.
-    At 100 TB the bucket assignment becomes the partitioning key, so each
-    query touches n_probe/n_centroids of the data.
+    ``centroids`` picks the coarse quantizer: "hash" = deterministic
+    pseudo-random unit vectors (bit-stable across runs/engines — the gate
+    default), "kmeans" = fit real centroids with `fit_kmeans_centroids`
+    (better recall), or pass a precomputed matrix. Corpus vectors are
+    assigned to their nearest centroid once (a narrow shuffle-free map),
+    queries probe their n_probe nearest centroid buckets. At 100 TB the
+    bucket assignment becomes the partitioning key, so each query touches
+    n_probe/n_centroids of the data.
     """
     import hashlib
     import struct
@@ -101,11 +126,19 @@ def ivf_topk(
             vals.append((u / float(1 << 64)) * 2.0 - 1.0)
         return vals
 
+    if centroids == "kmeans":
+        matrix = fit_kmeans_centroids(corpus, n_centroids, vec_col)
+    elif centroids == "hash":
+        matrix = [centroid(i) for i in range(n_centroids)]
+    else:
+        matrix = centroids
+        n_centroids = len(matrix)
+
     # one literal centroid *matrix* traversed with transform — a single
     # compact expression tree (n_centroids copies of cosine_expr would blow
     # up codegen compile time)
     cent_matrix = F.array(
-        *[F.array(*[F.lit(x) for x in centroid(i)]) for i in range(n_centroids)]
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in matrix]
     )
 
     def nearest(vec: Column, n: int) -> Column:

@@ -196,3 +196,16 @@ def test_sessionize_gap_semantics(spark):
         (r["session_key"], r["n_events"], r["duration_sec"]) for r in out.collect()
     )
     assert sess == [("u1", 1, 0), ("u1", 2, 600), ("u2", 1, 0)]
+
+
+def test_ivf_kmeans_centroids_recall(spark, embs):
+    sample = embs.filter(F.col("vec_id") < 200)
+    queries = sample.filter(F.col("vec_id") < 5)
+    brute = S.brute_force_topk(sample, queries, k=5)
+    km = S.ivf_topk(
+        sample, queries, k=5, n_centroids=8, n_probe=4, centroids="kmeans"
+    )
+    b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in km.collect()}
+    # real centroids: probing half the buckets should recover most of top-k
+    assert len(a & b) / len(b) >= 0.6
