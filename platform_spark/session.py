@@ -55,6 +55,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # a static conf on some future Spark — never fail catalog init
             pass
+    try:
+        # a bare session keeps Spark's default 200 shuffle partitions —
+        # wasteful at local core counts. Replace ONLY the untouched default
+        # (an explicitly tuned session is left alone); AQE coalescing makes
+        # this a ceiling, not a floor.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"),
+            )
+    except Exception:
+        pass
     return spark
 
 

@@ -53,13 +53,30 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="use a bare SparkSession (no engine confs) — replicates the "
+        "driver exactly; the engine must self-configure the session",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
-    from platform_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from platform_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = args.names or list(qs)
