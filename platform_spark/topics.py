@@ -241,13 +241,19 @@ class TopicCatalog:
         partition dir, SURVEY.md §1.3). Bench reads this layout so partition
         pruning and `_offset`/`_ts` min-max stats are exercised for real.
 
-        The output path is version-keyed by the envelope SQL (so a fixture
-        change can never serve stale cached parquet across processes)."""
+        The output path is version-keyed by the envelope SQL AND a
+        fingerprint (size+mtime) of the raw source parquet, so neither an
+        envelope change nor a regenerated fixture can ever serve stale
+        cached parquet across processes."""
         import hashlib
 
-        ver = hashlib.sha256(
-            env.ENVELOPE_BUILDERS[name](env.SPARK).encode()
-        ).hexdigest()[:10]
+        h = hashlib.sha256(env.ENVELOPE_BUILDERS[name](env.SPARK).encode())
+        for t in TABLES:
+            p = os.path.join(self.sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                st = os.stat(p)
+                h.update(f"{t}:{st.st_size}:{int(st.st_mtime)};".encode())
+        ver = h.hexdigest()[:10]
         out = os.path.join(root, f"topic={name}", f"v={ver}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
