@@ -76,3 +76,76 @@ def test_parser_roundtrips_filters(partition, off_lo, off_hi, last, limit):
     assert q.offset_min == off_lo and q.offset_max == off_hi
     assert q.limit == limit
     assert q.last_seconds == parse_duration(last)
+
+
+# -- pure-Python twins of the distributed operators, for property checks ----
+
+
+def _sessions_python(times: list[int], gap: int) -> list[tuple[int, int, int]]:
+    """(start, end, n) per session — the spec sessionize must match."""
+    out = []
+    for t in sorted(times):
+        if out and t - out[-1][1] <= gap:
+            s, _e, n = out[-1]
+            out[-1] = (s, t, n + 1)
+        else:
+            out.append((t, t, 1))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+    st.integers(1, 10**5),
+)
+def test_sessionize_matches_python_spec(times, gap):
+    # pandas twin of the Spark expression chain (identical window logic:
+    # lag → gap flag → running sum → group) — property-checks the operator
+    # formula itself without a Spark session per example
+    import pandas as pd
+
+    df = pd.DataFrame({"t": sorted(times)})
+    prev = df["t"].shift(1)
+    brk = (prev.isna() | ((df["t"] - prev) > gap)).astype(int)
+    sess = brk.cumsum()
+    got = [
+        (int(g["t"].min()), int(g["t"].max()), len(g))
+        for _, g in df.groupby(sess)
+    ]
+    assert got == _sessions_python(times, gap)
+
+
+def _components_python(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    lab: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while lab.setdefault(x, x) != x:
+            lab[x] = lab[lab[x]]
+            x = lab[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lab[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in lab}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, pairs):
+    from platform_spark.llmdata.clusters import dedup_clusters
+
+    norm = [(min(a, b), max(a, b)) for a, b in pairs]
+    df = spark.createDataFrame(norm, "doc_a: long, doc_b: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+    want = _components_python(norm)
+    assert got == want
