@@ -103,6 +103,7 @@ def main() -> None:
         "llm_embedding_neardup",
         "llm_dedup_clusters",
         "analytics_sessionize",
+        "analytics_asof_join",
         "streaming_lfs_reference",
     ):
         fn, _oracle = GATE[name]

@@ -650,6 +650,38 @@ FROM reach GROUP BY node
 """,
 )
 
+# As-of join: payments enriched with the latest order state at-or-before
+# each payment (DuckDB's native ASOF LEFT JOIN is the oracle) --------------
+
+
+def _asof_payments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.operators.asof import asof_join
+
+    cat = catalog_for(spark, sf_dir)
+    pays = cat.topic("payments", with_schema_columns=False).select(
+        "_key", "_partition", "_offset", "_ts"
+    )
+    ords = cat.topic("orders", with_schema_columns=False).select(
+        "_key", "_offset", "_ts"
+    )
+    return asof_join(
+        pays, ords, key_col="_key", ts_col="_ts",
+        payload_cols=["_offset"], tiebreak_col="_offset",
+    )
+
+
+_add(
+    "analytics_asof_join",
+    _asof_payments_orders,
+    orc.with_topics(
+        """
+SELECT p._key, p._partition, p._offset, p._ts,
+  o._ts AS _ts_right, o._offset AS _offset_right
+FROM t_payments p ASOF LEFT JOIN t_orders o
+  ON p._key = o._key AND p._ts >= o._ts"""
+    ),
+)
+
 # Sessionization: gap-based sessions per user over events -------------------
 
 _SESS_GAP = 21600  # 6h

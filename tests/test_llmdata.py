@@ -209,3 +209,38 @@ def test_ivf_kmeans_centroids_recall(spark, embs):
     a = {(r["query_id"], r["corpus_id"]) for r in km.collect()}
     # real centroids: probing half the buckets should recover most of top-k
     assert len(a & b) / len(b) >= 0.6
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from platform_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [
+            ("k1", datetime(2024, 1, 1, 0, 0, 30)),   # -> state v=1
+            ("k1", datetime(2024, 1, 1, 0, 10, 0)),   # -> state v=5
+            ("k1", datetime(2024, 1, 1, 0, 5, 0)),    # exact tie -> v=5
+            ("k2", datetime(2024, 1, 1, 0, 0, 0)),    # no state yet -> NULL
+        ],
+        "k: string, ts: timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            ("k1", datetime(2024, 1, 1, 0, 0, 0), 1),
+            ("k1", datetime(2024, 1, 1, 0, 5, 0), 5),
+            ("k2", datetime(2024, 1, 1, 1, 0, 0), 9),  # after left -> no match
+        ],
+        "k: string, ts: timestamp, v: int",
+    )
+    out = asof_join(L, R, "k", "ts", ["v"])
+    got = {(r["k"], r["ts"]): (r["v_right"], r["ts_right"]) for r in out.collect()}
+    assert got[("k1", datetime(2024, 1, 1, 0, 0, 30))][0] == 1
+    assert got[("k1", datetime(2024, 1, 1, 0, 10, 0))][0] == 5
+    assert got[("k1", datetime(2024, 1, 1, 0, 5, 0))][0] == 5  # ts tie matches
+    assert got[("k2", datetime(2024, 1, 1, 0, 0, 0))] == (None, None)
+    # tolerance: only matches within 60s survive
+    tol = asof_join(L, R, "k", "ts", ["v"], tolerance_seconds=60)
+    tg = {(r["k"], r["ts"]): r["v_right"] for r in tol.collect()}
+    assert tg[("k1", datetime(2024, 1, 1, 0, 0, 30))] == 1     # 30s old
+    assert tg[("k1", datetime(2024, 1, 1, 0, 10, 0))] is None  # 300s old
