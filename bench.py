@@ -104,6 +104,8 @@ def main() -> None:
         "llm_dedup_clusters",
         "analytics_sessionize",
         "analytics_asof_join",
+        "analytics_range_join",
+        "analytics_time_rollup",
         "streaming_lfs_reference",
     ):
         fn, _oracle = GATE[name]

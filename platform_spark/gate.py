@@ -682,6 +682,87 @@ FROM t_payments p ASOF LEFT JOIN t_orders o
     ),
 )
 
+# Range join: bucketized point-in-interval (reference lacks theta joins;
+# the naive BETWEEN join would plan a nested loop) ---------------------------
+
+
+def _range_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.operators.ranges import range_join
+
+    cat = catalog_for(spark, sf_dir)
+    pts = cat.table("part").select("p_partkey", "p_retailprice")
+    ivs = cat.table("supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 50.0).alias("hi"),
+    )
+    return range_join(pts, ivs, "p_retailprice", "lo", "hi", bucket_width=50.0)
+
+
+_add(
+    "analytics_range_join",
+    _range_join_parts,
+    """
+SELECT p_partkey, p_retailprice, s_suppkey, s_acctbal AS lo,
+  s_acctbal + 50.0 AS hi
+FROM part JOIN supplier
+  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 50.0
+""",
+)
+
+# Hypertable rollup: hierarchical hour→day continuous aggregate -------------
+
+
+def _time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.operators.ranges import time_rollup
+
+    ev = catalog_for(spark, sf_dir).topic("events", with_schema_columns=False)
+    staged = ev.select(
+        "_ts",
+        F.get_json_object(F.col("_value").cast("string"), "$.amount").alias("amount"),
+    )
+    return time_rollup(staged, "_ts", ["amount"], granularities=("hour", "day"))
+
+
+_add(
+    "analytics_time_rollup",
+    _time_rollup_events,
+    orc.with_topics(
+        f"""
+, staged AS (
+  SELECT _ts, {orc.jval('_value', '$.amount')} AS amount FROM t_events
+)
+SELECT 'hour' AS granularity, date_trunc('hour', _ts) AS bucket,
+  COUNT(*) AS n_rows, {orc.dsum('amount')} AS sum_amount
+FROM staged GROUP BY date_trunc('hour', _ts)
+UNION ALL
+SELECT 'day' AS granularity, date_trunc('day', _ts) AS bucket,
+  COUNT(*) AS n_rows, {orc.dsum('amount')} AS sum_amount
+FROM staged GROUP BY date_trunc('day', _ts)"""
+    ),
+)
+
+# Exact percentiles (linear interpolation — Spark `percentile` and DuckDB
+# `quantile_cont` share the definition, so values hash-match exactly) -------
+
+_QUANTILES = """
+SELECT l_returnflag,
+  percentile(l_quantity, 0.25) AS q25,
+  percentile(l_quantity, 0.5) AS q50,
+  percentile(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_add(
+    "analytics_percentiles",
+    spark_sql(_QUANTILES),
+    _QUANTILES.replace("percentile(", "quantile_cont("),
+)
+
 # Sessionization: gap-based sessions per user over events -------------------
 
 _SESS_GAP = 21600  # 6h

@@ -1,0 +1,94 @@
+"""Range join: points matched to intervals containing them.
+
+The reference has no range join (SURVEY §2.3 "Not present: ... theta
+joins"); Spark's naive form (`ON v BETWEEN lo AND hi`) plans a broadcast
+nested loop — quadratic at scale. This is the standard bucketized
+formulation instead:
+
+    point bucket  = floor(v / width)
+    interval rows = explode(sequence(floor(lo/width), floor(hi/width)))
+    equi-join on bucket (+ optional key), then exact BETWEEN filter
+
+Each (point, interval) match survives in exactly ONE bucket (the point's),
+so no dedup is needed. Shuffle volume = points + intervals × avg_spans;
+pick ``bucket_width`` near the typical interval length so avg_spans ≈ 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    key_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Rows = all point columns + all interval columns for every interval
+    with ``lo <= v <= hi`` (and equal ``key_col`` when given)."""
+    if how != "inner":
+        raise ValueError("range_join supports inner joins")
+    p = points.withColumn(
+        "__b", F.floor(F.col(val_col) / F.lit(bucket_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    on = ["__b"] + ([key_col] if key_col else [])
+    joined = p.join(i, on=on).filter(
+        F.col(val_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("__b")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    sum_cols: list[str],
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Hypertable-style hierarchical rollup: aggregate at the finest
+    granularity from the raw rows, then build each coarser level FROM the
+    previous aggregate (sums and counts compose) — the continuous-aggregate
+    trick that makes day-level rollups read hour-level partials instead of
+    re-scanning raw data.
+
+    Output: one row per (granularity, bucket) with `n_rows` and
+    `sum_<col>` for each requested column.
+    """
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(F.col(c).cast("decimal(38,9)")).alias(f"sum_{c}") for c in sum_cols
+    ]
+    level = (
+        df.groupBy(F.date_trunc(granularities[0], F.col(ts_col)).alias("bucket"))
+        .agg(*aggs)
+    )
+    out = level.withColumn("granularity", F.lit(granularities[0]))
+    for g in granularities[1:]:
+        reaggs = [F.sum("n_rows").alias("n_rows")] + [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
+        ]
+        level = (
+            level.groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"))
+            .agg(*reaggs)
+        )
+        out = out.unionByName(level.withColumn("granularity", F.lit(g)))
+    final_cols = ["granularity", "bucket", "n_rows"] + [
+        f"sum_{c}" for c in sum_cols
+    ]
+    return out.select(
+        *final_cols[:3],
+        *[F.col(c).cast("double").alias(c) for c in final_cols[3:]],
+    )

@@ -244,3 +244,43 @@ def test_asof_join_semantics(spark):
     tg = {(r["k"], r["ts"]): r["v_right"] for r in tol.collect()}
     assert tg[("k1", datetime(2024, 1, 1, 0, 0, 30))] == 1     # 30s old
     assert tg[("k1", datetime(2024, 1, 1, 0, 10, 0))] is None  # 300s old
+
+
+def test_range_join_bucketized(spark):
+    from platform_spark.operators.ranges import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 55.0), (3, 105.0), (4, 9.99)], "pid: long, v: double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 50.0, 110.0), (12, 104.0, 106.0)],
+        "iid: long, lo: double, hi: double",
+    )
+    out = range_join(pts, ivs, "v", "lo", "hi", bucket_width=10.0)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10), (4, 10), (2, 11), (3, 11), (3, 12)}
+    # no duplicate matches despite intervals spanning many buckets
+    assert out.count() == len(got)
+
+
+def test_time_rollup_hierarchical(spark):
+    from datetime import datetime
+
+    from platform_spark.operators.ranges import time_rollup
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 10), "1.5"),
+        (datetime(2024, 1, 1, 0, 50), "2.5"),
+        (datetime(2024, 1, 1, 3, 0), "junk"),   # skipped by decimal cast
+        (datetime(2024, 1, 2, 0, 0), "10"),
+    ]
+    df = spark.createDataFrame(rows, "_ts: timestamp, amount: string")
+    out = time_rollup(df, "_ts", ["amount"], granularities=("hour", "day"))
+    got = {
+        (r["granularity"], r["bucket"].isoformat()): (r["n_rows"], r["sum_amount"])
+        for r in out.collect()
+    }
+    assert got[("hour", "2024-01-01T00:00:00")] == (2, 4.0)
+    assert got[("hour", "2024-01-01T03:00:00")] == (1, None)
+    assert got[("day", "2024-01-01T00:00:00")] == (3, 4.0)  # day built FROM hours
+    assert got[("day", "2024-01-02T00:00:00")] == (1, 10.0)
