@@ -90,6 +90,21 @@ def main() -> None:
         ["Window", "Exchange"],
         sessionize(cat.topic("events"), key_col="user_id", gap_seconds=21600),
     )
+    from platform_spark.operators.asof import asof_join
+
+    pays = cat.topic("payments", with_schema_columns=False).select(
+        "_key", "_offset", "_ts"
+    )
+    ords = cat.topic("orders", with_schema_columns=False).select(
+        "_key", "_offset", "_ts"
+    )
+    add(
+        "As-of join",
+        "Union-window formulation: ONE exchange on the key, a linear window "
+        "pass — no range-join candidate explosion, no BroadcastNestedLoop.",
+        ["Window", "Union"],
+        asof_join(pays, ords, "_key", "_ts", ["_offset"], tiebreak_col="_offset"),
+    )
 
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
