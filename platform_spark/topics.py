@@ -232,8 +232,19 @@ class TopicCatalog:
 
     # -- materialization: the real at-rest layout -------------------------
     def materialize_all(self, root: str) -> None:
-        for name in env.ENVELOPE_BUILDERS:
-            self.materialize(name, root)
+        """Materialize every topic. Jobs are submitted from a small thread
+        pool: each envelope write is bottlenecked by its 4-way partition
+        window, so overlapping topics keeps the executor cores busy (Spark's
+        scheduler interleaves concurrent jobs safely)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    lambda name: self.materialize(name, root),
+                    env.ENVELOPE_BUILDERS,
+                )
+            )
 
     def materialize(self, name: str, root: str) -> str:
         """Write the topic as Parquet partitioned by `_partition` — the
