@@ -40,8 +40,9 @@ def _topic_cache_root(sf_dir: str) -> str:
 def engine_for(spark: SparkSession, sf_dir: str) -> KafSqlEngine:
     # engines cached ON the session object (an id(spark) key could alias a
     # new session allocated at the same address after GC)
-    engines: dict[str, KafSqlEngine] = getattr(spark, "_kafsql_engines", None) or {}
-    if not hasattr(spark, "_kafsql_engines"):
+    engines: dict[str, KafSqlEngine] | None = getattr(spark, "_kafsql_engines", None)
+    if engines is None:
+        engines = {}
         spark._kafsql_engines = engines
     if sf_dir not in engines:
         catalog = TopicCatalog(spark, sf_dir, cache_root=_topic_cache_root(sf_dir))

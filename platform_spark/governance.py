@@ -175,3 +175,9 @@ class ResultCache:
             self._data.move_to_end(key)
             while len(self._data) > self.max_entries:
                 self._data.popitem(last=False)
+
+    def clear(self) -> None:
+        """Drop all entries (session settings changed — cached results may
+        no longer reflect current limits/confs)."""
+        with self._lock:
+            self._data.clear()

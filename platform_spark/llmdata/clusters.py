@@ -39,6 +39,7 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -60,6 +61,15 @@ def dedup_clusters(
         labels = updated.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # a silent partial result would split one component into several
+        # "keepers" — fail loudly instead (component diameter exceeded
+        # max_iterations; dup clusters are near-cliques, so this means
+        # pathological input or too small a bound)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); raise max_iterations"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -41,6 +41,10 @@ def asof_join(
     no right row qualifies). With ``tolerance_seconds``, matches older than
     the horizon are nulled out (pandas merge_asof tolerance semantics).
     """
+    # SQL join semantics: NULL keys never match. Window.partitionBy would
+    # group NULLs together, so drop NULL-key right rows (left NULL-key rows
+    # then see an empty partition and get a NULL match naturally).
+    right = right.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     tb = (
         F.col(tiebreak_col)
         if tiebreak_col

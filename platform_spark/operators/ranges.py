@@ -29,23 +29,38 @@ def range_join(
     bucket_width: float,
     key_col: str | None = None,
     how: str = "inner",
+    max_spans: int = 100_000,
 ) -> DataFrame:
     """Rows = all point columns + all interval columns for every interval
-    with ``lo <= v <= hi`` (and equal ``key_col`` when given)."""
+    with ``lo <= v <= hi`` (and equal ``key_col`` when given).
+
+    ``max_spans`` guards against a malformed/outlier interval exploding
+    into an unbounded bucket sequence (one lo=0/hi=1e12 row would try to
+    build a 10^10-element array): the job fails with a clear message
+    instead. Pick ``bucket_width`` so real intervals span a handful of
+    buckets."""
     if how != "inner":
         raise ValueError("range_join supports inner joins")
     p = points.withColumn(
         "__b", F.floor(F.col(val_col) / F.lit(bucket_width)).cast("long")
     )
-    i = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
-                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+    lo_b = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
+    hi_b = F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long")
+    span_guard = F.when(
+        hi_b - lo_b > max_spans,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join interval spans more than {max_spans} buckets "
+                    f"(width {bucket_width}): lo="
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(" hi="),
+                F.col(hi_col).cast("string"),
             )
-        ),
-    )
+        ).cast("long"),
+    ).otherwise(hi_b)
+    i = intervals.withColumn("__b", F.explode(F.sequence(lo_b, span_guard)))
     on = ["__b"] + ([key_col] if key_col else [])
     joined = p.join(i, on=on).filter(
         F.col(val_col).between(F.col(lo_col), F.col(hi_col))

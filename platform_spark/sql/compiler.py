@@ -412,10 +412,11 @@ class Compiler:
         # LIMIT applies to joins too (reference stops at sent >= limit,
         # limit = user LIMIT or DefaultLimit, server.go handleJoinSelect).
         # Deterministic survivor set for a binding limit: emit order is left
-        # scan order then right scan order (distributed top-k). When the
-        # limit is only the max_rows guardrail cap, skip the sort — below
-        # the cap the limit never selects among rows, and a top-100k sort
-        # would cost a full global sort for nothing.
+        # scan order then right scan order. Limits up to
+        # topKSortFallbackThreshold (10k) compile to a distributed top-k
+        # heap (TakeOrderedAndProject), not a global sort. When the limit is
+        # only the max_rows guardrail cap, skip the sort entirely — below
+        # the cap the limit never selects among rows.
         limit = self.effective_limit(q)
         if limit < self.opt.max_rows:
             joined = joined.orderBy(

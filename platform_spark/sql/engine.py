@@ -133,6 +133,8 @@ class KafSqlEngine:
                 value = "<unset>"
         else:
             raise GovernanceError(f"unknown setting {name!r}")
+        # settings affect compiled results — cached rows are now stale
+        self.cache.clear()
         return self.spark.createDataFrame(
             [(name, value)], "name: string, value: string"
         )
@@ -213,18 +215,20 @@ class KafSqlEngine:
         lines = [f"scan topic={q.topic}"]
         for topic in filter(None, (q.topic, q.join_topic)):
             path = self.catalog._materialized.get(topic)
-            if not path and self.catalog.cache_root:
-                # force lazy materialization so EXPLAIN always reports real
-                # candidate file/byte/row estimates (server.go:929-962
-                # always reports segment counts, never a placeholder)
-                self.catalog.topic(topic, with_schema_columns=False)
-                path = self.catalog._materialized.get(topic)
+            src = "materialized"
+            if not path:
+                # metadata-only estimate from the raw source parquet footers
+                # (server.go:929-962 always reports segment counts). EXPLAIN
+                # must NEVER trigger materialization — that is a heavy write
+                # job outside the limiter/budget/timeout.
+                path = self.catalog.raw_source_path(topic)
+                src = "raw-parquet-estimate"
             if path:
                 ts_min, ts_max = self.compiler.time_bounds(q)
                 est = estimate_scan(path, q.partition, ts_min, ts_max)
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "
-                    f"est_bytes={est.bytes} est_rows={est.rows}"
+                    f"est_bytes={est.bytes} est_rows={est.rows} source={src}"
                 )
             else:
                 lines.append(f"topic={topic} source=envelope-view")
@@ -234,7 +238,15 @@ class KafSqlEngine:
         if q.partition is not None:
             lines.append(f"partition={q.partition}")
         lines.append(f"limit={self.compiler.effective_limit(q)}")
-        df = self.compiler.compile(q)
+        # compile WITHOUT lazy materialization: EXPLAIN is introspection and
+        # must never run a write job (an unmaterialized topic explains over
+        # its envelope view — same logical plan, no side effects)
+        prev_root = self.catalog.cache_root
+        self.catalog.cache_root = None
+        try:
+            df = self.compiler.compile(q)
+        finally:
+            self.catalog.cache_root = prev_root
         physical = df._jdf.queryExecution().simpleString()
         lines.extend(physical.splitlines()[:8])
         return self.spark.createDataFrame([(l,) for l in lines], "plan: string")

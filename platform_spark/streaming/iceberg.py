@@ -59,14 +59,16 @@ def evolution_violations(
 
 
 def has_iceberg_catalog(spark: SparkSession, table: str) -> bool:
-    """True iff `table`'s catalog (the first identifier part, or the
-    session's current catalog) is configured as a Spark catalog plugin —
-    the signal that `writeTo(...).append()` will reach an Iceberg runtime."""
+    """True iff `table`'s catalog (the first identifier part when qualified,
+    else the session's current/default catalog) is configured as a Spark
+    catalog plugin — the signal that `writeTo(...).append()` will reach an
+    Iceberg runtime."""
     parts = table.split(".")
-    if len(parts) < 2:
-        return False
-    catalog = parts[0]
     try:
+        if len(parts) >= 2:
+            catalog = parts[0]
+        else:
+            catalog = spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
         return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
     except Exception:  # noqa: BLE001
         return False

@@ -46,7 +46,12 @@ def is_lfs_envelope(value_col: Column) -> Column:
     (DecodeEnvelope, envelope.go:50-58). Null-safe: missing marker or
     invalid JSON → false, so `~is_lfs_envelope` keeps those rows."""
     src = value_col.cast("string")
-    version = F.get_json_object(src, f"$.{LFS_MARKER}").cast("int")
+    # the version must be an UNQUOTED JSON integer (Go's json.Unmarshal
+    # into int rejects "1"; get_json_object would coerce it) — extract the
+    # raw token with a regexp so string-typed versions do not detect
+    version = F.regexp_extract(
+        src, f'"{LFS_MARKER}"\\s*:\\s*(-?\\d+)\\s*[,}}]', 1
+    ).cast("int")
     required = [
         F.get_json_object(src, "$.bucket"),
         F.get_json_object(src, "$.key"),

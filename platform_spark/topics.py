@@ -189,6 +189,13 @@ class TopicCatalog:
             raise KeyError(f"unknown table {name!r}")
         return self.spark.table(name)
 
+    def raw_source_path(self, topic: str) -> str | None:
+        """The raw parquet file a topic envelope derives from (payments is
+        derived from orders) — for metadata-only scan estimates."""
+        src = topic if topic in TABLES else "orders"
+        p = os.path.join(self.sf_dir, f"{src}.parquet")
+        return p if os.path.exists(p) else None
+
     # -- topic views ------------------------------------------------------
     def topic_names(self) -> list[str]:
         return sorted(self.configs)
@@ -265,7 +272,16 @@ class TopicCatalog:
                 st = os.stat(p)
                 h.update(f"{t}:{st.st_size}:{int(st.st_mtime)};".encode())
         ver = h.hexdigest()[:10]
-        out = os.path.join(root, f"topic={name}", f"v={ver}")
+        topic_dir = os.path.join(root, f"topic={name}")
+        out = os.path.join(topic_dir, f"v={ver}")
+        # prune stale versions (older envelope SQL / regenerated fixtures) —
+        # they are dead weight and would otherwise accumulate forever
+        if os.path.isdir(topic_dir):
+            import shutil
+
+            for d in os.listdir(topic_dir):
+                if d.startswith("v=") and d != f"v={ver}":
+                    shutil.rmtree(os.path.join(topic_dir, d), ignore_errors=True)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
             df = df.select(*IMPLICIT_COLUMNS).repartition("_partition")

@@ -281,3 +281,24 @@ def test_set_reset_session_vars(catalog):
     eng.sql("RESET enable_cache")
     with pytest.raises(GovernanceError, match="unknown setting"):
         eng.sql("SET bogus_knob = 1")
+
+
+def test_set_clears_result_cache(catalog):
+    eng = KafSqlEngine(catalog, now=NOW)
+    stmt = "SELECT _offset FROM events LAST 6d"
+    first = eng.sql(stmt).count()
+    assert first > 5  # cached at default_limit sizing
+    eng.sql("SET default_limit = 5")
+    # same statement must NOT serve the stale cached result
+    assert eng.sql(stmt).count() == 5
+    eng.sql("RESET default_limit")
+
+
+def test_explain_never_materializes(spark, tmp_path):
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001", cache_root=str(tmp_path / "c"))
+    eng = KafSqlEngine(cat, now=NOW)
+    lines = [r["plan"] for r in eng.sql("EXPLAIN SELECT _offset FROM events LAST 5d").collect()]
+    assert cat._materialized == {}  # introspection ran no write job
+    assert any("raw-parquet-estimate" in l and "candidate_files=" in l for l in lines)

@@ -284,3 +284,27 @@ def test_time_rollup_hierarchical(spark):
     assert got[("hour", "2024-01-01T03:00:00")] == (1, None)
     assert got[("day", "2024-01-01T00:00:00")] == (3, 4.0)  # day built FROM hours
     assert got[("day", "2024-01-02T00:00:00")] == (1, 10.0)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    from datetime import datetime
+
+    from platform_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1, 10, 0))], "k: string, ts: timestamp"
+    )
+    R = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1, 9, 0), 7)], "k: string, ts: timestamp, v: int"
+    )
+    row = asof_join(L, R, "k", "ts", ["v"]).collect()[0]
+    assert row["v_right"] is None and row["ts_right"] is None
+
+
+def test_range_join_guards_unbounded_interval(spark):
+    from platform_spark.operators.ranges import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid: long, v: double")
+    bad = spark.createDataFrame([(9, 0.0, 1e12)], "iid: long, lo: double, hi: double")
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(pts, bad, "v", "lo", "hi", bucket_width=50.0).count()

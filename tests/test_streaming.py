@@ -158,6 +158,8 @@ def test_lfs_rejects_invalid_envelopes(spark):
         '{"kfs_lfs":1,"bucket":"b","sha256":"s"}',
         '{"kfs_lfs":1,"bucket":"b","key":"k"}',
         '{"kafscale_lfs":true,"bucket":"b","key":"k","sha256":"s"}',  # wrong marker
+        # string-typed version: Go json.Unmarshal into int rejects this
+        '{"kfs_lfs":"1","bucket":"b","key":"k","sha256":"s"}',
     ]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(bad)], "id: long, _value: string")
     assert df.filter(is_lfs_envelope(F.col("_value"))).count() == 0
