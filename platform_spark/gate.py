@@ -608,6 +608,29 @@ WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= {_N
 """,
 )
 
+# Deterministic train/val/test split assignment -----------------------------
+
+
+def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.splits import assign_splits
+
+    return assign_splits(_doc_table(spark, sf_dir).select("doc_id"))
+
+
+_add(
+    "llm_split_assignment",
+    _split_assign,
+    """
+SELECT doc_id,
+  CASE
+    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+""",
+)
+
 # Duplicate-cluster resolution: ngram pairs → connected components ----------
 # (iterative min-label propagation in Spark; recursive-CTE closure in DuckDB)
 

@@ -308,3 +308,16 @@ def test_range_join_guards_unbounded_interval(spark):
     bad = spark.createDataFrame([(9, 0.0, 1e12)], "iid: long, lo: double, hi: double")
     with pytest.raises(Exception, match="spans more than"):
         range_join(pts, bad, "v", "lo", "hi", bucket_width=50.0).count()
+
+
+def test_split_assignment_deterministic_and_proportional(spark, docs):
+    from platform_spark.llmdata.splits import assign_splits
+
+    out = assign_splits(docs.select("doc_id"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.8 < counts["train"] / total < 0.97
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # reproducible across independent evaluations (content-hash, no state)
+    again = assign_splits(docs.select("doc_id"))
+    assert out.exceptAll(again).count() == 0
