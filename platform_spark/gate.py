@@ -1341,6 +1341,24 @@ SELECT o_orderkey, o_orderdate_s, o_totalprice, qty FROM (
 _Q18_SPARK = _Q18.replace("strftime(o_orderdate, '%Y-%m-%d')", "date_format(o_orderdate, 'yyyy-MM-dd')")
 _add("analytics_q18_big_orders", spark_sql(_Q18_SPARK), _Q18)
 
+# Q15: top supplier(s) by quarterly revenue — correlated max over a
+# derived aggregate (revenue view), ties included
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+_add("analytics_q15_top_supplier", spark_sql(_Q15), _Q15)
+
 # Q4: EXISTS semi-join — Catalyst plans LeftSemi, a join shape the
 # reference lacks entirely (SURVEY §2.3 "Not present")
 _Q4 = """

@@ -24,6 +24,7 @@ def sessionize_stream(
     key_col: str = "user_id",
     ts_col: str = "_ts",
     gap_seconds: int = 1800,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming sessionization: the custom-stateful-operator path
     (`applyInPandasWithState`) for unbounded sources.
@@ -31,10 +32,13 @@ def sessionize_stream(
     Per-key state = the open session (start, last event, count); a new
     event either extends it or closes it (gap > ``gap_seconds``) and emits
     the closed session. Open sessions persist in the state store across
-    micro-batches (exactly-once via the checkpoint). Production deployments
-    should pair this with a watermark + EventTimeTimeout to flush sessions
-    idle past the gap; the batch twin (`sessionize`) is the replayable
-    gold path, as in any lambda-ish pipeline.
+    micro-batches (exactly-once via the checkpoint).
+
+    With ``watermark_delay`` (e.g. ``"10 minutes"``) the stream runs with
+    an event-time watermark and EventTimeTimeout: a session idle past the
+    gap is FLUSHED once the watermark passes its deadline — the production
+    mode, with bounded state. Without it, open sessions stay in state until
+    a later event closes them (simplest semantics; state grows with keys).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -44,8 +48,26 @@ def sessionize_stream(
         "n_events long, duration_sec long"
     )
     state_schema = "start long, last long, n long"
+    use_timeout = watermark_delay is not None
+
+    def emit(key, closed: list[tuple]):
+        return pd.DataFrame(
+            {
+                "session_key": [key for _ in closed],
+                "session_start": pd.to_datetime([c[0] for c in closed], unit="s"),
+                "session_end": pd.to_datetime([c[1] for c in closed], unit="s"),
+                "n_events": [c[2] for c in closed],
+                "duration_sec": [c[1] - c[0] for c in closed],
+            }
+        )
 
     def fn(key, pdfs, state: GroupState):
+        if use_timeout and state.hasTimedOut:
+            # watermark passed the session deadline: flush the open session
+            start, last, n = state.get
+            state.remove()
+            yield emit(key[0], [(start, last, n)])
+            return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []
         batches = [p for p in pdfs]
@@ -55,29 +77,24 @@ def sessionize_stream(
             if start is None:
                 start, last, n = t, t, 1
             elif t - last > gap_seconds:
-                closed.append((key[0], start, last, n))
+                closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
                 last, n = max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
+            if use_timeout:
+                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "session_key": [c[0] for c in closed],
-                    "session_start": pd.to_datetime([c[1] for c in closed], unit="s"),
-                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
-                    "n_events": [c[3] for c in closed],
-                    "duration_sec": [c[2] - c[1] for c in closed],
-                }
-            )
+            yield emit(key[0], closed)
 
-    return (
-        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
-        .groupBy(F.col(key_col))
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    timeout_conf = GroupStateTimeout.NoTimeout
+    if use_timeout:
+        src = src.withWatermark(ts_col, watermark_delay)
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_conf
     )
 
 

@@ -393,3 +393,39 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         for r in spark.table("sessions_out").collect()
     }
     assert got == {("u1", 2, 600), ("u1", 1, 0)}  # u2 + last u1 still open
+
+
+def test_sessionize_stream_watermark_flush(spark, tmp_path):
+    # EventTimeTimeout mode: a session idle past the gap flushes once the
+    # watermark (driven by later events on OTHER keys) passes its deadline
+    from datetime import datetime
+
+    from platform_spark.operators.sessionize import sessionize_stream
+
+    src = str(tmp_path / "sess_wm_src")
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, 0)),
+        ("u1", datetime(2024, 1, 1, 0, 10, 0)),
+        ("u2", datetime(2024, 1, 1, 5, 0, 0)),   # advances the watermark
+    ]
+    spark.createDataFrame(rows, "user_id: string, _ts: timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, gap_seconds=1800, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["session_key"], r["n_events"], r["duration_sec"])
+        for r in spark.table("sessions_wm_out").collect()
+    }
+    # u1's session (deadline 00:40) flushed by the 05:00 watermark;
+    # u2's (deadline 05:30, past the watermark) stays open
+    assert ("u1", 2, 600) in got
+    assert all(k != "u2" for k, _, _ in got)
