@@ -106,6 +106,10 @@ def main() -> None:
         "analytics_asof_join",
         "analytics_range_join",
         "analytics_time_rollup",
+        "analytics_q4_order_priority",
+        "analytics_q15_top_supplier",
+        "analytics_percentiles",
+        "llm_split_assignment",
         "streaming_lfs_reference",
     ):
         fn, _oracle = GATE[name]
