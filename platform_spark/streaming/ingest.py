@@ -86,6 +86,26 @@ class TopicWriter:
                 F.pmod(F.xxhash64(F.col("_key")), F.lit(self.n_partitions)).cast("int")
             )
             df = df.withColumn("_partition", part)
+        # a partition id outside [0, n_partitions) has no entry in the HWM
+        # base map and would silently produce NULL offsets — reject it the
+        # way the broker rejects a produce to a nonexistent partition
+        in_range = (F.col("_partition") >= 0) & (
+            F.col("_partition") < self.n_partitions
+        )
+        df = df.withColumn(
+            "_partition",
+            F.when(in_range, F.col("_partition")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"partition out of range for topic {self.topic!r} "
+                            f"(n_partitions={self.n_partitions}): "
+                        ),
+                        F.col("_partition").cast("string"),
+                    )
+                ).cast("int")
+            ),
+        )
         hwm = self.high_water_marks()
         base = F.create_map(
             *[x for p in range(self.n_partitions) for x in (F.lit(p), F.lit(hwm.get(p, 0)))]
@@ -155,6 +175,44 @@ class TopicWriter:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Segment compaction: rewrite each partition's accumulation of
+        small files into ~target-sized files (the S3 small-files problem
+        every micro-batch ingest creates; the reference compacts segments
+        broker-side). Offsets and rows are preserved exactly; `_hwm.json`
+        is untouched. Returns the number of data files after compaction.
+
+        Swap is directory-level: write to a sibling tmp dir, then rename —
+        readers either see the old layout or the new one, never a mix.
+        """
+        import math
+        import shutil
+
+        df = self.read()
+        total = sum(
+            os.path.getsize(p) for p in self._data_files()
+        )
+        n_files_per_part = max(
+            1, math.ceil(total / max(1, self.n_partitions) / target_file_bytes)
+        )
+        tmp = self.path + "__compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.repartition(n_files_per_part * self.n_partitions, "_partition")
+            .sortWithinPartitions("_partition", "_offset")
+            .write.mode("overwrite")
+            .partitionBy("_partition")
+            .parquet(tmp)
+        )
+        hwm = self.high_water_marks()
+        old = self.path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self._save_hwm(hwm)  # sidecar lives inside the dir — rewrite it
+        return len(self._data_files())
 
 
 class ConsumerGroupRegistry:

@@ -429,3 +429,34 @@ def test_sessionize_stream_watermark_flush(spark, tmp_path):
     # u2's (deadline 05:30, past the watermark) stays open
     assert ("u1", 2, 600) in got
     assert all(k != "u2" for k, _, _ in got)
+
+
+def test_topic_writer_rejects_out_of_range_partition(spark, tmp_path):
+    # records carry _partition 0..3; a 2-partition topic must refuse them
+    # loudly, never write NULL offsets
+    w = TopicWriter(spark, str(tmp_path), "t_oor", n_partitions=2)
+    with pytest.raises(Exception, match="partition out of range"):
+        w.append(_records(spark, 10))
+
+
+def test_topic_writer_compaction(spark, tmp_path):
+    w = TopicWriter(spark, str(tmp_path), "tc", n_partitions=4)
+    for b in range(6):  # many tiny batches -> many small files
+        w.append(_records(spark, 10, start=b * 10))
+    before_files = len(w._data_files())
+    before_rows = w.read().count()
+    hwm_before = w.high_water_marks()
+    after_files = w.compact(target_file_bytes=512 * 1024 * 1024)
+    assert after_files < before_files
+    df = w.read()
+    assert df.count() == before_rows
+    # offsets still contiguous per partition; HWM preserved
+    per = df.groupBy("_partition").agg(
+        F.count("*").alias("n"), F.min("_offset").alias("lo"), F.max("_offset").alias("hi")
+    ).collect()
+    for r in per:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    assert w.high_water_marks() == hwm_before
+    # appends keep working after the swap
+    w.append(_records(spark, 10, start=60))
+    assert w.read().count() == before_rows + 10
