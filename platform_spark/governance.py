@@ -136,7 +136,13 @@ class QueryLimiter:
 class ResultCache:
     """TTL + LRU cache of collected result rows, keyed by normalized SQL
     (LAST windows bucket by TTL so `LAST 5m` reuses entries within a TTL
-    period — server.go:586-598)."""
+    period — server.go:586-598).
+
+    Materialization is collect-on-repeat: a statement's first execution only
+    marks the fingerprint *warm* and stays a lazy plan (no driver collect on
+    the cold path); rows are collected and cached when the same statement
+    repeats inside a TTL window. One-shot queries never pay a driver
+    round-trip; repeated dashboards still serve rows with zero Spark jobs."""
 
     def __init__(self, ttl_seconds: float = 30.0, max_entries: int = 100, max_rows: int = 10_000):
         self.ttl = ttl_seconds
@@ -144,6 +150,7 @@ class ResultCache:
         self.max_rows = max_rows
         self._lock = threading.Lock()
         self._data: OrderedDict[str, tuple[float, object]] = OrderedDict()
+        self._warm: OrderedDict[str, float] = OrderedDict()
         self.hits = 0
         self.misses = 0
 
@@ -167,6 +174,24 @@ class ResultCache:
             self.hits += 1
             return value
 
+    def lookup(self, key: str) -> tuple[str, object]:
+        """Three-state probe: ('rows', (rows, schema)) when materialized,
+        ('warm', None) when this fingerprint repeated within the TTL (caller
+        should collect + put), ('cold', None) on first sight (caller returns
+        the lazy plan untouched)."""
+        value = self.get(key)
+        if value is not None:
+            return "rows", value
+        with self._lock:
+            ts = self._warm.pop(key, None)
+            if ts is not None and time.time() - ts <= self.ttl:
+                self.hits += 1
+                return "warm", None
+            self._warm[key] = time.time()
+            while len(self._warm) > self.max_entries:
+                self._warm.popitem(last=False)
+            return "cold", None
+
     def put(self, key: str, value, n_rows: int) -> None:
         if n_rows > self.max_rows:
             return
@@ -181,3 +206,4 @@ class ResultCache:
         no longer reflect current limits/confs)."""
         with self._lock:
             self._data.clear()
+            self._warm.clear()

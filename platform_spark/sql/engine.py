@@ -164,19 +164,25 @@ class KafSqlEngine:
                 and not q.scan_full
                 and q.has_time_bound()
             )
+            state = "cold"
             if cacheable:
                 key = self.cache.key(statement, self._now)
-                hit = self.cache.get(key)
-                if hit is not None:
+                state, hit = self.cache.lookup(key)
+                if state == "rows":
                     # serve materialized rows as a local relation: no Spark
                     # job runs for a cache hit (result_cache.go:26-110)
                     rows, schema = hit
                     return self.spark.createDataFrame(rows, schema)
             df = self.compiler.compile(q)
-            if cacheable and self.compiler.effective_limit(q) <= self.opt.cache_max_rows:
-                # small bounded result: execute once, cache the ROWS (the
-                # reference caches rows, not plans); the caller's collect on
-                # the returned local relation re-runs nothing
+            if (
+                cacheable
+                and state == "warm"
+                and self.compiler.effective_limit(q) <= self.opt.cache_max_rows
+            ):
+                # collect-on-repeat: the statement recurred within a TTL
+                # window, so materialize ROWS now (the reference caches rows,
+                # not plans — result_cache.go); one-shot queries stay lazy
+                # and never pay a driver round-trip
                 rows = self.collect_with_timeout(df)
                 self.cache.put(key, (rows, df.schema), n_rows=len(rows))
                 return self.spark.createDataFrame(rows, df.schema)

@@ -255,6 +255,20 @@ def test_result_cache_serves_rows_without_scan(engine):
     assert hit.count() == 10
 
 
+def test_result_cache_first_execution_stays_lazy(engine):
+    # collect-on-repeat: a statement's FIRST execution must not trigger a
+    # driver-side collect — it returns the lazy scan plan untouched
+    stmt = "SELECT _offset FROM events LAST 5d LIMIT 10"
+    df = engine.sql(stmt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
+    # second execution inside the TTL window materializes rows
+    hit = engine.sql(stmt)
+    plan2 = hit._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan2
+    assert hit.count() == 10
+
+
 def test_result_cache_max_rows_not_eagerly_collected(engine):
     # effective limit above cache_max_rows → stays a lazy plan (not cached)
     stmt = "SELECT _offset FROM events LAST 4d LIMIT 99000"
