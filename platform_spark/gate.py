@@ -698,10 +698,17 @@ _add(
     "analytics_asof_join",
     _asof_payments_orders,
     orc.with_topics(
+        # right side pre-aggregated to max(_offset) per (_key, _ts): Spark's
+        # asof_join breaks duplicate right timestamps by max tiebreak_col,
+        # while DuckDB ASOF's pick among equal-ts rows is unspecified —
+        # encode the tiebreak explicitly so the comparison can't flap
         """
 SELECT p._key, p._partition, p._offset, p._ts,
   o._ts AS _ts_right, o._offset AS _offset_right
-FROM t_payments p ASOF LEFT JOIN t_orders o
+FROM t_payments p ASOF LEFT JOIN (
+  SELECT _key, _ts, MAX(_offset) AS _offset
+  FROM t_orders GROUP BY _key, _ts
+) o
   ON p._key = o._key AND p._ts >= o._ts"""
     ),
 )

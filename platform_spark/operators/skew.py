@@ -33,7 +33,12 @@ def salted_aggregate(
     """
     merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
+    # deterministic salt from a row fingerprint: retry-stable (unlike
+    # monotonically_increasing_id) and cheaper than two id exprs; any
+    # distribution over salts is correct since the merge is algebraic
+    salted = df.withColumn(
+        "__salt", F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(n_salts))
+    )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[first[fn](col).alias(f"__p_{name}") for name, (fn, col) in aggs.items()]
     )
@@ -55,7 +60,7 @@ def salted_join(
     and AQE's split threshold misses the skew."""
     l = left.withColumn(
         "__salt",
-        F.pmod(F.abs(F.xxhash64(F.col(key), F.monotonically_increasing_id())), F.lit(n_salts)),
+        F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in left.columns])), F.lit(n_salts)),
     )
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -414,11 +414,13 @@ class Compiler:
         # Deterministic survivor set for a binding limit: emit order is left
         # scan order then right scan order. Limits up to
         # topKSortFallbackThreshold (10k) compile to a distributed top-k
-        # heap (TakeOrderedAndProject), not a global sort. When the limit is
-        # only the max_rows guardrail cap, skip the sort entirely — below
-        # the cap the limit never selects among rows.
+        # heap (TakeOrderedAndProject), not a global sort. The sort applies
+        # whenever the user set a LIMIT explicitly (even one equal to or
+        # capped at max_rows — it can still bind and must pick a
+        # deterministic survivor set); only the purely-implicit guardrail
+        # cap skips it.
         limit = self.effective_limit(q)
-        if limit < self.opt.max_rows:
+        if q.limit is not None or limit < self.opt.max_rows:
             joined = joined.orderBy(
                 "__l__partition", "__l__offset", "__r__partition", "__r__offset"
             )

@@ -180,11 +180,17 @@ class TopicWriter:
         """Segment compaction: rewrite each partition's accumulation of
         small files into ~target-sized files (the S3 small-files problem
         every micro-batch ingest creates; the reference compacts segments
-        broker-side). Offsets and rows are preserved exactly; `_hwm.json`
-        is untouched. Returns the number of data files after compaction.
+        broker-side). Offsets, rows, and high-water marks are preserved
+        exactly. Returns the number of data files after compaction.
 
-        Swap is directory-level: write to a sibling tmp dir, then rename —
-        readers either see the old layout or the new one, never a mix.
+        Crash-safety: the `_hwm.json` sidecar is written into the tmp dir
+        BEFORE the swap, so data + marks always travel together in one
+        rename — a crash at any point leaves at least one complete dir
+        (old or tmp/new), each carrying its own consistent sidecar, and the
+        next append can never restart offsets at 0. The old dir is removed
+        only after the new one is fully in place. (POSIX has no atomic
+        dir-exchange, so there is a microscopic window where the canonical
+        path is absent; recovery = rename whichever complete dir remains.)
         """
         import math
         import shutil
@@ -193,25 +199,34 @@ class TopicWriter:
         total = sum(
             os.path.getsize(p) for p in self._data_files()
         )
-        n_files_per_part = max(
-            1, math.ceil(total / max(1, self.n_partitions) / target_file_bytes)
+        n_files_per_part = min(
+            4096,  # guard: a pathological byte target must not explode the shuffle
+            max(1, math.ceil(total / max(1, self.n_partitions) / target_file_bytes)),
         )
+        hwm = self.high_water_marks()
         tmp = self.path + "__compact"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            df.repartition(n_files_per_part * self.n_partitions, "_partition")
+            # split each topic-partition across ~n_files_per_part writer
+            # tasks: hashing on _partition alone would put every row of a
+            # partition in ONE task → one file, ignoring target_file_bytes
+            df.repartition(
+                n_files_per_part * self.n_partitions,
+                "_partition",
+                F.pmod(F.col("_offset"), F.lit(n_files_per_part)),
+            )
             .sortWithinPartitions("_partition", "_offset")
             .write.mode("overwrite")
             .partitionBy("_partition")
             .parquet(tmp)
         )
-        hwm = self.high_water_marks()
+        with open(os.path.join(tmp, "_hwm.json"), "w") as f:
+            json.dump({str(k): v for k, v in hwm.items()}, f)
         old = self.path + "__old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
-        self._save_hwm(hwm)  # sidecar lives inside the dir — rewrite it
         return len(self._data_files())
 
 

@@ -151,6 +151,10 @@ class TopicCatalog:
     directly; topic views are built from the envelope SQL.
     """
 
+    #: stale topic-cache versions younger than this survive pruning — a
+    #: concurrent process may still be reading them (see materialize())
+    PRUNE_GRACE_SECONDS = 600.0
+
     def __init__(
         self,
         spark: SparkSession,
@@ -275,13 +279,26 @@ class TopicCatalog:
         topic_dir = os.path.join(root, f"topic={name}")
         out = os.path.join(topic_dir, f"v={ver}")
         # prune stale versions (older envelope SQL / regenerated fixtures) —
-        # they are dead weight and would otherwise accumulate forever
+        # dead weight that would otherwise accumulate forever. Pruning is
+        # opportunistic with a grace period: another process may still hold
+        # an engine pinned to (or be mid-query on) an older version, so only
+        # versions untouched for PRUNE_GRACE_SECONDS are removed; recently
+        # active ones get collected on a later materialize() call.
         if os.path.isdir(topic_dir):
             import shutil
+            import time
 
+            now = time.time()
             for d in os.listdir(topic_dir):
-                if d.startswith("v=") and d != f"v={ver}":
-                    shutil.rmtree(os.path.join(topic_dir, d), ignore_errors=True)
+                if not d.startswith("v=") or d == f"v={ver}":
+                    continue
+                stale = os.path.join(topic_dir, d)
+                try:
+                    age = now - os.stat(stale).st_mtime
+                except OSError:
+                    continue
+                if age >= self.PRUNE_GRACE_SECONDS:
+                    shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
             df = df.select(*IMPLICIT_COLUMNS).repartition("_partition")

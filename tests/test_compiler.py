@@ -308,6 +308,28 @@ def test_set_clears_result_cache(catalog):
     eng.sql("RESET default_limit")
 
 
+def test_materialize_prunes_only_aged_versions(spark, tmp_path):
+    # stale v= dirs inside the grace period survive (another process may be
+    # mid-query on them); aged-out ones are collected
+    import os
+    import time
+
+    from platform_spark.topics import TopicCatalog
+
+    root = str(tmp_path / "c")
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001", cache_root=root)
+    topic_dir = os.path.join(root, "topic=events")
+    recent = os.path.join(topic_dir, "v=recentfake")
+    aged = os.path.join(topic_dir, "v=agedfake")
+    os.makedirs(recent)
+    os.makedirs(aged)
+    old = time.time() - cat.PRUNE_GRACE_SECONDS - 10
+    os.utime(aged, (old, old))
+    cat.materialize("events", root)
+    assert not os.path.isdir(aged)
+    assert os.path.isdir(recent)
+
+
 def test_explain_never_materializes(spark, tmp_path):
     from platform_spark.topics import TopicCatalog
 

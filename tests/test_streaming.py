@@ -460,3 +460,22 @@ def test_topic_writer_compaction(spark, tmp_path):
     # appends keep working after the swap
     w.append(_records(spark, 10, start=60))
     assert w.read().count() == before_rows + 10
+
+
+def test_topic_writer_compaction_sizing_splits_files(spark, tmp_path):
+    # a tiny byte target must yield MULTIPLE files per partition — the salt
+    # in repartition, not the _partition hash alone, controls file count
+    w = TopicWriter(spark, str(tmp_path), "tc2", n_partitions=4)
+    for b in range(4):
+        w.append(_records(spark, 40, start=b * 40))
+    w.compact(target_file_bytes=2048)  # small target → multiple files/part
+    import collections, os as _os
+
+    per_part = collections.Counter()
+    for f in w._data_files():
+        part = next(p for p in f.split(_os.sep) if p.startswith("_partition="))
+        per_part[part] += 1
+    assert all(n > 1 for n in per_part.values()), per_part
+    # the swapped-in dir carries its own consistent hwm sidecar
+    assert _os.path.exists(_os.path.join(w.path, "_hwm.json"))
+    assert w.read().count() == 160
