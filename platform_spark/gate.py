@@ -942,7 +942,65 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-_llm("llm_ann_ivf_topk", _ann_ivf, None)
+# Full oracle: the "hash" centroids are portable md5 math (same first-8-
+# bytes-big-endian construction DuckDB reproduces bit-exactly), so coarse
+# quantization + probing + per-bucket top-k is plain SQL. Spark's nearest()
+# sorts (sim, idx) structs DESC — ties (never observed) break by idx DESC,
+# encoded here as ORDER BY s DESC, ci DESC.
+_llm(
+    "llm_ann_ivf_topk",
+    _ann_ivf,
+    """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+grid AS (
+  SELECT p.ci, i.i
+  FROM (SELECT unnest(generate_series(0, 15)) AS ci) p
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT len(v) - 1 FROM c LIMIT 1))) AS i) i
+),
+cents AS (
+  SELECT ci,
+    list(CAST(('0x' || substr(md5('centroid-' || ci || '-' || i), 1, 16)) AS UBIGINT)
+         / 18446744073709551616.0 * 2.0 - 1.0 ORDER BY i) AS w
+  FROM grid GROUP BY ci
+),
+csim AS (
+  SELECT c.vec_id, c.v, cents.ci,
+    list_dot_product(c.v, cents.w)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.w, cents.w))) AS s
+  FROM c CROSS JOIN cents
+),
+cb AS (
+  SELECT vec_id, v, ci AS bucket FROM (
+    SELECT vec_id, v, ci,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim
+  ) WHERE rn = 1
+),
+qb AS (
+  SELECT vec_id, v, ci AS bucket FROM (
+    SELECT vec_id, v, ci,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim WHERE vec_id < 8
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS corpus_id,
+    round(list_dot_product(cb.v, qb.v)
+          / (sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.v, qb.v))),
+          6) AS cosine
+  FROM qb JOIN cb ON qb.bucket = cb.bucket
+  WHERE cb.vec_id != qb.vec_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
 
 # embedding near-dup via hyperplane LSH (rows-only) -------------------------
 
@@ -951,7 +1009,47 @@ _llm(
     lambda spark, sf_dir: _dd.embedding_neardup_pairs(
         _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
     ),
-    None,
+    # Full oracle: hash-seeded hyperplanes are the same portable md5 math as
+    # MinHash — signature (16 sign bits), 4-bit banding, candidate join, and
+    # exact-cosine verify all reproduce in SQL bit-for-bit.
+    """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+grid AS (
+  SELECT p.p, i.i
+  FROM (SELECT unnest(generate_series(0, 15)) AS p) p
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT len(v) - 1 FROM c LIMIT 1))) AS i) i
+),
+planes AS (
+  SELECT p,
+    list(CAST(('0x' || substr(md5('plane-' || p || '-' || i), 1, 16)) AS UBIGINT)
+         / 18446744073709551616.0 * 2.0 - 1.0 ORDER BY i) AS w
+  FROM grid GROUP BY p
+),
+sk AS (
+  SELECT c.vec_id,
+    CAST(SUM(CASE WHEN list_dot_product(c.v, planes.w) >= 0
+             THEN CAST(POWER(2, planes.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sk
+  FROM c CROSS JOIN planes GROUP BY c.vec_id
+),
+bb AS (
+  SELECT vec_id, b.b AS band, (sk >> (b.b * 4)) & 15 AS chunk
+  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bb x JOIN bb y ON x.band = y.band AND x.chunk = y.chunk AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT cand.id_a, cand.id_b,
+    round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+          6) AS cosine
+  FROM cand JOIN c a ON a.vec_id = cand.id_a JOIN c b ON b.vec_id = cand.id_b
+) WHERE cosine >= 0.3
+""",
 )
 
 # ---------------------------------------------------------------------------
@@ -1062,7 +1160,58 @@ def _idoc_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_idoc(docs)
 
 
-_add("streaming_idoc_explode", _idoc_explode, None)
+# Full oracle: the gate builds its IDoc XML with a FIXED segment shape, so
+# the explode output (header + post-order segment walk + route copies, JSON
+# records with sorted keys) is enumerable in plain SQL — 13 rows per doc.
+_add(
+    "streaming_idoc_explode",
+    _idoc_explode,
+    """
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+    CAST(o_orderkey AS VARCHAR) AS ks,
+    CAST(o_orderkey % 100 AS VARCHAR) AS m,
+    CAST(o_custkey AS VARCHAR) AS c
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT k AS doc_id, route, segment_name, record FROM (
+  SELECT k, 'header' AS route, 'IDOC' AS segment_name,
+    '{"attributes": {"BEGIN": "1"}, "root": "IDOC"}' AS record FROM o
+  UNION ALL
+  SELECT k, 'segments', 'POSEX',
+    '{"name": "POSEX", "path": "IDOC/E1EDP01/POSEX", "value": "' || ks || '"}' FROM o
+  UNION ALL
+  SELECT k, 'segments', 'MENGE',
+    '{"name": "MENGE", "path": "IDOC/E1EDP01/MENGE", "value": "' || m || '"}' FROM o
+  UNION ALL
+  SELECT k, route, 'E1EDP01',
+    '{"attributes": {"SEGMENT": "1"}, "fields": {"MENGE": "' || m
+    || '", "POSEX": "' || ks || '"}, "name": "E1EDP01", "path": "IDOC/E1EDP01"}'
+  FROM o CROSS JOIN (SELECT unnest(['segments', 'items']) AS route)
+  UNION ALL
+  SELECT k, 'segments', 'PARVW',
+    '{"name": "PARVW", "path": "IDOC/E1EDKA1/PARVW", "value": "AG"}' FROM o
+  UNION ALL
+  SELECT k, 'segments', 'PARTN',
+    '{"name": "PARTN", "path": "IDOC/E1EDKA1/PARTN", "value": "' || c || '"}' FROM o
+  UNION ALL
+  SELECT k, route, 'E1EDKA1',
+    '{"attributes": {"SEGMENT": "1"}, "fields": {"PARTN": "' || c
+    || '", "PARVW": "AG"}, "name": "E1EDKA1", "path": "IDOC/E1EDKA1"}'
+  FROM o CROSS JOIN (SELECT unnest(['segments', 'partners']) AS route)
+  UNION ALL
+  SELECT k, 'segments', 'IDDAT',
+    '{"name": "IDDAT", "path": "IDOC/E1EDK03/IDDAT", "value": "012"}' FROM o
+  UNION ALL
+  SELECT k, route, 'E1EDK03',
+    '{"fields": {"IDDAT": "012"}, "name": "E1EDK03", "path": "IDOC/E1EDK03"}'
+  FROM o CROSS JOIN (SELECT unnest(['segments', 'dates']) AS route)
+  UNION ALL
+  SELECT k, 'segments', 'IDOC',
+    '{"attributes": {"BEGIN": "1"}, "name": "IDOC", "path": "IDOC"}' FROM o
+)
+""",
+)
 
 # ---------------------------------------------------------------------------
 # LFS claim-check (S11) — reference-shape envelopes (pkg/lfs/envelope.go:
