@@ -35,6 +35,7 @@ class ContinuousTopicPipeline:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         partition_cols: tuple[str, ...] = ("_partition",),
         iceberg_table: str | None = None,
+        schema_doc: dict | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -42,6 +43,21 @@ class ContinuousTopicPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.transform = transform
         self.partition_cols = partition_cols
+        #: JSON-Schema registry doc (iceberg-processor resolveColumns
+        #: source="registry"): declared properties become typed columns
+        #: extracted from `_value` and appended to every sunk batch, the
+        #: Spark analogue of the reference's registry-derived Iceberg
+        #: columns (sink/iceberg.go:714-828)
+        self._schema_columns = ()
+        if schema_doc is not None:
+            from platform_spark.streaming.jsonschema import (
+                topic_config_from_json_schema,
+            )
+
+            cfg = topic_config_from_json_schema(
+                os.path.basename(dest_dir.rstrip("/")) or "topic", schema_doc
+            )
+            self._schema_columns = cfg.columns
         #: when set AND its catalog is configured on the session, batches
         #: append via `writeTo(table).append()` (iceberg-processor
         #: sink/iceberg.go:146-204) with widening-only evolution enforced
@@ -76,6 +92,10 @@ class ContinuousTopicPipeline:
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.transform is not None:
             batch = self.transform(batch)
+        if self._schema_columns:
+            batch = batch.select(
+                "*", *[c.spark_expr() for c in self._schema_columns]
+            )
         if self._use_iceberg():
             self._sink_iceberg(batch)
             return

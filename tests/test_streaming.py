@@ -479,3 +479,119 @@ def test_topic_writer_compaction_sizing_splits_files(spark, tmp_path):
     # the swapped-in dir carries its own consistent hwm sidecar
     assert _os.path.exists(_os.path.join(w.path, "_hwm.json"))
     assert w.read().count() == 160
+
+
+# -- JSON-Schema → StructType inference (iceberg.go:714-828) ----------------
+
+_SCHEMA_DOC = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "properties": {
+        "order_id": {"type": "string"},
+        "qty": {"type": "integer"},
+        "price": {"type": "number"},
+        "express": {"type": "boolean"},
+        "placed_at": {"type": "string", "format": "date-time"},
+        "ship_date": {"type": "string", "format": "date"},
+        "note": {"type": ["null", "string"]},
+        "blob": {"type": "object"},  # unmappable → skipped
+        "tags": {"type": "array"},   # unmappable → skipped
+        "untyped": {},               # no type → skipped
+    },
+    "required": ["order_id", "qty"],
+}
+
+
+def test_json_schema_struct_inference():
+    from pyspark.sql import types as T
+
+    from platform_spark.streaming.jsonschema import struct_from_json_schema
+
+    st = struct_from_json_schema(_SCHEMA_DOC)
+    fields = {f.name: (f.dataType, f.nullable) for f in st.fields}
+    assert fields == {
+        "order_id": (T.StringType(), False),
+        "qty": (T.LongType(), False),
+        "price": (T.DoubleType(), True),
+        "express": (T.BooleanType(), True),
+        "placed_at": (T.TimestampType(), True),
+        "ship_date": (T.DateType(), True),
+        "note": (T.StringType(), True),
+    }
+    # sorted by name (columnsFromSchemaBytes sorts)
+    assert [f.name for f in st.fields] == sorted(fields)
+
+
+def test_json_schema_evolution_widening_only():
+    from platform_spark.streaming.iceberg import evolution_violations
+    from platform_spark.streaming.jsonschema import struct_from_json_schema
+
+    v1 = struct_from_json_schema(
+        {"properties": {"a": {"type": "integer"}, "b": {"type": "string"}}}
+    )
+    # added column + unchanged column: OK
+    v2 = struct_from_json_schema(
+        {"properties": {"a": {"type": "integer"}, "b": {"type": "string"},
+                        "c": {"type": "number"}}}
+    )
+    assert evolution_violations(v1, v2) == []
+    # narrowing long→double? no — type CHANGE long→string must be rejected
+    bad = struct_from_json_schema(
+        {"properties": {"a": {"type": "string"}, "b": {"type": "string"}}}
+    )
+    assert evolution_violations(v1, bad)
+
+
+def test_pipeline_schema_doc_extracts_columns(spark, tmp_path):
+    src, dst, ckpt = (str(tmp_path / d) for d in ("src", "dst", "ckpt"))
+    w = TopicWriter(spark, src, "t")
+    w.append(_records(spark, 20))
+    doc = {"properties": {"i": {"type": "integer"}}, "required": ["i"]}
+    pipe = ContinuousTopicPipeline(
+        spark, os.path.join(src, "topic=t"), dst, ckpt, schema_doc=doc
+    )
+    pipe.run_available_now()
+    out = spark.read.parquet(dst)
+    assert dict(out.dtypes)["i"] == "bigint"  # integer → long
+    assert out.filter(F.col("i").isNull()).count() == 0
+    assert out.agg(F.max("i")).first()[0] == 19
+
+
+def test_registry_schema_file_loader(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from platform_spark.streaming.jsonschema import load_registry_schema
+
+    (tmp_path / "orders.json").write_text(_json.dumps(_SCHEMA_DOC))
+    doc = load_registry_schema(str(tmp_path), "orders")
+    assert "properties" in doc
+    (tmp_path / "empty.json").write_text('{"properties": {"x": {"type": "array"}}}')
+    with _pytest.raises(ValueError, match="no columns resolved"):
+        load_registry_schema(str(tmp_path), "empty")
+    with _pytest.raises(FileNotFoundError):
+        load_registry_schema(str(tmp_path), "missing")
+
+
+def test_topic_config_from_json_schema_describe(spark, tmp_path):
+    # a registry-derived TopicConfig flows through DESCRIBE like a YAML one
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.streaming.jsonschema import topic_config_from_json_schema
+    from platform_spark.topics import DEFAULT_TOPIC_CONFIGS, TopicCatalog
+
+    cfgs = dict(DEFAULT_TOPIC_CONFIGS)
+    cfgs["events"] = topic_config_from_json_schema(
+        "events", {"properties": {"event_type": {"type": "string"},
+                                  "amount": {"type": "number"}}}
+    )
+    cat = TopicCatalog(
+        spark, "/root/testdata/sf0.001", configs=cfgs,
+        cache_root=str(tmp_path / "c"),
+    )
+    from datetime import datetime
+
+    eng = KafSqlEngine(cat, now=datetime(2024, 1, 31))
+    rows = eng.sql("DESCRIBE events").collect()
+    derived = {r["column"]: r["type"] for r in rows if r["source"] != "implicit"}
+    assert derived == {"event_type": "string", "amount": "double"}
