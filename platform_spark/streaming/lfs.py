@@ -161,3 +161,81 @@ def resolve_lfs(
     else:
         new_value = F.when(env, resolved).otherwise(F.col(value_col))
     return df.withColumn(value_col, new_value)
+
+
+# -- envelope creation (the claim-check WRITE side) -------------------------
+
+
+def make_local_store(blob_root: str) -> Callable[[str, str, bytes], None]:
+    """Blob store writing `bucket/key` under a local directory — the
+    inverse of `make_local_fetcher` (swap for an S3 put with the same
+    signature on a real cluster). Writes are atomic (tmp + rename) so a
+    concurrent fetcher never sees a torn blob."""
+
+    def store(bucket: str, key: str, data: bytes) -> None:
+        d = os.path.join(blob_root, bucket)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{key}.tmp-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(d, key))
+
+    return store
+
+
+def make_envelope(
+    df: DataFrame,
+    store: Callable[[str, str, bytes], None],
+    bucket: str,
+    threshold_bytes: int = 1024 * 1024,
+    value_col: str = "_value",
+) -> DataFrame:
+    """Swap oversized `value_col` payloads for LFS claim-check envelopes —
+    the producer side of the contract `resolve_lfs` reads back
+    (lfs-client-sdk envelope.py:8-36 LfsEnvelope/decode_envelope; the
+    reference's proxy writes the blob and returns this same envelope shape,
+    pkg/lfs/producer.go Produce).
+
+    Payloads strictly larger than `threshold_bytes` are written to
+    `bucket/<sha256-of-content>` via `store` and replaced with a JSON
+    envelope (`kfs_lfs`: 1, bucket, key, size, sha256). Content-addressed
+    keys make the write idempotent (retries and duplicate payloads land on
+    the same blob) and make `verify_sha256` on the read side tautological.
+    Values at or under the threshold — and rows that already ARE envelopes
+    — pass through untouched.
+
+    Runs as an Arrow-batched pandas UDF: the blob write happens inside the
+    executor task (the reference's bounded worker pool falls out of Spark's
+    task parallelism, same stance as resolve_lfs).
+    """
+    if threshold_bytes < 1:
+        raise ValueError("threshold_bytes must be positive")
+    src = F.col(value_col).cast("string")
+
+    @pandas_udf("string")
+    def envelope_udf(values: pd.Series) -> pd.Series:
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+                continue
+            data = v.encode("utf-8")
+            if len(data) <= threshold_bytes or _decode_envelope(v) is not None:
+                out.append(v)
+                continue
+            sha = hashlib.sha256(data).hexdigest()
+            store(bucket, sha, data)
+            out.append(
+                json.dumps(
+                    {
+                        LFS_MARKER: 1,
+                        "bucket": bucket,
+                        "key": sha,
+                        "size": len(data),
+                        "sha256": sha,
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(value_col, envelope_udf(src))

@@ -595,3 +595,32 @@ def test_topic_config_from_json_schema_describe(spark, tmp_path):
     rows = eng.sql("DESCRIBE events").collect()
     derived = {r["column"]: r["type"] for r in rows if r["source"] != "implicit"}
     assert derived == {"event_type": "string", "amount": "double"}
+
+
+def test_lfs_envelope_writer_roundtrip(spark, tmp_path):
+    # write side: oversized payloads become envelopes whose blobs resolve
+    # back to the original bytes (claim-check round trip)
+    from platform_spark.streaming.lfs import make_envelope, make_local_store
+
+    blob_root = str(tmp_path / "blobs")
+    big = "x" * 500 + "END"
+    small = "tiny"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, None)], "id: long, _value: string"
+    )
+    enveloped = make_envelope(
+        df, make_local_store(blob_root), bucket="bkt", threshold_bytes=100
+    )
+    vals = {r["id"]: r["_value"] for r in enveloped.collect()}
+    assert vals[2] == small and vals[3] is None
+    assert json.loads(vals[1])["kfs_lfs"] == 1
+    assert json.loads(vals[1])["size"] == len(big.encode())
+    # already-enveloped rows pass through idempotently
+    twice = make_envelope(
+        enveloped, make_local_store(blob_root), bucket="bkt", threshold_bytes=100
+    )
+    assert {r["id"]: r["_value"] for r in twice.collect()} == vals
+    # resolve restores the original payload, sha verified
+    resolved = resolve_lfs(enveloped, "resolve", make_local_fetcher(blob_root))
+    back = {r["id"]: r["_value"] for r in resolved.collect()}
+    assert back[1] == big and back[2] == small
