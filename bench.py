@@ -110,6 +110,9 @@ def main() -> None:
         "analytics_q15_top_supplier",
         "analytics_percentiles",
         "llm_split_assignment",
+        "llm_kmv_distinct",
+        "llm_stratified_sample",
+        "llm_weighted_mix",
         "streaming_lfs_reference",
     ):
         fn, _oracle = GATE[name]

@@ -395,6 +395,11 @@ def embedding_neardup_pairs(
     (1-θ/π)^n ≈ 28% at cosine 0.95 with 12 bits); OR-ed 4-bit bands give
     1-(1-p^4)^4 ≈ 98.5% at cosine 0.95 (p = 1-θ/π ≈ 0.90). Hyperplanes are
     deterministic (hash-seeded), so results are reproducible.
+
+    Sizing at scale: expected bucket occupancy is n / 2^(bits/bands) per
+    band, so grow `n_hyperplanes` ~ bands * log2(n) as the corpus grows to
+    hold occupancy (and candidate-pair count) roughly constant — the sf1
+    rehearsal (COVERAGE.md) shows cost is linear in candidate pairs.
     """
     from platform_spark.llmdata.similarity import cosine_expr, dot_expr
 

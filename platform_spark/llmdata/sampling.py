@@ -1,0 +1,121 @@
+"""Deterministic sampling, mixing, and cardinality sketches for
+training-data pipelines.
+
+Everything here is *content-stable*: decisions derive from the portable
+60-bit md5 hash (`dedup.md5_int` — bit-identical in any engine), never
+from `rand()` or partition layout. Re-running on re-sharded, re-ordered,
+or incrementally-grown data reproduces the same sample / estimate, which
+is what makes these usable for dataset versioning at 100 TB (same stance
+as `splits.deterministic_split`).
+
+Operators:
+- `kmv_distinct`: K-Minimum-Values distinct-count sketch. The k smallest
+  hashes per group summarize cardinality: est = (k-1) / u_k where u_k is
+  the k-th smallest hash normalized to [0,1). Groups with < k distinct
+  values report exactly. One shuffle (the group-by); k bounds per-group
+  state, so skewed groups cost O(k log k) in the sort, not O(n).
+- `stratified_sample`: exactly n rows per stratum, chosen by hash rank —
+  the deterministic equivalent of per-stratum reservoir sampling.
+- `weighted_mix`: per-category keep-rates (dataset mixing weights): row
+  kept iff its hash-uniform u < weight[category]. A pure per-row filter —
+  no shuffle at all, the scan stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from platform_spark.llmdata.dedup import md5_int
+
+#: 2^60 — the hash space of `md5_int` (15 hex digits)
+_HASH_SPACE = float(1 << 60)
+
+
+def _u(col: Column, seed: str) -> Column:
+    """Hash-uniform in [0, 1): portable across engines."""
+    return md5_int(col, seed=seed).cast("double") / F.lit(_HASH_SPACE)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate per group via the KMV sketch.
+
+    Exact when a group has fewer than k distinct values (the sketch IS the
+    value set), (k-1)/u_k otherwise — standard error ~ 1/sqrt(k-2). The
+    estimate is deterministic (hash-defined), so unlike HLL
+    implementations it reproduces bit-for-bit in any engine sharing the
+    hash — the DuckDB gate oracle recomputes it exactly.
+
+    KMV sketches merge by set-union + re-truncate, so at 100 TB this
+    shape partial-aggregates: the `distinct` dedups map-side, and the
+    per-group top-k touches only k survivors per group.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = md5_int(F.col(value_col), seed="kmv:")
+    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    est = F.when(
+        F.count("*") < k, F.count("*").cast("bigint")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.max("__h").cast("double")
+        ).cast("bigint")
+    )
+    return topk.groupBy(*group_cols).agg(est.alias("distinct_est"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "strat:",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, selected by hash rank
+    over `id_col` — order- and shard-independent, so the sample is stable
+    as the dataset grows (a row is only displaced when a smaller-hash row
+    arrives in its stratum). One shuffle on the strata key."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        "__rank_h", id_col
+    )
+    return (
+        df.withColumn("__rank_h", md5_int(F.col(id_col).cast("string"), seed=seed))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rank_h", "__rn")
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    cat_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    seed: str = "mix:",
+) -> DataFrame:
+    """Dataset mixing: keep each row with its category's probability,
+    decided by the row's hash-uniform (so the SAME rows are kept on every
+    run/engine/shard layout). Weights > 1 keep everything (upsampling is
+    the consumer's repeat-epoch concern, not a filter's). Categories
+    absent from `weights` use `default_weight`. Pure per-row expression:
+    no shuffle, fully pushdown-friendly."""
+    for cat, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"negative weight for {cat!r}")
+    wmap = F.create_map(
+        *[x for cat, wt in sorted(weights.items()) for x in (F.lit(cat), F.lit(float(wt)))]
+    )
+    wt = F.coalesce(wmap[F.col(cat_col)], F.lit(float(default_weight)))
+    return df.filter(_u(F.col(id_col).cast("string"), seed) < wt)

@@ -321,3 +321,57 @@ def test_split_assignment_deterministic_and_proportional(spark, docs):
     # reproducible across independent evaluations (content-hash, no state)
     again = assign_splits(docs.select("doc_id"))
     assert out.exceptAll(again).count() == 0
+
+
+# -- deterministic sampling / mixing / KMV sketch ---------------------------
+
+
+def test_kmv_distinct_accuracy_and_exactness(spark):
+    from platform_spark.llmdata.sampling import kmv_distinct
+
+    # group "small" has < k distinct values → exact count
+    rows = [("small", f"v{i % 5}") for i in range(50)]
+    rows += [("big", f"w{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g: string, v: string")
+    out = {r["g"]: r["distinct_est"] for r in kmv_distinct(df, "v", ("g",), k=64).collect()}
+    assert out["small"] == 5
+    # estimate within ~3 standard errors (1/sqrt(k-2) ≈ 12.7%)
+    assert abs(out["big"] - 2000) / 2000 < 0.4
+    # deterministic: same inputs → same estimate, bit for bit
+    again = {r["g"]: r["distinct_est"] for r in kmv_distinct(df, "v", ("g",), k=64).collect()}
+    assert out == again
+
+
+def test_stratified_sample_exact_size_and_shard_stability(spark, docs):
+    from platform_spark.llmdata.sampling import stratified_sample
+
+    out = stratified_sample(docs, ("lang",), n_per_stratum=10)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in sizes.values()), sizes
+    # shard-layout independence: same selection after a repartition
+    re = stratified_sample(docs.repartition(13), ("lang",), n_per_stratum=10)
+    assert out.select("doc_id").exceptAll(re.select("doc_id")).count() == 0
+    # growth monotonicity: a row sampled from the full corpus and present
+    # in a subset MUST be sampled from that subset too (removing rows can
+    # only pull MORE rows into the top-n, never displace survivors)
+    half = stratified_sample(docs.filter(F.col("doc_id") < 250), ("lang",), 10)
+    full_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    half_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    assert {i for i in full_ids if i < 250} <= half_ids
+
+
+def test_weighted_mix_rates_and_validation(spark, docs):
+    from platform_spark.llmdata.sampling import weighted_mix
+
+    out = weighted_mix(
+        docs, "source", {"src0": 1.0, "src1": 0.0}, default_weight=0.5
+    )
+    n = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert n["src0"] == total["src0"]          # weight 1.0 keeps all
+    assert "src1" not in n                     # weight 0.0 drops all
+    others = sum(v for k, v in n.items() if k not in ("src0",))
+    others_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
+    assert 0.3 < others / others_total < 0.7   # default 0.5 within tolerance
+    with pytest.raises(ValueError, match="negative weight"):
+        weighted_mix(docs, "source", {"src0": -0.1}).count()
