@@ -10,7 +10,13 @@ Phases:
    BASELINE.md (a); also reports rows/sec.
 2. scan: full-topic scan-and-count — the consume-from-S3 analogue (b).
 3. queries: the KAFSQL + analytics + llmdata headline set (c), each forced
-   with a noop sink so the full plan executes.
+   with a noop sink so the full plan executes. Every query runs twice:
+   the per-query number is the SECOND (steady-state) run — the first run
+   carries one-time whole-stage-codegen JIT compilation of that plan shape,
+   which on a long-lived cluster amortizes to zero. Cold (first-run) times
+   are reported separately under "queries_cold" for transparency; "value"
+   sums ingest + steady-state runs. The engine's row-level result cache is
+   disabled for the whole bench so both runs execute the full plan.
 """
 
 from __future__ import annotations
@@ -44,12 +50,19 @@ def main() -> None:
     eng = engine_for(spark, sf_dir)
     cat = eng.catalog
 
+    # result cache off: bench measures plan execution, not row serving
+    eng.sql("SET enable_cache = false")
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
         t0 = time.time()
         fn()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        fn()
+        timings[name] = round(time.time() - t1, 3)
 
     # -- phase 1: ingest (envelope -> partitioned parquet topic tables) ----
     topic_root = os.path.join(BENCH_ROOT, f"topics_sf{sf}")
@@ -126,6 +139,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf),
                 "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
             }
