@@ -106,6 +106,27 @@ def main() -> None:
         asof_join(pays, ords, "_key", "_ts", ["_offset"], tiebreak_col="_offset"),
     )
 
+    from platform_spark.llmdata.sampling import kmv_distinct, weighted_mix
+
+    add(
+        "KMV distinct sketch",
+        "Distinct on (group, hash) partial-aggregates map-side; the per-group "
+        "top-k touches only k survivors per group — two narrow exchanges, "
+        "no wide state.",
+        ["HashAggregate", "Exchange", "WindowGroupLimit"],
+        kmv_distinct(cat.table("documents"), "text", ("lang",), k=16),
+    )
+    add(
+        "Weighted dataset mixing",
+        "Pure per-row hash filter — NO exchange at all: the scan stays "
+        "embarrassingly parallel and the filter sits directly on the "
+        "vectorized parquet read.",
+        ["Filter", "Batched: true"],
+        weighted_mix(
+            cat.table("documents"), "source", {"src0": 1.0, "src1": 0.5}
+        ),
+    )
+
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
         "",
