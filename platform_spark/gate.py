@@ -692,7 +692,7 @@ _llm(
 WITH h AS (
   SELECT DISTINCT lang,
     CAST(('0x' || substr(md5('kmv:' || text), 1, 15)) AS BIGINT) AS hh
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 ranked AS (
   SELECT lang, hh, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh) AS rn
@@ -725,7 +725,7 @@ SELECT doc_id, lang FROM (
     ROW_NUMBER() OVER (PARTITION BY lang
       ORDER BY CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
                AS BIGINT), doc_id) AS rn
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rn <= 20
 """,
 )

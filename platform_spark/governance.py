@@ -154,10 +154,13 @@ class ResultCache:
         self.hits = 0
         self.misses = 0
 
+    @staticmethod
+    def _norm(sql: str) -> str:
+        return " ".join(sql.strip().lower().split())
+
     def key(self, sql: str, now: datetime | None) -> str:
-        norm = " ".join(sql.strip().lower().split())
         bucket = int(time.time() / self.ttl) if now is None else 0
-        return f"{norm}|{bucket}"
+        return f"{self._norm(sql)}|{bucket}"
 
     def get(self, key: str):
         with self._lock:
@@ -174,22 +177,39 @@ class ResultCache:
             self.hits += 1
             return value
 
-    def lookup(self, key: str) -> tuple[str, object]:
+    def lookup(self, sql: str, now: datetime | None) -> tuple[str, object]:
         """Three-state probe: ('rows', (rows, schema)) when materialized,
-        ('warm', None) when this fingerprint repeated within the TTL (caller
+        ('warm', None) when this statement repeated within the TTL (caller
         should collect + put), ('cold', None) on first sight (caller returns
-        the lazy plan untouched)."""
-        value = self.get(key)
-        if value is not None:
-            return "rows", value
+        the lazy plan untouched).
+
+        Materialized rows key on the TTL-bucketed key (reference
+        semantics: a LAST window's cached result is only valid within its
+        TTL period), but warm-tracking keys on the BARE normalized
+        statement — a repeat that happens to cross a bucket boundary still
+        counts as a repeat, so periodic re-issuers (dashboards) promote to
+        materialization instead of reading as forever-cold. Stats: one
+        hit per rows-serve or warm-promotion, one miss per cold sight."""
+        key = self.key(sql, now)
+        norm = self._norm(sql)
+        t = time.time()
         with self._lock:
-            ts = self._warm.pop(key, None)
-            if ts is not None and time.time() - ts <= self.ttl:
+            item = self._data.get(key)
+            if item is not None:
+                ts, value = item
+                if t - ts <= self.ttl:
+                    self._data.move_to_end(key)
+                    self.hits += 1
+                    return "rows", value
+                del self._data[key]
+            warm_ts = self._warm.pop(norm, None)
+            if warm_ts is not None and t - warm_ts <= self.ttl:
                 self.hits += 1
                 return "warm", None
-            self._warm[key] = time.time()
+            self._warm[norm] = t
             while len(self._warm) > self.max_entries:
                 self._warm.popitem(last=False)
+            self.misses += 1
             return "cold", None
 
     def put(self, key: str, value, n_rows: int) -> None:

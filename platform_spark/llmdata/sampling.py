@@ -58,7 +58,14 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("k must be >= 2")
     h = md5_int(F.col(value_col), seed="kmv:")
-    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    # NULL values are excluded (a NULL hash would sort NULLS-FIRST in Spark
+    # but NULLS-LAST in most SQL engines — an ordering-parity trap — and a
+    # NULL contributes nothing to cardinality anyway)
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__h")
     topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k
@@ -90,7 +97,11 @@ def stratified_sample(
         "__rank_h", id_col
     )
     return (
-        df.withColumn("__rank_h", md5_int(F.col(id_col).cast("string"), seed=seed))
+        # NULL ids excluded: their hash would rank NULLS-FIRST here but
+        # NULLS-LAST in SQL oracles (and a row without identity can't be
+        # sampled stably anyway)
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__rank_h", md5_int(F.col(id_col).cast("string"), seed=seed))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rank_h", "__rn")
@@ -114,6 +125,8 @@ def weighted_mix(
     for cat, wt in weights.items():
         if wt < 0:
             raise ValueError(f"negative weight for {cat!r}")
+    if default_weight < 0:
+        raise ValueError("negative default_weight")
     wmap = F.create_map(
         *[x for cat, wt in sorted(weights.items()) for x in (F.lit(cat), F.lit(float(wt)))]
     )

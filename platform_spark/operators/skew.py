@@ -33,11 +33,20 @@ def salted_aggregate(
     """
     merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    # deterministic salt from a row fingerprint: retry-stable (unlike
-    # monotonically_increasing_id) and cheaper than two id exprs; any
-    # distribution over salts is correct since the merge is algebraic
+    # salt = row fingerprint mixed with a per-row id: the id term spreads
+    # EXACT-DUPLICATE rows (a content-only hash would send every copy of a
+    # hot key's repeated row to one salt bucket — the very skew this
+    # operator exists to break). monotonically_increasing_id is
+    # retry-nondeterministic, but the salt only load-balances: the merged
+    # result is provably identical for ANY salt assignment (algebraic fns)
     salted = df.withColumn(
-        "__salt", F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(n_salts))
+        "__salt",
+        F.pmod(
+            F.abs(
+                F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id())
+            ),
+            F.lit(n_salts),
+        ),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[first[fn](col).alias(f"__p_{name}") for name, (fn, col) in aggs.items()]
@@ -58,9 +67,17 @@ def salted_join(
     explode the (small) right side across all salt values, so a hot key's
     probe rows land on n_salts tasks. Use when a broadcast is too large
     and AQE's split threshold misses the skew."""
+    # id term spreads duplicate probe rows (see salted_aggregate); every
+    # salt value joins the exploded right side identically, so the result
+    # set is independent of the assignment
     l = left.withColumn(
         "__salt",
-        F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in left.columns])), F.lit(n_salts)),
+        F.pmod(
+            F.abs(
+                F.xxhash64(*[F.col(c) for c in left.columns], F.monotonically_increasing_id())
+            ),
+            F.lit(n_salts),
+        ),
     )
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

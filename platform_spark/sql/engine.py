@@ -163,28 +163,30 @@ class KafSqlEngine:
                 and q.tail is None
                 and not q.scan_full
                 and q.has_time_bound()
+                # size-gate up front: statements that could never be cached
+                # must not churn the warm tracker or skew hit/miss stats
+                and self.compiler.effective_limit(q) <= self.opt.cache_max_rows
             )
             state = "cold"
             if cacheable:
-                key = self.cache.key(statement, self._now)
-                state, hit = self.cache.lookup(key)
+                state, hit = self.cache.lookup(statement, self._now)
                 if state == "rows":
                     # serve materialized rows as a local relation: no Spark
                     # job runs for a cache hit (result_cache.go:26-110)
                     rows, schema = hit
                     return self.spark.createDataFrame(rows, schema)
             df = self.compiler.compile(q)
-            if (
-                cacheable
-                and state == "warm"
-                and self.compiler.effective_limit(q) <= self.opt.cache_max_rows
-            ):
+            if cacheable and state == "warm":
                 # collect-on-repeat: the statement recurred within a TTL
                 # window, so materialize ROWS now (the reference caches rows,
                 # not plans — result_cache.go); one-shot queries stay lazy
                 # and never pay a driver round-trip
                 rows = self.collect_with_timeout(df)
-                self.cache.put(key, (rows, df.schema), n_rows=len(rows))
+                self.cache.put(
+                    self.cache.key(statement, self._now),
+                    (rows, df.schema),
+                    n_rows=len(rows),
+                )
                 return self.spark.createDataFrame(rows, df.schema)
             return df
 

@@ -119,9 +119,19 @@ def topic_config_from_json_schema(topic: str, doc: dict | str) -> TopicConfig:
 
     `date` columns extract as timestamp (SchemaColumn's cast surface) —
     the date-ness lives in the derived StructType for the sink side.
+
+    Property names that are not dot-path-safe identifiers (e.g.
+    `"order-id"`) are SKIPPED here, same stance as unmappable types — the
+    engine's JSON dot-path subset can't address them. They still appear in
+    `struct_from_json_schema` (StructType allows any name).
     """
+    import re
+
+    ident = re.compile(r"^[A-Za-z0-9_]+$")
     cols = []
     for name, typ, _req in columns_from_json_schema(doc):
+        if not ident.match(name):
+            continue
         cols.append(
             SchemaColumn(
                 name=name,

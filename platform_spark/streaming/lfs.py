@@ -173,9 +173,14 @@ def make_local_store(blob_root: str) -> Callable[[str, str, bytes], None]:
     concurrent fetcher never sees a torn blob."""
 
     def store(bucket: str, key: str, data: bytes) -> None:
+        import uuid
+
         d = os.path.join(blob_root, bucket)
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".{key}.tmp-{os.getpid()}")
+        # uuid, not pid: local-mode executor tasks are THREADS in one
+        # process — a pid-keyed tmp would be shared by concurrent writers
+        # of the same content-addressed key and could publish a torn blob
+        tmp = os.path.join(d, f".{key}.tmp-{uuid.uuid4().hex}")
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, os.path.join(d, key))

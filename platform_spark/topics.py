@@ -211,6 +211,14 @@ class TopicCatalog:
         if name not in self._materialized and self.cache_root:
             self.materialize(name, self.cache_root)
         if name in self._materialized:
+            # refresh the version dir's mtime: the prune grace period keys
+            # on LAST USE, and parquet reads never update mtime — without
+            # this touch a long-lived engine's pinned version would age out
+            # while still being queried
+            try:
+                os.utime(self._materialized[name])
+            except OSError:
+                pass
             df = self.spark.read.parquet(self._materialized[name])
         else:
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
@@ -308,5 +316,10 @@ class TopicCatalog:
                 .partitionBy("_partition")
                 .parquet(out)
             )
+        else:
+            try:
+                os.utime(out)  # mark last use for cross-process prune grace
+            except OSError:
+                pass
         self._materialized[name] = out
         return out

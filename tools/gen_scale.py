@@ -24,16 +24,34 @@ from pyspark.sql import functions as F
 
 from platform_spark.session import get_spark
 
-#: key columns to offset per table (fact/bridge tables only)
-OFFSET_COLS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+#: key columns to offset per table, tagged with their key DOMAIN. A
+#: domain's stride comes from the domain-owning table's max key (e.g.
+#: o_custkey strides by customer's max, NOT orders' own max) — offsetting
+#: each column by its own table's max would desync referencing/referenced
+#: ranges whenever some keys are unreferenced (1/3 of TPC-H customers
+#: place no orders).
+OFFSET_COLS: dict[str, list[tuple[str, str]]] = {
+    "customer": [("c_custkey", "custkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "part": [("p_partkey", "partkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [
+        ("l_orderkey", "orderkey"),
+        ("l_partkey", "partkey"),
+        ("l_suppkey", "suppkey"),
+    ],
+    "documents": [("doc_id", "docid")],
+    "embeddings": [("vec_id", "vecid")],
     "events": [],  # string user ids handled below
+}
+#: domain → (owning table, key column)
+KEY_DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
 }
 COPY_AS_IS = ["region", "nation"]
 
@@ -54,19 +72,25 @@ def main() -> None:
         )
         print(f"{t}: copied")
 
+    # domain strides from the owning tables, shared by every referencing col
+    strides: dict[str, int] = {}
+    for domain, (table, keycol) in KEY_DOMAINS.items():
+        p = os.path.join(args.src, f"{table}.parquet")
+        if os.path.exists(p):
+            strides[domain] = (
+                int(spark.read.parquet(p).agg(F.max(keycol)).first()[0]) + 1
+            )
+
     for t, keys in OFFSET_COLS.items():
         src = os.path.join(args.src, f"{t}.parquet")
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src)
-        strides = {
-            k: int(df.agg(F.max(k)).first()[0]) + 1 for k in keys
-        }
         copies = []
         for i in range(args.copies):
             c = df
-            for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * strides[k]))
+            for k, domain in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * strides[domain]))
             if t == "events" and i > 0:
                 # user_id lives inside the JSON _value for topic queries and
                 # as a column in the raw table; suffix the column only (raw
