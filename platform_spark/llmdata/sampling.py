@@ -132,3 +132,53 @@ def weighted_mix(
     )
     wt = F.coalesce(wmap[F.col(cat_col)], F.lit(float(default_weight)))
     return df.filter(_u(F.col(id_col).cast("string"), seed) < wt)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    seed: str = "pack:",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to training-sequence bins
+    of ~`budget` tokens.
+
+    Documents are ordered by content hash inside `n_buckets` independent
+    hash buckets; within a bucket, a document opens a new bin when the
+    running token total before it crosses a budget multiple (the classic
+    streaming first-fit — a bin may overflow by at most one document,
+    never undershoot). Output adds `pack_bucket` and `pack_bin`; a
+    training shard is (pack_bucket, pack_bin).
+
+    Scale shape: the cumulative sum is windowed PER BUCKET, so no global
+    sort/single-partition bottleneck exists — 100 TB packs as n_buckets
+    independent streams (make n_buckets ≥ cluster parallelism). Assignment
+    is content-stable: same corpus → same packing on any engine/layout.
+    Oversized docs (> budget) get a bin of their own, flagged upstream by
+    the caller if truncation policy applies.
+    """
+    if budget < 1:
+        raise ValueError("budget must be positive")
+    h = md5_int(F.col(id_col).cast("string"), seed=seed)
+    bucket = F.pmod(h, F.lit(n_buckets))
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__h", h)
+        .withColumn("pack_bucket", bucket)
+        .withColumn(
+            "pack_bin",
+            F.floor(
+                (F.sum(F.col(token_col)).over(w) - F.col(token_col))
+                / F.lit(float(budget))
+            ).cast("bigint"),
+        )
+        .drop("__h")
+    )
+    return out

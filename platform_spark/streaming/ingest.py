@@ -352,3 +352,26 @@ class ConsumerGroupOffsets:
             [(g, t, int(p), o) for g, t, p, o in rows],
             "group: string, topic: string, partition: int, offset: bigint",
         )
+
+
+def log_compact(topic_df: DataFrame, key_col: str = "_key") -> DataFrame:
+    """Kafka log-compaction view: the LATEST record per key within each
+    topic partition (compacted-topic read semantics — the retained record
+    is the one with the highest offset; earlier values for the key are
+    superseded). Null-keyed records are dropped, as in Kafka, where they
+    cannot be compacted (a null key has no identity to supersede).
+
+    One shuffle on (_partition, key) and a per-group max — at 100 TB the
+    group state is one row per live key, and Spark's partial aggregation
+    pre-compacts map-side. To persist, feed the result to
+    `TopicWriter.append`-style rewrite or a downstream sink; as a VIEW it
+    composes with any query (the reference compacts segments broker-side,
+    here compaction is a first-class relational operator).
+    """
+    w = Window.partitionBy("_partition", key_col).orderBy(F.desc("_offset"))
+    return (
+        topic_df.filter(F.col(key_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -375,3 +375,30 @@ def test_weighted_mix_rates_and_validation(spark, docs):
     assert 0.3 < others / others_total < 0.7   # default 0.5 within tolerance
     with pytest.raises(ValueError, match="negative weight"):
         weighted_mix(docs, "source", {"src0": -0.1}).count()
+
+
+def test_pack_sequences_budget_and_stability(spark, docs):
+    from platform_spark.llmdata.sampling import pack_sequences
+
+    out = pack_sequences(
+        docs.select("doc_id", "n_chars"), "n_chars", budget=1000, n_buckets=4
+    )
+    # bins respect the budget modulo the classic one-doc overflow: the
+    # tokens BEFORE each doc in its bin stay under budget
+    agg = out.groupBy("pack_bucket", "pack_bin").agg(
+        F.sum("n_chars").alias("tot"), F.max("n_chars").alias("mx"), F.count("*").alias("n")
+    )
+    bad = agg.filter((F.col("tot") - F.col("mx")) >= 1000).count()
+    assert bad == 0
+    # bins are contiguous from 0 per bucket
+    per = out.groupBy("pack_bucket").agg(
+        F.min("pack_bin").alias("lo"), F.countDistinct("pack_bin").alias("nb"),
+        F.max("pack_bin").alias("hi"),
+    )
+    assert per.filter((F.col("lo") != 0) | (F.col("hi") != F.col("nb") - 1)).count() == 0
+    # shard-layout independence
+    re = pack_sequences(
+        docs.repartition(17).select("doc_id", "n_chars"), "n_chars",
+        budget=1000, n_buckets=4,
+    )
+    assert out.exceptAll(re).count() == 0

@@ -624,3 +624,24 @@ def test_lfs_envelope_writer_roundtrip(spark, tmp_path):
     resolved = resolve_lfs(enveloped, "resolve", make_local_fetcher(blob_root))
     back = {r["id"]: r["_value"] for r in resolved.collect()}
     assert back[1] == big and back[2] == small
+
+
+def test_log_compact_latest_per_key(spark, tmp_path):
+    from platform_spark.streaming.ingest import log_compact
+
+    w = TopicWriter(spark, str(tmp_path), "lc", n_partitions=4)
+    w.append(_records(spark, 40))          # keys k0..k6 repeat
+    w.append(_records(spark, 40, start=40))
+    compacted = log_compact(w.read())
+    # exactly one survivor per (partition, key)
+    assert (
+        compacted.groupBy("_partition", "_key").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    # the survivor is the max offset for its (partition, key)
+    mx = w.read().groupBy("_partition", "_key").agg(F.max("_offset").alias("mo"))
+    joined = compacted.join(mx, ["_partition", "_key"])
+    assert joined.filter(F.col("_offset") != F.col("mo")).count() == 0
+    # null-keyed records are dropped
+    null_df = w.read().withColumn("_key", F.lit(None).cast("string"))
+    assert log_compact(null_df).count() == 0
