@@ -126,6 +126,8 @@ def main() -> None:
         "llm_kmv_distinct",
         "llm_stratified_sample",
         "llm_weighted_mix",
+        "llm_pack_sequences",
+        "streaming_log_compact",
         "streaming_lfs_reference",
     ):
         fn, _oracle = GATE[name]
