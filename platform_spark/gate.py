@@ -1699,6 +1699,62 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 _add("analytics_q14_promo_revenue", spark_sql(_Q14), _Q14)
 
+# TPC-H q13/q17/q19/q22 shapes (fixture lacks o_comment / p_container /
+# l_shipmode / c_phone, so the filters those columns carry are adapted —
+# the PLAN shapes the queries exist to exercise are intact: left-outer +
+# count histogram (q13), correlated scalar agg subquery (q17), disjunctive
+# multi-column join predicates (q19), NOT-EXISTS anti-join + scalar
+# subquery (q22). Double-sensitive aggregates follow the decimal-sum /
+# explicit-division determinism contract throughout.)
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+_add("analytics_q13_custdist", spark_sql(_Q13), _Q13)
+
+_Q17 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+_add("analytics_q17_small_qty_revenue", spark_sql(_Q17), _Q17)
+
+_Q19 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+_add("analytics_q19_discount_revenue", spark_sql(_Q19), _Q19)
+
+_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,9))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+_add("analytics_q22_sales_opportunity", spark_sql(_Q22), _Q22)
+
 # ---------------------------------------------------------------------------
 # Passthrough topics: every driver table is a topic (FIXTURES.md §2.4) —
 # TPC-H-shaped analytics through the KAFSQL dialect itself
@@ -1777,6 +1833,10 @@ _TAIL_SUBSETS = [
     "kafsql_describe",             # static metadata rows (test_compiler.py::test_describe_*)
     "llm_multimodal_features",     # sha-deterministic stub chain, dedicated pytest coverage
     "llm_ann_brute_topk",          # exact baseline, numpy cross-check pytest + ivf oracle shares math
+    "streaming_lfs_reference",     # pointer-column extraction; 4 dedicated pytest cases
+    "llm_split_assignment",        # one md5-bucket expression; determinism pytest
+    "analytics_q6_revenue",        # filter+single-agg ⊂ q1 (agg) + q19 (filter-join) shapes
+    "llm_weighted_mix",            # pure per-row hash filter; rates + validation pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so
