@@ -1755,6 +1755,63 @@ GROUP BY c_mktsegment
 """
 _add("analytics_q22_sales_opportunity", spark_sql(_Q22), _Q22)
 
+# TPC-H q8 (national market share), adapted to fixture columns: the
+# classic query's p_type filter and nation constant map onto the synthetic
+# PROMO part type and NATION_24 supplier nation. Decimal-exact volume sums
+# per (year, nation-flag), double division only at the end — deterministic
+# across engines. EXTRACT(YEAR ...) returns int32 on Spark / int64 on
+# DuckDB, hence the explicit BIGINT cast.
+_Q8 = """
+SELECT o_year,
+  CAST(SUM(CASE WHEN nation = 'NATION_24' THEN volume
+                ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9)) AS volume,
+    n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+_add("analytics_q8_market_share", spark_sql(_Q8), _Q8)
+
+# TPC-H q21 (suppliers who kept orders waiting), adapted: fixtures lack
+# l_commitdate/l_receiptdate, so "late" = shipped more than 90 days after
+# o_orderdate (median ship lag is 76d). Shape preserved exactly: EXISTS
+# (another supplier contributed to the order) + correlated NOT EXISTS (no
+# OTHER supplier was also late) — Catalyst plans these as a left-semi and
+# a left-anti join on l_orderkey.
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+_add("analytics_q21_waiting_suppliers", spark_sql(_Q21), _Q21)
+
 # ---------------------------------------------------------------------------
 # Passthrough topics: every driver table is a topic (FIXTURES.md §2.4) —
 # TPC-H-shaped analytics through the KAFSQL dialect itself
@@ -1836,6 +1893,8 @@ _TAIL_SUBSETS = [
     "streaming_lfs_reference",     # pointer-column extraction; 4 dedicated pytest cases
     "llm_split_assignment",        # one md5-bucket expression; determinism pytest
     "analytics_q6_revenue",        # filter+single-agg ⊂ q1 (agg) + q19 (filter-join) shapes
+    "analytics_q14_promo_revenue",  # CASE-ratio over a 2-table join ⊂ q8 (CASE-ratio over 8-table join)
+    "analytics_q10_returned_revenue",  # cust/orders/lineitem revenue group+sort ⊂ q3 + q18 shapes
     "llm_weighted_mix",            # pure per-row hash filter; rates + validation pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
