@@ -129,3 +129,25 @@ def test_lazy_cache_root_plan_has_no_window(spark, tmp_path_factory):
     lines = [r["plan"] for r in eng.sql("EXPLAIN SELECT _offset FROM events LAST 5d").collect()]
     assert any("candidate_files=" in l for l in lines)
     assert not any("envelope-view" in l for l in lines)
+
+
+def test_q21_plans_semi_and_anti_join(spark):
+    # the EXISTS / correlated NOT EXISTS pair must decorrelate into
+    # LeftSemi + LeftAnti hash joins on l_orderkey — a BroadcastNestedLoop
+    # here would explode at scale
+    from platform_spark.gate import GATE
+
+    plan = _plan(GATE["analytics_q21_waiting_suppliers"][0](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    # the 8-table market-share join: every dim side broadcasts; only the
+    # fact-fact (lineitem-orders) equi-join may shuffle
+    from platform_spark.gate import GATE
+
+    plan = _plan(GATE["analytics_q8_market_share"][0](spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "BroadcastNestedLoop" not in plan

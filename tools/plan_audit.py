@@ -127,6 +127,26 @@ def main() -> None:
         ),
     )
 
+    from platform_spark.gate import GATE
+
+    add(
+        "TPC-H q21 semi/anti join",
+        "The EXISTS subquery plans as a left-SEMI join and the correlated "
+        "NOT EXISTS as a left-ANTI join — both on `l_orderkey`, no "
+        "BroadcastNestedLoop; the small dims (supplier, nation) broadcast.",
+        ["LeftSemi", "LeftAnti", "BroadcastHashJoin"],
+        GATE["analytics_q21_waiting_suppliers"][0](spark, args.sf),
+    )
+    add(
+        "TPC-H q8 eight-table join",
+        "Every dimension (part, supplier, customer, nation×2, region) "
+        "broadcasts, so the fact tables (lineitem, orders) shuffle only for "
+        "their own equi-join; the CASE-ratio aggregate partial-aggregates "
+        "map-side.",
+        ["BroadcastHashJoin", "HashAggregate"],
+        GATE["analytics_q8_market_share"][0](spark, args.sf),
+    )
+
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
         "",
