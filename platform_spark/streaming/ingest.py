@@ -231,17 +231,26 @@ class TopicWriter:
 
 
 class ConsumerGroupRegistry:
-    """Group/member/assignment metadata surface (T4) — the queryable
-    analogue of the reference coordinator's group state
-    (pkg/broker/coordinator.go:58-96 groupState/memberState, 126-423
-    JoinGroup/SyncGroup). The rebalance *protocol* itself maps to Spark's
-    task scheduling (SURVEY §4 stance); what users still need is DESCRIBE
-    GROUP-style introspection: members, subscriptions, generation, leader,
-    and a deterministic partition assignment.
+    """Group lifecycle state machine + metadata surface (T4) — the
+    queryable analogue of the reference coordinator
+    (pkg/broker/coordinator.go:58-96 groupState/memberState; 126-265
+    JoinGroup/SyncGroup; 267-305 Heartbeat; 1044-1138
+    startRebalance/completeIfReady/removeExpiredMembers/
+    dropRebalanceLaggers). The rebalance *transport* maps to Spark's task
+    scheduling (SURVEY §4 stance); what this keeps is the observable
+    protocol state: Empty → PreparingRebalance → CompletingRebalance →
+    Stable, generation fencing, heartbeat liveness with per-member session
+    timeouts, and deterministic range assignment.
+
+    Time is always an explicit `now` float (seconds) — no wall-clock reads,
+    so every transition is replayable in tests.
 
     Assignment is range-style per topic (the reference default): partitions
     split contiguously across members sorted by member id.
     """
+
+    SESSION_TIMEOUT_S = 30.0  # defaultSessionTimeout (coordinator.go:36)
+    REBALANCE_TIMEOUT_S = 60.0
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -255,23 +264,188 @@ class ConsumerGroupRegistry:
         with open(self.path, "w") as f:
             json.dump(self._groups, f)
 
-    def join(self, group: str, member_id: str, topics: list[str]) -> None:
-        """Add/refresh a member; bumps the generation (JoinGroup analogue)."""
-        g = self._groups.setdefault(
-            group, {"generation": 0, "leader": "", "members": {}}
-        )
-        g["members"][member_id] = {"topics": sorted(topics)}
-        g["generation"] += 1
-        g["leader"] = sorted(g["members"])[0]
-        self._save()
+    # -- state helpers (groupState methods in the reference) ---------------
 
-    def leave(self, group: str, member_id: str) -> None:
+    def _start_rebalance(self, g: dict, now: float, timeout_s: float) -> None:
+        """coordinator.go:1044-1065: gen bump, deadline, join_generation
+        reset — every member must rejoin at the new generation."""
+        if not g["members"]:
+            g.update(state="Empty", leader="", rebalance_deadline=0.0)
+            g["assignments"] = {}
+            return
+        g["generation"] += 1
+        g["state"] = "PreparingRebalance"
+        g["assignments"] = {}
+        g["rebalance_deadline"] = now + timeout_s
+        if not g["leader"] or g["leader"] not in g["members"]:
+            g["leader"] = sorted(g["members"])[0]
+        for m in g["members"].values():
+            m["join_generation"] = 0
+
+    def _complete_if_ready(self, g: dict) -> bool:
+        """coordinator.go:1077-1089: all members rejoined at the current
+        generation → CompletingRebalance (awaiting leader sync)."""
+        if not g["members"]:
+            return False
+        if any(
+            m["join_generation"] != g["generation"] for m in g["members"].values()
+        ):
+            return False
+        g["state"] = "CompletingRebalance"
+        g["rebalance_deadline"] = 0.0
+        return True
+
+    def join(
+        self,
+        group: str,
+        member_id: str,
+        topics: list[str],
+        now: float = 0.0,
+        session_timeout_s: float | None = None,
+        rebalance_timeout_s: float | None = None,
+    ) -> dict:
+        """JoinGroup analogue (coordinator.go:126-205). Returns the join
+        response surface: generation, leader, state, and whether the group
+        is ready (Stable/CompletingRebalance) for the member to sync."""
+        g = self._groups.setdefault(
+            group,
+            {
+                "generation": 0,
+                "leader": "",
+                "state": "Empty",
+                "members": {},
+                "assignments": {},
+                "rebalance_deadline": 0.0,
+            },
+        )
+        existed = member_id in g["members"]
+        m = g["members"].setdefault(member_id, {"join_generation": 0})
+        m["topics"] = sorted(topics)
+        m["session_timeout_s"] = (
+            session_timeout_s
+            if session_timeout_s is not None
+            else m.get("session_timeout_s", self.SESSION_TIMEOUT_S)
+        )
+        m["last_heartbeat"] = now
+        timeout = (
+            rebalance_timeout_s
+            if rebalance_timeout_s is not None
+            else self.REBALANCE_TIMEOUT_S
+        )
+        state = g["state"]
+        if state == "Empty" or (state == "Stable" and not existed):
+            self._start_rebalance(g, now, timeout)
+        elif state in ("PreparingRebalance", "CompletingRebalance"):
+            g["rebalance_deadline"] = now + timeout
+        m["join_generation"] = g["generation"]
+        if not g["leader"]:
+            g["leader"] = sorted(g["members"])[0]
+        ready = g["state"] in ("Stable", "CompletingRebalance")
+        if not ready:
+            ready = self._complete_if_ready(g)
+        self._save()
+        return {
+            "member_id": member_id,
+            "generation": g["generation"],
+            "leader": g["leader"],
+            "state": g["state"],
+            "ready": ready,
+        }
+
+    def sync(
+        self,
+        group: str,
+        member_id: str,
+        generation: int,
+        n_partitions: dict[str, int],
+    ) -> tuple[str, list[tuple[str, int]]]:
+        """SyncGroup analogue (coordinator.go:205-265): the leader's sync
+        computes assignments and marks the group Stable; followers get
+        `rebalance_in_progress` until then. Returns (code, assignment)."""
+        g = self._groups.get(group)
+        if g is None or member_id not in g["members"]:
+            return ("unknown_member_id", [])
+        if generation != g["generation"]:
+            return ("illegal_generation", [])
+        if g["state"] == "PreparingRebalance":
+            return ("rebalance_in_progress", [])
+        if g["state"] == "CompletingRebalance" and not g["assignments"]:
+            if member_id != g["leader"]:
+                return ("rebalance_in_progress", [])
+            g["assignments"] = {
+                m: [[t, p] for t, p in pairs]
+                for m, pairs in self.assignment(group, n_partitions).items()
+            }
+            g["state"] = "Stable"
+            g["rebalance_deadline"] = 0.0
+            self._save()
+        pairs = g["assignments"].get(member_id)
+        if pairs is None and g["state"] != "Stable":
+            return ("rebalance_in_progress", [])
+        return ("ok", [(t, p) for t, p in (pairs or [])])
+
+    def heartbeat(
+        self, group: str, member_id: str, generation: int, now: float
+    ) -> str:
+        """Heartbeat analogue (coordinator.go:267-305): fences on member id
+        and generation, signals an in-flight rebalance, else refreshes the
+        liveness clock."""
+        g = self._groups.get(group)
+        if g is None or member_id not in g["members"]:
+            return "unknown_member_id"
+        if generation != g["generation"]:
+            return "illegal_generation"
+        if g["state"] != "Stable":
+            return "rebalance_in_progress"
+        g["members"][member_id]["last_heartbeat"] = now
+        self._save()
+        return "ok"
+
+    def sweep(self, group: str, now: float) -> bool:
+        """Expiry sweep (coordinator.go:1098-1138): drop members whose
+        session timed out and — past the rebalance deadline — members that
+        never rejoined the current generation. Survivors rebalance."""
+        g = self._groups.get(group)
+        if g is None:
+            return False
+        expired = [
+            mid
+            for mid, m in g["members"].items()
+            if now - m.get("last_heartbeat", 0.0)
+            > m.get("session_timeout_s", self.SESSION_TIMEOUT_S)
+        ]
+        laggers = []
+        if g["rebalance_deadline"] and now >= g["rebalance_deadline"]:
+            laggers = [
+                mid
+                for mid, m in g["members"].items()
+                if m["join_generation"] != g["generation"]
+            ]
+        changed = False
+        for mid in set(expired + laggers):
+            del g["members"][mid]
+            g["assignments"].pop(mid, None)
+            if g["leader"] == mid:
+                g["leader"] = ""
+            changed = True
+        if changed:
+            self._start_rebalance(g, now, self.REBALANCE_TIMEOUT_S)
+            self._complete_if_ready(g)
+            self._save()
+        return changed
+
+    def leave(self, group: str, member_id: str, now: float = 0.0) -> None:
+        """LeaveGroup analogue (coordinator.go:307-350): removal triggers a
+        rebalance among the survivors."""
         g = self._groups.get(group)
         if not g or member_id not in g["members"]:
             return
         del g["members"][member_id]
-        g["generation"] += 1
-        g["leader"] = sorted(g["members"])[0] if g["members"] else ""
+        g.get("assignments", {}).pop(member_id, None)
+        if g["leader"] == member_id:
+            g["leader"] = ""
+        self._start_rebalance(g, now, self.REBALANCE_TIMEOUT_S)
+        self._complete_if_ready(g)
         self._save()
 
     def assignment(
@@ -298,11 +472,13 @@ class ConsumerGroupRegistry:
         return out
 
     def describe(self, group: str, n_partitions: dict[str, int]) -> DataFrame:
-        """DESCRIBE GROUP rows: one per member with subscription and
-        assignment; empty group → stable-empty row set."""
+        """DESCRIBE GROUP rows: one per member with subscription,
+        assignment, and liveness; empty group → stable-empty row set.
+        Mirrors the reference's DescribeGroups encoding
+        (coordinator.go:588-600: session timeout + heartbeat per member)."""
         g = self._groups.get(group, {"generation": 0, "leader": "", "members": {}})
         assign = self.assignment(group, n_partitions)
-        state = "Stable" if g["members"] else "Empty"
+        state = g.get("state", "Stable" if g["members"] else "Empty")
         rows = [
             (
                 group,
@@ -312,13 +488,16 @@ class ConsumerGroupRegistry:
                 m,
                 st["topics"],
                 [f"{t}:{p}" for t, p in assign.get(m, [])],
+                float(st.get("last_heartbeat", 0.0)),
+                float(st.get("session_timeout_s", self.SESSION_TIMEOUT_S)),
             )
             for m, st in sorted(g["members"].items())
         ]
         return self.spark.createDataFrame(
             rows,
             "group: string, state: string, generation: int, leader: string, "
-            "member_id: string, subscribed: array<string>, assigned: array<string>",
+            "member_id: string, subscribed: array<string>, assigned: array<string>, "
+            "last_heartbeat: double, session_timeout_s: double",
         )
 
 

@@ -335,8 +335,8 @@ def test_consumer_group_registry(spark, tmp_path):
     from platform_spark.streaming.ingest import ConsumerGroupRegistry
 
     reg = ConsumerGroupRegistry(spark, str(tmp_path))
-    reg.join("g1", "m-b", ["events"])
-    reg.join("g1", "m-a", ["events", "orders"])
+    j1 = reg.join("g1", "m-b", ["events"], now=0.0)
+    j2 = reg.join("g1", "m-a", ["events", "orders"], now=1.0)
     parts = {"events": 4, "orders": 2}
     assign = reg.assignment("g1", parts)
     # every partition assigned exactly once per topic
@@ -347,10 +347,16 @@ def test_consumer_group_registry(spark, tmp_path):
     ]
     # orders only to its one subscriber
     assert all(t != "orders" for t, _ in assign["m-b"])
+    # first joiner leads; the group awaits its sync
+    assert j1["leader"] == "m-b" and j2["state"] == "CompletingRebalance"
+    code, _ = reg.sync("g1", "m-a", j2["generation"], parts)
+    assert code == "rebalance_in_progress"  # follower can't sync first
+    code, pairs = reg.sync("g1", "m-b", j2["generation"], parts)
+    assert code == "ok" and all(t == "events" for t, _ in pairs)
     desc = reg.describe("g1", parts)
     rows = {r["member_id"]: r for r in desc.collect()}
-    assert rows["m-a"]["leader"] == "m-a" and rows["m-a"]["state"] == "Stable"
-    assert rows["m-a"]["generation"] == 2
+    assert rows["m-a"]["leader"] == "m-b" and rows["m-a"]["state"] == "Stable"
+    assert rows["m-a"]["generation"] == j2["generation"]
     # leave rebalances deterministically
     reg.leave("g1", "m-a")
     assign2 = reg.assignment("g1", parts)
@@ -358,6 +364,57 @@ def test_consumer_group_registry(spark, tmp_path):
     # persistence across instances
     reg2 = ConsumerGroupRegistry(spark, str(tmp_path))
     assert reg2.describe("g1", parts).count() == 1
+
+
+def test_consumer_group_heartbeat_and_expiry(spark, tmp_path):
+    from platform_spark.streaming.ingest import ConsumerGroupRegistry
+
+    reg = ConsumerGroupRegistry(spark, str(tmp_path))
+    parts = {"events": 4}
+    j = reg.join("g", "m1", ["events"], now=0.0, session_timeout_s=30.0)
+    assert j["ready"] and j["state"] == "CompletingRebalance"
+    code, pairs = reg.sync("g", "m1", j["generation"], parts)
+    assert code == "ok" and pairs == [("events", p) for p in range(4)]
+    # heartbeat fencing mirrors the coordinator's error codes
+    assert reg.heartbeat("g", "ghost", j["generation"], now=1.0) == "unknown_member_id"
+    assert reg.heartbeat("g", "m1", j["generation"] + 1, now=1.0) == "illegal_generation"
+    assert reg.heartbeat("g", "m1", j["generation"], now=1.0) == "ok"
+    # a new member joining a Stable group forces a rebalance; the old
+    # generation is fenced until every member rejoins and the leader syncs
+    j2 = reg.join("g", "m2", ["events"], now=2.0, session_timeout_s=30.0)
+    assert j2["state"] == "PreparingRebalance"
+    assert reg.heartbeat("g", "m1", j["generation"], now=3.0) == "illegal_generation"
+    j1b = reg.join("g", "m1", ["events"], now=3.0)
+    assert j1b["state"] == "CompletingRebalance" and j1b["leader"] == "m1"
+    code, pairs = reg.sync("g", "m1", j1b["generation"], parts)
+    assert code == "ok" and len(pairs) == 2  # range split across 2 members
+    # m2 stops heartbeating: the sweep expires it (40 - 3 > 30s) and the
+    # survivor rebalances; m1 keeps heartbeating so it survives
+    assert reg.heartbeat("g", "m1", j1b["generation"], now=20.0) == "ok"
+    assert reg.sweep("g", now=40.0) is True
+    j1c = reg.join("g", "m1", ["events"], now=41.0)
+    code, pairs = reg.sync("g", "m1", j1c["generation"], parts)
+    assert code == "ok" and pairs == [("events", p) for p in range(4)]
+
+
+def test_consumer_group_rebalance_laggers(spark, tmp_path):
+    from platform_spark.streaming.ingest import ConsumerGroupRegistry
+
+    reg = ConsumerGroupRegistry(spark, str(tmp_path))
+    parts = {"events": 2}
+    reg.join("g", "m1", ["events"], now=0.0)
+    g1 = reg.join("g", "m2", ["events"], now=0.0)["generation"]
+    reg.sync("g", "m1", g1, parts)
+    # m3 joins → new rebalance; m2 never rejoins the new generation
+    j = reg.join("g", "m3", ["events"], now=1.0, rebalance_timeout_s=10.0)
+    assert j["state"] == "PreparingRebalance"
+    reg.join("g", "m1", ["events"], now=2.0, rebalance_timeout_s=10.0)
+    # before the rebalance deadline nothing is dropped
+    assert reg.sweep("g", now=5.0) is False
+    # past the deadline the lagger is evicted and the survivors rebalance
+    assert reg.sweep("g", now=13.0) is True
+    members = reg._groups["g"]["members"]
+    assert "m2" not in members and set(members) == {"m1", "m3"}
 
 
 def test_sessionize_stream_stateful(spark, tmp_path):
