@@ -121,6 +121,8 @@ def main() -> None:
         "analytics_time_rollup",
         "analytics_q4_order_priority",
         "analytics_q15_top_supplier",
+        "analytics_q8_market_share",
+        "analytics_q21_waiting_suppliers",
         "analytics_percentiles",
         "llm_split_assignment",
         "llm_kmv_distinct",

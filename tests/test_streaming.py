@@ -735,3 +735,65 @@ def test_dedup_stream_suppresses_redelivery(spark, tmp_path):
     from pyspark.sql import functions as _F
     both = batch.unionByName(batch)
     assert dedup_stream(both, keys=["_key", "_value"]).count() == 25
+
+
+def test_within_join_stream_matches_batch(spark, tmp_path):
+    # stream-stream band join == the equivalent batch join; unmatched left
+    # rows surface via left_outer once the watermark passes
+    from datetime import datetime
+
+    from platform_spark.streaming.join_stream import within_join_stream
+
+    lsrc, rsrc = str(tmp_path / "jl"), str(tmp_path / "jr")
+    lrows = [
+        ("k1", datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        ("k1", datetime(2024, 1, 1, 1, 0, 0), 11.0),
+        ("k2", datetime(2024, 1, 1, 0, 30, 0), 12.0),
+        ("k3", datetime(2024, 1, 1, 0, 0, 0), 13.0),  # no right match
+    ]
+    rrows = [
+        ("k1", datetime(2024, 1, 1, 0, 4, 0), "a"),   # within 10m of l1
+        ("k1", datetime(2024, 1, 1, 0, 50, 0), "b"),  # within 10m of l2
+        ("k1", datetime(2024, 1, 1, 2, 0, 0), "c"),   # matches nothing
+        ("k2", datetime(2024, 1, 1, 0, 39, 0), "d"),  # within 10m of l3
+    ]
+    spark.createDataFrame(lrows, "k: string, _ts: timestamp, amt: double").write.parquet(lsrc)
+    spark.createDataFrame(rrows, "k: string, _ts: timestamp, tag: string").write.parquet(rsrc)
+    lschema = spark.read.parquet(lsrc).schema
+    rschema = spark.read.parquet(rsrc).schema
+
+    def run(how, name):
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        out = within_join_stream(ls, rs, "k", 600, watermark="5 minutes", how=how)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    inner = {
+        (r["k"], r["amt"], r["_right_tag"]) for r in run("inner", "wj_inner").collect()
+    }
+    assert inner == {("k1", 10.0, "a"), ("k1", 11.0, "b"), ("k2", 12.0, "d")}
+    # batch parity for the inner join
+    lb, rb = spark.read.parquet(lsrc).alias("l"), spark.read.parquet(rsrc).alias("r")
+    from pyspark.sql import functions as F
+
+    batch = lb.join(
+        rb,
+        (F.col("l.k") == F.col("r.k"))
+        & (F.abs(F.unix_micros("l._ts") - F.unix_micros("r._ts")) <= 600_000_000),
+    ).select("l.k", "l.amt", F.col("r.tag").alias("_right_tag"))
+    assert inner == {(r["k"], r["amt"], r["_right_tag"]) for r in batch.collect()}
+    # left_outer also emits the unmatched k3 row with NULL right columns
+    louter = {
+        (r["k"], r["amt"], r["_right_tag"])
+        for r in run("left_outer", "wj_louter").collect()
+    }
+    assert louter == inner | {("k3", 13.0, None)}
