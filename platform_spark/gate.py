@@ -1812,6 +1812,214 @@ LIMIT 100
 """
 _add("analytics_q21_waiting_suppliers", spark_sql(_Q21), _Q21)
 
+
+# corpus cleaning: PII redaction + rule-based quality gates -----------------
+# The synthetic corpus carries no PII, so the gate deterministically
+# enriches each doc with one URL/email/IPv4/phone built from doc_id —
+# identical concat in both engines — then redacts; counts are per-stage
+# (n_<kind> == replacements performed at that stage).
+
+
+def _pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import redact_pii
+
+    df = _doc_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" http://h.io/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    out = redact_pii(df)
+    return out.select(
+        "doc_id",
+        "n_url",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_md5"),
+        F.length("text_redacted").alias("redacted_len"),
+    )
+
+
+_llm(
+    "llm_pii_redaction",
+    _pii_gate,
+    r"""
+WITH t0 AS (
+  SELECT doc_id,
+    text || ' contact u' || doc_id::VARCHAR || '@ex.com +1 (415) 555-01' ||
+    lpad((doc_id % 100)::VARCHAR, 2, '0') || ' http://h.io/p/' ||
+    doc_id::VARCHAR || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, 'https?://\S+')) AS n_url,
+    regexp_replace(text, 'https?://\S+', '<URL>', 'g') AS text FROM t0
+), s2 AS (
+  SELECT doc_id, n_url,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_url, n_email,
+    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS text
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_url, n_email, n_ipv4,
+    len(regexp_extract_all(text, '\+?\d[\d() .-]{6,}\d')) AS n_phone,
+    regexp_replace(text, '\+?\d[\d() .-]{6,}\d', '<PHONE>', 'g') AS text
+  FROM s3
+)
+SELECT doc_id, n_url::INT AS n_url, n_email::INT AS n_email,
+  n_ipv4::INT AS n_ipv4, n_phone::INT AS n_phone,
+  md5(text) AS redacted_md5, length(text)::INT AS redacted_len
+FROM s4
+""",
+)
+
+
+def _quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.cleaning import quality_rules
+
+    return quality_rules(_doc_table(spark, sf_dir))
+
+
+_llm(
+    "llm_quality_rules",
+    _quality_gate,
+    r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents
+), base AS (
+  SELECT doc_id, len(words)::INT AS n_words,
+    round(list_sum(list_transform(words, x -> length(x)::DOUBLE)) / len(words), 6)
+      AS mean_word_len,
+    round(len(list_distinct(words))::DOUBLE / len(words), 6) AS distinct_ratio
+  FROM w
+), ex AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+), c AS (
+  SELECT doc_id, word, count(*) AS n FROM ex GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) AS top_word_ratio
+  FROM c GROUP BY 1
+)
+SELECT b.doc_id, n_words, mean_word_len, distinct_ratio, top_word_ratio,
+  n_words >= 40 AND n_words <= 100000 AS word_count_ok,
+  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_word_len_ok,
+  distinct_ratio >= 0.45 AS repetition_ok,
+  top_word_ratio <= 0.10 AS top_word_ok,
+  (n_words >= 40 AND n_words <= 100000)
+    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+    AND distinct_ratio >= 0.45 AND top_word_ratio <= 0.10 AS passes_all
+FROM base b JOIN top USING (doc_id)
+""",
+)
+
+# benchmark decontamination: 8-gram collision vs an eval set ----------------
+# Bench set is derived deterministically from the corpus itself (the first
+# 30 words of every 37th doc = "an eval question copied from a web page"),
+# so contaminated rows are the source docs plus their planted duplicates.
+
+
+def _decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.decontam import contamination
+
+    docs = _doc_table(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 30), " "
+        ).alias("text"),
+    )
+    return contamination(docs, bench, k=8, min_common=1)
+
+
+_DUCK_SH8 = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+
+_llm(
+    "llm_decontaminate",
+    _decontam_gate,
+    rf"""
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:30], ' ') AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+dt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       FROM documents),
+di AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       FROM dt WHERE len(w) >= 8),
+dsh AS (SELECT DISTINCT doc_id, {_DUCK_SH8} AS shingle FROM di),
+bt AS (SELECT bench_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       FROM bench),
+bi AS (SELECT bench_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       FROM bt WHERE len(w) >= 8),
+bsh AS (SELECT DISTINCT bench_id, {_DUCK_SH8} AS shingle FROM bi),
+hits AS (SELECT d.doc_id, b.bench_id, d.shingle
+         FROM dsh d JOIN bsh b USING (shingle)),
+per_doc AS (SELECT doc_id, count(DISTINCT shingle) AS n_common,
+                   count(DISTINCT bench_id) AS n_bench_docs
+            FROM hits GROUP BY 1),
+per_pair AS (SELECT doc_id, bench_id, count(*) AS pair_common
+             FROM hits GROUP BY 1, 2),
+worst AS (
+  SELECT doc_id, bench_id AS worst_bench_id, pair_common AS worst_common
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY pair_common DESC, bench_id ASC) AS rn
+        FROM per_pair)
+  WHERE rn = 1
+)
+SELECT p.doc_id, n_common, n_bench_docs, worst_bench_id, worst_common
+FROM per_doc p JOIN worst USING (doc_id)
+WHERE n_common >= 1
+""",
+)
+
+
+# token-window chunking: sequence+transform+explode, no shuffle --------------
+
+
+def _chunk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.chunking import chunk_documents
+
+    return chunk_documents(_doc_table(spark, sf_dir), chunk_size=32, overlap=8)
+
+
+_llm(
+    "llm_chunk_documents",
+    _chunk_gate,
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+    CASE WHEN len(w) <= 32 THEN 1
+         ELSE CAST(ceil((len(w) - 32) / 24) AS BIGINT) + 1 END AS n_chunks
+  FROM toks
+), e AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS i FROM sized
+)
+SELECT doc_id, i::INT AS chunk_id,
+  array_to_string(w[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+  least(32, n - i*24)::INT AS n_tokens
+FROM e
+""",
+)
+
 # ---------------------------------------------------------------------------
 # Passthrough topics: every driver table is a topic (FIXTURES.md §2.4) —
 # TPC-H-shaped analytics through the KAFSQL dialect itself
@@ -1895,7 +2103,11 @@ _TAIL_SUBSETS = [
     "analytics_q6_revenue",        # filter+single-agg ⊂ q1 (agg) + q19 (filter-join) shapes
     "analytics_q14_promo_revenue",  # CASE-ratio over a 2-table join ⊂ q8 (CASE-ratio over 8-table join)
     "analytics_q10_returned_revenue",  # cust/orders/lineitem revenue group+sort ⊂ q3 + q18 shapes
+    "kafsql_join_json",            # ⊂ kafsql_join_inner (join path) + kafsql_json_helpers (json keys)
+    "analytics_q12_shipmode",      # 2-table join + CASE counts ⊂ q4 (semi-agg) + q8 (CASE over join)
     "llm_weighted_mix",            # pure per-row hash filter; rates + validation pytest
+    "analytics_q3_top_orders",     # cust/orders/lineitem group+sort+topk ⊂ q18 + q10 shapes
+    "analytics_q5_nation_revenue",  # 6-table nation-revenue join ⊂ q8 (8-table) + q7 (nation-pair)
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

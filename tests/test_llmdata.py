@@ -402,3 +402,118 @@ def test_pack_sequences_budget_and_stability(spark, docs):
         budget=1000, n_buckets=4,
     )
     assert out.exceptAll(re).count() == 0
+
+
+def test_redact_pii_stages_and_counts(spark):
+    from platform_spark.llmdata.cleaning import redact_pii
+
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.org today"),
+        (2, "see https://ex.com/a?b=1 and http://plain.io"),
+        (3, "host 192.168.0.1 is up"),
+        (4, "call +1 (415) 555-0100 now"),
+        # IPv4 is redacted BEFORE the loose phone pattern runs, so the IP
+        # is counted once as ipv4 and never double-counted as a phone
+        (5, "ip 10.0.0.7 phone 415-555-0100"),
+        (6, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id: int, text: string")
+    got = {r["id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text_redacted"]
+    assert got[2]["n_url"] == 2 and got[2]["text_redacted"].count("<URL>") == 2
+    assert got[3]["n_ipv4"] == 1 and "<IPV4>" in got[3]["text_redacted"]
+    assert got[4]["n_phone"] == 1 and "<PHONE>" in got[4]["text_redacted"]
+    assert got[5]["n_ipv4"] == 1 and got[5]["n_phone"] == 1
+    assert got[5]["text_redacted"] == "ip <IPV4> phone <PHONE>"
+    assert got[6]["text_redacted"] == rows[5][1]
+    assert all(
+        got[6][f"n_{k}"] == 0 for k in ("url", "email", "ipv4", "phone")
+    )
+
+
+def test_quality_rules_thresholds(spark):
+    from platform_spark.llmdata.cleaning import quality_rules
+
+    long_ok = " ".join(f"word{i}" for i in range(60))       # 60 distinct words
+    too_short = "just a few little words"
+    salad = " ".join(["dup"] * 45 + [f"u{i}" for i in range(15)])  # top word 75%
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, too_short), (3, salad)], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: r for r in quality_rules(df).collect()}
+    assert got[1]["passes_all"] and got[1]["n_words"] == 60
+    assert not got[2]["word_count_ok"] and not got[2]["passes_all"]
+    assert not got[3]["top_word_ok"] and not got[3]["repetition_ok"]
+    # metrics round-trip: distinct ratio of the salad is (1+30)/60
+    assert abs(got[3]["distinct_ratio"] - 16 / 60) < 1e-6
+
+
+def test_contamination_ngram_collision(spark):
+    from platform_spark.llmdata.decontam import contamination, decontaminate
+
+    span = " ".join(f"tok{i}" for i in range(10))   # 10-word benchmark span
+    rows = [
+        (1, f"prefix words here {span} and a tail"),         # contains the span
+        (2, f"other doc reusing {span} verbatim too"),       # contains the span
+        (3, " ".join(f"clean{i}" for i in range(20))),       # no overlap
+        (4, "short doc"),                                    # < k words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame(
+        [(100, span), (101, "totally unrelated benchmark question")],
+        "bench_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in contamination(docs, bench, k=8).collect()}
+    # a 10-word span has 3 distinct 8-grams, all hitting bench doc 100
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        assert got[d]["n_common"] == 3
+        assert got[d]["n_bench_docs"] == 1
+        assert got[d]["worst_bench_id"] == 100
+        assert got[d]["worst_common"] == 3
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, k=8).collect()}
+    assert kept == {3, 4}
+
+
+def test_contamination_worst_tiebreak(spark):
+    from platform_spark.llmdata.decontam import contamination
+
+    text = " ".join(f"w{i}" for i in range(8))       # exactly one 8-gram
+    docs = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    bench = spark.createDataFrame(
+        [(7, text), (5, text)], "bench_id: long, text: string"
+    )
+    row = contamination(docs, bench, k=8).collect()[0]
+    # equal overlap with bench 5 and 7 -> smallest bench id wins
+    assert row["worst_bench_id"] == 5 and row["n_bench_docs"] == 2
+
+
+def test_chunk_documents_windows(spark):
+    from platform_spark.llmdata.chunking import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks -> 1 chunk
+        (2, " ".join(f"t{i}" for i in range(100))),  # 100 toks: [0,50)[40,90)[80,100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = chunk_documents(df, chunk_size=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 10
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c2] == [0, 1, 2]
+    assert [r["n_tokens"] for r in c2] == [50, 50, 20]
+    assert c2[1]["chunk_text"].split()[0] == "t40"     # stride 40
+    assert c2[2]["chunk_text"].split() == [f"t{i}" for i in range(80, 100)]
+    # overlap: last 10 tokens of chunk 0 == first 10 of chunk 1
+    assert c2[0]["chunk_text"].split()[-10:] == c2[1]["chunk_text"].split()[:10]
+    # reconstruction: stitching chunks minus overlaps rebuilds the doc
+    rebuilt = c2[0]["chunk_text"].split() + [
+        t for r in c2[1:] for t in r["chunk_text"].split()[10:]
+    ]
+    assert rebuilt == rows[1][1].split()
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_size=10, overlap=10)
