@@ -151,3 +151,30 @@ def test_q8_broadcasts_all_dimensions(spark):
     plan = _plan(GATE["analytics_q8_market_share"][0](spark, "/root/testdata/sf0.001"))
     assert plan.count("BroadcastHashJoin") >= 6
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_decontamination_broadcasts_bench_index(spark):
+    # the eval-set shingle index must broadcast: the training-side shingle
+    # stream is the 100 TB side and may not shuffle for the probe join
+    from pyspark.sql import functions as F
+
+    from platform_spark.gate import catalog_for
+    from platform_spark.llmdata.decontam import contamination
+
+    docs = catalog_for(spark, "/root/testdata/sf0.001").table("documents")
+    bench = docs.limit(20).select(F.col("doc_id").alias("bench_id"), "text")
+    plan = _plan(contamination(docs, bench, k=8))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_has_no_exchange(spark):
+    # chunking must expand rows in place: any Exchange here would make a
+    # pure per-row operator cost a full shuffle of the corpus
+    from platform_spark.gate import catalog_for
+    from platform_spark.llmdata.chunking import chunk_documents
+
+    docs = catalog_for(spark, "/root/testdata/sf0.001").table("documents")
+    plan = _plan(chunk_documents(docs, chunk_size=32, overlap=8))
+    assert "Exchange" not in plan
+    assert "Generate" in plan

@@ -127,6 +127,29 @@ def main() -> None:
         ),
     )
 
+    from platform_spark.llmdata.chunking import chunk_documents
+    from platform_spark.llmdata.decontam import contamination
+
+    docs = cat.table("documents")
+    bench = docs.limit(50).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    add(
+        "Benchmark decontamination",
+        "The benchmark shingle index broadcasts, so the (100 TB) training-side "
+        "shingle stream is probed map-side — the only exchanges are the "
+        "per-doc aggregates of the (tiny) hit set.",
+        ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        contamination(docs, bench, k=8),
+    )
+    add(
+        "Token-window chunking",
+        "sequence+transform+explode directly over the vectorized scan: NO "
+        "exchange anywhere — rows expand in place at scan parallelism.",
+        ["Generate", "Batched: true"],
+        chunk_documents(docs, chunk_size=32, overlap=8),
+    )
+
     from platform_spark.gate import GATE
 
     add(
