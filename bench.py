@@ -129,6 +129,10 @@ def main() -> None:
         "llm_stratified_sample",
         "llm_weighted_mix",
         "llm_pack_sequences",
+        "llm_pii_redaction",
+        "llm_quality_rules",
+        "llm_decontaminate",
+        "llm_chunk_documents",
         "streaming_log_compact",
         "streaming_lfs_reference",
     ):
