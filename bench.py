@@ -133,6 +133,8 @@ def main() -> None:
         "llm_quality_rules",
         "llm_decontaminate",
         "llm_chunk_documents",
+        "llm_tfidf_keywords",
+        "analytics_sliding_window",
         "streaming_log_compact",
         "streaming_lfs_reference",
     ):

@@ -1587,6 +1587,55 @@ FROM t_events GROUP BY 1, 2"""
     ),
 )
 
+# sliding (hopping) windows: each event lands in width/slide windows -------
+# Structured Streaming's other window shape; F.window(w, s) in batch is the
+# same bucketing the streaming twin uses with a watermark.
+
+
+def _sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = catalog_for(spark, sf_dir).topic("events", with_schema_columns=False)
+    staged = ev.select(
+        "_ts",
+        F.get_json_object(F.col("_value").cast("string"), "$.amount").alias("amount"),
+    )
+    return (
+        staged.groupBy(F.window("_ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("sum_amount"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_rows",
+            "sum_amount",
+        )
+    )
+
+
+_add(
+    "analytics_sliding_window",
+    _sliding_window,
+    orc.with_topics(
+        f"""
+, staged AS (
+  SELECT _ts, {orc.jval('_value', '$.amount')} AS amount FROM t_events
+), sl AS (
+  SELECT _ts, amount,
+    date_trunc('hour', _ts) - (k * INTERVAL 1 HOUR) AS wstart
+  FROM staged CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) ks
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+  strftime(wstart + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+  COUNT(*) AS n_rows, {orc.dsum('amount')} AS sum_amount
+FROM sl GROUP BY 1, 2"""
+    ),
+)
+
 # more TPC-H shapes: semi-join-ish volume query, grouped top-k, large
 # multi-way join with date predicates
 
@@ -1990,6 +2039,42 @@ WHERE n_common >= 1
 )
 
 
+# TF-IDF top-k keywords: two partial-agg shuffles + one window --------------
+
+
+def _tfidf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.keywords import tfidf_keywords
+
+    return tfidf_keywords(_doc_table(spark, sf_dir), top_k=5)
+
+
+_llm(
+    "llm_tfidf_keywords",
+    _tfidf_gate,
+    r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank::INT AS rank, word, tf, df, score
+FROM ranked WHERE rank <= 5
+""",
+)
+
+
 # token-window chunking: sequence+transform+explode, no shuffle --------------
 
 
@@ -2108,6 +2193,8 @@ _TAIL_SUBSETS = [
     "llm_weighted_mix",            # pure per-row hash filter; rates + validation pytest
     "analytics_q3_top_orders",     # cust/orders/lineitem group+sort+topk ⊂ q18 + q10 shapes
     "analytics_q5_nation_revenue",  # 6-table nation-revenue join ⊂ q8 (8-table) + q7 (nation-pair)
+    "analytics_q4_order_priority",  # EXISTS semi-join agg ⊂ q21 (semi + anti on the same key)
+    "kafsql_agg_partition",        # GROUP BY + COUNT ⊂ agg_multi_group; min/max(_ts) ⊂ agg_minmax_schema; _partition ⊂ select_star P4
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

@@ -517,3 +517,31 @@ def test_chunk_documents_windows(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_tfidf_keywords_ranks_and_scores(spark):
+    import math
+
+    from platform_spark.llmdata.keywords import tfidf_keywords
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple date date date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: apple tf=2 df=2; banana/cherry tf=1 df=2 -> apple first,
+    # banana beats cherry only by the alphabetical tiebreak
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["word"] for r in d1] == ["apple", "banana"]
+    idf = math.log(4 / 3) + 1       # every word appears in 2 of 3 docs
+    assert abs(d1[0]["score"] - round(2 * idf, 6)) < 1e-9
+    assert d1[0]["tf"] == 2 and d1[0]["df"] == 2
+    # doc 3: date tf=3 dominates
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert d3[0]["word"] == "date" and d3[0]["tf"] == 3
