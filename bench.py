@@ -134,6 +134,7 @@ def main() -> None:
         "llm_decontaminate",
         "llm_chunk_documents",
         "llm_tfidf_keywords",
+        "llm_collapse_repeats",
         "analytics_sliding_window",
         "streaming_log_compact",
         "streaming_lfs_reference",

@@ -2039,6 +2039,37 @@ WHERE n_common >= 1
 )
 
 
+# consecutive-repeat collapse: `uniq` per document, pure array exprs --------
+
+
+def _collapse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import collapse_repeats
+
+    out = collapse_repeats(_doc_table(spark, sf_dir))
+    return out.select("doc_id", "text_clean", "n_removed")
+
+
+_llm(
+    "llm_collapse_repeats",
+    _collapse_gate,
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), e AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t
+), k AS (
+  SELECT doc_id, i, w[i] AS tok, len(w) AS n
+  FROM e WHERE i = 1 OR w[i] != w[i-1]
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+  (max(n) - count(*))::INT AS n_removed
+FROM k GROUP BY doc_id
+""",
+)
+
+
 # TF-IDF top-k keywords: two partial-agg shuffles + one window --------------
 
 
@@ -2195,6 +2226,7 @@ _TAIL_SUBSETS = [
     "analytics_q5_nation_revenue",  # 6-table nation-revenue join ⊂ q8 (8-table) + q7 (nation-pair)
     "analytics_q4_order_priority",  # EXISTS semi-join agg ⊂ q21 (semi + anti on the same key)
     "kafsql_agg_partition",        # GROUP BY + COUNT ⊂ agg_multi_group; min/max(_ts) ⊂ agg_minmax_schema; _partition ⊂ select_star P4
+    "analytics_q13_custdist",      # LEFT JOIN + count histogram ⊂ kafsql_join_left + agg_multi_group shapes
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

@@ -51,6 +51,32 @@ def redact_pii(
     return cur
 
 
+def collapse_repeats(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Collapse runs of consecutively repeated tokens to one occurrence
+    (`uniq` per document) — the cheapest repetition scrub generation
+    artifacts and boilerplate need.
+
+    Adds `out_col` and `n_removed`. Pure array expressions over ONE
+    materialized token array (a lambda over a column *reference* — never
+    re-embedding the split expression, which would go quadratic); no
+    shuffle, runs at scan speed.
+    """
+    toked = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    # F.get is 0-based and takes a Column index: the predecessor of lambda
+    # index i is get(toks, i - 1); i == 0 has no predecessor and is kept
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: (i == 0) | (x != F.get(F.col("__toks"), i - 1)),
+    )
+    return (
+        toked.withColumn(out_col, F.array_join(kept, " "))
+        .withColumn("n_removed", F.size("__toks") - F.size(kept))
+        .drop("__toks")
+    )
+
+
 #: quality-rule thresholds (calibrated to the synthetic corpus: word
 #: counts 21-88, distinct-word ratio 0.32-0.75, top-word ratio 0.07-0.14)
 MIN_WORDS = 40

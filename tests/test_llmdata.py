@@ -545,3 +545,19 @@ def test_tfidf_keywords_ranks_and_scores(spark):
     # doc 3: date tf=3 dominates
     d3 = sorted(by_doc[3], key=lambda r: r["rank"])
     assert d3[0]["word"] == "date" and d3[0]["tf"] == 3
+
+
+def test_collapse_repeats(spark):
+    from platform_spark.llmdata.cleaning import collapse_repeats
+
+    rows = [
+        (1, "batch batch batch stream stream spark"),
+        (2, "a b a b a"),                  # alternation: nothing to collapse
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in collapse_repeats(df).collect()}
+    assert got[1]["text_clean"] == "batch stream spark"
+    assert got[1]["n_removed"] == 3
+    assert got[2]["text_clean"] == "a b a b a" and got[2]["n_removed"] == 0
+    assert got[3]["text_clean"] == "x" and got[3]["n_removed"] == 0
