@@ -135,6 +135,7 @@ def main() -> None:
         "llm_chunk_documents",
         "llm_tfidf_keywords",
         "llm_collapse_repeats",
+        "llm_corpus_stats",
         "analytics_sliding_window",
         "streaming_log_compact",
         "streaming_lfs_reference",

@@ -2039,6 +2039,35 @@ WHERE n_common >= 1
 )
 
 
+# corpus stats: per-lang two-level distinct aggregate -----------------------
+
+
+def _corpus_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.text import corpus_stats
+
+    return corpus_stats(_doc_table(spark, sf_dir))
+
+
+_llm(
+    "llm_corpus_stats",
+    _corpus_stats_gate,
+    r"""
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), tok AS (
+  SELECT lang, count(*) AS total_tokens, count(DISTINCT word) AS vocab
+  FROM w GROUP BY 1
+), d AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT lang, n_docs, total_tokens, vocab,
+  round(total_tokens::DOUBLE / n_docs, 6) AS mean_doc_tokens
+FROM d JOIN tok USING (lang)
+""",
+)
+
+
 # consecutive-repeat collapse: `uniq` per document, pure array exprs --------
 
 
@@ -2227,6 +2256,7 @@ _TAIL_SUBSETS = [
     "analytics_q4_order_priority",  # EXISTS semi-join agg ⊂ q21 (semi + anti on the same key)
     "kafsql_agg_partition",        # GROUP BY + COUNT ⊂ agg_multi_group; min/max(_ts) ⊂ agg_minmax_schema; _partition ⊂ select_star P4
     "analytics_q13_custdist",      # LEFT JOIN + count histogram ⊂ kafsql_join_left + agg_multi_group shapes
+    "analytics_top_event_per_user",  # per-key row_number top-1 ⊂ llm_tfidf_keywords rank window + q15 group-max
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

@@ -150,3 +150,42 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(len_term + sw_term + punct_term, 6).alias("quality"),
         F.when(swr >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
     ).drop("__toks", "__ltoks")
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group corpus summary: doc/token totals, vocabulary size, and
+    mean document length.
+
+    The vocabulary count is the scale-sensitive piece — a COUNT(DISTINCT
+    word) per group, which Spark executes as a two-level aggregate
+    (partial distinct on (group, word) map-side, then the per-group
+    count): no collected vocabulary, no driver state, safe at any corpus
+    size. Everything else is a plain one-shuffle aggregate.
+    """
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    tok_stats = words.groupBy("grp").agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct("word").alias("vocab"),
+    )
+    doc_stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        doc_stats.join(tok_stats, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            "vocab",
+            F.round(
+                F.col("total_tokens") / F.col("n_docs"), 6
+            ).alias("mean_doc_tokens"),
+        )
+    )

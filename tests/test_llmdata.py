@@ -561,3 +561,46 @@ def test_collapse_repeats(spark):
     assert got[1]["n_removed"] == 3
     assert got[2]["text_clean"] == "a b a b a" and got[2]["n_removed"] == 0
     assert got[3]["text_clean"] == "x" and got[3]["n_removed"] == 0
+
+
+def test_chunking_and_collapse_match_python_spec(spark):
+    """Seeded random corpus vs a plain-Python reference implementation."""
+    import random
+
+    from platform_spark.llmdata.chunking import chunk_documents
+    from platform_spark.llmdata.cleaning import collapse_repeats
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    rows = []
+    for doc_id in range(40):
+        n = rng.randint(1, 120)
+        words = []
+        while len(words) < n:
+            w = rng.choice(vocab)
+            words.extend([w] * rng.choice([1, 1, 1, 2, 3]))  # plant runs
+        rows.append((doc_id, " ".join(words[:n])))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    size, overlap, stride = 32, 8, 24
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_size=size, overlap=overlap).collect()
+    }
+    expected = {}
+    for doc_id, text in rows:
+        w = text.split()
+        n_chunks = 1 if len(w) <= size else -((len(w) - size) // -stride) + 1
+        for i in range(n_chunks):
+            win = w[i * stride : i * stride + size]
+            expected[(doc_id, i)] = (" ".join(win), len(win))
+    assert got == expected
+
+    got_c = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in collapse_repeats(df).collect()
+    }
+    for doc_id, text in rows:
+        w = text.split()
+        kept = [t for j, t in enumerate(w) if j == 0 or t != w[j - 1]]
+        assert got_c[doc_id] == (" ".join(kept), len(w) - len(kept))
