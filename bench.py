@@ -115,6 +115,9 @@ def main() -> None:
         "llm_minhash_lsh_pairs",
         "llm_embedding_neardup",
         "llm_dedup_clusters",
+        "llm_dedup_clusters_fast",
+        "llm_embedding_clusters_fast",
+        "llm_ann_ivf_kmeans",
         "analytics_sessionize",
         "analytics_asof_join",
         "analytics_range_join",
@@ -123,6 +126,11 @@ def main() -> None:
         "analytics_q15_top_supplier",
         "analytics_q8_market_share",
         "analytics_q21_waiting_suppliers",
+        "analytics_q2_min_cost_supplier",
+        "analytics_q9_product_profit",
+        "analytics_q11_important_stock",
+        "analytics_q16_parts_supplier",
+        "analytics_q20_promotion_parts",
         "analytics_percentiles",
         "llm_split_assignment",
         "llm_kmv_distinct",
@@ -143,21 +151,45 @@ def main() -> None:
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf),
-                "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
-            }
-        )
+    total = round(sum(timings.values()), 2)
+
+    # Full-precision detail (cold/first-run times, 3-decimal steady times)
+    # goes to a side file; the driver's tail capture is 2000 bytes, so the
+    # final stdout line must stay compact (steady-state only, 2-decimal,
+    # no whitespace). r3's line carried queries_cold inline and outgrew the
+    # capture, leaving the official record unparseable.
+    detail = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf),
+        "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
+    }
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    detail_path = os.path.join(BENCH_ROOT, "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"detail written to {detail_path}")
+
+    final_line = json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": float(sf),
+            "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
+        },
+        separators=(",", ":"),
     )
+    if len(final_line) > 1900:  # driver tail capture is 2000 bytes
+        sys.stderr.write(
+            f"WARNING: bench line {len(final_line)}B nears the 2000B tail capture\n"
+        )
+    print(final_line)
 
 
 if __name__ == "__main__":

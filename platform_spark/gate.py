@@ -634,14 +634,10 @@ FROM documents
 # Duplicate-cluster resolution: ngram pairs → connected components ----------
 # (iterative min-label propagation in Spark; recursive-CTE closure in DuckDB)
 
-_llm(
-    "llm_dedup_clusters",
-    lambda spark, sf_dir: __import__(
-        "platform_spark.llmdata.clusters", fromlist=["dedup_clusters"]
-    ).dedup_clusters(
-        _dd.ngram_jaccard_pairs(_doc_table(spark, sf_dir), threshold=_NGRAM_THRESHOLD)
-    ),
-    f"""
+# shared by llm_dedup_clusters (pairwise path) and llm_dedup_clusters_fast
+# (exact-collapse path): the fast path's output is provably identical
+# (clusters.py module docstring), so the SAME closure oracle checks both.
+_NGRAM_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_DUCK_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 hot AS (SELECT shingle FROM sh GROUP BY shingle
@@ -671,7 +667,27 @@ reach(node, r) AS (
 SELECT node AS doc_id, MIN(r) AS cluster_id,
   (MIN(r) = node) AS is_keeper
 FROM reach GROUP BY node
-""",
+"""
+
+_llm(
+    "llm_dedup_clusters",
+    lambda spark, sf_dir: __import__(
+        "platform_spark.llmdata.clusters", fromlist=["dedup_clusters"]
+    ).dedup_clusters(
+        _dd.ngram_jaccard_pairs(_doc_table(spark, sf_dir), threshold=_NGRAM_THRESHOLD)
+    ),
+    _NGRAM_CLUSTERS_ORACLE,
+)
+
+# Fast path: exact-collapse → content-graph Jaccard → expand. Emits output
+# ~linear in docs (not intra-cluster pairs) — the 100 TB cluster path; the
+# identical oracle is the equality-vs-current check in gate form.
+_llm(
+    "llm_dedup_clusters_fast",
+    lambda spark, sf_dir: __import__(
+        "platform_spark.llmdata.clusters", fromlist=["dedup_clusters_fast"]
+    ).dedup_clusters_fast(_doc_table(spark, sf_dir), threshold=_NGRAM_THRESHOLD),
+    _NGRAM_CLUSTERS_ORACLE,
 )
 
 # Deterministic sampling / mixing / cardinality sketch ----------------------
@@ -1141,18 +1157,94 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 """,
 )
 
-# embedding near-dup via hyperplane LSH (rows-only) -------------------------
+# IVF with REAL (pyspark.ml k-means) centroids: the Spark side re-fits the
+# quantizer at query time (seed 42, deterministic single-partition fit,
+# 6-decimal rounding) and must reproduce the matrix pinned in
+# llmdata/ivf_pinned.py — which the oracle carries as a literal — so the
+# ml fit path, assignment, probing, and per-bucket top-k are all inside
+# the hash check. The pin is to the DRIVER'S correctness SF (sf0.01);
+# at other SFs the fn still runs (fresh fit), only the oracle is SF-bound.
+
+
+def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb_table(spark, sf_dir)
+    matrix = [
+        [round(x, 6) for x in c]
+        for c in _sim.fit_kmeans_centroids(emb, 8, deterministic=True)
+    ]
+    return _sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=4, centroids=matrix
+    )
+
+
+def _pinned_centroid_values() -> str:
+    from platform_spark.llmdata.ivf_pinned import KMEANS_CENTROIDS_SF001
+
+    return ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(KMEANS_CENTROIDS_SF001)
+    )
+
 
 _llm(
-    "llm_embedding_neardup",
-    lambda spark, sf_dir: _dd.embedding_neardup_pairs(
-        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
-    ),
-    # Full oracle: hash-seeded hyperplanes are the same portable md5 math as
-    # MinHash — signature (16 sign bits), 4-bit banding, candidate join, and
-    # exact-cosine verify all reproduce in SQL bit-for-bit.
-    """
+    "llm_ann_ivf_kmeans",
+    _ann_ivf_kmeans,
+    f"""
 WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT ci, w FROM (VALUES
+    {_pinned_centroid_values()}
+  ) t(ci, w)
+),
+csim AS (
+  SELECT c.vec_id, c.v, cents.ci,
+    list_dot_product(c.v, cents.w)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.w, cents.w))) AS s
+  FROM c CROSS JOIN cents
+),
+cb AS (
+  SELECT vec_id, v, ci AS bucket FROM (
+    SELECT vec_id, v, ci,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim
+  ) WHERE rn = 1
+),
+qb AS (
+  SELECT vec_id, v, ci AS bucket FROM (
+    SELECT vec_id, v, ci,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim WHERE vec_id < 8
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS corpus_id,
+    round(list_dot_product(cb.v, qb.v)
+          / (sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.v, qb.v))),
+          6) AS cosine
+  FROM qb JOIN cb ON qb.bucket = cb.bucket
+  WHERE cb.vec_id != qb.vec_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+
+# embedding near-dup via hyperplane LSH (rows-only) -------------------------
+
+# CTE body shared by the pair gate and the fast-cluster closure gate.
+# Full oracle: hash-seeded hyperplanes are the same portable md5 math as
+# MinHash — signature (16 sign bits), 4-bit banding, candidate join, and
+# exact-cosine verify all reproduce in SQL bit-for-bit.
+_EMB_PAIR_CTES = """
+c AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -1180,14 +1272,52 @@ bb AS (
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM bb x JOIN bb y ON x.band = y.band AND x.chunk = y.chunk AND x.vec_id < y.vec_id
+),
+verified AS (
+  SELECT id_a, id_b, cosine FROM (
+    SELECT cand.id_a, cand.id_b,
+      round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) AS cosine
+    FROM cand JOIN c a ON a.vec_id = cand.id_a JOIN c b ON b.vec_id = cand.id_b
+  ) WHERE cosine >= 0.3
+)"""
+
+_llm(
+    "llm_embedding_neardup",
+    lambda spark, sf_dir: _dd.embedding_neardup_pairs(
+        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
+    ),
+    f"""
+WITH {_EMB_PAIR_CTES}
+SELECT id_a, id_b, cosine FROM verified
+""",
 )
-SELECT id_a, id_b, cosine FROM (
-  SELECT cand.id_a, cand.id_b,
-    round(list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-          6) AS cosine
-  FROM cand JOIN c a ON a.vec_id = cand.id_a JOIN c b ON b.vec_id = cand.id_b
-) WHERE cosine >= 0.3
+
+# Fast cluster path over the same LSH graph: exact-collapse → rep-level LSH
+# → expand (provably identical to dedup_clusters(pairs) — clusters.py), so
+# the oracle is the pairwise closure over the verified pair set.
+_llm(
+    "llm_embedding_clusters_fast",
+    lambda spark, sf_dir: __import__(
+        "platform_spark.llmdata.clusters", fromlist=["embedding_clusters_fast"]
+    ).embedding_clusters_fast(
+        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
+    ),
+    f"""
+WITH RECURSIVE {_EMB_PAIR_CTES},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+  (MIN(r) = node) AS is_keeper
+FROM reach GROUP BY node
 """,
 )
 
@@ -1862,6 +1992,153 @@ LIMIT 100
 _add("analytics_q21_waiting_suppliers", spark_sql(_Q21), _Q21)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H partsupp family (q2/q9/q11/q16/q20): the fixtures ship no partsupp
+# table, so both engines derive the SAME one deterministically from
+# part × supplier (dbgen's recipe: 4 suppliers per part at stride
+# floor(S/4), which are provably distinct mod S for S >= 4; availqty and
+# supplycost are pure integer arithmetic on the two keys — identical
+# closed-form values in Spark and DuckDB, no hashing, no RNG). The CTE is a
+# dialect-common string prefixed to each query, so one statement runs
+# verbatim on both engines; at scale the derivation is a part-table scan
+# × 4 with a broadcast 1-row supplier count — no shuffle added.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+    CAST(1 + MOD(ps_partkey * 7 + ps_suppkey * 13, 9999) AS INT) AS ps_availqty,
+    CAST(1.0 AS DOUBLE) + MOD(ps_partkey * 131 + ps_suppkey * 17, 99900) / CAST(100.0 AS DOUBLE) AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+      MOD(p_partkey + v.i * CAST(FLOOR(sc.s / 4) AS BIGINT), sc.s) AS ps_suppkey
+    FROM part
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier) sc
+    CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) AS w(i)) v
+  ) base
+)
+"""
+
+# TPC-H q2 (minimum-cost supplier), adapted: fixtures lack p_mfgr /
+# s_address / s_phone / s_comment, and p_type has no 'BRASS' suffixes —
+# the size+type filter maps onto a size band of one synthetic type. The
+# correlated-MIN scalar subquery (the q2 signature shape) is preserved.
+_Q2 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+_add("analytics_q2_min_cost_supplier", spark_sql(_Q2), _Q2)
+
+# TPC-H q9 (product-type profit), adapted: p_name carries '<adj> <noun>'
+# so the classic '%green%' filter maps onto a noun. lineitem's
+# (l_partkey, l_suppkey) pairs were generated independently of the derived
+# partsupp, so the inner join keeps the ~4/S of lines whose pair exists —
+# semantically the same query, smaller selectivity.
+_Q9 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(38,9))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+    l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+_add("analytics_q9_product_profit", spark_sql(_Q9), _Q9)
+
+# TPC-H q11 (important stock), adapted: a single nation holds too few
+# suppliers at the smallest fixture SF, so the scope filter is a region;
+# the group-vs-global-fraction HAVING (the q11 signature) is preserved.
+# Both sides of the comparison go through the exact DECIMAL(38,9) sum →
+# DOUBLE cast so the threshold is bit-identical across engines.
+_Q11 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT ps_partkey,
+  CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,9))) AS DOUBLE) AS value_agg
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY ps_partkey
+HAVING CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,9))) AS DOUBLE) >
+  (SELECT CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,9))) AS DOUBLE) * 0.003
+   FROM partsupp
+   JOIN supplier ON ps_suppkey = s_suppkey
+   JOIN nation ON s_nationkey = n_nationkey
+   JOIN region ON n_regionkey = r_regionkey
+   WHERE r_name = 'EUROPE')
+ORDER BY value_agg DESC
+"""
+_add("analytics_q11_important_stock", spark_sql(_Q11), _Q11)
+
+# TPC-H q16 (parts/supplier relationship), adapted: fixtures lack
+# s_comment, so the 'customer complaints' exclusion maps onto a low
+# account balance; brand/type/size exclusions keep the classic shape
+# (NOT-IN subquery → anti-join + COUNT DISTINCT).
+_Q16 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+_add("analytics_q16_parts_supplier", spark_sql(_Q16), _Q16)
+
+# TPC-H q20 (potential part promotion), adapted: the nation filter maps
+# onto a region (fixture nations hold too few suppliers at small SF) and
+# the part prefix onto a synthetic adjective. The nested IN + correlated
+# half-of-shipped-quantity scalar subquery (the q20 signature) is
+# preserved; a (part,supp) with no 1996 shipments compares NULL → false,
+# identically in both engines.
+_Q20 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+ORDER BY s_name
+"""
+_add("analytics_q20_promotion_parts", spark_sql(_Q20), _Q20)
+
+
 # corpus cleaning: PII redaction + rule-based quality gates -----------------
 # The synthetic corpus carries no PII, so the gate deterministically
 # enriches each doc with one URL/email/IPv4/phone built from doc_id —
@@ -2229,6 +2506,14 @@ FROM t_nation"""
 # ---------------------------------------------------------------------------
 _TAIL_SUBSETS = [
     # subset-of gate                 superset that stays in the window
+    "llm_dedup_clusters",          # ⊂ llm_dedup_clusters_fast (identical closure oracle; same _propagate_min_labels path) + llm_dedup_ngram_jaccard (pair gen)
+    "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)
+    "kafsql_q1_dialect",           # ⊂ analytics_q1_pricing_summary (same agg math/oracle) + kafsql_agg_json_sum/agg_multi_group (compiler agg path)
+    "kafsql_nation_topic",         # ⊂ kafsql_select_star (envelope projection) + kafsql_agg_minmax_schema (schema-on-read columns)
+    "analytics_q17_small_qty_revenue",  # correlated scalar-agg subquery ⊂ analytics_q2 (correlated MIN) + analytics_q20 (correlated SUM)
+    "analytics_q22_sales_opportunity",  # anti-join ⊂ analytics_q21 (LeftAnti); scalar-avg subquery ⊂ q2/q20 correlated shapes
+    "analytics_q19_discount_revenue",   # OR-of-conjuncts join filter (pushdown asserted in test_plans) ⊂ q8 join+CASE, q1 agg shapes
+    "llm_kmv_distinct",            # deterministic md5-rank sketch, stable since r2; hash-rank machinery shared with llm_stratified_sample (head)
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

@@ -385,6 +385,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_hyperplanes: int = 16,
     bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
@@ -403,7 +404,8 @@ def embedding_neardup_pairs(
     """
     from platform_spark.llmdata.similarity import cosine_expr, dot_expr
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:  # 1-row probe; pass dim explicitly to save the job
+        dim = len(df.select(vec_col).first()[0])
     import hashlib
     import struct
 

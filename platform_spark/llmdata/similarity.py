@@ -78,16 +78,26 @@ def fit_kmeans_centroids(
     max_iter: int = 10,
     seed: int = 42,
     sample_fraction: float | None = None,
+    deterministic: bool = False,
 ) -> list[list[float]]:
     """Real IVF centroids: k-means (pyspark.ml, fixed seed) over the corpus
     (or a sample at scale — centroid quality needs only a sketch of the
-    distribution, so fit on ~1M sampled rows at 100 TB)."""
+    distribution, so fit on ~1M sampled rows at 100 TB).
+
+    ``deterministic=True`` coalesces the (sampled) fit input to one
+    partition so per-iteration centroid sums see a fixed row order — the
+    fitted matrix is then bit-stable across sessions/partition layouts,
+    which the correctness gate needs (its oracle carries the matrix as a
+    literal). Fit input is a sample/sketch by design, so one partition is
+    not a scale bottleneck."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     data = corpus.select(array_to_vector(to_double(F.col(vec_col))).alias("features"))
     if sample_fraction is not None:
         data = data.sample(fraction=sample_fraction, seed=seed)
+    if deterministic:
+        data = data.coalesce(1)
     model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed).fit(data)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
@@ -101,6 +111,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: str | list[list[float]] = "hash",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -116,7 +127,8 @@ def ivf_topk(
     import hashlib
     import struct
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:  # 1-row probe; pass dim explicitly to save the job
+        dim = len(corpus.select(vec_col).first()[0])
 
     def centroid(ci: int) -> list[float]:
         vals = []

@@ -185,7 +185,18 @@ class TopicCatalog:
         for t in TABLES:
             path = os.path.join(self.sf_dir, f"{t}.parquet")
             if os.path.exists(path):
-                self.spark.read.parquet(path).createOrReplaceTempView(t)
+                df = self.spark.read.parquet(path)
+                if t == "events" and dict(df.dtypes).get("ts") == "bigint":
+                    # legacy fixture generation: TIMESTAMP(NANOS) parquet read
+                    # as long nanos (nanosAsLong conf) — normalize to the
+                    # micros timestamp the current fixtures carry natively,
+                    # truncating ns→us exactly like DuckDB's TIMESTAMP read
+                    # does, so the envelope (and its oracle twin) see ONE
+                    # shape regardless of fixture vintage
+                    df = df.withColumn(
+                        "ts", F.expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))")
+                    )
+                df.createOrReplaceTempView(t)
 
     def table(self, name: str) -> DataFrame:
         """A raw driver table (no envelope)."""

@@ -178,6 +178,64 @@ def test_dedup_clusters_label_propagation(spark):
     assert summ == {1: 4, 10: 2}
 
 
+def test_dedup_clusters_fast_equals_pairwise(spark):
+    """Exact-collapse fast path == dedup_clusters(ngram_jaccard_pairs(...))
+    on a corpus built to hit every equality subtlety: exact-duplicate
+    groups (must self-cluster), a doc whose every shingle is hot (must NOT
+    cluster with its copies — never reaches the candidate index), short
+    docs (< k tokens, no shingles), and copy-count-weighted hot-shingle DF
+    (a shingle hot only because of replication)."""
+    from platform_spark.llmdata.clusters import dedup_clusters, dedup_clusters_fast
+    from platform_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    hot = "alpha beta gamma"  # every doc shares this shingle -> hot at df>0.2
+    rows = (
+        # near-dup pair (distinct contents, high overlap)
+        [(1, f"{hot} one two three four five six seven"),
+         (2, f"{hot} one two three four five six eight")]
+        # exact-duplicate triple with otherwise-unique text
+        + [(i, f"{hot} unique{7} nine ten eleven twelve") for i in (10, 11, 12)]
+        # all-hot doc + its copy: every shingle hot via replication weight
+        + [(i, hot) for i in range(20, 29)]
+        # short doc (< 3 tokens): no shingles at all
+        + [(30, "tiny doc"), (31, "tiny doc")]
+        # isolated normal doc
+        + [(40, "completely different words about nothing shared here")]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    thr = 0.2
+    slow = dedup_clusters(ngram_jaccard_pairs(df, threshold=thr))
+    fast = dedup_clusters_fast(df, threshold=thr)
+    assert {tuple(r) for r in slow.collect()} == {tuple(r) for r in fast.collect()}
+
+
+def test_embedding_clusters_fast_equals_pairwise(spark):
+    """Embedding fast path == dedup_clusters(embedding_neardup_pairs(...)),
+    including the zero-vector guard: copies of an all-zero vector have
+    undefined self-cosine, fail the pairwise verify, and must be absent
+    from the fast output too."""
+    from platform_spark.llmdata.clusters import dedup_clusters, embedding_clusters_fast
+    from platform_spark.llmdata.dedup import embedding_neardup_pairs
+
+    base = [0.5, -0.25, 1.0, 0.0, 0.75, -0.5, 0.25, 1.5]
+    near = [x * 1.01 + 0.001 for x in base]
+    ortho = [1.0, 1.0, -1.0, 2.0, -0.5, 1.0, -2.0, 0.25]
+    rows = (
+        [(1, base), (2, list(base)), (3, near)]        # dup pair + near
+        + [(10, ortho), (11, list(ortho))]             # exact-dup pair
+        + [(20, [0.0] * 8), (21, [0.0] * 8)]           # zero vectors
+        + [(30, [float(i) for i in range(8)])]         # isolated
+    )
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    kw = dict(threshold=0.9, n_hyperplanes=16, bands=4)
+    slow = dedup_clusters(embedding_neardup_pairs(df, **kw), "id_a", "id_b")
+    fast = embedding_clusters_fast(df, **kw)
+    got_slow = {tuple(r) for r in slow.collect()}
+    got_fast = {tuple(r) for r in fast.collect()}
+    assert got_slow == got_fast
+    assert not any(r[0] in (20, 21) for r in got_fast)  # zero vecs dropped
+
+
 def test_sessionize_gap_semantics(spark):
     from datetime import datetime
 
