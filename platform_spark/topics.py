@@ -268,7 +268,11 @@ class TopicCatalog:
         scheduler interleaves concurrent jobs safely)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        # one worker per topic (9 today, bounded at 8): each envelope job
+        # uses only ~4 shuffle tasks (one per topic partition), so wide
+        # overlap is what fills a 32-core executor; Spark's scheduler
+        # interleaves concurrent jobs safely
+        with ThreadPoolExecutor(max_workers=8) as pool:
             list(
                 pool.map(
                     lambda name: self.materialize(name, root),
@@ -320,9 +324,13 @@ class TopicCatalog:
                     shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
-            df = df.select(*IMPLICIT_COLUMNS).repartition("_partition")
+            # the envelope's ROW_NUMBER window already hash-shuffled rows on
+            # the `_partition` expression, so the write is partition-local
+            # as-is — an extra repartition("_partition") here would be a
+            # second full shuffle of every topic for the same clustering
             (
-                df.sortWithinPartitions("_partition", "_offset")
+                df.select(*IMPLICIT_COLUMNS)
+                .sortWithinPartitions("_partition", "_offset")
                 .write.mode("overwrite")
                 .partitionBy("_partition")
                 .parquet(out)
