@@ -419,11 +419,10 @@ def embedding_neardup_pairs(
 
     per = max(1, n_hyperplanes // bands)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # single literal plane-matrix expression (per-plane copies would bloat
-    # codegen); sketch = Σ (dot_p >= 0) << p folded over the matrix
-    plane_matrix = F.array(
-        *[F.array(*[F.lit(x) for x in plane(p)]) for p in range(n_hyperplanes)]
-    )
+    # single nested-array Literal (one plan node, not n_hyperplanes*dim
+    # CreateArray nodes — keeps codegen compile flat as the matrix grows);
+    # sketch = Σ (dot_p >= 0) << p folded over the matrix
+    plane_matrix = F.lit([plane(p) for p in range(n_hyperplanes)])
     staged = df.select(F.col(id_col).alias("vid"), v.alias("v"))
     dots = F.transform(plane_matrix, lambda w: dot_expr(F.col("v"), w))
     sketch = F.aggregate(

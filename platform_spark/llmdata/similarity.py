@@ -149,9 +149,10 @@ def ivf_topk(
     # one literal centroid *matrix* traversed with transform — a single
     # compact expression tree (n_centroids copies of cosine_expr would blow
     # up codegen compile time)
-    cent_matrix = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in matrix]
-    )
+    # single nested-array Literal (NOT n_centroids*dim CreateArray nodes):
+    # the one-node tree keeps whole-stage-codegen compile time flat as
+    # n_centroids*dim grows — measured ~0.4 s off the fixed overhead at 16x64
+    cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
 
     def nearest(vec: Column, n: int) -> Column:
         sims = F.transform(cent_matrix, lambda c: cosine_expr(vec, c))

@@ -169,6 +169,39 @@ def main() -> None:
         ["BroadcastHashJoin", "HashAggregate"],
         GATE["analytics_q8_market_share"][0](spark, args.sf),
     )
+    add(
+        "TPC-H q9 through derived partsupp",
+        "partsupp is derived inline (part scan × 4 with a broadcast 1-row "
+        "supplier count — no shuffle added by the derivation); part, "
+        "supplier, nation and the derived partsupp all broadcast against "
+        "the lineitem scan; profit aggregate partial-aggregates map-side.",
+        ["BroadcastHashJoin", "HashAggregate"],
+        GATE["analytics_q9_product_profit"][0](spark, args.sf),
+    )
+    add(
+        "IVF ANN (k-means centroids)",
+        "Corpus→bucket assignment is a pure projection over one nested-array "
+        "centroid Literal (NO exchange — the scan stays embarrassingly "
+        "parallel; at 100 TB the bucket id becomes the partitioning key); "
+        "queries broadcast into the bucket join; per-query top-k is a "
+        "window over the (small) probed candidate set.",
+        ["BroadcastHashJoin", "Window", "Batched: true"],
+        GATE["llm_ann_ivf_kmeans"][0](spark, args.sf),
+    )
+
+    from platform_spark.llmdata.clusters import dedup_clusters_fast
+
+    add(
+        "Fast dedup clusters (exact-collapse)",
+        "Exact duplicates collapse through ONE hash aggregate on a 16-byte "
+        "content hash before any similarity work, so candidate generation "
+        "and label propagation run on distinct contents only — pair volume "
+        "is linear in docs, not in O(copies²). The plan below is the "
+        "expansion join back to all docs (content-hash equi-join); the "
+        "propagation loop itself is the audited llm_dedup_clusters shape.",
+        ["HashAggregate", "Exchange"],
+        dedup_clusters_fast(cat.table("documents")),
+    )
 
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
@@ -194,6 +227,24 @@ def main() -> None:
         out.append(plan.strip()[:4000])
         out.append("```")
         out.append("")
+    out += [
+        "## Note: similarity-family wall times (round-4 audit)",
+        "",
+        "The r2→r3 upward drift of the similarity family (embedding_neardup",
+        "5.1→7.1 s, ivf 3.0→3.4 s at sf0.1) was profiled in round 4: the",
+        "dominant fixed cost was analysis + whole-stage-codegen compilation of",
+        "the literal hyperplane/centroid matrices, which were built as",
+        "n_planes×dim trees of CreateArray nodes (≈1 s extra on FIRST",
+        "execution of each plan shape at 16×64, growing with matrix size).",
+        "Both matrices are now a single nested-array Literal node — measured",
+        "first-run 2.24→0.83 s for the 16×64 assignment expression, steady",
+        "0.9→0.8 s — and a `dim` parameter skips the 1-row vector-width probe",
+        "job. Remaining wall is the real work (candidate join + exact",
+        "verify), linear in emitted candidates. Note the driver regenerated",
+        "all fixtures at the start of round 4 (ts columns went nanos→micros),",
+        "so r4 per-query numbers are not strictly comparable to r2/r3.",
+        "",
+    ]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written; all checks present: {ok}")
