@@ -219,10 +219,13 @@ def dedup_clusters_fast(
         .select("doc_a", "doc_b")
     )
     # multi-copy contents self-cluster iff they survive the index (≥1
-    # non-hot shingle) — exactly when their copies would pair at Jaccard 1.0
+    # non-hot shingle) — exactly when their copies would pair at Jaccard
+    # 1.0. Semi-join the (small) multi-copy rep list against the index —
+    # no wide distinct over the full shingle table.
     eligible_multi = (
-        idx.select("doc_id").distinct()
-        .join(copies.filter(F.col("n_copies") >= 2), "doc_id", "left_semi")
+        copies.filter(F.col("n_copies") >= 2)
+        .select("doc_id")
+        .join(idx, "doc_id", "left_semi")
         .select(F.col("doc_id").alias("rep_id"))
     )
     return _expand_rep_labels(
@@ -266,6 +269,11 @@ def embedding_clusters_fast(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v")
     ).join(reps.select(F.col("rep_id").alias("doc_id"), "n_copies"), "doc_id")
 
+    if dim is None:
+        # probe the RAW table (1-row parquet scan) — letting the pair
+        # generator probe rep_docs would execute the whole collapse
+        # pipeline just to learn the vector width
+        dim = len(df.select(vec_col).first()[0])
     rep_pairs = embedding_neardup_pairs(
         rep_docs,
         vec_col="__v",
