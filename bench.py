@@ -139,6 +139,8 @@ def main() -> None:
         "llm_pack_sequences",
         "llm_pii_redaction",
         "llm_quality_rules",
+        "llm_dedup_lines",
+        "llm_filter_boilerplate",
         "llm_decontaminate",
         "llm_chunk_documents",
         "llm_tfidf_keywords",

@@ -2253,6 +2253,109 @@ FROM base b JOIN top USING (doc_id)
 """,
 )
 
+# line-level corpus cleaning: corpus line-dedup + boilerplate line filter --
+# The synthetic docs are single-line, so each gate deterministically builds
+# a multi-line twin (same concatenation in both engines — the PII-gate
+# pattern): original text + a semi-shared promo line (doc_id % 7) + three
+# lines every doc shares (a marker line, a 1-word line, a symbol line).
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return _doc_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("promo code "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(" applies today only"),
+            ),
+            F.lit("please subscribe to our newsletter"),
+            F.lit("word"),
+            F.lit("@@@ $$$ %%%"),
+        ).alias("text"),
+    )
+
+
+_ML_DUCK = """
+ml AS (
+  SELECT doc_id,
+    text || chr(10) ||
+    'promo code ' || CAST(doc_id % 7 AS VARCHAR) || ' applies today only' || chr(10) ||
+    'please subscribe to our newsletter' || chr(10) ||
+    'word' || chr(10) ||
+    '@@@ $$$ %%%' AS text
+  FROM documents
+)
+"""
+
+
+def _dedup_lines_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.cleaning import dedup_lines
+
+    return dedup_lines(_multiline_docs(spark, sf_dir), min_count=2)
+
+
+_llm(
+    "llm_dedup_lines",
+    _dedup_lines_gate,
+    f"""
+WITH {_ML_DUCK},
+ex AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM ml)
+),
+lines AS (SELECT doc_id, i - 1 AS pos, l[i] AS line FROM ex),
+dup AS (SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 2),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM dup)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+  COALESCE(reb.n_kept, 0) AS n_lines_kept,
+  t.n_lines - COALESCE(reb.n_kept, 0) AS n_lines_removed
+FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+""",
+)
+
+
+def _boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.cleaning import filter_boilerplate_lines
+
+    return filter_boilerplate_lines(_multiline_docs(spark, sf_dir))
+
+
+_llm(
+    "llm_filter_boilerplate",
+    _boilerplate_gate,
+    f"""
+WITH {_ML_DUCK},
+base AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM ml),
+k AS (
+  SELECT doc_id, l,
+    list_filter(l, x ->
+      (CASE WHEN trim(x) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(x), '\\s+')) END) >= 4
+      AND NOT (contains(lower(x), 'subscribe') OR contains(lower(x), 'cookie')
+               OR contains(lower(x), 'copyright') OR contains(lower(x), 'javascript'))
+      AND round(CASE WHEN length(x) = 0 THEN 0.0
+                     ELSE length(regexp_replace(x, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                          / length(x)::DOUBLE END, 6) <= 0.2
+    ) AS kept
+  FROM base
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+  len(kept)::BIGINT AS n_lines_kept,
+  (len(l) - len(kept))::BIGINT AS n_lines_removed
+FROM k
+""",
+)
+
 # benchmark decontamination: 8-gram collision vs an eval set ----------------
 # Bench set is derived deterministically from the corpus itself (the first
 # 30 words of every 37th doc = "an eval question copied from a web page"),
@@ -2513,7 +2616,9 @@ _TAIL_SUBSETS = [
     "analytics_q17_small_qty_revenue",  # correlated scalar-agg subquery ⊂ analytics_q2 (correlated MIN) + analytics_q20 (correlated SUM)
     "analytics_q22_sales_opportunity",  # anti-join ⊂ analytics_q21 (LeftAnti); scalar-avg subquery ⊂ q2/q20 correlated shapes
     "analytics_q19_discount_revenue",   # OR-of-conjuncts join filter (pushdown asserted in test_plans) ⊂ q8 join+CASE, q1 agg shapes
-    "llm_kmv_distinct",            # deterministic md5-rank sketch, stable since r2; hash-rank machinery shared with llm_stratified_sample (head)
+    "llm_kmv_distinct",            # deterministic md5-rank sketch, stable since r2; hash-rank machinery shared with llm_stratified_sample/llm_split_assignment (tail, pytest-checked)
+    "llm_stratified_sample",       # md5-rank-per-stratum, stable since r2; growth-monotone property pytest + same portable-hash machinery as kmv/splits
+    "analytics_percentiles",       # exact percentile_cont parity, stable since r2; plain spark_sql agg path ⊂ q1/q18 shapes, tail pytest-checked
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

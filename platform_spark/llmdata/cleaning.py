@@ -160,3 +160,123 @@ def quality_rules(
         & F.col("repetition_ok")
         & F.col("top_word_ok"),
     )
+
+
+# -- line-level corpus operators -------------------------------------------
+# Web-corpus pipelines (C4, RefinedWeb, Gopher) clean at LINE granularity
+# before any document-level dedup: a line repeated across many pages is
+# boilerplate (nav bars, cookie banners), and per-line structural rules
+# drop junk the document-level metrics average away.
+
+#: substrings that mark a line as boilerplate (case-insensitive) — the
+#: published C4 rules blacklist cookie/javascript notices the same way
+BOILERPLATE_TOKENS: tuple[str, ...] = (
+    "subscribe",
+    "cookie",
+    "copyright",
+    "javascript",
+)
+
+MIN_LINE_WORDS = 4
+MAX_LINE_SYMBOL_RATIO = 0.2
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 'three-sentence' /
+    RefinedWeb line-dedup rule, at line granularity): drop every line
+    occurring >= `min_count` times ACROSS the corpus, then rebuild each
+    document from its surviving lines in original order.
+
+    Output: (doc_id, clean_text, n_lines_kept, n_lines_removed). A doc
+    whose every line is boilerplate comes back as '' (kept=0), not as a
+    dropped row.
+
+    Scale shape: posexplode → map-side-partial count on the line hash →
+    anti join → per-doc rebuild. The duplicate-line set is the only wide
+    exchange; per-doc state (collect_list) is bounded by document size.
+    Skewed hot lines partial-aggregate before the shuffle, and AQE's skew
+    handling covers the anti-join side at 100 TB.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("line")
+    )
+    kept = lines.join(dup, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("__n_lines"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("bigint").alias("n_lines_kept"),
+        (F.col("__n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+    )
+
+
+def _line_ok(line: Column, min_words: int) -> Column:
+    """Engine-portable per-line keep rule: enough words, no boilerplate
+    marker, bounded symbol ratio."""
+    trimmed = F.trim(line)
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    lowered = F.lower(line)
+    has_marker = F.lit(False)
+    for tok in BOILERPLATE_TOKENS:
+        has_marker = has_marker | lowered.contains(tok)
+    symbol_ratio = F.when(F.length(line) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(line, "[A-Za-z0-9 ]", ""))
+        / F.length(line)
+    )
+    return (
+        (n_words >= min_words)
+        & ~has_marker
+        & (F.round(symbol_ratio, 6) <= MAX_LINE_SYMBOL_RATIO)
+    )
+
+
+def filter_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = MIN_LINE_WORDS,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-document structural line filter (C4-style): keep a line iff it
+    has >= `min_words` words, carries no boilerplate marker
+    (BOILERPLATE_TOKENS, case-insensitive), and is <= 20% symbols.
+
+    Pure per-row array expressions — no explode, NO shuffle at all: at
+    100 TB this runs inside whole-stage codegen at scan parallelism,
+    exactly like redact_pii.
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(lines, lambda l: _line_ok(l, min_words))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_lines_removed"),
+    )

@@ -178,6 +178,53 @@ def test_dedup_clusters_label_propagation(spark):
     assert summ == {1: 4, 10: 2}
 
 
+def test_dedup_lines_corpus_semantics(spark):
+    """Lines occurring >= min_count times across the corpus disappear from
+    EVERY doc; surviving lines keep original order; an all-duplicate doc
+    comes back as '' with kept=0, not as a dropped row."""
+    from platform_spark.llmdata.cleaning import dedup_lines
+
+    rows = [
+        (1, "unique alpha\nshared line\nunique beta"),
+        (2, "shared line\nunique gamma"),
+        (3, "shared line"),  # nothing survives
+        (4, "only original content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_count=2).collect()}
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (2, 1)
+    assert out[2]["clean_text"] == "unique gamma"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["clean_text"] == "only original content here"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_filter_boilerplate_line_rules(spark):
+    """Per-line keep rules: word minimum, marker blacklist, symbol ratio —
+    each dropped independently; survivors keep order; zero-shuffle plan."""
+    from platform_spark.llmdata.cleaning import filter_boilerplate_lines
+
+    text = "\n".join(
+        [
+            "this line has plenty of ordinary words",
+            "too short",                            # < 4 words
+            "Please SUBSCRIBE to our newsletter",   # marker (case-insensitive)
+            "@@@ ### $$$ %%% ^^^",                  # symbol ratio > 0.2
+            "another perfectly normal content line",
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    out = filter_boilerplate_lines(df)
+    row = out.first()
+    assert row["clean_text"] == (
+        "this line has plenty of ordinary words\n"
+        "another perfectly normal content line"
+    )
+    assert (row["n_lines_kept"], row["n_lines_removed"]) == (2, 3)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_dedup_clusters_fast_equals_pairwise(spark):
     """Exact-collapse fast path == dedup_clusters(ngram_jaccard_pairs(...))
     on a corpus built to hit every equality subtlety: exact-duplicate
