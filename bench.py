@@ -141,6 +141,7 @@ def main() -> None:
         "llm_quality_rules",
         "llm_dedup_lines",
         "llm_filter_boilerplate",
+        "llm_repetition_metrics",
         "llm_decontaminate",
         "llm_chunk_documents",
         "llm_tfidf_keywords",

@@ -2356,6 +2356,66 @@ FROM k
 """,
 )
 
+# Gopher repetition metrics: within-doc duplicate/top n-gram char fractions
+
+
+def _repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.cleaning import repetition_metrics
+
+    return repetition_metrics(_doc_table(spark, sf_dir), ns=(2, 3))
+
+
+_llm(
+    "llm_repetition_metrics",
+    _repetition_gate,
+    r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS chars,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, chars, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+  FROM (SELECT doc_id, chars, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)
+),
+g3 AS (
+  SELECT doc_id, chars, 3 AS n, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM (SELECT doc_id, chars, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3)
+),
+g AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+c AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt, ANY_VALUE(chars) AS chars
+  FROM g GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT doc_id, n, ANY_VALUE(chars) AS chars,
+    MAX(cnt * length(gram)) AS top_score,
+    COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_score
+  FROM c GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_id,
+    MAX(CASE WHEN n = 2 THEN round(CASE WHEN chars = 0 THEN 0.0
+      ELSE least(1.0, top_score::DOUBLE / chars) END, 6) END) AS t2,
+    MAX(CASE WHEN n = 2 THEN round(CASE WHEN chars = 0 THEN 0.0
+      ELSE least(1.0, dup_score::DOUBLE / chars) END, 6) END) AS d2,
+    MAX(CASE WHEN n = 3 THEN round(CASE WHEN chars = 0 THEN 0.0
+      ELSE least(1.0, top_score::DOUBLE / chars) END, 6) END) AS t3,
+    MAX(CASE WHEN n = 3 THEN round(CASE WHEN chars = 0 THEN 0.0
+      ELSE least(1.0, dup_score::DOUBLE / chars) END, 6) END) AS d3
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(t2, 0.0) AS top_2gram_char_frac,
+  COALESCE(d2, 0.0) AS dup_2gram_char_frac,
+  COALESCE(t3, 0.0) AS top_3gram_char_frac,
+  COALESCE(d3, 0.0) AS dup_3gram_char_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+)
+
 # benchmark decontamination: 8-gram collision vs an eval set ----------------
 # Bench set is derived deterministically from the corpus itself (the first
 # 30 words of every 37th doc = "an eval question copied from a web page"),
@@ -2619,6 +2679,7 @@ _TAIL_SUBSETS = [
     "llm_kmv_distinct",            # deterministic md5-rank sketch, stable since r2; hash-rank machinery shared with llm_stratified_sample/llm_split_assignment (tail, pytest-checked)
     "llm_stratified_sample",       # md5-rank-per-stratum, stable since r2; growth-monotone property pytest + same portable-hash machinery as kmv/splits
     "analytics_percentiles",       # exact percentile_cont parity, stable since r2; plain spark_sql agg path ⊂ q1/q18 shapes, tail pytest-checked
+    "llm_collapse_repeats",        # single array-lambda expression, dedicated spec pytest; machinery ⊂ llm_chunk_documents (array transform) + llm_repetition_metrics
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

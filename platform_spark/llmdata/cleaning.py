@@ -280,3 +280,103 @@ def filter_boilerplate_lines(
         F.size(kept).cast("bigint").alias("n_lines_kept"),
         (F.size(lines) - F.size(kept)).cast("bigint").alias("n_lines_removed"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style within-document n-gram repetition metrics.
+
+    For each n in `ns` (published filter uses 2..4):
+    - ``top_{n}gram_char_frac``: characters covered by the single most
+      repeated n-gram (count × n-gram length / doc chars, capped at 1)
+    - ``dup_{n}gram_char_frac``: characters covered by ALL n-grams that
+      occur more than once (sum of count × length over duplicates / doc
+      chars, capped at 1)
+
+    Both follow the standard open implementations' approximation of the
+    Gopher rule (overlaps counted multiply, hence the cap). Scale shape:
+    ONE explode producing (doc, n, gram) for every n together, one
+    partial-aggregating shuffle keyed on doc_id — per-doc state only,
+    no corpus-wide structures.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("__chars"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+    )
+
+    def grams(n: int) -> Column:
+        size = F.size("__w")
+        idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
+        built = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.element_at("__w", i + j + 1) for j in range(n)]
+                ).alias("gram"),
+            ),
+        )
+        return F.when(size < n, F.array().cast(
+            "array<struct<n:int,gram:string>>"
+        )).otherwise(built)
+
+    exploded = toked.select(
+        "doc_id",
+        "__chars",
+        F.explode(F.concat(*[grams(n) for n in ns])).alias("__g"),
+    ).select("doc_id", "__chars", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
+    counted = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"), F.first("__chars").alias("__chars")
+    )
+    per_n = counted.groupBy("doc_id", "n").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("top_score"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+            ),
+            F.lit(0),
+        ).alias("dup_score"),
+        F.first("__chars").alias("__chars"),
+    )
+
+    def frac(score: Column) -> Column:
+        return F.round(
+            F.when(F.col("__chars") == 0, F.lit(0.0)).otherwise(
+                F.least(F.lit(1.0), score.cast("double") / F.col("__chars"))
+            ),
+            6,
+        )
+
+    aggs = []
+    for n in ns:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("top_score")))),
+                F.lit(0.0),
+            ).alias(f"top_{n}gram_char_frac")
+        )
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("dup_score")))),
+                F.lit(0.0),
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    pivoted = per_n.groupBy("doc_id").agg(*aggs)
+    # docs too short for ANY n still get a row (all-zero metrics)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(pivoted, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(c)
+                for n in ns
+                for c in (f"top_{n}gram_char_frac", f"dup_{n}gram_char_frac")
+            ],
+        )
+    )

@@ -225,6 +225,27 @@ def test_filter_boilerplate_line_rules(spark):
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
 
 
+def test_repetition_metrics_known_values(spark):
+    """Hand-computed Gopher fractions: counts multiply overlaps, capped at
+    1.0; docs shorter than n get zero rows, not missing rows."""
+    from platform_spark.llmdata.cleaning import repetition_metrics
+
+    rows = [
+        (1, "a b a b c"),   # "a b" twice: top2=dup2=2*3/9; top3=5/9, dup3=0
+        (2, "x x x x"),     # "x x" 3 times: 9/7 -> capped at 1.0
+        (3, "hi"),          # single token: no n-grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in repetition_metrics(df, ns=(2, 3)).collect()}
+    assert out[1]["top_2gram_char_frac"] == round(6 / 9, 6)
+    assert out[1]["dup_2gram_char_frac"] == round(6 / 9, 6)
+    assert out[1]["top_3gram_char_frac"] == round(5 / 9, 6)
+    assert out[1]["dup_3gram_char_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] == 1.0
+    assert out[2]["dup_2gram_char_frac"] == 1.0
+    assert out[3] == (3, 0.0, 0.0, 0.0, 0.0)
+
+
 def test_dedup_clusters_fast_equals_pairwise(spark):
     """Exact-collapse fast path == dedup_clusters(ngram_jaccard_pairs(...))
     on a corpus built to hit every equality subtlety: exact-duplicate
