@@ -125,3 +125,53 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def fake_resize(content: bytes, width: int, height: int) -> dict:
+    """Deterministic stand-in for a real resize: derives a pseudo payload
+    (content hash + target dims) so tests can assert batch shape and
+    determinism. Swap for PIL `Image.resize` on a real cluster."""
+    h = hashlib.sha256(
+        (content or b"") + struct.pack(">II", width, height)
+    ).digest()
+    return {"content": h, "width": width, "height": height}
+
+
+def real_resize(content: bytes, width: int, height: int) -> dict:
+    """Real resize entry point — intentionally unimplemented here."""
+    raise NotImplementedError(
+        "image libraries are not available in this environment; pass "
+        "resizer=fake_resize (tests) or a PIL-backed callable"
+    )
+
+
+RESIZE_SCHEMA = "media_id bigint, content binary, width int, height int"
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], dict] = real_resize,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize media payloads via Arrow-batched mapInPandas — same
+    executor-side batch shape as decode_media: bytes in, (bytes, dims)
+    out, no driver round-trip, scan-parallel at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                d = resizer(
+                    bytes(content) if content is not None else b"", width, height
+                )
+                rows.append(
+                    (int(mid), d["content"], d["width"], d["height"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, RESIZE_SCHEMA)

@@ -133,6 +133,21 @@ def test_multimodal_decode_and_features(spark):
     assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
 
 
+def test_multimodal_resize_plumbing(spark):
+    rows = [(i, "image", bytes([i]) * 32, "image/png", None, None, None, None) for i in range(6)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.resize_media(df, 64, 48, resizer=M.fake_resize).collect()
+    assert len(out) == 6
+    assert all((r["width"], r["height"]) == (64, 48) for r in out)
+    # deterministic: same payload + same target dims -> same bytes
+    again = M.resize_media(df, 64, 48, resizer=M.fake_resize).collect()
+    assert {(r["media_id"], bytes(r["content"])) for r in out} == {
+        (r["media_id"], bytes(r["content"])) for r in again
+    }
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        M.resize_media(df, 64, 48).collect()
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(1, 3500), (2, 900)], "media_id: long, duration_ms: long"
