@@ -240,6 +240,52 @@ def test_filter_boilerplate_line_rules(spark):
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
 
 
+def test_curate_corpus_end_to_end(spark, docs):
+    """The composed curation pipeline: stage contracts line up, counts are
+    monotone (clean ⊇ pass ⊇ dedup ⊇ curated), a planted near-duplicate
+    loses to its keeper, a planted bench overlap is dropped, and every
+    train doc lands in exactly one pack bin."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.pipeline import curate_corpus
+
+    # a 120-doc slice keeps the full composition under a minute on the
+    # 4-core CI session while still exercising every stage
+    base = docs.select("doc_id", "text").filter("doc_id < 120")
+    # plant an exact duplicate of doc 0 and use doc 1's text as "bench"
+    dup = base.filter("doc_id = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(dup)
+    bench = base.filter("doc_id = 1").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = curate_corpus(corpus, bench, ngram_threshold=0.2)
+
+    n_all = corpus.count()
+    n_pass = out["cleaned"].join(
+        out["quality"].filter("passes_all").select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    n_dedup = out["deduped"].count()
+    n_cur = out["curated"].count()
+    assert n_all >= n_pass >= n_dedup >= n_cur
+
+    dedup_ids = {r["doc_id"] for r in out["deduped"].select("doc_id").collect()}
+    if 0 in dedup_ids:  # keeper wins; the planted copy must be gone
+        assert 1_000_000 not in dedup_ids
+    cur_ids = {r["doc_id"] for r in out["curated"].select("doc_id").collect()}
+    assert 1 not in cur_ids  # bench-identical doc decontaminated away
+
+    packed = out["packed"]
+    train_ids = {
+        r["doc_id"]
+        for r in out["curated"].filter("split = 'train'").select("doc_id").collect()
+    }
+    rows = packed.select("doc_id", "pack_bucket", "pack_bin").collect()
+    assert {r["doc_id"] for r in rows} == train_ids
+    assert len(rows) == len(train_ids)  # exactly one bin per doc
+
+
 def test_repetition_metrics_known_values(spark):
     """Hand-computed Gopher fractions: counts multiply overlaps, capped at
     1.0; docs shorter than n get zero rows, not missing rows."""
