@@ -149,3 +149,72 @@ def test_dedup_clusters_matches_union_find(spark, pairs):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
     want = _components_python(norm)
     assert got == want
+
+
+def _dedup_lines_python(docs: list[tuple[int, str]], min_count: int):
+    from collections import Counter
+
+    counts = Counter(
+        line for _, text in docs for line in text.split("\n")
+    )
+    out = {}
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if counts[l] < min_count]
+        out[doc_id] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa bb", "cc dd", "shared one", "x", ""]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+)
+def test_dedup_lines_matches_python_spec(spark, doclines, min_count):
+    from platform_spark.llmdata.cleaning import dedup_lines
+
+    docs = [(i, "\n".join(ls)) for i, ls in enumerate(doclines)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in dedup_lines(df, min_count=min_count).collect()
+    }
+    assert got == _dedup_lines_python(docs, min_count)
+    # idempotence: a second pass over the non-emptied survivors removes
+    # nothing — every surviving line occurs < min_count times corpus-wide.
+    # (Docs reduced to ZERO lines are excluded: their '' placeholder would
+    # re-enter as a brand-new empty line; a real pipeline drops them.)
+    survivors = [(i, t) for i, (t, k, _r) in got.items() if k > 0]
+    if survivors:
+        df2 = spark.createDataFrame(survivors, "doc_id: long, text: string")
+        again = dedup_lines(df2, min_count=min_count).collect()
+        assert all(r["n_lines_removed"] == 0 for r in again)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["tok%d" % i for i in range(4)]), min_size=0, max_size=12
+    )
+)
+def test_repetition_metrics_bounds_and_distinct_zero(spark, words):
+    from platform_spark.llmdata.cleaning import repetition_metrics
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    row = repetition_metrics(df, ns=(2,)).first()
+    top, dup = row["top_2gram_char_frac"], row["dup_2gram_char_frac"]
+    assert 0.0 <= top <= 1.0 and 0.0 <= dup <= 1.0
+    assert dup == 0.0 or dup >= top - 1e-9  # dup covers the top gram too
+    # all 2-grams distinct -> no duplicate coverage at all
+    bigrams = [tuple(words[i : i + 2]) for i in range(len(words) - 1)]
+    if len(bigrams) == len(set(bigrams)):
+        assert dup == 0.0
