@@ -797,3 +797,46 @@ def test_within_join_stream_matches_batch(spark, tmp_path):
         for r in run("left_outer", "wj_louter").collect()
     }
     assert louter == inner | {("k3", 13.0, None)}
+
+
+def test_cleaning_ops_compose_on_streams(spark, tmp_path):
+    """The zero-shuffle cleaning operators (boilerplate line filter + PII
+    redaction) are pure row transforms, so the SAME functions run
+    unmodified inside a Structured Streaming query — the shape a
+    continuous curation pipeline needs."""
+    import pandas as pd
+
+    from platform_spark.llmdata.cleaning import (
+        filter_boilerplate_lines,
+        redact_pii,
+    )
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "a perfectly ordinary content line\nplease subscribe now today",
+                "reach me at bob@example.com for more details",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    cleaned = redact_pii(
+        filter_boilerplate_lines(stream).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("cleandocs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM cleandocs").collect()}
+    assert rows[1]["text_redacted"] == "a perfectly ordinary content line"
+    assert "<EMAIL>" in rows[2]["text_redacted"] and rows[2]["n_email"] == 1
