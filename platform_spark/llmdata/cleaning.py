@@ -380,3 +380,103 @@ def repetition_metrics(
             ],
         )
     )
+
+
+def quality_rules_rowwise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """`quality_rules` as pure per-row expressions — IDENTICAL output
+    columns/values (equality pytest-pinned), zero shuffle.
+
+    The one aggregate-looking metric, top-word ratio, becomes the longest
+    run of equal tokens in the SORTED token array (a single O(n log n)
+    fold per row). Use this twin on unbounded streams (continuous
+    curation) or wherever an extra exchange is unwanted; the batch
+    version's explode+agg shape remains better when the plan already
+    shuffles on doc_id.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    mean_len = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words,
+        6,
+    )
+    distinct_ratio = F.round(F.size(F.array_distinct(words)) / n_words, 6)
+    run = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_ratio = F.round(run / n_words, 6)
+    out = df.select(
+        F.col(id_col).alias(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_ratio.alias("top_word_ratio"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS)).alias(
+            "word_count_ok"
+        ),
+        (
+            (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+            & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        ).alias("mean_word_len_ok"),
+        (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO).alias("repetition_ok"),
+        (F.col("top_word_ratio") <= MAX_TOP_WORD_RATIO).alias("top_word_ok"),
+    ).withColumn(
+        "passes_all",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("repetition_ok")
+        & F.col("top_word_ok"),
+    )
+
+
+def quality_passes_expr(text: Column) -> Column:
+    """`passes_all` as ONE column expression (same rounded metrics as
+    quality_rules / quality_rules_rowwise — equality pytest-pinned).
+    For streams and filters where a separate metrics frame is unwanted."""
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    mean_len = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words,
+        6,
+    )
+    distinct_ratio = F.round(F.size(F.array_distinct(words)) / n_words, 6)
+    run = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_ratio = F.round(run / n_words, 6)
+    return (
+        (n_words >= MIN_WORDS)
+        & (n_words <= MAX_WORDS)
+        & (mean_len >= MIN_MEAN_WORD_LEN)
+        & (mean_len <= MAX_MEAN_WORD_LEN)
+        & (distinct_ratio >= MIN_DISTINCT_RATIO)
+        & (top_ratio <= MAX_TOP_WORD_RATIO)
+    )

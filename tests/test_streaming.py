@@ -840,3 +840,97 @@ def test_cleaning_ops_compose_on_streams(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM cleandocs").collect()}
     assert rows[1]["text_redacted"] == "a perfectly ordinary content line"
     assert "<EMAIL>" in rows[2]["text_redacted"] and rows[2]["n_email"] == 1
+
+
+def test_curate_stream_end_to_end(spark, tmp_path):
+    """Streaming curation: line filter + redaction + quality gate +
+    inline decontamination + watermarked exact dedup, all in ONE
+    append-legal plan. Plants one duplicate, one bench-contaminated doc,
+    and one word-salad doc; only the clean originals survive."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from platform_spark.streaming.curate import bench_shingle_hashes, curate_stream
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+        "ember fjord grove harbor inlet jasper knoll lagoon meadow nectar "
+        "orchid prairie quartz ridge summit terrace upland vale willow zephyr"
+    )
+    good2 = (
+        "anchor basil copper dahlia engine falcon garnet hollow iris "
+        "jigsaw kernel lantern marble nimbus onyx pebble quiver raven "
+        "saddle thimble umber violet walnut xylem yarrow zinc acorn "
+        "breeze canyon drift ember2 frost gully horizon islet juniper "
+        "kestrel loam mesa nook opal pine quarry reef slate tundra "
+        "vortex wharf yonder zenith"
+    )
+    eval_text = (
+        "question seven asks which planet has the largest ring system "
+        "and the answer discusses its composition density and origin "
+        "plus several moons that shepherd the narrow outer bands into "
+        "stable arcs over millions of years of orbital resonance while "
+        "astronomers measure their slow precession from ground arrays"
+    )
+    salad = "spam " * 60  # top-word ratio 1.0 -> quality-fails
+    ts = datetime(2024, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "_ts": [ts] * 5,
+            "text": [good, good2, good, salad, eval_text + " with extra trailing words"],
+        }
+    )
+    src = str(tmp_path / "stream_docs")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    bench = spark.createDataFrame(
+        [(100, eval_text)], "bench_id: long, text: string"
+    )
+    hashes = bench_shingle_hashes(bench, k=8)
+    assert hashes
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = curate_stream(stream, bench_hashes=hashes, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT doc_id, text FROM curated_stream").collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    # 3 dropped as duplicate-of-1, 4 quality-fails, 5 collides with bench;
+    # (1,2) survive — exactly one copy each
+    assert ids == [1, 2]
+
+
+def test_quality_rowwise_and_expr_match_batch(spark, tmp_path):
+    """The shuffle-free quality twins agree with the batch operator on the
+    full fixture corpus — metrics AND booleans bit-for-bit."""
+    from platform_spark.llmdata.cleaning import (
+        quality_passes_expr,
+        quality_rules,
+        quality_rules_rowwise,
+    )
+    from platform_spark.topics import TopicCatalog
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = TopicCatalog(spark, sf_dir).table("documents")
+    batch = {tuple(r) for r in quality_rules(docs).collect()}
+    rowwise = {tuple(r) for r in quality_rules_rowwise(docs).collect()}
+    assert batch == rowwise
+    via_expr = {
+        r["doc_id"]
+        for r in docs.filter(quality_passes_expr(F.col("text")))
+        .select("doc_id")
+        .collect()
+    }
+    via_frame = {r[0] for r in quality_rules(docs).collect() if r["passes_all"]}
+    assert via_expr == via_frame
