@@ -74,6 +74,22 @@ def _propagate_min_labels(
                 (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
         )
+        # pointer-jumping shortcut: also adopt the label's OWN label
+        # (always <= the label under min-propagation), turning the
+        # diameter-bound walk into ~log(diameter) rounds — each round
+        # costs one extra self-join but saves a full round's action +
+        # checkpoint on long paths
+        lab2 = updated.select(
+            F.col("node").alias("__n2"), F.col("label").alias("__l2")
+        )
+        updated = (
+            updated.join(lab2, updated.label == F.col("__n2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__l2"), F.col("label")).alias("label"),
+                (F.col("__chg") | (F.col("__l2") < F.col("label"))).alias("__chg"),
+            )
+        )
         updated = updated.localCheckpoint(eager=True)  # truncate the lineage
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.select("node", "label")
