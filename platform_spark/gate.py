@@ -2004,18 +2004,11 @@ _add("analytics_q21_waiting_suppliers", spark_sql(_Q21), _Q21)
 # × 4 with a broadcast 1-row supplier count — no shuffle added.
 # ---------------------------------------------------------------------------
 
-_PARTSUPP_CTE = """
+from platform_spark.topics import PARTSUPP_DERIVATION_SQL
+
+_PARTSUPP_CTE = f"""
 partsupp AS (
-  SELECT ps_partkey, ps_suppkey,
-    CAST(1 + MOD(ps_partkey * 7 + ps_suppkey * 13, 9999) AS INT) AS ps_availqty,
-    CAST(1.0 AS DOUBLE) + MOD(ps_partkey * 131 + ps_suppkey * 17, 99900) / CAST(100.0 AS DOUBLE) AS ps_supplycost
-  FROM (
-    SELECT p_partkey AS ps_partkey,
-      MOD(p_partkey + v.i * CAST(FLOOR(sc.s / 4) AS BIGINT), sc.s) AS ps_suppkey
-    FROM part
-    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier) sc
-    CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) AS w(i)) v
-  ) base
+{PARTSUPP_DERIVATION_SQL}
 )
 """
 
@@ -2356,6 +2349,20 @@ FROM k
 """,
 )
 
+# shuffle-free quality twin: identical output to llm_quality_rules (the
+# batch explode+agg form), so the SAME oracle checks it — parked at the
+# tail as a twin-of gate
+
+
+def _quality_rowwise_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.cleaning import quality_rules_rowwise
+
+    return quality_rules_rowwise(_doc_table(spark, sf_dir))
+
+
+_llm("llm_quality_rules_rowwise", _quality_rowwise_gate, GATE["llm_quality_rules"][1])
+
+
 # Gopher repetition metrics: within-doc duplicate/top n-gram char fractions
 
 
@@ -2680,6 +2687,7 @@ _TAIL_SUBSETS = [
     "llm_stratified_sample",       # md5-rank-per-stratum, stable since r2; growth-monotone property pytest + same portable-hash machinery as kmv/splits
     "analytics_percentiles",       # exact percentile_cont parity, stable since r2; plain spark_sql agg path ⊂ q1/q18 shapes, tail pytest-checked
     "llm_collapse_repeats",        # single array-lambda expression, dedicated spec pytest; machinery ⊂ llm_chunk_documents (array transform) + llm_repetition_metrics
+    "llm_quality_rules_rowwise",   # twin of llm_quality_rules (head) — identical output/oracle; equality also pytest-pinned
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

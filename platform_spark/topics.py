@@ -36,6 +36,25 @@ TABLES = (
     "embeddings",
 )
 
+#: deterministic partsupp derivation (dbgen's 4-suppliers-per-part recipe:
+#: stride floor(S/4), provably distinct mod S for S >= 4; availqty and
+#: supplycost are pure integer arithmetic on the two keys). Dialect-common
+#: SQL — the same text runs on Spark AND DuckDB, so the TPC-H partsupp
+#: gates (q2/q9/q11/q16/q20) prefix it as a CTE while users query the
+#: registered `partsupp` view directly.
+PARTSUPP_DERIVATION_SQL = """
+  SELECT ps_partkey, ps_suppkey,
+    CAST(1 + MOD(ps_partkey * 7 + ps_suppkey * 13, 9999) AS INT) AS ps_availqty,
+    CAST(1.0 AS DOUBLE) + MOD(ps_partkey * 131 + ps_suppkey * 17, 99900) / CAST(100.0 AS DOUBLE) AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+      MOD(p_partkey + v.i * CAST(FLOOR(sc.s / 4) AS BIGINT), sc.s) AS ps_suppkey
+    FROM part
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier) sc
+    CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) AS w(i)) v
+  ) base
+""".strip("\n")
+
 #: implicit columns, in reference order (server.go:1504-1511)
 IMPLICIT_COLUMNS = (
     "_topic",
@@ -197,6 +216,15 @@ class TopicCatalog:
                         "ts", F.expr("TIMESTAMP_MICROS(CAST(ts DIV 1000 AS BIGINT))")
                     )
                 df.createOrReplaceTempView(t)
+        # derived partsupp view: the fixtures ship no partsupp table, so a
+        # user's q2/q9/q11/q16/q20-style queries get the same deterministic
+        # derivation the correctness gates verify against DuckDB
+        if os.path.exists(os.path.join(self.sf_dir, "part.parquet")) and os.path.exists(
+            os.path.join(self.sf_dir, "supplier.parquet")
+        ):
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW partsupp AS {PARTSUPP_DERIVATION_SQL}"
+            )
 
     def table(self, name: str) -> DataFrame:
         """A raw driver table (no envelope)."""
