@@ -906,9 +906,12 @@ def test_curate_stream_end_to_end(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT doc_id, text FROM curated_stream").collect()
     ids = sorted(r["doc_id"] for r in rows)
-    # 3 dropped as duplicate-of-1, 4 quality-fails, 5 collides with bench;
-    # (1,2) survive — exactly one copy each
-    assert ids == [1, 2]
+    # 4 quality-fails, 5 collides with bench, and exactly ONE of the
+    # duplicate pair {1,3} survives (dropDuplicatesWithinWatermark keeps
+    # the first-arriving copy — arrival order within a batch is not
+    # deterministic, so assert on content, not on which id won)
+    assert sorted(r["text"] for r in rows) == sorted([good, good2])
+    assert ids in ([1, 2], [2, 3])
 
 
 def test_quality_rowwise_and_expr_match_batch(spark, tmp_path):
