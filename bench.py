@@ -118,6 +118,7 @@ def main() -> None:
         "llm_dedup_clusters_fast",
         "llm_embedding_clusters_fast",
         "llm_ann_ivf_kmeans",
+        "llm_ann_pca_topk",
         "analytics_sessionize",
         "analytics_asof_join",
         "analytics_range_join",

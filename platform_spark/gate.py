@@ -1237,6 +1237,64 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 """,
 )
 
+# PCA-projected ANN: deterministic pyspark.ml PCA fit (no RNG) must
+# reproduce the matrix pinned in ivf_pinned.py (oracle literal, sf0.01 —
+# the driver's correctness SF); projection + reduced-space top-k verified
+# end to end. Projection = plain uncentered dot products, mirrored
+# verbatim in SQL.
+
+
+def _ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb_table(spark, sf_dir)
+    return _sim.pca_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_components=8
+    )
+
+
+def _pinned_pca_values() -> str:
+    from platform_spark.llmdata.ivf_pinned import PCA_COMPONENTS_SF001
+
+    return ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(PCA_COMPONENTS_SF001)
+    )
+
+
+_llm(
+    "llm_ann_pca_topk",
+    _ann_pca,
+    f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT ci, w FROM (VALUES
+    {_pinned_pca_values()}
+  ) t(ci, w)
+),
+proj AS (
+  SELECT c.vec_id, list(list_dot_product(c.v, comp.w) ORDER BY comp.ci) AS p
+  FROM c CROSS JOIN comp GROUP BY c.vec_id
+),
+scored AS (
+  SELECT s.vec_id AS corpus_id, q.vec_id AS query_id,
+    round(list_dot_product(s.p, q.p)
+          / (sqrt(list_dot_product(s.p, s.p)) * sqrt(list_dot_product(q.p, q.p))),
+          6) AS cosine
+  FROM proj s CROSS JOIN (SELECT * FROM proj WHERE vec_id < 8) q
+  WHERE s.vec_id != q.vec_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+
 # embedding near-dup via hyperplane LSH (rows-only) -------------------------
 
 # CTE body shared by the pair gate and the fast-cluster closure gate.
@@ -2688,6 +2746,7 @@ _TAIL_SUBSETS = [
     "analytics_percentiles",       # exact percentile_cont parity, stable since r2; plain spark_sql agg path ⊂ q1/q18 shapes, tail pytest-checked
     "llm_collapse_repeats",        # single array-lambda expression, dedicated spec pytest; machinery ⊂ llm_chunk_documents (array transform) + llm_repetition_metrics
     "llm_quality_rules_rowwise",   # twin of llm_quality_rules (head) — identical output/oracle; equality also pytest-pinned
+    "llm_dedup_exact",             # one hash-agg ⊂ llm_dedup_clusters_fast (exact-collapse on the same content hash) + llm_dedup_normalized (tail twin)
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

@@ -133,6 +133,40 @@ def test_multimodal_decode_and_features(spark):
     assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
 
 
+def test_pca_topk_recall_on_structured_spectrum(spark):
+    """On data whose variance concentrates in few directions (the real-
+    embedding shape), 8-of-32-dim PCA projection preserves neighborhoods:
+    recall@5 vs the exact full-dim top-k stays high. Deterministic inputs
+    (hash-derived), no RNG."""
+    import math
+
+    from platform_spark.llmdata.similarity import brute_force_topk, pca_topk
+
+    def vec(i: int) -> list[float]:
+        # 4 strong signal dims (smooth functions of i) + 28 tiny noise dims
+        sig = [
+            math.sin(i / 7.0),
+            math.cos(i / 11.0),
+            math.sin(i / 5.0 + 1.0),
+            math.cos(i / 13.0 + 2.0),
+        ]
+        noise = [math.sin(i * (d + 3) * 2.39996) * 0.02 for d in range(28)]
+        return [round(x, 6) for x in sig + noise]
+
+    rows = [(i, vec(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    q = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in pca_topk(df, q, k=5, n_components=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
 def test_multimodal_resize_plumbing(spark):
     rows = [(i, "image", bytes([i]) * 32, "image/png", None, None, None, None) for i in range(6)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)

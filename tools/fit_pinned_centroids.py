@@ -1,8 +1,8 @@
 """Regenerate platform_spark/llmdata/ivf_pinned.py from the sf0.01 fixtures.
 
-The pinned matrix is the deterministic k-means fit the llm_ann_ivf_kmeans
-gate's oracle carries as a literal — rerun this only if the driver's
-embeddings fixture changes.
+The pinned matrices are the deterministic k-means / PCA fits whose gate
+oracles carry them as literals (llm_ann_ivf_kmeans, llm_ann_pca_topk) —
+rerun this only if the driver's embeddings fixture changes.
 """
 import os
 import sys
@@ -18,29 +18,38 @@ OUT = os.path.join(
     "platform_spark", "llmdata", "ivf_pinned.py",
 )
 
-spark = get_spark("fit-pinned-centroids", master="local[8]", shuffle_partitions=8)
+spark = get_spark("fit-pinned", master="local[8]", shuffle_partitions=8)
 emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-matrix = [
+kmeans = [
     [round(x, 6) for x in c]
     for c in sim.fit_kmeans_centroids(emb, 8, deterministic=True)
 ]
+pca = [
+    [round(x, 6) for x in c]
+    for c in sim.fit_pca_components(emb, 8, deterministic=True)
+]
 
 lines = [
-    '"""Pinned k-means IVF centroids for the correctness gate.',
+    '"""Pinned fitted matrices for the correctness gates.',
     "",
-    "Fitted ONCE with ``fit_kmeans_centroids(embeddings, 8, deterministic=True)``",
-    "(pyspark.ml KMeans, seed 42, maxIter 10, single-partition fit input) on the",
-    "driver's sf0.01 embeddings table, then rounded to 6 decimals. The gate's",
-    "Spark side re-fits at query time and must reproduce this matrix bit-exactly",
-    "(the oracle carries it as a literal), so the gate checks the pyspark.ml fit",
-    "path end-to-end, not just the assignment/topk math. Regenerate with",
+    "Fitted ONCE on the driver's sf0.01 embeddings table with",
+    "``fit_kmeans_centroids(emb, 8, deterministic=True)`` (seed 42, maxIter 10)",
+    "and ``fit_pca_components(emb, 8, deterministic=True)`` (no RNG), each on a",
+    "single-partition fit input, rounded to 6 decimals. The gates' Spark sides",
+    "re-fit at query time and must reproduce these matrices bit-exactly (the",
+    "oracles carry them as literals), so the pyspark.ml fit paths are inside",
+    "the hash checks, not just the downstream math. Regenerate with",
     "tools/fit_pinned_centroids.py if the fixture data ever changes.",
     '"""',
     "",
     "KMEANS_CENTROIDS_SF001: list[list[float]] = [",
-    *("    [" + ", ".join(repr(x) for x in c) + "]," for c in matrix),
+    *("    [" + ", ".join(repr(x) for x in c) + "]," for c in kmeans),
+    "]",
+    "",
+    "PCA_COMPONENTS_SF001: list[list[float]] = [",
+    *("    [" + ", ".join(repr(x) for x in c) + "]," for c in pca),
     "]",
 ]
 with open(OUT, "w") as f:
     f.write("\n".join(lines) + "\n")
-print(f"wrote {OUT}: {len(matrix)} x {len(matrix[0])}")
+print(f"wrote {OUT}: kmeans {len(kmeans)}x{len(kmeans[0])}, pca {len(pca)}x{len(pca[0])}")
