@@ -138,6 +138,8 @@ def main() -> None:
         "llm_stratified_sample",
         "llm_weighted_mix",
         "llm_pack_sequences",
+        "llm_materialize_packs",
+        "llm_token_frequencies",
         "llm_pii_redaction",
         "llm_quality_rules",
         "llm_dedup_lines",

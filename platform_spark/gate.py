@@ -800,6 +800,66 @@ FROM (
 )
 
 
+# pack materialization: bins → actual EOS-joined training sequences (the
+# deliverable a pretraining loader reads). Oracle = the pack gate's bin
+# expression + an ordered string_agg, so the new logic is the ordered
+# concatenation; bin assignment itself is head-checked by
+# llm_pack_sequences.
+
+
+def _materialize_packs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import materialize_packs, pack_sequences
+
+    docs = _doc_table(spark, sf_dir).select("doc_id", "text", "n_chars")
+    packed = pack_sequences(docs, "n_chars", budget=2000, n_buckets=8)
+    return materialize_packs(packed, text_col="text", token_col="n_chars")
+
+
+_llm(
+    "llm_materialize_packs",
+    _materialize_packs_gate,
+    """
+WITH p AS (
+  SELECT doc_id, text, n_chars, hh, hh % 8 AS pack_bucket,
+    CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+               / 2000.0) AS BIGINT) AS pack_bin
+  FROM (
+    SELECT doc_id, text, n_chars,
+      CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+    FROM documents WHERE doc_id IS NOT NULL
+  )
+)
+SELECT pack_bucket, pack_bin,
+  string_agg(text, '<|endoftext|>' ORDER BY hh, doc_id) AS sequence,
+  COUNT(*) AS n_docs, SUM(n_chars) AS n_tokens
+FROM p GROUP BY 1, 2
+""",
+)
+
+# corpus token-frequency table (vocabulary/BPE-build input) -----------------
+
+
+def _token_freq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import token_frequencies
+
+    return token_frequencies(_doc_table(spark, sf_dir), min_count=2)
+
+
+_llm(
+    "llm_token_frequencies",
+    _token_freq_gate,
+    r"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM ex WHERE token != '' GROUP BY token HAVING COUNT(*) >= 2
+""",
+)
+
+
 def _log_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2747,6 +2807,8 @@ _TAIL_SUBSETS = [
     "llm_collapse_repeats",        # single array-lambda expression, dedicated spec pytest; machinery ⊂ llm_chunk_documents (array transform) + llm_repetition_metrics
     "llm_quality_rules_rowwise",   # twin of llm_quality_rules (head) — identical output/oracle; equality also pytest-pinned
     "llm_dedup_exact",             # one hash-agg ⊂ llm_dedup_clusters_fast (exact-collapse on the same content hash) + llm_dedup_normalized (tail twin)
+    "llm_materialize_packs",       # ordered string_agg over llm_pack_sequences' bin expression (head checks the bin math; concat order pytest-pinned)
+    "llm_token_frequencies",       # per-token count/doc-count agg ⊂ llm_tfidf_keywords tf/df stages (head) + llm_corpus_stats distinct agg (head)
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

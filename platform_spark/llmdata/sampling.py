@@ -148,9 +148,11 @@ def pack_sequences(
     Documents are ordered by content hash inside `n_buckets` independent
     hash buckets; within a bucket, a document opens a new bin when the
     running token total before it crosses a budget multiple (the classic
-    streaming first-fit — a bin may overflow by at most one document,
-    never undershoot). Output adds `pack_bucket` and `pack_bin`; a
-    training shard is (pack_bucket, pack_bin).
+    streaming first-fit — a bin may overflow by at most one document; a
+    bin can close BELOW budget only in the shadow of an overflowing
+    predecessor, whose spill consumes part of the next budget window).
+    Output adds `pack_bucket` and `pack_bin`; a training shard is
+    (pack_bucket, pack_bin).
 
     Scale shape: the cumulative sum is windowed PER BUCKET, so no global
     sort/single-partition bottleneck exists — 100 TB packs as n_buckets
@@ -182,3 +184,67 @@ def pack_sequences(
         .drop("__h")
     )
     return out
+
+
+def materialize_packs(
+    packed: DataFrame,
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    eos: str = "<|endoftext|>",
+    seed: str = "pack:",
+) -> DataFrame:
+    """Turn `pack_sequences` bin assignments into actual training
+    sequences: one row per (pack_bucket, pack_bin) with the member texts
+    concatenated in the SAME content-hash order packing used, joined by
+    the EOS separator.
+
+    Output: (pack_bucket, pack_bin, sequence, n_docs, n_tokens). One
+    partial-aggregating shuffle on the (bucket, bin) key; per-bin state
+    is bounded by the token budget, so sequences never blow up a task.
+    Deterministic end to end: same corpus → byte-identical shards.
+    """
+    h = md5_int(F.col(id_col).cast("string"), seed=seed)
+    return (
+        packed.withColumn("__h", h)
+        .groupBy("pack_bucket", "pack_bin")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__h"), F.col(id_col), F.col(text_col))
+                        )
+                    ),
+                    lambda s: s[text_col],
+                ),
+                eos,
+            ).alias("sequence"),
+            F.count("*").alias("n_docs"),
+            F.sum(token_col).alias("n_tokens"),
+        )
+    )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table — the input every vocabulary/BPE build
+    starts from. One explode + one partial-aggregating shuffle on the
+    token; nothing is collected to the driver. Output:
+    (token, n_occurrences, n_docs)."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("__doc").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )

@@ -133,6 +133,48 @@ def test_multimodal_decode_and_features(spark):
     assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
 
 
+def test_materialize_packs_reconstruction(spark):
+    """Every doc lands in exactly one sequence, order inside a sequence is
+    the packing's content-hash order, and token totals are conserved."""
+    from platform_spark.llmdata.sampling import materialize_packs, pack_sequences
+
+    rows = [(i, f"doc{i} body", 10 + i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, n_tokens: long")
+    packed = pack_sequences(df, "n_tokens", budget=25, n_buckets=4)
+    seqs = materialize_packs(packed, eos="#").collect()
+    all_docs = [t for r in seqs for t in r["sequence"].split("#")]
+    assert sorted(all_docs) == sorted(r[1] for r in rows)  # once each
+    assert sum(r["n_docs"] for r in seqs) == 40
+    assert sum(r["n_tokens"] for r in seqs) == sum(r[2] for r in rows)
+    # budget discipline: cumulative tokens through any non-final bin of a
+    # bucket reach that many budget windows (undershoot only ever comes
+    # from a predecessor's overflow spilling into the window — the packing
+    # never opens a new bin while the current window has room)
+    by_bucket: dict[int, list] = {}
+    for r in seqs:
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["pack_bin"])
+        cum = 0
+        for r in rs[:-1]:
+            cum += r["n_tokens"]
+            assert cum >= 25 * (r["pack_bin"] + 1)
+
+
+def test_token_frequencies_counts(spark):
+    from platform_spark.llmdata.sampling import token_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    out = {r["token"]: (r["n_occurrences"], r["n_docs"]) for r in
+           token_frequencies(df).collect()}
+    assert out == {"aa": (2, 1), "bb": (2, 2), "cc": (1, 1)}
+    out2 = {r["token"] for r in token_frequencies(df, min_count=2).collect()}
+    assert out2 == {"aa", "bb"}
+
+
 def test_pca_topk_recall_on_structured_spectrum(spark):
     """On data whose variance concentrates in few directions (the real-
     embedding shape), 8-of-32-dim PCA projection preserves neighborhoods:
