@@ -140,6 +140,7 @@ def main() -> None:
         "llm_pack_sequences",
         "llm_materialize_packs",
         "llm_token_frequencies",
+        "llm_unigram_logprob",
         "llm_pii_redaction",
         "llm_quality_rules",
         "llm_dedup_lines",

@@ -860,6 +860,35 @@ FROM ex WHERE token != '' GROUP BY token HAVING COUNT(*) >= 2
 )
 
 
+# unigram-LM surprisal scoring (quality proxy over the frequency table) --
+
+
+def _unigram_logprob_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import unigram_logprob
+
+    return unigram_logprob(_doc_table(spark, sf_dir))
+
+
+_llm(
+    "llm_unigram_logprob",
+    _unigram_logprob_gate,
+    r"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tok AS (SELECT doc_id, token FROM ex WHERE token != ''),
+freq AS (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token),
+tot AS (SELECT SUM(n_occ) AS total FROM freq)
+SELECT doc_id, COUNT(*) AS n_scored_tokens,
+  round(CAST(SUM(CAST(round(ln(n_occ / total), 6) AS DECIMAL(18,8))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_logprob
+FROM tok JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+
+
 def _log_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2809,6 +2838,7 @@ _TAIL_SUBSETS = [
     "llm_dedup_exact",             # one hash-agg ⊂ llm_dedup_clusters_fast (exact-collapse on the same content hash) + llm_dedup_normalized (tail twin)
     "llm_materialize_packs",       # ordered string_agg over llm_pack_sequences' bin expression (head checks the bin math; concat order pytest-pinned)
     "llm_token_frequencies",       # per-token count/doc-count agg ⊂ llm_tfidf_keywords tf/df stages (head) + llm_corpus_stats distinct agg (head)
+    "llm_unigram_logprob",         # frequency-join + per-doc decimal-exact mean ⊂ llm_tfidf_keywords (tf/df join + smoothed log scoring, head)
     "kafsql_select_project",       # ⊂ kafsql_select_star (same projection path) + alias pytest
     "kafsql_join_star",            # ⊂ kafsql_join_inner (+ star expansion from select_star)
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema

@@ -248,3 +248,48 @@ def token_frequencies(
         )
         .filter(F.col("n_occurrences") >= min_count)
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-scored unigram language-model surprisal per document: the mean
+    natural-log corpus probability of the doc's tokens. Documents full of
+    rare tokens score low — the classic cheap LM-quality proxy (the
+    heavier KenLM-style filter shares this exact plumbing; swap the
+    in-corpus frequency table for external model scores).
+
+    Scale shape: one token-frequency aggregate (partial map-side), a
+    broadcast 1-row total, one token-keyed join, one doc-keyed aggregate.
+    Output: (doc_id, n_scored_tokens, avg_logprob) — rounded at 6 dp for
+    engine parity; empty docs score NULL avg over 0 tokens → excluded.
+    """
+    freqs = token_frequencies(df, text_col=text_col, id_col=id_col)
+    total = freqs.select(F.sum("n_occurrences").alias("__total"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    scored = (
+        toks.join(freqs.select("token", "n_occurrences"), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            # per-token logprob rounded then summed as exact decimal: the
+            # cross-row mean is order-independent (same value under any
+            # partitioning — and in the DuckDB oracle)
+            F.round(F.log(F.col("n_occurrences") / F.col("__total")), 6)
+            .cast("decimal(18,8)")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored_tokens"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )

@@ -175,6 +175,24 @@ def test_token_frequencies_counts(spark):
     assert out2 == {"aa", "bb"}
 
 
+def test_unigram_logprob_known_values(spark):
+    """Hand-checked surprisal: 'aa' (3 of 4 tokens) scores ln(3/4), 'bb'
+    ln(1/4); rare-token docs score lower; empty docs emit no row."""
+    import math
+
+    from platform_spark.llmdata.sampling import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "aa aa"), (2, "aa bb"), (3, "")], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert set(out) == {1, 2}
+    lp_aa, lp_bb = round(math.log(3 / 4), 6), round(math.log(1 / 4), 6)
+    assert out[1]["avg_logprob"] == round(lp_aa, 6)
+    assert out[2]["avg_logprob"] == round((lp_aa + lp_bb) / 2, 6)
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]  # rarer -> lower
+
+
 def test_pca_topk_recall_on_structured_spectrum(spark):
     """On data whose variance concentrates in few directions (the real-
     embedding shape), 8-of-32-dim PCA projection preserves neighborhoods:
