@@ -175,6 +175,59 @@ def test_token_frequencies_counts(spark):
     assert out2 == {"aa", "bb"}
 
 
+def test_curate_corpus_without_bench(spark, docs):
+    """No-bench branch: the contaminated frame is empty and nothing is
+    decontaminated away — curated == deduped ∘ splits."""
+    from platform_spark.llmdata.pipeline import curate_corpus
+
+    base = docs.select("doc_id", "text").filter("doc_id < 60")
+    out = curate_corpus(base, bench=None)
+    assert out["contaminated"].count() == 0
+    assert out["curated"].count() == out["deduped"].count()
+    assert set(out["curated"].columns) >= {"doc_id", "text", "split"}
+
+
+def test_materialize_packs_layout_stable(spark):
+    """Content-stability: the same corpus produces byte-identical
+    sequences under any input partitioning."""
+    from platform_spark.llmdata.sampling import materialize_packs, pack_sequences
+
+    rows = [(i, f"d{i}", 7 + i % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, n_tokens: long")
+
+    def run(frame):
+        packed = pack_sequences(frame, "n_tokens", budget=20, n_buckets=4)
+        return {tuple(r) for r in materialize_packs(packed, eos="|").collect()}
+
+    assert run(df) == run(df.repartition(7)) == run(df.repartition(1))
+
+
+def test_partsupp_view_invariants(spark, catalog):
+    """Derived partsupp: exactly 4 distinct suppliers per part, all FKs
+    resolve, values inside dbgen-like ranges."""
+    from pyspark.sql import functions as F
+
+    ps = spark.table("partsupp")
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("n")
+    )
+    assert per_part.filter("n != 4").count() == 0
+    n_parts = spark.table("part").count()
+    assert ps.count() == 4 * n_parts
+    orphans = ps.join(
+        spark.table("supplier"),
+        ps.ps_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    assert orphans.count() == 0
+    bounds = ps.agg(
+        F.min("ps_availqty"), F.max("ps_availqty"),
+        F.min("ps_supplycost"), F.max("ps_supplycost"),
+    ).first()
+    assert bounds[0] >= 1 and bounds[1] <= 9999
+    assert bounds[2] >= 1.0 and bounds[3] <= 1000.0
+
+
 def test_unigram_logprob_known_values(spark):
     """Hand-checked surprisal: 'aa' (3 of 4 tokens) scores ln(3/4), 'bb'
     ln(1/4); rare-token docs score lower; empty docs emit no row."""
