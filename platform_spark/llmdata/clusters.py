@@ -174,10 +174,13 @@ def dedup_clusters_fast(
       content-level pair set projects the all-docs pair set one-to-one —
       PROVIDED the hot-shingle cutoff sees the same document frequencies;
       we weight each distinct content by n_copies to guarantee that.
-    - Copies of one content always pair in the all-docs run (Jaccard 1.0)
-      *iff* the content keeps ≥1 shingle after the hot filter (a doc whose
-      every shingle is hot, or with < k tokens, never reaches the candidate
-      join) — mirrored here as the `indexed` eligibility of multi-copy reps.
+    - Copies of one content pair in the all-docs run iff their index-common
+      count over full sizes clears the threshold: with S shingles of which
+      N survive the hot filter, the self-pair scores round(N/(2S-N),6)
+      (n_common counts index rows only, sizes count all shingles). The
+      `eligible_multi` filter applies that exact formula, so a
+      boilerplate-heavy duplicated doc (N small, most shingles hot) is
+      excluded here exactly when the pairwise run excludes it.
     - Components of the all-docs graph = components of the content graph
       blown up with exact-duplicate cliques; min doc id per component =
       propagated min rep id.
@@ -234,14 +237,26 @@ def dedup_clusters_fast(
         )
         .select("doc_a", "doc_b")
     )
-    # multi-copy contents self-cluster iff they survive the index (≥1
-    # non-hot shingle) — exactly when their copies would pair at Jaccard
-    # 1.0. Semi-join the (small) multi-copy rep list against the index —
-    # no wide distinct over the full shingle table.
+    # multi-copy contents self-cluster iff their copies would pair in the
+    # all-docs run. The pairwise path counts common shingles over the
+    # INDEX (hot shingles dropped) but takes sizes over the FULL shingle
+    # set, so two copies with S shingles of which N survive the hot filter
+    # score round(N/(2S-N),6) — NOT 1.0. Mirror that formula exactly: a
+    # boilerplate-heavy duplicated doc (most shingles hot) must fail here
+    # just as its copies fail the pairwise threshold.
+    surv = idx.groupBy("doc_id").agg(F.count("*").alias("n_idx"))
     eligible_multi = (
         copies.filter(F.col("n_copies") >= 2)
-        .select("doc_id")
-        .join(idx, "doc_id", "left_semi")
+        .join(surv, "doc_id")
+        .join(sizes, "doc_id")
+        .filter(
+            F.round(
+                F.col("n_idx").cast("double")
+                / (F.lit(2) * F.col("n_sh") - F.col("n_idx")).cast("double"),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("doc_id").alias("rep_id"))
     )
     return _expand_rep_labels(

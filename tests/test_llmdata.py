@@ -465,6 +465,7 @@ def test_dedup_clusters_fast_equals_pairwise(spark):
     from platform_spark.llmdata.dedup import ngram_jaccard_pairs
 
     hot = "alpha beta gamma"  # every doc shares this shingle -> hot at df>0.2
+    boil = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
     rows = (
         # near-dup pair (distinct contents, high overlap)
         [(1, f"{hot} one two three four five six seven"),
@@ -477,6 +478,14 @@ def test_dedup_clusters_fast_equals_pairwise(spark):
         + [(30, "tiny doc"), (31, "tiny doc")]
         # isolated normal doc
         + [(40, "completely different words about nothing shared here")]
+        # boilerplate carriers: make the b1..b10 shingles hot by DF
+        + [(50 + i, f"{boil} tail{i}a tail{i}b tail{i}c") for i in range(10)]
+        # the divergence trap: duplicated doc with S=9 shingles, 8 hot
+        # (boilerplate) and 1 surviving -> self-pair jaccard 1/17 < 0.2,
+        # so the copies must NOT cluster (pairwise path drops them; an
+        # eligible_multi that only demands >=1 surviving shingle would
+        # wrongly self-cluster them)
+        + [(70, f"{boil} uniqueword"), (71, f"{boil} uniqueword")]
     )
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
     thr = 0.2
