@@ -2366,7 +2366,8 @@ _llm(
     _quality_gate,
     r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS words
+  FROM documents
 ), base AS (
   SELECT doc_id, len(words)::INT AS n_words,
     round(list_sum(list_transform(words, x -> length(x)::DOUBLE)) / len(words), 6)
@@ -2543,11 +2544,18 @@ c AS (
   SELECT doc_id, n, gram, COUNT(*) AS cnt, ANY_VALUE(chars) AS chars
   FROM g GROUP BY 1, 2, 3
 ),
-m AS (
+m0 AS (
+  -- argmax by count, ties toward longer gram: lexicographic (cnt,len) max
+  -- packed as cnt<<32|len, then cnt*len of the winner (mirrors cleaning.py)
   SELECT doc_id, n, ANY_VALUE(chars) AS chars,
-    MAX(cnt * length(gram)) AS top_score,
+    MAX(cnt * 4294967296 + length(gram)) AS packed,
     COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_score
   FROM c GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id, n, chars,
+    (packed // 4294967296) * (packed % 4294967296) AS top_score, dup_score
+  FROM m0
 ),
 p AS (
   SELECT doc_id,

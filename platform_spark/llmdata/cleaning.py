@@ -104,9 +104,15 @@ def quality_rules(
     two partial-aggregating shuffles keyed on doc_id, NOT a per-row n²
     expression, so it scales with corpus size like any other aggregate.
     """
+    # NULL text behaves as '' (one empty-string "word"): the explode-side
+    # aggregate would otherwise DROP null-text docs at the inner join while
+    # the rowwise twin emits NULL metrics — the three entry points must
+    # agree row-for-row (equality pytest-pinned, incl. the NULL case)
     words = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__words"),
     )
     base = words.select(
         id_col,
@@ -291,8 +297,11 @@ def repetition_metrics(
     """Gopher-style within-document n-gram repetition metrics.
 
     For each n in `ns` (published filter uses 2..4):
-    - ``top_{n}gram_char_frac``: characters covered by the single most
-      repeated n-gram (count × n-gram length / doc chars, capped at 1)
+    - ``top_{n}gram_char_frac``: characters covered by the single MOST
+      FREQUENT n-gram (its count × its length / doc chars, capped at 1;
+      count ties break toward the longer gram so the metric is
+      deterministic) — the Gopher definition: argmax by count first,
+      never a longer-but-rarer gram
     - ``dup_{n}gram_char_frac``: characters covered by ALL n-grams that
       occur more than once (sum of count × length over duplicates / doc
       chars, capped at 1)
@@ -333,8 +342,13 @@ def repetition_metrics(
     counted = exploded.groupBy("doc_id", "n", "gram").agg(
         F.count("*").alias("cnt"), F.first("__chars").alias("__chars")
     )
+    # argmax-by-count with a deterministic length tie-break, as ONE packed
+    # bigint max (cnt < 2^31, len < 2^32): lexicographic (cnt, len) max ==
+    # max(cnt<<32 | len); unpack with shift/mask (integer-exact — a double
+    # division would lose bits near 2^63)
+    pack = F.lit(1 << 32).cast("bigint")
     per_n = counted.groupBy("doc_id", "n").agg(
-        F.max(F.col("cnt") * F.length("gram")).alias("top_score"),
+        F.max(F.col("cnt") * pack + F.length("gram")).alias("__packed"),
         F.coalesce(
             F.sum(
                 F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
@@ -342,6 +356,10 @@ def repetition_metrics(
             F.lit(0),
         ).alias("dup_score"),
         F.first("__chars").alias("__chars"),
+    ).withColumn(
+        "top_score",
+        F.shiftrightunsigned(F.col("__packed"), 32)
+        * F.col("__packed").bitwiseAND(F.lit((1 << 32) - 1)),
     )
 
     def frac(score: Column) -> Column:
@@ -395,7 +413,7 @@ def quality_rules_rowwise(
     version's explode+agg shape remains better when the plan already
     shuffles on doc_id.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n_words = F.size(words)
     mean_len = F.round(
         F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words,
@@ -448,8 +466,10 @@ def quality_rules_rowwise(
 def quality_passes_expr(text: Column) -> Column:
     """`passes_all` as ONE column expression (same rounded metrics as
     quality_rules / quality_rules_rowwise — equality pytest-pinned).
-    For streams and filters where a separate metrics frame is unwanted."""
-    words = F.split(F.trim(text), r"\s+")
+    For streams and filters where a separate metrics frame is unwanted.
+    NULL text behaves as '' (fails the word-count rule → false, not NULL),
+    matching both quality_rules twins."""
+    words = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
     n_words = F.size(words)
     mean_len = F.round(
         F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words,

@@ -937,3 +937,32 @@ def test_quality_rowwise_and_expr_match_batch(spark, tmp_path):
     }
     via_frame = {r[0] for r in quality_rules(docs).collect() if r["passes_all"]}
     assert via_expr == via_frame
+
+
+def test_quality_twins_agree_on_null_text(spark):
+    """NULL text must behave as '' in ALL THREE quality entry points: the
+    batch explode+agg form must not drop the row at its inner join, the
+    rowwise twin must not emit NULL metrics, and quality_passes_expr must
+    yield false (not NULL — a NULL would silently pass a `NOT passes`
+    filter). Streaming and batch curation diverge otherwise."""
+    from platform_spark.llmdata.cleaning import (
+        quality_passes_expr,
+        quality_rules,
+        quality_rules_rowwise,
+    )
+
+    rows = [(1, None), (2, ""), (3, "regular words appear here often enough")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    batch = {r["doc_id"]: tuple(r) for r in quality_rules(docs).collect()}
+    rowwise = {r["doc_id"]: tuple(r) for r in quality_rules_rowwise(docs).collect()}
+    assert set(batch) == {1, 2, 3}          # null-text doc gets a row
+    assert batch == rowwise                 # twins bit-identical
+    assert batch[1][1:] == batch[2][1:]     # NULL == '' semantics
+    assert batch[1][-1] is False            # passes_all false, not None
+    flags = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", quality_passes_expr(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert flags == {i: batch[i][-1] for i in (1, 2, 3)}
