@@ -2831,7 +2831,12 @@ FROM t_nation"""
 # ---------------------------------------------------------------------------
 _TAIL_SUBSETS = [
     # subset-of gate                 superset that stays in the window
-    "llm_dedup_clusters",          # ⊂ llm_dedup_clusters_fast (identical closure oracle; same _propagate_min_labels path) + llm_dedup_ngram_jaccard (pair gen)
+    # NOTE llm_dedup_clusters (pairwise path) deliberately stays in the
+    # HEAD window: its equality to the fast path rests on the self-pair
+    # jaccard formula in eligible_multi, and the two paths run different
+    # code (pairwise pair-gen vs exact-collapse/_expand_rep_labels) — a
+    # divergence must fail the driver gate, not just pytest.
+    "llm_ann_pca_topk",            # pinned deterministic projection; probe/topk machinery ⊂ llm_ann_ivf_kmeans (head: re-fits AND scores the same path) + recall-property pytest
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)
     "kafsql_q1_dialect",           # ⊂ analytics_q1_pricing_summary (same agg math/oracle) + kafsql_agg_json_sum/agg_multi_group (compiler agg path)
     "kafsql_nation_topic",         # ⊂ kafsql_select_star (envelope projection) + kafsql_agg_minmax_schema (schema-on-read columns)

@@ -38,20 +38,29 @@ TABLES = (
 
 #: deterministic partsupp derivation (dbgen's 4-suppliers-per-part recipe:
 #: stride floor(S/4), provably distinct mod S for S >= 4; availqty and
-#: supplycost are pure integer arithmetic on the two keys). Dialect-common
-#: SQL — the same text runs on Spark AND DuckDB, so the TPC-H partsupp
-#: gates (q2/q9/q11/q16/q20) prefix it as a CTE while users query the
-#: registered `partsupp` view directly.
+#: supplycost are pure integer arithmetic on the two keys). The mod picks a
+#: supplier SLOT in 0..S-1, mapped to an actual key by rank over supplier —
+#: never assuming keys are a contiguous 0-based range, so a fixture
+#: regeneration to dbgen's 1-based keys cannot silently orphan rows (the
+#: rank map is a bijection, preserving the 4-distinct-slots proof).
+#: Dialect-common SQL — the same text runs on Spark AND DuckDB, so the
+#: TPC-H partsupp gates (q2/q9/q11/q16/q20) prefix it as a CTE while users
+#: query the registered `partsupp` view directly.
 PARTSUPP_DERIVATION_SQL = """
   SELECT ps_partkey, ps_suppkey,
     CAST(1 + MOD(ps_partkey * 7 + ps_suppkey * 13, 9999) AS INT) AS ps_availqty,
     CAST(1.0 AS DOUBLE) + MOD(ps_partkey * 131 + ps_suppkey * 17, 99900) / CAST(100.0 AS DOUBLE) AS ps_supplycost
   FROM (
-    SELECT p_partkey AS ps_partkey,
-      MOD(p_partkey + v.i * CAST(FLOOR(sc.s / 4) AS BIGINT), sc.s) AS ps_suppkey
+    SELECT p_partkey AS ps_partkey, sk.s_suppkey AS ps_suppkey
     FROM part
     CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier) sc
     CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) AS w(i)) v
+    JOIN (
+      SELECT s_suppkey,
+        ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS __slot
+      FROM supplier
+    ) sk
+    ON sk.__slot = MOD(p_partkey + v.i * CAST(FLOOR(sc.s / 4) AS BIGINT), sc.s)
   ) base
 """.strip("\n")
 

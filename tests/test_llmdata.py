@@ -228,6 +228,46 @@ def test_partsupp_view_invariants(spark, catalog):
     assert bounds[2] >= 1.0 and bounds[3] <= 1000.0
 
 
+def test_partsupp_derivation_survives_1based_keys(spark):
+    """Standard dbgen keys are 1-based; the fixtures are 0-based. The
+    derivation maps supplier SLOTS through a rank bijection, so regenerated
+    1-based (or gappy) keys must yield zero orphans and 4 distinct
+    suppliers per part — and Spark/DuckDB must agree row-for-row on the
+    same SQL text (the gates share it verbatim)."""
+    import duckdb
+
+    from platform_spark.topics import PARTSUPP_DERIVATION_SQL
+
+    parts = [(k,) for k in range(1, 41)]          # 1-based part keys
+    supps = [(k,) for k in (1, 2, 3, 5, 8, 13, 21)]  # 1-based AND gappy
+    spark.createDataFrame(parts, "p_partkey: long").createOrReplaceTempView("part1b")
+    spark.createDataFrame(supps, "s_suppkey: long").createOrReplaceTempView(
+        "supplier1b"
+    )
+    sql = PARTSUPP_DERIVATION_SQL.replace("FROM part", "FROM part1b").replace(
+        "FROM supplier", "FROM supplier1b"
+    )
+    got = spark.sql(sql)
+    assert got.count() == 4 * len(parts)
+    assert (
+        got.groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("n"))
+        .filter("n != 4")
+        .count()
+        == 0
+    )
+    valid = {k for (k,) in supps}
+    assert {r["ps_suppkey"] for r in got.select("ps_suppkey").distinct().collect()} <= valid
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE part1b(p_partkey BIGINT)")
+    con.executemany("INSERT INTO part1b VALUES (?)", parts)
+    con.execute("CREATE TABLE supplier1b(s_suppkey BIGINT)")
+    con.executemany("INSERT INTO supplier1b VALUES (?)", supps)
+    duck = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert {tuple(r) for r in got.collect()} == duck
+
+
 def test_unigram_logprob_known_values(spark):
     """Hand-checked surprisal: 'aa' (3 of 4 tokens) scores ln(3/4), 'bb'
     ln(1/4); rare-token docs score lower; empty docs emit no row."""
