@@ -76,6 +76,9 @@ GATE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
 
 def _add(name: str, fn: Callable, oracle: str | None) -> None:
+    # a duplicate registration would silently shadow the first via dict
+    # overwrite — the effective gate would be whichever ran last
+    assert name not in GATE, f"duplicate gate registration: {name}"
     GATE[name] = (fn, oracle)
 
 
@@ -1470,13 +1473,9 @@ FROM reach GROUP BY node
 
 # ---------------------------------------------------------------------------
 # Introspection + remaining dialect coverage
+# (kafsql_show_topics is registered in the passthrough-topics section below
+#  — the catalog there carries all nine topics)
 # ---------------------------------------------------------------------------
-
-_add(
-    "kafsql_show_topics",
-    lambda spark, sf_dir: engine_for(spark, sf_dir).sql("SHOW TOPICS"),
-    "SELECT * FROM (VALUES ('events'), ('orders'), ('payments')) t(topic)",
-)
 
 
 def _describe_oracle() -> str:
