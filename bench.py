@@ -114,6 +114,8 @@ def main() -> None:
         "llm_ann_ivf_topk",
         "llm_minhash_lsh_pairs",
         "llm_embedding_neardup",
+        "llm_ngram_rep_pairs",
+        "llm_embedding_rep_pairs",
         "llm_dedup_clusters",
         "llm_dedup_clusters_fast",
         "llm_embedding_clusters_fast",
@@ -124,7 +126,16 @@ def main() -> None:
         "analytics_range_join",
         "analytics_time_rollup",
         "analytics_q4_order_priority",
+        "analytics_q7_nation_trade",
+        "analytics_q10_returned_revenue",
+        "analytics_q12_shipmode",
+        "analytics_q13_custdist",
+        "analytics_q14_promo_revenue",
         "analytics_q15_top_supplier",
+        "analytics_q17_small_qty_revenue",
+        "analytics_q18_big_orders",
+        "analytics_q19_discount_revenue",
+        "analytics_q22_sales_opportunity",
         "analytics_q8_market_share",
         "analytics_q21_waiting_suppliers",
         "analytics_q2_min_cost_supplier",

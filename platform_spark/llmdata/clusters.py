@@ -18,20 +18,19 @@ deliverable is clusters/keepers rather than the pair list, materializing
 all C(c,2) intra-cluster pairs is wasted work — on corpora dominated by
 replicated documents the pair count grows quadratically in copy count
 (the sf1 rehearsal measured ~100× pairs from 10× replicated data). The
-fix: collapse EXACT duplicates first (one hash-aggregate), run the
-similarity candidate generation on distinct contents only, propagate
-labels on that small content graph, then expand back through the content
-hash. Output is provably identical to `dedup_clusters(<pairs over all
-docs>)` because similarity is a pure function of content — with one
-subtlety handled explicitly: the n-gram hot-shingle cutoff depends on
-*document* frequency, so the fast path weights each distinct content by
-its copy count when computing shingle DF (making the hot set, and thus
-the candidate graph, bit-identical to the all-docs run). A star-edge
-scheme (bucket-member → bucket-min edges) was considered instead and
-rejected: with exact-verification in the loop it can split components
-when the bucket min fails verification against a true duplicate, so its
-output is NOT always equal to the pairwise path; exact-collapse is both
-cheaper and exact.
+fix: propagate labels over the content-collapsed rep graph
+(dedup.ngram_jaccard_rep_graph / dedup.embedding_rep_graph — candidate
+generation on distinct contents, self rows for contents whose copies
+pair), then expand labels back to every doc through the content hash.
+Output is provably identical to `dedup_clusters(<pairs over all docs>)`
+because similarity is a pure function of content — the equality argument,
+including the copy-weighted hot-shingle set and the self-pair jaccard
+formula, lives with the graph builders in dedup.py. A star-edge scheme
+(bucket-member → bucket-min edges) was considered instead and rejected:
+with exact-verification in the loop it can split components when the
+bucket min fails verification against a true duplicate, so its output is
+NOT always equal to the pairwise path; exact-collapse is both cheaper and
+exact.
 """
 
 from __future__ import annotations
@@ -121,33 +120,33 @@ def dedup_clusters(
     )
 
 
-def _expand_rep_labels(
-    doc_hashes: DataFrame,  # (doc_id, __ch)
-    reps: DataFrame,        # (__ch, rep_id, n_copies)
-    rep_pairs: DataFrame,   # (doc_a, doc_b) edges between rep ids
-    eligible_multi: DataFrame,  # (rep_id) reps whose copies self-cluster
-    max_iterations: int,
-) -> DataFrame:
+def _cluster_rep_graph(graph, max_iterations: int) -> DataFrame:
     """Shared tail of the fast cluster paths: propagate min labels over the
-    content-representative graph, add isolated multi-copy reps as their own
-    clusters, then expand back to every doc through the content hash.
+    rep-level pair graph (self rows become isolated self-clusters), then
+    expand back to every doc through the content membership.
 
     cluster_id over the expanded graph = min doc id of the component =
     min rep id (each rep is already the min id among its copies), which is
     exactly the propagated label."""
-    labels = _propagate_min_labels(rep_pairs, "doc_a", "doc_b", max_iterations)
+    cross = graph.pairs.filter(F.col("rep_a") != F.col("rep_b")).select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
+    selfs = graph.pairs.filter(F.col("rep_a") == F.col("rep_b")).select(
+        F.col("rep_a").alias("rep_id")
+    )
+    labels = _propagate_min_labels(cross, "doc_a", "doc_b", max_iterations)
     all_labels = (
         labels.unionByName(
-            eligible_multi.select(
+            selfs.select(
                 F.col("rep_id").alias("node"), F.col("rep_id").alias("label")
             )
         )
         .groupBy("node")
         .agg(F.min("label").alias("label"))
     )
-    expanded = doc_hashes.join(
-        reps.select("__ch", "rep_id"), "__ch"
-    ).join(all_labels.withColumnRenamed("node", "rep_id"), "rep_id")
+    expanded = graph.membership.join(
+        all_labels.withColumnRenamed("node", "rep_id"), "rep_id"
+    )
     return expanded.select(
         F.col("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -169,99 +168,18 @@ def dedup_clusters_fast(
     stop_shingle_df=stop_shingle_df))`` without materializing O(copies²)
     pairs: exact-collapse → content-level Jaccard graph → expand.
 
-    Equality argument (each step exact, not approximate):
-    - Jaccard, shingle sets and sizes are pure functions of text, so the
-      content-level pair set projects the all-docs pair set one-to-one —
-      PROVIDED the hot-shingle cutoff sees the same document frequencies;
-      we weight each distinct content by n_copies to guarantee that.
-    - Copies of one content pair in the all-docs run iff their index-common
-      count over full sizes clears the threshold: with S shingles of which
-      N survive the hot filter, the self-pair scores round(N/(2S-N),6)
-      (n_common counts index rows only, sizes count all shingles). The
-      `eligible_multi` filter applies that exact formula, so a
-      boilerplate-heavy duplicated doc (N small, most shingles hot) is
-      excluded here exactly when the pairwise run excludes it.
-    - Components of the all-docs graph = components of the content graph
-      blown up with exact-duplicate cliques; min doc id per component =
-      propagated min rep id.
+    Equality: components of the all-docs graph = components of the content
+    graph blown up with exact-duplicate cliques (where the copies actually
+    pair — the rep graph's self rows apply the pairwise self-pair formula
+    exactly; see ngram_jaccard_rep_graph); min doc id per component =
+    propagated min rep id.
     """
-    from platform_spark.llmdata.dedup import _shingle_table, md5_int
+    from platform_spark.llmdata.dedup import ngram_jaccard_rep_graph
 
-    doc_hashes = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("__ch"),
+    graph = ngram_jaccard_rep_graph(
+        df, text_col, id_col, k, threshold, stop_shingle_df
     )
-    reps = doc_hashes.groupBy("__ch").agg(
-        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies")
-    )
-    rep_docs = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-    ).join(reps.select(F.col("rep_id").alias("doc_id"), "n_copies"), "doc_id")
-
-    sh = (
-        _shingle_table(rep_docs, "__text", "doc_id", k)
-        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
-        .cache()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # hot-shingle DF weighted by copy count == all-docs document frequency
-    copies = rep_docs.select("doc_id", "n_copies")
-    n_docs_df = df.select(F.count("*").alias("__n_docs"))
-    hot = (
-        sh.join(copies, "doc_id")
-        .groupBy("sh")
-        .agg(F.sum("n_copies").alias("df_"))
-        .crossJoin(F.broadcast(n_docs_df))
-        .filter(F.col("df_") > F.col("__n_docs") * stop_shingle_df)
-        .select("sh")
-    )
-    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a, b = idx.alias("a"), idx.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    rep_pairs = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            )
-            >= threshold
-        )
-        .select("doc_a", "doc_b")
-    )
-    # multi-copy contents self-cluster iff their copies would pair in the
-    # all-docs run. The pairwise path counts common shingles over the
-    # INDEX (hot shingles dropped) but takes sizes over the FULL shingle
-    # set, so two copies with S shingles of which N survive the hot filter
-    # score round(N/(2S-N),6) — NOT 1.0. Mirror that formula exactly: a
-    # boilerplate-heavy duplicated doc (most shingles hot) must fail here
-    # just as its copies fail the pairwise threshold.
-    surv = idx.groupBy("doc_id").agg(F.count("*").alias("n_idx"))
-    eligible_multi = (
-        copies.filter(F.col("n_copies") >= 2)
-        .join(surv, "doc_id")
-        .join(sizes, "doc_id")
-        .filter(
-            F.round(
-                F.col("n_idx").cast("double")
-                / (F.lit(2) * F.col("n_sh") - F.col("n_idx")).cast("double"),
-                6,
-            )
-            >= threshold
-        )
-        .select(F.col("doc_id").alias("rep_id"))
-    )
-    return _expand_rep_labels(
-        doc_hashes, reps, rep_pairs, eligible_multi, max_iterations
-    )
+    return _cluster_rep_graph(graph, max_iterations)
 
 
 def embedding_clusters_fast(
@@ -276,50 +194,17 @@ def embedding_clusters_fast(
 ) -> DataFrame:
     """Identical output to
     ``dedup_clusters(embedding_neardup_pairs(df, ...), "id_a", "id_b")``
-    without materializing O(copies²) pairs.
-
-    Simpler than the text twin: hyperplane-LSH bucket membership is a pure
-    function of the vector with no corpus-frequency dependence, so no
-    weighting is needed. Identical NONZERO vectors share every band bucket
-    and verify at cosine 1.0, so multi-copy contents self-cluster; a
-    zero-norm vector's self-cosine is undefined and the pairwise verify
-    drops it, so the norm guard below keeps the outputs bit-identical.
+    without materializing O(copies²) pairs. Equality argument (incl. the
+    zero-vector guard: NULL self-cosine drops the self row exactly as the
+    pairwise verify drops copy pairs) lives in embedding_rep_graph.
     Column names doc_id/cluster_id/is_keeper match dedup_clusters (doc_id
     carries the vec id)."""
-    from platform_spark.llmdata.dedup import embedding_neardup_pairs
-    from platform_spark.llmdata.similarity import dot_expr
+    from platform_spark.llmdata.dedup import embedding_rep_graph
 
-    doc_hashes = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.to_json(F.struct(F.col(vec_col))).cast("binary")).alias("__ch"),
+    graph = embedding_rep_graph(
+        df, vec_col, id_col, threshold, n_hyperplanes, bands, dim
     )
-    reps = doc_hashes.groupBy("__ch").agg(
-        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies")
-    )
-    rep_docs = df.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__v")
-    ).join(reps.select(F.col("rep_id").alias("doc_id"), "n_copies"), "doc_id")
-
-    if dim is None:
-        # probe the RAW table (1-row parquet scan) — letting the pair
-        # generator probe rep_docs would execute the whole collapse
-        # pipeline just to learn the vector width
-        dim = len(df.select(vec_col).first()[0])
-    rep_pairs = embedding_neardup_pairs(
-        rep_docs,
-        vec_col="__v",
-        id_col="doc_id",
-        threshold=threshold,
-        n_hyperplanes=n_hyperplanes,
-        bands=bands,
-        dim=dim,
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    eligible_multi = rep_docs.filter(
-        (F.col("n_copies") >= 2) & (dot_expr("__v", "__v") > F.lit(0.0))
-    ).select(F.col("doc_id").alias("rep_id"))
-    return _expand_rep_labels(
-        doc_hashes, reps, rep_pairs, eligible_multi, max_iterations
-    )
+    return _cluster_rep_graph(graph, max_iterations)
 
 
 def cluster_summary(clusters: DataFrame) -> DataFrame:

@@ -17,6 +17,8 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -87,7 +89,223 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     )
 
 
+# -- content collapse: rep-level pair emission ------------------------------
+# Exact duplicates dominate real web corpora, and every pair-emitting
+# similarity join pays O(copies²) for them — in candidate generation AND in
+# output. Similarity is a pure function of content, so the scale answer is
+# to collapse exact duplicates FIRST (one hash-aggregate), run candidate
+# generation on distinct contents only, and expand the quadratic doc-level
+# list lazily (expand_pairs) only for callers who truly want it. The
+# rep-level graph (rep ids + copy counts + scores, self rows for contents
+# whose copies pair) carries the same information in output ~linear in
+# distinct contents. The sf1 rehearsal measured the un-collapsed joins at
+# 51-69 s vs ~5-9 s collapsed, identical results.
+
+
+class RepGraph(NamedTuple):
+    """Content-collapsed similarity graph.
+
+    membership: (doc_id, rep_id) — every doc mapped to the min doc id of
+      its exact-duplicate group.
+    counts: (rep_id, n_copies).
+    pairs: scored rep-level pairs (rep_a, rep_b, ..., n_copies_a,
+      n_copies_b); a SELF row (rep_a == rep_b) means the content's copies
+      pair with each other in the equivalent all-docs run.
+    """
+
+    membership: DataFrame
+    counts: DataFrame
+    pairs: DataFrame
+
+
+def _collapse(df: DataFrame, content_hash: Column, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """(membership, counts) for exact-duplicate groups under content_hash."""
+    hashes = df.select(F.col(id_col).alias("doc_id"), content_hash.alias("__ch"))
+    reps = hashes.groupBy("__ch").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies")
+    )
+    membership = hashes.join(reps.select("__ch", "rep_id"), "__ch").select(
+        "doc_id", "rep_id"
+    )
+    return membership, reps.select("rep_id", "n_copies")
+
+
+def expand_pairs(
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    a_col: str = "rep_a",
+    b_col: str = "rep_b",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    side_cols: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Inflate rep-level pairs to the full doc-level pair list (a < b).
+
+    Cross rows (rep_a != rep_b) expand to copies_a × copies_b pairs; self
+    rows to C(copies, 2). Output ids are normalized (out_a < out_b);
+    `side_cols` lists (a-side, b-side) column pairs that must swap when
+    normalization flips the orientation (e.g. per-side sizes). Score
+    columns pass through unchanged — similarity is content-level, so every
+    expanded pair carries its rep pair's score. The output is exactly the
+    un-collapsed join's result, but produced by two hash joins instead of
+    a quadratic candidate shuffle.
+    """
+    m_a = membership.select(
+        F.col("rep_id").alias(a_col), F.col("doc_id").alias("__da")
+    )
+    m_b = membership.select(
+        F.col("rep_id").alias(b_col), F.col("doc_id").alias("__db")
+    )
+    j = (
+        rep_pairs.join(m_a, a_col)
+        .join(m_b, b_col)
+        # self rows would otherwise emit (x,x) and both orientations
+        .filter((F.col(a_col) != F.col(b_col)) | (F.col("__da") < F.col("__db")))
+    )
+    keep = F.col("__da") <= F.col("__db")
+    swapped = {c for pair in side_cols for c in pair}
+    sel = [
+        F.least("__da", "__db").alias(out_a),
+        F.greatest("__da", "__db").alias(out_b),
+    ]
+    for ca, cb in side_cols:
+        sel.append(F.when(keep, F.col(ca)).otherwise(F.col(cb)).alias(ca))
+        sel.append(F.when(keep, F.col(cb)).otherwise(F.col(ca)).alias(cb))
+    sel += [
+        F.col(c)
+        for c in rep_pairs.columns
+        if c not in (a_col, b_col) and c not in swapped
+    ]
+    return j.select(*sel)
+
+
 # -- n-gram Jaccard set-similarity join ------------------------------------
+
+
+def ngram_jaccard_rep_graph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+    stop_shingle_df: float = 0.2,
+) -> RepGraph:
+    """Content-collapsed k-shingle Jaccard graph; the core behind
+    ngram_jaccard_pairs AND clusters.dedup_clusters_fast.
+
+    Equality with the all-docs inverted-index join (each step exact):
+    - Jaccard, shingle sets and sizes are pure functions of text, so
+      content-level pairs project the all-docs pairs one-to-one — PROVIDED
+      the hot-shingle cutoff sees the same document frequencies; each
+      distinct content's shingles are weighted by its copy count, making
+      the hot set (and the candidate graph) bit-identical.
+    - Copies of one content pair iff their index-common count over full
+      sizes clears the threshold: with S shingles of which N survive the
+      hot filter, the self-pair scores round(N/(2S-N),6) (common counts
+      index rows only; sizes count all shingles). Self rows apply exactly
+      that formula, so boilerplate-heavy duplicates (N small) are excluded
+      exactly when the all-docs run excludes them.
+
+    Scale: one hash-agg collapse + the inverted-index join on DISTINCT
+    contents (join keys are 60-bit shingle hashes; ultra-frequent shingles
+    dropped from the index only — they generate quadratic candidates but
+    barely move Jaccard; sizes keep them, so scores stay exact).
+    """
+    membership, counts = _collapse(
+        df, F.md5(F.col(text_col).cast("binary")), id_col
+    )
+    rep_docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(counts.select(F.col("rep_id").alias("doc_id"), "n_copies"), "doc_id")
+    sh = (
+        _shingle_table(rep_docs, "__text", "doc_id", k)
+        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # doc count computed IN-PLAN (1-row aggregate broadcast into the
+    # filter) — no driver-side action, no extra full pass at scale
+    n_docs_df = df.select(F.count("*").alias("__n_docs"))
+    hot = (
+        sh.join(rep_docs.select("doc_id", "n_copies"), "doc_id")
+        .groupBy("sh")
+        .agg(F.sum("n_copies").alias("df_"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("df_") > F.col("__n_docs") * stop_shingle_df)
+        .select("sh")
+    )
+    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("rep_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("rep_b"), F.col("n_sh").alias("n_b"))
+    cross = common.join(sa, "rep_a").join(sb, "rep_b")
+    surv = idx.groupBy("doc_id").agg(F.count("*").alias("n_idx"))
+    selfs = (
+        counts.filter(F.col("n_copies") >= 2)
+        .join(surv.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select(
+            F.col("rep_id").alias("rep_a"),
+            F.col("rep_id").alias("rep_b"),
+            F.col("n_idx").alias("n_common"),
+            F.col("n_sh").alias("n_a"),
+            F.col("n_sh").alias("n_b"),
+        )
+    )
+    scored = (
+        cross.unionByName(selfs)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    ca = counts.select(F.col("rep_id").alias("rep_a"), F.col("n_copies").alias("n_copies_a"))
+    cb = counts.select(F.col("rep_id").alias("rep_b"), F.col("n_copies").alias("n_copies_b"))
+    pairs = (
+        scored.join(ca, "rep_a")
+        .join(cb, "rep_b")
+        .select(
+            "rep_a", "rep_b", "n_common", "n_a", "n_b", "jaccard",
+            "n_copies_a", "n_copies_b",
+        )
+    )
+    return RepGraph(membership, counts, pairs)
+
+
+def ngram_jaccard_rep_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+    stop_shingle_df: float = 0.2,
+) -> DataFrame:
+    """Rep-level near-dup pairs: (rep_a, rep_b, n_common, n_a, n_b,
+    jaccard, n_copies_a, n_copies_b), self rows for contents whose copies
+    pair. Output ~linear in distinct contents — THE pair deliverable at
+    100 TB; expand_pairs(…, content_membership(df)) reconstructs the full
+    quadratic list exactly when needed."""
+    return ngram_jaccard_rep_graph(
+        df, text_col, id_col, k, threshold, stop_shingle_df
+    ).pairs
+
+
+def content_membership(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, rep_id) map for exact text duplicates — the expansion side
+    of ngram_jaccard_rep_pairs."""
+    return _collapse(df, F.md5(F.col(text_col).cast("binary")), id_col)[0]
 
 
 def ngram_jaccard_pairs(
@@ -100,57 +318,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with k-shingle Jaccard ≥ threshold.
 
-    Inverted-index join: pairs sharing ≥1 shingle are candidates; common
-    counts come from the index join, sizes from a per-doc aggregate.
-    Shingles appearing in > stop_shingle_df of docs are dropped from the
-    *index only* (they generate quadratic candidates but barely move
-    Jaccard); sizes keep them, so Jaccard is exact for surviving pairs.
+    Computed as expand_pairs over the content-collapsed rep graph —
+    identical output to the direct inverted-index join (equality argument
+    in ngram_jaccard_rep_graph, pinned by the DuckDB full-pair oracle
+    gate), but candidate generation never pays O(copies²) for exact
+    duplicates; only the output itself is quadratic in copy counts.
+    Callers who can work at rep level should use ngram_jaccard_rep_pairs.
     """
-    # join on a 60-bit hash of the shingle: integer shuffle keys are far
-    # cheaper than strings at scale; collision odds at 2^60 are negligible
-    # (~1e-8 even at 10^5 distinct shingles — and a collision only perturbs
-    # one candidate pair's count)
-    sh = (
-        _shingle_table(df, text_col, id_col, k)
-        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
-        .cache()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # doc count computed IN-PLAN (1-row aggregate broadcast into the filter)
-    # — no driver-side action, no extra full pass over the input at scale
-    n_docs_df = df.select(F.count("*").alias("__n_docs"))
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df_"))
-        .crossJoin(F.broadcast(n_docs_df))
-        .filter(F.col("df_") > F.col("__n_docs") * stop_shingle_df)
-        .select("sh")
-    )
-    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-    )
-    return out
+    g = ngram_jaccard_rep_graph(df, text_col, id_col, k, threshold, stop_shingle_df)
+    return expand_pairs(
+        g.pairs.drop("n_copies_a", "n_copies_b"),
+        g.membership,
+        side_cols=(("n_a", "n_b"),),
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -378,18 +558,17 @@ def simhash_dedup_pairs(
 # -- embedding near-dup -----------------------------------------------------
 
 
-def embedding_neardup_pairs(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.95,
-    n_hyperplanes: int = 16,
-    bands: int = 4,
-    dim: int | None = None,
+def _lsh_cosine_pairs(
+    staged: DataFrame,  # (vid, v) — v already array<double>
+    threshold: float,
+    n_hyperplanes: int,
+    bands: int,
+    dim: int,
 ) -> DataFrame:
-    """Near-duplicate vectors by cosine ≥ threshold.
+    """Banded hyperplane-LSH candidate join + exact cosine verify over a
+    staged (vid, v) frame; returns (id_a, id_b, cosine), a < b.
 
-    Scale path: random-hyperplane LSH (sign sketch) BANDED like MinHash-LSH:
+    Random-hyperplane LSH (sign sketch) BANDED like MinHash-LSH:
     the n_hyperplanes sign bits split into `bands` bands; vectors sharing ANY
     band bucket become candidates, then exact cosine verifies. A single
     all-bits bucket would need agreement on every bit (recall
@@ -404,8 +583,6 @@ def embedding_neardup_pairs(
     """
     from platform_spark.llmdata.similarity import cosine_expr, dot_expr
 
-    if dim is None:  # 1-row probe; pass dim explicitly to save the job
-        dim = len(df.select(vec_col).first()[0])
     import hashlib
     import struct
 
@@ -418,12 +595,10 @@ def embedding_neardup_pairs(
         return vals
 
     per = max(1, n_hyperplanes // bands)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # single nested-array Literal (one plan node, not n_hyperplanes*dim
     # CreateArray nodes — keeps codegen compile flat as the matrix grows);
     # sketch = Σ (dot_p >= 0) << p folded over the matrix
     plane_matrix = F.lit([plane(p) for p in range(n_hyperplanes)])
-    staged = df.select(F.col(id_col).alias("vid"), v.alias("v"))
     dots = F.transform(plane_matrix, lambda w: dot_expr(F.col("v"), w))
     sketch = F.aggregate(
         F.zip_with(
@@ -470,3 +645,123 @@ def embedding_neardup_pairs(
     return cand.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def _vector_hash(vec_col: str) -> Column:
+    return F.md5(F.to_json(F.struct(F.col(vec_col))).cast("binary"))
+
+
+def vector_membership(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(doc_id, rep_id) map for exact vector duplicates — the expansion
+    side of embedding_neardup_rep_pairs."""
+    return _collapse(df, _vector_hash(vec_col), id_col)[0]
+
+
+def embedding_rep_graph(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_hyperplanes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> RepGraph:
+    """Content-collapsed cosine near-dup graph; the core behind
+    embedding_neardup_pairs AND clusters.embedding_clusters_fast.
+
+    Simpler than the text twin: hyperplane-LSH bucket membership is a pure
+    function of the vector with no corpus-frequency dependence, so no
+    copy-count weighting is needed — identical vectors share every band
+    bucket, so a rep pair exists iff any (equivalently every) copy pair is
+    a candidate, and the exact-cosine verify scores the same values. Self
+    rows verify cosine(v, v) with the SAME expression the pairwise verify
+    uses: nonzero copies score ≈1.0 and pass; a zero-norm vector's
+    self-cosine is NULL and the filter drops it, exactly as the all-docs
+    run drops its copy pairs.
+    """
+    membership, counts = _collapse(df, _vector_hash(vec_col), id_col)
+    if dim is None:  # 1-row probe; pass dim explicitly to save the job
+        dim = len(df.select(vec_col).first()[0])
+    from platform_spark.llmdata.similarity import cosine_expr
+
+    rep_docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).join(counts.select(F.col("rep_id").alias("doc_id"), "n_copies"), "doc_id")
+    cross = _lsh_cosine_pairs(
+        rep_docs.select(F.col("doc_id").alias("vid"), F.col("__v").alias("v")),
+        threshold,
+        n_hyperplanes,
+        bands,
+        dim,
+    ).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "cosine"
+    )
+    selfs = (
+        rep_docs.filter(F.col("n_copies") >= 2)
+        .select(
+            F.col("doc_id").alias("rep_a"),
+            F.col("doc_id").alias("rep_b"),
+            F.round(cosine_expr(F.col("__v"), F.col("__v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    ca = counts.select(F.col("rep_id").alias("rep_a"), F.col("n_copies").alias("n_copies_a"))
+    cb = counts.select(F.col("rep_id").alias("rep_b"), F.col("n_copies").alias("n_copies_b"))
+    pairs = (
+        cross.unionByName(selfs)
+        .join(ca, "rep_a")
+        .join(cb, "rep_b")
+        .select("rep_a", "rep_b", "cosine", "n_copies_a", "n_copies_b")
+    )
+    return RepGraph(membership, counts, pairs)
+
+
+def embedding_neardup_rep_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_hyperplanes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Rep-level near-dup vectors: (rep_a, rep_b, cosine, n_copies_a,
+    n_copies_b), self rows for duplicated nonzero vectors. Output ~linear
+    in distinct vectors; expand_pairs(…, vector_membership(df))
+    reconstructs the full quadratic list exactly when needed."""
+    return embedding_rep_graph(
+        df, vec_col, id_col, threshold, n_hyperplanes, bands, dim
+    ).pairs
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_hyperplanes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold: (id_a, id_b, cosine),
+    a < b.
+
+    Computed as expand_pairs over the vector-collapsed rep graph —
+    identical output to running the LSH join over all docs (equality
+    argument in embedding_rep_graph, pinned by the DuckDB full-pair oracle
+    gate), but candidate generation never pays O(copies²) for exact
+    duplicates. Callers who can work at rep level should use
+    embedding_neardup_rep_pairs.
+    """
+    g = embedding_rep_graph(
+        df, vec_col, id_col, threshold, n_hyperplanes, bands, dim
+    )
+    return expand_pairs(
+        g.pairs.drop("n_copies_a", "n_copies_b"),
+        g.membership,
+        out_a="id_a",
+        out_b="id_b",
+    ).select("id_a", "id_b", "cosine")

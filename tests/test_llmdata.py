@@ -534,6 +534,76 @@ def test_dedup_clusters_fast_equals_pairwise(spark):
     assert {tuple(r) for r in slow.collect()} == {tuple(r) for r in fast.collect()}
 
 
+def test_expand_pairs_orientation_and_self_rows(spark):
+    """expand_pairs must (a) swap per-side columns when id normalization
+    flips the pair's orientation, (b) expand self rows to C(c,2) pairs
+    with no diagonal and no double-count, (c) pass score columns through.
+    Content A = copies {1, 9}, content B = {5}: the (A,B) rep pair
+    expands to (1,5) keeping sides and (5,9) with sides SWAPPED (doc 5 is
+    B's copy but becomes doc_a)."""
+    from platform_spark.llmdata.dedup import expand_pairs
+
+    membership = spark.createDataFrame(
+        [(1, 1), (9, 1), (5, 5)], "doc_id: long, rep_id: long"
+    )
+    rep_pairs = spark.createDataFrame(
+        [(1, 5, 10, 20, 0.5), (1, 1, 10, 10, 1.0)],
+        "rep_a: long, rep_b: long, n_a: long, n_b: long, score: double",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_a"], r["n_b"], r["score"])
+        for r in expand_pairs(
+            rep_pairs, membership, side_cols=(("n_a", "n_b"),)
+        ).collect()
+    }
+    assert got == {
+        (1, 5): (10, 20, 0.5),
+        (5, 9): (20, 10, 0.5),   # orientation flipped -> sides swapped
+        (1, 9): (10, 10, 1.0),   # self row expands to the copy pair
+    }
+
+
+def test_rep_pairs_match_expanded_pairs(spark):
+    """Rep-level output + expansion == the full pair APIs on a corpus with
+    exact-duplicate groups (including a triple) — and the rep frame
+    carries correct copy counts."""
+    from platform_spark.llmdata.dedup import (
+        content_membership,
+        expand_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_rep_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = (
+        [(1, base), (4, base), (7, base)]                 # exact triple
+        + [(2, base.replace("ten", "eleven"))]            # near-dup of it
+        + [(3, "totally different words with no overlap at all")]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    # 5 docs: the default 0.2 hot cutoff would blacklist every duplicated
+    # shingle (weighted df 3-4 > 1) and empty the graph; 0.9 keeps them
+    kw = dict(threshold=0.2, stop_shingle_df=0.9)
+    rep = ngram_jaccard_rep_pairs(df, **kw)
+    counts = {
+        (r["rep_a"], r["rep_b"]): (r["n_copies_a"], r["n_copies_b"])
+        for r in rep.collect()
+    }
+    assert counts[(1, 1)] == (3, 3)        # self row for the triple
+    assert counts[(1, 2)] == (3, 1)
+    expanded = expand_pairs(
+        rep.drop("n_copies_a", "n_copies_b"),
+        content_membership(df),
+        side_cols=(("n_a", "n_b"),),
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    full = ngram_jaccard_pairs(df, **kw)
+    assert {tuple(r) for r in expanded.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # the triple contributes C(3,2)=3 intra pairs + 3 cross pairs to doc 2
+    assert full.count() == 6
+
+
 def test_embedding_clusters_fast_equals_pairwise(spark):
     """Embedding fast path == dedup_clusters(embedding_neardup_pairs(...)),
     including the zero-vector guard: copies of an all-zero vector have
