@@ -1779,26 +1779,67 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raster corpus: one image per document id, format cycling
+    PNG / PPM / BMP (the PNG writer cycles all five filter types per row),
+    pixels from the closed-form synth_pixels gradient — REAL bytes that a
+    SQL oracle can predict exactly."""
+    import pandas as pd
+
+    from platform_spark.llmdata.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        synth_pixels,
+    )
+
+    from pyspark.sql import functions as F
+
+    ids = _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        encs = (encode_png, encode_ppm, encode_bmp)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + (mid * 3) % 9
+                rows.append(
+                    (mid, encs[mid % 3](w, h, synth_pixels(mid, w, h)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ids.mapInPandas(gen, "media_id bigint, content binary")
+
+
 def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from platform_spark.llmdata.multimodal import decode_media, fake_decode
+    from platform_spark.llmdata.multimodal import decode_media, real_decode
 
-    return decode_media(_media_df(spark, sf_dir), decoder=fake_decode)
+    out = decode_media(_mm_real_media(spark, sf_dir), decoder=real_decode)
+    # integer columns only: the float mean is pytest-pinned; the oracle
+    # predicts dims/channels/pixel sums from the closed-form gradient
+    return out.select("media_id", "width", "height", "n_channels", "pixel_sum")
 
-
-_MM_BYTE_SUM = (
-    "list_sum(list_transform(generate_series(0, 31), "
-    "i -> CAST(('0x' || substr(sha256(text), 2*i + 1, 2)) AS INT)))"
-)
 
 _add(
     "llm_multimodal_decode",
     _mm_decode,
-    f"""
-SELECT doc_id AS media_id,
-  16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 64 AS width,
-  16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 64 AS height,
-  round({_MM_BYTE_SUM} / 32.0 / 255.0, 6) AS mean_intensity
-FROM documents
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h,
+    (x.x * 7 + y.y * 11 + c.c * 13 + media_id) % 256 AS v
+  FROM m
+  JOIN (SELECT unnest(generate_series(0, 16)) AS x) x ON x.x < w
+  JOIN (SELECT unnest(generate_series(0, 16)) AS y) y ON y.y < h
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+)
+SELECT media_id, MIN(w)::INT AS width, MIN(h)::INT AS height,
+  3::INT AS n_channels, SUM(v)::BIGINT AS pixel_sum
+FROM px GROUP BY media_id
 """,
 )
 
@@ -3190,7 +3231,7 @@ _TAIL_SUBSETS = [
     "kafsql_agg_json_minmax_count",  # ⊂ kafsql_agg_json_sum + kafsql_agg_minmax_schema
     "kafsql_agg_counts",           # ⊂ kafsql_agg_partition (COUNT*) + json_minmax_count (COUNT col)
     "llm_dedup_normalized",        # ⊂ llm_dedup_exact (same hash-agg, + normalize exprs pytest)
-    "llm_multimodal_decode",       # ⊂ llm_multimodal_features (features chains decode)
+    "llm_multimodal_decode",       # REAL stdlib PNG/PPM/BMP decode over closed-form synthetic rasters (sf-agnostic: images derive from doc ids); all 5 PNG filter paths in the hash; spec pytest
     "llm_minhash_signatures",      # ⊂ llm_minhash_lsh_pairs (full-pipeline oracle recomputes sigs)
     "llm_simhash_fingerprints",    # ⊂ llm_simhash_pairs (full-pipeline oracle recomputes fps)
     "analytics_tumbling_window",   # ≈ analytics_time_rollup hour level (same window bucketing)

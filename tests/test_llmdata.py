@@ -320,6 +320,59 @@ def test_pca_topk_recall_on_structured_spectrum(spark):
     assert len(exact & approx) / len(exact) >= 0.8
 
 
+def test_real_decode_known_pixels():
+    """real_decode parses PNG (all five filter types — the encoder cycles
+    them per row), PPM, and BMP rasters of a known synthetic gradient and
+    reports exact dims/channels/sums; JPEG magic raises."""
+    from platform_spark.llmdata.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        real_decode,
+        synth_pixels,
+    )
+
+    w, h = 13, 9
+    px = synth_pixels(5, w, h)
+    want_sum = sum(px)
+    for enc in (encode_png, encode_ppm, encode_bmp):
+        d = real_decode(enc(w, h, px))
+        assert (d["width"], d["height"], d["n_channels"]) == (w, h, 3), enc
+        assert d["pixel_sum"] == want_sum, enc
+        assert d["mean_intensity"] == round(want_sum / (w * h * 3) / 255.0, 6)
+    # grayscale PGM with a header comment
+    g = bytes((i * 37) % 256 for i in range(60))
+    d = real_decode(b"P5\n# synthetic\n10 6\n255\n" + g)
+    assert (d["width"], d["height"], d["n_channels"]) == (10, 6, 1)
+    assert d["pixel_sum"] == sum(g)
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+
+
+def test_decode_media_real_via_mapinpandas(spark):
+    """decode_media(real_decode) over synthesized PNG bytes — the Arrow
+    batch path end to end with real decoding on executors."""
+    from platform_spark.llmdata.multimodal import (
+        decode_media,
+        encode_png,
+        real_decode,
+        synth_pixels,
+    )
+
+    rows = []
+    for mid in range(6):
+        w, hh = 8 + mid % 9, 8 + (mid * 3) % 9
+        rows.append((mid, bytearray(encode_png(w, hh, synth_pixels(mid, w, hh)))))
+    df = spark.createDataFrame(rows, "media_id: long, content: binary")
+    out = {r["media_id"]: r for r in decode_media(df, decoder=real_decode).collect()}
+    for mid in range(6):
+        w, hh = 8 + mid % 9, 8 + (mid * 3) % 9
+        px = synth_pixels(mid, w, hh)
+        assert (out[mid]["width"], out[mid]["height"]) == (w, hh)
+        assert out[mid]["n_channels"] == 3
+        assert out[mid]["pixel_sum"] == sum(px)
+
+
 def test_multimodal_resize_plumbing(spark):
     rows = [(i, "image", bytes([i]) * 32, "image/png", None, None, None, None) for i in range(6)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
