@@ -503,6 +503,15 @@ def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog_for(spark, sf_dir).table("embeddings")
 
 
+#: configured vector dim (topics.VECTOR_DIMS) — passed to every embedding
+#: operator so no gate query runs a 1-row dim-probe job (asserted probe-free
+#: in tests/test_plans.py).
+_EMB_DIM = __import__(
+    "platform_spark.topics", fromlist=["vector_dim"]
+).vector_dim("embeddings", "embedding")
+assert _EMB_DIM is not None
+
+
 # text analysis -------------------------------------------------------------
 
 def _text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,7 +1252,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = _emb_table(spark, sf_dir)
-    return _sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return _sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=_EMB_DIM)
 
 
 # Full oracle: the "hash" centroids are portable md5 math (same first-8-
@@ -1324,7 +1333,12 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _sim.fit_kmeans_centroids(emb, 8, deterministic=True)
     ]
     return _sim.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=4, centroids=matrix
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_probe=4,
+        centroids=matrix,
+        dim=_EMB_DIM,
     )
 
 
@@ -1493,7 +1507,11 @@ verified AS (
 _llm(
     "llm_embedding_neardup",
     lambda spark, sf_dir: _dd.embedding_neardup_pairs(
-        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
+        _emb_table(spark, sf_dir),
+        threshold=0.3,
+        n_hyperplanes=16,
+        bands=4,
+        dim=_EMB_DIM,
     ),
     f"""
 WITH {_EMB_PAIR_CTES}
@@ -1507,7 +1525,11 @@ SELECT id_a, id_b, cosine FROM verified
 _llm(
     "llm_embedding_rep_pairs",
     lambda spark, sf_dir: _dd.embedding_neardup_rep_pairs(
-        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
+        _emb_table(spark, sf_dir),
+        threshold=0.3,
+        n_hyperplanes=16,
+        bands=4,
+        dim=_EMB_DIM,
     ),
     f"""
 WITH {_EMB_PAIR_CTES},
@@ -1540,7 +1562,11 @@ _llm(
     lambda spark, sf_dir: __import__(
         "platform_spark.llmdata.clusters", fromlist=["embedding_clusters_fast"]
     ).embedding_clusters_fast(
-        _emb_table(spark, sf_dir), threshold=0.3, n_hyperplanes=16, bands=4
+        _emb_table(spark, sf_dir),
+        threshold=0.3,
+        n_hyperplanes=16,
+        bands=4,
+        dim=_EMB_DIM,
     ),
     f"""
 WITH RECURSIVE {_EMB_PAIR_CTES},

@@ -36,6 +36,18 @@ TABLES = (
     "embeddings",
 )
 
+#: fixed dimension of array<float> vector columns, carried in catalog
+#: config (TESTDATA.md: embeddings.embedding is 64-d at every SF). Parquet
+#: list types don't encode element count, so without config the llmdata
+#: defaults would run a 1-row probe job per query — pinning it here keeps
+#: every engine/gate path probe-free (fixture agreement is pytest-checked).
+VECTOR_DIMS: dict[str, dict[str, int]] = {"embeddings": {"embedding": 64}}
+
+
+def vector_dim(table: str, column: str) -> int | None:
+    """Configured dimension of a vector column, or None if unregistered."""
+    return VECTOR_DIMS.get(table, {}).get(column)
+
 #: deterministic partsupp derivation (dbgen's 4-suppliers-per-part recipe:
 #: stride floor(S/4), provably distinct mod S for S >= 4; availqty and
 #: supplycost are pure integer arithmetic on the two keys). The mod picks a

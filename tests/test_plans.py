@@ -178,3 +178,37 @@ def test_chunking_has_no_exchange(spark):
     plan = _plan(chunk_documents(docs, chunk_size=32, overlap=8))
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_embedding_gates_are_probe_free(spark, monkeypatch):
+    # the configured vector dim (topics.VECTOR_DIMS) must reach every
+    # embedding operator: a 1-row .first() probe inside query construction
+    # is a hidden driver job per query at 100 TB
+    from pyspark.sql import DataFrame
+
+    from platform_spark import gate as g
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("dim probe: DataFrame.first() during gate build")
+
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    for name in (
+        "llm_ann_ivf_topk",
+        "llm_embedding_neardup",
+        "llm_embedding_rep_pairs",
+        "llm_ann_pca_topk",
+    ):
+        g.GATE[name][0](spark, "/root/testdata/sf0.001")
+
+
+def test_vector_dim_config_matches_fixture(spark):
+    # VECTOR_DIMS is config, not inference — pin it to the actual fixture
+    # so a dim change fails loudly here instead of corrupting LSH planes
+    from pyspark.sql import functions as F
+
+    from platform_spark.gate import catalog_for
+    from platform_spark.topics import vector_dim
+
+    emb = catalog_for(spark, "/root/testdata/sf0.001").table("embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [vector_dim("embeddings", "embedding")]

@@ -1,0 +1,224 @@
+"""Heavy-operator scale rehearsal: run ingest + the most expensive
+operator family at a large derived SF (gen_scale.py output) and record
+wall times with linearity ratios vs a smaller reference run.
+
+This substantiates the "plans survive 100×" claim with measurements: the
+sf10 dir is 100× the sf0.1 gate fixture, so an operator whose wall grows
+super-linearly IN ROWS (not in output size) shows up as ratio >> copies.
+
+Usage:
+  python tools/gen_scale.py --src /root/testdata/sf0.1 --dest .bench/sf10 --copies 100
+  python tools/scale_rehearsal.py --sf-dir .bench/sf10 --ref .bench/bench_detail_sf1.json \
+      --copies 10 --out .bench/bench_sf10.json [--curation]
+
+`--curation` additionally runs the batch curation pipeline AND its
+streaming twin over the documents table and checks the curated content
+sets agree (the stream dedups on exact text hash, so the batch expected
+set is computed with the same row-wise twins + exact-hash collapse —
+arrival order decides WHICH duplicate id wins, content decides WHAT
+survives; the check compares content).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: the operator family that dominates the suite wall at sf1 (BENCH_sf1),
+#: plus one representative per relational shape class
+HEAVY = [
+    "llm_dedup_ngram_jaccard",
+    "llm_embedding_neardup",
+    "llm_ngram_rep_pairs",
+    "llm_embedding_rep_pairs",
+    "llm_dedup_clusters",
+    "llm_dedup_clusters_fast",
+    "llm_embedding_clusters_fast",
+    "llm_minhash_lsh_pairs",
+    "llm_ann_ivf_kmeans",
+    "llm_tfidf_keywords",
+    "llm_decontaminate",
+    "analytics_q21_waiting_suppliers",
+    "analytics_q5_nation_revenue",
+    "analytics_q1_pricing_summary",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_curation_twins(spark, sf_dir: str, scratch: str) -> dict:
+    """Batch curate_corpus + streaming curate_stream over the documents
+    table; returns walls and the content-set equality verdict."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import (
+        _line_ok,
+        quality_passes_expr,
+        redact_pii,
+    )
+    from platform_spark.llmdata.pipeline import curate_corpus
+    from platform_spark.streaming.curate import bench_shingle_hashes, curate_stream
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, sf_dir)
+    docs = cat.table("documents")
+    bench = (
+        docs.orderBy("doc_id")
+        .limit(20)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+
+    out = {}
+    t0 = time.time()
+    stages = curate_corpus(docs, bench)
+    n_curated = stages["curated"].count()
+    n_packed = stages["packed"].count()
+    out["batch_curate_sec"] = round(time.time() - t0, 3)
+    out["batch_curated_rows"] = n_curated
+    out["batch_packed_rows"] = n_packed
+
+    # expected stream survivors, computed in batch with the SAME row-wise
+    # twins the stream uses (clean -> redact -> quality -> decontam) and
+    # exact-hash dedup; compare CONTENT (arrival order picks the id)
+    hashes = bench_shingle_hashes(bench, k=8)
+    base = docs.select(
+        "doc_id",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_ts"),
+        "text",
+    )
+    src = os.path.join(scratch, "curate_stream_src")
+    shutil.rmtree(src, ignore_errors=True)
+    t0 = time.time()
+    base.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    curated = curate_stream(stream, bench_hashes=hashes, watermark="10 minutes")
+    spark.sql("DROP TABLE IF EXISTS rehearsal_curated_stream")
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("rehearsal_curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out["stream_curate_sec"] = round(time.time() - t0, 3)
+
+    from platform_spark.llmdata.dedup import md5_int, shingles_from_tokens
+    from platform_spark.llmdata.text import tokens
+
+    cleaned = base.withColumn(
+        "text",
+        F.array_join(
+            F.filter(F.split(F.col("text"), "\n"), lambda l: _line_ok(l, 4)),
+            "\n",
+        ),
+    )
+    cleaned = redact_pii(cleaned).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    passing = cleaned.filter(quality_passes_expr(F.col("text")))
+    doc_sh = F.transform(
+        shingles_from_tokens(tokens(F.lower(F.col("text"))), 8),
+        lambda s: md5_int(s),
+    )
+    expected = (
+        passing.filter(
+            ~F.coalesce(
+                F.arrays_overlap(doc_sh, F.lit(hashes).cast("array<bigint>")),
+                F.lit(False),
+            )
+        )
+        .select("text")
+        .distinct()
+    )
+    got = spark.table("rehearsal_curated_stream").select("text").distinct()
+    n_expected = expected.count()
+    n_got = got.count()
+    n_common = expected.intersect(got).count()
+    out["stream_curated_rows"] = n_got
+    out["twin_equal_content"] = bool(n_expected == n_got == n_common)
+    out["twin_expected_rows"] = n_expected
+    if not out["twin_equal_content"]:
+        print(
+            f"TWIN MISMATCH: expected={n_expected} got={n_got} common={n_common}",
+            file=sys.stderr,
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ref", help="bench detail JSON of a smaller run to ratio against")
+    ap.add_argument(
+        "--copies", type=float, default=10.0,
+        help="row multiple of this run vs --ref (linearity denominator)",
+    )
+    ap.add_argument("--queries", nargs="*", default=HEAVY)
+    ap.add_argument("--curation", action="store_true")
+    ap.add_argument("--skip-ingest", action="store_true")
+    args = ap.parse_args()
+
+    from platform_spark.gate import GATE
+    from platform_spark.session import get_spark
+    from platform_spark.topics import TopicCatalog
+
+    spark = get_spark("scale-rehearsal")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench"
+    )
+    os.makedirs(scratch, exist_ok=True)
+
+    timings: dict[str, float] = {}
+    result: dict = {"sf_dir": args.sf_dir, "queries": timings}
+
+    if not args.skip_ingest:
+        cat = TopicCatalog(spark, args.sf_dir)
+        topic_root = os.path.join(scratch, "topics_rehearsal")
+        shutil.rmtree(topic_root, ignore_errors=True)
+        t0 = time.time()
+        cat.materialize_all(topic_root)
+        ingest = time.time() - t0
+        n_rows = sum(
+            cat.topic(t, with_schema_columns=False).count()
+            for t in cat.topic_names()
+        )
+        timings["ingest_topics"] = round(ingest, 3)
+        result["ingest_rows_per_sec"] = round(n_rows / max(ingest, 1e-9))
+
+    for name in args.queries:
+        fn, _oracle = GATE[name]
+        t0 = time.time()
+        force(fn(spark, args.sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]} s", flush=True)
+
+    if args.curation:
+        result["curation"] = run_curation_twins(spark, args.sf_dir, scratch)
+
+    if args.ref and os.path.exists(args.ref):
+        ref = json.load(open(args.ref))["queries"]
+        result["linearity_vs_ref"] = {
+            k: round(v / ref[k], 2)
+            for k, v in timings.items()
+            if k in ref and ref[k] > 0.05
+        }
+        result["copies_vs_ref"] = args.copies
+
+    result["total_sec"] = round(sum(timings.values()), 2)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
