@@ -113,9 +113,12 @@ def main() -> None:
         "llm_ann_brute_topk",
         "llm_ann_ivf_topk",
         "llm_minhash_lsh_pairs",
+        "llm_simhash_pairs",
         "llm_embedding_neardup",
         "llm_ngram_rep_pairs",
         "llm_embedding_rep_pairs",
+        "llm_minhash_rep_pairs",
+        "llm_simhash_rep_pairs",
         "llm_dedup_clusters",
         "llm_dedup_clusters_fast",
         "llm_embedding_clusters_fast",

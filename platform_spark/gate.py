@@ -1951,6 +1951,59 @@ _add(
     _MINHASH_PAIRS_ORACLE,
 )
 
+# Rep-level twin: collapse of the full verified pair set through exact-text
+# membership (same derivation as llm_ngram_rep_pairs — the oracle maps the
+# full-pair truth through duplicate groups, pinning the expansion-equality
+# claim in minhash_rep_graph).
+_llm(
+    "llm_minhash_rep_pairs",
+    lambda spark, sf_dir: _dd.minhash_dedup_rep_pairs(
+        _doc_table(spark, sf_dir), threshold=0.1
+    ),
+    f"""
+WITH {_SIG_CTE},
+buckets AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT c.doc_a, c.doc_b,
+    round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+  FROM cand c
+  JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.1
+),
+reps AS (SELECT md5(text) AS ch, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1),
+memb AS (SELECT d.doc_id, r.rep_id FROM documents d
+         JOIN reps r ON md5(d.text) = r.ch),
+mapped AS (
+  SELECT least(ma.rep_id, mb.rep_id) AS rep_a,
+    greatest(ma.rep_id, mb.rep_id) AS rep_b,
+    MIN(jaccard) AS jaccard
+  FROM fp
+  JOIN memb ma ON ma.doc_id = fp.doc_a
+  JOIN memb mb ON mb.doc_id = fp.doc_b
+  GROUP BY 1, 2
+)
+SELECT rep_a, rep_b, jaccard,
+  ra.n_copies AS n_copies_a, rb.n_copies AS n_copies_b
+FROM mapped
+JOIN reps ra ON ra.rep_id = rep_a
+JOIN reps rb ON rb.rep_id = rep_b
+""",
+)
+
 _SH_CTE = f"""
 toks AS (
   SELECT doc_id,
@@ -1986,6 +2039,49 @@ cand AS (
 )
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+""",
+)
+
+# Rep-level twin: collapse of the full banded-Hamming pair set through
+# exact-text membership (NULL text marked as its own group — it still
+# fingerprints, unlike the shingle families).
+_llm(
+    "llm_simhash_rep_pairs",
+    lambda spark, sf_dir: _dd.simhash_rep_pairs(
+        _doc_table(spark, sf_dir), max_hamming=12
+    ),
+    f"""
+WITH {_SH_CTE},
+chunks AS ({_SIM_CHUNKS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    x.sh AS sh_a, y.sh AS sh_b
+  FROM chunks x JOIN chunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+),
+fpairs AS (
+  SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+),
+reps AS (SELECT coalesce(md5(text), '__null__') AS ch,
+    MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY 1),
+memb AS (SELECT d.doc_id, r.rep_id FROM documents d
+         JOIN reps r ON coalesce(md5(d.text), '__null__') = r.ch),
+mapped AS (
+  SELECT least(ma.rep_id, mb.rep_id) AS rep_a,
+    greatest(ma.rep_id, mb.rep_id) AS rep_b,
+    MIN(hamming) AS hamming
+  FROM fpairs
+  JOIN memb ma ON ma.doc_id = fpairs.doc_a
+  JOIN memb mb ON mb.doc_id = fpairs.doc_b
+  GROUP BY 1, 2
+)
+SELECT rep_a, rep_b, hamming,
+  ra.n_copies AS n_copies_a, rb.n_copies AS n_copies_b
+FROM mapped
+JOIN reps ra ON ra.rep_id = rep_a
+JOIN reps rb ON rb.rep_id = rep_b
 """,
 )
 
@@ -3234,6 +3330,8 @@ _TAIL_SUBSETS = [
     "analytics_q18_big_orders",    # IN-subquery + group-HAVING ⊂ q21 (semi on the same key) + q11 (HAVING scalar) + q3/q10 (group-sort-topk shapes)
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
+    "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle
+    "llm_simhash_rep_pairs",       # collapse of llm_simhash_pairs through exact-text membership (NULL-marked); same derivation oracle
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time

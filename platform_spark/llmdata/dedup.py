@@ -395,7 +395,7 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_dedup_pairs(
+def minhash_rep_graph(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -403,18 +403,37 @@ def minhash_dedup_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH candidate generation + exact Jaccard verification.
+) -> RepGraph:
+    """Content-collapsed MinHash-LSH graph; the core behind
+    minhash_dedup_pairs.
+
+    Equality with the all-docs run is the simplest of the three families:
+    the signature is a pure per-doc function of text (no corpus-frequency
+    step like the n-gram hot-shingle cutoff), band buckets are pure
+    functions of the signature, and the exact-Jaccard verify is a pure
+    function of the two texts — so the all-docs candidate/verified graph
+    is exactly the rep graph projected through exact-duplicate membership.
+    Copies of one content share every band bucket (identical signatures),
+    so they are always candidates of each other; their verify scores
+    Jaccard(text, text) = 1.0, included iff 1.0 >= threshold — the self
+    row applies the same filter. A content with no shingles produces no
+    signature row (groupBy over an empty shingle set) and hence no
+    candidates in either run, so self rows require n_sh >= 1.
 
     The verify step is restricted to the LSH candidate pairs BEFORE any
-    pairwise work: the shingle index is joined through the candidate list
-    (cand × sh_a on doc_a, then sh_b on (doc_b, shingle)), so common-shingle
-    counting costs O(|candidates| × avg_shingles) — never the all-shared-
-    shingle-pairs blowup of a full inverted-index join. This is what makes
-    LSH actually cheaper than the exact join at scale."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
+    pairwise work: the shingle index is joined through the candidate list,
+    so common-shingle counting costs O(|candidates| x avg_shingles) —
+    never the all-shared-shingle-pairs blowup of a full inverted join.
+    """
+    membership, counts = _collapse(
+        df, F.md5(F.col(text_col).cast("binary")), id_col
+    )
+    rep_docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(counts.select(F.col("rep_id").alias("doc_id")), "doc_id")
+    sig = minhash_signatures(rep_docs, "__text", "doc_id", k, num_perm)
     cand = minhash_lsh_candidates(sig, num_perm, bands)
-    sh = _shingle_table(df, text_col, id_col, k).select(
+    sh = _shingle_table(rep_docs, "__text", "doc_id", k).select(
         "doc_id", md5_int(F.col("shingle")).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -426,14 +445,27 @@ def minhash_dedup_pairs(
             sh_b,
             (F.col("doc_b") == F.col("__b_doc")) & (F.col("sh_a") == F.col("sh_b")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b")
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    sa = sizes.select(F.col("doc_id").alias("rep_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("rep_b"), F.col("n_sh").alias("n_b"))
+    cross = common.join(sa, "rep_a").join(sb, "rep_b")
+    selfs = (
+        counts.filter(F.col("n_copies") >= 2)
+        .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select(
+            F.col("rep_id").alias("rep_a"),
+            F.col("rep_id").alias("rep_b"),
+            F.col("n_sh").alias("n_common"),
+            F.col("n_sh").alias("n_a"),
+            F.col("n_sh").alias("n_b"),
+        )
+    )
+    scored = (
+        cross.unionByName(selfs)
         .withColumn(
             "jaccard",
             F.round(
@@ -443,8 +475,58 @@ def minhash_dedup_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
+    ca = counts.select(F.col("rep_id").alias("rep_a"), F.col("n_copies").alias("n_copies_a"))
+    cb = counts.select(F.col("rep_id").alias("rep_b"), F.col("n_copies").alias("n_copies_b"))
+    pairs = (
+        scored.join(ca, "rep_a")
+        .join(cb, "rep_b")
+        .select("rep_a", "rep_b", "jaccard", "n_copies_a", "n_copies_b")
+    )
+    return RepGraph(membership, counts, pairs)
+
+
+def minhash_dedup_rep_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Rep-level MinHash-LSH verified pairs: (rep_a, rep_b, jaccard,
+    n_copies_a, n_copies_b), self rows for duplicated contents. Output
+    ~linear in distinct contents; expand_pairs(…, content_membership(df))
+    reconstructs the full quadratic list exactly when needed."""
+    return minhash_rep_graph(
+        df, text_col, id_col, k, num_perm, bands, threshold
+    ).pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification:
+    (doc_a, doc_b, jaccard), a < b.
+
+    Computed as expand_pairs over the content-collapsed rep graph —
+    identical output to signing/banding every doc (equality argument in
+    minhash_rep_graph, pinned by the DuckDB full-pair oracle gate), but
+    signatures, banding, and the verify join run once per DISTINCT
+    content; only the output itself is quadratic in copy counts. Callers
+    who can work at rep level should use minhash_dedup_rep_pairs.
+    """
+    g = minhash_rep_graph(df, text_col, id_col, k, num_perm, bands, threshold)
+    return expand_pairs(
+        g.pairs.drop("n_copies_a", "n_copies_b"), g.membership
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -508,6 +590,66 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_rep_graph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> RepGraph:
+    """Content-collapsed SimHash Hamming graph; the core behind
+    simhash_dedup_pairs.
+
+    Equality with the all-docs run: the fingerprint is a pure per-doc
+    function of text (NULL text folds to sh = 0 like any other value, so
+    the collapse hash marks NULL as its own content group instead of
+    dropping it), band chunks are pure functions of the fingerprint, and
+    hamming is a pure function of the two fingerprints — the all-docs
+    candidate graph is exactly the rep graph projected through
+    exact-duplicate membership. Copies share every chunk (identical
+    fingerprints) so they are always candidates at hamming 0 <= max_hamming;
+    the self row carries hamming 0 unconditionally.
+    """
+    membership, counts = _collapse(
+        df,
+        F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("__null__")),
+        id_col,
+    )
+    rep_docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(counts.select(F.col("rep_id").alias("doc_id")), "doc_id")
+    cross = _simhash_banded_pairs(rep_docs, "__text", max_hamming, bands).select(
+        F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "hamming"
+    )
+    selfs = counts.filter(F.col("n_copies") >= 2).select(
+        F.col("rep_id").alias("rep_a"),
+        F.col("rep_id").alias("rep_b"),
+        F.lit(0).cast(cross.schema["hamming"].dataType).alias("hamming"),
+    )
+    ca = counts.select(F.col("rep_id").alias("rep_a"), F.col("n_copies").alias("n_copies_a"))
+    cb = counts.select(F.col("rep_id").alias("rep_b"), F.col("n_copies").alias("n_copies_b"))
+    pairs = (
+        cross.unionByName(selfs)
+        .join(ca, "rep_a")
+        .join(cb, "rep_b")
+        .select("rep_a", "rep_b", "hamming", "n_copies_a", "n_copies_b")
+    )
+    return RepGraph(membership, counts, pairs)
+
+
+def simhash_rep_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Rep-level SimHash pairs: (rep_a, rep_b, hamming, n_copies_a,
+    n_copies_b), self rows (hamming 0) for duplicated contents. Output
+    ~linear in distinct contents; expand_pairs reconstructs the full list."""
+    return simhash_rep_graph(df, text_col, id_col, max_hamming, bands).pairs
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -517,10 +659,29 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
     banded equality (pigeonhole: ≤ k differing bits ⇒ some band of k+1
-    bands is identical) to avoid the quadratic scan."""
+    bands is identical) to avoid the quadratic scan.
+
+    Computed as expand_pairs over the content-collapsed rep graph
+    (equality argument in simhash_rep_graph, pinned by the DuckDB
+    full-pair oracle gate): fingerprinting and the banded join run once
+    per DISTINCT content; only the output is quadratic in copy counts.
+    """
+    g = simhash_rep_graph(df, text_col, id_col, max_hamming, bands)
+    return expand_pairs(
+        g.pairs.drop("n_copies_a", "n_copies_b"), g.membership
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def _simhash_banded_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """Banded Hamming join over one row per doc (callers pre-collapse)."""
     bits = 60
     per = bits // bands
-    sh = simhash_table(df, text_col, id_col)
+    sh = simhash_table(df, text_col, "doc_id")
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -1110,3 +1110,46 @@ def test_chunking_and_collapse_match_python_spec(spark):
         w = text.split()
         kept = [t for j, t in enumerate(w) if j == 0 or t != w[j - 1]]
         assert got_c[doc_id] == (" ".join(kept), len(w) - len(kept))
+
+
+def test_minhash_and_simhash_rep_pairs_self_rows(spark):
+    """MinHash and SimHash rep graphs: duplicated contents produce a self
+    row (jaccard 1.0 / hamming 0) with correct copy counts, and the
+    expanded full APIs emit every intra-group pair."""
+    from platform_spark.llmdata.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_rep_pairs,
+        simhash_dedup_pairs,
+        simhash_rep_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = (
+        [(1, base), (4, base), (7, base)]                 # exact triple
+        + [(3, "totally different words with no overlap at all")]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    mh = {
+        (r["rep_a"], r["rep_b"]): (r["jaccard"], r["n_copies_a"], r["n_copies_b"])
+        for r in minhash_dedup_rep_pairs(df, threshold=0.1).collect()
+    }
+    assert mh[(1, 1)] == (1.0, 3, 3)
+    mh_full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(df, threshold=0.1).collect()
+    }
+    assert {(1, 4), (1, 7), (4, 7)} <= set(mh_full)
+    assert all(mh_full[p] == 1.0 for p in [(1, 4), (1, 7), (4, 7)])
+
+    sh = {
+        (r["rep_a"], r["rep_b"]): (r["hamming"], r["n_copies_a"], r["n_copies_b"])
+        for r in simhash_rep_pairs(df, max_hamming=12).collect()
+    }
+    assert sh[(1, 1)] == (0, 3, 3)
+    sh_full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_dedup_pairs(df, max_hamming=12).collect()
+    }
+    assert {(1, 4), (1, 7), (4, 7)} <= set(sh_full)
+    assert all(sh_full[p] == 0 for p in [(1, 4), (1, 7), (4, 7)])

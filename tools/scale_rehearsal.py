@@ -41,6 +41,9 @@ HEAVY = [
     "llm_dedup_clusters_fast",
     "llm_embedding_clusters_fast",
     "llm_minhash_lsh_pairs",
+    "llm_minhash_rep_pairs",
+    "llm_simhash_pairs",
+    "llm_simhash_rep_pairs",
     "llm_ann_ivf_kmeans",
     "llm_tfidf_keywords",
     "llm_decontaminate",
