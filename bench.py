@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -168,6 +169,7 @@ def main() -> None:
         "analytics_sliding_window",
         "streaming_log_compact",
         "streaming_lfs_reference",
+        "kfs_segment_roundtrip",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -195,12 +197,27 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(f"detail written to {detail_path}")
 
+    # compact the final line's query keys (TPC-H → q1..q22, family prefixes
+    # shortened): with all 22 TPC-H shapes benched the full-name line is
+    # ~2.3 KB, past the driver's 2000-byte tail capture — the exact failure
+    # that nulled r3's official record. Full names stay in the detail file.
+    def _short(k: str) -> str:
+        m = re.match(r"analytics_(q\d+)_", k)
+        if m:
+            return m.group(1)
+        k = re.sub(r"^analytics_", "a_", k)
+        k = re.sub(r"^llm_", "", k)
+        k = re.sub(r"^streaming_", "s_", k)
+        return k
+
+    short_q = {_short(k): round(v, 2) for k, v in timings.items()}
+    assert len(short_q) == len(timings), "short-name collision in bench keys"
     final_line = json.dumps(
         {
             "metric": "headline_suite_wall",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "queries": short_q,
             "sf": float(sf),
             "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
         },

@@ -1,0 +1,547 @@
+"""Native KafScale segment (``.kfs``) codec + Spark source/sink.
+
+The reference stores every topic as immutable S3 segment files holding
+Kafka v2 record batches (kafscale-spec.md:84-178).  Until now this engine
+treated the segment layer as "by design Parquet" (SURVEY.md §1.3, S4); this
+module closes the format-parity gap: it reads and writes the *actual*
+``.kfs`` wire format, so a user of the reference can point this engine at
+their existing S3 segment objects (or export Spark data back into them).
+
+Layout, from the public spec and the reference implementations:
+
+* Segment header, 32 bytes (pkg/storage/segment.go:87-97)::
+
+    magic "KAFS" | version u16=1 | flags u16=0 | base_offset i64
+    | message_count i32 | created_ms i64 | reserved u32
+
+* Body: Kafka v2 record batches, each framed by ``base_offset i64 +
+  batch_len u32`` followed by the 49-byte batch header (total 61 bytes,
+  decoder.go:169-222).  Compressed batches are rejected on read, exactly
+  like decoder.go:198-201.
+
+* Segment footer, 16 bytes (segment.go:99-105)::
+
+    crc32c(body) u32 | last_offset i64 | magic "END!"
+
+  A segment is *completed* iff its last 4 bytes are ``END!``
+  (discovery.go hasFooterMagic); incomplete segments are skipped.
+
+* Records are varint/zigzag encoded (decoder.go:335-356):
+  ``length attrs(1B) ts_delta offset_delta key_len key value_len value
+  header_count (hkey_len hkey hval_len hval)*`` with ``-1`` lengths for
+  NULL.  Deltas are i32 (varint readers cap at 5 bytes), so the writer
+  splits any batch whose timestamp span would overflow.
+
+* Sparse offset index ``.index`` (pkg/storage/index.go:25-116)::
+
+    magic "IDX\\x00" | version u16=1 | entry_count u32 | interval i32
+    | reserved u16 | (offset i64, position u32)*
+
+All integers are big-endian.  CRC is CRC32-Castagnoli (segment.go:33).
+
+Spark integration is deliberately thin and scale-shaped:
+
+* ``read_kfs`` = ``binaryFile`` datasource (one task per segment object —
+  distributed listing + read, same unit of parallelism as the reference's
+  one-GET-per-segment scan) → Arrow-batched ``mapInPandas`` decode.  The
+  decode is IO/bit-twiddling work Spark's JVM operators cannot express;
+  everything downstream is ordinary columnar DataFrame.
+* Offset predicates prune at *batch* granularity before record decode,
+  mirroring the reference's sparse-index range-GETs (log.go:653-682): a
+  frame whose ``[base_offset, base_offset+last_delta]`` window misses the
+  requested range is skipped without touching its records.
+* ``write_kfs`` = ``applyInPandas`` per partition — each Spark task owns
+  one topic-partition (the reference's partition-lease invariant) and
+  emits ``segment-{base:020d}.kfs`` + ``.index`` pairs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SEGMENT_MAGIC = b"KAFS"
+FOOTER_MAGIC = b"END!"
+INDEX_MAGIC = b"IDX\x00"
+SEGMENT_HEADER_LEN = 32
+SEGMENT_FOOTER_LEN = 16
+BATCH_HEADER_LEN = 61  # 12-byte frame + 49-byte Kafka v2 header
+_I32_MAX = (1 << 31) - 1
+
+# ---------------------------------------------------------------------------
+# CRC32-Castagnoli (pure python, table-driven; stdlib zlib is the wrong poly)
+# ---------------------------------------------------------------------------
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE: list[int] = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# varint / zigzag (decoder.go:335-356)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _write_varint(buf: bytearray, v: int) -> None:
+    u = _zigzag_encode(v) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 28:
+            raise ValueError("varint too long")
+    return (value >> 1) ^ -(value & 1), pos
+
+
+# ---------------------------------------------------------------------------
+# record / batch / segment encode
+# ---------------------------------------------------------------------------
+
+
+def encode_record(
+    offset_delta: int,
+    ts_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: list[tuple[str, bytes | None]],
+) -> bytes:
+    body = bytearray()
+    body.append(0)  # attributes
+    _write_varint(body, ts_delta)
+    _write_varint(body, offset_delta)
+    if key is None:
+        _write_varint(body, -1)
+    else:
+        _write_varint(body, len(key))
+        body += key
+    if value is None:
+        _write_varint(body, -1)
+    else:
+        _write_varint(body, len(value))
+        body += value
+    _write_varint(body, len(headers))
+    for hk, hv in headers:
+        hkb = hk.encode("utf-8")
+        _write_varint(body, len(hkb))
+        body += hkb
+        if hv is None:
+            _write_varint(body, -1)
+        else:
+            _write_varint(body, len(hv))
+            body += hv
+    out = bytearray()
+    _write_varint(out, len(body))
+    out += body
+    return bytes(out)
+
+
+def encode_batch(records: list[dict], base_offset: int) -> bytes:
+    """One framed Kafka v2 batch. ``records`` rows carry ``offset``,
+    ``ts_ms``, ``key``, ``value``, ``headers`` and MUST be offset-sorted;
+    splits are the caller's job (see :func:`_batch_slices`)."""
+    first_ts = min(r["ts_ms"] for r in records)
+    max_ts = max(r["ts_ms"] for r in records)
+    last_delta = records[-1]["offset"] - base_offset
+    payload = bytearray()
+    for r in records:
+        payload += encode_record(
+            r["offset"] - base_offset,
+            r["ts_ms"] - first_ts,
+            r["key"],
+            r["value"],
+            r.get("headers") or [],
+        )
+    # header fields after the CRC (Kafka v2: crc covers attributes..end)
+    after_crc = bytearray()
+    after_crc += struct.pack(">hiqqqhi", 0, last_delta, first_ts, max_ts, -1, -1, -1)
+    after_crc += struct.pack(">i", len(records))
+    after_crc += payload
+    crc = crc32c(bytes(after_crc))
+    rest = struct.pack(">ibI", 0, 2, crc) + after_crc  # leaderEpoch, magic=2, crc
+    return struct.pack(">qI", base_offset, len(rest)) + rest
+
+
+def _batch_slices(rows: list[dict], batch_records: int) -> Iterator[list[dict]]:
+    """Offset-contiguous slices whose ts span fits the i32 delta; halve on
+    overflow (terminates: a single record has span 0)."""
+    for i in range(0, len(rows), batch_records):
+        stack = [rows[i : i + batch_records]]
+        while stack:
+            part = stack.pop()
+            ts = [r["ts_ms"] for r in part]
+            if len(part) > 1 and max(ts) - min(ts) > _I32_MAX:
+                mid = len(part) // 2
+                stack.append(part[mid:])
+                stack.append(part[:mid])
+            else:
+                yield part
+
+
+def encode_segment(
+    rows: list[dict],
+    created_ms: int = 0,
+    batch_records: int = 500,
+    index_interval: int = 1000,
+) -> tuple[bytes, bytes]:
+    """Encode offset-sorted rows into a completed segment; returns
+    ``(segment_bytes, index_bytes)`` (segment.go:37-112)."""
+    if not rows:
+        raise ValueError("empty segment")
+    base = rows[0]["offset"]
+    last = rows[-1]["offset"]
+    body = bytearray()
+    entries: list[tuple[int, int]] = []
+    since_last = index_interval  # first batch always indexed (index.go:45-52)
+    for part in _batch_slices(rows, batch_records):
+        if since_last >= index_interval:
+            entries.append((part[0]["offset"], SEGMENT_HEADER_LEN + len(body)))
+            since_last = 0
+        since_last += len(part)
+        body += encode_batch(part, part[0]["offset"])
+    header = (
+        SEGMENT_MAGIC
+        + struct.pack(">HHqiqI", 1, 0, base, len(rows), created_ms, 0)
+    )
+    footer = struct.pack(">Iq", crc32c(bytes(body)), last) + FOOTER_MAGIC
+    index = INDEX_MAGIC + struct.pack(">HIiH", 1, len(entries), index_interval, 0)
+    for off, pos in entries:
+        index += struct.pack(">qI", off, pos)
+    return header + bytes(body) + footer, index
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def is_completed(data: bytes) -> bool:
+    """Completed-segment invariant: footer magic present (discovery.go)."""
+    return len(data) >= SEGMENT_FOOTER_LEN and data[-4:] == FOOTER_MAGIC
+
+
+def parse_index(data: bytes) -> list[tuple[int, int]]:
+    if len(data) < 16 or data[:4] != INDEX_MAGIC:
+        raise ValueError("invalid index magic")
+    (count,) = struct.unpack(">I", data[6:10])
+    out = []
+    pos = 16
+    for _ in range(count):
+        off, p = struct.unpack(">qI", data[pos : pos + 12])
+        out.append((off, p))
+        pos += 12
+    return out
+
+
+def decode_segment(
+    data: bytes,
+    min_offset: int | None = None,
+    max_offset: int | None = None,
+    verify_crc: bool = False,
+) -> Iterator[dict]:
+    """Yield record dicts. Offset bounds prune whole batches from the frame
+    header alone (the decode-side twin of the reference's sparse-index
+    range-GET, log.go:653-682). CRC verification is opt-in, matching
+    decoder.go which trusts completed segments."""
+    if len(data) < SEGMENT_HEADER_LEN + SEGMENT_FOOTER_LEN:
+        raise ValueError("segment too small")
+    if data[:4] != SEGMENT_MAGIC:
+        raise ValueError("invalid segment magic")
+    if not is_completed(data):
+        raise ValueError("incomplete segment (no END! footer)")
+    body = data[SEGMENT_HEADER_LEN : len(data) - SEGMENT_FOOTER_LEN]
+    if verify_crc:
+        (want,) = struct.unpack(">I", data[-16:-12])
+        got = crc32c(bytes(body))
+        if got != want:
+            raise ValueError(f"segment crc mismatch: {got:#x} != {want:#x}")
+    pos = 0
+    n = len(body)
+    while pos + 12 <= n:
+        base_offset, batch_len = struct.unpack(">qI", body[pos : pos + 12])
+        if batch_len <= 0 or pos + 12 + batch_len > n:
+            break
+        frame_end = pos + 12 + batch_len
+        (last_delta,) = struct.unpack(">i", body[pos + 23 : pos + 27])
+        if (min_offset is not None and base_offset + last_delta < min_offset) or (
+            max_offset is not None and base_offset > max_offset
+        ):
+            pos = frame_end  # batch-granularity skip, records never touched
+            continue
+        (attributes,) = struct.unpack(">h", body[pos + 21 : pos + 23])
+        if attributes & 0x07:
+            raise ValueError("compressed batches are not supported")
+        (first_ts,) = struct.unpack(">q", body[pos + 27 : pos + 35])
+        (record_count,) = struct.unpack(">i", body[pos + 57 : pos + 61])
+        rpos = pos + BATCH_HEADER_LEN
+        for _ in range(max(record_count, 0)):
+            length, rpos = _read_varint(body, rpos)
+            rec_end = rpos + length
+            p = rpos + 1  # skip attributes byte
+            ts_delta, p = _read_varint(body, p)
+            off_delta, p = _read_varint(body, p)
+            klen, p = _read_varint(body, p)
+            key = None if klen < 0 else bytes(body[p : p + klen])
+            p += max(klen, 0)
+            vlen, p = _read_varint(body, p)
+            value = None if vlen < 0 else bytes(body[p : p + vlen])
+            p += max(vlen, 0)
+            hcount, p = _read_varint(body, p)
+            headers = []
+            for _h in range(hcount):
+                hklen, p = _read_varint(body, p)
+                hkey = bytes(body[p : p + max(hklen, 0)]).decode("utf-8")
+                p += max(hklen, 0)
+                hvlen, p = _read_varint(body, p)
+                hval = None if hvlen < 0 else bytes(body[p : p + hvlen])
+                p += max(hvlen, 0)
+                headers.append((hkey, hval))
+            offset = base_offset + off_delta
+            if (min_offset is None or offset >= min_offset) and (
+                max_offset is None or offset <= max_offset
+            ):
+                yield {
+                    "offset": offset,
+                    "ts_ms": first_ts + ts_delta,
+                    "key": key,
+                    "value": value,
+                    "headers": headers,
+                }
+            rpos = rec_end
+        pos = frame_end
+
+
+# ---------------------------------------------------------------------------
+# Spark source / sink
+# ---------------------------------------------------------------------------
+
+#: envelope schema of the decoded scan (SURVEY.md §1.2's 8 implicit columns)
+KFS_SCHEMA = StructType(
+    [
+        StructField("_topic", StringType()),
+        StructField("_partition", IntegerType()),
+        StructField("_offset", LongType()),
+        StructField("_ts", TimestampType()),
+        StructField("_key", BinaryType()),
+        StructField("_value", BinaryType()),
+        StructField("_headers", StringType()),
+        StructField("_segment", StringType()),
+    ]
+)
+
+
+def _segment_identity(path: str) -> tuple[str, int, str]:
+    """(topic, partition, suffix) from the spec key layout
+    ``.../{topic}/{partition}/segment-{base}.kfs`` (kafscale-spec.md:71-82)."""
+    parts = path.rstrip("/").split("/")
+    topic, partition, fname = parts[-3], int(parts[-2]), parts[-1]
+    return topic, partition, f"{topic}/{partition}/{fname}"
+
+
+def _decode_partition(iterator, min_offset, max_offset):
+    import pandas as pd
+
+    from datetime import datetime, timezone
+
+    for pdf in iterator:
+        out: dict[str, list] = {k: [] for k in KFS_SCHEMA.fieldNames()}
+        for path, content in zip(pdf["path"], pdf["content"]):
+            topic, partition, suffix = _segment_identity(str(path))
+            data = bytes(content)
+            if not is_completed(data):
+                continue  # only completed segments are visible (T1)
+            for rec in decode_segment(data, min_offset, max_offset):
+                out["_topic"].append(topic)
+                out["_partition"].append(partition)
+                out["_offset"].append(rec["offset"])
+                out["_ts"].append(
+                    datetime.fromtimestamp(rec["ts_ms"] / 1000.0, tz=timezone.utc)
+                    .replace(tzinfo=None)
+                )
+                out["_key"].append(rec["key"])
+                out["_value"].append(rec["value"])
+                out["_headers"].append(
+                    json.dumps(
+                        {
+                            k: (v.decode("utf-8", "replace") if v is not None else None)
+                            for k, v in rec["headers"]
+                        },
+                        separators=(",", ":"),
+                    )
+                )
+                out["_segment"].append(suffix)
+        # explicit dtypes: an all-pruned batch yields empty lists, which
+        # would otherwise infer float64 and break the Arrow timestamp cast
+        yield pd.DataFrame(
+            {
+                "_topic": pd.Series(out["_topic"], dtype="object"),
+                "_partition": pd.Series(out["_partition"], dtype="int32"),
+                "_offset": pd.Series(out["_offset"], dtype="int64"),
+                "_ts": pd.Series(out["_ts"], dtype="datetime64[us]"),
+                "_key": pd.Series(out["_key"], dtype="object"),
+                "_value": pd.Series(out["_value"], dtype="object"),
+                "_headers": pd.Series(out["_headers"], dtype="object"),
+                "_segment": pd.Series(out["_segment"], dtype="object"),
+            }
+        )
+
+
+def read_kfs(
+    spark: SparkSession,
+    root: str,
+    topic: str = "*",
+    min_offset: int | None = None,
+    max_offset: int | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Scan ``.kfs`` segments under ``root/{topic}/{partition}/`` into the
+    8-column envelope. One binaryFile split per segment object = the
+    reference's one-GET-per-segment parallelism; ``min/max_offset`` prune
+    batches before record decode. With ``streaming=True`` the same decode
+    runs as a Structured Streaming file source (new completed segments are
+    picked up per micro-batch — the 5 s poll loop analogue,
+    processor.go:61-164)."""
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format("binaryFile").option("pathGlobFilter", "*.kfs")
+    if streaming:
+        # the binaryFile source's fixed schema, required explicitly on the
+        # streaming path
+        reader = reader.schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+    binary = reader.load(f"{root}/{topic}/*")
+    return binary.select("path", "content").mapInPandas(
+        lambda it: _decode_partition(it, min_offset, max_offset), KFS_SCHEMA
+    )
+
+
+def write_kfs(
+    df: DataFrame,
+    root: str,
+    topic: str,
+    segment_rows: int = 1000,
+    batch_records: int = 500,
+    created_ms: int = 0,
+    write_index: bool = True,
+) -> DataFrame:
+    """Export an envelope DataFrame (``_partition``, ``_offset``, ``_ts``,
+    ``_key``, ``_value``, optional ``_headers`` JSON text) as completed
+    ``.kfs`` segments of ``segment_rows`` records, one task per partition
+    (the partition-lease invariant, T3). Returns the manifest
+    (partition, base_offset, records, bytes, path) — an action on it
+    performs the write. ``root`` must be storage every executor can reach
+    (object store / shared fs), exactly like the reference's S3 bucket."""
+    manifest_schema = StructType(
+        [
+            StructField("partition", IntegerType()),
+            StructField("base_offset", LongType()),
+            StructField("records", LongType()),
+            StructField("bytes", LongType()),
+            StructField("path", StringType()),
+        ]
+    )
+
+    def _write_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_offset")
+        partition = int(pdf["_partition"].iloc[0])
+        seg_dir = os.path.join(root, topic, str(partition))
+        os.makedirs(seg_dir, exist_ok=True)
+        rows_out: list[tuple] = []
+        ts_ms = (pdf["_ts"].astype("int64") // 1_000_000).tolist()
+        keys = pdf["_key"].tolist()
+        vals = pdf["_value"].tolist()
+        offs = pdf["_offset"].tolist()
+        heads = pdf["_headers"].tolist() if "_headers" in pdf else [None] * len(pdf)
+        records = []
+        for off, ts, k, v, h in zip(offs, ts_ms, keys, vals, heads):
+            headers = []
+            if h is not None and not (isinstance(h, float) and pd.isna(h)):
+                obj = json.loads(h)
+                headers = [
+                    (hk, hv.encode("utf-8") if hv is not None else None)
+                    for hk, hv in obj.items()
+                ]
+            records.append(
+                {
+                    "offset": int(off),
+                    "ts_ms": int(ts),
+                    "key": _as_bytes(k),
+                    "value": _as_bytes(v),
+                    "headers": headers,
+                }
+            )
+        for i in range(0, len(records), segment_rows):
+            chunk = records[i : i + segment_rows]
+            base = chunk[0]["offset"]
+            seg, idx = encode_segment(chunk, created_ms, batch_records)
+            path = os.path.join(seg_dir, f"segment-{base:020d}.kfs")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(seg)
+            os.replace(tmp, path)  # atomic: readers only ever see END!-complete files
+            if write_index:
+                with open(path[:-4] + ".index", "wb") as f:
+                    f.write(idx)
+            rows_out.append((partition, base, len(chunk), len(seg), path))
+        return pd.DataFrame(
+            rows_out, columns=["partition", "base_offset", "records", "bytes", "path"]
+        )
+
+    return df.groupBy("_partition").applyInPandas(_write_group, manifest_schema)
+
+
+def _as_bytes(v) -> bytes | None:
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, float):  # NaN from pandas null
+        return None
+    return str(v).encode("utf-8")

@@ -1,0 +1,200 @@
+"""Native .kfs segment codec + Spark source/sink (platform_spark/kfs.py).
+
+Byte-level layout is pinned against the public spec (kafscale-spec.md:84-178)
+and the reference decoder's behaviors (decoder.go:157-356): magics, header
+and footer sizes, big-endian fields, varint/zigzag records, batch-skip
+pruning, completed-segment invariant.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from platform_spark import kfs
+
+
+def _rows(n: int, ts0: int = 1_700_000_000_000) -> list[dict]:
+    return [
+        {
+            "offset": i,
+            "ts_ms": ts0 + i * 13,
+            "key": None if i % 5 == 0 else f"k{i}".encode(),
+            "value": None if i % 97 == 96 else f'{{"n":{i}}}'.encode(),
+            "headers": [("h1", b"v1"), ("hnull", None)] if i % 3 == 0 else [],
+        }
+        for i in range(n)
+    ]
+
+
+def test_crc32c_check_vector():
+    # the canonical CRC-32C check vector (RFC 3720 appendix B.4)
+    assert kfs.crc32c(b"123456789") == 0xE3069283
+
+
+def test_segment_layout_pinned():
+    seg, idx = kfs.encode_segment(_rows(10), created_ms=42, batch_records=4)
+    assert seg[:4] == b"KAFS"
+    version, flags, base, count, created, _res = struct.unpack(
+        ">HHqiqI", seg[4:32]
+    )
+    assert (version, flags, base, count, created) == (1, 0, 0, 10, 42)
+    assert seg[-4:] == b"END!"
+    crc, last = struct.unpack(">Iq", seg[-16:-4])
+    assert last == 9
+    assert crc == kfs.crc32c(seg[32:-16])
+    # first batch frame: base_offset 0, magic=2 at frame offset 16
+    fbase, blen = struct.unpack(">qI", seg[32:44])
+    assert fbase == 0 and blen > 0
+    assert seg[32 + 16] == 2  # Kafka v2 magic
+    assert idx[:4] == b"IDX\x00"
+
+
+def test_codec_roundtrip_exact():
+    rows = _rows(2500)
+    seg, _ = kfs.encode_segment(rows, batch_records=100)
+    back = list(kfs.decode_segment(seg, verify_crc=True))
+    assert back == [
+        {k: r[k] for k in ("offset", "ts_ms", "key", "value", "headers")}
+        for r in rows
+    ]
+
+
+def test_offset_bounds_prune_batches_and_filter_records():
+    rows = _rows(1000)
+    seg, _ = kfs.encode_segment(rows, batch_records=100)
+    got = list(kfs.decode_segment(seg, min_offset=250, max_offset=649))
+    assert [r["offset"] for r in got] == list(range(250, 650))
+    # batch-granularity skip: a range inside one batch decodes only it
+    got2 = list(kfs.decode_segment(seg, min_offset=110, max_offset=115))
+    assert [r["offset"] for r in got2] == list(range(110, 116))
+
+
+def test_ts_span_overflow_splits_batch():
+    # two records 30 days apart exceed the i32 ms delta → writer must split
+    rows = [
+        {"offset": 0, "ts_ms": 0, "key": None, "value": b"a", "headers": []},
+        {
+            "offset": 1,
+            "ts_ms": 30 * 24 * 3600 * 1000,
+            "key": None,
+            "value": b"b",
+            "headers": [],
+        },
+    ]
+    seg, _ = kfs.encode_segment(rows, batch_records=500)
+    assert [r["offset"] for r in kfs.decode_segment(seg)] == [0, 1]
+    # count frames: two single-record batches
+    body = seg[32:-16]
+    frames = 0
+    pos = 0
+    while pos + 12 <= len(body):
+        (_, blen) = struct.unpack(">qI", body[pos : pos + 12])
+        if blen <= 0:
+            break
+        frames += 1
+        pos += 12 + blen
+    assert frames == 2
+
+
+def test_incomplete_segment_rejected_and_detected():
+    seg, _ = kfs.encode_segment(_rows(10))
+    truncated = seg[:-3]  # footer magic gone
+    assert not kfs.is_completed(truncated)
+    with pytest.raises(ValueError, match="incomplete"):
+        list(kfs.decode_segment(truncated))
+
+
+def test_crc_verification_catches_corruption():
+    seg, _ = kfs.encode_segment(_rows(10))
+    corrupt = bytearray(seg)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError, match="crc"):
+        list(kfs.decode_segment(bytes(corrupt), verify_crc=True))
+
+
+def test_index_entries_match_interval():
+    rows = _rows(2500)
+    seg, idx = kfs.encode_segment(rows, batch_records=100, index_interval=500)
+    entries = kfs.parse_index(idx)
+    assert [off for off, _pos in entries] == [0, 500, 1000, 1500, 2000]
+    # positions point at real frame starts: base_offset at each position
+    for off, pos in entries:
+        (fbase,) = struct.unpack(">q", seg[pos : pos + 8])
+        assert fbase == off
+
+
+def _envelope_df(spark, n=600):
+    rows = [
+        Row(
+            _partition=i % 3,
+            _offset=i // 3,
+            _ts=f"2024-01-0{1 + i % 5} 12:00:{i % 60:02d}",
+            _key=None if i % 7 == 0 else f"key-{i}",
+            _value=f'{{"i":{i}}}',
+            _headers='{"seq":"%d"}' % i if i % 2 == 0 else "{}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows).withColumn("_ts", F.col("_ts").cast("timestamp"))
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    df = _envelope_df(spark)
+    root = str(tmp_path / "kfs")
+    manifest = kfs.write_kfs(df, root, "t", segment_rows=100).collect()
+    assert sum(m.records for m in manifest) == 600
+    assert all(m.path.endswith(".kfs") for m in manifest)
+    back = kfs.read_kfs(spark, root, "t")
+    a = {
+        (r._partition, r._offset, r._key, bytes(r._value), r._headers, str(r._ts))
+        for r in back.withColumn("_key", F.col("_key").cast("string")).collect()
+    }
+    b = {
+        (
+            r._partition,
+            r._offset,
+            r._key,
+            r._value.encode(),
+            r._headers,
+            str(r._ts),
+        )
+        for r in df.collect()
+    }
+    assert a == b
+    # segment naming: zero-padded base offset under topic/partition dirs
+    seg_names = {m.path.split("/")[-1] for m in manifest}
+    assert "segment-00000000000000000000.kfs" in seg_names
+    assert "segment-00000000000000000100.kfs" in seg_names
+
+
+def test_spark_read_offset_pruning_equals_filter(spark, tmp_path):
+    df = _envelope_df(spark)
+    root = str(tmp_path / "kfs")
+    kfs.write_kfs(df, root, "t", segment_rows=100, batch_records=20).collect()
+    pruned = kfs.read_kfs(spark, root, "t", min_offset=40, max_offset=120)
+    full = kfs.read_kfs(spark, root, "t").filter(
+        (F.col("_offset") >= 40) & (F.col("_offset") <= 120)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_streaming_kfs_source(spark, tmp_path):
+    df = _envelope_df(spark, n=120)
+    root = str(tmp_path / "kfs")
+    kfs.write_kfs(df, root, "t", segment_rows=50).collect()
+    stream = kfs.read_kfs(spark, root, "t", streaming=True)
+    assert stream.isStreaming
+    spark.sql("DROP TABLE IF EXISTS kfs_stream_sink")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kfs_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("kfs_stream_sink").count() == 120
