@@ -170,6 +170,8 @@ def main() -> None:
         "streaming_log_compact",
         "streaming_lfs_reference",
         "kfs_segment_roundtrip",
+        "llm_bpe_pair_counts",
+        "llm_duplicate_spans",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3305,6 +3305,86 @@ SELECT DISTINCT md5(text) AS text_md5, length(text)::INT AS text_len FROM kept
 )
 
 
+# BPE tokenizer training: first-round adjacent-symbol pair counts ----------
+
+
+def _bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_doc_table(spark, sf_dir), top_k=200)
+
+
+# the train_bpe loop iterates exactly this aggregate (argmax per round,
+# pytest-pinned against a pure-python reference); the gate hash-checks the
+# round-1 statistics that drive every merge decision
+_llm(
+    "llm_bpe_pair_counts",
+    _bpe_gate,
+    r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1),
+s AS (SELECT cnt, list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+      FROM wc),
+p AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, cnt
+  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM s)
+)
+SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM p GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 200
+""",
+)
+
+
+# exact substring duplication: per-doc duplicated k-token window metrics ----
+
+
+def _dup_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.dedup import duplicate_spans
+
+    return duplicate_spans(_doc_table(spark, sf_dir), k=20)
+
+
+_DUCK_SH20 = " || ' ' || ".join(f"w[i+{j}]" for j in range(20))
+
+_llm(
+    "llm_duplicate_spans",
+    _dup_spans_gate,
+    rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+    CAST(('0x' || substr(md5({_DUCK_SH20}), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS i
+        FROM t WHERE len(w) >= 20)
+),
+occ AS (
+  SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM sp GROUP BY 1
+),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+    SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_cross_spans,
+    MIN(pos) AS first_dup_pos
+  FROM sp JOIN occ USING (h) WHERE n_occ >= 2 GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(greatest(len(w) - 19, 0) AS INT) AS n_spans,
+  CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  CAST(COALESCE(n_cross_spans, 0) AS BIGINT) AS n_cross_spans,
+  first_dup_pos
+FROM t LEFT JOIN dup USING (doc_id)
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Native .kfs segment format (SURVEY.md §1.3, S4/S6): export the events
 # topic into real Kafka-v2 segment files (kfs.write_kfs), scan them back
@@ -3435,6 +3515,8 @@ _TAIL_SUBSETS = [
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)
     "kafsql_where_offset",         # compiler `_offset` bounds are the same two-line scan() filter as the `_ts` bounds kafsql_last (head) exercises (compiler.py:145-149); offset values themselves stay head-checked by kfs_segment_roundtrip's offset-faithful decode; parser range extraction pytest (test_parser)
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)
+    "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
+    "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

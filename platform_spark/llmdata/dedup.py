@@ -926,3 +926,82 @@ def embedding_neardup_pairs(
         out_a="id_a",
         out_b="id_b",
     ).select("id_a", "id_b", "cosine")
+
+
+# -- exact substring (span-level) duplication -------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring duplication metrics: for every k-token window of
+    every document, find windows whose text occurs ≥2 times anywhere in
+    the corpus (the "dedup exact substrings" signal of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — there
+    applied via a suffix array; at Spark scale the equivalent signal is a
+    positional-shingle self-count, one hash aggregate + one hash join).
+
+    Output per document:
+      n_spans         total k-token windows
+      n_dup_spans     windows whose text appears ≥2× corpus-wide
+      n_cross_spans   windows whose text appears in ≥2 distinct docs
+      first_dup_pos   0-based token position of the first duplicated
+                      window (NULL when none)
+
+    Scale shape: tokenize once per row (layered select), explode to
+    (doc, pos, span); one span-keyed partial aggregate for occurrence
+    counts; one span-keyed join back; one doc-keyed aggregate. Span keys
+    travel as 15-hex-digit md5 ints (md5_int), not span text — at 100 TB
+    the shuffle carries 8-byte keys. Windows, not suffixes: bounded state,
+    no global sort, and the downstream use (filter/score docs) needs
+    exactly this per-doc summary.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    span_structs = F.when(n < k, F.array().cast("array<struct<pos:int,sh:string>>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
+                ).alias("sh"),
+            ),
+        )
+    )
+    spans = toked.select(
+        "doc_id", F.explode(span_structs).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        md5_int(F.col("s.sh")).alias("h"),
+    )
+    occ = spans.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    dup = spans.join(occ.filter(F.col("n_occ") >= 2), "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_cross_spans"),
+        F.min("pos").alias("first_dup_pos"),
+    )
+    totals = toked.select(
+        "doc_id", F.greatest(n - k + 1, F.lit(0)).alias("n_spans")
+    )
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("n_cross_spans", F.lit(0)).cast("bigint").alias("n_cross_spans"),
+            "first_dup_pos",
+        )
+    )

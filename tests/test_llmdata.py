@@ -1153,3 +1153,116 @@ def test_minhash_and_simhash_rep_pairs_self_rows(spark):
     }
     assert {(1, 4), (1, 7), (4, 7)} <= set(sh_full)
     assert all(sh_full[p] == 0 for p in [(1, 4), (1, 7), (4, 7)])
+
+
+# -- BPE training (llmdata/bpe.py) ------------------------------------------
+
+
+def _ref_bpe_train(word_counts: dict[str, int], n_merges: int):
+    """Pure-python Sennrich-style BPE trainer: the oracle for train_bpe.
+    Ties break (count desc, a asc, b asc), matching the Spark argmax."""
+    from platform_spark.llmdata.bpe import END_OF_WORD
+
+    vocab = {w: list(w) + [END_OF_WORD] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + word_counts[w]
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_train_bpe_matches_pure_python_reference(spark):
+    from collections import Counter
+
+    from platform_spark.llmdata.bpe import train_bpe
+
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest new new knew",
+        "the newest of the new lowest low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.lower().split())
+    expected = _ref_bpe_train(dict(wc), 10)
+    got = train_bpe(df, n_merges=10)
+    assert got == expected
+    assert len(got) == 10  # corpus is rich enough for all 10 rounds
+
+
+def test_apply_merge_is_greedy_nonoverlapping(spark):
+    from platform_spark.llmdata.bpe import apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a", "b", "a"],)], "syms array<string>")
+    out = df.select(apply_merge(F.col("syms"), "a", "a").alias("m")).first().m
+    assert out == ["aa", "a", "b", "a"]
+
+
+def test_encode_bpe_runtime_matches_training_segmentation(spark):
+    from platform_spark.llmdata.bpe import encode_bpe, train_bpe
+
+    texts = ["low lower lowest low low", "newest new lowest lower"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=6)
+    enc = {
+        r.doc_id: r.bpe_tokens
+        for r in encode_bpe(df, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    # decoding invariant: concatenating symbols restores words + markers
+    for i, t in enumerate(texts):
+        assert "".join(enc[i]) == "".join(w + "</w>" for w in t.split())
+    # learned merges actually apply at encode time
+    assert any(len(s) > 1 and s != "</w>" for s in enc[0])
+    # NULL text encodes to empty
+    df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert encode_bpe(df2, merges).first().bpe_tokens == []
+
+
+# -- exact substring duplication (duplicate_spans) --------------------------
+
+
+def test_duplicate_spans_cross_and_within_doc(spark):
+    shared = " ".join(f"tok{i}" for i in range(20))  # exactly one 20-window
+    unique_a = " ".join(f"ua{i}" for i in range(10))
+    unique_b = " ".join(f"ub{i}" for i in range(10))
+    repeat = " ".join(f"rep{i % 5}" for i in range(10))  # 5-token cycle
+    rows = [
+        (1, f"{unique_a} {shared}"),          # shares the window with doc 2
+        (2, f"{shared} {unique_b}"),          # at pos 0
+        (3, f"{repeat} {repeat} {repeat}"),   # within-doc repetition only
+        (4, "tiny doc"),                      # < 20 tokens: no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.duplicate_spans(df, k=20).collect()}
+    assert out[1].n_spans == 11 and out[2].n_spans == 11
+    # only the exact shared window duplicates across docs
+    assert out[1].n_dup_spans == 1 and out[1].n_cross_spans == 1
+    assert out[1].first_dup_pos == 10  # after the 10 unique tokens
+    assert out[2].first_dup_pos == 0
+    # doc 3: 30 tokens of period-5 cycle → every 20-window recurs in-doc
+    assert out[3].n_spans == 11
+    assert out[3].n_dup_spans == 11 and out[3].n_cross_spans == 0
+    assert out[4].n_spans == 0 and out[4].n_dup_spans == 0
+    assert out[4].first_dup_pos is None
