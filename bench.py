@@ -172,6 +172,8 @@ def main() -> None:
         "kfs_segment_roundtrip",
         "llm_bpe_pair_counts",
         "llm_duplicate_spans",
+        "llm_strip_html",
+        "llm_shuffle_corpus",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3305,6 +3305,67 @@ SELECT DISTINCT md5(text) AS text_md5, length(text)::INT AS text_len FROM kept
 )
 
 
+# HTML → text extraction (C4-style), exercised on deterministic synthetic
+# markup wrapped around each doc: the oracle derives the expected output
+# WITHOUT reimplementing the strip (escape→wrap→strip must round-trip to
+# the wrapper constants + whitespace-collapsed text) -----------------------
+
+
+def _strip_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import strip_html
+
+    docs = _doc_table(spark, sf_dir)
+    esc = F.col("text")
+    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2 && 3;'
+            "</script><style>p { color: red; }</style></head><body>"
+            "<!-- nav menu --><h1>T &amp; C &lt;draft&gt;</h1><p>"
+        ),
+        esc,
+        F.lit('</p><br/><div id="f">END-OF-PAGE</div></body></html>'),
+    )
+    return docs.select("doc_id", strip_html(html).alias("text_plain"))
+
+
+_llm(
+    "llm_strip_html",
+    _strip_html_gate,
+    r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    'T & C <draft> ' || COALESCE(text, '') || ' END-OF-PAGE',
+    '\s+', ' ', 'g')) AS text_plain
+FROM documents
+""",
+)
+
+
+# deterministic corpus shuffle: portable md5 ordering key -------------------
+
+
+def _shuffle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import shuffle_corpus
+
+    return shuffle_corpus(_doc_table(spark, sf_dir)).select("doc_id", "shuffle_key")
+
+
+_llm(
+    "llm_shuffle_corpus",
+    _shuffle_gate,
+    r"""
+SELECT doc_id,
+  CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       AS BIGINT) AS shuffle_key
+FROM documents
+""",
+)
+
+
 # BPE tokenizer training: first-round adjacent-symbol pair counts ----------
 
 
@@ -3517,6 +3578,8 @@ _TAIL_SUBSETS = [
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)
     "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
+    "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check
+    "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

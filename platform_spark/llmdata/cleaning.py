@@ -500,3 +500,43 @@ def quality_passes_expr(text: Column) -> Column:
         & (distinct_ratio >= MIN_DISTINCT_RATIO)
         & (top_ratio <= MAX_TOP_WORD_RATIO)
     )
+
+
+# -- HTML → text extraction (C4-style) --------------------------------------
+
+#: entity unescapes applied after tag removal (RE2-safe literal patterns)
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST, so "&amp;lt;" decodes to "&lt;" not "<"
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Plain text from HTML markup — the extraction step every web-corpus
+    pipeline (C4, RefinedWeb) runs before cleaning. Pure chained
+    `regexp_replace` column expressions: zero shuffle, whole-stage codegen,
+    and RE2-compatible patterns so the DuckDB oracle reproduces it
+    bit-exactly.
+
+    Order: drop script/style subtrees and comments entirely, replace every
+    remaining tag with a space, decode the common entities (``&amp;``
+    last), collapse whitespace, trim.
+    """
+    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Dataset-level wrapper: adds ``out_col`` = stripped text."""
+    return df.withColumn(out_col, strip_html(F.col(html_col)))

@@ -293,3 +293,24 @@ def unigram_logprob(
             F.sum("__lp").cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle: the pre-training data-ordering
+    step, reproducible across runs and engines (same portable md5-rank
+    machinery as the split/sample operators).
+
+    Adds `shuffle_key` (bigint) and returns the rows range-sorted by it.
+    The key — not a materialized global row number — is deliberate: a
+    global row_number() would funnel everything through one reducer, while
+    `orderBy(shuffle_key)` is a range-partitioned parallel sort, and a
+    writer that needs stable file order does
+    `repartitionByRange(shuffle_key).sortWithinPartitions(shuffle_key)`
+    with no serial stage at any size."""
+    return df.withColumn(
+        "shuffle_key", md5_int(F.col(id_col).cast("string"), seed=seed + ":")
+    ).orderBy("shuffle_key", id_col)

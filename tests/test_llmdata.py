@@ -1266,3 +1266,47 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[3].n_dup_spans == 11 and out[3].n_cross_spans == 0
     assert out[4].n_spans == 0 and out[4].n_dup_spans == 0
     assert out[4].first_dup_pos is None
+
+
+# -- HTML extraction + corpus shuffle ---------------------------------------
+
+
+def test_strip_html_rules(spark):
+    from platform_spark.llmdata.cleaning import strip_html
+
+    cases = [
+        # script/style subtrees fully dropped, incl. their text
+        ('<p>a</p><script>var x = "<b>hi</b>";</script>b', "a b"),
+        ("<style>p{}</style>x", "x"),
+        ("<!-- c --><div>keep</div>", "keep"),
+        # entities decode after tag removal; &amp; decodes LAST
+        ("&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; &nbsp;", "<tag> & \"q\" 's'"),
+        ("&amp;lt;", "&lt;"),  # double-escaped stays single-escaped
+        ("  a\n\n<br>b\t c  ", "a b c"),
+        ("", ""),
+        ("<p></p>", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r.i: r.out
+        for r in df.select("i", strip_html(F.col("html")).alias("out")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_shuffle_corpus_deterministic_and_stable(spark):
+    from platform_spark.llmdata.sampling import shuffle_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = [r.doc_id for r in shuffle_corpus(df).select("doc_id").collect()]
+    b = [r.doc_id for r in shuffle_corpus(df).select("doc_id").collect()]
+    assert a == b  # deterministic order
+    assert a != sorted(a)  # actually shuffled
+    c = [r.doc_id for r in shuffle_corpus(df, seed="other").select("doc_id").collect()]
+    assert c != a  # seed changes the permutation
+    assert sorted(c) == sorted(a)  # same multiset
