@@ -438,6 +438,7 @@ def read_kfs(
     min_offset: int | None = None,
     max_offset: int | None = None,
     streaming: bool = False,
+    partition: int | None = None,
 ) -> DataFrame:
     """Scan ``.kfs`` segments under ``root/{topic}/{partition}/`` into the
     8-column envelope. One binaryFile split per segment object = the
@@ -454,7 +455,8 @@ def read_kfs(
         reader = reader.schema(
             "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
         )
-    binary = reader.load(f"{root}/{topic}/*")
+    part = "*" if partition is None else str(partition)
+    binary = reader.load(f"{root}/{topic}/{part}")
     return binary.select("path", "content").mapInPandas(
         lambda it: _decode_partition(it, min_offset, max_offset), KFS_SCHEMA
     )
@@ -545,3 +547,39 @@ def _as_bytes(v) -> bytes | None:
     if isinstance(v, float):  # NaN from pandas null
         return None
     return str(v).encode("utf-8")
+
+
+def read_kfs_from(
+    spark: SparkSession,
+    root: str,
+    topic: str,
+    next_offsets: dict[int, int],
+) -> DataFrame:
+    """Consumer-style resume over native segments: scan each partition from
+    its next uncommitted offset (``ConsumerGroupOffsets.fetch(group, topic,
+    p) + 1`` — the OffsetFetch → Fetch flow, kafscale-spec.md:235-328).
+    Each partition's ``min_offset`` bound prunes whole record batches
+    before decode; partitions absent from the map read from 0. The
+    partition listing is a driver-side directory LIST, exactly the
+    reference's S3 LIST-per-partition."""
+    part_dirs = sorted(
+        int(p)
+        for p in os.listdir(os.path.join(root, topic))
+        if p.isdigit()
+    )
+    dfs = [
+        read_kfs(
+            spark,
+            root,
+            topic,
+            min_offset=next_offsets.get(p, 0) or None,
+            partition=p,
+        )
+        for p in part_dirs
+    ]
+    if not dfs:
+        return spark.createDataFrame([], KFS_SCHEMA)
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -198,3 +198,27 @@ def test_streaming_kfs_source(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("kfs_stream_sink").count() == 120
+
+
+def test_read_kfs_from_resumes_at_committed_offsets(spark, tmp_path):
+    from platform_spark.streaming.ingest import ConsumerGroupOffsets
+
+    df = _envelope_df(spark, n=300)  # partitions 0..2, offsets 0..99 each
+    root = str(tmp_path / "kfs")
+    kfs.write_kfs(df, root, "t", segment_rows=40, batch_records=10).collect()
+    (tmp_path / "groups").mkdir()
+    cg = ConsumerGroupOffsets(spark, str(tmp_path / "groups"))
+    cg.commit("g1", "t", 0, 49)   # consumed through offset 49
+    cg.commit("g1", "t", 2, 99)   # fully consumed
+    nxt = {p: (cg.fetch("g1", "t", p) or -1) + 1 for p in (0, 1, 2)}
+    got = kfs.read_kfs_from(spark, root, "t", nxt)
+    by_part = {
+        p: sorted(r._offset for r in rows)
+        for p, rows in __import__("itertools").groupby(
+            sorted(got.collect(), key=lambda r: r._partition),
+            key=lambda r: r._partition,
+        )
+    }
+    assert by_part.get(0) == list(range(50, 100))
+    assert by_part.get(1) == list(range(0, 100))
+    assert 2 not in by_part
