@@ -203,6 +203,42 @@ def main() -> None:
         dedup_clusters_fast(cat.table("documents")),
     )
 
+    from platform_spark import kfs as kfsmod
+    from platform_spark.gate import _ensure_kfs_export
+
+    add(
+        "Native .kfs segment scan",
+        "binaryFile source (one task per segment object — the reference's "
+        "one-GET-per-segment parallelism) feeding an Arrow-batched "
+        "mapInPandas decode; no exchange anywhere — the scan is "
+        "embarrassingly parallel and offset bounds prune whole record "
+        "batches inside the decoder before any record is touched.",
+        ["MapInPandas", "Scan binaryFile"],
+        kfsmod.read_kfs(spark, _ensure_kfs_export(spark, args.sf), "events"),
+    )
+
+    from platform_spark.llmdata.bpe import bpe_pair_counts
+    from platform_spark.llmdata.dedup import duplicate_spans
+
+    add(
+        "BPE pair counts",
+        "The corpus collapses to a word-frequency table first (token-keyed "
+        "partial aggregate), so the pair explode + aggregate below runs on "
+        "|vocab|-sized data — every BPE merge round shares this shape. Both "
+        "aggregates partial-aggregate map-side.",
+        ["HashAggregate", "Exchange"],
+        bpe_pair_counts(cat.table("documents"), top_k=200),
+    )
+    add(
+        "Exact-substring duplicate spans",
+        "Positional k-token windows shuffle as 8-byte md5 ints (not span "
+        "text): one span-keyed partial aggregate for occurrence counts, one "
+        "span-keyed join back, one doc-keyed aggregate. No window function, "
+        "no global sort.",
+        ["HashAggregate", "Exchange"],
+        duplicate_spans(cat.table("documents")),
+    )
+
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
         "",
