@@ -174,6 +174,7 @@ def main() -> None:
         "llm_duplicate_spans",
         "llm_strip_html",
         "llm_shuffle_corpus",
+        "llm_lang_id_multi",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,47 @@ FROM documents
 )
 
 
+# multi-class language ID: per-language function-word ratio argmax ---------
+
+
+def _lang_multi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.text import lang_id_multi
+
+    return _doc_table(spark, sf_dir).select(
+        "doc_id", lang_id_multi(F.col("text")).alias("lang_pred")
+    )
+
+
+def _lang_multi_oracle() -> str:
+    langs = sorted(_tx.LANG_STOPWORDS)  # alphabetical = the tiebreak order
+    ratio_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in _tx.LANG_STOPWORDS[lang])
+        ratio_cols.append(
+            f"CASE WHEN len(w) = 0 THEN 0.0 ELSE round("
+            f"len(list_filter(w, t -> list_contains([{words}], t)))::DOUBLE"
+            f" / len(w), 6) END AS r_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN r_{lang} = best THEN '{lang}'" for lang in langs)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+r AS (SELECT doc_id, {", ".join(ratio_cols)} FROM t),
+b AS (SELECT doc_id, r_{", r_".join(langs)}, {best} AS best FROM r)
+SELECT doc_id,
+  CASE WHEN best < 0.03 THEN 'unk' {case} ELSE 'unk' END AS lang_pred
+FROM b
+"""
+
+
+_llm("llm_lang_id_multi", _lang_multi_gate, _lang_multi_oracle())
+
+
 # BPE tokenizer training: first-round adjacent-symbol pair counts ----------
 
 
@@ -3580,6 +3621,7 @@ _TAIL_SUBSETS = [
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
     "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check
     "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
+    "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

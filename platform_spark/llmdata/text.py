@@ -189,3 +189,50 @@ def corpus_stats(
             ).alias("mean_doc_tokens"),
         )
     )
+
+
+#: per-language function-word tables for multi-class language ID
+#: (deterministic; mirrored literally in the DuckDB oracle). Order of the
+#: dict is the deterministic argmax tiebreak order (alphabetical).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": (
+        "der die das und ist ein eine zu den dem des nicht mit von für auf "
+        "im es sich auch als an aus bei nach wie über so wir ihr sie er"
+    ).split(),
+    "en": EN_STOPWORDS,
+    "es": (
+        "el la los las de que y en un una es por con no para su al lo como "
+        "pero sus le ya o este porque esta entre cuando muy sin sobre"
+    ).split(),
+    "fr": (
+        "le la les de des du un une et en que qui dans ce il elle ne se pas "
+        "pour sur au aux avec son sa ses mais ou par plus sans vous nous je"
+    ).split(),
+}
+
+
+def lang_stopword_ratio(col: Column, lang: str) -> Column:
+    """Fraction of (lowercased) tokens that are function words of `lang`.
+    NULL text counts as empty (ratio 0.0) — the same NULL policy as the
+    quality twins, and required here because `size(NULL) = -1` under
+    non-ANSI mode would otherwise make every ratio 1.0."""
+    toks = tokens(F.lower(F.coalesce(col, F.lit(""))))
+    table = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(table, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(hits / F.size(toks), 6)
+    )
+
+
+def lang_id_multi(col: Column, min_ratio: float = 0.03) -> Column:
+    """Multi-class language ID: argmax of per-language function-word ratios
+    (de/en/es/fr), `unk` below `min_ratio`. Pure column expressions —
+    whole-stage codegen, zero shuffle; ties break alphabetically (the
+    CASE order). The classic cheap n-gram/stopword classifier; extend
+    LANG_STOPWORDS for more classes."""
+    ratios = {lang: lang_stopword_ratio(col, lang) for lang in LANG_STOPWORDS}
+    best = F.greatest(*ratios.values())
+    out = F.lit("unk")
+    for lang in reversed(list(ratios)):  # build CASE so FIRST lang wins ties
+        out = F.when(ratios[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best < min_ratio, F.lit("unk")).otherwise(out)

@@ -1310,3 +1310,26 @@ def test_shuffle_corpus_deterministic_and_stable(spark):
     c = [r.doc_id for r in shuffle_corpus(df, seed="other").select("doc_id").collect()]
     assert c != a  # seed changes the permutation
     assert sorted(c) == sorted(a)  # same multiset
+
+
+def test_lang_id_multi_classifies_four_languages(spark):
+    from platform_spark.llmdata.text import lang_id_multi
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and it is fine", "en"),
+        (2, "el perro corre por la calle y no quiere volver a su casa", "es"),
+        (3, "le chien court dans la rue et il ne veut pas rentrer avec nous", "fr"),
+        (4, "der hund läuft auf der straße und er ist nicht bei uns im haus", "de"),
+        (5, "zxcv qwer asdf uiop hjkl", "unk"),  # no function words
+        (6, "", "unk"),
+        (7, None, "unk"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "i long, t string"
+    )
+    got = {
+        r.i: r.lang
+        for r in df.select("i", lang_id_multi(F.col("t")).alias("lang")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
