@@ -175,6 +175,7 @@ def main() -> None:
         "llm_strip_html",
         "llm_shuffle_corpus",
         "llm_lang_id_multi",
+        "llm_multimodal_audio",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

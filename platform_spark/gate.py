@@ -3366,6 +3366,54 @@ FROM documents
 )
 
 
+# real stdlib WAV audio decode over closed-form synthetic PCM --------------
+
+
+def _mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.multimodal import (
+        decode_audio,
+        encode_wav,
+        synth_samples,
+    )
+
+    ids = _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 400 + mid % 200
+                rows.append((mid, encode_wav(synth_samples(mid, n))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    wavs = ids.mapInPandas(gen, "media_id bigint, content binary")
+    return decode_audio(wavs)
+
+
+_add(
+    "llm_multimodal_audio",
+    _mm_audio_decode,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, 400 + doc_id % 200 AS n FROM documents
+),
+s AS (
+  SELECT media_id, n, abs(((media_id * 31 + i.i * 7) % 4096) - 2048) AS v
+  FROM m JOIN (SELECT unnest(generate_series(0, 598)) AS i) i ON i.i < n
+)
+SELECT media_id, 1 AS n_channels, 8000 AS sample_rate,
+  MIN(n)::BIGINT AS n_frames, (MIN(n) * 1000 // 8000)::BIGINT AS duration_ms,
+  SUM(v)::BIGINT AS amp_sum, MAX(v)::INT AS peak
+FROM s GROUP BY media_id
+""",
+)
+
+
 # multi-class language ID: per-language function-word ratio argmax ---------
 
 
@@ -3622,6 +3670,7 @@ _TAIL_SUBSETS = [
     "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check
     "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
+    "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

@@ -435,3 +435,97 @@ def resize_media(
             )
 
     return df.select(id_col, content_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+# -- audio: real stdlib WAV/PCM codec ---------------------------------------
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal PCM16 RIFF/WAVE writer (synthetic fixtures / gate input)."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def real_audio_decode(content: bytes) -> dict:
+    """Real stdlib audio decode (wave module) for PCM WAV: channels, sample
+    rate, frame count, integer duration (ms, floored), the exact
+    absolute-amplitude sum and the peak — integer checksums a SQL oracle
+    can predict closed-form. Compressed audio (MP3/OGG/…) raises
+    NotImplementedError — pass an ffmpeg-backed callable for those."""
+    import io
+    import wave
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unrecognized audio magic (stdlib codec covers PCM WAV; "
+            "MP3/OGG/video audio tracks need external libraries)"
+        )
+    with wave.open(io.BytesIO(content)) as w:
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError("only PCM16 WAV is stdlib-decodable here")
+    vals = struct.unpack(f"<{n * channels}h", raw)
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "n_frames": n,
+        "duration_ms": n * 1000 // rate,
+        "amp_sum": sum(abs(v) for v in vals),
+        "peak": max((abs(v) for v in vals), default=0),
+    }
+
+
+AUDIO_SCHEMA = (
+    "media_id bigint, n_channels int, sample_rate int, n_frames bigint, "
+    "duration_ms bigint, amp_sum bigint, peak int"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict] = real_audio_decode,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio twin of decode_media: Arrow-batched mapInPandas, bytes in,
+    typed columns out, scan-parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                d = decoder(bytes(content) if content is not None else b"")
+                rows.append(
+                    (
+                        int(mid),
+                        d.get("n_channels"),
+                        d.get("sample_rate"),
+                        d.get("n_frames"),
+                        d.get("duration_ms"),
+                        d.get("amp_sum"),
+                        d.get("peak"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_frames",
+                    "duration_ms", "amp_sum", "peak",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def synth_samples(media_id: int, n: int) -> list[int]:
+    """Closed-form PCM16 samples: ((id*31 + i*7) % 4096) - 2048 — a SQL
+    oracle predicts every decode output exactly."""
+    return [((media_id * 31 + i * 7) % 4096) - 2048 for i in range(n)]

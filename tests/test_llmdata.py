@@ -1333,3 +1333,26 @@ def test_lang_id_multi_classifies_four_languages(spark):
     }
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_wav_codec_roundtrip_and_rejections():
+    from platform_spark.llmdata.multimodal import (
+        encode_wav,
+        real_audio_decode,
+        synth_samples,
+    )
+
+    s = synth_samples(3, 500)
+    d = real_audio_decode(encode_wav(s, sample_rate=16000))
+    assert d["n_channels"] == 1 and d["sample_rate"] == 16000
+    assert d["n_frames"] == 500 and d["duration_ms"] == 500 * 1000 // 16000
+    assert d["amp_sum"] == sum(abs(v) for v in s)
+    assert d["peak"] == max(abs(v) for v in s)
+    # stereo interleave: frames halve, amp_sum unchanged
+    st = real_audio_decode(encode_wav(s, channels=2))
+    assert st["n_channels"] == 2 and st["n_frames"] == 250
+    assert st["amp_sum"] == d["amp_sum"]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="audio magic"):
+        real_audio_decode(b"ID3\x04mp3data")
