@@ -176,6 +176,7 @@ def main() -> None:
         "llm_shuffle_corpus",
         "llm_lang_id_multi",
         "llm_multimodal_audio",
+        "llm_multimodal_resize",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,52 @@ FROM documents
 )
 
 
+# real stdlib raster resize: decode → nearest-neighbor → P6 re-encode ------
+
+
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.multimodal import (
+        decode_media,
+        real_decode,
+        real_resize,
+        resize_media,
+    )
+
+    resized = resize_media(
+        _mm_real_media(spark, sf_dir), width=5, height=7, resizer=real_resize
+    )
+    out = decode_media(resized, decoder=real_decode)
+    return out.select("media_id", "width", "height", "n_channels", "pixel_sum")
+
+
+# the oracle recomputes the nearest-neighbor sample closed-form from the
+# synth_pixels gradient: sx = x*w//5, sy = y*h//7 — the whole
+# decode→resize→re-encode→decode chain must land on these exact bytes
+_add(
+    "llm_multimodal_resize",
+    _mm_resize,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+  FROM documents
+),
+g AS (
+  SELECT media_id, ((x.x * w) // 5) AS sx, ((y.y * h) // 7) AS sy
+  FROM m
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS y) y
+),
+px AS (
+  SELECT media_id, (sx * 7 + sy * 11 + c.c * 13 + media_id) % 256 AS v
+  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+)
+SELECT media_id, 5::INT AS width, 7::INT AS height, 3::INT AS n_channels,
+  SUM(v)::BIGINT AS pixel_sum
+FROM px GROUP BY media_id
+""",
+)
+
+
 # real stdlib WAV audio decode over closed-form synthetic PCM --------------
 
 
@@ -3671,6 +3717,7 @@ _TAIL_SUBSETS = [
     "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
     "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest
+    "llm_multimodal_resize",       # REAL stdlib nearest-neighbor resize, full decode→resize→re-encode→decode chain vs closed-form oracle; shares the llm_multimodal_decode raster corpus (tail twin)
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

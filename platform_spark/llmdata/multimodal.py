@@ -398,11 +398,36 @@ def fake_resize(content: bytes, width: int, height: int) -> dict:
 
 
 def real_resize(content: bytes, width: int, height: int) -> dict:
-    """Real resize entry point — intentionally unimplemented here."""
-    raise NotImplementedError(
-        "image libraries are not available in this environment; pass "
-        "resizer=fake_resize (tests) or a PIL-backed callable"
-    )
+    """Real stdlib resize for the stdlib-decodable rasters (PNG/PNM/BMP):
+    nearest-neighbor resample of the decoded pixels, re-encoded as binary
+    PPM (P6) — the cheapest fully-deterministic raster container, so
+    downstream decode_media can re-read the output. Lib-bound codecs
+    (JPEG/video frames) still raise NotImplementedError — pass a
+    PIL-backed callable for those."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        sw, sh, nch, px = _decode_png(content)
+    elif content[:2] in (b"P5", b"P6"):
+        sw, sh, nch, px = _decode_pnm(content)
+    elif content[:2] == b"BM":
+        sw, sh, nch, px = _decode_bmp(content)
+    else:
+        raise NotImplementedError(
+            "unrecognized media magic (stdlib resize covers PNG/PNM/BMP; "
+            "JPEG/video need external libraries — pass a PIL-backed callable)"
+        )
+    out = bytearray()
+    for y in range(height):
+        sy = y * sh // height
+        row_base = sy * sw * nch
+        for x in range(width):
+            sx = x * sw // width
+            base = row_base + sx * nch
+            if nch == 3:
+                out += px[base : base + 3]
+            else:  # grayscale → replicate into RGB for the P6 container
+                out += px[base : base + 1] * 3
+    return {"content": encode_ppm(width, height, bytes(out)),
+            "width": width, "height": height}
 
 
 RESIZE_SCHEMA = "media_id bigint, content binary, width int, height int"

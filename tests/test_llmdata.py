@@ -1356,3 +1356,28 @@ def test_wav_codec_roundtrip_and_rejections():
 
     with _pytest.raises(NotImplementedError, match="audio magic"):
         real_audio_decode(b"ID3\x04mp3data")
+
+
+def test_real_resize_nearest_neighbor_exact():
+    from platform_spark.llmdata.multimodal import (
+        encode_png,
+        real_decode,
+        real_resize,
+        synth_pixels,
+    )
+
+    src = encode_png(9, 12, synth_pixels(5, 9, 12))
+    r = real_resize(src, 4, 6)
+    d = real_decode(r["content"])
+    assert (d["width"], d["height"], d["n_channels"]) == (4, 6, 3)
+    px = synth_pixels(5, 9, 12)
+    expect = 0
+    for y in range(6):
+        sy = y * 12 // 6
+        for x in range(4):
+            sx = x * 9 // 4
+            base = (sy * 9 + sx) * 3
+            expect += sum(px[base : base + 3])
+    assert d["pixel_sum"] == expect
+    with pytest.raises(NotImplementedError, match="media magic"):
+        real_resize(b"\xff\xd8jpeg", 2, 2)
