@@ -470,6 +470,7 @@ def write_kfs(
     batch_records: int = 500,
     created_ms: int = 0,
     write_index: bool = True,
+    index_interval: int = 1000,
 ) -> DataFrame:
     """Export an envelope DataFrame (``_partition``, ``_offset``, ``_ts``,
     ``_key``, ``_value``, optional ``_headers`` JSON text) as completed
@@ -522,7 +523,7 @@ def write_kfs(
         for i in range(0, len(records), segment_rows):
             chunk = records[i : i + segment_rows]
             base = chunk[0]["offset"]
-            seg, idx = encode_segment(chunk, created_ms, batch_records)
+            seg, idx = encode_segment(chunk, created_ms, batch_records, index_interval)
             path = os.path.join(seg_dir, f"segment-{base:020d}.kfs")
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
@@ -583,3 +584,70 @@ def read_kfs_from(
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def estimate_kfs_scan(
+    root: str,
+    topic: str,
+    partition: int | None = None,
+    min_offset: int | None = None,
+    max_offset: int | None = None,
+) -> dict:
+    """Pre-flight scan estimate over native segments using ONLY segment
+    headers and sparse ``.index`` files — the planning use of the index the
+    reference makes for S3 range-GETs (log.go:653-682), and the kfs twin
+    of governance.estimate_scan's parquet-footer estimate (C9 scan
+    budgets). Returns candidate segment count, estimated records and the
+    byte window that must actually be read per segment (bytes after the
+    first index entry at-or-before ``min_offset``, through the entry just
+    past ``max_offset``)."""
+    pattern = os.path.join(root, topic, "*" if partition is None else str(partition))
+    segments = 0
+    est_records = 0
+    est_bytes = 0
+    total_bytes = 0
+    import glob as _glob
+
+    for seg_dir in sorted(_glob.glob(pattern)):
+        for name in sorted(os.listdir(seg_dir)):
+            if not name.endswith(".kfs"):
+                continue
+            path = os.path.join(seg_dir, name)
+            size = os.path.getsize(path)
+            total_bytes += size
+            with open(path, "rb") as f:
+                header = f.read(SEGMENT_HEADER_LEN)
+            if header[:4] != SEGMENT_MAGIC:
+                continue
+            base, count = struct.unpack(">q", header[8:16])[0], struct.unpack(
+                ">i", header[16:20]
+            )[0]
+            last = base + count - 1
+            if (min_offset is not None and last < min_offset) or (
+                max_offset is not None and base > max_offset
+            ):
+                continue  # whole segment pruned from its header alone
+            lo_pos, hi_pos = SEGMENT_HEADER_LEN, size
+            idx_path = path[:-4] + ".index"
+            if os.path.exists(idx_path):
+                with open(idx_path, "rb") as f:
+                    entries = parse_index(f.read())
+                if min_offset is not None:
+                    at_or_before = [p for off, p in entries if off <= min_offset]
+                    if at_or_before:
+                        lo_pos = at_or_before[-1]
+                if max_offset is not None:
+                    past = [p for off, p in entries if off > max_offset]
+                    if past:
+                        hi_pos = past[0]
+            segments += 1
+            lo = max(base, min_offset) if min_offset is not None else base
+            hi = min(last, max_offset) if max_offset is not None else last
+            est_records += max(hi - lo + 1, 0)
+            est_bytes += max(hi_pos - lo_pos, 0)
+    return {
+        "segments": segments,
+        "est_records": est_records,
+        "est_bytes": est_bytes,
+        "total_bytes": total_bytes,
+    }

@@ -222,3 +222,25 @@ def test_read_kfs_from_resumes_at_committed_offsets(spark, tmp_path):
     assert by_part.get(0) == list(range(50, 100))
     assert by_part.get(1) == list(range(0, 100))
     assert 2 not in by_part
+
+
+def test_estimate_kfs_scan_prunes_from_headers_and_index(spark, tmp_path):
+    df = _envelope_df(spark, n=600)  # 3 partitions × 200 offsets
+    root = str(tmp_path / "kfs")
+    kfs.write_kfs(
+        df, root, "t", segment_rows=100, batch_records=20, index_interval=20
+    ).collect()
+    full = kfs.estimate_kfs_scan(root, "t")
+    assert full["segments"] == 6 and full["est_records"] == 600
+    assert full["est_bytes"] <= full["total_bytes"]
+    # offset range inside the second segment of each partition
+    est = kfs.estimate_kfs_scan(root, "t", min_offset=150, max_offset=199)
+    assert est["segments"] == 3 and est["est_records"] == 150
+    # the index narrows the byte window below the 3 candidate segments' span
+    assert est["est_bytes"] < full["est_bytes"] / 2  # < half of all 6 segments
+    # fully out-of-range prunes everything from headers alone
+    none = kfs.estimate_kfs_scan(root, "t", min_offset=10_000)
+    assert none["segments"] == 0 and none["est_records"] == 0
+    # single-partition estimate
+    one = kfs.estimate_kfs_scan(root, "t", partition=1)
+    assert one["segments"] == 2 and one["est_records"] == 200
