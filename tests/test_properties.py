@@ -218,3 +218,60 @@ def test_repetition_metrics_bounds_and_distinct_zero(spark, words):
     bigrams = [tuple(words[i : i + 2]) for i in range(len(words) - 1)]
     if len(bigrams) == len(set(bigrams)):
         assert dup == 0.0
+
+
+# -- native .kfs codec (platform_spark/kfs.py) ------------------------------
+
+_rec = st.fixed_dictionaries(
+    {
+        "key": st.one_of(st.none(), st.binary(max_size=24)),
+        "value": st.one_of(st.none(), st.binary(max_size=64)),
+        "headers": st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+                    max_size=8,
+                ),
+                st.one_of(st.none(), st.binary(max_size=16)),
+            ),
+            max_size=3,
+        ),
+        # spans beyond i32 ms force the writer's batch-split path
+        "ts_jump": st.integers(0, (1 << 31) + 10_000),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_rec, min_size=1, max_size=40), st.integers(0, 1 << 40))
+def test_kfs_codec_roundtrips_arbitrary_records(recs, base_offset):
+    from platform_spark import kfs
+
+    ts = 1_500_000_000_000
+    rows = []
+    for i, r in enumerate(recs):
+        ts += r["ts_jump"]
+        rows.append(
+            {
+                "offset": base_offset + i,
+                "ts_ms": ts,
+                "key": r["key"],
+                "value": r["value"],
+                "headers": r["headers"],
+            }
+        )
+    seg, idx = kfs.encode_segment(rows, batch_records=7, index_interval=10)
+    back = list(kfs.decode_segment(seg, verify_crc=True))
+    assert back == [
+        {k: r[k] for k in ("offset", "ts_ms", "key", "value", "headers")}
+        for r in rows
+    ]
+    # header/footer invariants
+    assert kfs.is_completed(seg)
+    entries = kfs.parse_index(idx)
+    assert entries and entries[0][0] == base_offset
+    # any offset sub-range decodes to exactly the range filter
+    lo = base_offset + len(rows) // 3
+    hi = base_offset + (2 * len(rows)) // 3
+    got = [r["offset"] for r in kfs.decode_segment(seg, lo, hi)]
+    assert got == [r["offset"] for r in rows if lo <= r["offset"] <= hi]
