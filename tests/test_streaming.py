@@ -966,3 +966,97 @@ def test_quality_twins_agree_on_null_text(spark):
         ).collect()
     }
     assert flags == {i: batch[i][-1] for i in (1, 2, 3)}
+
+
+def test_decode_media_runs_in_structured_streaming(spark, tmp_path):
+    """The multimodal decode (Arrow mapInPandas) is append-legal: the same
+    operator runs unmodified as a streaming transform."""
+    import pandas as pd
+
+    from platform_spark.llmdata.multimodal import (
+        decode_audio,
+        encode_wav,
+        synth_samples,
+    )
+
+    src = str(tmp_path / "wav_src")
+    rows = [(i, encode_wav(synth_samples(i, 100 + i))) for i in range(20)]
+    spark.createDataFrame(rows, "media_id long, content binary").write.parquet(src)
+    stream = spark.readStream.schema("media_id long, content binary").parquet(src)
+    out = decode_audio(stream)
+    assert out.isStreaming
+    spark.sql("DROP TABLE IF EXISTS mm_stream_sink")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mm_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.media_id: r for r in spark.table("mm_stream_sink").collect()}
+    assert len(got) == 20
+    for i in range(20):
+        s = synth_samples(i, 100 + i)
+        assert got[i].n_frames == 100 + i
+        assert got[i].amp_sum == sum(abs(v) for v in s)
+
+
+def test_kfs_stream_feeds_curation_end_to_end(spark, tmp_path):
+    """Full native-format path: .kfs segments → streaming decode →
+    continuous curation (clean/quality/dedup) → curated rows. The curated
+    survivors equal the batch twins applied to the decoded envelope."""
+    from pyspark.sql import functions as F
+
+    from platform_spark import kfs
+    from platform_spark.llmdata.cleaning import _line_ok, quality_passes_expr, redact_pii
+    from platform_spark.streaming.curate import curate_stream
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to find a better place with more words than any quality gate needs "
+        "so it keeps going on and on with varied tokens like river mountain "
+        "forest valley stream meadow cliff horizon sunset sunrise thunder"
+    )
+    rows = []
+    for i in range(40):
+        # 20 distinct contents, each duplicated once -> dedup halves them
+        text = f"{base_text} variant {i % 20}"
+        rows.append((i % 4, i // 4, "2024-01-05 00:00:00", f"k{i}", text, "{}"))
+    df = spark.createDataFrame(
+        rows, "_partition int, _offset long, _ts string, _key string, _value string, _headers string"
+    ).withColumn("_ts", F.col("_ts").cast("timestamp"))
+    root = str(tmp_path / "kfs")
+    kfs.write_kfs(df, root, "docs", segment_rows=10).collect()
+
+    stream = kfs.read_kfs(spark, root, "docs", streaming=True).select(
+        F.concat_ws("-", F.col("_partition"), F.col("_offset")).alias("doc_id"),
+        "_ts",
+        F.col("_value").cast("string").alias("text"),
+    )
+    curated = curate_stream(stream, bench_hashes=[], watermark="10 minutes")
+    spark.sql("DROP TABLE IF EXISTS kfs_curated_sink")
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("kfs_curated_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("kfs_curated_sink")
+    # 20 distinct contents, all passing quality -> exactly 20 survivors
+    assert got.count() == 20
+    assert got.select("text").distinct().count() == 20
+    # batch twin on the decoded envelope agrees on surviving CONTENT
+    decoded = kfs.read_kfs(spark, root, "docs").select(
+        F.col("_value").cast("string").alias("text")
+    )
+    cleaned = decoded.withColumn(
+        "text",
+        F.array_join(F.filter(F.split(F.col("text"), "\n"), lambda l: _line_ok(l, 4)), "\n"),
+    )
+    cleaned = redact_pii(cleaned).select(F.col("text_redacted").alias("text"))
+    expected = cleaned.filter(quality_passes_expr(F.col("text"))).select("text").distinct()
+    assert expected.subtract(got.select("text")).count() == 0
+    assert got.select("text").subtract(expected).count() == 0
