@@ -211,6 +211,20 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def _lang_mask_map() -> Column:
+    """One literal MAP word → language bitmask (bit i = membership in the
+    i-th LANG_STOPWORDS table, alphabetical order). A token then costs ONE
+    hash lookup instead of |languages| × |table| string compares."""
+    masks: dict[str, int] = {}
+    for i, lang in enumerate(sorted(LANG_STOPWORDS)):
+        for w in LANG_STOPWORDS[lang]:
+            masks[w] = masks.get(w, 0) | (1 << i)
+    flat: list[Column] = []
+    for w, m in masks.items():
+        flat += [F.lit(w), F.lit(m)]
+    return F.create_map(*flat)
+
+
 def lang_stopword_ratio(col: Column, lang: str) -> Column:
     """Fraction of (lowercased) tokens that are function words of `lang`.
     NULL text counts as empty (ratio 0.0) — the same NULL policy as the
@@ -229,10 +243,24 @@ def lang_id_multi(col: Column, min_ratio: float = 0.03) -> Column:
     (de/en/es/fr), `unk` below `min_ratio`. Pure column expressions —
     whole-stage codegen, zero shuffle; ties break alphabetically (the
     CASE order). The classic cheap n-gram/stopword classifier; extend
-    LANG_STOPWORDS for more classes."""
-    ratios = {lang: lang_stopword_ratio(col, lang) for lang in LANG_STOPWORDS}
+    LANG_STOPWORDS for more classes.
+
+    Hot-path shape: each token does ONE map lookup into a literal
+    word→bitmask map (bit per language), and the per-language hit counts
+    are cheap integer filters over the mask array — identical values to
+    the per-table `lang_stopword_ratio` definition (bit set ⟺ word in
+    that table), ~|languages|×|table| times fewer string compares.
+    """
+    langs = sorted(LANG_STOPWORDS)
+    toks = tokens(F.lower(F.coalesce(col, F.lit(""))))
+    n = F.size(toks)
+    masks = F.transform(toks, lambda t: F.coalesce(_lang_mask_map()[t], F.lit(0)))
+    ratios = {}
+    for i, lang in enumerate(langs):
+        hits = F.size(F.filter(masks, lambda m: m.bitwiseAND(F.lit(1 << i)) != 0))
+        ratios[lang] = F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n, 6))
     best = F.greatest(*ratios.values())
     out = F.lit("unk")
-    for lang in reversed(list(ratios)):  # build CASE so FIRST lang wins ties
+    for lang in reversed(langs):  # build CASE so FIRST lang wins ties
         out = F.when(ratios[lang] == best, F.lit(lang)).otherwise(out)
     return F.when(best < min_ratio, F.lit("unk")).otherwise(out)
