@@ -177,6 +177,7 @@ def main() -> None:
         "llm_lang_id_multi",
         "llm_multimodal_audio",
         "llm_multimodal_resize",
+        "llm_dedup_keep_longest",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,41 @@ FROM documents
 )
 
 
+# quality-keeper dedup: keep the best-scoring duplicate, not min id --------
+
+
+def _keep_best_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        _doc_table(spark, sf_dir), score=F.length(F.col("text"))
+    )
+
+
+_llm(
+    "llm_dedup_keep_longest",
+    _keep_best_gate,
+    r"""
+WITH s AS (
+  SELECT md5(text) AS content_hash, doc_id, length(text)::INT AS sc
+  FROM documents
+),
+r AS (
+  SELECT content_hash, doc_id, sc,
+    row_number() OVER (PARTITION BY content_hash
+                       ORDER BY sc DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY content_hash) AS n
+  FROM s
+)
+SELECT content_hash, doc_id AS keeper, sc AS keeper_score,
+  n::BIGINT AS n_copies
+FROM r WHERE rn = 1
+""",
+)
+
+
 # real stdlib raster resize: decode → nearest-neighbor → P6 re-encode ------
 
 
@@ -3718,6 +3753,7 @@ _TAIL_SUBSETS = [
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
     "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest
     "llm_multimodal_resize",       # REAL stdlib nearest-neighbor resize, full decode→resize→re-encode→decode chain vs closed-form oracle; shares the llm_multimodal_decode raster corpus (tail twin)
+    "llm_dedup_keep_longest",      # ⊂ llm_dedup_exact's hash-agg shape with a max_by keeper policy (arg-max spec pytest); same one-aggregate scale story
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

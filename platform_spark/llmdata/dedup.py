@@ -1005,3 +1005,40 @@ def duplicate_spans(
             "first_dup_pos",
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact dedup with a QUALITY keeper policy: within each duplicate
+    group, keep the row with the highest score (ties → min id) instead of
+    blindly the min id — the standard curation move of keeping the
+    longest/cleanest copy of near-identical pages. One hash aggregate
+    (max_by on a (score, -id) struct), same scale shape as exact_dedup.
+
+    `normalized=True` groups on the normalization fingerprint
+    (lowercase/punct-strip/whitespace-collapse) instead of raw md5.
+    Output: (content_hash, keeper, keeper_score, n_copies).
+    """
+    if normalized:
+        from platform_spark.llmdata.text import fingerprint
+
+        key = fingerprint(F.col(text_col))
+    else:
+        key = F.md5(F.col(text_col).cast("binary"))
+    staged = df.select(
+        key.alias("content_hash"),
+        F.col(id_col).alias("__id"),
+        score.alias("__score"),
+    )
+    return staged.groupBy("content_hash").agg(
+        F.max_by(
+            F.col("__id"), F.struct(F.col("__score"), (-F.col("__id")).alias("n"))
+        ).alias("keeper"),
+        F.max("__score").alias("keeper_score"),
+        F.count("*").alias("n_copies"),
+    )

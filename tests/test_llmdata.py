@@ -1381,3 +1381,22 @@ def test_real_resize_nearest_neighbor_exact():
     assert d["pixel_sum"] == expect
     with pytest.raises(NotImplementedError, match="media magic"):
         real_resize(b"\xff\xd8jpeg", 2, 2)
+
+
+def test_dedup_keep_best_policy(spark):
+    rows = [
+        (1, "short text here we go padded padded"),
+        (2, "short text here we go padded padded"),   # dup of 1, same length
+        (3, "a much longer version of the same page with extra boilerplate"),
+        (4, "a much longer version of the same page with extra boilerplate"),
+        (5, "unique page"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.keeper: r for r in D.dedup_keep_best(df, F.length(F.col("text"))).collect()}
+    # ties on score -> min id; singletons keep themselves
+    assert set(out) == {1, 3, 5}
+    assert out[1].n_copies == 2 and out[3].n_copies == 2 and out[5].n_copies == 1
+    assert out[3].keeper_score == len(rows[2][1])
+    # a custom score flips the keeper: prefer HIGHER doc_id
+    out2 = {r.keeper for r in D.dedup_keep_best(df, F.col("doc_id")).collect()}
+    assert out2 == {2, 4, 5}
