@@ -178,6 +178,7 @@ def main() -> None:
         "llm_multimodal_audio",
         "llm_multimodal_resize",
         "llm_dedup_keep_longest",
+        "llm_oov_rate",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,43 @@ FROM documents
 )
 
 
+# out-of-vocabulary rate vs an in-corpus frequency vocabulary --------------
+
+
+def _oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import oov_rate, token_frequencies
+
+    docs = _doc_table(spark, sf_dir)
+    vocab = token_frequencies(docs, min_count=5).select("token")
+    return oov_rate(docs, vocab)
+
+
+_llm(
+    "llm_oov_rate",
+    _oov_gate,
+    r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+w2 AS (SELECT * FROM w WHERE token <> ''),
+v AS (
+  SELECT token FROM (SELECT token, count(*) AS c FROM w2 GROUP BY 1)
+  WHERE c >= 5
+),
+m AS (
+  SELECT doc_id, (v.token IS NOT NULL) AS iv
+  FROM w2 LEFT JOIN v ON w2.token = v.token
+)
+SELECT doc_id, count(*) AS n_tokens,
+  SUM(CASE WHEN iv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+  round(SUM(CASE WHEN iv THEN 0 ELSE 1 END)::DOUBLE / count(*), 6) AS oov_rate
+FROM m GROUP BY doc_id
+""",
+)
+
+
 # quality-keeper dedup: keep the best-scoring duplicate, not min id --------
 
 
@@ -3754,6 +3791,7 @@ _TAIL_SUBSETS = [
     "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest
     "llm_multimodal_resize",       # REAL stdlib nearest-neighbor resize, full decode→resize→re-encode→decode chain vs closed-form oracle; shares the llm_multimodal_decode raster corpus (tail twin)
     "llm_dedup_keep_longest",      # ⊂ llm_dedup_exact's hash-agg shape with a max_by keeper policy (arg-max spec pytest); same one-aggregate scale story
+    "llm_oov_rate",                # explode + token-keyed left join + doc agg ⊂ llm_unigram_logprob's shape (tail twin, same vocab machinery as llm_token_frequencies)
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

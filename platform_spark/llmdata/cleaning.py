@@ -17,6 +17,7 @@ production.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -540,3 +541,47 @@ def extract_html_text(
 ) -> DataFrame:
     """Dataset-level wrapper: adds ``out_col`` = stripped text."""
     return df.withColumn(out_col, strip_html(F.col(html_col)))
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressed-size / raw-size per document — the cheap
+    repetitiveness signal (highly compressible ⇒ boilerplate/repetition;
+    used alongside the Gopher rules). zlib is deterministic at a fixed
+    level, so results are reproducible across runs and shards, but not
+    SQL-expressible — this is an Arrow-batched pandas UDF (IO-free pure
+    CPU, scan-parallel), pinned by spec pytest rather than a DuckDB
+    oracle. Output: (doc_id, raw_bytes, compressed_bytes, compression_ratio);
+    empty/NULL text → ratio NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<raw:long,comp:long>")
+    def _sizes(texts: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        raws, comps = [], []
+        for t in texts:
+            if t is None:
+                raws.append(0)
+                comps.append(0)
+            else:
+                b = t.encode("utf-8")
+                raws.append(len(b))
+                comps.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw": raws, "comp": comps})
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), _sizes(F.col(text_col)).alias("s")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("s.raw").alias("raw_bytes"),
+        F.col("s.comp").alias("compressed_bytes"),
+        F.when(F.col("s.raw") == 0, F.lit(None)).otherwise(
+            F.round(F.col("s.comp") / F.col("s.raw"), 6)
+        ).alias("compression_ratio"),
+    )

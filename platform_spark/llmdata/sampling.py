@@ -314,3 +314,34 @@ def shuffle_corpus(
     return df.withColumn(
         "shuffle_key", md5_int(F.col(id_col).cast("string"), seed=seed + ":")
     ).orderBy("shuffle_key", id_col)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary table
+    (one `token` column — e.g. token_frequencies(...).filter(n >= k)).
+    The tokenizer-coverage metric run before committing to a vocab.
+
+    Scale shape: explode + one token-keyed LEFT join against the vocab
+    (broadcast when small, hash otherwise — Catalyst/AQE decides) + one
+    doc-keyed aggregate. Output: (doc_id, n_tokens, n_oov, oov_rate)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    marked = toks.join(
+        vocab.select("token", F.lit(1).alias("__in_vocab")), "token", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -1400,3 +1400,36 @@ def test_dedup_keep_best_policy(spark):
     # a custom score flips the keeper: prefer HIGHER doc_id
     out2 = {r.keeper for r in D.dedup_keep_best(df, F.col("doc_id")).collect()}
     assert out2 == {2, 4, 5}
+
+
+def test_oov_rate_against_vocab(spark):
+    from platform_spark.llmdata.sampling import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry apple"), (2, "apple durian"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("apple",), ("banana",)], "token string")
+    out = {r.doc_id: r for r in oov_rate(docs, vocab).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1  # cherry
+    assert out[1].oov_rate == 0.25
+    assert out[2].n_oov == 1 and out[2].oov_rate == 0.5
+    assert 3 not in out  # empty doc has no tokens to rate
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from platform_spark.llmdata.cleaning import compression_ratio
+
+    rep = "spam " * 200
+    var = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, rep), (2, var), (3, None), (4, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    # repetitive text compresses far better than varied text
+    assert out[1].compression_ratio < out[2].compression_ratio / 3
+    assert out[1].raw_bytes == len(rep.encode())
+    assert out[1].compressed_bytes == len(zlib.compress(rep.encode(), 6))
+    assert out[3].compression_ratio is None and out[4].compression_ratio is None
