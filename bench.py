@@ -179,6 +179,7 @@ def main() -> None:
         "llm_multimodal_resize",
         "llm_dedup_keep_longest",
         "llm_oov_rate",
+        "llm_winnow_fingerprints",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

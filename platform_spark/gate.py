@@ -3366,6 +3366,42 @@ FROM documents
 )
 
 
+# winnowing fingerprints: min shingle-hash per sliding window (MOSS) -------
+
+
+def _winnow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_doc_table(spark, sf_dir), k=5, window=4)
+
+
+_DUCK_SH5 = " || ' ' || ".join(f"w[i+{j}]" for j in range(5))
+
+_llm(
+    "llm_winnow_fingerprints",
+    _winnow_gate,
+    rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, i,
+    CAST(('0x' || substr(md5({_DUCK_SH5}), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        FROM t WHERE len(w) >= 5)
+),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hsl FROM hs GROUP BY doc_id),
+fp AS (
+  SELECT doc_id, list_min(hsl[i:i + 3]) AS fingerprint
+  FROM (SELECT doc_id, hsl, unnest(generate_series(1, len(hsl) - 3)) AS i
+        FROM hl WHERE len(hsl) >= 4)
+)
+SELECT DISTINCT doc_id, fingerprint FROM fp
+""",
+)
+
+
 # out-of-vocabulary rate vs an in-corpus frequency vocabulary --------------
 
 
@@ -3792,6 +3828,7 @@ _TAIL_SUBSETS = [
     "llm_multimodal_resize",       # REAL stdlib nearest-neighbor resize, full decode→resize→re-encode→decode chain vs closed-form oracle; shares the llm_multimodal_decode raster corpus (tail twin)
     "llm_dedup_keep_longest",      # ⊂ llm_dedup_exact's hash-agg shape with a max_by keeper policy (arg-max spec pytest); same one-aggregate scale story
     "llm_oov_rate",                # explode + token-keyed left join + doc agg ⊂ llm_unigram_logprob's shape (tail twin, same vocab machinery as llm_token_frequencies)
+    "llm_winnow_fingerprints",     # shingle-hash machinery ⊂ llm_decontaminate/llm_minhash_lsh_pairs (head) + a windowed array_min transform; guarantee property pytest
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

@@ -1042,3 +1042,55 @@ def dedup_keep_best(
         F.max("__score").alias("keeper_score"),
         F.count("*").alias("n_copies"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token shingle, then keep the MINIMUM
+    hash of each sliding window of `window` consecutive shingle hashes —
+    a compact, position-robust fingerprint set that guarantees any shared
+    run of ≥ k+window-1 tokens contributes at least one common
+    fingerprint. The classic rolling-hash document-fingerprinting scheme;
+    two docs' overlap is estimated by joining on (fingerprint).
+
+    All JVM-side: one tokenize, one transform to shingle hashes, one
+    windowed array_min transform, array_distinct, explode — zero
+    shuffle before the caller's join/agg. Output: (doc_id, fingerprint).
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks")
+    sh_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    staged = toked.select(
+        "doc_id",
+        F.when(n < k, F.array().cast("array<bigint>"))
+        .otherwise(
+            F.transform(
+                sh_idx,
+                lambda i: md5_int(
+                    F.concat_ws(
+                        " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
+                    )
+                ),
+            )
+        )
+        .alias("__hs"),
+    )
+    m = F.size("__hs")
+    win_idx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(-1)))
+    fps = F.when(m < window, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            win_idx, lambda i: F.array_min(F.slice(F.col("__hs"), i + 1, window))
+        )
+    )
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )

@@ -1433,3 +1433,31 @@ def test_compression_ratio_signal(spark):
     assert out[1].raw_bytes == len(rep.encode())
     assert out[1].compressed_bytes == len(zlib.compress(rep.encode(), 6))
     assert out[3].compression_ratio is None and out[4].compression_ratio is None
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    from platform_spark.llmdata.dedup import winnow_fingerprints
+
+    # winnowing guarantee: a shared run of >= k+window-1 tokens yields at
+    # least one COMMON fingerprint between the two docs
+    shared = " ".join(f"s{i}" for i in range(8))  # k=5, window=4 -> 8 tokens
+    rows = [
+        (1, f"aa bb cc dd ee {shared} ff gg"),
+        (2, f"xx yy {shared} zz ww vv uu tt"),
+        (3, "totally different words with no overlap at all here folks"),
+        (4, "tiny"),  # < k tokens: no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4)
+    by_doc = {
+        d: {r.fingerprint for r in rows_}
+        for d, rows_ in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    # deterministic across calls
+    again = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints(df, 5, 4).collect()}
+    assert again == {(d, f) for d, s in by_doc.items() for f in s}
