@@ -112,3 +112,52 @@ def curate_corpus(
         "packed": packed,
         "keepers": keepers,
     }
+
+
+def export_dataset(
+    curated: DataFrame,
+    root: str,
+    text_col: str = "text",
+    split_col: str = "split",
+) -> dict:
+    """Materialize a curated corpus as the training-data handoff layout:
+    one parquet directory per split (`root/split=train/...` via
+    partitionBy, so downstream readers partition-prune on split) plus a
+    `_manifest.json` with per-split document/token/byte totals — the
+    dataset card numbers every corpus release ships with.
+
+    The stats come from ONE aggregate over the same frame that was
+    written (token counts via the whitespace tokenizer, UTF-8 byte
+    lengths); nothing is collected except the few manifest rows."""
+    import json
+    import os
+
+    from platform_spark.llmdata.text import tokens
+
+    curated.write.partitionBy(split_col).mode("overwrite").parquet(root)
+    stats = (
+        curated.groupBy(split_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col))).alias("n_bytes"),
+        )
+        .collect()
+    )
+    manifest = {
+        "splits": {
+            r[split_col]: {
+                "n_docs": r["n_docs"],
+                "n_tokens": int(r["n_tokens"] or 0),
+                "n_bytes": int(r["n_bytes"] or 0),
+            }
+            for r in stats
+        }
+    }
+    manifest["total_docs"] = sum(s["n_docs"] for s in manifest["splits"].values())
+    manifest["total_tokens"] = sum(
+        s["n_tokens"] for s in manifest["splits"].values()
+    )
+    with open(os.path.join(root, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

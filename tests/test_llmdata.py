@@ -1461,3 +1461,29 @@ def test_winnow_fingerprints_guarantee(spark):
     # deterministic across calls
     again = {(r.doc_id, r.fingerprint) for r in winnow_fingerprints(df, 5, 4).collect()}
     assert again == {(d, f) for d, s in by_doc.items() for f in s}
+
+
+def test_export_dataset_layout_and_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from platform_spark.llmdata.pipeline import export_dataset
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "train"),
+            (2, "four five", "train"),
+            (3, "six", "val"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    root = str(tmp_path / "ds")
+    m = export_dataset(df, root)
+    assert m["splits"]["train"] == {"n_docs": 2, "n_tokens": 5, "n_bytes": 22}
+    assert m["splits"]["val"]["n_tokens"] == 1
+    assert m["total_docs"] == 3 and m["total_tokens"] == 6
+    # split-partitioned layout + manifest on disk; re-read prunes by split
+    assert os.path.isdir(os.path.join(root, "split=train"))
+    assert json.load(open(os.path.join(root, "_manifest.json")))["total_docs"] == 3
+    back = spark.read.parquet(root)
+    assert back.filter(F.col("split") == "train").count() == 2
