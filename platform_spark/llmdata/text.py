@@ -245,22 +245,46 @@ def lang_id_multi(col: Column, min_ratio: float = 0.03) -> Column:
     CASE order). The classic cheap n-gram/stopword classifier; extend
     LANG_STOPWORDS for more classes.
 
-    Hot-path shape: each token does ONE map lookup into a literal
-    word→bitmask map (bit per language), and the per-language hit counts
-    are cheap integer filters over the mask array — identical values to
-    the per-table `lang_stopword_ratio` definition (bit set ⟺ word in
-    that table), ~|languages|×|table| times fewer string compares.
+    Hot-path shape: ONE `F.aggregate` pass over the token array — each
+    token does a single map lookup into a literal word→bitmask map (bit
+    per language) and increments per-language counters in the fold
+    accumulator; the argmax decision runs once in the fold's `finish`
+    lambda. A Column expression has no let-binding, so naively fanning
+    the ratio expressions out would re-evaluate the whole token pass per
+    language (measured 7× slower) — the single-fold shape keeps the text
+    scanned exactly once. Values are identical to the per-table
+    `lang_stopword_ratio` definition (bit set ⟺ word in that table).
     """
     langs = sorted(LANG_STOPWORDS)
     toks = tokens(F.lower(F.coalesce(col, F.lit(""))))
-    n = F.size(toks)
-    masks = F.transform(toks, lambda t: F.coalesce(_lang_mask_map()[t], F.lit(0)))
-    ratios = {}
-    for i, lang in enumerate(langs):
-        hits = F.size(F.filter(masks, lambda m: m.bitwiseAND(F.lit(1 << i)) != 0))
-        ratios[lang] = F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n, 6))
-    best = F.greatest(*ratios.values())
-    out = F.lit("unk")
-    for lang in reversed(langs):  # build CASE so FIRST lang wins ties
-        out = F.when(ratios[lang] == best, F.lit(lang)).otherwise(out)
-    return F.when(best < min_ratio, F.lit("unk")).otherwise(out)
+
+    def _merge(acc, t):
+        m = F.coalesce(_lang_mask_map()[t], F.lit(0))
+        fields = [(acc["n"] + 1).alias("n")]
+        for i, lang in enumerate(langs):
+            fields.append(
+                (
+                    acc[f"c_{lang}"]
+                    + F.when(m.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+                ).alias(f"c_{lang}")
+            )
+        return F.struct(*fields)
+
+    def _finish(acc):
+        n = acc["n"]
+        ratios = {
+            lang: F.round(acc[f"c_{lang}"] / n, 6) for lang in langs
+        }
+        best = F.greatest(*ratios.values())
+        out = F.lit("unk")
+        for lang in reversed(langs):  # CASE order: FIRST lang wins ties
+            out = F.when(ratios[lang] == best, F.lit(lang)).otherwise(out)
+        return F.when(
+            (n == 0) | (best < min_ratio), F.lit("unk")
+        ).otherwise(out)
+
+    init = F.struct(
+        F.lit(0).alias("n"),
+        *[F.lit(0).alias(f"c_{lang}") for lang in langs],
+    )
+    return F.aggregate(toks, init, _merge, _finish)
