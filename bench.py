@@ -180,6 +180,9 @@ def main() -> None:
         "llm_dedup_keep_longest",
         "llm_oov_rate",
         "llm_winnow_fingerprints",
+        "analytics_running_revenue",
+        "analytics_moving_avg",
+        "analytics_rollup_nation_year",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

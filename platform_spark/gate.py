@@ -3366,6 +3366,66 @@ FROM documents
 )
 
 
+# window-function family: running totals, moving averages, ROLLUP ----------
+
+_RUNNING_SQL = """
+SELECT o_custkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS d, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_total
+FROM orders
+""".strip()
+
+# per-customer running revenue: the cumulative-window shape. Exact decimal
+# window sum cast to double (partition-order deterministic: orderkey ties)
+_add("analytics_running_revenue", spark_sql(_RUNNING_SQL), _RUNNING_SQL)
+
+_MA_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT CAST(day AS VARCHAR(10)) AS day_s, CAST(rev AS DOUBLE) AS rev,
+  ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+        / COUNT(rev) OVER w, 6) AS ma7
+FROM d
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""".strip()
+
+# 7-day moving average over the daily revenue series (range-frame shape);
+# exact decimal sum / IEEE count division, same discipline as AVG
+_add("analytics_moving_avg", spark_sql(_MA_SQL), _MA_SQL)
+
+
+def _rollup_sql(strtype: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS yr,
+    CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT COALESCE(n_name, '<ALL>') AS nation,
+  COALESCE(CAST(yr AS {strtype}), '<ALL>') AS year_s,
+  CAST(SUM(rev) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM base GROUP BY ROLLUP(n_name, yr)
+""".strip()
+
+
+# multi-level aggregation: ROLLUP(nation, year) incl. grand total — the
+# grouping-sets shape (Catalyst Expand); totals marked via COALESCE so the
+# same semantics hash across engines
+_add(
+    "analytics_rollup_nation_year",
+    spark_sql(_rollup_sql("STRING")),
+    _rollup_sql("VARCHAR"),
+)
+
+
 # winnowing fingerprints: min shingle-hash per sliding window (MOSS) -------
 
 
@@ -3829,6 +3889,9 @@ _TAIL_SUBSETS = [
     "llm_dedup_keep_longest",      # ⊂ llm_dedup_exact's hash-agg shape with a max_by keeper policy (arg-max spec pytest); same one-aggregate scale story
     "llm_oov_rate",                # explode + token-keyed left join + doc agg ⊂ llm_unigram_logprob's shape (tail twin, same vocab machinery as llm_token_frequencies)
     "llm_winnow_fingerprints",     # shingle-hash machinery ⊂ llm_decontaminate/llm_minhash_lsh_pairs (head) + a windowed array_min transform; guarantee property pytest
+    "analytics_running_revenue",   # cumulative window ⊂ llm_pack_sequences' windowed cumsum (head) + top_event_per_user rank window (tail); shared-SQL oracle
+    "analytics_moving_avg",        # frame-bounded window over a 1-level agg ⊂ analytics_sliding_window (head, same bucket/frame machinery); shared-SQL oracle
+    "analytics_rollup_nation_year",  # Catalyst Expand grouping-sets over the q5-family join ⊂ q5 (head) joins + agg_multi_group shapes; shared-SQL oracle
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)
