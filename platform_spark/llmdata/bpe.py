@@ -37,6 +37,12 @@ from platform_spark.llmdata.sampling import token_frequencies
 END_OF_WORD = "</w>"
 
 
+# NOTE non-BMP characters (emoji etc.): Spark's split("") yields UTF-16
+# code units (a surrogate PAIR per astral char) while regexp engines that
+# work on code points yield one symbol — for byte-exact cross-engine
+# parity on astral-plane corpora, pre-filter or normalize such characters.
+
+
 def word_symbols(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

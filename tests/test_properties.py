@@ -275,3 +275,25 @@ def test_kfs_codec_roundtrips_arbitrary_records(recs, base_offset):
     hi = base_offset + (2 * len(rows)) // 3
     got = [r["offset"] for r in kfs.decode_segment(seg, lo, hi)]
     assert got == [r["offset"] for r in rows if lo <= r["offset"] <= hi]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["low", "lower", "lowest", "new", "newest", "wide", "widest", "news"]
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_train_bpe_property_matches_reference(spark, words):
+    from tests.test_llmdata import _ref_bpe_train
+    from collections import Counter
+
+    from platform_spark.llmdata.bpe import train_bpe
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    expected = _ref_bpe_train(dict(Counter(words)), 5)
+    assert train_bpe(df, n_merges=5) == expected
