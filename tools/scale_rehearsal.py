@@ -45,6 +45,12 @@ HEAVY = [
     "llm_simhash_pairs",
     "llm_simhash_rep_pairs",
     "llm_ann_ivf_kmeans",
+    "llm_duplicate_spans",
+    "llm_bpe_pair_counts",
+    "llm_winnow_fingerprints",
+    "llm_lang_id_multi",
+    "llm_strip_html",
+    "kfs_segment_roundtrip",
     "llm_tfidf_keywords",
     "llm_decontaminate",
     "analytics_q21_waiting_suppliers",
