@@ -183,6 +183,7 @@ def main() -> None:
         "analytics_running_revenue",
         "analytics_moving_avg",
         "analytics_rollup_nation_year",
+        "llm_bm25_search",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

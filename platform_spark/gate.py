@@ -3366,6 +3366,54 @@ FROM documents
 )
 
 
+# BM25 retrieval over the corpus (fixed 3-term query) ----------------------
+
+
+def _bm25_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.keywords import bm25_search
+
+    return bm25_search(
+        _doc_table(spark, sf_dir), ["spark", "join", "filter"], top_k=20
+    )
+
+
+_llm(
+    "llm_bm25_search",
+    _bm25_gate,
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+    CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS dl
+  FROM t
+),
+corpus AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM t)
+  WHERE term IN ('filter', 'join', 'spark')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+    ln(1.0 + (c.N - f.df + 0.5) / (f.df + 0.5))
+      * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM hits h
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, round(SUM(s), 6) AS score, count(*) AS n_hit_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+
+
 # window-function family: running totals, moving averages, ROLLUP ----------
 
 _RUNNING_SQL = """
@@ -3892,6 +3940,7 @@ _TAIL_SUBSETS = [
     "analytics_running_revenue",   # cumulative window ⊂ llm_pack_sequences' windowed cumsum (head) + top_event_per_user rank window (tail); shared-SQL oracle
     "analytics_moving_avg",        # frame-bounded window over a 1-level agg ⊂ analytics_sliding_window (head, same bucket/frame machinery); shared-SQL oracle
     "analytics_rollup_nation_year",  # Catalyst Expand grouping-sets over the q5-family join ⊂ q5 (head) joins + agg_multi_group shapes; shared-SQL oracle
+    "llm_bm25_search",             # tf/df machinery ⊂ llm_tfidf_keywords (head) with the BM25 saturation formula + broadcast corpus stats; full oracle
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

@@ -62,3 +62,73 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "rank", "word", "tf", "df", "score")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document retrieval for a term query (Robertson/Spärck Jones) —
+    the ranking function behind classic search and the usual retrieval leg
+    of decontamination/dedup triage.
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` (the Lucene form, always ≥ 0).
+
+    Plan shape at 100 TB: one explode restricted to the query terms (the
+    term filter pushes into the scan side of the aggregate), term df and
+    corpus (N, avgdl) as tiny broadcast aggregates, one doc-keyed
+    aggregate for the final sum, then global top-k. Scores round at 6 dp;
+    ties break on doc id — fully deterministic and oracle-reproducible.
+    Output: (doc_id, score, n_hit_terms).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    dl = toks.select("doc_id", F.size("__toks").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        toks.select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    1.0
+                    + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )

@@ -1487,3 +1487,25 @@ def test_export_dataset_layout_and_manifest(spark, tmp_path):
     assert json.load(open(os.path.join(root, "_manifest.json")))["total_docs"] == 3
     back = spark.read.parquet(root)
     assert back.filter(F.col("split") == "train").count() == 2
+
+
+def test_bm25_search_ranking_properties(spark):
+    from platform_spark.llmdata.keywords import bm25_search
+
+    rows = [
+        (1, "cat cat cat dog"),          # high tf for cat
+        (2, "cat dog bird fish mouse"),  # one cat, longer doc
+        (3, "dog dog dog dog"),          # no cat
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, ["cat"], top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1            # more term occurrences rank first
+    assert set(ids) == {1, 2}     # docs without the term never appear
+    assert all(r.score > 0 for r in out)  # Lucene idf form is non-negative
+    # multi-term: doc 3 now matches via dog; dog-heavy doc ranks above
+    # the one-cat-one-dog doc on the dog term alone
+    out2 = {r.doc_id: r for r in bm25_search(df, ["cat", "dog"], 10).collect()}
+    assert set(out2) == {1, 2, 3}
+    assert out2[2].n_hit_terms == 2
