@@ -184,6 +184,7 @@ def main() -> None:
         "analytics_moving_avg",
         "analytics_rollup_nation_year",
         "llm_bm25_search",
+        "llm_bigram_logprob",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,42 @@ FROM documents
 )
 
 
+# bigram-LM surprisal: mean ln P(w2|w1) with in-corpus MLE conditionals ----
+
+
+def _bigram_lp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import bigram_logprob
+
+    return bigram_logprob(_doc_table(spark, sf_dir))
+
+
+_llm(
+    "llm_bigram_logprob",
+    _bigram_lp_gate,
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+),
+p AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)
+  WHERE w[i] <> '' AND w[i + 1] <> ''
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+lc AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+s AS (
+  SELECT doc_id, CAST(round(ln(c12::DOUBLE / c1), 6) AS DECIMAL(18,8)) AS lp
+  FROM p JOIN bc USING (w1, w2) JOIN lc USING (w1)
+)
+SELECT doc_id, count(*) AS n_scored_bigrams,
+  round(SUM(lp)::DOUBLE / count(*), 6) AS avg_logprob
+FROM s GROUP BY doc_id
+""",
+)
+
+
 # BM25 retrieval over the corpus (fixed 3-term query) ----------------------
 
 
@@ -3941,6 +3977,7 @@ _TAIL_SUBSETS = [
     "analytics_moving_avg",        # frame-bounded window over a 1-level agg ⊂ analytics_sliding_window (head, same bucket/frame machinery); shared-SQL oracle
     "analytics_rollup_nation_year",  # Catalyst Expand grouping-sets over the q5-family join ⊂ q5 (head) joins + agg_multi_group shapes; shared-SQL oracle
     "llm_bm25_search",             # tf/df machinery ⊂ llm_tfidf_keywords (head) with the BM25 saturation formula + broadcast corpus stats; full oracle
+    "llm_bigram_logprob",          # ⊂ llm_unigram_logprob's frequency-join + decimal-mean shape (tail twin) with the bigram conditional; full oracle
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

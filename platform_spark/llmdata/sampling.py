@@ -345,3 +345,58 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-scored BIGRAM language-model surprisal per document: the mean
+    ln P(w2|w1) with MLE conditionals from the corpus itself
+    (c(w1,w2)/c(w1·)), the next rung up from `unigram_logprob` toward the
+    KenLM-style quality filters. Self-scoring keeps every observed bigram
+    in the count table, so no smoothing is needed for finite scores.
+    The w1 denominator counts BIGRAM LEFT POSITIONS (not raw unigrams), so
+    conditionals sum to 1 per w1.
+
+    Scale shape: one bigram explode feeding BOTH count aggregates
+    (bigram-keyed and left-token-keyed, each partial map-side), two
+    token-keyed joins back, one doc-keyed aggregate. Per-pair logs round
+    at 6 dp then sum as exact decimals — order-independent.
+    Output: (doc_id, n_scored_bigrams, avg_logprob)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    pairs = toked.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p").getField("0").alias("w1"),
+        F.col("p").getField("1").alias("w2"),
+    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
+    big_c = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left_c = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        pairs.join(big_c, ["w1", "w2"])
+        .join(left_c, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c12") / F.col("c1")), 6)
+            .cast("decimal(18,8)")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored_bigrams"),
+        F.round(F.sum("__lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )

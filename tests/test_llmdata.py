@@ -1509,3 +1509,30 @@ def test_bm25_search_ranking_properties(spark):
     out2 = {r.doc_id: r for r in bm25_search(df, ["cat", "dog"], 10).collect()}
     assert set(out2) == {1, 2, 3}
     assert out2[2].n_hit_terms == 2
+
+
+def test_bigram_logprob_conditionals(spark):
+    import math
+
+    from platform_spark.llmdata.sampling import bigram_logprob
+
+    rows = [
+        (1, "a b a b"),   # bigrams: (a,b)x2, (b,a)x1
+        (2, "a b"),
+        (3, "solo"),      # < 2 tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # corpus: c(a,b)=3, c(b,a)=1; left counts: c1(a)=3, c1(b)=2... wait:
+    # pairs: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b)
+    # c(a,b)=3, c(b,a)=1; c1(a)=3 (a as left), c1(b)=2? b left in (b,a)
+    # only -> c1(b)=1. P(b|a)=3/3=1 -> ln 1 = 0; P(a|b)=1/1=1 -> 0.
+    assert out[1].n_scored_bigrams == 3 and out[1].avg_logprob == 0.0
+    assert out[2].avg_logprob == 0.0
+    assert 3 not in out
+    # a genuinely uncertain corpus scores negative
+    df2 = spark.createDataFrame(
+        [(1, "x y"), (2, "x z")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in bigram_logprob(df2).collect()}
+    assert math.isclose(out2[1].avg_logprob, round(math.log(0.5), 6))
