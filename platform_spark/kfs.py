@@ -651,3 +651,63 @@ def estimate_kfs_scan(
         "est_bytes": est_bytes,
         "total_bytes": total_bytes,
     }
+
+
+class KfsTopicCatalog:
+    """Duck-typed TopicCatalog over a directory of native ``.kfs``
+    segments: ``KafSqlEngine(KfsTopicCatalog(spark, root))`` runs every
+    KAFSQL query DIRECTLY against the reference's own storage format — a
+    user can point this engine at their existing segment objects with no
+    conversion step (the migration on-ramp; materialize to parquet with
+    ``read_kfs(...).write`` when ready for the columnar at-rest layout).
+
+    Notes vs the parquet catalog: `_key`/`_value` surface as binary (the
+    wire truth; render/json helpers cast exactly as with parquet topics),
+    `_ts` is ms-precision (Kafka timestamps), and scan budgeting falls
+    back to the engine's envelope-view path (`estimate_kfs_scan` prices
+    scans from headers/indexes when needed)."""
+
+    def __init__(self, spark: SparkSession, root: str, configs: dict | None = None):
+        self.spark = spark
+        self.root = root
+        self.configs = configs or {}
+        #: no parquet materialization — the engine's budget/EXPLAIN paths
+        #: treat un-materialized topics as envelope views
+        self._materialized: dict[str, str] = {}
+        self.cache_root = None
+
+    def topic_names(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def topic(self, name: str, with_schema_columns: bool = True) -> DataFrame:
+        if name not in self.topic_names():
+            raise KeyError(f"unknown topic {name!r}")
+        df = read_kfs(self.spark, self.root, name)
+        if with_schema_columns:
+            cfg = self.configs.get(name)
+            if cfg:
+                df = df.select("*", *[c.spark_expr() for c in cfg.columns])
+        return df
+
+    def describe(self, name: str) -> list[tuple[str, str, str]]:
+        rows = [
+            ("_topic", "text", "implicit"),
+            ("_partition", "integer", "implicit"),
+            ("_offset", "bigint", "implicit"),
+            ("_ts", "timestamp", "implicit"),
+            ("_key", "bytea", "implicit"),
+            ("_value", "bytea", "implicit"),
+            ("_headers", "jsonb", "implicit"),
+            ("_segment", "text", "implicit"),
+        ]
+        cfg = self.configs.get(name)
+        if cfg:
+            rows += [(c.name, c.type, c.path) for c in cfg.columns]
+        return rows
+
+    def raw_source_path(self, name: str) -> str | None:
+        return None  # EXPLAIN estimates come from estimate_kfs_scan instead

@@ -244,3 +244,51 @@ def test_estimate_kfs_scan_prunes_from_headers_and_index(spark, tmp_path):
     # single-partition estimate
     one = kfs.estimate_kfs_scan(root, "t", partition=1)
     assert one["segments"] == 2 and one["est_records"] == 200
+
+
+def test_kafsql_engine_runs_directly_on_kfs_segments(spark, tmp_path):
+    """The migration on-ramp: every KAFSQL query shape runs against native
+    segments via KfsTopicCatalog, matching the same engine over the
+    parquet topic (rendered outputs are ms-precision on both sides)."""
+    from datetime import datetime
+
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "kfs")
+    for topic in ("events", "orders", "payments"):
+        kfs.write_kfs(
+            cat.topic(topic, with_schema_columns=False), root, topic,
+            segment_rows=500,
+        ).collect()
+
+    now = datetime(2024, 1, 31)
+    keng = KafSqlEngine(
+        kfs.KfsTopicCatalog(spark, root, configs=cat.configs), now=now
+    )
+    peng = KafSqlEngine(cat, now=now)
+    queries = [
+        "SELECT _partition, _offset, _ts, _key FROM events "
+        "WHERE _partition = 1 AND _ts <= '2024-01-31 00:00:00' LIMIT 100000",
+        "SELECT _partition, count(*) AS n, sum(json_value(_value, '$.amount')) AS s "
+        "FROM events LAST 30d GROUP BY _partition",
+        "SELECT event_type, count(*) AS n FROM events LAST 30d GROUP BY event_type",
+        "SELECT o._key AS k, json_value(p._value, '$.method') AS m "
+        "FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m "
+        "LAST 15000d LIMIT 100000",
+        "SELECT _partition, _offset, _key FROM events TAIL 50",
+    ]
+    def canon(df):
+        return sorted(
+            tuple("<null>" if v is None else str(v) for v in row)
+            for row in df.collect()
+        )
+
+    for q in queries:
+        assert canon(keng.sql(q)) == canon(peng.sql(q)), q
+    # catalog surfaces: SHOW/DESCRIBE work over the kfs root
+    assert {r.topic for r in keng.sql("SHOW TOPICS").collect()} == {
+        "events", "orders", "payments"
+    }
+    assert keng.sql("DESCRIBE events").count() >= 8
