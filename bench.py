@@ -185,6 +185,7 @@ def main() -> None:
         "analytics_rollup_nation_year",
         "llm_bm25_search",
         "llm_bigram_logprob",
+        "streaming_produce_offsets",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

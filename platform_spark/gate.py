@@ -3366,6 +3366,55 @@ FROM documents
 )
 
 
+# produce-path offset assignment (S5): TopicWriter contiguous offsets ------
+
+
+def _produce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.streaming.ingest import TopicWriter
+
+    root = os.path.join(_topic_cache_root(sf_dir), "produce_gate_v1")
+    w = TopicWriter(spark, root, "produced", n_partitions=4)
+    marker = os.path.join(root, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        ev = catalog_for(spark, sf_dir).table("events")
+        rec = ev.select(
+            (F.col("event_id") % 4).cast("int").alias("_partition"),
+            F.col("ts").cast("timestamp").alias("_ts"),
+            F.col("event_id").cast("string").alias("_key"),
+            F.col("event_type").alias("_value"),
+            F.lit(None).cast("string").alias("_headers"),
+        )
+        w.append(rec)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return w.read().select(
+        "_partition",
+        "_offset",
+        F.col("_key").cast("string").alias("_key"),
+        F.col("_value").cast("string").alias("_value"),
+    )
+
+
+# the broker-parity offset assignment is deterministic given explicit
+# partitions and unique keys: contiguous per-partition offsets in
+# (_ts, _key) arrival order — the oracle recomputes them as a window
+_add(
+    "streaming_produce_offsets",
+    _produce_gate,
+    r"""
+SELECT CAST(event_id % 4 AS INT) AS _partition,
+  ROW_NUMBER() OVER (PARTITION BY event_id % 4
+                     ORDER BY CAST(ts AS TIMESTAMP),
+                              CAST(event_id AS VARCHAR)) - 1 AS _offset,
+  CAST(event_id AS VARCHAR) AS _key,
+  event_type AS _value
+FROM events
+""",
+)
+
+
 # bigram-LM surprisal: mean ln P(w2|w1) with in-corpus MLE conditionals ----
 
 
@@ -3978,6 +4027,7 @@ _TAIL_SUBSETS = [
     "analytics_rollup_nation_year",  # Catalyst Expand grouping-sets over the q5-family join ⊂ q5 (head) joins + agg_multi_group shapes; shared-SQL oracle
     "llm_bm25_search",             # tf/df machinery ⊂ llm_tfidf_keywords (head) with the BM25 saturation formula + broadcast corpus stats; full oracle
     "llm_bigram_logprob",          # ⊂ llm_unigram_logprob's frequency-join + decimal-mean shape (tail twin) with the bigram conditional; full oracle
+    "streaming_produce_offsets",   # TopicWriter S5 offset assignment hash-checked vs a window oracle; exactly-once/HWM/compaction lifecycle pytest (test_streaming)
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)
