@@ -563,6 +563,9 @@ def read_kfs_from(
     before decode; partitions absent from the map read from 0. The
     partition listing is a driver-side directory LIST, exactly the
     reference's S3 LIST-per-partition."""
+    # driver-side directory LIST (local/NFS roots; for object stores run
+    # the same loop over the store's LIST API — read_kfs itself is
+    # storage-agnostic through the binaryFile source)
     part_dirs = sorted(
         int(p)
         for p in os.listdir(os.path.join(root, topic))
