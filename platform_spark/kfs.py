@@ -474,11 +474,17 @@ def write_kfs(
 ) -> DataFrame:
     """Export an envelope DataFrame (``_partition``, ``_offset``, ``_ts``,
     ``_key``, ``_value``, optional ``_headers`` JSON text) as completed
-    ``.kfs`` segments of ``segment_rows`` records, one task per partition
-    (the partition-lease invariant, T3). Returns the manifest
+    ``.kfs`` segments of ``segment_rows`` records. Returns the manifest
     (partition, base_offset, records, bytes, path) — an action on it
     performs the write. ``root`` must be storage every executor can reach
-    (object store / shared fs), exactly like the reference's S3 bucket."""
+    (object store / shared fs), exactly like the reference's S3 bucket.
+
+    Parallelism: one task per SEGMENT, not per partition — the group key
+    is ``(_partition, _offset // segment_rows)``, exactly a segment's row
+    range (offsets are contiguous per partition), so a topic with few
+    partitions still encodes on every core and the output bytes are
+    identical to a per-partition pass. Per-partition exclusivity (the T3
+    lease) still holds per segment FILE, which is the write unit."""
     manifest_schema = StructType(
         [
             StructField("partition", IntegerType()),
@@ -494,6 +500,7 @@ def write_kfs(
 
         pdf = pdf.sort_values("_offset")
         partition = int(pdf["_partition"].iloc[0])
+        pdf = pdf.drop(columns=["__seg"])
         seg_dir = os.path.join(root, topic, str(partition))
         os.makedirs(seg_dir, exist_ok=True)
         rows_out: list[tuple] = []
@@ -537,7 +544,12 @@ def write_kfs(
             rows_out, columns=["partition", "base_offset", "records", "bytes", "path"]
         )
 
-    return df.groupBy("_partition").applyInPandas(_write_group, manifest_schema)
+    staged = df.withColumn(
+        "__seg", (F.col("_offset") / F.lit(segment_rows)).cast("bigint")
+    )
+    return staged.groupBy("_partition", "__seg").applyInPandas(
+        _write_group, manifest_schema
+    )
 
 
 def _as_bytes(v) -> bytes | None:
