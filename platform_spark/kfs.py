@@ -726,3 +726,37 @@ class KfsTopicCatalog:
 
     def raw_source_path(self, name: str) -> str | None:
         return None  # EXPLAIN estimates come from estimate_kfs_scan instead
+
+
+def migrate_kfs_to_topic(
+    spark: SparkSession,
+    kfs_root: str,
+    topic: str,
+    dest_root: str,
+    n_partitions: int | None = None,
+) -> dict[int, int]:
+    """One-call migration from native segments to the engine's parquet
+    at-rest layout: decode every completed segment, write the
+    ``topic={name}/_partition=p`` parquet tree PRESERVING original
+    offsets, and seed the TopicWriter high-water-mark sidecar so
+    subsequent ``TopicWriter.append`` calls continue the offset sequence
+    contiguously. Returns the seeded HWM map (next offset per partition).
+    """
+    from platform_spark.streaming.ingest import TopicWriter
+
+    df = read_kfs(spark, kfs_root, topic)
+    hwm_rows = (
+        df.groupBy("_partition").agg(F.max("_offset").alias("mx")).collect()
+    )
+    hwm = {int(r._partition): int(r.mx) + 1 for r in hwm_rows}
+    n_parts = n_partitions or (max(hwm) + 1 if hwm else 1)
+    w = TopicWriter(spark, dest_root, topic, n_partitions=n_parts)
+    (
+        df.repartition("_partition")
+        .sortWithinPartitions("_partition", "_offset")
+        .write.mode("append")
+        .partitionBy("_partition")
+        .parquet(w.path)
+    )
+    w._save_hwm(hwm)
+    return hwm

@@ -292,3 +292,32 @@ def test_kafsql_engine_runs_directly_on_kfs_segments(spark, tmp_path):
         "events", "orders", "payments"
     }
     assert keng.sql("DESCRIBE events").count() >= 8
+
+
+def test_migrate_kfs_to_topic_preserves_offsets_and_continues(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from platform_spark.streaming.ingest import TopicWriter
+
+    df = _envelope_df(spark, n=300)  # 3 partitions, offsets 0..99
+    kroot = str(tmp_path / "kfs")
+    kfs.write_kfs(df, kroot, "t", segment_rows=40).collect()
+    proot = str(tmp_path / "topics")
+    hwm = kfs.migrate_kfs_to_topic(spark, kroot, "t", proot)
+    assert hwm == {0: 100, 1: 100, 2: 100}
+    w = TopicWriter(spark, proot, "t", n_partitions=3)
+    back = w.read()
+    assert back.count() == 300
+    # original offsets preserved byte-for-byte
+    assert back.agg(F.max("_offset")).first()[0] == 99
+    # appends continue the sequence with no gaps or overlaps
+    more = spark.createDataFrame(
+        [(0, "2024-02-01 00:00:00", "nk", "nv", "{}")],
+        "_partition int, _ts string, _key string, _value string, _headers string",
+    ).withColumn("_ts", F.col("_ts").cast("timestamp"))
+    new_hwm = w.append(more)
+    assert new_hwm[0] == 101
+    offs = sorted(
+        r._offset for r in w.read().filter(F.col("_partition") == 0).collect()
+    )
+    assert offs == list(range(101))
