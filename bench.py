@@ -224,7 +224,15 @@ def main() -> None:
         k = re.sub(r"^analytics_", "a_", k)
         k = re.sub(r"^llm_", "", k)
         k = re.sub(r"^streaming_", "s_", k)
-        return k
+        k = re.sub(r"^q_kafsql_", "k_", k)
+        return (
+            k.replace("multimodal_", "mm_").replace("dedup_", "dd_")
+            .replace("embedding_", "emb_").replace("fingerprints", "fps")
+            .replace("signatures", "sigs").replace("clusters", "clu")
+            .replace("_rep_pairs", "_rp").replace("pair_counts", "pc")
+            .replace("keywords", "kw").replace("boilerplate", "boiler")
+            .replace("repetition", "rep").replace("decontaminate", "decontam")
+        )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}
     assert len(short_q) == len(timings), "short-name collision in bench keys"
