@@ -186,6 +186,7 @@ def main() -> None:
         "llm_bm25_search",
         "llm_bigram_logprob",
         "streaming_produce_offsets",
+        "llm_mix_token_budget",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,50 @@ FROM documents
 )
 
 
+# token-budget mixture sampling: fill each source's share deterministically
+
+
+def _mix_budget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import sample_to_token_budget
+
+    return sample_to_token_budget(
+        _doc_table(spark, sf_dir),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=5000,
+    )
+
+
+_llm(
+    "llm_mix_token_budget",
+    _mix_budget_gate,
+    r"""
+WITH t AS (
+  SELECT doc_id, source,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+s AS (
+  SELECT doc_id, source,
+    CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS n_tokens,
+    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM t
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum_tokens - n_tokens <
+  CASE source WHEN 'src0' THEN 2500.0 WHEN 'src1' THEN 1500.0 ELSE 1000.0 END
+""",
+)
+
+
 # produce-path offset assignment (S5): TopicWriter contiguous offsets ------
 
 
@@ -4028,6 +4072,7 @@ _TAIL_SUBSETS = [
     "llm_bm25_search",             # tf/df machinery ⊂ llm_tfidf_keywords (head) with the BM25 saturation formula + broadcast corpus stats; full oracle
     "llm_bigram_logprob",          # ⊂ llm_unigram_logprob's frequency-join + decimal-mean shape (tail twin) with the bigram conditional; full oracle
     "streaming_produce_offsets",   # TopicWriter S5 offset assignment hash-checked vs a window oracle; exactly-once/HWM/compaction lifecycle pytest (test_streaming)
+    "llm_mix_token_budget",        # md5-rank + per-source windowed cumsum ⊂ llm_weighted_mix (hash selection, tail twin) + llm_pack_sequences (cumsum window, head); full oracle
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

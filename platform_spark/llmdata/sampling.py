@@ -400,3 +400,49 @@ def bigram_logprob(
             "avg_logprob"
         ),
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    shares: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Build a training MIXTURE to a token budget: per source, take
+    documents in deterministic md5-rank order until that source's share of
+    ``total_tokens`` is filled (a doc is kept while the budget is not yet
+    reached when it starts, so the mixture slightly overshoots by at most
+    one document per source — the standard recipe). Sources absent from
+    ``shares`` contribute nothing.
+
+    Deterministic and shard-independent: the same docs are chosen on every
+    run/engine/layout (same portable md5-rank machinery as the split/
+    sample operators). One window per source partition — a single hash
+    exchange on the source key. Output: (doc_id, source, n_tokens,
+    cum_tokens) for the kept docs."""
+    from platform_spark.llmdata.text import tokens
+
+    budget = F.create_map(
+        *[x for s, w in sorted(shares.items())
+          for x in (F.lit(s), F.lit(float(w) * total_tokens))]
+    )
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        md5_int(F.col(id_col).cast("string"), seed=seed + ":").alias("__h"),
+    ).filter(F.col("source").isin(list(shares)))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        staged.withColumn("cum_tokens", cum.cast("bigint"))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget[F.col("source")])
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -1536,3 +1536,26 @@ def test_bigram_logprob_conditionals(spark):
     )
     out2 = {r.doc_id: r for r in bigram_logprob(df2).collect()}
     assert math.isclose(out2[1].avg_logprob, round(math.log(0.5), 6))
+
+
+def test_sample_to_token_budget_semantics(spark):
+    from platform_spark.llmdata.sampling import sample_to_token_budget
+
+    rows = [(i, "w " * 10, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sample_to_token_budget(df, {"a": 0.5, "b": 0.5}, 100).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # each source's share is 50 tokens = 5 docs of 10 tokens, no overshoot
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 5
+    assert max(r.cum_tokens for r in by_src["a"]) == 50
+    # overshoot bounded by one doc: budget 55 -> 6 docs (60 tokens)
+    out2 = sample_to_token_budget(df, {"a": 0.55, "b": 0.45}, 100).collect()
+    a2 = [r for r in out2 if r.source == "a"]
+    assert len(a2) == 6 and max(r.cum_tokens for r in a2) == 60
+    # unlisted sources contribute nothing; determinism across calls
+    assert {r.source for r in out} == {"a", "b"}
+    again = sorted((r.doc_id, r.source) for r in
+                   sample_to_token_budget(df, {"a": 0.5, "b": 0.5}, 100).collect())
+    assert again == sorted((r.doc_id, r.source) for r in out)
