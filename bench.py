@@ -187,6 +187,7 @@ def main() -> None:
         "llm_bigram_logprob",
         "streaming_produce_offsets",
         "llm_mix_token_budget",
+        "llm_curriculum_order",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -3366,6 +3366,32 @@ FROM documents
 )
 
 
+# curriculum ordering: score-quantile buckets + in-bucket md5 shuffle ------
+
+
+def _curriculum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.sampling import curriculum_order
+
+    return curriculum_order(
+        _doc_table(spark, sf_dir), F.length(F.col("text")), n_buckets=10
+    )
+
+
+_llm(
+    "llm_curriculum_order",
+    _curriculum_gate,
+    r"""
+SELECT doc_id,
+  ntile(10) OVER (ORDER BY length(text), doc_id) AS bucket,
+  CAST(('0x' || substr(md5('curriculum:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       AS BIGINT) AS shuffle_key
+FROM documents
+""",
+)
+
+
 # token-budget mixture sampling: fill each source's share deterministically
 
 
@@ -4073,6 +4099,7 @@ _TAIL_SUBSETS = [
     "llm_bigram_logprob",          # ⊂ llm_unigram_logprob's frequency-join + decimal-mean shape (tail twin) with the bigram conditional; full oracle
     "streaming_produce_offsets",   # TopicWriter S5 offset assignment hash-checked vs a window oracle; exactly-once/HWM/compaction lifecycle pytest (test_streaming)
     "llm_mix_token_budget",        # md5-rank + per-source windowed cumsum ⊂ llm_weighted_mix (hash selection, tail twin) + llm_pack_sequences (cumsum window, head); full oracle
+    "llm_curriculum_order",        # one ntile window over a total order + the shared md5-key machinery (llm_shuffle_corpus tail twin); full oracle
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

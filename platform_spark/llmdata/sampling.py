@@ -446,3 +446,30 @@ def sample_to_token_budget(
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget[F.col("source")])
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score: Column,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "curriculum",
+) -> DataFrame:
+    """Deterministic curriculum ordering: bucket documents by score
+    (ntile over a total order — ties break on id, so bucketing is exact
+    and engine-portable), then shuffle WITHIN each bucket by md5 rank.
+    Training readers consume bucket 1..n in order (easy→hard or the
+    reverse) with reproducible within-bucket randomness — the standard
+    curriculum/annealing data-ordering recipe.
+
+    One global ntile window (range-partitioned sort) + the portable hash;
+    emitting (bucket, shuffle_key) rather than a global row number keeps
+    every stage parallel. Output: (doc_id, bucket, shuffle_key)."""
+    w = Window.orderBy(score, F.col(id_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+        md5_int(F.col(id_col).cast("string"), seed=seed + ":").alias(
+            "shuffle_key"
+        ),
+    )

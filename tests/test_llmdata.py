@@ -1559,3 +1559,18 @@ def test_sample_to_token_budget_semantics(spark):
     again = sorted((r.doc_id, r.source) for r in
                    sample_to_token_budget(df, {"a": 0.5, "b": 0.5}, 100).collect())
     assert again == sorted((r.doc_id, r.source) for r in out)
+
+
+def test_curriculum_order_buckets_monotone_in_score(spark):
+    from platform_spark.llmdata.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, "x " * (i + 1)) for i in range(40)], "doc_id long, text string"
+    )
+    out = curriculum_order(df, F.length(F.col("text")), n_buckets=4).collect()
+    by_id = {r.doc_id: r.bucket for r in out}
+    # score is monotone in doc_id here, so buckets are exact quartiles
+    for i in range(40):
+        assert by_id[i] == i // 10 + 1
+    keys = {r.doc_id: r.shuffle_key for r in out}
+    assert len(set(keys.values())) == 40  # distinct in-bucket shuffle keys
