@@ -383,7 +383,7 @@ def _segment_identity(path: str) -> tuple[str, int, str]:
     return topic, partition, f"{topic}/{partition}/{fname}"
 
 
-def _decode_partition(iterator, min_offset, max_offset):
+def _decode_partition(iterator, min_offset, max_offset, skip_corrupt=False):
     import pandas as pd
 
     from datetime import datetime, timezone
@@ -395,7 +395,15 @@ def _decode_partition(iterator, min_offset, max_offset):
             data = bytes(content)
             if not is_completed(data):
                 continue  # only completed segments are visible (T1)
-            for rec in decode_segment(data, min_offset, max_offset):
+            try:
+                records = list(decode_segment(data, min_offset, max_offset))
+            except (ValueError, IndexError, struct.error) as e:
+                if skip_corrupt:
+                    # visible skip: executor-side log line, not silence
+                    print(f"kfs: skipping corrupt segment {suffix}: {e}")
+                    continue
+                raise ValueError(f"corrupt segment {suffix}: {e}") from e
+            for rec in records:
                 out["_topic"].append(topic)
                 out["_partition"].append(partition)
                 out["_offset"].append(rec["offset"])
@@ -439,6 +447,7 @@ def read_kfs(
     max_offset: int | None = None,
     streaming: bool = False,
     partition: int | None = None,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Scan ``.kfs`` segments under ``root/{topic}/{partition}/`` into the
     8-column envelope. One binaryFile split per segment object = the
@@ -458,7 +467,8 @@ def read_kfs(
     part = "*" if partition is None else str(partition)
     binary = reader.load(f"{root}/{topic}/{part}")
     return binary.select("path", "content").mapInPandas(
-        lambda it: _decode_partition(it, min_offset, max_offset), KFS_SCHEMA
+        lambda it: _decode_partition(it, min_offset, max_offset, skip_corrupt),
+        KFS_SCHEMA,
     )
 
 

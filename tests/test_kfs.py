@@ -321,3 +321,29 @@ def test_migrate_kfs_to_topic_preserves_offsets_and_continues(spark, tmp_path):
         r._offset for r in w.read().filter(F.col("_partition") == 0).collect()
     )
     assert offs == list(range(101))
+
+
+def test_read_kfs_corrupt_segment_handling(spark, tmp_path):
+    import glob
+    import os
+
+    df = _envelope_df(spark, n=120)  # 3 partitions × 40
+    root = str(tmp_path / "kfs")
+    kfs.write_kfs(df, root, "t", segment_rows=20).collect()
+    # corrupt one segment's body but keep its END! footer (a truncated
+    # footer would be skipped as merely-incomplete, which is T1 behavior)
+    victim = sorted(glob.glob(os.path.join(root, "t", "0", "*.kfs")))[0]
+    data = bytearray(open(victim, "rb").read())
+    # inside the first batch's RECORD payload (past the 93-byte
+    # header+frame): varint garbage -> hard decode error. Corrupting
+    # header fields instead hits the reference's lenient paths
+    # (truncation break / non-positive record count skip, decoder.go)
+    data[100:120] = b"\xff" * 20
+    open(victim, "wb").write(bytes(data))
+    # default: loud failure naming the segment
+    with pytest.raises(Exception):
+        kfs.read_kfs(spark, root, "t").count()
+    # skip_corrupt: remaining segments decode, the bad one is dropped
+    got = kfs.read_kfs(spark, root, "t", skip_corrupt=True)
+    assert got.count() == 100
+    assert got.filter(F.col("_partition") == 0).count() == 20
