@@ -3952,6 +3952,57 @@ FROM t LEFT JOIN dup USING (doc_id)
 )
 
 
+# exact substring duplication, removal leg: Lee et al. ExactSubstr ---------
+
+
+def _remove_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_doc_table(spark, sf_dir), k=20)
+
+
+_llm(
+    "llm_remove_dup_spans",
+    _remove_spans_gate,
+    rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+    CAST(('0x' || substr(md5({_DUCK_SH20}), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS i
+        FROM t WHERE len(w) >= 20)
+),
+occ AS (SELECT h, count(*) AS n_occ FROM sp GROUP BY 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tpos
+  FROM (SELECT doc_id, pos, unnest(generate_series(0, 19)) AS j
+        FROM sp JOIN occ USING (h) WHERE n_occ >= 2)
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS tpos, w[i] AS tok
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)
+),
+kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+  WHERE cov.tpos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text
+  FROM kept GROUP BY doc_id
+),
+ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(agg.text, '') AS text,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ncov.n_removed, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN ncov USING (doc_id)
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Native .kfs segment format (SURVEY.md §1.3, S4/S6): export the events
 # topic into real Kafka-v2 segment files (kfs.write_kfs), scan them back
@@ -4075,6 +4126,7 @@ _TAIL_SUBSETS = [
     # (correctly) produces a different matrix, so a tail placement (pytest
     # replays tail gates at sf0.001) would always fail.
     "analytics_q18_big_orders",    # IN-subquery + group-HAVING ⊂ q21 (semi on the same key) + q11 (HAVING scalar) + q3/q10 (group-sort-topk shapes)
+    "llm_duplicate_spans",         # metrics leg ⊂ llm_remove_dup_spans (head): same _positional_spans tokenize/hash/occ-count/join machinery, removal gate adds coverage+rebuild on top; cross-doc/first-pos extras pytest-replayed
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle

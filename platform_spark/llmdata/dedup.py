@@ -931,6 +931,41 @@ def embedding_neardup_pairs(
 # -- exact substring (span-level) duplication -------------------------------
 
 
+def _positional_spans(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front of the exact-substring family: whitespace-tokenize
+    lower(trim(text)) once per row, then every k-token window as
+    (doc_id, pos, h) with the span text hashed to a 15-hex-digit md5 int
+    (8-byte shuffle keys at 100 TB, never span text). Returns
+    (toked = (doc_id, __toks), spans)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    span_structs = F.when(
+        n < k, F.array().cast("array<struct<pos:int,sh:string>>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
+                ).alias("sh"),
+            ),
+        )
+    )
+    spans = toked.select("doc_id", F.explode(span_structs).alias("s")).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        md5_int(F.col("s.sh")).alias("h"),
+    )
+    return toked, spans
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 20,
@@ -959,30 +994,8 @@ def duplicate_spans(
     no global sort, and the downstream use (filter/score docs) needs
     exactly this per-doc summary.
     """
-    toked = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("__toks"),
-    )
+    toked, spans = _positional_spans(df, k, text_col, id_col)
     n = F.size("__toks")
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    span_structs = F.when(n < k, F.array().cast("array<struct<pos:int,sh:string>>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.concat_ws(
-                    " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
-                ).alias("sh"),
-            ),
-        )
-    )
-    spans = toked.select(
-        "doc_id", F.explode(span_structs).alias("s")
-    ).select(
-        "doc_id",
-        F.col("s.pos").alias("pos"),
-        md5_int(F.col("s.sh")).alias("h"),
-    )
     occ = spans.groupBy("h").agg(
         F.count("*").alias("n_occ"),
         F.count_distinct("doc_id").alias("n_docs"),
@@ -1004,6 +1017,72 @@ def duplicate_spans(
             F.coalesce("n_cross_spans", F.lit(0)).cast("bigint").alias("n_cross_spans"),
             "first_dup_pos",
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "corpus",
+) -> DataFrame:
+    """Exact-substring dedup, REMOVAL leg (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): delete every
+    token covered by a k-token window whose text occurs ≥2 times corpus-wide
+    (``scope='corpus'``) or in ≥2 distinct documents (``scope='cross'`` —
+    keeps within-document repetition). `duplicate_spans` is the metrics leg
+    of the same machinery; this produces the cleaned corpus.
+
+    Output per document: ``text`` rebuilt from the surviving tokens
+    (single-space joined, lowercased — removal operates on the normalized
+    token stream, the tokenization contract shared with duplicate_spans),
+    ``n_tokens`` (original), ``n_removed`` (tokens deleted).
+
+    Scale shape: one span-keyed partial aggregate + one span-keyed join
+    (8-byte hashed keys), then covered positions are computed PER DOC with
+    array built-ins — duplicated span starts collect into one array per doc
+    (bounded by doc length), expand to a distinct covered-position array,
+    and a two-arg `filter` lambda drops covered tokens in place. No
+    per-token explode/shuffle: the only wide exchanges carry span hashes
+    and one row per doc. Per-row cost is O(n_tokens × n_covered) array
+    scanning — bounded by document length, embarrassingly parallel.
+    """
+    if scope not in ("corpus", "cross"):
+        raise ValueError(f"scope must be 'corpus' or 'cross', got {scope!r}")
+    toked, spans = _positional_spans(df, k, text_col, id_col)
+    occ = spans.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    dup_ok = (
+        F.col("n_occ") >= 2 if scope == "corpus" else F.col("n_docs") >= 2
+    )
+    starts = (
+        spans.join(occ.filter(dup_ok), "h")
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("pos")).alias("__starts"))
+    )
+    joined = toked.join(starts, "doc_id", "left").withColumn(
+        "__cov",
+        F.when(F.col("__starts").isNull(), F.array().cast("array<int>")).otherwise(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "__starts", lambda p: F.sequence(p, p + F.lit(k - 1))
+                    )
+                )
+            ).cast("array<int>")
+        ),
+    )
+    kept = F.filter(
+        "__toks", lambda x, i: ~F.array_contains(F.col("__cov"), i.cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_removed"),
     )
 
 

@@ -1268,6 +1268,34 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_remove_duplicate_spans(spark):
+    shared = " ".join(f"tok{i}" for i in range(20))  # exactly one 20-window
+    unique_a = " ".join(f"ua{i}" for i in range(10))
+    unique_b = " ".join(f"ub{i}" for i in range(10))
+    rows = [
+        (1, f"{unique_a} {shared}"),
+        (2, f"{shared} {unique_b}"),
+        (3, "Tiny Doc"),  # < 20 tokens: untouched (but lower-normalized)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.remove_duplicate_spans(df, k=20).collect()}
+    # the shared window's 20 tokens are deleted from both docs
+    assert out[1].text == unique_a and out[1].n_removed == 20
+    assert out[2].text == unique_b and out[2].n_removed == 20
+    assert out[1].n_tokens == 30 and out[2].n_tokens == 30
+    assert out[3].text == "tiny doc" and out[3].n_removed == 0
+
+    # overlapping duplicated windows: coverage is the union, not 20/window
+    cyc = " ".join(f"c{i % 5}" for i in range(30))  # every window recurs
+    df2 = spark.createDataFrame([(1, cyc)], "doc_id long, text string")
+    r = D.remove_duplicate_spans(df2, k=20).collect()[0]
+    assert r.text == "" and r.n_removed == 30  # all positions covered
+
+    # scope='cross' keeps within-doc-only repetition
+    r2 = D.remove_duplicate_spans(df2, k=20, scope="cross").collect()[0]
+    assert r2.n_removed == 0 and r2.text == cyc
+
+
 # -- HTML extraction + corpus shuffle ---------------------------------------
 
 
