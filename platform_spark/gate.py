@@ -1458,6 +1458,72 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 """,
 )
 
+# SemDeDup: semantic dedup via coarse clusters + greedy predecessor scan ----
+
+
+def _semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb_table(spark, sf_dir), n_clusters=8, threshold=0.95, dim=_EMB_DIM
+    )
+
+
+# Full oracle: hash centroids are the same portable md5 construction the
+# IVF oracle reproduces; assignment tie-break (s DESC, ci DESC), the
+# centroid-similarity scan order (rounded cosine DESC, id ASC), and the
+# predecessor threshold test are all closed-form SQL.
+_llm(
+    "llm_semdedup",
+    _semdedup_gate,
+    """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+grid AS (
+  SELECT p.ci, i.i
+  FROM (SELECT unnest(generate_series(0, 7)) AS ci) p
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT len(v) - 1 FROM c LIMIT 1))) AS i) i
+),
+cents AS (
+  SELECT ci,
+    list(CAST(('0x' || substr(md5('centroid-' || ci || '-' || i), 1, 16)) AS UBIGINT)
+         / 18446744073709551616.0 * 2.0 - 1.0 ORDER BY i) AS w
+  FROM grid GROUP BY ci
+),
+csim AS (
+  SELECT c.vec_id, c.v, cents.ci,
+    list_dot_product(c.v, cents.w)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.w, cents.w))) AS s
+  FROM c CROSS JOIN cents
+),
+cb AS (
+  SELECT vec_id, v, ci AS bucket, round(s, 6) AS centroid_cosine FROM (
+    SELECT vec_id, v, ci, s,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim
+  ) WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, v, bucket, centroid_cosine,
+    ROW_NUMBER() OVER (PARTITION BY bucket
+                       ORDER BY centroid_cosine DESC, vec_id) AS rank
+  FROM cb
+),
+drp AS (
+  SELECT DISTINCT a.vec_id
+  FROM rk a JOIN rk b ON a.bucket = b.bucket AND b.rank < a.rank
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= 0.95
+)
+SELECT rk.vec_id, rk.bucket, rk.centroid_cosine, CAST(rank AS INT) AS rank,
+  (drp.vec_id IS NULL) AS is_kept
+FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
+""",
+)
+
 # embedding near-dup via hyperplane LSH (rows-only) -------------------------
 
 # CTE body shared by the pair gate and the fast-cluster closure gate.
@@ -4127,6 +4193,7 @@ _TAIL_SUBSETS = [
     # replays tail gates at sf0.001) would always fail.
     "analytics_q18_big_orders",    # IN-subquery + group-HAVING ⊂ q21 (semi on the same key) + q11 (HAVING scalar) + q3/q10 (group-sort-topk shapes)
     "llm_duplicate_spans",         # metrics leg ⊂ llm_remove_dup_spans (head): same _positional_spans tokenize/hash/occ-count/join machinery, removal gate adds coverage+rebuild on top; cross-doc/first-pos extras pytest-replayed
+    "analytics_q16_parts_supplier",  # NOT-IN anti join ⊂ q21 LeftAnti (head) + q22 anti (tail, pytest); COUNT DISTINCT ⊂ llm_corpus_stats two-level distinct agg (head); partsupp derivation invariants pinned in test_partsupp_view_invariants
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle

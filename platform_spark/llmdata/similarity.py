@@ -102,6 +102,40 @@ def fit_kmeans_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def hash_centroid_matrix(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random centroids from md5 — portable math that
+    DuckDB reproduces bit-exactly (first 8 digest bytes big-endian → unit
+    interval → [-1, 1]), so bucket assignment is oracle-checkable."""
+    import hashlib
+    import struct
+
+    matrix = []
+    for ci in range(n_centroids):
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"centroid-{ci}-{i}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            vals.append((u / float(1 << 64)) * 2.0 - 1.0)
+        matrix.append(vals)
+    return matrix
+
+
+def nearest_centroids_expr(
+    cent_matrix: Column, n_centroids: int, vec: Column, n: int
+) -> Column:
+    """Indices of the n nearest centroids by cosine (ties break toward the
+    higher index — struct sort DESC on (sim, idx)). One literal matrix
+    traversed with transform: a single compact expression tree, codegen-flat
+    as n_centroids×dim grows."""
+    sims = F.transform(cent_matrix, lambda c: cosine_expr(vec, c))
+    idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
+    ranked = F.sort_array(
+        F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+        asc=False,
+    )
+    return F.slice(F.transform(ranked, lambda r: r["i"]), 1, n)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,44 +158,24 @@ def ivf_topk(
     bucket assignment becomes the partitioning key, so each query touches
     n_probe/n_centroids of the data.
     """
-    import hashlib
-    import struct
-
     if dim is None:  # 1-row probe; pass dim explicitly to save the job
         dim = len(corpus.select(vec_col).first()[0])
-
-    def centroid(ci: int) -> list[float]:
-        vals = []
-        for i in range(dim):
-            h = hashlib.md5(f"centroid-{ci}-{i}".encode()).digest()
-            (u,) = struct.unpack(">Q", h[:8])
-            vals.append((u / float(1 << 64)) * 2.0 - 1.0)
-        return vals
 
     if centroids == "kmeans":
         matrix = fit_kmeans_centroids(corpus, n_centroids, vec_col)
     elif centroids == "hash":
-        matrix = [centroid(i) for i in range(n_centroids)]
+        matrix = hash_centroid_matrix(n_centroids, dim)
     else:
         matrix = centroids
         n_centroids = len(matrix)
 
-    # one literal centroid *matrix* traversed with transform — a single
-    # compact expression tree (n_centroids copies of cosine_expr would blow
-    # up codegen compile time)
     # single nested-array Literal (NOT n_centroids*dim CreateArray nodes):
     # the one-node tree keeps whole-stage-codegen compile time flat as
     # n_centroids*dim grows — measured ~0.4 s off the fixed overhead at 16x64
     cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
 
     def nearest(vec: Column, n: int) -> Column:
-        sims = F.transform(cent_matrix, lambda c: cosine_expr(vec, c))
-        idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
-        ranked = F.sort_array(
-            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
-            asc=False,
-        )
-        return F.slice(F.transform(ranked, lambda r: r["i"]), 1, n)
+        return nearest_centroids_expr(cent_matrix, n_centroids, vec, n)
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
@@ -184,6 +198,86 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    centroids: str | list[list[float]] = "hash",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space
+    coarsely, then within each cluster scan items in
+    similarity-to-centroid order and drop any item whose cosine to an
+    EARLIER item in that order reaches `threshold` — the released
+    implementation's policy (max similarity to predecessors), which keeps
+    exactly one representative per semantic near-duplicate group without
+    an iterative component search.
+
+    Output per vector: ``bucket`` (cluster index), ``centroid_cosine``
+    (6 dp — the rank key), ``rank`` (1-based scan position in the
+    cluster; ties toward lower id), ``is_kept``.
+
+    Determinism: centroid assignment, the rank order (rounded cosine,
+    then id), and the pairwise threshold test are all closed-form md5 /
+    arithmetic — bit-reproducible in SQL, so the gate hash-checks the
+    whole policy. ``centroids='kmeans'`` swaps in a pyspark.ml fit.
+
+    Scale shape: one narrow map for assignment (literal centroid matrix,
+    no shuffle), one shuffle on (bucket) for ranking, one within-bucket
+    self-join on the upper triangle. Pairwise work is quadratic in
+    CLUSTER size, not corpus size — exactly the SemDeDup design: pick
+    n_clusters so clusters hold ~1-10k items (the paper used 50k clusters
+    on LAION), and the bucket key partitions the corpus.
+    """
+    if dim is None:  # 1-row probe; pass dim explicitly to save the job
+        dim = len(corpus.select(vec_col).first()[0])
+    if centroids == "kmeans":
+        matrix = fit_kmeans_centroids(corpus, n_clusters, vec_col)
+    elif centroids == "hash":
+        matrix = hash_centroid_matrix(n_clusters, dim)
+    else:
+        matrix = centroids
+        n_clusters = len(matrix)
+    cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "bucket", nearest_centroids_expr(cent_matrix, n_clusters, F.col("v"), 1)[0]
+    ).withColumn(
+        "centroid_cosine",
+        F.round(cosine_expr(F.col("v"), F.element_at(cent_matrix, F.col("bucket") + 1)), 6),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("centroid_cosine"), F.asc("vec_id")
+    )
+    ranked = c.withColumn("rank", F.row_number().over(w))
+    left = ranked.select("bucket", F.col("vec_id").alias("id_a"),
+                         F.col("v").alias("va"), F.col("rank").alias("rank_a"))
+    right = ranked.select("bucket", F.col("vec_id").alias("id_b"),
+                          F.col("v").alias("vb"), F.col("rank").alias("rank_b"))
+    dropped = (
+        left.join(right, "bucket")
+        .filter(F.col("rank_b") < F.col("rank_a"))
+        .filter(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            "centroid_cosine",
+            "rank",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
     )
 
 

@@ -119,6 +119,47 @@ def test_ivf_topk_reasonable_recall(spark, embs):
     assert len(a & b) / len(b) >= 0.4  # probing half the buckets
 
 
+def test_semantic_dedup_greedy_policy(spark):
+    # two well-separated directions; plant a near-dup pair along each, plus
+    # one isolated vector — only the later-ranked member of each pair drops
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base_a = rng.randn(16)
+    base_b = rng.randn(16)
+    rows = [
+        (0, (base_a * 3.0).tolist()),
+        (1, (base_a * 3.0 + rng.randn(16) * 0.01).tolist()),  # ~dup of 0
+        (2, (base_b * 3.0).tolist()),
+        (3, (base_b * 3.0 + rng.randn(16) * 0.01).tolist()),  # ~dup of 2
+        (4, rng.randn(16).tolist()),                           # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in S.semantic_dedup(df, n_clusters=4, threshold=0.99).collect()}
+    # each near-dup pair shares a bucket; exactly one member survives
+    assert out[0].bucket == out[1].bucket and out[2].bucket == out[3].bucket
+    assert out[0].is_kept != out[1].is_kept or (out[0].is_kept and out[1].is_kept) is False
+    assert sum(1 for i in (0, 1) if out[i].is_kept) == 1
+    assert sum(1 for i in (2, 3) if out[i].is_kept) == 1
+    assert out[4].is_kept
+    # the kept member of each pair is the earlier scan position
+    for a, b in ((0, 1), (2, 3)):
+        kept = a if out[a].is_kept else b
+        other = b if kept == a else a
+        assert out[kept].rank < out[other].rank
+
+    # duplicate of a DROPPED doc still drops (predecessor rule is by rank,
+    # not by kept-set): three mutual near-dups leave exactly one keeper
+    rows3 = [
+        (0, (base_a * 3.0).tolist()),
+        (1, (base_a * 3.0 + rng.randn(16) * 0.005).tolist()),
+        (2, (base_a * 3.0 + rng.randn(16) * 0.005).tolist()),
+    ]
+    df3 = spark.createDataFrame(rows3, "vec_id long, embedding array<float>")
+    out3 = S.semantic_dedup(df3, n_clusters=2, threshold=0.99).collect()
+    assert sum(1 for r in out3 if r.is_kept) == 1
+
+
 def test_multimodal_decode_and_features(spark):
     rows = [(i, "image", bytes([i]) * 32, "image/png", None, None, None, None) for i in range(10)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
