@@ -677,6 +677,41 @@ JOIN reps rb ON rb.rep_id = rep_b
 """,
 )
 
+# Shingle containment (Broder's asymmetric overlap — quote/subsumption
+# detection, where a small doc inside a large one never clears Jaccard):
+# both direction scores per undirected pair, kept when either reaches the
+# threshold. Oracle is the direct doc-level formulation on the same
+# shingle CTEs; the Spark side routes through the rep graph + expansion.
+
+_CONTAIN_THRESHOLD = 0.5
+
+_llm(
+    "llm_containment_pairs",
+    lambda spark, sf_dir: _dd.ngram_containment_pairs(
+        _doc_table(spark, sf_dir), threshold=_CONTAIN_THRESHOLD
+    ),
+    f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * 0.2),
+idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+  round(n_common::DOUBLE / sa.n_sh::DOUBLE, 6) AS containment_ab,
+  round(n_common::DOUBLE / sb.n_sh::DOUBLE, 6) AS containment_ba
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common::DOUBLE / sa.n_sh::DOUBLE, 6) >= {_CONTAIN_THRESHOLD}
+   OR round(n_common::DOUBLE / sb.n_sh::DOUBLE, 6) >= {_CONTAIN_THRESHOLD}
+""",
+)
+
 # Deterministic train/val/test split assignment -----------------------------
 
 
@@ -4194,6 +4229,7 @@ _TAIL_SUBSETS = [
     "analytics_q18_big_orders",    # IN-subquery + group-HAVING ⊂ q21 (semi on the same key) + q11 (HAVING scalar) + q3/q10 (group-sort-topk shapes)
     "llm_duplicate_spans",         # metrics leg ⊂ llm_remove_dup_spans (head): same _positional_spans tokenize/hash/occ-count/join machinery, removal gate adds coverage+rebuild on top; cross-doc/first-pos extras pytest-replayed
     "analytics_q16_parts_supplier",  # NOT-IN anti join ⊂ q21 LeftAnti (head) + q22 anti (tail, pytest); COUNT DISTINCT ⊂ llm_corpus_stats two-level distinct agg (head); partsupp derivation invariants pinned in test_partsupp_view_invariants
+    "analytics_q7_nation_trade",   # nation-pair disjunctive join filter ⊂ q19 OR-of-conjuncts (tail, pytest) over q8's dim-broadcast join fan (head) + per-year CASE agg ⊂ q8's CASE-ratio
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle

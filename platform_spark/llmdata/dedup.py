@@ -211,6 +211,47 @@ def ngram_jaccard_rep_graph(
     dropped from the index only — they generate quadratic candidates but
     barely move Jaccard; sizes keep them, so scores stay exact).
     """
+    membership, counts, cross, selfs = _ngram_rep_common(
+        df, text_col, id_col, k, stop_shingle_df
+    )
+    scored = (
+        cross.unionByName(selfs)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    ca = counts.select(F.col("rep_id").alias("rep_a"), F.col("n_copies").alias("n_copies_a"))
+    cb = counts.select(F.col("rep_id").alias("rep_b"), F.col("n_copies").alias("n_copies_b"))
+    pairs = (
+        scored.join(ca, "rep_a")
+        .join(cb, "rep_b")
+        .select(
+            "rep_a", "rep_b", "n_common", "n_a", "n_b", "jaccard",
+            "n_copies_a", "n_copies_b",
+        )
+    )
+    return RepGraph(membership, counts, pairs)
+
+
+def _ngram_rep_common(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    stop_shingle_df: float,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared core of the shingle-overlap family (Jaccard AND containment):
+    exact-collapse, inverted-index join on distinct contents, copy-weighted
+    hot-shingle cutoff. Returns (membership, counts, cross, selfs) where
+    cross/selfs carry (rep_a, rep_b, n_common, n_a, n_b) — common counts
+    over index-surviving shingles, sizes over ALL shingles; the scorer on
+    top decides the similarity definition."""
     membership, counts = _collapse(
         df, F.md5(F.col(text_col).cast("binary")), id_col
     )
@@ -257,29 +298,84 @@ def ngram_jaccard_rep_graph(
             F.col("n_sh").alias("n_b"),
         )
     )
+    return membership, counts, cross, selfs
+
+
+def ngram_containment_rep_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    stop_shingle_df: float = 0.2,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs — the asymmetric overlap measure
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| (Broder 1997's
+    containment; the signal for quote/subsumption detection, where a
+    small document living inside a large one never clears a Jaccard
+    threshold). One undirected row per rep pair carrying BOTH directions
+    (containment_ab, containment_ba), kept when either direction reaches
+    `threshold`; self rows (exact copies) score n_idx/n_sh both ways,
+    mirroring the Jaccard self-pair convention (common counts
+    index-surviving shingles, sizes count all).
+
+    Same scale shape as ngram_jaccard_rep_pairs: exact-collapse first,
+    inverted-index join on distinct contents, copy-weighted hot-shingle
+    cutoff — output ~linear in distinct contents; expand with
+    `expand_containment_pairs` only when the doc-level list is needed.
+    """
+    membership, counts, cross, selfs = _ngram_rep_common(
+        df, text_col, id_col, k, stop_shingle_df
+    )
     scored = (
         cross.unionByName(selfs)
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
+            "containment_ab",
+            F.round(F.col("n_common").cast("double") / F.col("n_a").cast("double"), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn(
+            "containment_ba",
+            F.round(F.col("n_common").cast("double") / F.col("n_b").cast("double"), 6),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
     )
     ca = counts.select(F.col("rep_id").alias("rep_a"), F.col("n_copies").alias("n_copies_a"))
     cb = counts.select(F.col("rep_id").alias("rep_b"), F.col("n_copies").alias("n_copies_b"))
-    pairs = (
+    return (
         scored.join(ca, "rep_a")
         .join(cb, "rep_b")
         .select(
-            "rep_a", "rep_b", "n_common", "n_a", "n_b", "jaccard",
-            "n_copies_a", "n_copies_b",
+            "rep_a", "rep_b", "n_common", "n_a", "n_b",
+            "containment_ab", "containment_ba", "n_copies_a", "n_copies_b",
         )
     )
-    return RepGraph(membership, counts, pairs)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    stop_shingle_df: float = 0.2,
+) -> DataFrame:
+    """Doc-level containment pair list (a < b, both directions' scores) —
+    expand_pairs over the rep graph; per-side columns swap orientation
+    with the id normalization."""
+    rep = ngram_containment_rep_pairs(
+        df, text_col, id_col, k, threshold, stop_shingle_df
+    ).drop("n_copies_a", "n_copies_b")
+    return expand_pairs(
+        rep,
+        content_membership(df, text_col, id_col),
+        side_cols=(("n_a", "n_b"), ("containment_ab", "containment_ba")),
+    ).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "containment_ab", "containment_ba",
+    )
 
 
 def ngram_jaccard_rep_pairs(

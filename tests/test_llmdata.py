@@ -1309,6 +1309,38 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_containment_pairs_asymmetric(spark):
+    # doc 2 is a verbatim excerpt of doc 1: containment(2→1) = 1.0 while
+    # Jaccard stays far below any dedup threshold
+    big = " ".join(f"w{i}" for i in range(100))
+    small = " ".join(f"w{i}" for i in range(40, 50))  # 10 tokens inside big
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    out = D.ngram_containment_pairs(
+        df, k=3, threshold=0.9, stop_shingle_df=1.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # small side fully contained; big side barely overlaps
+    assert r.containment_ba == 1.0 and r.containment_ab < 0.1
+    assert r.n_common == 8 and r.n_b == 8 and r.n_a == 98
+    # the Jaccard operator at a typical threshold misses this pair
+    jac = D.ngram_jaccard_pairs(df, k=3, threshold=0.2, stop_shingle_df=1.0).collect()
+    assert jac == []
+
+    # exact copies: self-row convention scores both directions 1.0
+    df2 = spark.createDataFrame(
+        [(1, big), (2, big)], "doc_id long, text string"
+    )
+    out2 = D.ngram_containment_pairs(
+        df2, k=3, threshold=0.9, stop_shingle_df=1.0
+    ).collect()
+    assert len(out2) == 1 and out2[0].containment_ab == 1.0 and out2[0].containment_ba == 1.0
+
+
 def test_remove_duplicate_spans(spark):
     shared = " ".join(f"tok{i}" for i in range(20))  # exactly one 20-window
     unique_a = " ".join(f"ua{i}" for i in range(10))
