@@ -712,6 +712,62 @@ WHERE round(n_common::DOUBLE / sa.n_sh::DOUBLE, 6) >= {_CONTAIN_THRESHOLD}
 """,
 )
 
+# DSIR importance-weighted data selection ----------------------------------
+
+
+def _dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.selection import dsir_select
+
+    docs = _doc_table(spark, sf_dir)
+    return dsir_select(docs, docs.filter(F.col("lang") == "de"), n=100)
+
+
+# Full oracle: hashed-n-gram features, Laplace-smoothed bucket LMs, and the
+# rounded-log/decimal-sum mean are all portable math; top-100 is pinned by
+# the (score DESC, doc_id) total order.
+_llm(
+    "llm_dsir_select",
+    _dsir_gate,
+    """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
+bi AS (
+  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+  FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)
+),
+feats AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('dsir:' || f), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+rawc AS (SELECT b, count(*) AS cr FROM feats GROUP BY 1),
+tgtc AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'de' GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM feats) AS tr,
+         (SELECT count(*) FROM feats WHERE lang = 'de') AS tt
+),
+wts AS (
+  SELECT rawc.b,
+    CAST(round(ln(((COALESCE(ct, 0) + 1.0) / (tt + 1024.0))
+                  / ((cr + 1.0) / (tr + 1024.0))), 6) AS DECIMAL(18,8)) AS wgt
+  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_features,
+    round(CAST(SUM(wgt) AS DOUBLE) / count(*), 6) AS dsir_score
+  FROM feats JOIN wts ON feats.b = wts.b GROUP BY doc_id
+)
+SELECT doc_id, n_features, dsir_score
+FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100
+""",
+)
+
 # Deterministic train/val/test split assignment -----------------------------
 
 
@@ -4230,6 +4286,7 @@ _TAIL_SUBSETS = [
     "llm_duplicate_spans",         # metrics leg ⊂ llm_remove_dup_spans (head): same _positional_spans tokenize/hash/occ-count/join machinery, removal gate adds coverage+rebuild on top; cross-doc/first-pos extras pytest-replayed
     "analytics_q16_parts_supplier",  # NOT-IN anti join ⊂ q21 LeftAnti (head) + q22 anti (tail, pytest); COUNT DISTINCT ⊂ llm_corpus_stats two-level distinct agg (head); partsupp derivation invariants pinned in test_partsupp_view_invariants
     "analytics_q7_nation_trade",   # nation-pair disjunctive join filter ⊂ q19 OR-of-conjuncts (tail, pytest) over q8's dim-broadcast join fan (head) + per-year CASE agg ⊂ q8's CASE-ratio
+    "llm_dedup_lines",             # line-granularity twin of llm_remove_dup_spans (head): same count-duplicates → join-back → drop → in-order rebuild shape (posexplode lines vs positional spans); line rules pytest
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle

@@ -1309,6 +1309,26 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_dsir_selection_prefers_target_like_docs(spark):
+    from platform_spark.llmdata import selection as SEL
+
+    # raw corpus: 5 docs resembling the target domain, 5 unlike it
+    target_rows = [(100 + i, "der hund läuft schnell im park") for i in range(3)]
+    like = [(i, "der hund schläft im park heute") for i in range(5)]
+    unlike = [(i, "the cat sat on the mat today") for i in range(5, 10)]
+    raw = spark.createDataFrame(like + unlike, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    scores = {r.doc_id: r.dsir_score for r in SEL.dsir_scores(raw, tgt).collect()}
+    assert all(scores[i] > scores[j] for i in range(5) for j in range(5, 10))
+    top = SEL.dsir_select(raw, tgt, n=5).collect()
+    assert {r.doc_id for r in top} == set(range(5))
+
+    # feature extraction: unigrams + bigrams, multiset semantics
+    one = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    feats = SEL.hashed_ngram_buckets(one).collect()
+    assert len(feats) == 5  # 3 unigrams (with repeat) + 2 bigrams
+
+
 def test_containment_pairs_asymmetric(spark):
     # doc 2 is a verbatim excerpt of doc 1: containment(2→1) = 1.0 while
     # Jaccard stays far below any dedup threshold
