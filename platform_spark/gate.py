@@ -1147,6 +1147,62 @@ FROM part JOIN supplier
 """,
 )
 
+# Interval-overlap join: click windows × purchase windows per user ----------
+
+
+def _interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.operators.ranges import interval_join
+
+    catalog_for(spark, sf_dir)  # registers the raw events view
+    ev = spark.table("events")
+    epoch = F.unix_timestamp(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        epoch.alias("lo_a"),
+        (epoch + 600).alias("hi_a"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        (epoch - 300).alias("lo_b"),
+        (epoch + 300).alias("hi_b"),
+    )
+    out = interval_join(
+        clicks, purchases, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucket_width=900.0, key_col="user_id",
+    )
+    return out.select(
+        "user_id", "a_id", "b_id",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")).alias("overlap_sec"),
+    )
+
+
+_add(
+    "analytics_interval_join",
+    _interval_join_events,
+    """
+WITH c AS (
+  SELECT event_id AS a_id, user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS lo_a,
+    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS hi_a
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS b_id, user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) - 300 AS lo_b,
+    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS hi_b
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, a_id, b_id,
+  least(hi_a, hi_b) - greatest(lo_a, lo_b) AS overlap_sec
+FROM c JOIN p ON c.user_id = p.user_id
+  AND lo_a <= hi_b AND lo_b <= hi_a
+""",
+)
+
 # Hypertable rollup: hierarchical hour→day continuous aggregate -------------
 
 
@@ -4291,6 +4347,7 @@ _TAIL_SUBSETS = [
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle
     "llm_simhash_rep_pairs",       # collapse of llm_simhash_pairs through exact-text membership (NULL-marked); same derivation oracle
+    "analytics_range_join",        # point-in-interval = zero-length-left special case of analytics_interval_join (head): same bucketize/explode/equi-join machinery and span guard; BETWEEN-filter leg pytest (test_skew/test_llmdata range tests)
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)
     "kafsql_where_offset",         # compiler `_offset` bounds are the same two-line scan() filter as the `_ts` bounds kafsql_last (head) exercises (compiler.py:145-149); offset values themselves stay head-checked by kfs_segment_roundtrip's offset-faithful decode; parser range extraction pytest (test_parser)
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)

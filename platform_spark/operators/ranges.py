@@ -68,6 +68,69 @@ def range_join(
     return joined.drop("__b")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_left: str,
+    hi_left: str,
+    lo_right: str,
+    hi_right: str,
+    bucket_width: float,
+    key_col: str | None = None,
+    max_spans: int = 100_000,
+) -> DataFrame:
+    """Interval-OVERLAP equi-join: all (left, right) row pairs whose closed
+    intervals intersect (``lo_l <= hi_r AND lo_r <= hi_l``), optionally
+    within a key. The generalization of `range_join` (a point is a
+    zero-length interval) and the shape behind session-vs-campaign /
+    outage-vs-request overlap analytics.
+
+    Same bucketization: both sides explode to the buckets they cover and
+    equi-join on (bucket, key). A pair that overlaps shares every bucket
+    in the overlap range, so matches are deduplicated positionally — a
+    pair is kept ONLY in the bucket containing max(lo_l, lo_r), which
+    both sides cover exactly once. No `distinct`, no nested loop; shuffle
+    volume = rows × avg buckets-per-interval. Pick ``bucket_width`` near
+    the typical interval length."""
+
+    def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / F.lit(bucket_width)).cast("long")
+        hi_b = F.floor(F.col(hi) / F.lit(bucket_width)).cast("long")
+        guard = F.when(
+            hi_b - lo_b > max_spans,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join interval spans more than {max_spans} "
+                        f"buckets (width {bucket_width}): lo="
+                    ),
+                    F.col(lo).cast("string"),
+                    F.lit(" hi="),
+                    F.col(hi).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(hi_b)
+        return df.withColumn("__b", F.explode(F.sequence(lo_b, guard)))
+
+    on = ["__b"] + ([key_col] if key_col else [])
+    joined = (
+        buckets(left, lo_left, hi_left)
+        .join(buckets(right, lo_right, hi_right), on=on)
+        .filter(
+            (F.col(lo_left) <= F.col(hi_right))
+            & (F.col(lo_right) <= F.col(hi_left))
+        )
+        # positional dedup: keep the pair only in max(lo_l, lo_r)'s bucket
+        .filter(
+            F.col("__b")
+            == F.floor(
+                F.greatest(F.col(lo_left), F.col(lo_right)) / F.lit(bucket_width)
+            ).cast("long")
+        )
+    )
+    return joined.drop("__b")
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str,

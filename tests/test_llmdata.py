@@ -810,6 +810,49 @@ def test_range_join_bucketized(spark):
     assert out.count() == len(got)
 
 
+def test_interval_join_overlap_semantics(spark):
+    from platform_spark.operators.ranges import interval_join
+
+    L = spark.createDataFrame(
+        [(1, "u", 0.0, 100.0), (2, "u", 200.0, 210.0), (3, "v", 0.0, 100.0)],
+        "lid: long, k: string, lo_a: double, hi_a: double",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, "u", 50.0, 150.0),   # partial overlap with 1
+            (11, "u", 20.0, 30.0),    # contained in 1
+            (12, "u", 100.0, 120.0),  # touches 1 at the closed endpoint
+            (13, "u", 150.5, 199.0),  # disjoint from both u intervals
+            (14, "v", 90.0, 95.0),    # overlaps 3, but only under key v
+        ],
+        "rid: long, k: string, lo_b: double, hi_b: double",
+    )
+    out = interval_join(
+        L, R, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=10.0, key_col="k"
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 11), (1, 12), (3, 14)}
+    # positional dedup: no duplicate pairs despite many shared buckets
+    assert out.count() == len(got)
+    # without a key, the v-side interval also matches the u intervals
+    got2 = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            L, R, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=10.0
+        ).collect()
+    }
+    assert (3, 10) in got2 and (1, 14) in got2
+
+    # span guard fires on runaway intervals
+    bad = spark.createDataFrame(
+        [(9, "u", 0.0, 1e12)], "rid: long, k: string, lo_b: double, hi_b: double"
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(
+            L, bad, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=10.0
+        ).count()
+
+
 def test_time_rollup_hierarchical(spark):
     from datetime import datetime
 
