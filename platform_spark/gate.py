@@ -3416,6 +3416,46 @@ _add(
 )
 
 
+def _stream_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionizer (applyInPandasWithState + EventTimeTimeout)
+    over the events topic, full-equality twin of analytics_sessionize: a
+    sentinel row on a reserved key, timestamped past every real session's
+    flush deadline, drives the final watermark so every real session —
+    including each key's last — is emitted; the sentinel's own open
+    session is filtered out. Exactly-once via the checkpoint; bounded
+    state (watermark + timeout evicts every closed/idle session)."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from platform_spark.operators.sessionize import sessionize_stream
+
+    ev = catalog_for(spark, sf_dir).topic("events").select("user_id", "_ts")
+    sentinel = spark.createDataFrame(
+        # events span January 2024; June is beyond every deadline + gap
+        [("__wm_driver__", _dt(2024, 6, 1))], "user_id string, _ts timestamp"
+    )
+    src = ev.unionByName(sentinel)
+    out = _stream_through(
+        spark,
+        {"events": src},
+        lambda s: sessionize_stream(
+            s["events"], key_col="user_id", ts_col="_ts",
+            gap_seconds=_SESS_GAP, watermark_delay="0 seconds",
+        ),
+        "sessionize",
+    )
+    return out.filter(F.col("session_key") != "__wm_driver__")
+
+
+# oracle = the batch sessionize oracle verbatim (full batch/stream equality)
+_add(
+    "streaming_sessionize",
+    _stream_sessionize_gate,
+    GATE["analytics_sessionize"][1],
+)
+
+
 def _stream_curate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming curation twin over the documents table: line filter →
     PII redaction → quality gate → inline decontamination → watermarked
@@ -4351,6 +4391,7 @@ _TAIL_SUBSETS = [
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)
     "kafsql_where_offset",         # compiler `_offset` bounds are the same two-line scan() filter as the `_ts` bounds kafsql_last (head) exercises (compiler.py:145-149); offset values themselves stay head-checked by kfs_segment_roundtrip's offset-faithful decode; parser range extraction pytest (test_parser)
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)
+    "analytics_sessionize",        # batch lag+cumsum twin of streaming_sessionize (head, SAME oracle — full batch/stream equality); window machinery ⊂ analytics_running_revenue/llm_pack_sequences cumsum shapes; boundary rules pytest (test_llmdata sessionize specs)
     "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
     "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check

@@ -51,13 +51,18 @@ def sessionize_stream(
     use_timeout = watermark_delay is not None
 
     def emit(key, closed: list[tuple]):
+        # state carries epoch MICROS (exact ints — float epoch would lose
+        # micros at 2024-era magnitudes); the gap rule compares
+        # floor-second diffs, matching the batch twin's unix_timestamp rule
         return pd.DataFrame(
             {
                 "session_key": [key for _ in closed],
-                "session_start": pd.to_datetime([c[0] for c in closed], unit="s"),
-                "session_end": pd.to_datetime([c[1] for c in closed], unit="s"),
+                "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
                 "n_events": [c[2] for c in closed],
-                "duration_sec": [c[1] - c[0] for c in closed],
+                "duration_sec": [
+                    c[1] // 1_000_000 - c[0] // 1_000_000 for c in closed
+                ],
             }
         )
 
@@ -73,10 +78,10 @@ def sessionize_stream(
         batches = [p for p in pdfs]
         rows = pd.concat(batches) if batches else pd.DataFrame(columns=[ts_col])
         for ts in sorted(rows[ts_col].dropna()):
-            t = int(pd.Timestamp(ts).timestamp())
+            t = pd.Timestamp(ts).value // 1_000  # exact micros
             if start is None:
                 start, last, n = t, t, 1
-            elif t - last > gap_seconds:
+            elif t // 1_000_000 - last // 1_000_000 > gap_seconds:
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
@@ -84,7 +89,9 @@ def sessionize_stream(
         if start is not None:
             state.update((start, last, n))
             if use_timeout:
-                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+                state.setTimeoutTimestamp(
+                    (last // 1_000_000 + gap_seconds) * 1000
+                )
         if closed:
             yield emit(key[0], closed)
 
