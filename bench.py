@@ -188,6 +188,13 @@ def main() -> None:
         "streaming_produce_offsets",
         "llm_mix_token_budget",
         "llm_curriculum_order",
+        "llm_remove_dup_spans",
+        "llm_semdedup",
+        "llm_containment_pairs",
+        "llm_dsir_select",
+        "analytics_interval_join",
+        "streaming_sessionize",
+        "llm_minhash_join",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -234,6 +241,8 @@ def main() -> None:
             .replace("_rep_pairs", "_rp").replace("pair_counts", "pc")
             .replace("keywords", "kw").replace("boilerplate", "boiler")
             .replace("repetition", "rep").replace("decontaminate", "decontam")
+            .replace("containment", "contain").replace("interval_join", "ivljoin")
+            .replace("sessionize", "sess").replace("remove_dup_spans", "rm_spans")
         )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}

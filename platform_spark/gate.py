@@ -2217,6 +2217,79 @@ JOIN reps rb ON rb.rep_id = rep_b
 """,
 )
 
+# Cross-table MinHash-LSH join (record linkage): documents × derived
+# excerpt feed. Excerpts are the first 60% of each 5th document's tokens
+# under a shifted id space, so the oracle runs the SAME single-relation
+# signature machinery over the union and keeps only cross-side candidates.
+
+
+def _minhash_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _doc_table(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_keep = F.greatest(F.lit(3), F.floor(F.size(w) * 0.6).cast("int"))
+    excerpts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(w, F.lit(1), n_keep), " ").alias("text"),
+    )
+    return _dd.minhash_join(docs, excerpts, threshold=0.4)
+
+
+_llm(
+    "llm_minhash_join",
+    _minhash_join_gate,
+    rf"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+    array_to_string(w[1:greatest(3, CAST(floor(len(w) * 0.6) AS INT))], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id % 5 = 0)
+),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM src),
+ii AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM ii),
+hh AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('h1:' || shingle), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5('h2:' || shingle), 1, 12)) AS BIGINT) AS h2
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+    {_MH_COLS}
+  FROM hh GROUP BY doc_id
+),
+buckets AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS left_id, y.doc_id AS right_id
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < 100000 AND y.doc_id >= 100000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.left_id, c.right_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.left_id
+  JOIN sh b ON b.doc_id = c.right_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT c.left_id, c.right_id, n_common,
+  sa.n_sh AS n_left, sb.n_sh AS n_right,
+  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.left_id
+JOIN sizes sb ON sb.doc_id = c.right_id
+WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.4
+""",
+)
+
 _SH_CTE = f"""
 toks AS (
   SELECT doc_id,
@@ -4386,6 +4459,7 @@ _TAIL_SUBSETS = [
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle
+    "llm_minhash_lsh_pairs",       # self-join case of llm_minhash_join (head): same signatures/banding/candidate-verify machinery; its exact-collapse/expansion leg stays head-pinned by llm_dedup_ngram_jaccard + llm_dedup_clusters, and the full-pair oracle replays in pytest
     "llm_simhash_rep_pairs",       # collapse of llm_simhash_pairs through exact-text membership (NULL-marked); same derivation oracle
     "analytics_range_join",        # point-in-interval = zero-length-left special case of analytics_interval_join (head): same bucketize/explode/equi-join machinery and span guard; BETWEEN-filter leg pytest (test_skew/test_llmdata range tests)
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)

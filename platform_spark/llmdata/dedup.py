@@ -462,11 +462,9 @@ def minhash_signatures(
     return hashed.groupBy(F.col("doc_id")).agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    sig: DataFrame, num_perm: int = 32, bands: int = 8
-) -> DataFrame:
-    """LSH banding: hash each band of the signature; docs sharing any band
-    bucket become candidate pairs (distinct)."""
+def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature table: each band of the
+    signature hashed to one bucket string."""
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -474,9 +472,17 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols).cast("binary")).alias("bucket"))
         )
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any band
+    bucket become candidate pairs (distinct)."""
+    buckets = _band_buckets(sig, num_perm, bands)
     x = buckets.alias("x")
     y = buckets.alias("y")
     return (
@@ -623,6 +629,78 @@ def minhash_dedup_pairs(
     return expand_pairs(
         g.pairs.drop("n_copies_a", "n_copies_b"), g.membership
     ).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-TABLE fuzzy join (record linkage / entity resolution): pairs
+    (left_id, right_id) whose texts' k-shingle Jaccard ≥ threshold,
+    found via MinHash-LSH banding ACROSS the two tables — the two-dataset
+    variant of minhash_dedup_pairs (same portable signature family, same
+    candidate-restricted exact verify). The standard shape for "which
+    records in feed B refer to documents in corpus A".
+
+    Scale: both sides sign independently (one explode + one groupBy
+    each); candidates come from one equi-join on (band, bucket); the
+    verify joins each side's shingle index through the candidate list
+    only. Nothing pairwise ever touches non-candidate rows. For
+    copy-heavy sides, exact-collapse each input first (content_membership)
+    and expand after — same recipe as the self-join family.
+
+    Output: (left_id, right_id, n_common, n_left, n_right, jaccard).
+    """
+    l_docs = left.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    r_docs = right.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    sig_l = minhash_signatures(l_docs, "__t", "doc_id", k, num_perm)
+    sig_r = minhash_signatures(r_docs, "__t", "doc_id", k, num_perm)
+    bl = _band_buckets(sig_l, num_perm, bands).withColumnRenamed("doc_id", "left_id")
+    br = _band_buckets(sig_r, num_perm, bands).withColumnRenamed("doc_id", "right_id")
+    cand = (
+        bl.join(br, ["band", "bucket"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sh_l = _shingle_table(l_docs, "__t", "doc_id", k).select(
+        F.col("doc_id").alias("left_id"), md5_int(F.col("shingle")).alias("sh_a")
+    )
+    sh_r = _shingle_table(r_docs, "__t", "doc_id", k).select(
+        F.col("doc_id").alias("__rid"), md5_int(F.col("shingle")).alias("sh_b")
+    )
+    common = (
+        cand.join(sh_l, "left_id")
+        .join(
+            sh_r,
+            (F.col("right_id") == F.col("__rid")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_l = sh_l.groupBy("left_id").agg(F.count("*").alias("n_left"))
+    sz_r = sh_r.groupBy("__rid").agg(F.count("*").alias("n_right"))
+    return (
+        common.join(sz_l, "left_id")
+        .join(sz_r, F.col("right_id") == F.col("__rid"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_left") + F.col("n_right") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "n_common", "n_left", "n_right", "jaccard")
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

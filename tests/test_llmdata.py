@@ -1352,6 +1352,28 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_minhash_join_cross_table_linkage(spark):
+    # right-side records are noisy copies of left documents; the join links
+    # each to its source and nothing else
+    base = [" ".join(f"t{j}_{i}" for j in range(40)) for i in range(3)]
+    left = spark.createDataFrame(
+        [(i, base[i]) for i in range(3)], "doc_id long, text string"
+    )
+    right_rows = [
+        (100, base[0]),                                  # exact copy of 0
+        (101, " ".join(base[1].split()[:30])),           # 75% prefix of 1
+        (102, " ".join(f"zz{j}" for j in range(40))),    # unrelated
+    ]
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+    out = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in D.minhash_join(left, right, threshold=0.3).collect()
+    }
+    assert set(out) == {(0, 100), (1, 101)}
+    assert out[(0, 100)] == 1.0
+    assert 0.3 <= out[(1, 101)] < 1.0
+
+
 def test_dsir_selection_prefers_target_like_docs(spark):
     from platform_spark.llmdata import selection as SEL
 
