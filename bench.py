@@ -195,6 +195,7 @@ def main() -> None:
         "analytics_interval_join",
         "streaming_sessionize",
         "llm_minhash_join",
+        "llm_image_phash_pairs",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -2083,6 +2083,55 @@ FROM px GROUP BY media_id
 )
 
 
+# Perceptual-hash image near-dup: dHash over the real-decoded synthetic
+# raster corpus, banded-Hamming pairs. max_hamming(3) < bands(4) gives the
+# exact pigeonhole guarantee, so the oracle is the EXHAUSTIVE all-pairs
+# popcount filter — a hash match proves the banded join loses no pair.
+
+
+def _image_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.multimodal import dhash_media, dhash_pairs
+
+    fps = dhash_media(_mm_real_media(spark, sf_dir))
+    return dhash_pairs(fps, max_hamming=3, bands=4)
+
+
+_add(
+    "llm_image_phash_pairs",
+    _image_phash_gate,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+  FROM documents
+),
+grid AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM (SELECT unnest(generate_series(0, 8)) AS x) gx
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS y) gy
+),
+g AS (
+  SELECT media_id, x, y,
+    (((x * w // 9) * 7 + (y * h // 7) * 11 + media_id) % 256
+     + ((x * w // 9) * 7 + (y * h // 7) * 11 + 13 + media_id) % 256
+     + ((x * w // 9) * 7 + (y * h // 7) * 11 + 26 + media_id) % 256) // 3 AS gv
+  FROM m CROSS JOIN grid
+),
+fp AS (
+  SELECT a.media_id,
+    CAST(SUM(CASE WHEN b.gv > a.gv
+             THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END)
+         AS BIGINT) AS dhash
+  FROM g a JOIN g b ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8 GROUP BY a.media_id
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+""",
+)
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -4466,6 +4515,7 @@ _TAIL_SUBSETS = [
     "kafsql_where_offset",         # compiler `_offset` bounds are the same two-line scan() filter as the `_ts` bounds kafsql_last (head) exercises (compiler.py:145-149); offset values themselves stay head-checked by kfs_segment_roundtrip's offset-faithful decode; parser range extraction pytest (test_parser)
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)
     "analytics_sessionize",        # batch lag+cumsum twin of streaming_sessionize (head, SAME oracle — full batch/stream equality); window machinery ⊂ analytics_running_revenue/llm_pack_sequences cumsum shapes; boundary rules pytest (test_llmdata sessionize specs)
+    "streaming_idoc_explode",      # stable S12 surface (full oracle, unchanged since r4): fixed-shape XML → 13 enumerable rows/doc; Arrow mapInPandas shape now head-exercised by llm_image_phash_pairs' decode chain; parse rules pytest (test_streaming)
     "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
     "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check

@@ -387,6 +387,125 @@ def frame_sample_plan(
     )
 
 
+def _decode_raster(content: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-dispatch to the stdlib raster decoders (PNG/PNM/BMP)."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
+    if content[:2] in (b"P5", b"P6"):
+        return _decode_pnm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    raise NotImplementedError(
+        "unrecognized media magic (stdlib decoders cover PNG/PNM/BMP; "
+        "JPEG/video need external libraries — pass a PIL-backed callable)"
+    )
+
+
+def dhash_bits(
+    w: int, h: int, nch: int, px: bytes, hash_w: int = 8, hash_h: int = 7
+) -> int:
+    """Difference hash of a decoded raster: integer-mean grayscale,
+    nearest-neighbor sample onto a (hash_w+1)×hash_h grid (the same
+    ``src = dst * src_dim // dst_dim`` convention as real_resize), one bit
+    per adjacent-column comparison (right > left). hash_w*hash_h ≤ 56 bits
+    so the value stays a positive BIGINT in every engine (bit 63 would
+    wrap differently under DuckDB's HUGEINT-promoting SUM)."""
+    val = 0
+    for y in range(hash_h):
+        sy = y * h // hash_h
+        row = [0] * (hash_w + 1)
+        for x in range(hash_w + 1):
+            sx = x * w // (hash_w + 1)
+            base = (sy * w + sx) * nch
+            row[x] = sum(px[base : base + nch]) // nch
+        for x in range(hash_w):
+            if row[x + 1] > row[x]:
+                val |= 1 << (y * hash_w + x)
+    return val
+
+
+def dhash_media(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 7,
+) -> DataFrame:
+    """Perceptual fingerprints for an image corpus: (media_id, dhash).
+    Arrow-batched mapInPandas over the stdlib raster decoders — the image
+    twin of simhash_table. Near-identical images (recompressions, small
+    edits, container changes) land within a few Hamming bits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, nch, px = _decode_raster(
+                    bytes(content) if content is not None else b""
+                )
+                rows.append((int(mid), dhash_bits(w, h, nch, px, hash_w, hash_h)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, "media_id bigint, dhash bigint"
+    )
+
+
+def dhash_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 56,
+    id_col: str = "media_id",
+    fp_col: str = "dhash",
+) -> DataFrame:
+    """Image near-dup pairs from perceptual fingerprints: banded-Hamming
+    candidate join + exact popcount verify — the same no-quadratic-scan
+    shape as the SimHash text family. Pigeonhole guarantee: with
+    ``max_hamming < bands`` every qualifying pair shares at least one
+    untouched band, so recall is exact; at larger distances keep
+    ``bands > max_hamming`` (more, narrower bands) to preserve it.
+    Output (media_a, media_b, hamming), a < b."""
+    from pyspark.sql import functions as F
+
+    per = bits // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), b * per)
+            .bitwiseAND(F.lit((1 << per) - 1))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    bb = fps.select(
+        F.col(id_col).alias("mid"), F.col(fp_col).alias("fp"),
+        F.explode(F.array(*band_cols)).alias("b"),
+    ).select("mid", "fp", "b.band", "b.chunk")
+    x, y = bb.alias("x"), bb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.mid") < F.col("y.mid")),
+        )
+        .select(
+            F.col("x.mid").alias("media_a"),
+            F.col("y.mid").alias("media_b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 def fake_resize(content: bytes, width: int, height: int) -> dict:
     """Deterministic stand-in for a real resize: derives a pseudo payload
     (content hash + target dims) so tests can assert batch shape and

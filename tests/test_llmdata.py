@@ -1352,6 +1352,46 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_image_dhash_near_dup(spark):
+    import pandas as pd
+
+    # three rasters: base, base with one brightened pixel region (near-dup
+    # across DIFFERENT containers: PNG vs PPM), and an unrelated gradient
+    w, h = 32, 24
+    base = bytearray(M.synth_pixels(1, w, h))
+    tweaked = bytearray(base)
+    for i in range(0, 12):  # nudge a few bytes in one corner
+        tweaked[i] = (tweaked[i] + 3) % 256
+    other = M.synth_pixels(9999, w, h)
+    rows = [
+        (1, M.encode_png(w, h, bytes(base))),
+        (2, M.encode_ppm(w, h, bytes(tweaked))),
+        (3, M.encode_bmp(w, h, bytes(reversed(other)))),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"]),
+        "media_id long, content binary",
+    )
+    fps = {r.media_id: r.dhash for r in M.dhash_media(df).collect()}
+    # container-independence: the hash sees pixels, not bytes
+    assert bin(fps[1] ^ fps[2]).count("1") <= 3
+    assert bin(fps[1] ^ fps[3]).count("1") > 3
+
+    pairs = M.dhash_pairs(
+        M.dhash_media(df), max_hamming=3, bands=4
+    ).collect()
+    assert {(r.media_a, r.media_b) for r in pairs} == {(1, 2)}
+
+    # pigeonhole recall: banded output == brute force at distance < bands
+    import itertools
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert {(r.media_a, r.media_b) for r in pairs} == brute
+
+
 def test_minhash_join_cross_table_linkage(spark):
     # right-side records are noisy copies of left documents; the join links
     # each to its source and nothing else
