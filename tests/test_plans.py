@@ -168,6 +168,30 @@ def test_decontamination_broadcasts_bench_index(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dsir_scoring_broadcasts_weight_table(spark):
+    # the per-bucket log-ratio table is <= n_buckets rows; the raw corpus
+    # must be scored map-side (broadcast), never shuffled on the bucket
+    from pyspark.sql import functions as F
+
+    from platform_spark.gate import catalog_for
+    from platform_spark.llmdata.selection import dsir_scores
+
+    docs = catalog_for(spark, "/root/testdata/sf0.001").table("documents")
+    plan = _plan(dsir_scores(docs, docs.filter(F.col("lang") == "de")))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_bucketized_not_nested_loop(spark):
+    # the overlap theta-condition must ride an equi-join on the bucket —
+    # a BroadcastNestedLoopJoin here is the quadratic plan the operator
+    # exists to avoid
+    from platform_spark.gate import GATE
+
+    plan = _plan(GATE["analytics_interval_join"][0](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_chunking_has_no_exchange(spark):
     # chunking must expand rows in place: any Exchange here would make a
     # pure per-row operator cost a full shuffle of the corpus
@@ -197,6 +221,7 @@ def test_embedding_gates_are_probe_free(spark, monkeypatch):
         "llm_embedding_neardup",
         "llm_embedding_rep_pairs",
         "llm_ann_pca_topk",
+        "llm_semdedup",
     ):
         g.GATE[name][0](spark, "/root/testdata/sf0.001")
 
