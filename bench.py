@@ -244,6 +244,19 @@ def main() -> None:
             .replace("repetition", "rep").replace("decontaminate", "decontam")
             .replace("containment", "contain").replace("interval_join", "ivljoin")
             .replace("sessionize", "sess").replace("remove_dup_spans", "rm_spans")
+            .replace("duplicate_spans", "dup_spans")
+            .replace("kfs_segment_roundtrip", "kfs_rt")
+            .replace("rollup_nation_year", "rollup_ny")
+            .replace("curriculum_order", "curric")
+            .replace("mix_token_budget", "mix_budget")
+            .replace("token_frequencies", "token_freqs")
+            .replace("materialize_packs", "mat_packs")
+            .replace("top_event_per_user", "top_event")
+            .replace("split_assignment", "splits")
+            .replace("image_phash_pairs", "phash_pairs")
+            .replace("minhash_join", "mh_join")
+            .replace("produce_offsets", "produce")
+            .replace("running_revenue", "running_rev")
         )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}
