@@ -196,6 +196,7 @@ def main() -> None:
         "streaming_sessionize",
         "llm_minhash_join",
         "llm_image_phash_pairs",
+        "llm_quality_classifier",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -560,6 +560,67 @@ FROM m
 """,
 )
 
+# Model-based quality classifier: the fastText-classifier stage of
+# GPT-3/LLaMA-style pipelines, distilled from the heuristic labels. The
+# gate RE-FITS the logistic regression at query time (deterministic
+# single-partition LBFGS, 6-dp rounding) and must reproduce the pinned
+# vector the oracle carries as literals — the pyspark.ml fit path is
+# inside the hash check, like llm_ann_ivf_kmeans. Pin is to the driver's
+# correctness SF (sf0.01); at other SFs the fn still runs (fresh fit).
+
+
+def _quality_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.quality_model import (
+        classify_quality,
+        fit_quality_classifier,
+    )
+
+    docs = _doc_table(spark, sf_dir)
+    coefs = fit_quality_classifier(docs, deterministic=True)
+    return classify_quality(docs, coefs)
+
+
+def _pinned_quality_z() -> str:
+    from platform_spark.llmdata.quality_pinned import QUALITY_COEFS_SF001 as C
+
+    return (
+        f"({C[0]!r} + {C[1]!r} * punct_ratio + {C[2]!r} * stopword_ratio "
+        f"+ {C[3]!r} * mean_word_len + {C[4]!r} * log_tokens)"
+    )
+
+
+_llm(
+    "llm_quality_classifier",
+    _quality_clf_gate,
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS lw,
+    regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                    / length(text)::DOUBLE, 6) END AS punct_ratio,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE round(len(list_filter(lw, x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                    / n_tokens::DOUBLE, 6) END AS stopword_ratio,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE round(list_sum(list_transform(w, x -> length(x)::DOUBLE))
+                    / n_tokens::DOUBLE, 6) END AS mean_word_len,
+    round(ln(1.0 + n_tokens), 6) AS log_tokens
+  FROM base
+)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-{_pinned_quality_z()})), 6) AS quality_prob,
+  (round(1.0 / (1.0 + exp(-{_pinned_quality_z()})), 6) >= 0.5) AS is_quality
+FROM m
+""",
+)
+
 # exact + normalized dedup --------------------------------------------------
 
 _llm(
@@ -4503,6 +4564,7 @@ _TAIL_SUBSETS = [
     "analytics_q18_big_orders",    # IN-subquery + group-HAVING ⊂ q21 (semi on the same key) + q11 (HAVING scalar) + q3/q10 (group-sort-topk shapes)
     "llm_duplicate_spans",         # metrics leg ⊂ llm_remove_dup_spans (head): same _positional_spans tokenize/hash/occ-count/join machinery, removal gate adds coverage+rebuild on top; cross-doc/first-pos extras pytest-replayed
     "analytics_q16_parts_supplier",  # NOT-IN anti join ⊂ q21 LeftAnti (head) + q22 anti (tail, pytest); COUNT DISTINCT ⊂ llm_corpus_stats two-level distinct agg (head); partsupp derivation invariants pinned in test_partsupp_view_invariants
+    "analytics_q2_min_cost_supplier",  # correlated-MIN scalar subquery ⊂ q20's correlated-SUM nested-IN shape (head) + q17's correlated scalar-avg (tail, pytest; de-correlation plan-asserted in test_plans)
     "analytics_q7_nation_trade",   # nation-pair disjunctive join filter ⊂ q19 OR-of-conjuncts (tail, pytest) over q8's dim-broadcast join fan (head) + per-year CASE agg ⊂ q8's CASE-ratio
     "llm_dedup_lines",             # line-granularity twin of llm_remove_dup_spans (head): same count-duplicates → join-back → drop → in-order rebuild shape (posexplode lines vs positional spans); line rules pytest
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation

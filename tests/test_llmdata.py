@@ -1352,6 +1352,29 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_quality_classifier_fit_and_scoring(spark):
+    from platform_spark.llmdata.quality_model import (
+        classify_quality,
+        fit_quality_classifier,
+    )
+    from platform_spark.llmdata.quality_pinned import QUALITY_COEFS_SF001
+
+    # the deterministic re-fit must reproduce the pinned vector (the gate
+    # oracle carries it as literals — this is the fit-path regression pin)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert fit_quality_classifier(docs, deterministic=True) == QUALITY_COEFS_SF001
+
+    # scoring separates prose from junk under the pinned model
+    rows = [
+        (1, "the cat sat on the mat and it was happy to be at home with a friend"),
+        (2, "xq9 zz!!! ### kkk 0x0x0x qwerty zzzz !!!! @@@@"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in classify_quality(df, QUALITY_COEFS_SF001).collect()}
+    assert out[1].is_quality and out[1].quality_prob > 0.9
+    assert not out[2].is_quality
+
+
 def test_image_dhash_near_dup(spark):
     import pandas as pd
 
