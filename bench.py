@@ -197,6 +197,7 @@ def main() -> None:
         "llm_minhash_join",
         "llm_image_phash_pairs",
         "llm_quality_classifier",
+        "llm_ann_sq_topk",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -1666,6 +1666,73 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 """,
 )
 
+# Scalar-quantized ANN: int8 codes screen, exact rerank ---------------------
+
+
+def _sq_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb_table(spark, sf_dir)
+    cb = _sim.fit_scalar_quantizer(emb, dim=_EMB_DIM)
+    return _sim.sq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, codebook=cb, rerank=4
+    )
+
+
+# Full oracle: the codebook is exact per-dim min/max (recomputed in SQL, so
+# the gate is SF-agnostic), quantization is the explicit floor(x+0.5) rule,
+# and both the dequantized screen and the exact rerank are rounded
+# closed-form arithmetic with id tie-breaks.
+_llm(
+    "llm_ann_sq_topk",
+    _sq_topk_gate,
+    f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, i.i AS i, v[i.i + 1] AS x
+  FROM c CROSS JOIN (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS i) i
+),
+cb AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY i),
+dq AS (
+  SELECT e.vec_id, e.i,
+    CASE WHEN hi = lo THEN lo
+         ELSE lo + floor((x - lo) / (hi - lo) * 255.0 + 0.5) * (hi - lo) / 255.0
+    END AS xq
+  FROM e JOIN cb USING (i)
+),
+cq AS (SELECT vec_id, list(xq ORDER BY i) AS vq FROM dq GROUP BY vec_id),
+corpus AS (SELECT c.vec_id, c.v, cq.vq FROM c JOIN cq ON c.vec_id = cq.vec_id),
+screened AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS corpus_id, s.v AS cv, q.v AS qv,
+    round(list_dot_product(s.vq, q.v)
+          / (sqrt(list_dot_product(s.vq, s.vq)) * sqrt(list_dot_product(q.v, q.v))),
+          6) AS approx
+  FROM corpus s CROSS JOIN (SELECT vec_id, v FROM c WHERE vec_id < 8) q
+  WHERE s.vec_id != q.vec_id
+),
+survivors AS (
+  SELECT query_id, corpus_id, cv, qv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, corpus_id) AS r
+    FROM screened
+  ) WHERE r <= 20
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id,
+    round(list_dot_product(cv, qv)
+          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY round(list_dot_product(cv, qv)
+                                      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                       corpus_id) AS rank
+  FROM survivors
+) WHERE rank <= 5
+""",
+)
+
 # SemDeDup: semantic dedup via coarse clusters + greedy predecessor scan ----
 
 
@@ -4567,6 +4634,7 @@ _TAIL_SUBSETS = [
     "analytics_q2_min_cost_supplier",  # correlated-MIN scalar subquery ⊂ q20's correlated-SUM nested-IN shape (head) + q17's correlated scalar-avg (tail, pytest; de-correlation plan-asserted in test_plans)
     "analytics_q7_nation_trade",   # nation-pair disjunctive join filter ⊂ q19 OR-of-conjuncts (tail, pytest) over q8's dim-broadcast join fan (head) + per-year CASE agg ⊂ q8's CASE-ratio
     "llm_dedup_lines",             # line-granularity twin of llm_remove_dup_spans (head): same count-duplicates → join-back → drop → in-order rebuild shape (posexplode lines vs positional spans); line rules pytest
+    "llm_chunk_documents",         # pure array-expression row expansion (sequence+transform+explode) ⊂ llm_remove_dup_spans' positional array machinery (head); zero-exchange plan pinned in test_plans, reconstruction/overlap invariants pytest
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle

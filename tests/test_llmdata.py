@@ -1352,6 +1352,27 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_sq_topk_recall_and_quantization(spark, embs):
+    sample = embs.filter(F.col("vec_id") < 200)
+    queries = sample.filter(F.col("vec_id") < 5)
+    cb = S.fit_scalar_quantizer(sample, dim=64)
+    assert len(cb[0]) == 64 and all(lo <= hi for lo, hi in zip(*cb))
+    brute = S.brute_force_topk(sample, queries, k=5)
+    approx = S.sq_topk(sample, queries, k=5, codebook=cb, rerank=4)
+    b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    # int8 quantization barely moves cosines; the 4x rerank recovers the
+    # true top-k almost always on random vectors
+    assert len(a & b) / len(b) >= 0.8
+    # exact scores: the reported cosine of a correctly-recalled pair must
+    # equal the brute-force cosine (rerank runs on original floats)
+    bs = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in brute.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["corpus_id"])
+        if key in bs:
+            assert r["cosine"] == bs[key]
+
+
 def test_quality_classifier_fit_and_scoring(spark):
     from platform_spark.llmdata.quality_model import (
         classify_quality,
