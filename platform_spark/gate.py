@@ -4334,6 +4334,68 @@ FROM s GROUP BY media_id
 )
 
 
+# Audio perceptual near-dup: energy-difference fingerprints over real
+# WAV decode + the same banded-Hamming pair join as images; exhaustive
+# all-pairs oracle pins the banding's exact pigeonhole recall.
+
+
+def _audio_fp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.multimodal import (
+        audio_fingerprints,
+        dhash_pairs,
+        encode_wav,
+        synth_samples,
+    )
+
+    ids = _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 400 + mid % 200
+                rows.append((mid, encode_wav(synth_samples(mid, n))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    wavs = ids.mapInPandas(gen, "media_id bigint, content binary")
+    return dhash_pairs(
+        audio_fingerprints(wavs), max_hamming=3, bands=4, fp_col="afp"
+    )
+
+
+_add(
+    "llm_audio_fingerprint_pairs",
+    _audio_fp_gate,
+    """
+WITH m AS (SELECT doc_id AS media_id, 400 + doc_id % 200 AS n FROM documents),
+s AS (
+  SELECT media_id, n, i.i AS i, abs(((media_id * 31 + i.i * 7) % 4096) - 2048) AS v
+  FROM m JOIN (SELECT unnest(generate_series(0, 598)) AS i) i ON i.i < n
+),
+fr AS (
+  SELECT media_id, (i * 57) // n AS f, SUM(v) AS s, COUNT(*) AS c
+  FROM s GROUP BY 1, 2
+),
+fp AS (
+  SELECT a.media_id,
+    CAST(SUM(CASE WHEN b.s * a.c > a.s * b.c
+             THEN (CAST(1 AS BIGINT) << a.f) ELSE 0 END) AS BIGINT) AS afp
+  FROM fr a JOIN fr b ON b.media_id = a.media_id AND b.f = a.f + 1
+  GROUP BY 1
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+""",
+)
+
+
 # multi-class language ID: per-language function-word ratio argmax ---------
 
 
@@ -4652,6 +4714,7 @@ _TAIL_SUBSETS = [
     "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
     "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest
+    "llm_audio_fingerprint_pairs",  # ⊂ llm_image_phash_pairs (head): identical banded-Hamming pair machinery (dhash_pairs) over a 56-bit fingerprint; decode leg = llm_multimodal_audio's wave parse (tail twin); exhaustive-recall oracle replayed in pytest
     "llm_multimodal_resize",       # REAL stdlib nearest-neighbor resize, full decode→resize→re-encode→decode chain vs closed-form oracle; shares the llm_multimodal_decode raster corpus (tail twin)
     "llm_dedup_keep_longest",      # ⊂ llm_dedup_exact's hash-agg shape with a max_by keeper policy (arg-max spec pytest); same one-aggregate scale story
     "llm_oov_rate",                # explode + token-keyed left join + doc agg ⊂ llm_unigram_logprob's shape (tail twin, same vocab machinery as llm_token_frequencies)

@@ -506,6 +506,64 @@ def dhash_pairs(
     )
 
 
+def audio_energy_bits(samples: list[int], frames: int = 57) -> int:
+    """Energy-difference fingerprint of a PCM sample stream: samples bin
+    into `frames` balanced frames (sample i → frame i*frames//n), one bit
+    per adjacent-frame mean-|amplitude| comparison. Means compare as
+    cross-multiplied integer sums — exact arithmetic, no division, so any
+    engine agrees bit-for-bit. frames-1 ≤ 56 bits keeps the value a
+    positive BIGINT everywhere (same rationale as dhash_bits)."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    sums = [0] * frames
+    cnts = [0] * frames
+    for i, s in enumerate(samples):
+        f = i * frames // n
+        sums[f] += abs(s)
+        cnts[f] += 1
+    val = 0
+    for f in range(frames - 1):
+        if cnts[f] and cnts[f + 1] and sums[f + 1] * cnts[f] > sums[f] * cnts[f + 1]:
+            val |= 1 << f
+    return val
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    frames: int = 57,
+) -> DataFrame:
+    """Perceptual fingerprints for a PCM-WAV corpus: (media_id, afp) —
+    the audio twin of dhash_media (Arrow-batched stdlib decode, channels
+    averaged per frame index). Feed into `dhash_pairs(fps,
+    fp_col="afp")` for banded-Hamming near-dup pairs."""
+    import io
+    import struct as _struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                with wave.open(io.BytesIO(bytes(content))) as w:
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                vals = _struct.unpack(f"<{len(raw) // 2}h", raw)
+                if nch > 1:  # mean across channels per frame index
+                    vals = [
+                        sum(vals[i : i + nch]) // nch
+                        for i in range(0, len(vals), nch)
+                    ]
+                rows.append((int(mid), audio_energy_bits(list(vals), frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, "media_id bigint, afp bigint"
+    )
+
+
 def fake_resize(content: bytes, width: int, height: int) -> dict:
     """Deterministic stand-in for a real resize: derives a pseudo payload
     (content hash + target dims) so tests can assert batch shape and

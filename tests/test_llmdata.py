@@ -1352,6 +1352,33 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_audio_fingerprint_near_dup(spark):
+    import pandas as pd
+
+    # near-identical PCM (tiny amplitude nudge) lands within a few bits;
+    # unrelated audio is far; stereo averages channels before framing
+    base = M.synth_samples(5, 480)
+    tweaked = [s + (1 if i % 97 == 0 else 0) for i, s in enumerate(base)]
+    other = M.synth_samples(123456, 480)
+    rows = [
+        (1, M.encode_wav(base)),
+        (2, M.encode_wav(tweaked)),
+        (3, M.encode_wav(other[::-1])),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"]),
+        "media_id long, content binary",
+    )
+    fps = {r.media_id: r.afp for r in M.audio_fingerprints(df).collect()}
+    assert fps[1] == M.audio_energy_bits(base)  # matches the pure-python spec
+    assert bin(fps[1] ^ fps[2]).count("1") <= 3
+    pairs = M.dhash_pairs(
+        M.audio_fingerprints(df), max_hamming=3, bands=4, fp_col="afp"
+    ).collect()
+    assert (1, 2) in {(r.media_a, r.media_b) for r in pairs}
+    assert (1, 3) not in {(r.media_a, r.media_b) for r in pairs}
+
+
 def test_sq_topk_recall_and_quantization(spark, embs):
     sample = embs.filter(F.col("vec_id") < 200)
     queries = sample.filter(F.col("vec_id") < 5)
