@@ -239,6 +239,65 @@ def main() -> None:
         duplicate_spans(cat.table("documents")),
     )
 
+    from platform_spark.llmdata.selection import dsir_scores
+
+    add(
+        "DSIR importance scoring",
+        "The per-bucket log-ratio weight table (≤ n_buckets rows) broadcasts, "
+        "so the raw corpus is scored map-side — the big side shuffles only on "
+        "doc_id for the final mean. Distribution builds are bucket-keyed "
+        "partial aggregates.",
+        ["BroadcastHashJoin", "HashAggregate"],
+        dsir_scores(
+            cat.table("documents"),
+            cat.table("documents").filter(F.col("lang") == "de"),
+        ),
+    )
+    from platform_spark.operators.ranges import interval_join
+
+    ev = spark.table("events")
+    _ep = F.unix_timestamp(F.col("ts"))
+    add(
+        "Interval-overlap join",
+        "The overlap theta-condition rides a bucket equi-join (explode to "
+        "covered buckets, keep each pair only in max(lo)'s bucket) — an "
+        "Exchange-based hash join, never BroadcastNestedLoop/Cartesian.",
+        ["Exchange"],
+        interval_join(
+            ev.filter(F.col("event_type") == "click").select(
+                "event_id", "user_id", _ep.alias("lo_a"), (_ep + 600).alias("hi_a")
+            ),
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("event_id").alias("b_id"), "user_id",
+                (_ep - 300).alias("lo_b"), (_ep + 300).alias("hi_b"),
+            ),
+            "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=900.0, key_col="user_id",
+        ),
+    )
+    from platform_spark.llmdata.dedup import remove_duplicate_spans
+
+    add(
+        "Exact-substring removal",
+        "Same span-hash aggregate/join front as the metrics leg; covered "
+        "positions then collapse to ONE array per doc (collect_list of span "
+        "starts) and tokens drop via an array filter — no per-token "
+        "explode/shuffle, the wide exchanges carry span hashes and one row "
+        "per doc.",
+        ["HashAggregate", "Exchange"],
+        remove_duplicate_spans(cat.table("documents")),
+    )
+    from platform_spark.llmdata.similarity import semantic_dedup, sq_topk
+
+    add(
+        "SemDeDup semantic dedup",
+        "Centroid assignment is a shuffle-free map over one literal matrix; "
+        "ranking shuffles once on the bucket; the predecessor scan is a "
+        "bucket-keyed equi-join (pairwise work bounded by cluster size, "
+        "never a cartesian product).",
+        ["Exchange", "Window"],
+        semantic_dedup(cat.table("embeddings"), n_clusters=8, dim=64),
+    )
+
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
         "",
