@@ -1352,6 +1352,18 @@ def test_duplicate_spans_cross_and_within_doc(spark):
     assert out[4].first_dup_pos is None
 
 
+def test_dhash_invariant_under_nearest_upscale():
+    # an exact 2x nearest-neighbor upscale resamples to the same 9x7 grid
+    # points, so the perceptual hash is IDENTICAL — the resize-robustness
+    # property that makes dHash a near-dup signal across thumbnails
+    w, h = 18, 14
+    px = M.synth_pixels(3, w, h)
+    up = M.real_resize(M.encode_ppm(w, h, px), w * 2, h * 2)["content"]
+    w2, h2, nch2, px2 = M._decode_raster(up)
+    assert (w2, h2) == (36, 28)
+    assert M.dhash_bits(w, h, 3, px) == M.dhash_bits(w2, h2, nch2, px2)
+
+
 def test_audio_fingerprint_near_dup(spark):
     import pandas as pd
 
