@@ -2260,6 +2260,60 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 )
 
 
+# Rep-level twin: collapse identical fingerprints first (the distance-0
+# mass AND the candidate-join quadratic term), band distinct fingerprints
+# only. Oracle is the exhaustive distinct-fp formulation + self rows.
+
+
+def _image_phash_rep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.multimodal import dhash_media, dhash_rep_pairs
+
+    fps = dhash_media(_mm_real_media(spark, sf_dir))
+    return dhash_rep_pairs(fps, max_hamming=3, bands=4)
+
+
+_add(
+    "llm_image_phash_rep_pairs",
+    _image_phash_rep_gate,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+  FROM documents
+),
+grid AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM (SELECT unnest(generate_series(0, 8)) AS x) gx
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS y) gy
+),
+g AS (
+  SELECT media_id, x, y,
+    (((x * w // 9) * 7 + (y * h // 7) * 11 + media_id) % 256
+     + ((x * w // 9) * 7 + (y * h // 7) * 11 + 13 + media_id) % 256
+     + ((x * w // 9) * 7 + (y * h // 7) * 11 + 26 + media_id) % 256) // 3 AS gv
+  FROM m CROSS JOIN grid
+),
+fp AS (
+  SELECT a.media_id,
+    CAST(SUM(CASE WHEN b.gv > a.gv
+             THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END)
+         AS BIGINT) AS dhash
+  FROM g a JOIN g b ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8 GROUP BY a.media_id
+),
+grp AS (SELECT dhash, MIN(media_id) AS rep, COUNT(*) AS n FROM fp GROUP BY 1)
+SELECT a.rep AS rep_a, b.rep AS rep_b,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming,
+  a.n AS n_copies_a, b.n AS n_copies_b
+FROM grp a JOIN grp b ON a.rep < b.rep
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+UNION ALL
+SELECT rep AS rep_a, rep AS rep_b, 0 AS hamming,
+  n AS n_copies_a, n AS n_copies_b
+FROM grp WHERE n >= 2
+""",
+)
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -4715,6 +4769,7 @@ _TAIL_SUBSETS = [
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
     "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest
     "llm_audio_fingerprint_pairs",  # ⊂ llm_image_phash_pairs (head): identical banded-Hamming pair machinery (dhash_pairs) over a 56-bit fingerprint; decode leg = llm_multimodal_audio's wave parse (tail twin); exhaustive-recall oracle replayed in pytest
+    "llm_image_phash_rep_pairs",   # fingerprint-collapse of llm_image_phash_pairs (head) — the same distinct-value rep recipe as the text rep-pair family; exhaustive distinct-fp oracle replayed in pytest
     "llm_multimodal_resize",       # REAL stdlib nearest-neighbor resize, full decode→resize→re-encode→decode chain vs closed-form oracle; shares the llm_multimodal_decode raster corpus (tail twin)
     "llm_dedup_keep_longest",      # ⊂ llm_dedup_exact's hash-agg shape with a max_by keeper policy (arg-max spec pytest); same one-aggregate scale story
     "llm_oov_rate",                # explode + token-keyed left join + doc agg ⊂ llm_unigram_logprob's shape (tail twin, same vocab machinery as llm_token_frequencies)

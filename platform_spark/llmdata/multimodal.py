@@ -564,6 +564,72 @@ def audio_fingerprints(
     )
 
 
+def dhash_rep_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 56,
+    id_col: str = "media_id",
+    fp_col: str = "dhash",
+) -> DataFrame:
+    """Fingerprint-collapsed near-dup graph — the rep-level twin of
+    `dhash_pairs`, same recipe as the text rep-pair family: collapse
+    identical fingerprints FIRST (they are the distance-0 mass, and the
+    candidate join pays quadratically for every identical-chunk group),
+    band only DISTINCT fingerprints, and carry copy counts. A self row
+    (rep_a == rep_b, hamming 0) marks a fingerprint with ≥2 carriers.
+    Output rows are ~linear in distinct fingerprints; expand through the
+    membership only when the doc-level list is truly needed.
+
+    Returns (rep_a, rep_b, hamming, n_copies_a, n_copies_b) where reps
+    are the min id per fingerprint value."""
+    from pyspark.sql import functions as F
+
+    groups = fps.groupBy(F.col(fp_col).alias("fp")).agg(
+        F.min(F.col(id_col)).alias("rep"), F.count("*").alias("n_copies")
+    )
+    per = bits // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("fp"), b * per)
+            .bitwiseAND(F.lit((1 << per) - 1))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    bb = groups.select(
+        "rep", "fp", "n_copies", F.explode(F.array(*band_cols)).alias("b")
+    ).select("rep", "fp", "n_copies", "b.band", "b.chunk")
+    x, y = bb.alias("x"), bb.alias("y")
+    cross = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.rep") < F.col("y.rep")),
+        )
+        .select(
+            F.col("x.rep").alias("rep_a"), F.col("y.rep").alias("rep_b"),
+            F.col("x.fp").alias("fp_a"), F.col("y.fp").alias("fp_b"),
+            F.col("x.n_copies").alias("n_copies_a"),
+            F.col("y.n_copies").alias("n_copies_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    selfs = groups.filter(F.col("n_copies") >= 2).select(
+        F.col("rep").alias("rep_a"), F.col("rep").alias("rep_b"),
+        F.lit(0).alias("hamming"),
+        F.col("n_copies").alias("n_copies_a"),
+        F.col("n_copies").alias("n_copies_b"),
+    )
+    return cross.select(
+        "rep_a", "rep_b", "hamming", "n_copies_a", "n_copies_b"
+    ).unionByName(selfs)
+
+
 def fake_resize(content: bytes, width: int, height: int) -> dict:
     """Deterministic stand-in for a real resize: derives a pseudo payload
     (content hash + target dims) so tests can assert batch shape and

@@ -1364,6 +1364,47 @@ def test_dhash_invariant_under_nearest_upscale():
     assert M.dhash_bits(w, h, 3, px) == M.dhash_bits(w2, h2, nch2, px2)
 
 
+def test_dhash_rep_pairs_collapse_equality(spark):
+    import itertools
+
+    import pandas as pd
+
+    # three byte-identical rasters across containers (one fp group) + one
+    # unrelated image — the collapse must mark the group with a self row
+    # and expansion must reproduce the doc-level pairs exactly
+    w, h = 16, 12
+    px = M.synth_pixels(7, w, h)
+    rows = [
+        (1, M.encode_png(w, h, px)),
+        (2, M.encode_ppm(w, h, px)),
+        (3, M.encode_bmp(w, h, px)),
+        (4, M.encode_ppm(w, h, M.synth_pixels(991, w, h))),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"]),
+        "media_id long, content binary",
+    )
+    fps = M.dhash_media(df)
+    rep = {(r.rep_a, r.rep_b): r for r in M.dhash_rep_pairs(fps).collect()}
+    doc = {(r.media_a, r.media_b) for r in M.dhash_pairs(fps).collect()}
+    # self row marks the identical-fp group; cross rows carry copy counts
+    assert (1, 1) in rep and rep[(1, 1)].n_copies_a == 3
+    # expanding the rep graph reproduces the doc-level pair set exactly
+    members = {}
+    for r in fps.collect():
+        members.setdefault(r.dhash, []).append(r.media_id)
+    fp_of_rep = {min(v): k for k, v in members.items()}
+    expanded = set()
+    for (a, b), r in rep.items():
+        if a == b:
+            expanded |= set(itertools.combinations(sorted(members[fp_of_rep[a]]), 2))
+        else:
+            for x in members[fp_of_rep[a]]:
+                for y in members[fp_of_rep[b]]:
+                    expanded.add((min(x, y), max(x, y)))
+    assert expanded == doc
+
+
 def test_audio_fingerprint_near_dup(spark):
     import pandas as pd
 
