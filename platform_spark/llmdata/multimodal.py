@@ -630,6 +630,22 @@ def dhash_rep_pairs(
     ).unionByName(selfs)
 
 
+def dhash_membership(
+    fps: DataFrame, id_col: str = "media_id", fp_col: str = "dhash"
+) -> DataFrame:
+    """(media_id → rep_id) map for identical fingerprints — the expansion
+    side of dhash_rep_pairs (compose with dedup.expand_pairs, a_col="rep_a",
+    b_col="rep_b", to recover the doc-level pair list lazily)."""
+    from pyspark.sql import functions as F
+
+    reps = fps.groupBy(F.col(fp_col).alias("fp")).agg(
+        F.min(F.col(id_col)).alias("rep_id")
+    )
+    return fps.join(
+        reps, fps[fp_col] == reps["fp"]
+    ).select(F.col(id_col).alias("doc_id"), "rep_id")
+
+
 def fake_resize(content: bytes, width: int, height: int) -> dict:
     """Deterministic stand-in for a real resize: derives a pseudo payload
     (content hash + target dims) so tests can assert batch shape and
