@@ -197,6 +197,9 @@ def main() -> None:
         "llm_image_phash_rep_pairs",
         "llm_quality_classifier",
         "llm_ann_sq_topk",
+        "llm_heavy_hitters",
+        "llm_edit_distance_pairs",
+        "llm_mix_temperature",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -274,6 +277,18 @@ def main() -> None:
             .replace("minhash_join", "mh_join")
             .replace("produce_offsets", "produce")
             .replace("running_revenue", "running_rev")
+            .replace("heavy_hitters", "heavy")
+            .replace("edit_distance_pairs", "edp")
+            .replace("mix_temperature", "mixt")
+            .replace("scan_events_full", "scan_events")
+            .replace("text_analysis", "text_an")
+            .replace("dd_ngram_jaccard", "dd_jaccard")
+            .replace("quality_classifier", "qual_clf")
+            .replace("quality_rules", "qual_rules")
+            .replace("sliding_window", "sliding")
+            .replace("dd_keep_longest", "dd_keepl")
+            .replace("bigram_logprob", "bigram_lp")
+            .replace("unigram_logprob", "unigram_lp")
         )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}

@@ -448,6 +448,64 @@ def sample_to_token_budget(
     )
 
 
+def mix_temperature(
+    df: DataFrame,
+    total_rows: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the UniMax / mT5 alpha=0.5
+    rebalancing recipe): sample `total_rows` documents with per-group
+    quotas proportional to sqrt(group size) instead of size, boosting
+    low-resource groups (languages, sources) relative to proportional
+    sampling without the distribution collapse of uniform quotas.
+
+    Quota math is integer end to end for engine parity: the sqrt weight
+    is scaled to a BIGINT via floor(sqrt(n) * 1e6) — IEEE requires sqrt
+    and the single multiply to round exactly, and floor has no tie
+    semantics — then quota_g = (total_rows * w_g) div sum(w). Exact
+    alpha=0.5 is deliberate: a general pow(n, alpha) can disagree across
+    engines in the last ulp and flip a floor; sqrt cannot. Within each
+    group the quota picks the smallest portable-md5 ranks, so the sample
+    is deterministic and shard-independent like every sampler here.
+
+    Scale shape: the group-count aggregate is partial map-side and its
+    result (one row per group) broadcasts back; selection is one window
+    per group partition. Sum of quotas <= total_rows (floor rounding);
+    a group smaller than its quota contributes all its rows.
+    Output: (id, group, quota, rn) for the kept rows.
+    """
+    if total_rows < 1:
+        raise ValueError("total_rows must be >= 1")
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__w", F.floor(F.sqrt(F.col("__n")) * F.lit(1_000_000.0)).cast("bigint")
+        )
+    )
+    tot = counts.agg(F.sum("__w").alias("__tot"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.expr(f"CAST({total_rows} AS BIGINT) * __w DIV __tot").alias("quota"),
+    )
+    w = Window.partitionBy("grp").orderBy("__h", "id")
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            md5_int(F.col(id_col).cast("string"), seed=seed + ":").alias("__h"),
+        )
+        .join(F.broadcast(quota), "grp")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("id", F.col("grp").alias(group_col), "quota", "rn")
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score: Column,

@@ -1924,3 +1924,162 @@ def test_curriculum_order_buckets_monotone_in_score(spark):
         assert by_id[i] == i // 10 + 1
     keys = {r.doc_id: r.shuffle_key for r in out}
     assert len(set(keys.values())) == 40  # distinct in-bucket shuffle keys
+
+
+# heavy hitters: Misra-Gries screen + exact verify --------------------------
+
+
+def test_heavy_hitters_equals_brute_force_any_partitioning(spark):
+    from platform_spark.llmdata.sketches import heavy_hitters
+
+    # skewed synthetic corpus: token t{i} appears ~1/i-proportionally
+    rows = []
+    for d in range(60):
+        toks = []
+        for i in range(1, 30):
+            toks += [f"t{i}"] * (30 // i if d % i == 0 else 1)
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(phi_num, phi_den):
+        toks = df.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+        ).filter(F.col("t") != "")
+        total = toks.count()
+        return {
+            (r.t, r.c)
+            for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+            if r.c * phi_den >= phi_num * total
+        }
+
+    expect = brute(1, 50)
+    assert expect  # the fixture does produce heavy hitters
+    for n_parts in (1, 7):
+        got = {
+            (r.token, r.n_occurrences)
+            for r in heavy_hitters(df.repartition(n_parts), "text", 1, 50).collect()
+        }
+        assert got == expect, f"partitioning {n_parts} changed the answer"
+    # a finer threshold returns a superset of a coarser one
+    fine = {t for t, _ in brute(1, 200)}
+    assert {t for t, _ in expect} <= fine
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "text", 3, 2)
+
+
+def test_misra_gries_partition_retention_bound():
+    import pandas as pd
+
+    from platform_spark.llmdata.sketches import _misra_gries_partition
+
+    # 1000 tokens: 'hot' holds 200 (20%); capacity 10 must retain it even
+    # when the stream arrives in adversarial batch splits
+    stream = ["hot"] * 200 + [f"c{i}" for i in range(800)]
+    for batch_size in (1000, 17, 3):
+        batches = [
+            pd.DataFrame({"token": stream[i : i + batch_size]})
+            for i in range(0, len(stream), batch_size)
+        ]
+        (out,) = list(_misra_gries_partition(iter(batches), capacity=10))
+        assert "hot" in set(out["token"])
+        assert len(out) <= 10
+
+
+# edit-distance rep pairs: PassJoin blocking + exact verify ------------------
+
+
+def test_edit_distance_rep_pairs_exact_vs_brute(spark):
+    from platform_spark.llmdata.er import edit_distance_rep_pairs
+
+    base = [
+        "golden retriever", "golden retriefer", "golden retrievers",
+        "labrador", "labradoor", "lapbrador", "poodle", "noodle",
+        "poodles", "terrier", "terriers", "spaniel",
+    ]
+    # include copies to exercise n_copies, and a too-short string
+    vals = base + base[:4] + ["ab"]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    out = edit_distance_rep_pairs(df, "name", max_dist=2).collect()
+    got = {(r.val_a, r.val_b): (r.dist, r.n_copies_a, r.n_copies_b) for r in out}
+
+    # brute force over distinct values of length > 2
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    reps = {v: vals.count(v) for v in set(vals) if len(v) > 2}
+    expect = {}
+    for a, b in itertools.combinations(sorted(reps), 2):
+        d = lev(a, b)
+        if d <= 2:
+            expect[(a, b)] = (d, reps[a], reps[b])
+    assert got == expect
+    assert ("golden retriefer", "golden retriever") in got
+    assert all(a < b for a, b in got)
+    with pytest.raises(ValueError):
+        edit_distance_rep_pairs(df, "name", max_dist=0)
+
+
+def test_edit_distance_rep_pairs_segment_recall_property(spark):
+    """Planted-edit fuzz: every string within d=2 of its source must pair."""
+    from platform_spark.llmdata.er import edit_distance_rep_pairs
+
+    import hashlib
+
+    def mutate(s, salt):
+        h = int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest(), 16)
+        pos = h % len(s)
+        op = h % 3
+        if op == 0:  # delete
+            return s[:pos] + s[pos + 1 :]
+        if op == 1:  # substitute
+            return s[:pos] + chr(97 + h % 26) + s[pos + 1 :]
+        return s[:pos] + chr(97 + h % 26) + s[pos:]  # insert
+
+    srcs = [f"document number {i:04d} alpha" for i in range(50)]
+    pairs_in = [(s,) for s in srcs] + [(mutate(mutate(s, 1), 2),) for s in srcs]
+    df = spark.createDataFrame(pairs_in, "name string")
+    out = edit_distance_rep_pairs(df, "name", max_dist=2).collect()
+    got = {(r.val_a, r.val_b) for r in out}
+    for s in srcs:
+        m = mutate(mutate(s, 1), 2)
+        if m != s:
+            key = (min(s, m), max(s, m))
+            assert key in got, f"lost planted pair {key}"
+
+
+# temperature mixture ---------------------------------------------------------
+
+
+def test_mix_temperature_quotas_and_rebalancing(spark):
+    from platform_spark.llmdata.sampling import mix_temperature
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_temperature(df, 100, group_col="lang", id_col="doc_id").collect()
+    quotas = {}
+    for r in out:
+        quotas.setdefault(r.lang, set()).add(r.quota)
+        assert r.rn <= r.quota
+    assert all(len(v) == 1 for v in quotas.values())
+    n_big = sum(1 for r in out if r.lang == "big")
+    n_small = sum(1 for r in out if r.lang == "small")
+    # alpha=0.5: small group gets sqrt-proportional share (25%), well above
+    # its 10% proportional share; total never exceeds the budget
+    assert n_big + n_small <= 100
+    assert n_small >= 20  # proportional would give 10
+    # determinism under repartitioning
+    again = mix_temperature(
+        df.repartition(13), 100, group_col="lang", id_col="doc_id"
+    ).collect()
+    assert sorted((r.id, r.rn) for r in again) == sorted((r.id, r.rn) for r in out)
+    with pytest.raises(ValueError):
+        mix_temperature(df, 0)
