@@ -298,6 +298,43 @@ def main() -> None:
         semantic_dedup(cat.table("embeddings"), n_clusters=8, dim=64),
     )
 
+    from platform_spark.llmdata.sketches import heavy_hitters
+
+    add(
+        "Heavy hitters (Misra-Gries screen + exact verify)",
+        "The token stream never shuffles raw: the MG screen is a narrow "
+        "mapInPandas whose output is bounded by capacity × partitions, the "
+        "candidate set broadcasts into a semi-join, and only candidate "
+        "tokens reach the count aggregate. The 1-row total broadcasts.",
+        ["BroadcastHashJoin", "HashAggregate"],
+        heavy_hitters(cat.table("documents"), "text", 1, 500),
+    )
+    from platform_spark.llmdata.er import edit_distance_rep_pairs
+
+    add(
+        "Edit-distance rep pairs (PassJoin blocking)",
+        "Candidates come from a hash equi-join on (length, segment-index, "
+        "segment-text) — never a cartesian product; the probe side's "
+        "(2d+1)²(d+1) enumeration is ONE literal-array explode; levenshtein "
+        "runs only on the post-distinct candidate pairs. Everything before "
+        "the join is whole-stage codegen over the distinct-value rep table.",
+        ["Exchange", "HashAggregate"],
+        edit_distance_rep_pairs(
+            cat.table("part").select(F.col("p_name").alias("name")), "name"
+        ),
+    )
+    from platform_spark.llmdata.sampling import mix_temperature
+
+    add(
+        "Temperature mixture (UniMax alpha=0.5)",
+        "The group-count aggregate collapses to one row per group, "
+        "broadcasts back (BroadcastHashJoin — the corpus side never "
+        "re-shuffles for the quota), and selection is one window per group "
+        "partition. Integer quota math end to end.",
+        ["BroadcastHashJoin", "Window"],
+        mix_temperature(cat.table("documents"), 200, group_col="lang"),
+    )
+
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
         "",
