@@ -200,6 +200,7 @@ def main() -> None:
         "llm_heavy_hitters",
         "llm_edit_distance_pairs",
         "llm_mix_temperature",
+        "llm_ann_pq_topk",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

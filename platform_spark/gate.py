@@ -4838,6 +4838,92 @@ SELECT id, lang, quota, rn FROM r WHERE rn <= quota
 )
 
 
+# Product-quantized ANN (ADC screen + exact rerank) --------------------------
+
+
+def _ann_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.pq_pinned import PQ_CODEBOOK_SF001
+
+    emb = _emb_table(spark, sf_dir)
+    return _sim.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, codebook=PQ_CODEBOOK_SF001,
+        rerank=4,
+    )
+
+
+def _pinned_pq_values() -> str:
+    from platform_spark.llmdata.pq_pinned import PQ_CODEBOOK_SF001
+
+    return ",\n    ".join(
+        f"({j + 1}, {cc + 1}, CAST([{', '.join(repr(x) for x in cent)}] AS DOUBLE[]))"
+        for j, sub in enumerate(PQ_CODEBOOK_SF001)
+        for cc, cent in enumerate(sub)
+    )
+
+
+# Full oracle: the pinned codebook travels as VALUES; assignment is the
+# expansion-form squared-L2 argmin (|c|^2 - 2<v,c> — the |v|^2 term is
+# constant per subspace), first-index ties; reconstruction, screen, and
+# exact rerank are the same closed-form cosine math as the SQ/IVF gates.
+# SF-agnostic (the codebook is a constant on both sides).
+_llm(
+    "llm_ann_pq_topk",
+    _ann_pq_gate,
+    f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb(j, cc, cent) AS (VALUES
+    {_pinned_pq_values()}
+),
+sub AS (
+  SELECT vec_id, jj.j AS j, list_slice(v, (jj.j - 1) * 8 + 1, jj.j * 8) AS sv
+  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) jj
+),
+asg AS (
+  SELECT vec_id, j, cent,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, j
+      ORDER BY list_dot_product(cent, cent) - 2.0 * list_dot_product(sv, cent), cc
+    ) AS rn
+  FROM sub JOIN cb USING (j)
+),
+recon AS (
+  SELECT vec_id, flatten(list(cent ORDER BY j)) AS vq
+  FROM asg WHERE rn = 1 GROUP BY vec_id
+),
+corpus AS (SELECT c.vec_id, c.v, recon.vq FROM c JOIN recon USING (vec_id)),
+screened AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS corpus_id, s.v AS cv, q.v AS qv,
+    round(list_dot_product(s.vq, q.v)
+          / (sqrt(list_dot_product(s.vq, s.vq)) * sqrt(list_dot_product(q.v, q.v))),
+          6) AS approx
+  FROM corpus s CROSS JOIN (SELECT vec_id, v FROM c WHERE vec_id < 8) q
+  WHERE s.vec_id != q.vec_id
+),
+survivors AS (
+  SELECT query_id, corpus_id, cv, qv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, corpus_id) AS r
+    FROM screened
+  ) WHERE r <= 20
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id,
+    round(list_dot_product(cv, qv)
+          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY round(list_dot_product(cv, qv)
+                                      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                       corpus_id) AS rank
+  FROM survivors
+) WHERE rank <= 5
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks the FIRST 50
 # entries. The highest-risk 50 gates (every distinct operator family, the
@@ -4860,6 +4946,7 @@ _TAIL_SUBSETS = [
     # their oracles pin the sf0.01 fit — at any other SF the re-fit
     # (correctly) produces a different matrix, so a tail placement (pytest
     # replays tail gates at sf0.001) would always fail.
+    "llm_ann_sq_topk",             # int8 per-dim quantize screen + exact rerank ⊂ llm_ann_pq_topk (head): the same screen/rerank recipe with the quantizer generalized from scalar min/max to subspace codebooks; SF-agnostic full oracle replayed in pytest
     "kafsql_tail",                 # TAIL's (_partition, _offset) top-n runs the same TakeOrderedAndProject physical path as kafsql_orderby_topk (head); TAIL parse + emit-order semantics pytest (test_parser/test_compiler)
     "llm_containment_pairs",       # asymmetric scorer over the SAME `_ngram_rep_common` inverted-index core as llm_dedup_ngram_jaccard (head: exact-collapse, copy-weighted hot-shingle guard, candidate join); containment formula + either-direction filter replayed in pytest
     "analytics_q9_product_profit", # multi-table join fan ⊂ q8 (head, 8-dim broadcast fan incl. the same part/supplier/lineitem/orders/nation spine); partsupp derivation pinned by q11/q20 (head) + test_partsupp_view_invariants; LIKE-filter pushdown plan-asserted (test_plans)

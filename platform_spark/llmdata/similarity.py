@@ -465,3 +465,133 @@ def pca_topk(
         id_col=id_col,
         exclude_self=exclude_self,
     )
+
+
+def fit_pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    deterministic: bool = False,
+) -> list[list[list[float]]]:
+    """Product-quantization codebook: m independent per-subspace k-means
+    fits (pyspark.ml, seed 42) over the dim/m-wide vector slices — the
+    Jégou-et-al PQ recipe. Returns m x ksub x (dim/m) centroids.
+
+    Bounded planning state (m small fits on a sample at 100 TB — the
+    corpus-sized work is the assignment map in `pq_topk`, never the fit),
+    same budget stance as the IVF/PCA fits. ``deterministic=True``
+    single-partitions each fit input so the codebook is bit-stable."""
+    if dim is None:
+        raise ValueError("dim is required (carry it in topic config)")
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    out = []
+    for j in range(m):
+        sub = corpus.select(
+            F.slice(to_double(F.col(vec_col)), j * dsub + 1, dsub).alias("sub")
+        )
+        out.append(
+            fit_kmeans_centroids(
+                sub, ksub, vec_col="sub", deterministic=deterministic
+            )
+        )
+    return out
+
+
+def pq_codes_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
+    """Per-subspace centroid assignment: for each of the m subspaces, the
+    1-based index of the nearest sub-centroid (squared-L2 argmin, ties to
+    the lowest index via first-occurrence array_position). The distance
+    uses the |c|^2 - 2<v,c> expansion — the |v|^2 term is constant per
+    subspace and cannot change the argmin — with every dot product the
+    same sequential fold the cosine math uses, so the oracle's
+    list_dot_product mirrors it bit-exactly. The codebook is ONE nested
+    Literal node (codegen-flat)."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    cb = F.lit([[[float(x) for x in c] for c in sub] for sub in codebook])
+    def code_for(j: Column) -> Column:
+        sub = F.slice(vec, (j - 1) * F.lit(dsub) + 1, F.lit(dsub))
+        cents = F.element_at(cb, j)
+        dists = F.transform(
+            cents, lambda c: dot_expr(c, c) - 2.0 * dot_expr(sub, c)
+        )
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+    return F.transform(F.sequence(F.lit(1), F.lit(m)), code_for)
+
+
+def pq_reconstruct_expr(codes: Column, codebook: list[list[list[float]]]) -> Column:
+    """Dequantize: concatenate the selected sub-centroids back into a
+    dim-length vector (what an ADC scan actually compares against)."""
+    m = len(codebook)
+    cb = F.lit([[[float(x) for x in c] for c in sub] for sub in codebook])
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda j: F.element_at(F.element_at(cb, j), F.element_at(codes, j)),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list[list[list[float]]] | None = None,
+    rerank: int = 4,
+    exclude_self: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantized ANN — the compression leg that scales past int8:
+    corpus vectors quantize to m one-byte codes (m*8 bytes -> m bytes per
+    vector at ksub<=256), the screen ranks candidates by cosine between
+    the RECONSTRUCTED corpus vector and the raw query (asymmetric
+    distance computation, Jégou-et-al PQ), and the final k come from an
+    exact rerank of the top k*rerank survivors on the original floats.
+    Composes under IVF exactly as in faiss-style IVFPQ stacks (quantize
+    residuals within buckets).
+
+    Determinism: the codebook travels as one nested literal; assignment
+    is first-occurrence argmin on expansion-form squared L2; screen and
+    rerank cosines round at 6 dp with id tie-breaks — fully
+    SQL-mirrorable. Output: (query_id, corpus_id, cosine, rank) with
+    `cosine` the EXACT score of the reranked survivors.
+    """
+    if codebook is None:
+        if dim is None:
+            raise ValueError("pass a codebook or dim to fit one")
+        codebook = fit_pq_codebook(corpus, dim=dim, deterministic=True)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("codes", pq_codes_expr(F.col("cv"), codebook))
+    c = c.withColumn("cq", pq_reconstruct_expr(F.col("codes"), codebook))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
+    screened = joined.select(
+        "query_id", "corpus_id", "cv", "qv",
+        F.round(cosine_expr(F.col("cq"), F.col("qv")), 6).alias("__approx"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("__approx"), F.asc("corpus_id"))
+    survivors = screened.withColumn("__r", F.row_number().over(w1)).filter(
+        F.col("__r") <= k * rerank
+    )
+    exact = survivors.select(
+        "query_id", "corpus_id",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

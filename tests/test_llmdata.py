@@ -2083,3 +2083,81 @@ def test_mix_temperature_quotas_and_rebalancing(spark):
     assert sorted((r.id, r.rn) for r in again) == sorted((r.id, r.rn) for r in out)
     with pytest.raises(ValueError):
         mix_temperature(df, 0)
+
+
+# product-quantized ANN -------------------------------------------------------
+
+
+def test_pq_codebook_refit_reproduces_pinned():
+    """The per-subspace ml k-means fit path must reproduce the pinned
+    codebook the gate oracle carries (same check recipe as the IVF pin)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        _pytest.skip("sf0.01 fixtures absent")
+    from platform_spark.llmdata.pq_pinned import PQ_CODEBOOK_SF001
+    from platform_spark.llmdata.similarity import fit_pq_codebook
+    from platform_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=8)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = [
+        [[round(x, 6) for x in c] for c in sub]
+        for sub in fit_pq_codebook(emb, m=8, ksub=16, dim=64, deterministic=True)
+    ]
+    assert cb == PQ_CODEBOOK_SF001
+
+
+def test_pq_topk_structure_and_exhaustive_rerank(spark):
+    from platform_spark.llmdata.similarity import (
+        brute_force_topk,
+        fit_pq_codebook,
+        pq_codes_expr,
+        pq_topk,
+    )
+
+    import hashlib
+
+    def vec(i):
+        return [
+            (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+             / 0xFFFFFFFF) * 2 - 1
+            for d in range(16)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    cb = fit_pq_codebook(emb, m=4, ksub=4, dim=16, deterministic=True)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    # codes are 1-based and within ksub; reconstruction has full dim
+    codes = emb.select(
+        pq_codes_expr(F.col("embedding"), cb).alias("codes")
+    ).collect()
+    for r in codes:
+        assert len(r.codes) == 4 and all(1 <= c <= 4 for c in r.codes)
+
+    # with survivors = whole corpus the screen cannot drop anything, so
+    # PQ must equal the exact brute force bit-for-bit
+    got = sorted(
+        (r.query_id, r.rank, r.corpus_id, r.cosine)
+        for r in pq_topk(emb, q, k=5, codebook=cb, rerank=30).collect()
+    )
+    expect = sorted(
+        (r.query_id, r.rank, r.corpus_id, r.cosine)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    )
+    assert got == expect
+
+    # with a tight screen the output is still k well-formed ranks/query
+    tight = pq_topk(emb, q, k=5, codebook=cb, rerank=2).collect()
+    per_q = {}
+    for r in tight:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    with pytest.raises(ValueError):
+        fit_pq_codebook(emb, m=5, ksub=4, dim=16)
