@@ -144,3 +144,47 @@ def edit_distance_rep_pairs(
         )
         .select("val_a", "val_b", "dist", "n_copies_a", "n_copies_b")
     )
+
+
+def expand_value_pairs(
+    df: DataFrame,
+    rep_pairs: DataFrame,
+    value_col: str,
+    id_col: str,
+    include_exact: bool = True,
+) -> DataFrame:
+    """Expand rep-level value pairs to id-level pairs lazily (the same
+    stance as the text rep-pair family: the doc-level pair LIST is
+    output-bound quadratic in copies, so it is a separate, optional
+    expansion — ARCHITECTURE.md "bounded quadratic work").
+
+    Joins each (val_a, val_b, dist) against the id table twice and, when
+    `include_exact`, adds the distance-0 pairs among exact copies of the
+    same value. Output: (id_a, id_b, dist) with id_a < id_b.
+    """
+    ids = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"), F.col(id_col).alias("__id")
+    )
+    cross = (
+        rep_pairs.join(ids.withColumnRenamed("__id", "ia"), F.col("val_a") == F.col("__v"))
+        .drop("__v")
+        .join(ids.withColumnRenamed("__id", "ib"), F.col("val_b") == F.col("__v"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "dist",
+        )
+    )
+    if not include_exact:
+        return cross
+    same = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("x.__v") == F.col("y.__v"))
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(same)

@@ -501,37 +501,53 @@ def fit_pq_codebook(
     return out
 
 
+def _pq_code_j(
+    vec: Column, cb: Column, j: int, dsub: int
+) -> Column:
+    """1-based nearest-centroid index for subspace j (squared-L2 argmin,
+    |c|^2 - 2<v,c> expansion — the |v|^2 term is constant per subspace and
+    cannot change the argmin — ties to the lowest index via
+    first-occurrence array_position). Every dot product is the same
+    sequential fold the cosine math uses, so the oracle's
+    list_dot_product mirrors it bit-exactly."""
+    sub = F.slice(vec, (j - 1) * dsub + 1, dsub)
+    cents = F.element_at(cb, j)
+    dists = F.transform(cents, lambda c: dot_expr(c, c) - 2.0 * dot_expr(sub, c))
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def _pq_cb_lit(codebook: list[list[list[float]]]) -> Column:
+    # ONE nested Literal node (codegen-flat, not a CreateArray tree)
+    return F.lit([[[float(x) for x in c] for c in sub] for sub in codebook])
+
+
 def pq_codes_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
-    """Per-subspace centroid assignment: for each of the m subspaces, the
-    1-based index of the nearest sub-centroid (squared-L2 argmin, ties to
-    the lowest index via first-occurrence array_position). The distance
-    uses the |c|^2 - 2<v,c> expansion — the |v|^2 term is constant per
-    subspace and cannot change the argmin — with every dot product the
-    same sequential fold the cosine math uses, so the oracle's
-    list_dot_product mirrors it bit-exactly. The codebook is ONE nested
-    Literal node (codegen-flat)."""
+    """Per-subspace centroid assignments as an m-length int array (the
+    m-byte PQ code word an index would store)."""
     m = len(codebook)
     dsub = len(codebook[0][0])
-    cb = F.lit([[[float(x) for x in c] for c in sub] for sub in codebook])
-    def code_for(j: Column) -> Column:
-        sub = F.slice(vec, (j - 1) * F.lit(dsub) + 1, F.lit(dsub))
-        cents = F.element_at(cb, j)
-        dists = F.transform(
-            cents, lambda c: dot_expr(c, c) - 2.0 * dot_expr(sub, c)
-        )
-        return F.array_position(dists, F.array_min(dists)).cast("int")
-    return F.transform(F.sequence(F.lit(1), F.lit(m)), code_for)
+    cb = _pq_cb_lit(codebook)
+    return F.array(*[_pq_code_j(vec, cb, j, dsub) for j in range(1, m + 1)])
 
 
-def pq_reconstruct_expr(codes: Column, codebook: list[list[list[float]]]) -> Column:
-    """Dequantize: concatenate the selected sub-centroids back into a
-    dim-length vector (what an ADC scan actually compares against)."""
+def pq_dequantize_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
+    """Quantize + dequantize in one expression: the concatenation of each
+    subspace's nearest centroid (what an ADC scan actually compares
+    against). Each subspace's argmin is inlined exactly ONCE — routing
+    this through a `codes` array column looks cleaner but is a collapse
+    trap: when column pruning drops the intermediate, CollapseProject
+    inlines the FULL m-subspace assignment into every one of the m
+    element_at references, multiplying the work m-fold (measured 2 s →
+    17 s on 20k vectors before this was flattened)."""
     m = len(codebook)
-    cb = F.lit([[[float(x) for x in c] for c in sub] for sub in codebook])
+    dsub = len(codebook[0][0])
+    cb = _pq_cb_lit(codebook)
     return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(m)),
-            lambda j: F.element_at(F.element_at(cb, j), F.element_at(codes, j)),
+        F.array(
+            *[
+                F.element_at(F.element_at(cb, j), _pq_code_j(vec, cb, j, dsub))
+                for j in range(1, m + 1)
+            ]
         )
     )
 
@@ -569,8 +585,7 @@ def pq_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("codes", pq_codes_expr(F.col("cv"), codebook))
-    c = c.withColumn("cq", pq_reconstruct_expr(F.col("codes"), codebook))
+    c = c.withColumn("cq", pq_dequantize_expr(F.col("cv"), codebook))
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
     )

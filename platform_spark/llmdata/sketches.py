@@ -37,16 +37,25 @@ def _misra_gries_partition(
     which keeps the undercount error ≤ N_p/(capacity+1) for the whole
     partition. No per-row Python work: each batch is one pandas
     value_counts + one aligned add.
+
+    Emits the candidate tokens (n NULL) plus ONE sentinel row (token
+    NULL, n = exact partition token count), so the same single scan
+    yields both the candidate set and the exact global total.
     """
     summary = pd.Series(dtype="int64")
+    n_seen = 0
     for pdf in batches:
+        n_seen += len(pdf)
         counts = pdf["token"].value_counts()
         summary = summary.add(counts, fill_value=0)
         if len(summary) > capacity:
             kth = summary.nlargest(capacity + 1).iloc[-1]
             summary = summary - kth
             summary = summary[summary > 0]
-    yield pd.DataFrame({"token": summary.index.astype(str)})
+    toks = list(summary.index.astype(str))
+    yield pd.DataFrame(
+        {"token": toks + [None], "n": [None] * len(toks) + [n_seen]}
+    )
 
 
 def heavy_hitters(
@@ -80,7 +89,11 @@ def heavy_hitters(
 
     The result equals the brute-force groupBy-then-filter answer exactly
     (the screen is recall-complete, the verify is precise), while the
-    brute force would shuffle every distinct token at 100 TB.
+    brute force would shuffle every distinct token at 100 TB. The whole
+    operator reads the corpus exactly TWICE: the screen pass also emits
+    exact per-partition token totals (sentinel rows), and its tiny output
+    is locally checkpointed, so candidates + the global total come from
+    the one screen scan and the verify is the second.
 
     Output: (token, n_occurrences, share) — share rounded to 6 dp.
     """
@@ -90,10 +103,14 @@ def heavy_hitters(
     toks = df.select(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    cands = toks.mapInPandas(
-        lambda it: _misra_gries_partition(it, capacity), schema="token string"
-    ).distinct()
-    total = toks.agg(F.count("*").alias("__total"))
+    summary = toks.mapInPandas(
+        lambda it: _misra_gries_partition(it, capacity),
+        schema="token string, n bigint",
+    ).localCheckpoint()  # ≤ (capacity+1) × partitions rows — one corpus scan
+    cands = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = summary.filter(F.col("token").isNull()).agg(
+        F.sum("n").alias("__total")
+    )
     exact = (
         toks.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token")

@@ -1981,8 +1981,11 @@ def test_misra_gries_partition_retention_bound():
             for i in range(0, len(stream), batch_size)
         ]
         (out,) = list(_misra_gries_partition(iter(batches), capacity=10))
-        assert "hot" in set(out["token"])
-        assert len(out) <= 10
+        cands = out[out["token"].notna()]
+        assert "hot" in set(cands["token"])
+        assert len(cands) <= 10
+        # the sentinel row carries the exact partition token count
+        assert out[out["token"].isna()]["n"].tolist() == [1000]
 
 
 # edit-distance rep pairs: PassJoin blocking + exact verify ------------------
@@ -2161,3 +2164,26 @@ def test_pq_topk_structure_and_exhaustive_rerank(spark):
 
     with pytest.raises(ValueError):
         fit_pq_codebook(emb, m=5, ksub=4, dim=16)
+
+
+def test_expand_value_pairs_id_level(spark):
+    from platform_spark.llmdata.er import edit_distance_rep_pairs, expand_value_pairs
+
+    rows = [
+        (1, "alpha bravo"), (2, "alpha bravo"), (3, "alpha brevo"),
+        (4, "charlie delta"), (5, "charlie delta"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    reps = edit_distance_rep_pairs(df, "name", max_dist=2)
+    out = expand_value_pairs(df, reps, "name", "rid")
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    # cross-value pairs (dist 1) expand to every id combination
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    # exact-copy pairs appear at distance 0
+    assert got[(1, 2)] == 0 and got[(4, 5)] == 0
+    # nothing links the two unrelated groups
+    assert (1, 4) not in got and (3, 5) not in got
+    # exclusion flag drops only the same-value pairs
+    no_exact = {(r.id_a, r.id_b) for r in
+                expand_value_pairs(df, reps, "name", "rid", include_exact=False).collect()}
+    assert no_exact == {(1, 3), (2, 3)}

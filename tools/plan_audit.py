@@ -323,6 +323,24 @@ def main() -> None:
             cat.table("part").select(F.col("p_name").alias("name")), "name"
         ),
     )
+    from platform_spark.llmdata.pq_pinned import PQ_CODEBOOK_SF001
+    from platform_spark.llmdata.similarity import pq_topk
+
+    add(
+        "Product-quantized ANN (ADC screen + exact rerank)",
+        "The codebook is one nested Literal; each subspace's argmin is "
+        "inlined exactly once in the dequantize expression (routing it "
+        "through a codes column is a CollapseProject trap that multiplies "
+        "the assignment m-fold after pruning — measured 2 s → 17 s). The "
+        "query side broadcasts; the screen emits scalars into the per-query "
+        "top-k window.",
+        ["BroadcastNestedLoopJoin", "Window"],
+        pq_topk(
+            cat.table("embeddings"),
+            cat.table("embeddings").filter(F.col("vec_id") < 8),
+            k=5, codebook=PQ_CODEBOOK_SF001, rerank=4,
+        ),
+    )
     from platform_spark.llmdata.sampling import mix_temperature
 
     add(

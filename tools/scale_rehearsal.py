@@ -56,6 +56,10 @@ HEAVY = [
     "analytics_q21_waiting_suppliers",
     "analytics_q5_nation_revenue",
     "analytics_q1_pricing_summary",
+    "llm_heavy_hitters",
+    "llm_edit_distance_pairs",
+    "llm_mix_temperature",
+    "llm_ann_pq_topk",
 ]
 
 
