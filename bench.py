@@ -201,6 +201,8 @@ def main() -> None:
         "llm_edit_distance_pairs",
         "llm_mix_temperature",
         "llm_ann_pq_topk",
+        "llm_unicode_nfc",
+        "llm_calibrate_scores",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -290,6 +292,8 @@ def main() -> None:
             .replace("dd_keep_longest", "dd_keepl")
             .replace("bigram_logprob", "bigram_lp")
             .replace("unigram_logprob", "unigram_lp")
+            .replace("unicode_nfc", "nfc")
+            .replace("calibrate_scores", "calib")
         )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}

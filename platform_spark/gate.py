@@ -4924,6 +4924,74 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 )
 
 
+# Unicode NFC normalization (the pre-dedup canonicalization step) -----------
+
+
+def _unicode_nfc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import normalize_text
+
+    docs = _doc_table(spark, sf_dir)
+    # derivation shared with the oracle: decompose every 'e' into
+    # 'e' + U+0301 (combining acute) — byte-different, render-identical
+    # text that NFC must recompose to 'é'
+    dec = docs.select(
+        "doc_id", F.regexp_replace("text", "e", "e\u0301").alias("text")
+    )
+    return normalize_text(dec, "text").select("doc_id", "text_norm", "changed")
+
+
+# DuckDB's nfc_normalize is codepoint-identical to unicodedata NFC for
+# composition (verified on combining-mark, ligature, and width cases); the
+# UDF output must match it exactly, string-for-string.
+_llm(
+    "llm_unicode_nfc",
+    _unicode_nfc_gate,
+    r"""
+WITH dec AS (
+  SELECT doc_id, regexp_replace(text, 'e', 'e' || chr(769), 'g') AS text
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(text) AS text_norm,
+  CASE WHEN text IS NULL THEN false
+       ELSE nfc_normalize(text) != text END AS changed
+FROM dec
+""",
+)
+
+
+# Per-group robust score calibration (median/MAD z) --------------------------
+
+
+def _calibrate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.cleaning import calibrate_scores
+
+    return calibrate_scores(
+        _doc_table(spark, sf_dir), "n_chars", group_col="source"
+    )
+
+
+_llm(
+    "llm_calibrate_scores",
+    _calibrate_gate,
+    r"""
+WITH base AS (
+  SELECT doc_id AS id, source AS grp, CAST(n_chars AS DOUBLE) AS score
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+med AS (SELECT grp, quantile_cont(score, 0.5) AS m FROM base GROUP BY grp),
+mad AS (
+  SELECT base.grp, quantile_cont(abs(score - m), 0.5) AS d
+  FROM base JOIN med USING (grp) GROUP BY base.grp
+)
+SELECT id, grp AS source, score,
+  CASE WHEN d > 0.0 THEN round((score - m) / (1.4826 * d), 6) END AS robust_z
+FROM base JOIN med USING (grp) JOIN mad USING (grp)
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks the FIRST 50
 # entries. The highest-risk 50 gates (every distinct operator family, the
@@ -4946,6 +5014,8 @@ _TAIL_SUBSETS = [
     # their oracles pin the sf0.01 fit — at any other SF the re-fit
     # (correctly) produces a different matrix, so a tail placement (pytest
     # replays tail gates at sf0.001) would always fail.
+    "streaming_log_compact",       # per-key keep-latest compaction: the availableNow bounded-state machinery is head-pinned by streaming_dedup_content / streaming_sessionize / streaming_curate_twin (full-oracle stream twins); the keep-latest max_by shape ⊂ llm_dedup_keep_longest (tail twin); compaction lifecycle pytest (test_streaming)
+    "streaming_within_join",       # stream-stream WITHIN join: bounded-state availableNow machinery ⊂ the three head stream twins above; the WITHIN band condition is head-pinned by kafsql_join_inner (J4); batch-twin equality + state-bound asserts pytest (test_streaming)
     "llm_ann_sq_topk",             # int8 per-dim quantize screen + exact rerank ⊂ llm_ann_pq_topk (head): the same screen/rerank recipe with the quantizer generalized from scalar min/max to subspace codebooks; SF-agnostic full oracle replayed in pytest
     "kafsql_tail",                 # TAIL's (_partition, _offset) top-n runs the same TakeOrderedAndProject physical path as kafsql_orderby_topk (head); TAIL parse + emit-order semantics pytest (test_parser/test_compiler)
     "llm_containment_pairs",       # asymmetric scorer over the SAME `_ngram_rep_common` inverted-index core as llm_dedup_ngram_jaccard (head: exact-collapse, copy-weighted hot-shingle guard, candidate join); containment formula + either-direction filter replayed in pytest

@@ -585,3 +585,101 @@ def compression_ratio(
             F.round(F.col("s.comp") / F.col("s.raw"), 6)
         ).alias("compression_ratio"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column — the
+    canonicalization step that runs BEFORE any hash-based dedup, so that
+    'é' (precomposed) and 'e'+U+0301 (decomposed) — byte-different,
+    render-identical — collapse to one content hash instead of evading
+    exact/MinHash dedup.
+
+    This is an Arrow-batched pandas UDF by necessity, not convenience:
+    Spark has no built-in Unicode-normalization expression (the UCD
+    tables live in the JVM's java.text.Normalizer, unexposed to SQL), so
+    this is the documented drop-to-pandas case. `pandas.Series.str
+    .normalize` wraps unicodedata — one C-backed call per Arrow batch,
+    no per-row Python. Zero shuffle: a pure map over the scan.
+
+    The gate oracle pins NFC against DuckDB's `nfc_normalize` (verified
+    codepoint-identical to unicodedata for composition cases); the other
+    forms are pytest-pinned against unicodedata directly.
+
+    Adds `out_col` plus `changed` (true when normalization altered the
+    string; NULL text → NULL out, changed false).
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return df.withColumn(out_col, _norm(F.col(text_col))).withColumn(
+        "changed",
+        F.when(F.col(text_col).isNull(), F.lit(False)).otherwise(
+            F.col(out_col) != F.col(text_col)
+        ),
+    )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group ROBUST score calibration: the cross-source comparability
+    step before a single global quality threshold — classifier/heuristic
+    scores drift per source or language, so raw-score cutoffs keep the
+    wrong documents. Each score becomes a robust z:
+    (x - median_g) / (1.4826 * MAD_g), with MAD the median absolute
+    deviation (consistency constant 1.4826 makes z sigma-scaled under
+    normality). Median/MAD resist the heavy tails quality scores have,
+    where mean/stddev would let one outlier shift a whole source.
+
+    Scale shape: two grouped exact-percentile aggregates (one row per
+    group each) broadcast back onto the corpus — the big side never
+    shuffles; the group count bounds all intermediate state. Exact
+    interpolated medians (`percentile`, DuckDB `quantile_cont`) keep the
+    oracle bit-exact; z rounds at 6 dp. Degenerate groups (MAD 0) emit
+    NULL z rather than infinities.
+
+    Output: (id, group, score, robust_z).
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    med = base.groupBy("grp").agg(
+        F.expr("percentile(score, 0.5)").alias("__med")
+    )
+    dev = base.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("score") - F.col("__med")).alias("__ad")
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    return (
+        base.join(F.broadcast(med), "grp")
+        .join(F.broadcast(mad), "grp")
+        .select(
+            "id",
+            F.col("grp").alias(group_col),
+            "score",
+            F.when(
+                F.col("__mad") > 0.0,
+                F.round(
+                    (F.col("score") - F.col("__med"))
+                    / (F.lit(1.4826) * F.col("__mad")),
+                    6,
+                ),
+            ).alias("robust_z"),
+        )
+    )

@@ -2187,3 +2187,62 @@ def test_expand_value_pairs_id_level(spark):
     no_exact = {(r.id_a, r.id_b) for r in
                 expand_value_pairs(df, reps, "name", "rid", include_exact=False).collect()}
     assert no_exact == {(1, 3), (2, 3)}
+
+
+# unicode normalization -------------------------------------------------------
+
+
+def test_normalize_text_forms_match_unicodedata(spark):
+    import unicodedata
+
+    from platform_spark.llmdata.cleaning import normalize_text
+
+    cases = [
+        "café",            # decomposed acute -> é
+        "ﬁn",               # ﬁ ligature (NFKC folds, NFC keeps)
+        "ｱｲｳ",    # halfwidth katakana
+        "Ångström",  # combining ring/diaeresis
+        "plain ascii",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id long, text string"
+    )
+    for form in ("NFC", "NFKC", "NFD", "NFKD"):
+        out = {r.doc_id: (r.text_norm, r.changed)
+               for r in normalize_text(df, "text", form=form).collect()}
+        for i, c in enumerate(cases):
+            if c is None:
+                assert out[i] == (None, False)
+            else:
+                want = unicodedata.normalize(form, c)
+                assert out[i] == (want, want != c), (form, c)
+    with pytest.raises(ValueError):
+        normalize_text(df, "text", form="NFX")
+
+
+def test_calibrate_scores_median_mad(spark):
+    from platform_spark.llmdata.cleaning import calibrate_scores
+
+    rows = (
+        [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+        + [(10 + i, "b", float(v)) for i, v in enumerate([11, 12, 13, 14, 110])]
+        + [(20 + i, "c", 7.0) for i in range(3)]  # degenerate: MAD 0
+        + [(30, None, 1.0), (31, "a", None)]      # dropped rows
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.id: r for r in calibrate_scores(df, "score").collect()}
+    # group a: median 3, MAD 1 -> z(100) = (100-3)/1.4826
+    assert out[4].robust_z == round(97 / 1.4826, 6)
+    assert out[0].robust_z == round(-2 / 1.4826, 6)
+    # group b is group a shifted by 10: identical z for matching ranks —
+    # the cross-source comparability the operator exists for
+    for i in range(5):
+        assert out[10 + i].robust_z == out[i].robust_z
+    # robust: the outlier barely moves the center (median stays 3)
+    assert abs(out[1].robust_z) < 1.0
+    # degenerate group -> NULL z, not infinity
+    assert out[20].robust_z is None
+    # NULL group/score rows are excluded
+    assert 30 not in out and 31 not in out
