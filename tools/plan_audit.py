@@ -353,6 +353,25 @@ def main() -> None:
         mix_temperature(cat.table("documents"), 200, group_col="lang"),
     )
 
+    from platform_spark.llmdata.cleaning import calibrate_scores, normalize_text
+
+    add(
+        "Unicode NFC normalization",
+        "The one legitimate pandas-UDF map (no JVM Unicode-normalization "
+        "expression exists): ArrowEvalPython directly over the scan — "
+        "ZERO exchanges, fully pipelined.",
+        ["ArrowEvalPython"],
+        normalize_text(cat.table("documents"), "text"),
+    )
+    add(
+        "Robust score calibration (median/MAD z)",
+        "Both percentile aggregates collapse to one row per group and "
+        "broadcast back — the corpus side is scanned, never shuffled; "
+        "degenerate-MAD guard is a pure expression.",
+        ["BroadcastHashJoin", "HashAggregate"],
+        calibrate_scores(cat.table("documents"), "n_chars", group_col="source"),
+    )
+
     out = [
         "# PLANS.md — physical-plan audit of the hot paths",
         "",
