@@ -294,6 +294,12 @@ def main() -> None:
             .replace("unigram_logprob", "unigram_lp")
             .replace("unicode_nfc", "nfc")
             .replace("calibrate_scores", "calib")
+            .replace("stratified_sample", "strat")
+            .replace("chunk_documents", "chunkdocs")
+            .replace("collapse_repeats", "collapse")
+            .replace("s_lfs_reference", "s_lfs")
+            .replace("pack_sequences", "packs")
+            .replace("image_phash_rp", "phash_rp")
         )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}

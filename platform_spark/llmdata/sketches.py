@@ -128,3 +128,103 @@ def heavy_hitters(
             F.round(F.col("n_occurrences") / F.col("__total"), 6).alias("share"),
         )
     )
+
+
+def _misra_gries_grouped(
+    batches: Iterator[pd.DataFrame], capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Per-(partition, group) Misra-Gries summaries over a (grp, token)
+    stream — the grouped twin of `_misra_gries_partition`, with the same
+    mergeable-summary truncation applied WITHIN each group. State is
+    bounded by capacity × groups-present-in-partition. Per batch: one
+    two-level value_counts; truncation touches only groups over capacity.
+    Emits (grp, token, NULL) candidates plus one (grp, NULL, n_g)
+    sentinel per group carrying the exact group token count."""
+    summaries: dict = {}
+    totals: dict = {}
+    for pdf in batches:
+        # python loop over GROUPS present in the batch (languages/sources
+        # — tens, not data-sized); the token work inside stays vectorized
+        for g, sub in pdf.groupby("grp"):
+            totals[g] = totals.get(g, 0) + len(sub)
+            counts = sub["token"].value_counts()
+            s = summaries.get(g)
+            s = counts if s is None else s.add(counts, fill_value=0)
+            if len(s) > capacity:
+                kth = s.nlargest(capacity + 1).iloc[-1]
+                s = s - kth
+                s = s[s > 0]
+            summaries[g] = s
+    out_g, out_t, out_n = [], [], []
+    for g, s in summaries.items():
+        out_g += [g] * len(s)
+        out_t += list(s.index.astype(str))
+        out_n += [None] * len(s)
+    out_g += list(totals.keys())
+    out_t += [None] * len(totals)
+    out_n += [int(v) for v in totals.values()]
+    yield pd.DataFrame({"grp": out_g, "token": out_t, "n": out_n})
+
+
+def heavy_hitters_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    phi_num: int = 1,
+    phi_den: int = 500,
+) -> DataFrame:
+    """EXACT per-group heavy hitters: tokens whose count within their
+    group is ≥ phi of that GROUP's token count — the per-language /
+    per-source top-token table (stopword induction, boilerplate-phrase
+    discovery, per-source vocabulary drift).
+
+    Same screen-then-verify recipe and guarantees as `heavy_hitters`,
+    applied per group: the pigeonhole recall argument holds within each
+    group independently (sum the per-partition group counts), the MG
+    truncation runs within groups, and the exact verify restores
+    bit-identity with the per-group brute force. Sketch state is
+    capacity × |groups|; at 100 TB this is the per-language variant, so
+    |groups| is tens, not millions.
+
+    Output: (group, token, n_occurrences, share) — share is within-group,
+    rounded to 6 dp.
+    """
+    if phi_num < 1 or phi_den < 1 or phi_num > phi_den:
+        raise ValueError("phi must satisfy 0 < phi_num/phi_den <= 1")
+    capacity = math.ceil(phi_den / phi_num)
+    toks = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    summary = toks.mapInPandas(
+        lambda it: _misra_gries_grouped(it, capacity),
+        schema="grp string, token string, n bigint",
+    ).localCheckpoint()
+    cands = (
+        summary.filter(F.col("token").isNotNull())
+        .select("grp", "token")
+        .distinct()
+    )
+    totals = (
+        summary.filter(F.col("token").isNull())
+        .groupBy("grp")
+        .agg(F.sum("n").alias("__total"))
+    )
+    exact = (
+        toks.join(F.broadcast(cands), ["grp", "token"], "left_semi")
+        .groupBy("grp", "token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        exact.join(F.broadcast(totals), "grp")
+        .filter(
+            F.col("n_occurrences") * F.lit(phi_den)
+            >= F.lit(phi_num) * F.col("__total")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("__total"), 6).alias("share"),
+        )
+    )

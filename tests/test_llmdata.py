@@ -2246,3 +2246,45 @@ def test_calibrate_scores_median_mad(spark):
     assert out[20].robust_z is None
     # NULL group/score rows are excluded
     assert 30 not in out and 31 not in out
+
+
+def test_heavy_hitters_by_group_equals_per_group_brute(spark):
+    from platform_spark.llmdata.sketches import heavy_hitters_by_group
+
+    rows = []
+    # language-skewed corpora: each group has its own hot tokens
+    for d in range(40):
+        g = ["en", "de", "fr"][d % 3]
+        toks = [f"{g}_hot"] * 8 + [f"{g}_w{d}_{i}" for i in range(20)]
+        if d % 6 == 0:
+            toks += ["shared_hot"] * 10
+        rows.append((d, g, " ".join(toks)))
+    rows.append((99, None, "dropped group"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    toks = df.filter(F.col("lang").isNotNull()).select(
+        "lang", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    totals = {r.lang: r.n for r in
+              toks.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    counts = toks.groupBy("lang", "t").agg(F.count("*").alias("c")).collect()
+    expect = {
+        (r.lang, r.t, r.c)
+        for r in counts
+        if r.c * 40 >= totals[r.lang]
+    }
+    assert expect and len({g for g, _, _ in expect}) == 3
+    for n_parts in (1, 11):
+        got = {
+            (r.lang, r.token, r.n_occurrences)
+            for r in heavy_hitters_by_group(
+                df.repartition(n_parts), "lang", phi_num=1, phi_den=40
+            ).collect()
+        }
+        assert got == expect, f"partitioning {n_parts} changed the answer"
+    # within-group share sanity: hot token share reflects ITS group total
+    one = {(r.lang, r.token): r.share for r in heavy_hitters_by_group(
+        df, "lang", phi_num=1, phi_den=40).collect()}
+    for g in ("en", "de", "fr"):
+        c = next(c for (gg, t, c) in expect if gg == g and t == f"{g}_hot")
+        assert one[(g, f"{g}_hot")] == round(c / totals[g], 6)
