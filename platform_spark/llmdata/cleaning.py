@@ -633,6 +633,8 @@ def calibrate_scores(
     score_col: str,
     group_col: str = "source",
     id_col: str = "doc_id",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group ROBUST score calibration: the cross-source comparability
     step before a single global quality threshold — classifier/heuristic
@@ -643,12 +645,17 @@ def calibrate_scores(
     normality). Median/MAD resist the heavy tails quality scores have,
     where mean/stddev would let one outlier shift a whole source.
 
-    Scale shape: two grouped exact-percentile aggregates (one row per
-    group each) broadcast back onto the corpus — the big side never
-    shuffles; the group count bounds all intermediate state. Exact
-    interpolated medians (`percentile`, DuckDB `quantile_cont`) keep the
-    oracle bit-exact; z rounds at 6 dp. Degenerate groups (MAD 0) emit
-    NULL z rather than infinities.
+    Scale shape: two grouped percentile aggregates (one row per group
+    each) broadcast back onto the corpus — the big side never shuffles.
+    HONEST CAVEAT on the centers: Spark's exact `percentile` buffers a
+    group's values in the aggregation state, so the default
+    ``exact=True`` (which the gate needs for bit-exact `quantile_cont`
+    oracle parity) is for group sizes that fit an executor. At 100 TB
+    pass ``exact=False``: `percentile_approx` (bounded-memory KLL-style
+    sketch, rank error ≤ 1/accuracy) replaces both medians, everything
+    else is unchanged — a robust-z center does not need exact rank.
+    z rounds at 6 dp; degenerate groups (MAD 0) emit NULL z rather than
+    infinities.
 
     Output: (id, group, score, robust_z).
     """
@@ -659,13 +666,17 @@ def calibrate_scores(
         F.col(group_col).alias("grp"),
         F.col(score_col).cast("double").alias("score"),
     )
-    med = base.groupBy("grp").agg(
-        F.expr("percentile(score, 0.5)").alias("__med")
-    )
+    if exact:
+        med_agg = F.expr("percentile(score, 0.5)")
+        mad_agg = F.expr("percentile(__ad, 0.5)")
+    else:
+        med_agg = F.percentile_approx("score", 0.5, accuracy).cast("double")
+        mad_agg = F.percentile_approx("__ad", 0.5, accuracy).cast("double")
+    med = base.groupBy("grp").agg(med_agg.alias("__med"))
     dev = base.join(F.broadcast(med), "grp").select(
         "grp", F.abs(F.col("score") - F.col("__med")).alias("__ad")
     )
-    mad = dev.groupBy("grp").agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    mad = dev.groupBy("grp").agg(mad_agg.alias("__mad"))
     return (
         base.join(F.broadcast(med), "grp")
         .join(F.broadcast(mad), "grp")

@@ -2288,3 +2288,17 @@ def test_heavy_hitters_by_group_equals_per_group_brute(spark):
     for g in ("en", "de", "fr"):
         c = next(c for (gg, t, c) in expect if gg == g and t == f"{g}_hot")
         assert one[(g, f"{g}_hot")] == round(c / totals[g], 6)
+
+
+def test_calibrate_scores_approx_mode_close_to_exact(spark):
+    from platform_spark.llmdata.cleaning import calibrate_scores
+
+    rows = [(i, "s" + str(i % 3), float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    exact = {r.id: r.robust_z for r in calibrate_scores(df, "score").collect()}
+    approx = {r.id: r.robust_z
+              for r in calibrate_scores(df, "score", exact=False).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        if exact[k] is not None:
+            assert abs(exact[k] - approx[k]) < 0.2, (k, exact[k], approx[k])
