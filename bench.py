@@ -203,6 +203,7 @@ def main() -> None:
         "llm_ann_pq_topk",
         "llm_unicode_nfc",
         "llm_calibrate_scores",
+        "llm_ann_ivfpq_topk",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

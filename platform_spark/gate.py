@@ -4992,6 +4992,115 @@ FROM base JOIN med USING (grp) JOIN mad USING (grp)
 )
 
 
+# IVF + PQ composed (the faiss-style IVFPQ stack) ----------------------------
+
+
+def _ann_ivfpq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.pq_pinned import PQ_CODEBOOK_SF001
+
+    emb = _emb_table(spark, sf_dir)
+    return _sim.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4,
+        codebook=PQ_CODEBOOK_SF001, rerank=4, dim=_EMB_DIM,
+    )
+
+
+# Full oracle: the IVF half is the hash-centroid bucket assignment verbatim
+# from llm_ann_ivf_topk's oracle; the PQ half is llm_ann_pq_topk's pinned-
+# codebook assignment/reconstruction verbatim; the composition screens
+# bucket-joined candidates on the reconstructed vector and exact-reranks.
+_llm(
+    "llm_ann_ivfpq_topk",
+    _ann_ivfpq_gate,
+    f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+grid AS (
+  SELECT p.ci, i.i
+  FROM (SELECT unnest(generate_series(0, 15)) AS ci) p
+  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT len(v) - 1 FROM c LIMIT 1))) AS i) i
+),
+cents AS (
+  SELECT ci,
+    list(CAST(('0x' || substr(md5('centroid-' || ci || '-' || i), 1, 16)) AS UBIGINT)
+         / 18446744073709551616.0 * 2.0 - 1.0 ORDER BY i) AS w
+  FROM grid GROUP BY ci
+),
+csim AS (
+  SELECT c.vec_id, c.v, cents.ci,
+    list_dot_product(c.v, cents.w)
+      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.w, cents.w))) AS s
+  FROM c CROSS JOIN cents
+),
+cbkt AS (
+  SELECT vec_id, v, ci AS bucket FROM (
+    SELECT vec_id, v, ci,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim
+  ) WHERE rn = 1
+),
+qb AS (
+  SELECT vec_id, v, ci AS bucket FROM (
+    SELECT vec_id, v, ci,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci DESC) AS rn
+    FROM csim WHERE vec_id < 8
+  ) WHERE rn <= 4
+),
+pqcb(j, cc, cent) AS (VALUES
+    {_pinned_pq_values()}
+),
+sub AS (
+  SELECT vec_id, jj.j AS j, list_slice(v, (jj.j - 1) * 8 + 1, jj.j * 8) AS sv
+  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) jj
+),
+asg AS (
+  SELECT vec_id, j, cent,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, j
+      ORDER BY list_dot_product(cent, cent) - 2.0 * list_dot_product(sv, cent), cc
+    ) AS rn
+  FROM sub JOIN pqcb USING (j)
+),
+recon AS (
+  SELECT vec_id, flatten(list(cent ORDER BY j)) AS vq
+  FROM asg WHERE rn = 1 GROUP BY vec_id
+),
+corpus AS (
+  SELECT cbkt.vec_id, cbkt.v, cbkt.bucket, recon.vq
+  FROM cbkt JOIN recon USING (vec_id)
+),
+screened AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS corpus_id, s.v AS cv, q.v AS qv,
+    round(list_dot_product(s.vq, q.v)
+          / (sqrt(list_dot_product(s.vq, s.vq)) * sqrt(list_dot_product(q.v, q.v))),
+          6) AS approx
+  FROM corpus s JOIN qb q ON s.bucket = q.bucket
+  WHERE s.vec_id != q.vec_id
+),
+survivors AS (
+  SELECT query_id, corpus_id, cv, qv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, corpus_id) AS r
+    FROM screened
+  ) WHERE r <= 20
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id,
+    round(list_dot_product(cv, qv)
+          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY round(list_dot_product(cv, qv)
+                                      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                       corpus_id) AS rank
+  FROM survivors
+) WHERE rank <= 5
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks the FIRST 50
 # entries. The highest-risk 50 gates (every distinct operator family, the
@@ -5014,6 +5123,7 @@ _TAIL_SUBSETS = [
     # their oracles pin the sf0.01 fit — at any other SF the re-fit
     # (correctly) produces a different matrix, so a tail placement (pytest
     # replays tail gates at sf0.001) would always fail.
+    "analytics_asof_join",         # union-window last_value(ignorenulls) over one key-partitioned ordered window ⊂ analytics_sessionize's lag/cumsum window machinery (tail twin whose oracle IS head streaming_sessionize's) + llm_pack_sequences' cumsum window (head); tolerance/tie semantics pytest (test_llmdata asof specs)
     "streaming_log_compact",       # per-key keep-latest compaction: the availableNow bounded-state machinery is head-pinned by streaming_dedup_content / streaming_sessionize / streaming_curate_twin (full-oracle stream twins); the keep-latest max_by shape ⊂ llm_dedup_keep_longest (tail twin); compaction lifecycle pytest (test_streaming)
     "streaming_within_join",       # stream-stream WITHIN join: bounded-state availableNow machinery ⊂ the three head stream twins above; the WITHIN band condition is head-pinned by kafsql_join_inner (J4); batch-twin equality + state-bound asserts pytest (test_streaming)
     "llm_ann_sq_topk",             # int8 per-dim quantize screen + exact rerank ⊂ llm_ann_pq_topk (head): the same screen/rerank recipe with the quantizer generalized from scalar min/max to subspace codebooks; SF-agnostic full oracle replayed in pytest

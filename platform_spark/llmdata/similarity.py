@@ -610,3 +610,84 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: str | list[list[float]] = "hash",
+    codebook: list[list[list[float]]] | None = None,
+    rerank: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the faiss-style IVFPQ stack, end to end:
+
+    1. **Coarse quantizer** (IVF): corpus vectors assign to their nearest
+       centroid bucket (shuffle-free map over one literal matrix);
+       queries probe their ``n_probe`` nearest buckets, so each query
+       touches ~n_probe/n_centroids of the corpus.
+    2. **Fine quantizer** (PQ): within the probed buckets, candidates
+       rank by cosine against the PQ-reconstructed vector
+       (`pq_dequantize_expr` — m one-byte codes per vector is what a real
+       index stores and scans).
+    3. **Exact rerank**: the top ``k*rerank`` screen survivors re-score
+       on the original floats; the final k are exact cosines.
+
+    At 100 TB the bucket is the partitioning key and the PQ codes are
+    the only per-vector state the scan touches — the classic
+    billion-scale recipe. Every stage is the same closed-form math as
+    its standalone gate (`llm_ann_ivf_topk`, `llm_ann_pq_topk`), so the
+    composition is fully SQL-mirrorable.
+    Output: (query_id, corpus_id, cosine, rank).
+    """
+    if dim is None:
+        raise ValueError("dim is required (carry it in topic config)")
+    if codebook is None:
+        codebook = fit_pq_codebook(corpus, dim=dim, deterministic=True)
+    if centroids == "kmeans":
+        matrix = fit_kmeans_centroids(corpus, n_centroids, vec_col)
+    elif centroids == "hash":
+        matrix = hash_centroid_matrix(n_centroids, dim)
+    else:
+        matrix = centroids
+        n_centroids = len(matrix)
+    cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
+
+    def nearest(vec: Column, n: int) -> Column:
+        return nearest_centroids_expr(cent_matrix, n_centroids, vec, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("bucket", nearest(F.col("cv"), 1)[0])
+    c = c.withColumn("cq", pq_dequantize_expr(F.col("cv"), codebook))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.withColumn("bucket", F.explode(nearest(F.col("qv"), n_probe)))
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    screened = joined.select(
+        "query_id", "corpus_id", "cv", "qv",
+        F.round(cosine_expr(F.col("cq"), F.col("qv")), 6).alias("__approx"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("__approx"), F.asc("corpus_id"))
+    survivors = screened.withColumn("__r", F.row_number().over(w1)).filter(
+        F.col("__r") <= k * rerank
+    )
+    exact = survivors.select(
+        "query_id", "corpus_id",
+        F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

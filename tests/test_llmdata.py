@@ -2302,3 +2302,45 @@ def test_calibrate_scores_approx_mode_close_to_exact(spark):
     for k in exact:
         if exact[k] is not None:
             assert abs(exact[k] - approx[k]) < 0.2, (k, exact[k], approx[k])
+
+
+def test_ivfpq_topk_composition_degenerates_to_brute(spark):
+    from platform_spark.llmdata.similarity import (
+        brute_force_topk, fit_pq_codebook, ivfpq_topk)
+
+    import hashlib
+
+    def vec(i):
+        return [
+            (int(hashlib.md5(f"ivfpq{i}:{d}".encode()).hexdigest()[:8], 16)
+             / 0xFFFFFFFF) * 2 - 1
+            for d in range(16)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    cb = fit_pq_codebook(emb, m=4, ksub=4, dim=16, deterministic=True)
+    q = emb.filter(F.col("vec_id") < 3)
+    # probe EVERY bucket and rerank past the corpus: both approximations
+    # disabled -> must equal exact brute force bit-for-bit
+    got = sorted(
+        (r.query_id, r.rank, r.corpus_id, r.cosine)
+        for r in ivfpq_topk(
+            emb, q, k=5, n_centroids=8, n_probe=8, codebook=cb,
+            rerank=40, dim=16,
+        ).collect()
+    )
+    expect = sorted(
+        (r.query_id, r.rank, r.corpus_id, r.cosine)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    )
+    assert got == expect
+    # tight probe/rerank still yields k well-formed ranks per query
+    tight = ivfpq_topk(emb, q, k=3, n_centroids=8, n_probe=2,
+                       codebook=cb, rerank=2, dim=16).collect()
+    per_q = {}
+    for r in tight:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert ranks and sorted(ranks) == list(range(1, len(ranks) + 1))
