@@ -353,6 +353,22 @@ def main() -> None:
         mix_temperature(cat.table("documents"), 200, group_col="lang"),
     )
 
+    from platform_spark.llmdata.similarity import ivfpq_topk
+
+    add(
+        "IVF+PQ composed ANN",
+        "The bucket equi-join bounds what each query touches (n_probe of "
+        "n_centroids buckets — a broadcast hash join on the bucket key, "
+        "never a full cross join); the PQ screen and rerank run only on "
+        "bucket-matched candidates.",
+        ["BroadcastHashJoin", "Window"],
+        ivfpq_topk(
+            cat.table("embeddings"),
+            cat.table("embeddings").filter(F.col("vec_id") < 8),
+            k=5, n_centroids=16, n_probe=4,
+            codebook=PQ_CODEBOOK_SF001, rerank=4, dim=64,
+        ),
+    )
     from platform_spark.llmdata.cleaning import calibrate_scores, normalize_text
 
     add(
