@@ -204,6 +204,8 @@ def main() -> None:
         "llm_unicode_nfc",
         "llm_calibrate_scores",
         "llm_ann_ivfpq_topk",
+        "llm_semantic_decontam",
+        "analytics_pivot_event_counts",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -295,6 +297,8 @@ def main() -> None:
             .replace("unigram_logprob", "unigram_lp")
             .replace("unicode_nfc", "nfc")
             .replace("calibrate_scores", "calib")
+            .replace("semantic_decontam", "sem_dec")
+            .replace("pivot_event_counts", "pivot")
             .replace("stratified_sample", "strat")
             .replace("chunk_documents", "chunkdocs")
             .replace("collapse_repeats", "collapse")

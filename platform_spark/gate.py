@@ -3408,6 +3408,57 @@ WHERE n_common >= 1
 )
 
 
+# semantic decontamination: embedding-cosine vs an eval vector set ----------
+# The paraphrase-leak complement of llm_decontaminate: the eval set's
+# embeddings travel as ONE literal matrix, scoring is a map-only fold over
+# the corpus scan (no join, no shuffle — decontam.py §semantic). Bench set
+# derived deterministically (every 41st vector); threshold 0.35 sits above
+# the fixture's background cosine (~0.51 max off-diagonal, so hits are the
+# bench members themselves plus genuinely-close neighbours).
+
+
+def _semantic_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.decontam import semantic_contamination
+
+    emb = _emb_table(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return semantic_contamination(emb, bench, threshold=0.35)
+
+
+_llm(
+    "llm_semantic_decontam",
+    _semantic_decontam_gate,
+    """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id AS bench_id, v FROM c WHERE vec_id % 41 = 0),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+    round(list_dot_product(c.v, b.v)
+          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))),
+          6) AS cosine
+  FROM c CROSS JOIN b
+),
+hits AS (SELECT * FROM scored WHERE cosine >= 0.35),
+agg AS (SELECT vec_id, COUNT(*) AS n_bench_hits FROM hits GROUP BY 1),
+worst AS (
+  SELECT vec_id, bench_id AS worst_bench_id, cosine AS worst_cosine
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, bench_id) AS rn FROM hits)
+  WHERE rn = 1
+)
+SELECT agg.vec_id, n_bench_hits, worst_bench_id, worst_cosine
+FROM agg JOIN worst USING (vec_id)
+""",
+)
+
+
 # corpus stats: per-lang two-level distinct aggregate -----------------------
 
 
@@ -3994,6 +4045,44 @@ WHERE cum_tokens - n_tokens <
 
 
 # produce-path offset assignment (S5): TopicWriter contiguous offsets ------
+
+
+# Pivot (wide conditional aggregation) --------------------------------------
+# Catalyst's pivot with an EXPLICIT value list — no driver-side distinct
+# job to discover columns (the 100 TB rule: pivot values are config, not
+# inference). Physical shape: the heavy exchange carries map-side-combined
+# (user, type) partial counts; the PivotFirst re-shuffle then moves only
+# |users| × |types| rows — negligible at any scale.
+# Missing combinations are coalesced to 0 to match the conditional-count
+# semantics the oracle (and every BI consumer) expects.
+
+
+def _pivot_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = catalog_for(spark, sf_dir).table("events")
+    wide = (
+        ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+_add(
+    "analytics_pivot_event_counts",
+    _pivot_gate,
+    """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+)
 
 
 def _produce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5126,7 +5215,8 @@ _TAIL_SUBSETS = [
     "analytics_asof_join",         # union-window last_value(ignorenulls) over one key-partitioned ordered window ⊂ analytics_sessionize's lag/cumsum window machinery (tail twin whose oracle IS head streaming_sessionize's) + llm_pack_sequences' cumsum window (head); tolerance/tie semantics pytest (test_llmdata asof specs)
     "streaming_log_compact",       # per-key keep-latest compaction: the availableNow bounded-state machinery is head-pinned by streaming_dedup_content / streaming_sessionize / streaming_curate_twin (full-oracle stream twins); the keep-latest max_by shape ⊂ llm_dedup_keep_longest (tail twin); compaction lifecycle pytest (test_streaming)
     "streaming_within_join",       # stream-stream WITHIN join: bounded-state availableNow machinery ⊂ the three head stream twins above; the WITHIN band condition is head-pinned by kafsql_join_inner (J4); batch-twin equality + state-bound asserts pytest (test_streaming)
-    "llm_ann_sq_topk",             # int8 per-dim quantize screen + exact rerank ⊂ llm_ann_pq_topk (head): the same screen/rerank recipe with the quantizer generalized from scalar min/max to subspace codebooks; SF-agnostic full oracle replayed in pytest
+    "llm_ann_sq_topk",             # int8 per-dim quantize screen + exact rerank ⊂ llm_ann_pq_topk (tail twin) / llm_ann_ivfpq_topk (head): the same screen/rerank recipe with the quantizer generalized from scalar min/max to subspace codebooks; SF-agnostic full oracle replayed in pytest
+    "llm_ann_pq_topk",             # pinned-codebook ADC screen + exact rerank ⊂ llm_ann_ivfpq_topk (head): the IVFPQ oracle composes this gate's PQ CTEs verbatim on top of the IVF bucket CTEs, so the whole PQ path (assignment argmin, dequantize, screen, rerank) stays head-exercised; SF-agnostic full oracle (codebook is a constant on both sides) replayed in pytest
     "kafsql_tail",                 # TAIL's (_partition, _offset) top-n runs the same TakeOrderedAndProject physical path as kafsql_orderby_topk (head); TAIL parse + emit-order semantics pytest (test_parser/test_compiler)
     "llm_containment_pairs",       # asymmetric scorer over the SAME `_ngram_rep_common` inverted-index core as llm_dedup_ngram_jaccard (head: exact-collapse, copy-weighted hot-shingle guard, candidate join); containment formula + either-direction filter replayed in pytest
     "analytics_q9_product_profit", # multi-table join fan ⊂ q8 (head, 8-dim broadcast fan incl. the same part/supplier/lineitem/orders/nation spine); partsupp derivation pinned by q11/q20 (head) + test_partsupp_view_invariants; LIKE-filter pushdown plan-asserted (test_plans)
@@ -5213,6 +5303,7 @@ _TAIL_SUBSETS = [
     "kafsql_agg_partition",        # GROUP BY + COUNT ⊂ agg_multi_group; min/max(_ts) ⊂ agg_minmax_schema; _partition ⊂ select_star P4
     "analytics_q13_custdist",      # LEFT JOIN + count histogram ⊂ kafsql_join_left + agg_multi_group shapes
     "analytics_top_event_per_user",  # per-key row_number top-1 ⊂ llm_tfidf_keywords rank window + q15 group-max
+    "analytics_pivot_event_counts",  # pivot w/ explicit values rewrites to the same two-phase HashAggregate shape as kafsql_agg_multi_group/q1 (head); the pivot rewrite + coalesce-to-0 semantics carry a full oracle replayed in pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

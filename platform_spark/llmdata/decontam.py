@@ -20,7 +20,7 @@ critical filter, so candidates are counted directly rather than sampled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from platform_spark.llmdata.dedup import _shingle_table, md5_int
@@ -116,3 +116,140 @@ def decontaminate(
         min_common=min_common,
     ).select(F.col("doc_id").alias(id_col))
     return docs.join(bad, id_col, "left_anti")
+
+
+# semantic (embedding-space) decontamination --------------------------------
+#
+# The n-gram recipe above misses paraphrased benchmark copies — the leak
+# PaLM §7 / GPT-4 contamination appendices call out as the hard case. The
+# embedding-side complement flags a training row whose vector is within a
+# cosine threshold of ANY eval-set vector.
+#
+# 100 TB plan: an eval embedding set is small by construction (thousands of
+# vectors × dim floats ≈ MBs), so it rides into every task as TWO Literal
+# nodes (one nested double matrix + one id array) — scoring is then a
+# map-only expression over the corpus scan: no join, no shuffle, no
+# aggregation of the training side at all. The bench matrix is folded ONCE
+# per row (the scored transform is referenced exactly once by one
+# `aggregate`), so per-row cost is n_bench × dim fused-codegen flops. If an
+# eval set ever outgrows a comfortable literal (~10^5 vectors), fall back
+# to the broadcast-join shape `contamination` uses for shingles.
+
+
+def _bench_literals(
+    bench: DataFrame, bench_vec_col: str, bench_id_col: str
+) -> tuple[Column, Column, int]:
+    """Collect the (bounded, eval-set-sized) bench side into two Literal
+    columns, sorted by bench id ASC so the fold's strictly-greater update
+    resolves cosine ties to the smallest bench id."""
+    rows = sorted(
+        (r[0], r[1])
+        for r in bench.select(bench_id_col, bench_vec_col).collect()
+        if r[1] is not None
+    )
+    vmat = F.lit([[float(x) for x in v] for _, v in rows]).cast(
+        "array<array<double>>"
+    )
+    bids = F.lit([int(i) for i, _ in rows]).cast("array<bigint>")
+    return vmat, bids, len(rows)
+
+
+def _scored_expr(
+    vec: Column, vmat: Column, bids: Column
+) -> Column:
+    """array<struct<c: cosine(vec, bench_j) rounded to 6dp, i: bench id>>,
+    in bench-id order. One transform computes each cosine exactly once;
+    zip_with references it once, so nothing re-folds the matrix."""
+    from platform_spark.llmdata.similarity import dot_expr, norm_expr, to_double
+
+    v = to_double(vec)
+    sims = F.transform(
+        vmat,
+        lambda b: F.round(dot_expr(v, b) / (norm_expr(v) * norm_expr(b)), 6),
+    )
+    return F.zip_with(
+        sims, bids, lambda c, i: F.struct(c.alias("c"), i.alias("i"))
+    )
+
+
+def semantic_contamination(
+    vecs: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    threshold: float = 0.85,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-row semantic contamination report against an eval embedding set.
+
+    Returns one row per training vector with >= ``min_hits`` bench vectors
+    at cosine >= ``threshold``:
+
+    ``(vec_id, n_bench_hits, worst_bench_id, worst_cosine)``
+
+    ``worst_*`` is the closest bench vector (ties to the smallest bench
+    id — deterministic). Rows whose vector is NULL cannot hit and are
+    absent from the report.
+    """
+    vmat, bids, n_bench = _bench_literals(bench, bench_vec_col, bench_id_col)
+    if n_bench == 0:
+        return (
+            vecs.select(F.col(id_col))
+            .filter(F.lit(False))
+            .select(
+                id_col,
+                F.lit(0).cast("bigint").alias("n_bench_hits"),
+                F.lit(None).cast("bigint").alias("worst_bench_id"),
+                F.lit(None).cast("double").alias("worst_cosine"),
+            )
+        )
+    scored = _scored_expr(F.col(vec_col), vmat, bids)
+    acc0 = F.struct(
+        F.lit(0).alias("n"),
+        F.lit(None).cast("bigint").alias("wid"),
+        F.lit(None).cast("double").alias("wc"),
+    )
+    t = F.lit(float(threshold))
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = s["c"] >= t
+        better = hit & (acc["wc"].isNull() | (s["c"] > acc["wc"]))
+        return F.struct(
+            (acc["n"] + F.when(hit, F.lit(1)).otherwise(F.lit(0))).alias("n"),
+            F.when(better, s["i"]).otherwise(acc["wid"]).alias("wid"),
+            F.when(better, s["c"]).otherwise(acc["wc"]).alias("wc"),
+        )
+
+    r = F.aggregate(scored, acc0, step)
+    return (
+        vecs.select(F.col(id_col), r.alias("__r"))
+        .filter(F.col("__r.n") >= int(min_hits))
+        .select(
+            id_col,
+            F.col("__r.n").cast("bigint").alias("n_bench_hits"),
+            F.col("__r.wid").alias("worst_bench_id"),
+            F.col("__r.wc").alias("worst_cosine"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """The filter form: rows within ``threshold`` cosine of any eval
+    vector are dropped — a single map-only filter over the scan (no join,
+    no shuffle). Rows with a NULL vector cannot be contaminated and are
+    KEPT (the exists-NULL is coalesced to false)."""
+    vmat, bids, n_bench = _bench_literals(bench, bench_vec_col, bench_id_col)
+    if n_bench == 0:
+        return df
+    scored = _scored_expr(F.col(vec_col), vmat, bids)
+    hit = F.exists(scored, lambda s: s["c"] >= F.lit(float(threshold)))
+    return df.filter(~F.coalesce(hit, F.lit(False)))

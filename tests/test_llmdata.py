@@ -876,6 +876,29 @@ def test_time_rollup_hierarchical(spark):
     assert got[("day", "2024-01-02T00:00:00")] == (1, 10.0)
 
 
+def test_pivot_missing_combo_is_zero_not_null(spark):
+    """The pivot gate coalesces absent (user, type) combinations to 0 so
+    its wide table matches conditional-count semantics (the fixture has
+    every combo filled, so this pins the path the gate can't exercise)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "click"), (1, "view"), (2, "click")],
+        "user_id: long, event_type: string",
+    )
+    types = ["click", "view", "purchase"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    out = {
+        r["user_id"]: r
+        for r in wide.select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+        ).collect()
+    }
+    assert out[1]["click"] == 1 and out[1]["view"] == 1 and out[1]["purchase"] == 0
+    assert out[2]["click"] == 1 and out[2]["view"] == 0 and out[2]["purchase"] == 0
+
+
 def test_asof_join_null_keys_never_match(spark):
     from datetime import datetime
 
@@ -1076,6 +1099,88 @@ def test_contamination_worst_tiebreak(spark):
     row = contamination(docs, bench, k=8).collect()[0]
     # equal overlap with bench 5 and 7 -> smallest bench id wins
     assert row["worst_bench_id"] == 5 and row["n_bench_docs"] == 2
+
+
+def test_semantic_contamination_spec(spark):
+    from platform_spark.llmdata.decontam import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    # unit axes: v1 ∥ b100, v2 at 45° to b100/b101, v3 ⟂ both, v4 NULL
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, None),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]), (101, [0.0, 3.0, 0.0])],
+        "bench_id: long, embedding: array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_contamination(vecs, bench, threshold=0.7).collect()
+    }
+    # v1: cos=1.0 with b100 only; v2: cos=0.707107 with both (tie -> b100)
+    assert set(got) == {1, 2}
+    assert got[1]["n_bench_hits"] == 1 and got[1]["worst_bench_id"] == 100
+    assert abs(got[1]["worst_cosine"] - 1.0) < 1e-9
+    assert got[2]["n_bench_hits"] == 2 and got[2]["worst_bench_id"] == 100
+    assert abs(got[2]["worst_cosine"] - 0.707107) < 1e-9
+    # filter form drops exactly the reported rows; NULL vector is KEPT
+    kept = {r["vec_id"] for r in semantic_decontaminate(vecs, bench, threshold=0.7).collect()}
+    assert kept == {3, 4}
+    # empty bench: report empty, filter form is the identity
+    none = bench.filter("bench_id < 0")
+    assert semantic_contamination(vecs, none).count() == 0
+    assert semantic_decontaminate(vecs, none).count() == 4
+
+
+def test_semantic_contamination_matches_brute_force(spark):
+    """The literal-matrix fold must reproduce the crossJoin+window brute
+    force on real fixture vectors (same rounding, same tie rule)."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.decontam import semantic_contamination
+    from platform_spark.llmdata.similarity import cosine_expr, to_double
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv")
+    )
+    scored = emb.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        F.round(
+            cosine_expr(to_double(F.col("embedding")), to_double(F.col("bv"))), 6
+        ).alias("c"),
+    ).filter(F.col("c") >= 0.35)
+    expect = {
+        (r["vec_id"], r["n"], r["wid"], r["wc"])
+        for r in scored.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.struct(F.col("c"), (-F.col("bench_id")).alias("ni"))).alias("w"),
+        )
+        .select(
+            "vec_id",
+            "n",
+            (-F.col("w.ni")).alias("wid"),
+            F.col("w.c").alias("wc"),
+        )
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["n_bench_hits"], r["worst_bench_id"], r["worst_cosine"])
+        for r in semantic_contamination(
+            emb,
+            bench.select("bench_id", F.col("bv").alias("embedding")),
+            threshold=0.35,
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
 
 
 def test_chunk_documents_windows(spark):

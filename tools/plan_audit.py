@@ -142,6 +142,22 @@ def main() -> None:
         ["BroadcastHashJoin", "HashAggregate", "Generate"],
         contamination(docs, bench, k=8),
     )
+    from platform_spark.llmdata.decontam import semantic_contamination
+
+    emb = cat.table("embeddings")
+    add(
+        "Semantic decontamination",
+        "The eval vector set rides as ONE literal matrix; scoring is a "
+        "map-only fold over the scan — no join, no shuffle, no exchange. "
+        "The fold appears twice (filter + project), a constant factor on "
+        "an embarrassingly-parallel stage.",
+        ["Filter", "Batched: true"],
+        semantic_contamination(
+            emb,
+            emb.limit(20).selectExpr("vec_id AS bench_id", "embedding"),
+            threshold=0.35,
+        ),
+    )
     add(
         "Token-window chunking",
         "sequence+transform+explode directly over the vectorized scan: NO "
