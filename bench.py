@@ -206,6 +206,7 @@ def main() -> None:
         "llm_ann_ivfpq_topk",
         "llm_semantic_decontam",
         "analytics_pivot_event_counts",
+        "llm_dedup_incremental",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -299,6 +300,7 @@ def main() -> None:
             .replace("calibrate_scores", "calib")
             .replace("semantic_decontam", "sem_dec")
             .replace("pivot_event_counts", "pivot")
+            .replace("dedup_incremental", "dd_incr")
             .replace("stratified_sample", "strat")
             .replace("chunk_documents", "chunkdocs")
             .replace("collapse_repeats", "collapse")

@@ -2459,7 +2459,9 @@ def _minhash_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc_table(spark, sf_dir)
     w = F.split(F.trim(F.col("text")), r"\s+")
-    n_keep = F.greatest(F.lit(3), F.floor(F.size(w) * 0.6).cast("int"))
+    # integer-safe 60%: len*0.6 in doubles can land a hair below an exact
+    # integer while decimal engines land on it — *6/10 avoids the boundary
+    n_keep = F.greatest(F.lit(3), F.floor(F.size(w) * 6 / 10).cast("int"))
     excerpts = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.array_join(F.slice(w, F.lit(1), n_keep), " ").alias("text"),
@@ -2475,7 +2477,7 @@ WITH src AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
-    array_to_string(w[1:greatest(3, CAST(floor(len(w) * 0.6) AS INT))], ' ') AS text
+    array_to_string(w[1:greatest(3, CAST(floor(len(w) * 6 / 10) AS INT))], ' ') AS text
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE doc_id % 5 = 0)
 ),
@@ -2520,6 +2522,122 @@ JOIN sizes sb ON sb.doc_id = c.right_id
 WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.4
 """,
 )
+
+# Incremental (cross-snapshot) dedup: exact layer + minhash_join near layer
+# over a derived "re-crawl" batch — verbatim copies (doc_id%10==1, exact
+# layer fires), 70%-token excerpts (%10==3, near layer fires), reversed-
+# token docs (%10==7, mostly genuinely-new). All new ids shift +200000 so
+# side membership is an id predicate in the shared oracle.
+
+
+def _dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _doc_table(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    # integer-safe 70% (see the minhash_join 60% note)
+    n_keep = F.greatest(F.lit(3), F.floor(F.size(w) * 7 / 10).cast("int"))
+    shifted = (F.col("doc_id") + 200000).alias("doc_id")
+    newb = (
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .select(shifted, "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 3).select(
+                shifted, F.array_join(F.slice(w, F.lit(1), n_keep), " ").alias("text")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                shifted, F.array_join(F.reverse(w), " ").alias("text")
+            )
+        )
+    )
+    return _dd.dedup_incremental_report(newb, docs, threshold=0.4)
+
+
+_NEWB_SQL = r"""
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 200000,
+    array_to_string(w[1:greatest(3, CAST(floor(len(w) * 7 / 10) AS INT))], ' ')
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id % 10 = 3)
+  UNION ALL
+  SELECT doc_id + 200000,
+    array_to_string(list_reverse(regexp_split_to_array(trim(text), '\s+')), ' ')
+  FROM documents WHERE doc_id % 10 = 7
+"""
+
+_llm(
+    "llm_dedup_incremental",
+    _dedup_incremental_gate,
+    rf"""
+WITH newb AS (
+{_NEWB_SQL}
+),
+exact AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS best_corpus_id
+  FROM newb n JOIN documents c ON md5(n.text) = md5(c.text)
+  GROUP BY 1
+),
+src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM newb
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM src),
+ii AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM ii),
+hh AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('h1:' || shingle), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5('h2:' || shingle), 1, 12)) AS BIGINT) AS h2
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+    {_MH_COLS}
+  FROM hh GROUP BY doc_id
+),
+buckets AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS nid, y.doc_id AS cid
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id >= 200000 AND y.doc_id < 200000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.nid, c.cid, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.nid
+  JOIN sh b ON b.doc_id = c.cid AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+nearp AS (
+  SELECT c.nid, c.cid,
+    round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.nid
+  JOIN sizes sb ON sb.doc_id = c.cid
+  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.4
+),
+near_best AS (
+  SELECT nid AS doc_id, cid AS best_corpus_id, jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY nid
+               ORDER BY jaccard DESC, cid) AS rn FROM nearp)
+  WHERE rn = 1
+)
+SELECT doc_id, 'exact' AS match_kind, best_corpus_id, 1.0 AS jaccard FROM exact
+UNION ALL
+SELECT doc_id, 'near' AS match_kind, best_corpus_id, jaccard FROM near_best
+""",
+)
+
 
 _SH_CTE = f"""
 toks AS (
@@ -5230,7 +5348,8 @@ _TAIL_SUBSETS = [
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle
-    "llm_minhash_lsh_pairs",       # self-join case of llm_minhash_join (head): same signatures/banding/candidate-verify machinery; its exact-collapse/expansion leg stays head-pinned by llm_dedup_ngram_jaccard + llm_dedup_clusters, and the full-pair oracle replays in pytest
+    "llm_minhash_lsh_pairs",       # self-join case of llm_minhash_join (tail twin) / llm_dedup_incremental (head): same signatures/banding/candidate-verify machinery; its exact-collapse/expansion leg stays head-pinned by llm_dedup_ngram_jaccard + llm_dedup_clusters, and the full-pair oracle replays in pytest
+    "llm_minhash_join",            # the cross-table sig/band/candidate/verify machinery runs VERBATIM inside llm_dedup_incremental's near layer (head — dedup.minhash_join is called unchanged, and the incremental oracle embeds the same union-relation cross-side CTEs); the excerpt-feed fixture shape ⊂ the incremental batch derivation; full oracle replayed in pytest
     "llm_simhash_rep_pairs",       # collapse of llm_simhash_pairs through exact-text membership (NULL-marked); same derivation oracle
     "analytics_range_join",        # point-in-interval = zero-length-left special case of analytics_interval_join (head): same bucketize/explode/equi-join machinery and span guard; BETWEEN-filter leg pytest (test_skew/test_llmdata range tests)
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)

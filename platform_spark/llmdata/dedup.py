@@ -703,6 +703,111 @@ def minhash_join(
     )
 
 
+def dedup_incremental_report(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup report: which docs of a NEW
+    batch duplicate an EXISTING corpus snapshot. The recurring ingest
+    shape — every re-crawl/new dump is deduped against what's already in
+    the training set without re-clustering the whole corpus.
+
+    Two layers, cheap-first:
+
+    - exact: 16-byte content-hash equi-join. The delta is typically tiny
+      next to the corpus, so its hash set broadcasts and the corpus scan
+      stays map-side (mirrors `decontaminate`'s 100 TB plan).
+    - near: MinHash-LSH banding ACROSS the two tables (`minhash_join`)
+      over only the not-exactly-matched remainder. At scale, sign the
+      immutable corpus snapshot ONCE and persist its signature/band and
+      shingle tables — each batch then re-signs only the delta; nothing
+      pairwise ever touches non-candidate rows.
+
+    Output, one row per matched new doc:
+    ``(doc_id, match_kind 'exact'|'near', best_corpus_id, jaccard)`` —
+    exact matches report jaccard 1.0 and the smallest matching corpus id;
+    near matches report the best pair by (jaccard DESC, corpus id ASC).
+    Filter the batch with an anti-join (`dedup_incremental`) to keep only
+    genuinely-new content.
+    """
+    n = new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(text_col).alias("__ct")
+    )
+    exact = (
+        n.select("doc_id", F.md5(F.col("__t")).alias("__h"))
+        .join(
+            c.select(F.col("__cid"), F.md5(F.col("__ct")).alias("__h")), "__h"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__cid").alias("best_corpus_id"))
+    )
+    rest = n.join(exact.select("doc_id"), "doc_id", "left_anti")
+    pairs = minhash_join(
+        rest,
+        c.select(F.col("__cid").alias("doc_id"), F.col("__ct").alias("__t")),
+        text_col="__t",
+        id_col="doc_id",
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+    )
+    near = (
+        pairs.groupBy("left_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("right_id")).alias("__ni")
+                )
+            ).alias("__w")
+        )
+        .select(
+            F.col("left_id").alias("doc_id"),
+            F.lit("near").alias("match_kind"),
+            (-F.col("__w.__ni")).alias("best_corpus_id"),
+            F.col("__w.jaccard").alias("jaccard"),
+        )
+    )
+    return exact.select(
+        "doc_id",
+        F.lit("exact").alias("match_kind"),
+        "best_corpus_id",
+        F.lit(1.0).alias("jaccard"),
+    ).unionByName(near)
+
+
+def dedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The filter form: the new batch with corpus duplicates removed
+    (left_anti on the report — one plan, batch schema preserved)."""
+    matched = dedup_incremental_report(
+        new,
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+    ).select(F.col("doc_id").alias(id_col))
+    return new.join(matched, id_col, "left_anti")
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -1101,6 +1101,53 @@ def test_contamination_worst_tiebreak(spark):
     assert row["worst_bench_id"] == 5 and row["n_bench_docs"] == 2
 
 
+def test_dedup_incremental_spec(spark):
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.dedup import (
+        dedup_incremental,
+        dedup_incremental_report,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base),                                   # duplicate content
+            (12, " ".join(f"other{i}" for i in range(20))),
+            (13, "tiny doc"),                             # < k tokens
+        ],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                                  # exact (ids 10+11)
+            (101, " ".join(f"tok{i}" for i in range(15))),  # near of 10/11
+            (102, " ".join(f"fresh{i}" for i in range(20))),  # genuinely new
+            (103, "tiny doc"),                            # exact, unshingleable
+            (104, "tiny fresh"),                          # new, unshingleable
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup_incremental_report(new, corpus, threshold=0.3).collect()
+    }
+    assert set(got) == {100, 101, 103}
+    # exact layer wins over near; smallest corpus id reported; jaccard 1.0
+    assert got[100]["match_kind"] == "exact" and got[100]["best_corpus_id"] == 10
+    assert got[100]["jaccard"] == 1.0
+    # the <k-token exact copy is caught by the hash layer (LSH never sees it)
+    assert got[103]["match_kind"] == "exact" and got[103]["best_corpus_id"] == 13
+    # near best-pick: ties on jaccard resolve to the smallest corpus id
+    assert got[101]["match_kind"] == "near" and got[101]["best_corpus_id"] == 10
+    assert 0.3 <= got[101]["jaccard"] < 1.0
+    kept = {r["doc_id"] for r in dedup_incremental(new, corpus, threshold=0.3).collect()}
+    assert kept == {102, 104}
+    # schema of the filter form is the batch schema, untouched
+    assert dedup_incremental(new, corpus).columns == new.columns
+
+
 def test_semantic_contamination_spec(spark):
     from platform_spark.llmdata.decontam import (
         semantic_contamination,

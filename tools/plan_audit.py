@@ -142,6 +142,22 @@ def main() -> None:
         ["BroadcastHashJoin", "HashAggregate", "Generate"],
         contamination(docs, bench, k=8),
     )
+    from platform_spark.llmdata.dedup import dedup_incremental_report
+
+    docs_full = cat.table("documents")
+    newb = docs_full.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    add(
+        "Incremental snapshot dedup",
+        "Exact layer: the (small) delta's 16-byte content hashes broadcast "
+        "against the corpus scan. Near layer: minhash_join's banding — "
+        "candidates from one (band, bucket) equi-join; nothing pairwise "
+        "touches non-candidate rows.",
+        ["BroadcastHashJoin", "HashAggregate"],
+        dedup_incremental_report(newb, docs_full, threshold=0.4),
+    )
+
     from platform_spark.llmdata.decontam import semantic_contamination
 
     emb = cat.table("embeddings")
