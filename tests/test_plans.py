@@ -237,3 +237,104 @@ def test_vector_dim_config_matches_fixture(spark):
     emb = catalog_for(spark, "/root/testdata/sf0.001").table("embeddings")
     dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
     assert [r.d for r in dims] == [vector_dim("embeddings", "embedding")]
+
+
+def test_zorder_key_spec(spark):
+    from pyspark.sql import functions as F
+
+    from platform_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(0b11, 0b01)], "x: long, y: long")
+    # x bits land at positions b*2+0, y bits at b*2+1:
+    # x=11 -> bits 0,2 set; y=01 -> bit 1 set  =>  z = 0b0111 = 7
+    z = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()[0]["z"]
+    assert z == 7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+
+
+def _rowgroup_spans(path: str, col: str) -> list[tuple]:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    spans.append((c.statistics.min, c.statistics.max))
+    return spans
+
+
+def test_optimize_layout_narrows_rowgroup_stats(spark, tmp_path):
+    """The point of the layout pass: after range-partition + local sort,
+    each file/row-group covers a narrow disjoint slice of the sort key,
+    so parquet min/max stats prune scans (the footer IS the time index).
+    """
+    from platform_spark.operators.layout import optimize_layout
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base, opt = str(tmp_path / "plain"), str(tmp_path / "sorted")
+    ev.repartition(4).write.parquet(base)
+    optimize_layout(ev, ["ts"], n_partitions=4).write.parquet(opt)
+
+    def total_span(spans):
+        return sum((hi - lo).total_seconds() for lo, hi in spans)
+
+    plain, tidy = _rowgroup_spans(base, "ts"), _rowgroup_spans(opt, "ts")
+    assert len(tidy) >= 4
+    # unsorted: every row group spans ~the full month; sorted: disjoint
+    # quarters — at least a 2x reduction in summed span, and no overlap
+    assert total_span(tidy) < 0.5 * total_span(plain)
+    tidy.sort()
+    for (_, hi), (lo, _) in zip(tidy, tidy[1:]):
+        assert hi <= lo
+
+
+def test_optimize_layout_zorder_bounds_both_dims(spark, tmp_path):
+    """Single-column sort leaves the other column's stats useless (full
+    range in every file); the Z-order key bounds BOTH dimensions."""
+    import itertools
+
+    from platform_spark.operators.layout import (
+        optimize_layout,
+        optimize_layout_zorder,
+    )
+
+    rows = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    xs, zs = str(tmp_path / "xsort"), str(tmp_path / "zsort")
+    optimize_layout(df, ["x"], n_partitions=4).write.parquet(xs)
+    optimize_layout_zorder(df, ["x", "y"], bits=5, n_partitions=4).write.parquet(zs)
+
+    def max_span(path, col):
+        return max(hi - lo for lo, hi in _rowgroup_spans(path, col))
+
+    # x-sorted: x tight but y spans the full 0..31 in every file
+    assert max_span(xs, "x") <= 15 and max_span(xs, "y") == 31
+    # z-ordered: EVERY dimension's per-file span is a strict subset
+    assert max_span(zs, "x") <= 15 and max_span(zs, "y") <= 15
+    # schema untouched (the __z helper column is dropped)
+    assert spark.read.parquet(zs).columns == ["x", "y"]
+
+
+def test_optimize_layout_plan_is_one_range_exchange(spark):
+    from platform_spark.operators.layout import optimize_layout
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        optimize_layout(ev, ["ts"], n_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    low = plan.lower()
+    assert "rangepartitioning" in low
+    assert low.count("exchange") == 1  # one shuffle: the range repartition
