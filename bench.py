@@ -207,6 +207,7 @@ def main() -> None:
         "llm_semantic_decontam",
         "analytics_pivot_event_counts",
         "llm_dedup_incremental",
+        "llm_snapshot_diff",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

@@ -2523,6 +2523,55 @@ WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.4
 """,
 )
 
+# Snapshot diff: full-outer join + null-safe hash compare --------------------
+# The only full-outer join shape in the registry (every other join is
+# inner/left/semi/anti): corpus version N vs N+1 classified into
+# added/removed/changed, with unchanged (= ~everything at 100 TB)
+# filtered out so the report stays delta-sized. Derivation: old drops
+# every 9th doc (→ added), new drops every 7th (→ removed) and rewrites
+# every 5th's text (→ changed).
+
+
+def _snapshot_diff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.snapshots import snapshot_diff
+
+    docs = _doc_table(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 9 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+_llm(
+    "llm_snapshot_diff",
+    _snapshot_diff_gate,
+    """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 != 0),
+newv AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+)
+SELECT doc_id, change FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN md5(o.text) IS DISTINCT FROM md5(n.text) THEN 'changed'
+    END AS change
+  FROM old o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+) WHERE change IS NOT NULL
+""",
+)
+
+
 # Incremental (cross-snapshot) dedup: exact layer + minhash_join near layer
 # over a derived "re-crawl" batch — verbatim copies (doc_id%10==1, exact
 # layer fires), 70%-token excerpts (%10==3, near layer fires), reversed-
@@ -5356,6 +5405,7 @@ _TAIL_SUBSETS = [
     "kafsql_where_offset",         # compiler `_offset` bounds are the same two-line scan() filter as the `_ts` bounds kafsql_last (head) exercises (compiler.py:145-149); offset values themselves stay head-checked by kfs_segment_roundtrip's offset-faithful decode; parser range extraction pytest (test_parser)
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)
     "analytics_sessionize",        # batch lag+cumsum twin of streaming_sessionize (head, SAME oracle — full batch/stream equality); window machinery ⊂ analytics_running_revenue/llm_pack_sequences cumsum shapes; boundary rules pytest (test_llmdata sessionize specs)
+    "streaming_dedup_content",     # dropDuplicatesWithinWatermark on the content hash runs VERBATIM inside streaming_curate_twin's head-gated pipeline (curate.py dedup stage); the bounded-state/watermark lifecycle and the unbounded dropDuplicates fallback are pytest (test_streaming)
     "streaming_idoc_explode",      # stable S12 surface (full oracle, unchanged since r4): fixed-shape XML → 13 enumerable rows/doc; Arrow mapInPandas shape now head-exercised by llm_image_phash_pairs' decode chain; parse rules pytest (test_streaming)
     "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest

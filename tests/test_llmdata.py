@@ -1101,6 +1101,27 @@ def test_contamination_worst_tiebreak(spark):
     assert row["worst_bench_id"] == 5 and row["n_bench_docs"] == 2
 
 
+def test_snapshot_diff_spec(spark):
+    from platform_spark.llmdata.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (4, None), (5, None)],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, None), (5, "filled"), (6, "fresh")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    # 1 unchanged (absent), 4 NULL->NULL unchanged (null-safe compare)
+    assert got == {2: "changed", 3: "removed", 5: "changed", 6: "added"}
+    # the only full-outer join in the engine — pin the physical shape
+    plan = (
+        snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in plan
+
+
 def test_dedup_incremental_spec(spark):
     from pyspark.sql import functions as F
 
