@@ -208,6 +208,7 @@ def main() -> None:
         "analytics_pivot_event_counts",
         "llm_dedup_incremental",
         "llm_snapshot_diff",
+        "analytics_session_window_native",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -302,6 +303,8 @@ def main() -> None:
             .replace("semantic_decontam", "sem_dec")
             .replace("pivot_event_counts", "pivot")
             .replace("dedup_incremental", "dd_incr")
+            .replace("snapshot_diff", "snap_diff")
+            .replace("session_window_native", "sess_native")
             .replace("stratified_sample", "strat")
             .replace("chunk_documents", "chunkdocs")
             .replace("collapse_repeats", "collapse")

@@ -1358,6 +1358,50 @@ FROM s GROUP BY user_id, sess"""
     ),
 )
 
+# Native session_window twin: the built-in session aggregate over the raw
+# events table. Semantics differences vs the custom sessionizer — both
+# oracle-mirrored, so each definition stays independently pinned:
+# touching windows MERGE (an event at exactly the gap extends the
+# session; break only when diff > gap, at full µs precision — the custom
+# path compares floor-second diffs), and session_end is the window end
+# (last event + gap), not the last event's timestamp. The exact-boundary
+# merge rule is pytest-pinned (fixture µs timestamps never land on it).
+
+
+def _sessionize_native_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.operators.sessionize import sessionize_native
+
+    ev = catalog_for(spark, sf_dir).table("events")
+    return sessionize_native(ev, key_col="user_id", ts_col="ts", gap="6 hours")
+
+
+_add(
+    "analytics_session_window_native",
+    _sessionize_native_gate,
+    """
+WITH e AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+         THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+  FROM g
+)
+SELECT user_id AS session_key, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 6 HOUR AS session_end, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess
+""",
+)
+
+
 # MinHash signatures (bit-exact portable hashing) ---------------------------
 
 _NUM_PERM = 32
@@ -5404,6 +5448,7 @@ _TAIL_SUBSETS = [
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)
     "kafsql_where_offset",         # compiler `_offset` bounds are the same two-line scan() filter as the `_ts` bounds kafsql_last (head) exercises (compiler.py:145-149); offset values themselves stay head-checked by kfs_segment_roundtrip's offset-faithful decode; parser range extraction pytest (test_parser)
     "kfs_offset_pruned_fetch",     # ⊂ kfs_segment_roundtrip (same decoder; adds only the frame-header batch-skip, spec-pinned in tests/test_kfs.py incl. skip-count assertion)
+    "analytics_session_window_native",  # Spark's BUILT-IN session_window aggregate over raw events — one hash aggregate, the machinery ⊂ the head agg family; the session-merge semantics (half-open windows, µs precision) carry a full oracle replayed in pytest; the custom sessionizer stays head-pinned (streaming_sessionize)
     "analytics_sessionize",        # batch lag+cumsum twin of streaming_sessionize (head, SAME oracle — full batch/stream equality); window machinery ⊂ analytics_running_revenue/llm_pack_sequences cumsum shapes; boundary rules pytest (test_llmdata sessionize specs)
     "streaming_dedup_content",     # dropDuplicatesWithinWatermark on the content hash runs VERBATIM inside streaming_curate_twin's head-gated pipeline (curate.py dedup stage); the bounded-state/watermark lifecycle and the unbounded dropDuplicates fallback are pytest (test_streaming)
     "streaming_idoc_explode",      # stable S12 surface (full oracle, unchanged since r4): fixed-shape XML → 13 enumerable rows/doc; Arrow mapInPandas shape now head-exercised by llm_image_phash_pairs' decode chain; parse rules pytest (test_streaming)

@@ -138,3 +138,36 @@ def sessionize(
         )
         .select("session_key", "session_start", "session_end", "n_events", "duration_sec")
     )
+
+
+def sessionize_native(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "_ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap sessions via Spark's BUILT-IN ``session_window`` aggregate —
+    the drop-to-built-in twin of ``sessionize``. One hash aggregate with
+    native session merging in the state/sort layer; no lag/cumsum window
+    chain, and it runs unchanged in Structured Streaming.
+
+    Semantics differences vs ``sessionize`` (both documented, both
+    oracle-pinned): touching windows MERGE (an event at exactly the gap
+    extends the session — break only when diff > gap, at full
+    MICROSECOND precision, while ``sessionize`` compares floor-second
+    diffs); and ``session_end`` is the window end (last event + gap),
+    not the last event's timestamp.
+    """
+    base = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    return (
+        base.groupBy(
+            F.session_window(F.col(ts_col), gap), F.col(key_col).alias("session_key")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "session_key",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

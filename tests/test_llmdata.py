@@ -899,6 +899,39 @@ def test_pivot_missing_combo_is_zero_not_null(spark):
     assert out[2]["click"] == 1 and out[2]["view"] == 0 and out[2]["purchase"] == 0
 
 
+def test_sessionize_native_boundary_rule(spark):
+    """The built-in session_window twin: touching windows MERGE (an
+    event at exactly the gap extends the session) and the break rule is
+    microsecond-precise, while the custom sessionizer compares
+    floor-second diffs — both rules pinned so the documented contrast
+    (and the oracle's `> gap` break condition) stays true."""
+    from datetime import datetime
+
+    from platform_spark.operators.sessionize import sessionize, sessionize_native
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 30, 0)),            # exactly the gap:
+        (2, datetime(2024, 1, 1, 0, 0, 0)),             #   native MERGES
+        (2, datetime(2024, 1, 1, 0, 30, 0, 500000)),    # gap+0.5s: native
+        (2, datetime(2024, 1, 1, 0, 30, 1, 500000)),    #   breaks (µs rule)
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    native = {
+        (r["session_key"], r["session_start"]): r
+        for r in sessionize_native(df, ts_col="ts", gap="30 minutes").collect()
+    }
+    # user 1: one merged session; session_end = last event + gap
+    s1 = native[(1, datetime(2024, 1, 1, 0, 0, 0))]
+    assert s1["n_events"] == 2 and s1["session_end"] == datetime(2024, 1, 1, 1, 0, 0)
+    # user 2: µs-precise diff 1800.5s > 1800s breaks the session...
+    assert native[(2, datetime(2024, 1, 1, 0, 0, 0))]["n_events"] == 1
+    assert native[(2, datetime(2024, 1, 1, 0, 30, 0, 500000))]["n_events"] == 2
+    # ...while the floor-second custom rule sees diff == 1800 and merges
+    custom = {r["session_key"]: r for r in sessionize(df, key_col="user_id", ts_col="ts", gap_seconds=1800).collect()}
+    assert custom[1]["n_events"] == 2 and custom[2]["n_events"] == 3
+
+
 def test_asof_join_null_keys_never_match(spark):
     from datetime import datetime
 
