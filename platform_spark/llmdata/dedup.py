@@ -703,15 +703,74 @@ def minhash_join(
     )
 
 
-def dedup_incremental_report(
-    new: DataFrame,
+class CorpusDedupIndex:
+    """The persisted per-snapshot state `dedup_incremental` probes: the
+    corpus side of the exact layer (content hashes) and of the near
+    layer (LSH band buckets, hashed shingles, shingle counts). Build it
+    ONCE per immutable snapshot (`build_dedup_index` → `save`), then
+    every incoming batch signs only itself and joins these four tables —
+    the 100 TB corpus is never re-shingled per batch.
+    """
+
+    PARTS = ("hashes", "buckets", "shingles", "sizes")
+
+    def __init__(
+        self,
+        hashes: DataFrame,
+        buckets: DataFrame,
+        shingles: DataFrame,
+        sizes: DataFrame,
+    ):
+        self.hashes = hashes      # (doc_id, content_hash)
+        self.buckets = buckets    # (doc_id, band, bucket)
+        self.shingles = shingles  # (doc_id, sh)
+        self.sizes = sizes        # (doc_id, n_sh)
+
+    def save(self, path: str) -> None:
+        for part in self.PARTS:
+            getattr(self, part).write.mode("overwrite").parquet(f"{path}/{part}")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CorpusDedupIndex":
+        return cls(*[spark.read.parquet(f"{path}/{part}") for part in cls.PARTS])
+
+
+def build_dedup_index(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 32,
     bands: int = 8,
+) -> CorpusDedupIndex:
+    """Corpus-side dedup state (see CorpusDedupIndex). All four tables
+    are plain DataFrames — lazily computed when probed inline, or
+    materialized once via ``.save`` for the per-batch incremental path.
+    The (k, num_perm, bands) parameters are baked into the tables; probe
+    with the same values."""
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    hashes = c.select("doc_id", F.md5(F.col("__t")).alias("content_hash"))
+    sig = minhash_signatures(c, "__t", "doc_id", k, num_perm)
+    buckets = _band_buckets(sig, num_perm, bands)
+    shingles = _shingle_table(c, "__t", "doc_id", k).select(
+        "doc_id", md5_int(F.col("shingle")).alias("sh")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return CorpusDedupIndex(hashes, buckets, shingles, sizes)
+
+
+def dedup_incremental_report(
+    new: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
+    corpus_index: CorpusDedupIndex | None = None,
 ) -> DataFrame:
     """Incremental (cross-snapshot) dedup report: which docs of a NEW
     batch duplicate an EXISTING corpus snapshot. The recurring ingest
@@ -723,11 +782,15 @@ def dedup_incremental_report(
     - exact: 16-byte content-hash equi-join. The delta is typically tiny
       next to the corpus, so its hash set broadcasts and the corpus scan
       stays map-side (mirrors `decontaminate`'s 100 TB plan).
-    - near: MinHash-LSH banding ACROSS the two tables (`minhash_join`)
-      over only the not-exactly-matched remainder. At scale, sign the
-      immutable corpus snapshot ONCE and persist its signature/band and
-      shingle tables — each batch then re-signs only the delta; nothing
-      pairwise ever touches non-candidate rows.
+    - near: MinHash-LSH banding ACROSS the two tables over only the
+      not-exactly-matched remainder — the probe side of `minhash_join`
+      against the corpus's band/shingle index; nothing pairwise ever
+      touches non-candidate rows.
+
+    Both layers probe a ``CorpusDedupIndex``: pass ``corpus_index`` (the
+    snapshot's persisted tables — built once, probed per batch; the 100 TB
+    path) or ``corpus`` (the index is derived inline in the same plan —
+    identical results, re-signs the corpus per call).
 
     Output, one row per matched new doc:
     ``(doc_id, match_kind 'exact'|'near', best_corpus_id, jaccard)`` —
@@ -736,28 +799,73 @@ def dedup_incremental_report(
     Filter the batch with an anti-join (`dedup_incremental`) to keep only
     genuinely-new content.
     """
-    n = new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
-    c = corpus.select(
-        F.col(id_col).alias("__cid"), F.col(text_col).alias("__ct")
-    )
-    exact = (
-        n.select("doc_id", F.md5(F.col("__t")).alias("__h"))
-        .join(
-            c.select(F.col("__cid"), F.md5(F.col("__ct")).alias("__h")), "__h"
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_index")
+        corpus_index = build_dedup_index(
+            corpus, text_col=text_col, id_col=id_col, k=k,
+            num_perm=num_perm, bands=bands,
         )
+    idx = corpus_index
+    n = new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    exact = (
+        n.select("doc_id", F.md5(F.col("__t")).alias("content_hash"))
+        .join(idx.hashes.withColumnRenamed("doc_id", "__cid"), "content_hash")
         .groupBy("doc_id")
         .agg(F.min("__cid").alias("best_corpus_id"))
     )
     rest = n.join(exact.select("doc_id"), "doc_id", "left_anti")
-    pairs = minhash_join(
-        rest,
-        c.select(F.col("__cid").alias("doc_id"), F.col("__ct").alias("__t")),
-        text_col="__t",
-        id_col="doc_id",
-        k=k,
-        num_perm=num_perm,
-        bands=bands,
-        threshold=threshold,
+    # probe side of minhash_join: sign/shingle ONLY the remainder, join
+    # the index's band buckets for candidates, its shingle table for the
+    # exact-jaccard verify, its size table for the denominator
+    sig_n = minhash_signatures(rest, "__t", "doc_id", k, num_perm)
+    bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
+        "doc_id", "left_id"
+    )
+    cand = (
+        bn.join(
+            idx.buckets.withColumnRenamed("doc_id", "right_id"),
+            ["band", "bucket"],
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sh_n = _shingle_table(rest, "__t", "doc_id", k).select(
+        F.col("doc_id").alias("left_id"), md5_int(F.col("shingle")).alias("sh")
+    )
+    common = (
+        cand.join(sh_n, "left_id")
+        .join(
+            idx.shingles.select(
+                F.col("doc_id").alias("__rid"), F.col("sh").alias("__rsh")
+            ),
+            (F.col("right_id") == F.col("__rid"))
+            & (F.col("sh") == F.col("__rsh")),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_n = sh_n.groupBy("left_id").agg(F.count("*").alias("n_left"))
+    pairs = (
+        common.join(sz_n, "left_id")
+        .join(
+            idx.sizes.select(
+                F.col("doc_id").alias("__rid"), F.col("n_sh").alias("n_right")
+            ),
+            F.col("right_id") == F.col("__rid"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_left") + F.col("n_right") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
     )
     near = (
         pairs.groupBy("left_id")
@@ -785,13 +893,14 @@ def dedup_incremental_report(
 
 def dedup_incremental(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    corpus_index: CorpusDedupIndex | None = None,
 ) -> DataFrame:
     """The filter form: the new batch with corpus duplicates removed
     (left_anti on the report — one plan, batch schema preserved)."""
@@ -804,6 +913,7 @@ def dedup_incremental(
         num_perm=num_perm,
         bands=bands,
         threshold=threshold,
+        corpus_index=corpus_index,
     ).select(F.col("doc_id").alias(id_col))
     return new.join(matched, id_col, "left_anti")
 

@@ -1202,6 +1202,45 @@ def test_dedup_incremental_spec(spark):
     assert dedup_incremental(new, corpus).columns == new.columns
 
 
+def test_dedup_incremental_persisted_index_equivalence(spark, tmp_path):
+    """The 100 TB path: build the corpus index once, persist, probe per
+    batch — results must be identical to the inline (re-sign the corpus)
+    path, and the probe plan must read the persisted tables."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.dedup import (
+        build_dedup_index,
+        CorpusDedupIndex,
+        dedup_incremental_report,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    new = corpus.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.array_join(F.slice(w, F.lit(1), 20), " ").alias("text"),
+    )
+    inline = {
+        tuple(r) for r in dedup_incremental_report(new, corpus, threshold=0.3).collect()
+    }
+    path = str(tmp_path / "dedup_index")
+    build_dedup_index(corpus).save(path)
+    idx = CorpusDedupIndex.load(spark, path)
+    via_idx_df = dedup_incremental_report(new, corpus_index=idx, threshold=0.3)
+    assert {tuple(r) for r in via_idx_df.collect()} == inline
+    assert len(inline) > 0
+    plan = via_idx_df._jdf.queryExecution().executedPlan().toString()
+    # probes the persisted tables: the sizes scan's schema exists only in
+    # the index parquet (paths are truncated in plan strings)
+    assert "struct<doc_id:bigint,n_sh:bigint>" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_incremental_report(new)
+
+
 def test_semantic_contamination_spec(spark):
     from platform_spark.llmdata.decontam import (
         semantic_contamination,
