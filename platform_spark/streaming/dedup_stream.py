@@ -45,3 +45,71 @@ def dedup_stream(
             keys
         )
     return stream.dropDuplicates(keys)
+
+
+def dedup_against_corpus_stream(
+    stream: DataFrame,
+    corpus_index,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-layer incremental dedup for an unbounded ingest: drop
+    streaming rows whose content hash already exists in a persisted
+    ``CorpusDedupIndex`` (dedup.build_dedup_index of the immutable
+    snapshot).
+
+    A stream-static LEFT ANTI join — append-legal with ZERO streaming
+    state: the static side is the index's (small, hash-only) table and
+    the stream side never aggregates. This is the always-on filter in
+    front of the batch near-dedup pass.
+    """
+    from pyspark.sql import functions as F
+
+    hashes = corpus_index.hashes.select("content_hash")
+    keyed = stream.withColumn("__ch", F.md5(F.col(text_col)))
+    return (
+        keyed.join(
+            hashes.withColumnRenamed("content_hash", "__ch"), "__ch", "left_anti"
+        )
+        .drop("__ch")
+    )
+
+
+def dedup_incremental_batch_fn(
+    corpus_index,
+    sink_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """The NEAR layer for streams: a ``foreachBatch`` function that runs
+    the full batch ``dedup_incremental`` (exact + MinHash-LSH vs the
+    persisted index) on each micro-batch and hands survivors to
+    ``sink_fn(batch_df, batch_id)``.
+
+    The LSH verify needs per-pair aggregation, which has no bounded-state
+    append-mode plan — the micro-batch boundary is exactly Spark's
+    escape hatch for that (same pattern as the Iceberg sink,
+    streaming/pipeline.py). Semantics per batch are the batch operator's,
+    verbatim; cross-batch duplicates WITHIN the stream are the job of
+    `dedup_stream` upstream (content-hash watermark dedup).
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from platform_spark.llmdata.dedup import dedup_incremental
+
+        kept = dedup_incremental(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+            corpus_index=corpus_index,
+        )
+        sink_fn(kept, batch_id)
+
+    return fn

@@ -1060,3 +1060,63 @@ def test_kfs_stream_feeds_curation_end_to_end(spark, tmp_path):
     expected = cleaned.filter(quality_passes_expr(F.col("text"))).select("text").distinct()
     assert expected.subtract(got.select("text")).count() == 0
     assert got.select("text").subtract(expected).count() == 0
+
+
+def test_dedup_against_corpus_stream_twins_batch(spark, tmp_path):
+    """Streaming incremental dedup: the exact layer is a stream-static
+    anti join (append-legal, zero state); the near layer runs the batch
+    operator per micro-batch via foreachBatch. Together they must keep
+    exactly the batch dedup_incremental survivor set."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.dedup import (
+        build_dedup_index,
+        CorpusDedupIndex,
+        dedup_incremental,
+    )
+    from platform_spark.streaming.dedup_stream import (
+        dedup_against_corpus_stream,
+        dedup_incremental_batch_fn,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    shifted = (F.col("doc_id") + 500000).alias("doc_id")
+    new = (
+        corpus.filter(F.col("doc_id") % 10 == 1).select(shifted, "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 10 == 3).select(
+                shifted, F.array_join(F.slice(w, F.lit(1), 20), " ").alias("text")
+            )
+        )
+    )
+    idx_path = str(tmp_path / "idx")
+    build_dedup_index(corpus).save(idx_path)
+    idx = CorpusDedupIndex.load(spark, idx_path)
+    expect = {
+        r["doc_id"]
+        for r in dedup_incremental(new, corpus_index=idx, threshold=0.3).collect()
+    }
+
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    # exact layer inline on the stream, near layer per micro-batch
+    exact_filtered = dedup_against_corpus_stream(stream, idx)
+    got: set[int] = set()
+
+    def sink(batch_df, batch_id):
+        got.update(r["doc_id"] for r in batch_df.collect())
+
+    q = (
+        exact_filtered.writeStream.foreachBatch(
+            dedup_incremental_batch_fn(idx, sink, threshold=0.3)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == expect and len(expect) > 0

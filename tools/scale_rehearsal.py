@@ -60,6 +60,12 @@ HEAVY = [
     "llm_edit_distance_pairs",
     "llm_mix_temperature",
     "llm_ann_pq_topk",
+    "llm_ann_ivfpq_topk",
+    "llm_dedup_incremental",
+    "llm_semantic_decontam",
+    "llm_snapshot_diff",
+    "analytics_session_window_native",
+    "analytics_pivot_event_counts",
 ]
 
 
