@@ -229,6 +229,24 @@ def main() -> None:
 
     timed("llm_semdedup", _semdedup_scaled)
 
+    # the Arrow-vectorized 100 TB mode of semantic decontam (the gate
+    # times the oracle-exact expression mode above)
+    def _sem_dec_vectorized():
+        from pyspark.sql import functions as F
+
+        from platform_spark.gate import _emb_table
+        from platform_spark.llmdata.decontam import semantic_contamination
+
+        emb = _emb_table(spark, sf_dir)
+        bench = emb.filter(F.col("vec_id") % 41 == 0).select(
+            F.col("vec_id").alias("bench_id"), "embedding"
+        )
+        force(
+            semantic_contamination(emb, bench, threshold=0.35, vectorized=True)
+        )
+
+    timed("llm_semantic_decontam_vec", _sem_dec_vectorized)
+
     total = round(sum(timings.values()), 2)
 
     # Full-precision detail (cold/first-run times, 3-decimal steady times)
@@ -302,9 +320,19 @@ def main() -> None:
             .replace("calibrate_scores", "calib")
             .replace("semantic_decontam", "sem_dec")
             .replace("pivot_event_counts", "pivot")
-            .replace("dedup_incremental", "dd_incr")
-            .replace("snapshot_diff", "snap_diff")
-            .replace("session_window_native", "sess_native")
+            .replace("dd_incremental", "dd_incr")
+            .replace("snapshot_diff", "snapdiff")
+            .replace("session_window_native", "sessw")
+            .replace("minhash_lsh_pairs", "mh_pairs")
+            .replace("ann_brute_topk", "ann_brute")
+            .replace("ann_ivf_kmeans", "ann_ivfkm")
+            .replace("shuffle_corpus", "shufcorp")
+            .replace("ingest_topics", "ingest")
+            .replace("pii_redaction", "pii")
+            .replace("a_percentiles", "a_pctl")
+            .replace("a_time_rollup", "a_rollup_t")
+            .replace("lang_id_multi", "langid")
+            .replace("contain_pairs", "contain")
             .replace("stratified_sample", "strat")
             .replace("chunk_documents", "chunkdocs")
             .replace("collapse_repeats", "collapse")

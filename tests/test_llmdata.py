@@ -1272,6 +1272,21 @@ def test_semantic_contamination_spec(spark):
     # filter form drops exactly the reported rows; NULL vector is KEPT
     kept = {r["vec_id"] for r in semantic_decontaminate(vecs, bench, threshold=0.7).collect()}
     assert kept == {3, 4}
+    # vectorized mode: same report (incl. NULL handling) and same filter
+    got_v = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            vecs, bench, threshold=0.7, vectorized=True
+        ).collect()
+    }
+    assert set(got_v) == {1, 2} and got_v[2]["worst_bench_id"] == 100
+    kept_v = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            vecs, bench, threshold=0.7, vectorized=True
+        ).collect()
+    }
+    assert kept_v == {3, 4}
     # empty bench: report empty, filter form is the identity
     none = bench.filter("bench_id < 0")
     assert semantic_contamination(vecs, none).count() == 0
@@ -1312,15 +1327,21 @@ def test_semantic_contamination_matches_brute_force(spark):
         )
         .collect()
     }
+    bench_df = bench.select("bench_id", F.col("bv").alias("embedding"))
     got = {
         (r["vec_id"], r["n_bench_hits"], r["worst_bench_id"], r["worst_cosine"])
-        for r in semantic_contamination(
-            emb,
-            bench.select("bench_id", F.col("bv").alias("embedding")),
-            threshold=0.35,
-        ).collect()
+        for r in semantic_contamination(emb, bench_df, threshold=0.35).collect()
     }
     assert got == expect and len(got) > 0
+    # the Arrow-vectorized 100 TB mode must agree on real fixture vectors
+    # (numpy blocked summation vs sequential fold — equal after round(6))
+    got_vec = {
+        (r["vec_id"], r["n_bench_hits"], r["worst_bench_id"], r["worst_cosine"])
+        for r in semantic_contamination(
+            emb, bench_df, threshold=0.35, vectorized=True
+        ).collect()
+    }
+    assert got_vec == expect
 
 
 def test_chunk_documents_windows(spark):

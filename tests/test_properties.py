@@ -297,3 +297,26 @@ def test_train_bpe_property_matches_reference(spark, words):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     expected = _ref_bpe_train(dict(Counter(words)), 5)
     assert train_bpe(df, n_merges=5) == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["aa", "bb", "cc", None])),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_snapshot_diff_identity_and_classes(spark, rows):
+    """diff(x, x) is empty for ANY snapshot (including NULL texts), and
+    every report row is one of the three change classes."""
+    from platform_spark.llmdata.snapshots import snapshot_diff
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    assert snapshot_diff(df, df).count() == 0
+    other = df.filter("doc_id % 2 = 0")
+    got = snapshot_diff(df, other).collect()
+    assert all(r["change"] in ("added", "removed", "changed") for r in got)
+    # dropping rows can only ever produce 'removed'
+    assert {r["change"] for r in got} <= {"removed"}
