@@ -710,6 +710,16 @@ class CorpusDedupIndex:
     ONCE per immutable snapshot (`build_dedup_index` → `save`), then
     every incoming batch signs only itself and joins these four tables —
     the 100 TB corpus is never re-shingled per batch.
+
+    The index is EXACT-COLLAPSED (the content_membership recipe): one
+    row per DISTINCT corpus content, represented by its smallest doc id.
+    Identical contents have identical signatures and jaccards, so the
+    candidate/verify graph at content level is the pairwise graph
+    collapsed — and since every report field is (jaccard DESC, corpus id
+    ASC)-optimal, the min-id rep IS the answer the full pairwise join
+    would return. Without the collapse, copy-heavy corpora pay
+    O(copies²) in LSH candidates (measured: the sf10 rehearsal's
+    100-copy fixture put the naive form at 564 s / 42× for 10× rows).
     """
 
     PARTS = ("hashes", "buckets", "shingles", "sizes")
@@ -751,10 +761,22 @@ def build_dedup_index(
     c = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     )
-    hashes = c.select("doc_id", F.md5(F.col("__t")).alias("content_hash"))
-    sig = minhash_signatures(c, "__t", "doc_id", k, num_perm)
+    # exact-collapse: one rep (smallest id) per distinct content
+    reps = (
+        c.filter(F.col("__t").isNotNull())
+        .groupBy(F.md5(F.col("__t")).alias("content_hash"))
+        .agg(F.min(F.struct("doc_id", "__t")).alias("__m"))
+        .select(
+            "content_hash",
+            F.col("__m.doc_id").alias("rep_id"),
+            F.col("__m.__t").alias("__t"),
+        )
+    )
+    hashes = reps.select("content_hash", F.col("rep_id"))
+    rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "__t")
+    sig = minhash_signatures(rep_docs, "__t", "doc_id", k, num_perm)
     buckets = _band_buckets(sig, num_perm, bands)
-    shingles = _shingle_table(c, "__t", "doc_id", k).select(
+    shingles = _shingle_table(rep_docs, "__t", "doc_id", k).select(
         "doc_id", md5_int(F.col("shingle")).alias("sh")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -808,17 +830,28 @@ def dedup_incremental_report(
         )
     idx = corpus_index
     n = new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    # exact layer: the index is one row per distinct content, keyed by
+    # hash, carrying the smallest matching corpus id — a 1:1 join
     exact = (
         n.select("doc_id", F.md5(F.col("__t")).alias("content_hash"))
-        .join(idx.hashes.withColumnRenamed("doc_id", "__cid"), "content_hash")
-        .groupBy("doc_id")
-        .agg(F.min("__cid").alias("best_corpus_id"))
+        .join(idx.hashes, "content_hash")
+        .select("doc_id", F.col("rep_id").alias("best_corpus_id"))
     )
     rest = n.join(exact.select("doc_id"), "doc_id", "left_anti")
-    # probe side of minhash_join: sign/shingle ONLY the remainder, join
-    # the index's band buckets for candidates, its shingle table for the
-    # exact-jaccard verify, its size table for the denominator
-    sig_n = minhash_signatures(rest, "__t", "doc_id", k, num_perm)
+    # exact-collapse the BATCH side too (a re-crawl is as copy-heavy as
+    # the corpus): sign/shingle one rep per distinct remaining content,
+    # probe the index, expand the per-content verdict back to every doc
+    nreps = (
+        rest.filter(F.col("__t").isNotNull())
+        .groupBy(F.md5(F.col("__t")).alias("__nh"))
+        .agg(F.min(F.struct("doc_id", "__t")).alias("__m"))
+        .select(
+            "__nh",
+            F.col("__m.doc_id").alias("doc_id"),
+            F.col("__m.__t").alias("__t"),
+        )
+    )
+    sig_n = minhash_signatures(nreps, "__t", "doc_id", k, num_perm)
     bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
         "doc_id", "left_id"
     )
@@ -830,7 +863,7 @@ def dedup_incremental_report(
         .select("left_id", "right_id")
         .distinct()
     )
-    sh_n = _shingle_table(rest, "__t", "doc_id", k).select(
+    sh_n = _shingle_table(nreps, "__t", "doc_id", k).select(
         F.col("doc_id").alias("left_id"), md5_int(F.col("shingle")).alias("sh")
     )
     common = (
@@ -867,17 +900,20 @@ def dedup_incremental_report(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+    near_rep = pairs.groupBy("left_id").agg(
+        F.max(
+            F.struct(F.col("jaccard"), (-F.col("right_id")).alias("__ni"))
+        ).alias("__w")
+    )
+    # expand rep verdicts to every batch doc sharing the content
+    memb = rest.select("doc_id", F.md5(F.col("__t")).alias("__nh"))
     near = (
-        pairs.groupBy("left_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("jaccard"), (-F.col("right_id")).alias("__ni")
-                )
-            ).alias("__w")
+        near_rep.join(
+            nreps.select("__nh", F.col("doc_id").alias("left_id")), "left_id"
         )
+        .join(memb, "__nh")
         .select(
-            F.col("left_id").alias("doc_id"),
+            "doc_id",
             F.lit("near").alias("match_kind"),
             (-F.col("__w.__ni")).alias("best_corpus_id"),
             F.col("__w.jaccard").alias("jaccard"),

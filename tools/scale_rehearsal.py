@@ -62,7 +62,6 @@ HEAVY = [
     "llm_ann_pq_topk",
     "llm_ann_ivfpq_topk",
     "llm_dedup_incremental",
-    "llm_semantic_decontam",
     "llm_snapshot_diff",
     "analytics_session_window_native",
     "analytics_pivot_event_counts",
@@ -220,6 +219,26 @@ def main() -> None:
         force(fn(spark, args.sf_dir))
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]} s", flush=True)
+
+    # semantic decontam at rehearsal scale runs the VECTORIZED probe (the
+    # expression mode is the oracle reference and interpreted-HOF-bound:
+    # at sf10 its 200k x ~4.9k pair fold would dominate the whole run)
+    def _sem_vec() -> None:
+        from pyspark.sql import functions as F
+
+        from platform_spark.gate import _emb_table
+        from platform_spark.llmdata.decontam import semantic_contamination
+
+        emb = _emb_table(spark, args.sf_dir)
+        bench = emb.filter(F.col("vec_id") % 41 == 0).select(
+            F.col("vec_id").alias("bench_id"), "embedding"
+        )
+        force(semantic_contamination(emb, bench, threshold=0.35, vectorized=True))
+
+    t0 = time.time()
+    _sem_vec()
+    timings["llm_semantic_decontam_vec"] = round(time.time() - t0, 3)
+    print(f"llm_semantic_decontam_vec: {timings['llm_semantic_decontam_vec']} s", flush=True)
 
     if args.curation:
         result["curation"] = run_curation_twins(spark, args.sf_dir, scratch)
