@@ -114,6 +114,59 @@ def curate_corpus(
     }
 
 
+_QUALITY_RULES = (
+    "word_count_ok",
+    "mean_word_len_ok",
+    "repetition_ok",
+    "top_word_ok",
+)
+
+
+def drop_report(stages: dict[str, DataFrame]) -> DataFrame:
+    """Per-document curation provenance: WHY each input doc is absent
+    from the curated output — the audit table every corpus release needs
+    ("why was my page dropped?").
+
+    ``(doc_id, stage 'quality'|'dedup'|'decontaminated', detail)``:
+    quality rows name every failing rule (comma-joined, fixed order);
+    dedup rows carry the keeper doc that superseded the duplicate;
+    decontamination rows carry the worst-colliding bench id. Stages are
+    disjoint by construction (each runs on the previous stage's
+    survivors), so the union IS the first-dropping stage. Built entirely
+    from the lazy stage frames `curate_corpus` already returns — no
+    recomputation beyond the persisted boundaries.
+    """
+    quality = stages["quality"]
+    fails = F.concat_ws(
+        ",",
+        *[F.when(~F.col(r), F.lit(r)) for r in _QUALITY_RULES],
+    )
+    q_drops = quality.filter(~F.col("passes_all")).select(
+        "doc_id", F.lit("quality").alias("stage"), fails.alias("detail")
+    )
+    clusters = stages["clusters"]
+    d_drops = clusters.filter(~F.col("is_keeper")).select(
+        "doc_id",
+        F.lit("dedup").alias("stage"),
+        F.concat(F.lit("kept:"), F.col("cluster_id").cast("string")).alias(
+            "detail"
+        ),
+    )
+    contaminated = stages["contaminated"]
+    c_cols = contaminated.columns
+    worst = (
+        F.col("worst_bench_id").cast("string")
+        if "worst_bench_id" in c_cols
+        else F.lit(None).cast("string")
+    )
+    c_drops = contaminated.select(
+        "doc_id",
+        F.lit("decontaminated").alias("stage"),
+        F.concat(F.lit("bench:"), worst).alias("detail"),
+    )
+    return q_drops.unionByName(d_drops).unionByName(c_drops)
+
+
 def export_dataset(
     curated: DataFrame,
     root: str,

@@ -533,12 +533,34 @@ def test_curate_corpus_end_to_end(spark, docs):
     # a 120-doc slice keeps the full composition under a minute on the
     # 4-core CI session while still exercising every stage
     base = docs.select("doc_id", "text").filter("doc_id < 120")
-    # plant an exact duplicate of doc 0 and use doc 1's text as "bench"
+    # plant an exact duplicate of doc 0, and bench on a doc PROVEN to
+    # survive quality (the row-wise clean/quality twins find the smallest
+    # passing id; being globally minimal among passing docs it is also
+    # its dedup cluster's keeper) — benching on an arbitrary doc made the
+    # decontamination assertion vacuously true when that doc failed
+    # quality (caught by the drop_report provenance below)
+    from platform_spark.llmdata.cleaning import (
+        _line_ok,
+        quality_passes_expr,
+        redact_pii,
+    )
+
     dup = base.filter("doc_id = 0").select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     corpus = base.unionByName(dup)
-    bench = base.filter("doc_id = 1").select(
+    cleaned_rw = redact_pii(
+        base.withColumn(
+            "text",
+            F.array_join(
+                F.filter(F.split(F.col("text"), "\n"), lambda l: _line_ok(l, 4)),
+                "\n",
+            ),
+        )
+    ).select("doc_id", F.col("text_redacted").alias("text"))
+    passing_rw = cleaned_rw.filter(quality_passes_expr(F.col("text")))
+    bench_doc = passing_rw.agg(F.min("doc_id")).collect()[0][0]
+    bench = cleaned_rw.filter(F.col("doc_id") == bench_doc).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
     out = curate_corpus(corpus, bench, ngram_threshold=0.2)
@@ -555,7 +577,7 @@ def test_curate_corpus_end_to_end(spark, docs):
     if 0 in dedup_ids:  # keeper wins; the planted copy must be gone
         assert 1_000_000 not in dedup_ids
     cur_ids = {r["doc_id"] for r in out["curated"].select("doc_id").collect()}
-    assert 1 not in cur_ids  # bench-identical doc decontaminated away
+    assert bench_doc not in cur_ids  # bench-identical doc decontaminated away
 
     packed = out["packed"]
     train_ids = {
@@ -565,6 +587,23 @@ def test_curate_corpus_end_to_end(spark, docs):
     rows = packed.select("doc_id", "pack_bucket", "pack_bin").collect()
     assert {r["doc_id"] for r in rows} == train_ids
     assert len(rows) == len(train_ids)  # exactly one bin per doc
+
+    # provenance: every input doc is either curated or has exactly one
+    # drop-report row naming the stage that removed it
+    from platform_spark.llmdata.pipeline import drop_report
+
+    report = {r["doc_id"]: r for r in drop_report(out).collect()}
+    cleaned_ids = {r["doc_id"] for r in out["cleaned"].select("doc_id").collect()}
+    assert set(report).isdisjoint(cur_ids)
+    assert set(report) | cur_ids == cleaned_ids
+    if 0 in dedup_ids:
+        planted = report[1_000_000]
+        assert planted["stage"] == "dedup" and planted["detail"] == "kept:0"
+    assert report[bench_doc]["stage"] == "decontaminated"
+    assert report[bench_doc]["detail"] == f"bench:{bench_doc}"
+    for r in report.values():
+        if r["stage"] == "quality":
+            assert r["detail"]  # at least one named failing rule
 
 
 def test_repetition_metrics_known_values(spark):
