@@ -8,8 +8,13 @@ super-linearly IN ROWS (not in output size) shows up as ratio >> copies.
 
 Usage:
   python tools/gen_scale.py --src /root/testdata/sf0.1 --dest .bench/sf10 --copies 100
-  python tools/scale_rehearsal.py --sf-dir .bench/sf10 --ref .bench/bench_detail_sf1.json \
-      --copies 10 --out .bench/bench_sf10.json [--curation]
+  SPARK_DRIVER_MEMORY=48g python tools/scale_rehearsal.py --sf-dir .bench/sf10 \
+      --ref .bench/bench_detail_sf1.json --copies 10 \
+      --out .bench/bench_sf10.json [--curation]
+
+(In local mode the driver JVM is the executor; the 8g default that fits
+the gate fixtures can AGGREGATE_OUT_OF_MEMORY under 32 concurrent tasks
+at sf10 — size the heap to the rehearsal, the machine has plenty.)
 
 `--curation` additionally runs the batch curation pipeline AND its
 streaming twin over the documents table and checks the curated content
