@@ -723,6 +723,12 @@ class CorpusDedupIndex:
     """
 
     PARTS = ("hashes", "buckets", "shingles", "sizes")
+    _SCHEMAS = {
+        "hashes": {"content_hash", "rep_id"},
+        "buckets": {"doc_id", "band", "bucket"},
+        "shingles": {"doc_id", "sh"},
+        "sizes": {"doc_id", "n_sh"},
+    }
 
     def __init__(
         self,
@@ -731,10 +737,10 @@ class CorpusDedupIndex:
         shingles: DataFrame,
         sizes: DataFrame,
     ):
-        self.hashes = hashes      # (doc_id, content_hash)
-        self.buckets = buckets    # (doc_id, band, bucket)
-        self.shingles = shingles  # (doc_id, sh)
-        self.sizes = sizes        # (doc_id, n_sh)
+        self.hashes = hashes      # (content_hash, rep_id) — one row/content
+        self.buckets = buckets    # (doc_id=rep, band, bucket)
+        self.shingles = shingles  # (doc_id=rep, sh)
+        self.sizes = sizes        # (doc_id=rep, n_sh)
 
     def save(self, path: str) -> None:
         for part in self.PARTS:
@@ -742,7 +748,18 @@ class CorpusDedupIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "CorpusDedupIndex":
-        return cls(*[spark.read.parquet(f"{path}/{part}") for part in cls.PARTS])
+        parts = []
+        for part in cls.PARTS:
+            df = spark.read.parquet(f"{path}/{part}")
+            want = cls._SCHEMAS[part]
+            if not want <= set(df.columns):
+                raise ValueError(
+                    f"dedup index part '{part}' at {path} has columns "
+                    f"{df.columns}, expected {sorted(want)} — rebuild the "
+                    f"index with build_dedup_index (format changed)"
+                )
+            parts.append(df)
+        return cls(*parts)
 
 
 def build_dedup_index(
