@@ -158,6 +158,33 @@ def main() -> None:
         dedup_incremental_report(newb, docs_full, threshold=0.4),
     )
 
+    from platform_spark.llmdata.snapshots import snapshot_diff
+
+    old_snap = docs_full.filter(F.col("doc_id") % 9 != 0)
+    new_snap = docs_full.filter(F.col("doc_id") % 7 != 0)
+    add(
+        "Snapshot diff (full-outer)",
+        "One shuffle per side on the id, map-side 16-byte hashes (text "
+        "never rides the exchange), SortMergeJoin FullOuter, then a "
+        "filter that drops the unchanged majority so the result stays "
+        "delta-sized.",
+        ["FullOuter", "SortMergeJoin"],
+        snapshot_diff(old_snap, new_snap),
+    )
+
+    from platform_spark.operators.sessionize import sessionize_native
+
+    add(
+        "Native session windows",
+        "Spark's built-in session aggregate: partial merge map-side, one "
+        "exchange on the key, sessions merged in the sort-based "
+        "aggregation — no lag/cumsum window chain, streaming-ready.",
+        ["Exchange", "session_window"],
+        sessionize_native(
+            cat.table("events"), key_col="user_id", ts_col="ts", gap="6 hours"
+        ),
+    )
+
     from platform_spark.llmdata.decontam import semantic_contamination
 
     emb = cat.table("embeddings")
