@@ -209,6 +209,7 @@ def main() -> None:
         "llm_dedup_incremental",
         "llm_snapshot_diff",
         "analytics_session_window_native",
+        "llm_url_dedup",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))

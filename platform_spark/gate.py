@@ -4164,6 +4164,116 @@ FROM documents
 )
 
 
+# URL canonicalization + URL-identity dedup --------------------------------
+# Synthetic URLs derived from the doc table: ~12 docs share each "page"
+# (doc_id % 50) under six surface variants (case/default-port, trailing
+# slash, tracking params + unsorted query, fragment, http:80). The gate
+# returns the kept rows with their canonical URL, so both the
+# normalization rules AND the min-id keeper choice are hash-pinned.
+
+
+def _url_variant_expr():
+    from pyspark.sql import functions as F
+
+    page = F.concat(
+        F.lit("Docs/page-"), (F.col("doc_id") % 50).cast("string")
+    )
+    v = F.col("doc_id") % 6
+    return (
+        F.when(v == 0, F.concat(F.lit("https://src.example.com/"), page))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://SRC.Example.COM:443/"), page),
+        )
+        .when(v == 2, F.concat(F.lit("https://src.example.com/"), page, F.lit("/")))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://src.example.com/"),
+                page,
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .when(v == 4, F.concat(F.lit("https://src.example.com/"), page, F.lit("#sec")))
+        .otherwise(
+            F.concat(F.lit("http://src.example.com:80/"), page, F.lit("?a=1"))
+        )
+    )
+
+
+def _url_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import dedup_by_url, normalize_url
+
+    docs = _doc_table(spark, sf_dir).select("doc_id", _url_variant_expr().alias("url"))
+    return dedup_by_url(docs).select(
+        "doc_id", normalize_url(F.col("url")).alias("canonical_url")
+    )
+
+
+# NOTE the path case differs deliberately ("Docs/...") — only scheme+host
+# lowercase. DuckDB backrefs are \1 (Spark's are $1); both engines apply
+# identical rules otherwise.
+_llm(
+    "llm_url_dedup",
+    _url_dedup_gate,
+    r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://src.example.com/Docs/page-' || (doc_id % 50)
+      WHEN 1 THEN 'HTTPS://SRC.Example.COM:443/Docs/page-' || (doc_id % 50)
+      WHEN 2 THEN 'https://src.example.com/Docs/page-' || (doc_id % 50) || '/'
+      WHEN 3 THEN 'https://src.example.com/Docs/page-' || (doc_id % 50)
+                  || '?utm_source=feed&b=2&a=1'
+      WHEN 4 THEN 'https://src.example.com/Docs/page-' || (doc_id % 50) || '#sec'
+      ELSE 'http://src.example.com:80/Docs/page-' || (doc_id % 50) || '?a=1'
+    END AS url
+  FROM documents
+),
+n AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1)) AS head0,
+    substr(url, length(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1)) + 1) AS tail0
+  FROM u
+),
+n2 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(head0,
+      '^(http://[^/?#]*):80$', '\1'), '^(https://[^/?#]*):443$', '\1') AS head,
+    regexp_replace(tail0, '#.*$', '') AS tail
+  FROM n
+),
+n3 AS (
+  SELECT doc_id, head,
+    regexp_replace(regexp_replace(tail, '\?.*$', ''), '^(/.+?)/$', '\1') AS path,
+    CASE WHEN contains(tail, '?')
+         THEN regexp_replace(tail, '^[^?]*\?', '') ELSE '' END AS query
+  FROM n2
+),
+n4 AS (
+  SELECT doc_id, head, path,
+    list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT (starts_with(p, 'utm_') OR p = 'fbclid'
+        OR starts_with(p, 'fbclid=') OR p = 'gclid'
+        OR starts_with(p, 'gclid=') OR p = 'msclkid'
+        OR starts_with(p, 'msclkid=') OR p = 'ref_src'
+        OR starts_with(p, 'ref_src=')))) AS kept
+  FROM n3
+),
+canon AS (
+  SELECT doc_id,
+    head || path || CASE WHEN len(kept) > 0
+      THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url
+  FROM n4
+)
+SELECT doc_id, canonical_url FROM canon
+WHERE doc_id IN (SELECT MIN(doc_id) FROM canon GROUP BY canonical_url)
+""",
+)
+
+
 # deterministic corpus shuffle: portable md5 ordering key -------------------
 
 
@@ -5455,6 +5565,7 @@ _TAIL_SUBSETS = [
     "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
     "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check
+    "llm_url_dedup",               # URL canonicalization is a pure regexp/array column expr (zero shuffle) ⊂ the strip_html/nfc normalization family; the keeper choice is the same one-hash-agg min-id shape as llm_dedup_exact (tail twin); full oracle (rule-by-rule DuckDB mirror) replayed in pytest + variant spec tests
     "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest
     "llm_multimodal_audio",        # REAL stdlib WAV decode (wave module) over closed-form synthetic PCM, same Arrow mapInPandas shape as llm_multimodal_decode (tail twin); spec pytest

@@ -694,3 +694,90 @@ def calibrate_scores(
             ).alias("robust_z"),
         )
     )
+
+
+# -- URL canonicalization ----------------------------------------------------
+# Web corpora dedup on the URL before anything touches text (FineWeb's URL
+# dedup, C4's page identity): the same page arrives as http/https, with
+# tracking params, fragments, default ports, mixed-case hosts, trailing
+# slashes. Canonicalize with deterministic string surgery only (regexp +
+# array ops — every rule has a DuckDB mirror, so the oracle replays the
+# exact transformation; Spark's parse_url is deliberately avoided).
+
+#: query parameters that never change page identity
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref_src")
+
+
+def _is_tracking(p: Column) -> Column:
+    out = F.lit(False)
+    for t in TRACKING_PARAMS:
+        cond = (
+            p.startswith(t)
+            if t.endswith("_")
+            else (p == t) | p.startswith(t + "=")
+        )
+        out = out | cond
+    return out
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, default :80/:443 ports
+    stripped, fragment dropped, tracking query params removed and the
+    rest SORTED (byte order), `?` dropped when no params survive, one
+    trailing slash stripped from a non-root path. NULL stays NULL."""
+    # split once: head = scheme://host[:port], tail = /path?query#fragment
+    head = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
+    tail = F.substring(url, F.length(head) + F.lit(1), F.lit(2_000_000))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/?#]*):443$", r"$1")
+    tail = F.regexp_replace(tail, r"#.*$", "")          # fragment
+    path = F.regexp_replace(tail, r"\?.*$", "")
+    query = F.when(
+        tail.contains("?"), F.regexp_replace(tail, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~_is_tracking(p),
+        )
+    )
+    path = F.regexp_replace(path, r"^(/.+?)/$", r"$1")  # trailing slash
+    rebuilt = F.concat(
+        head,
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(rebuilt)
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """One row per canonical URL: the smallest id wins, or the highest
+    ``prefer_col`` (quality score, length) with id as the tiebreak. One
+    hash aggregate on the 100 TB side — the URL-identity dedup that runs
+    BEFORE any content similarity work. Rows with NULL url are all kept
+    (no identity to collide on)."""
+    canon = df.withColumn("__cu", normalize_url(F.col(url_col)))
+    nul = canon.filter(F.col("__cu").isNull()).drop("__cu")
+    rank = (
+        F.struct(
+            F.col(prefer_col).alias("p"), (-F.col(id_col)).alias("ni")
+        )
+        if prefer_col
+        else F.struct((-F.col(id_col)).alias("ni"))
+    )
+    best = (
+        canon.filter(F.col("__cu").isNotNull())
+        .groupBy("__cu")
+        .agg(F.max(F.struct(rank.alias("r"), F.col(id_col).alias("id"))).alias("__w"))
+        .select(F.col("__w.id").alias(id_col))
+    )
+    kept = canon.join(best, id_col, "left_semi").drop("__cu")
+    return kept.unionByName(nul)

@@ -1173,6 +1173,45 @@ def test_contamination_worst_tiebreak(spark):
     assert row["worst_bench_id"] == 5 and row["n_bench_docs"] == 2
 
 
+def test_normalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import dedup_by_url, normalize_url
+
+    cases = [
+        (1, "https://Src.Example.COM:443/A/b", "https://src.example.com/A/b"),
+        (2, "http://h.io:80/x?b=2&a=1#frag", "http://h.io/x?a=1&b=2"),
+        (3, "https://h.io/x/?utm_source=s&utm_medium=m", "https://h.io/x"),
+        (4, "https://h.io/?gclid=1", "https://h.io/"),      # root slash kept
+        (5, "https://h.io:8443/x", "https://h.io:8443/x"),  # non-default port
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id: long, url: string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", normalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    # keeper policy: prefer_col wins over id; NULL urls all pass through
+    dupes = spark.createDataFrame(
+        [
+            (10, "https://h.io/p", 1.0),
+            (11, "https://h.io/p/", 9.0),   # same page, higher score
+            (12, None, 0.0),
+            (13, None, 0.0),
+        ],
+        "doc_id: long, url: string, score: double",
+    )
+    assert {r["doc_id"] for r in dedup_by_url(dupes).collect()} == {10, 12, 13}
+    assert {
+        r["doc_id"] for r in dedup_by_url(dupes, prefer_col="score").collect()
+    } == {11, 12, 13}
+
+
 def test_snapshot_diff_spec(spark):
     from platform_spark.llmdata.snapshots import snapshot_diff
 
