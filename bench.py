@@ -210,6 +210,7 @@ def main() -> None:
         "llm_snapshot_diff",
         "analytics_session_window_native",
         "llm_url_dedup",
+        "llm_normalize_whitespace",
     ):
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
@@ -334,6 +335,7 @@ def main() -> None:
             .replace("a_time_rollup", "a_rollup_t")
             .replace("lang_id_multi", "langid")
             .replace("contain_pairs", "contain")
+            .replace("normalize_whitespace", "norm_ws")
             .replace("stratified_sample", "strat")
             .replace("chunk_documents", "chunkdocs")
             .replace("collapse_repeats", "collapse")

@@ -4274,6 +4274,49 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM canon GROUP BY canonical_url)
 )
 
 
+# whitespace/control normalization over an injected-noise derivation -------
+
+
+def _norm_ws_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import normalize_whitespace
+
+    docs = _doc_table(spark, sf_dir)
+    dirty = F.concat(
+        F.lit("Line1  \r\nLine2​ \t\nx"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("tail \n\n\n\n\nEnd﻿  "),
+    )
+    return docs.select("doc_id", normalize_whitespace(dirty).alias("text_norm"))
+
+
+# DuckDB regexp_replace is first-match unless 'g'; Spark's is global.
+# The control/zero-width class is written with the same literal chars.
+_llm(
+    "llm_normalize_whitespace",
+    _norm_ws_gate,
+    "SELECT doc_id, trim(\n"
+    "  regexp_replace(\n"
+    "    regexp_replace(\n"
+    "      regexp_replace(\n"
+    "        regexp_replace(\n"
+    "          regexp_replace(\n"
+    "            'Line1  ' || chr(13) || chr(10) || 'Line2' || chr(8203)\n"
+    "              || chr(7) || ' ' || chr(9) || chr(10) || 'x'\n"
+    "              || COALESCE(text, '')\n"
+    "              || chr(1) || 'tail ' || repeat(chr(10), 5) || 'End'\n"
+    "              || chr(65279) || '  ',\n"
+    "            chr(13) || chr(10), chr(10), 'g'),\n"
+    "          chr(13), chr(10), 'g'),\n"
+    "        '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(8203)\n"
+    "          || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),\n"
+    "      '[ ' || chr(9) || ']+' || chr(10), chr(10), 'g'),\n"
+    "    chr(10) || '{3,}', chr(10) || chr(10), 'g')\n"
+    ") AS text_norm FROM documents",
+)
+
+
 # deterministic corpus shuffle: portable md5 ordering key -------------------
 
 
@@ -5565,6 +5608,7 @@ _TAIL_SUBSETS = [
     "llm_pii_redaction",           # the redact_pii regex chain runs INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); dedicated rule-by-rule pytest
     "llm_filter_boilerplate",      # the _line_ok rules run INSIDE streaming_curate_twin's head-gated hash (curate.py clean stage); pure column expr, rule pytest
     "llm_strip_html",              # pure chained-regexp column expr, zero shuffle; oracle is a round-trip DERIVATION (not a strip reimplementation) so the pytest replay is a full functional check
+    "llm_normalize_whitespace",    # pure regexp-chain column expr (zero shuffle) ⊂ the strip_html/nfc normalization family; rule-for-rule DuckDB mirror over an injected-noise derivation, replayed in pytest
     "llm_url_dedup",               # URL canonicalization is a pure regexp/array column expr (zero shuffle) ⊂ the strip_html/nfc normalization family; the keeper choice is the same one-hash-agg min-id shape as llm_dedup_exact (tail twin); full oracle (rule-by-rule DuckDB mirror) replayed in pytest + variant spec tests
     "llm_shuffle_corpus",          # one md5-key expression, same portable-hash machinery as llm_split_assignment/llm_kmv_distinct (tail twins); determinism pytest
     "llm_lang_id_multi",           # generalization of llm_text_analysis's head-gated stopword-ratio machinery to 4 tables + argmax (pure column exprs); 4-language spec pytest

@@ -781,3 +781,21 @@ def dedup_by_url(
     )
     kept = canon.join(best, id_col, "left_semi").drop("__cu")
     return kept.unionByName(nul)
+
+
+def normalize_whitespace(col: Column) -> Column:
+    """Whitespace/control hygiene (the pre-tokenizer pass web text needs):
+    CRLF/CR → LF, C0 controls (except tab/newline) and DEL and
+    zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) stripped, trailing
+    spaces/tabs removed per line, 3+ newlines collapsed to a blank line,
+    outer whitespace trimmed. Pure regexp chain (zero shuffle); every
+    pattern is literal-class only so the DuckDB oracle mirrors it
+    byte-for-byte. NULL stays NULL."""
+    out = F.regexp_replace(col, "\r\n", "\n")
+    out = F.regexp_replace(out, "\r", "\n")
+    out = F.regexp_replace(
+        out, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​‌‍﻿]", ""
+    )
+    out = F.regexp_replace(out, "[ \t]+\n", "\n")
+    out = F.regexp_replace(out, "\n{3,}", "\n\n")
+    return F.trim(out)

@@ -1173,6 +1173,34 @@ def test_contamination_worst_tiebreak(spark):
     assert row["worst_bench_id"] == 5 and row["n_bench_docs"] == 2
 
 
+def test_normalize_whitespace_rules(spark):
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.cleaning import normalize_whitespace
+
+    cases = [
+        (1, "a\r\nb\rc", "a\nb\nc"),                     # CRLF/CR -> LF
+        (2, "x\x07y\x01z\x7fw", "xyzw"),                 # C0/DEL stripped
+        (3, "k​e‌‍y﻿", "key"),       # zero-width gone
+        (4, "line  \t\nnext", "line\nnext"),             # trailing ws/line
+        (5, "a\n\n\n\n\nb", "a\n\nb"),                   # blank-run collapse
+        (6, "  padded  ", "padded"),                     # outer trim
+        (7, "keep\tthis\n\nok", "keep\tthis\n\nok"),     # tab+blank kept
+        (8, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", normalize_whitespace(F.col("text")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
 def test_normalize_url_rules(spark):
     from pyspark.sql import functions as F
 
