@@ -234,18 +234,9 @@ def main() -> None:
     # the Arrow-vectorized 100 TB mode of semantic decontam (the gate
     # times the oracle-exact expression mode above)
     def _sem_dec_vectorized():
-        from pyspark.sql import functions as F
+        from platform_spark.gate import semantic_decontam_vec_probe
 
-        from platform_spark.gate import _emb_table
-        from platform_spark.llmdata.decontam import semantic_contamination
-
-        emb = _emb_table(spark, sf_dir)
-        bench = emb.filter(F.col("vec_id") % 41 == 0).select(
-            F.col("vec_id").alias("bench_id"), "embedding"
-        )
-        force(
-            semantic_contamination(emb, bench, threshold=0.35, vectorized=True)
-        )
+        force(semantic_decontam_vec_probe(spark, sf_dir))
 
     timed("llm_semantic_decontam_vec", _sem_dec_vectorized)
 

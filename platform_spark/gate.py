@@ -3640,6 +3640,21 @@ def _semantic_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination(emb, bench, threshold=0.35)
 
 
+def semantic_decontam_vec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized twin of the gate query — the 100 TB scale
+    mode. ONE definition shared by bench.py and tools/scale_rehearsal.py
+    so both tools measure the same workload under the same key."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.llmdata.decontam import semantic_contamination
+
+    emb = _emb_table(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return semantic_contamination(emb, bench, threshold=0.35, vectorized=True)
+
+
 _llm(
     "llm_semantic_decontam",
     _semantic_decontam_gate,
@@ -4204,11 +4219,11 @@ def _url_variant_expr():
 def _url_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from platform_spark.llmdata.cleaning import dedup_by_url, normalize_url
+    from platform_spark.llmdata.cleaning import dedup_by_url
 
     docs = _doc_table(spark, sf_dir).select("doc_id", _url_variant_expr().alias("url"))
-    return dedup_by_url(docs).select(
-        "doc_id", normalize_url(F.col("url")).alias("canonical_url")
+    return dedup_by_url(docs, canonical_col="canonical_url").select(
+        "doc_id", "canonical_url"
     )
 
 
@@ -4292,7 +4307,9 @@ def _norm_ws_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB regexp_replace is first-match unless 'g'; Spark's is global.
-# The control/zero-width class is written with the same literal chars.
+# The control/zero-width class mirrors Spark's exactly (incl. \x00 — a
+# DuckDB VALUE can't hold NUL but the regex PATTERN can, keeping the
+# rule byte-for-byte; the injected noise uses chr(1) for that reason).
 _llm(
     "llm_normalize_whitespace",
     _norm_ws_gate,
@@ -4309,7 +4326,7 @@ _llm(
     "              || chr(65279) || '  ',\n"
     "            chr(13) || chr(10), chr(10), 'g'),\n"
     "          chr(13), chr(10), 'g'),\n"
-    "        '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(8203)\n"
+    "        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(8203)\n"
     "          || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),\n"
     "      '[ ' || chr(9) || ']+' || chr(10), chr(10), 'g'),\n"
     "    chr(10) || '{3,}', chr(10) || chr(10), 'g')\n"
@@ -5594,8 +5611,8 @@ _TAIL_SUBSETS = [
     "llm_ngram_rep_pairs",         # collapse of llm_dedup_ngram_jaccard (head) through exact-dup membership; oracle IS that derivation
     "llm_embedding_rep_pairs",     # collapse of llm_embedding_neardup through exact-vector membership; same derivation oracle
     "llm_minhash_rep_pairs",       # collapse of llm_minhash_lsh_pairs through exact-text membership; same derivation oracle
-    "llm_minhash_lsh_pairs",       # self-join case of llm_minhash_join (tail twin) / llm_dedup_incremental (head): same signatures/banding/candidate-verify machinery; its exact-collapse/expansion leg stays head-pinned by llm_dedup_ngram_jaccard + llm_dedup_clusters, and the full-pair oracle replays in pytest
-    "llm_minhash_join",            # the cross-table sig/band/candidate/verify machinery runs VERBATIM inside llm_dedup_incremental's near layer (head — dedup.minhash_join is called unchanged, and the incremental oracle embeds the same union-relation cross-side CTEs); the excerpt-feed fixture shape ⊂ the incremental batch derivation; full oracle replayed in pytest
+    "llm_minhash_lsh_pairs",       # self-join case of llm_minhash_join (head): same signatures/banding/candidate-verify machinery; its exact-collapse/expansion leg stays head-pinned by llm_dedup_ngram_jaccard + llm_dedup_clusters, and the full-pair oracle replays in pytest
+    "llm_simhash_pairs",           # banded-Hamming candidate gen + bit_count verify ⊂ llm_image_phash_pairs (head): dhash_pairs runs the IDENTICAL pigeonhole band/chunk equi-join + Hamming-verify shape over a 64-bit fingerprint (the same subset argument that tail-parked llm_audio_fingerprint_pairs); the simhash fingerprint construction itself (per-bit majority fold) keeps its full oracle, replayed in pytest, and its rep-level twin llm_simhash_rep_pairs stays tail-checked
     "llm_simhash_rep_pairs",       # collapse of llm_simhash_pairs through exact-text membership (NULL-marked); same derivation oracle
     "analytics_range_join",        # point-in-interval = zero-length-left special case of analytics_interval_join (head): same bucketize/explode/equi-join machinery and span guard; BETWEEN-filter leg pytest (test_skew/test_llmdata range tests)
     "kafsql_where_ts_between",     # ⊂ kafsql_last (same compiler _ts-bounds path P6/F4); explicit-timestamp-literal parsing pytest-covered (test_parser)

@@ -758,14 +758,23 @@ def dedup_by_url(
     url_col: str = "url",
     id_col: str = "doc_id",
     prefer_col: str | None = None,
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """One row per canonical URL: the smallest id wins, or the highest
     ``prefer_col`` (quality score, length) with id as the tiebreak. One
     hash aggregate on the 100 TB side — the URL-identity dedup that runs
     BEFORE any content similarity work. Rows with NULL url are all kept
-    (no identity to collide on)."""
+    (no identity to collide on). The keeper semi-join is on
+    (canonical url, id), so duplicate ids across different pages cannot
+    smuggle extra rows through. ``canonical_col`` keeps the computed
+    canonical URL as an output column instead of recomputing it."""
     canon = df.withColumn("__cu", normalize_url(F.col(url_col)))
-    nul = canon.filter(F.col("__cu").isNull()).drop("__cu")
+    keep_cu = canonical_col is not None
+    out_cu = canonical_col or "__cu"
+    nul = canon.filter(F.col("__cu").isNull())
+    nul = (
+        nul.withColumnRenamed("__cu", canonical_col) if keep_cu else nul.drop("__cu")
+    )
     rank = (
         F.struct(
             F.col(prefer_col).alias("p"), (-F.col(id_col)).alias("ni")
@@ -777,9 +786,12 @@ def dedup_by_url(
         canon.filter(F.col("__cu").isNotNull())
         .groupBy("__cu")
         .agg(F.max(F.struct(rank.alias("r"), F.col(id_col).alias("id"))).alias("__w"))
-        .select(F.col("__w.id").alias(id_col))
+        .select("__cu", F.col("__w.id").alias(id_col))
     )
-    kept = canon.join(best, id_col, "left_semi").drop("__cu")
+    kept = canon.join(best, ["__cu", id_col], "left_semi")
+    kept = (
+        kept.withColumnRenamed("__cu", canonical_col) if keep_cu else kept.drop("__cu")
+    )
     return kept.unionByName(nul)
 
 

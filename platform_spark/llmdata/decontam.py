@@ -191,7 +191,14 @@ def _vectorized_probe_udf(lits: _BenchLits, threshold: float):
     divergence needs the true cosine within ~1e-16 of a rounding
     boundary, so the modes agree on real data (equality pinned on the
     fixture in pytest) but only the expression mode is fold-order-exact
-    vs the SQL oracle."""
+    vs the SQL oracle.
+
+    Degenerate-vector rules mirror the expression mode (spec-pinned):
+    a ZERO-norm side makes the cosine a 0-denominator division — NULL
+    under the session's non-ANSI Spark (and DuckDB), hence a non-hit —
+    while NaN INPUT VALUES make the cosine NaN, which Spark/DuckDB
+    comparisons rank above every number, hence a hit reported with
+    worst_cosine NaN."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
@@ -202,6 +209,7 @@ def _vectorized_probe_udf(lits: _BenchLits, threshold: float):
     dim = B.shape[1] if lits.n else 0
 
     def _probe(col):
+        isnull = np.array([x is None for x in col], dtype=bool)
         V = np.array(
             [
                 np.asarray(x, dtype=np.float64)
@@ -214,23 +222,35 @@ def _vectorized_probe_udf(lits: _BenchLits, threshold: float):
             return pd.DataFrame({"n": [], "wid": [], "wc": []}).astype(
                 {"n": "int64", "wid": "float64", "wc": "float64"}
             )
-        nv = np.sqrt((V * V).sum(axis=1))
-        C = np.round((V @ B.T) / (nv[:, None] * Bn[None, :]), 6)
-        hit = C >= threshold
+        # Mirror the expression mode's edge rules exactly (pytest-pinned):
+        # - zero denominator (zero-norm row or bench vector): the session's
+        #   non-ANSI Spark double division yields NULL, a NON-hit — mask it
+        # - NaN cosine from NaN input values: Spark/DuckDB comparisons put
+        #   NaN above every number, so it IS a hit and ranks above 1.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nv = np.sqrt((V * V).sum(axis=1))
+            den = nv[:, None] * Bn[None, :]
+            C = np.round((V @ B.T) / den, 6)
+        # NULL input vectors give NULL cosines in the expression mode
+        # (never a hit) — distinct from NaN VALUES, which hit everything
+        valid = (den != 0) & ~isnull[:, None]
+        hit = valid & (np.greater_equal(C, threshold) | np.isnan(C))
         n = hit.sum(axis=1)
-        Cm = np.where(hit, C, -np.inf)
-        wi = Cm.argmax(axis=1)  # first max; ids ascend -> smallest id wins
-        wc = Cm[np.arange(len(V)), wi]
-        out = pd.DataFrame(
-            {"n": n.astype("int64"), "wid": bid[wi].astype("int64"), "wc": wc}
-        )
-        out.loc[n == 0, ["wid", "wc"]] = None
+        rank = np.where(hit, np.where(np.isnan(C), np.inf, C), -np.inf)
+        wi = rank.argmax(axis=1)  # first max; ids ascend -> smallest id wins
+        out = pd.DataFrame({"n": n.astype("int64"), "wid": bid[wi].astype("int64")})
+        out.loc[n == 0, ["wid"]] = None
         return out
 
     # the module's `from __future__ import annotations` would stringify
-    # inline hints (unresolvable at inspection time) — set them directly
+    # inline hints (unresolvable at inspection time) — set them directly.
+    # The probe reports only (n, worst id): Arrow's pandas conversion
+    # reads NaN floats as NULL, so a genuine NaN worst_cosine cannot ride
+    # through the UDF — the caller recomputes the ONE reported cosine
+    # JVM-side with the exact oracle expression (screen numpy, verify
+    # exact — the repo's standard recipe).
     _probe.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
-    return pandas_udf("struct<n: long, wid: long, wc: double>")(_probe)
+    return pandas_udf("struct<n: long, wid: long>")(_probe)
 
 
 def semantic_contamination(
@@ -273,8 +293,26 @@ def semantic_contamination(
             )
         )
     if vectorized:
+        from platform_spark.llmdata.similarity import (
+            dot_expr,
+            norm_expr,
+            to_double,
+        )
+
         probe = _vectorized_probe_udf(lits, float(threshold))
-        r = probe(F.col(vec_col))
+        pr = probe(F.col(vec_col))
+        vmat, bids, _bn = lits.cols()
+        v = to_double(F.col(vec_col))
+        b = F.element_at(
+            vmat, F.array_position(bids, pr["wid"]).cast("int")
+        )
+        wc = F.when(
+            pr["n"] > 0,
+            F.round(dot_expr(v, b) / (norm_expr(v) * norm_expr(b)), 6),
+        )
+        r = F.struct(
+            pr["n"].alias("n"), pr["wid"].alias("wid"), wc.alias("wc")
+        )
     else:
         scored = _scored_expr(F.col(vec_col), lits)
         acc0 = F.struct(

@@ -1238,6 +1238,25 @@ def test_normalize_url_rules(spark):
     assert {
         r["doc_id"] for r in dedup_by_url(dupes, prefer_col="score").collect()
     } == {11, 12, 13}
+    # adversarial non-unique ids: winning one page must not smuggle the
+    # same id's row for a LOST page through (semi-join is on (url, id)),
+    # and a NULL-url row sharing a winner's id is emitted exactly once
+    messy = spark.createDataFrame(
+        [
+            (1, "https://a/x"),     # id 1 wins page a/x
+            (1, "https://b/y/"),    # id 1 LOSES page b/y to id 0
+            (0, "https://b/y"),
+            (1, None),
+        ],
+        "doc_id: long, url: string",
+    )
+    got_rows = dedup_by_url(messy, canonical_col="cu").collect()
+    assert len(got_rows) == 3
+    assert {(r["doc_id"], r["cu"]) for r in got_rows} == {
+        (0, "https://b/y"),
+        (1, None),
+        (1, "https://a/x"),
+    }
 
 
 def test_snapshot_diff_spec(spark):
@@ -1397,6 +1416,65 @@ def test_semantic_contamination_spec(spark):
     none = bench.filter("bench_id < 0")
     assert semantic_contamination(vecs, none).count() == 0
     assert semantic_decontaminate(vecs, none).count() == 4
+
+
+def test_semantic_contamination_degenerate_vectors(spark):
+    """Edge rules, identical across BOTH modes: a zero-norm vector (0/0
+    cosine -> NULL under non-ANSI division) is a NON-hit and survives
+    the filter; a NaN-valued vector's cosine is NaN, which Spark/DuckDB
+    comparisons rank above every number -> it hits EVERY bench vector
+    (worst = smallest bench id, worst_cosine NaN)."""
+    import math
+
+    from platform_spark.llmdata.decontam import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),             # zero norm
+            (2, [float("nan"), 1.0]),    # NaN input
+            (3, [1.0, 0.0]),             # plain hit of b100
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0]), (101, [0.0, 5.0])],
+        "bench_id: long, embedding: array<float>",
+    )
+    for vectorized in (False, True):
+        got = {
+            r["vec_id"]: r
+            for r in semantic_contamination(
+                vecs, bench, threshold=0.7, vectorized=vectorized
+            ).collect()
+        }
+        assert set(got) == {2, 3}, (vectorized, got)
+        assert got[2]["n_bench_hits"] == 2
+        assert got[2]["worst_bench_id"] == 100
+        assert math.isnan(got[2]["worst_cosine"])
+        assert got[3]["n_bench_hits"] == 1 and got[3]["worst_bench_id"] == 100
+        kept = {
+            r["vec_id"]
+            for r in semantic_decontaminate(
+                vecs, bench, threshold=0.7, vectorized=vectorized
+            ).collect()
+        }
+        assert kept == {1}, (vectorized, kept)
+    # a zero-norm BENCH vector is likewise unhittable in both modes
+    zbench = spark.createDataFrame(
+        [(200, [0.0, 0.0])], "bench_id: long, embedding: array<float>"
+    )
+    for vectorized in (False, True):
+        assert (
+            semantic_contamination(
+                vecs, zbench, threshold=0.0, vectorized=vectorized
+            )
+            .filter("vec_id = 3")
+            .count()
+            == 0
+        )
 
 
 def test_semantic_contamination_matches_brute_force(spark):

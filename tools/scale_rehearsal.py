@@ -228,20 +228,10 @@ def main() -> None:
     # semantic decontam at rehearsal scale runs the VECTORIZED probe (the
     # expression mode is the oracle reference and interpreted-HOF-bound:
     # at sf10 its 200k x ~4.9k pair fold would dominate the whole run)
-    def _sem_vec() -> None:
-        from pyspark.sql import functions as F
-
-        from platform_spark.gate import _emb_table
-        from platform_spark.llmdata.decontam import semantic_contamination
-
-        emb = _emb_table(spark, args.sf_dir)
-        bench = emb.filter(F.col("vec_id") % 41 == 0).select(
-            F.col("vec_id").alias("bench_id"), "embedding"
-        )
-        force(semantic_contamination(emb, bench, threshold=0.35, vectorized=True))
+    from platform_spark.gate import semantic_decontam_vec_probe
 
     t0 = time.time()
-    _sem_vec()
+    force(semantic_decontam_vec_probe(spark, args.sf_dir))
     timings["llm_semantic_decontam_vec"] = round(time.time() - t0, 3)
     print(f"llm_semantic_decontam_vec: {timings['llm_semantic_decontam_vec']} s", flush=True)
 
