@@ -327,6 +327,18 @@ def main() -> None:
             .replace("lang_id_multi", "langid")
             .replace("contain_pairs", "contain")
             .replace("normalize_whitespace", "norm_ws")
+            .replace("ann_ivfpq_topk", "ivfpq")
+            .replace("simhash_pairs", "sh_pairs")
+            .replace("filter_boiler", "boiler")
+            .replace("s_log_compact", "s_compact")
+            .replace("a_running_rev", "a_runrev")
+            .replace("minhash_sigs", "mh_sigs")
+            .replace("ann_ivf_topk", "ivf")
+            .replace("ann_pca_topk", "pca")
+            .replace("kmv_distinct", "kmv")
+            .replace("weighted_mix", "wmix")
+            .replace("corpus_stats", "cstats")
+            .replace("a_moving_avg", "a_mavg")
             .replace("stratified_sample", "strat")
             .replace("chunk_documents", "chunkdocs")
             .replace("collapse_repeats", "collapse")
