@@ -5282,18 +5282,45 @@ def _mix_temperature_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Integer quota math (floor(sqrt(n)*1e6) weights, integer division) keeps
-# the per-language quotas bit-identical across engines; selection is the
-# shared portable-md5 rank machinery.
+def _mix_temperature_quotas_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.llmdata.sampling import mix_temperature_quotas
+
+    return mix_temperature_quotas(_doc_table(spark, sf_dir), 200, group_col="lang")
+
+
+# Exact-integer quota math: w = isqrt(n*10^12) (float sqrt only SEEDS a
+# candidate; a +/-2 correction window decided in exact 128-bit/decimal
+# arithmetic picks the true integer root, so no engine's float rounding can
+# flip a floor — the r06/r07 driver divergence lever is gone) and
+# quota = (200*w) div sum(w) in overflow-proof wide integers. Selection is
+# the shared portable-md5 rank machinery.
+_MIX_QUOTA_CTES = r"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+s AS (SELECT lang, n,
+        CAST(n AS HUGEINT) * 1000000000000 AS m,
+        CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT) AS c0
+      FROM c),
+q AS (SELECT lang, n,
+        CASE
+          WHEN (c0 + 2) * (c0 + 2) <= m THEN c0 + 2
+          WHEN (c0 + 1) * (c0 + 1) <= m THEN c0 + 1
+          WHEN c0 * c0 <= m THEN c0
+          WHEN (c0 - 1) * (c0 - 1) <= m THEN c0 - 1
+          ELSE c0 - 2
+        END AS w
+      FROM s),
+t AS (SELECT SUM(w) AS tot FROM q),
+quota AS (SELECT lang, n, CAST(w AS BIGINT) AS w,
+                 CAST((200 * w) // (SELECT tot FROM t) AS BIGINT) AS quota
+          FROM q)
+"""
+
 _llm(
     "llm_mix_temperature",
     _mix_temperature_gate,
-    r"""
-WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
-           WHERE lang IS NOT NULL GROUP BY lang),
-q AS (SELECT lang, CAST(FLOOR(sqrt(n) * 1000000.0) AS BIGINT) AS w FROM c),
-t AS (SELECT SUM(w) AS tot FROM q),
-quota AS (SELECT lang, (200 * w) // (SELECT tot FROM t) AS quota FROM q),
+    _MIX_QUOTA_CTES
+    + r""",
 r AS (
   SELECT d.doc_id AS id, d.lang, quota.quota,
     ROW_NUMBER() OVER (
@@ -5305,6 +5332,17 @@ r AS (
 )
 SELECT id, lang, quota, rn FROM r WHERE rn <= quota
 """,
+)
+
+
+# Debug localizer for the gate above: the per-lang (n, w, quota) triples ARE
+# the production quota leg (mix_temperature calls mix_temperature_quotas),
+# so any residual driver divergence pins to one group here before the rank
+# machinery even runs.
+_llm(
+    "llm_mix_temperature_quotas",
+    _mix_temperature_quotas_gate,
+    _MIX_QUOTA_CTES + "\nSELECT lang, n, w, quota FROM quota",
 )
 
 
@@ -5644,6 +5682,7 @@ _TAIL_SUBSETS = [
     "streaming_produce_offsets",   # TopicWriter S5 offset assignment hash-checked vs a window oracle; exactly-once/HWM/compaction lifecycle pytest (test_streaming)
     "llm_mix_token_budget",        # md5-rank + per-source windowed cumsum ⊂ llm_weighted_mix (hash selection, tail twin) + llm_pack_sequences (cumsum window, head); full oracle
     "llm_curriculum_order",        # one ntile window over a total order + the shared md5-key machinery (llm_shuffle_corpus tail twin); full oracle
+    "llm_mix_temperature_quotas",  # per-lang (n, w, quota) derivation leg of llm_mix_temperature (head) — the SAME mix_temperature_quotas call and the SAME oracle CTEs, exposed separately so a driver divergence localizes to one group; full oracle replayed in pytest
     "analytics_q15_top_supplier",  # revenue-view agg ⊂ q1 agg shapes; scalar-max equality ⊂ q11 HAVING-scalar + top_event_per_user window (tail, pytest)
     "llm_ann_ivf_topk",            # pinned-centroid IVF ⊂ llm_ann_ivf_kmeans (head): same assign/probe/topk path with the centroid matrix re-FITTED at query time
     "llm_embedding_neardup",       # ⊂ llm_embedding_clusters_fast (shared oracle CTEs; fast path calls embedding_neardup_pairs on reps)

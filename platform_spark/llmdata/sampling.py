@@ -448,6 +448,94 @@ def sample_to_token_budget(
     )
 
 
+def _with_exact_sqrt_weight(counts: DataFrame) -> DataFrame:
+    """Add `__w` = isqrt(__n * 10^12) = floor(sqrt(__n) * 1e6) as
+    DECIMAL(38,0), exact for any __n <= 2^46 (guarded with raise_error).
+
+    The double SQRT only seeds a candidate c0; the true integer root is
+    picked from [c0-2, c0+2] by exact decimal comparison against
+    __n * 10^12, so no float rounding can flip the result. Real
+    divergence exists: e.g. n=9_458_861_055_077 has
+    floor(fl(sqrt(n))*1e6) = isqrt(n*10^12)+1 (regression-tested)."""
+    return (
+        counts.withColumn(
+            "__c0",
+            F.expr(
+                # 2^46 bound: above it the double seed's absolute error can
+                # reach the correction window's edge, so fail loud not wrong
+                "CASE WHEN __n > 70368744177664 THEN "
+                "CAST(raise_error('mix_temperature: group exceeds 2^46 rows; "
+                "isqrt seed bound violated') AS DECIMAL(19,0)) "
+                "ELSE CAST(FLOOR(SQRT(CAST(__n AS DOUBLE)) * 1000000.0) "
+                "AS DECIMAL(19,0)) END"
+            ),
+        )
+        .withColumn(
+            "__m",
+            F.expr(
+                "CAST(__n AS DECIMAL(25,0)) * CAST(1000000000000 AS DECIMAL(13,0))"
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.expr(
+                """CASE
+                     WHEN (__c0 + 2) * (__c0 + 2) <= __m THEN __c0 + 2
+                     WHEN (__c0 + 1) * (__c0 + 1) <= __m THEN __c0 + 1
+                     WHEN __c0 * __c0 <= __m THEN __c0
+                     WHEN (__c0 - 1) * (__c0 - 1) <= __m THEN __c0 - 1
+                     ELSE __c0 - 2
+                   END"""
+            ).cast("decimal(38,0)"),
+        )
+    )
+
+
+def mix_temperature_quotas(
+    df: DataFrame,
+    total_rows: int,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group quota derivation leg of `mix_temperature`, exposed on its
+    own so a cross-engine divergence can be localized to a single group's
+    (n, w, quota) triple before the rank machinery runs.
+
+    The sqrt weight is EXACT integer math — no float ever reaches the
+    output: w = isqrt(n * 10^12) = floor(sqrt(n) * 1e6). A double sqrt
+    only SEEDS a candidate c0; the result is the unique c in
+    [c0-2, c0+2] with c^2 <= n*10^12 < (c+1)^2, decided in DECIMAL(38,0)
+    arithmetic. The seed error is bounded by sqrt(n)*1e6 * 2^-51 (< 1 for
+    any n < 2^46 docs per group; a raise_error guard enforces the bound
+    loudly), so the window always contains the true root and the float's
+    rounding mode can never flip the answer — this replaced a bare
+    floor(sqrt(n)*1e6) that proved environment-sensitive (driver red,
+    local green, CORRECTNESS_r06/r07).
+
+    quota_g = (total_rows * w_g) div sum(w) in DECIMAL(38,0)
+    intermediates with an integral DIV — a bigint product would wrap at
+    total_rows * max(w) > 2^63 (~1e11-doc corpora) and non-ANSI Spark
+    wraps silently. Output: (group_col, n, w, quota), one row per group.
+    """
+    if total_rows < 1:
+        raise ValueError("total_rows must be >= 1")
+    if total_rows > (1 << 62):
+        raise ValueError("total_rows too large for exact bigint quota math")
+    counts = _with_exact_sqrt_weight(
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count("*").alias("__n"))
+    )
+    tot = counts.agg(F.sum("__w").cast("decimal(38,0)").alias("__tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        F.col("__n").alias("n"),
+        F.col("__w").cast("bigint").alias("w"),
+        F.expr(f"CAST({total_rows} AS DECIMAL(38,0)) * __w DIV __tot").alias(
+            "quota"
+        ),
+    )
+
+
 def mix_temperature(
     df: DataFrame,
     total_rows: int,
@@ -461,14 +549,15 @@ def mix_temperature(
     low-resource groups (languages, sources) relative to proportional
     sampling without the distribution collapse of uniform quotas.
 
-    Quota math is integer end to end for engine parity: the sqrt weight
-    is scaled to a BIGINT via floor(sqrt(n) * 1e6) — IEEE requires sqrt
-    and the single multiply to round exactly, and floor has no tie
-    semantics — then quota_g = (total_rows * w_g) div sum(w). Exact
-    alpha=0.5 is deliberate: a general pow(n, alpha) can disagree across
-    engines in the last ulp and flip a floor; sqrt cannot. Within each
-    group the quota picks the smallest portable-md5 ranks, so the sample
-    is deterministic and shard-independent like every sampler here.
+    Quota math is EXACT-integer end to end (see
+    `mix_temperature_quotas`, which is the production quota leg, not a
+    debug copy): w = isqrt(n*10^12) via a float-seeded but
+    decimal-verified correction window, quota = (total_rows * w) div
+    sum(w) in DECIMAL(38,0). Exact alpha=0.5 is deliberate: a general
+    pow(n, alpha) can disagree across engines in the last ulp; isqrt
+    cannot. Within each group the quota picks the smallest portable-md5
+    ranks, so the sample is deterministic and shard-independent like
+    every sampler here.
 
     Scale shape: the group-count aggregate is partial map-side and its
     result (one row per group) broadcasts back; selection is one window
@@ -476,20 +565,8 @@ def mix_temperature(
     a group smaller than its quota contributes all its rows.
     Output: (id, group, quota, rn) for the kept rows.
     """
-    if total_rows < 1:
-        raise ValueError("total_rows must be >= 1")
-    counts = (
-        df.filter(F.col(group_col).isNotNull())
-        .groupBy(F.col(group_col).alias("grp"))
-        .agg(F.count("*").alias("__n"))
-        .withColumn(
-            "__w", F.floor(F.sqrt(F.col("__n")) * F.lit(1_000_000.0)).cast("bigint")
-        )
-    )
-    tot = counts.agg(F.sum("__w").alias("__tot"))
-    quota = counts.crossJoin(F.broadcast(tot)).select(
-        "grp",
-        F.expr(f"CAST({total_rows} AS BIGINT) * __w DIV __tot").alias("quota"),
+    quota = mix_temperature_quotas(df, total_rows, group_col=group_col).select(
+        F.col(group_col).alias("grp"), "quota"
     )
     w = Window.partitionBy("grp").orderBy("__h", "id")
     return (

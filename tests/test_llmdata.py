@@ -2538,6 +2538,56 @@ def test_mix_temperature_quotas_and_rebalancing(spark):
         mix_temperature(df, 0)
 
 
+def test_mix_temperature_isqrt_weight_is_exact(spark):
+    """The sqrt weight must equal math.isqrt(n * 10^12) even where the
+    naive floor(sqrt(n)*1e6) float path flips a floor (the r06/r07 driver
+    divergence class) and where n*w products would overflow bigint."""
+    import math
+
+    from platform_spark.llmdata.sampling import _with_exact_sqrt_weight
+
+    # first three: float-floor diverges from exact isqrt; rest: smooth cases
+    ns = [9458861055077, 19538665129032, 26179540766523, 1, 2, 999, 10**9]
+    assert any(
+        math.floor(math.sqrt(n) * 1e6) != math.isqrt(n * 10**12) for n in ns
+    )
+    counts = spark.createDataFrame([(n,) for n in ns], "__n long")
+    got = {r["__n"]: int(r["__w"]) for r in _with_exact_sqrt_weight(counts).collect()}
+    assert got == {n: math.isqrt(n * 10**12) for n in ns}
+
+
+def test_mix_temperature_quotas_overflow_and_guard(spark):
+    import math
+
+    from platform_spark.llmdata.sampling import (
+        _with_exact_sqrt_weight,
+        mix_temperature,
+        mix_temperature_quotas,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # a total_rows large enough that total_rows * w overflows BIGINT with
+    # 64-bit math (the old expression wrapped silently under non-ANSI Spark)
+    big_total = 1 << 61
+    quotas = {
+        r.lang: (r.n, r.w, r.quota)
+        for r in mix_temperature_quotas(df, big_total, group_col="lang").collect()
+    }
+    w_a, w_b = quotas["a"][1], quotas["b"][1]
+    assert big_total * max(w_a, w_b) > 2**63  # the overflow regime is real
+    assert quotas["a"][2] == big_total * w_a // (w_a + w_b)
+    assert quotas["b"][2] == big_total * w_b // (w_a + w_b)
+    assert quotas["a"][0] == 40 and quotas["b"][0] == 20
+    assert w_a == math.isqrt(40 * 10**12)
+    with pytest.raises(ValueError):
+        mix_temperature(df, (1 << 62) + 1)
+    # the 2^46 per-group seed-bound guard fails loud, not wrong
+    over = spark.createDataFrame([((1 << 46) + 1,)], "__n long")
+    with pytest.raises(Exception, match="isqrt seed bound"):
+        _with_exact_sqrt_weight(over).collect()
+
+
 # product-quantized ANN -------------------------------------------------------
 
 
