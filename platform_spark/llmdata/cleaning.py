@@ -775,17 +775,28 @@ def dedup_by_url(
     nul = (
         nul.withColumnRenamed("__cu", canonical_col) if keep_cu else nul.drop("__cu")
     )
+    # keeper order: highest prefer, then SMALLEST id. The id is never
+    # negated (arithmetic on a string id silently casts to NULL under
+    # non-ANSI Spark and flips the keeper to the LARGEST id); instead the
+    # numeric-by-contract prefer column is negated and MIN picks the rest.
+    if prefer_col is not None:
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(canon.schema[prefer_col].dataType, NumericType):
+            raise TypeError(
+                f"prefer_col {prefer_col!r} must be numeric "
+                f"(got {canon.schema[prefer_col].dataType.simpleString()}); "
+                "the keeper order negates it"
+            )
     rank = (
-        F.struct(
-            F.col(prefer_col).alias("p"), (-F.col(id_col)).alias("ni")
-        )
+        F.struct((-F.col(prefer_col)).alias("np"), F.col(id_col).alias("i"))
         if prefer_col
-        else F.struct((-F.col(id_col)).alias("ni"))
+        else F.struct(F.col(id_col).alias("i"))
     )
     best = (
         canon.filter(F.col("__cu").isNotNull())
         .groupBy("__cu")
-        .agg(F.max(F.struct(rank.alias("r"), F.col(id_col).alias("id"))).alias("__w"))
+        .agg(F.min(F.struct(rank.alias("r"), F.col(id_col).alias("id"))).alias("__w"))
         .select("__cu", F.col("__w.id").alias(id_col))
     )
     kept = canon.join(best, ["__cu", id_col], "left_semi")

@@ -75,16 +75,20 @@ def contamination(
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
     )
+    # order: most shared shingles, then SMALLEST bench id — negate the
+    # always-numeric count, never the id (string ids would NULL out under
+    # arithmetic and silently flip the tiebreak to the largest id)
     worst = per_pair.groupBy("doc_id").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col("pair_common"), (-F.col("bench_id")).alias("neg_bench")
+                (-F.col("pair_common")).alias("neg_common"),
+                F.col("bench_id").alias("bid"),
             )
         ).alias("__w")
     ).select(
         "doc_id",
-        (-F.col("__w.neg_bench")).alias("worst_bench_id"),
-        F.col("__w.pair_common").alias("worst_common"),
+        F.col("__w.bid").alias("worst_bench_id"),
+        (-F.col("__w.neg_common")).alias("worst_common"),
     )
     return (
         per_doc.join(worst, "doc_id")
@@ -209,14 +213,19 @@ def _vectorized_probe_udf(lits: _BenchLits, threshold: float):
     dim = B.shape[1] if lits.n else 0
 
     def _probe(col):
-        isnull = np.array([x is None for x in col], dtype=bool)
+        # ragged guard: a wrong-length embedding mirrors the expression
+        # mode (zip_with NULL-pads the short side -> NULL dot -> NULL
+        # cosine -> non-hit) instead of collapsing the batch matrix to
+        # object dtype and crashing the matmul with an opaque error
+        rows = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == dim
+            else None
+            for x in col
+        ]
+        isnull = np.array([r is None for r in rows], dtype=bool)
         V = np.array(
-            [
-                np.asarray(x, dtype=np.float64)
-                if x is not None
-                else np.full(dim, np.nan)
-                for x in col
-            ]
+            [r if r is not None else np.full(dim, np.nan) for r in rows]
         )
         if len(V) == 0:
             return pd.DataFrame({"n": [], "wid": [], "wc": []}).astype(

@@ -917,9 +917,15 @@ def dedup_incremental_report(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+    # order: best jaccard, then SMALLEST corpus id — negate the numeric
+    # score, never the id (string corpus ids would NULL out under
+    # arithmetic and silently pick the LARGEST id)
     near_rep = pairs.groupBy("left_id").agg(
-        F.max(
-            F.struct(F.col("jaccard"), (-F.col("right_id")).alias("__ni"))
+        F.min(
+            F.struct(
+                (-F.col("jaccard")).alias("__nj"),
+                F.col("right_id").alias("__rid"),
+            )
         ).alias("__w")
     )
     # expand rep verdicts to every batch doc sharing the content
@@ -932,8 +938,8 @@ def dedup_incremental_report(
         .select(
             "doc_id",
             F.lit("near").alias("match_kind"),
-            (-F.col("__w.__ni")).alias("best_corpus_id"),
-            F.col("__w.jaccard").alias("jaccard"),
+            F.col("__w.__rid").alias("best_corpus_id"),
+            (-F.col("__w.__nj")).alias("jaccard"),
         )
     )
     return exact.select(
@@ -1556,9 +1562,21 @@ def dedup_keep_best(
         F.col(id_col).alias("__id"),
         score.alias("__score"),
     )
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(staged.schema["__score"].dataType, NumericType):
+        raise TypeError(
+            "dedup_keep_best score must be numeric "
+            f"(got {staged.schema['__score'].dataType.simpleString()}); "
+            "the keeper order negates it"
+        )
+    # order: highest score, then SMALLEST id — negate the numeric score,
+    # never the id (string ids would NULL out under non-ANSI arithmetic
+    # and silently flip the keeper to the largest id)
     return staged.groupBy("content_hash").agg(
-        F.max_by(
-            F.col("__id"), F.struct(F.col("__score"), (-F.col("__id")).alias("n"))
+        F.min_by(
+            F.col("__id"),
+            F.struct((-F.col("__score")).alias("ns"), F.col("__id").alias("i")),
         ).alias("keeper"),
         F.max("__score").alias("keeper_score"),
         F.count("*").alias("n_copies"),

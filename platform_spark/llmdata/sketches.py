@@ -196,9 +196,15 @@ def heavy_hitters_by_group(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
+    # derive grp's type from the input: a hard-coded `grp string` would
+    # make the candidate semi-join below compare a stringified key against
+    # the original-typed column, and an implicit coercion that drops a
+    # candidate silently breaks the exact-recall guarantee for int/date
+    # group columns
+    grp_type = toks.schema["grp"].dataType.simpleString()
     summary = toks.mapInPandas(
         lambda it: _misra_gries_grouped(it, capacity),
-        schema="grp string, token string, n bigint",
+        schema=f"grp {grp_type}, token string, n bigint",
     ).localCheckpoint()
     cands = (
         summary.filter(F.col("token").isNotNull())

@@ -1477,6 +1477,36 @@ def test_semantic_contamination_degenerate_vectors(spark):
         )
 
 
+def test_semantic_contamination_ragged_embeddings(spark):
+    """Wrong-dimension embeddings must not crash the vectorized batch
+    (the old np.array over ragged lists went object-dtype and the matmul
+    raised an opaque error) and must be non-hits, matching the expression
+    mode where zip_with NULL-pads the short side into a NULL cosine."""
+    from platform_spark.llmdata.decontam import semantic_contamination
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),  # real hit
+            (2, [1.0, 0.0]),  # too short
+            (3, [1.0, 0.0, 0.0, 9.0]),  # too long
+            (4, None),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0])], "bench_id: long, embedding: array<float>"
+    )
+    for vectorized in (False, True):
+        got = {
+            r.vec_id: r
+            for r in semantic_contamination(
+                vecs, bench, threshold=0.7, vectorized=vectorized
+            ).collect()
+        }
+        assert set(got) == {1}, (vectorized, set(got))
+        assert got[1].worst_bench_id == 100
+
+
 def test_semantic_contamination_matches_brute_force(spark):
     """The literal-matrix fold must reproduce the crossJoin+window brute
     force on real fixture vectors (same rounding, same tie rule)."""
@@ -2202,6 +2232,73 @@ def test_dedup_keep_best_policy(spark):
     assert out2 == {2, 4, 5}
 
 
+def test_keeper_policies_string_ids(spark):
+    """String ids must survive every keeper tiebreak: the old (-id)
+    ordering NULLed out under non-ANSI casting and silently kept the
+    LARGEST id. Numeric scores are the only thing negated now, and a
+    non-numeric score fails loud."""
+    from platform_spark.llmdata.cleaning import dedup_by_url
+
+    rows = [
+        ("a", "http://x.com/", 5),
+        ("b", "http://x.com/", 5),  # prefer tie -> min string id "a"
+        ("c", "http://x.com/", 9),  # highest prefer wins outright
+        ("d", "http://y.com/", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, url string, score long")
+    assert {r.doc_id for r in dedup_by_url(df).collect()} == {"a", "d"}
+    assert {r.doc_id for r in dedup_by_url(df, prefer_col="score").collect()} == {
+        "c",
+        "d",
+    }
+    with pytest.raises(TypeError, match="must be numeric"):
+        dedup_by_url(df.withColumn("s2", F.col("doc_id")), prefer_col="s2")
+
+    dup = spark.createDataFrame(
+        [("b", "same text"), ("a", "same text"), ("z", "other")],
+        "doc_id string, text string",
+    )
+    keepers = {r.keeper for r in D.dedup_keep_best(dup, F.lit(1)).collect()}
+    assert keepers == {"a", "z"}  # score tie -> min STRING id
+    with pytest.raises(TypeError, match="must be numeric"):
+        D.dedup_keep_best(dup, F.col("doc_id"))
+
+
+def test_dedup_incremental_string_ids(spark):
+    """best_corpus_id must come through intact (and tie to the SMALLEST
+    corpus id) when doc ids are strings — the old negation tiebreak
+    produced NULL ids on the near path."""
+    from platform_spark.llmdata.dedup import dedup_incremental_report
+
+    corpus = spark.createDataFrame(
+        [
+            ("x1", "alpha beta gamma delta epsilon"),
+            ("x9", "alpha beta gamma delta epsilon"),  # same content: tie
+            ("x2", "totally unrelated corpus page"),
+        ],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("n1", "alpha beta gamma delta zeta"),  # near-dup of x1/x9
+            ("n2", "totally unrelated corpus page"),  # exact dup of x2
+            ("n3", "nothing in common with anything here at all"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup_incremental_report(
+            new, corpus, k=3, threshold=0.3
+        ).collect()
+    }
+    assert got["n2"].match_kind == "exact" and got["n2"].best_corpus_id == "x2"
+    assert got["n1"].match_kind == "near"
+    assert got["n1"].best_corpus_id == "x1"  # tie x1/x9 -> min string id
+    assert 0.0 < got["n1"].jaccard < 1.0
+    assert "n3" not in got
+
+
 def test_oov_rate_against_vocab(spark):
     from platform_spark.llmdata.sampling import oov_rate
 
@@ -2788,6 +2885,25 @@ def test_heavy_hitters_by_group_equals_per_group_brute(spark):
     for g in ("en", "de", "fr"):
         c = next(c for (gg, t, c) in expect if gg == g and t == f"{g}_hot")
         assert one[(g, f"{g}_hot")] == round(c / totals[g], 6)
+
+
+def test_heavy_hitters_by_group_nonstring_group(spark):
+    """An int group column must keep its type end to end: the old
+    hard-coded `grp string` sketch schema made the exact-verify semi-join
+    compare stringified keys against the int column, risking dropped
+    candidates and a broken exact-recall guarantee."""
+    from pyspark.sql.types import IntegerType
+
+    from platform_spark.llmdata.sketches import heavy_hitters_by_group
+
+    rows = [(g, "the the the cat") for g in (1, 2) for _ in range(3)] + [(1, "dog")]
+    df = spark.createDataFrame(rows, "grp_id int, text string")
+    out = heavy_hitters_by_group(df, "grp_id", phi_num=1, phi_den=4)
+    assert isinstance(out.schema["grp_id"].dataType, IntegerType)
+    got = {(r.grp_id, r.token): r.n_occurrences for r in out.collect()}
+    # brute-force: g1 has the:9 cat:3 dog:1 of 13 (only `the` >= 13/4);
+    # g2 has the:9 cat:3 of 12 (both meet 12/4)
+    assert got == {(1, "the"): 9, (2, "the"): 9, (2, "cat"): 3}
 
 
 def test_calibrate_scores_approx_mode_close_to_exact(spark):
