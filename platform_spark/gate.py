@@ -5633,7 +5633,7 @@ _TAIL_SUBSETS = [
     # replays tail gates at sf0.001) would always fail.
     "analytics_asof_join",         # union-window last_value(ignorenulls) over one key-partitioned ordered window ⊂ analytics_sessionize's lag/cumsum window machinery (tail twin whose oracle IS head streaming_sessionize's) + llm_pack_sequences' cumsum window (head); tolerance/tie semantics pytest (test_llmdata asof specs)
     "streaming_log_compact",       # per-key keep-latest compaction: the availableNow bounded-state machinery is head-pinned by streaming_dedup_content / streaming_sessionize / streaming_curate_twin (full-oracle stream twins); the keep-latest max_by shape ⊂ llm_dedup_keep_longest (tail twin); compaction lifecycle pytest (test_streaming)
-    "streaming_within_join",       # stream-stream WITHIN join: bounded-state availableNow machinery ⊂ the three head stream twins above; the WITHIN band condition is head-pinned by kafsql_join_inner (J4); batch-twin equality + state-bound asserts pytest (test_streaming)
+    "llm_dedup_clusters_fast",     # exact-collapse → rep-graph → min-label-prop → expand: _cluster_rep_graph (clusters.py:123-154) runs VERBATIM inside head llm_embedding_clusters_fast (both gates call it; only the rep-graph source differs), the ngram rep-graph source's inverted-index core is head-pinned by llm_dedup_ngram_jaccard and its derivation oracle tail-replayed by llm_ngram_rep_pairs, and the collapse-vs-pairwise equality stays head-pinned by llm_dedup_clusters; full oracle replayed in pytest
     "llm_ann_sq_topk",             # int8 per-dim quantize screen + exact rerank ⊂ llm_ann_pq_topk (tail twin) / llm_ann_ivfpq_topk (head): the same screen/rerank recipe with the quantizer generalized from scalar min/max to subspace codebooks; SF-agnostic full oracle replayed in pytest
     "llm_ann_pq_topk",             # pinned-codebook ADC screen + exact rerank ⊂ llm_ann_ivfpq_topk (head): the IVFPQ oracle composes this gate's PQ CTEs verbatim on top of the IVF bucket CTEs, so the whole PQ path (assignment argmin, dequantize, screen, rerank) stays head-exercised; SF-agnostic full oracle (codebook is a constant on both sides) replayed in pytest
     "kafsql_tail",                 # TAIL's (_partition, _offset) top-n runs the same TakeOrderedAndProject physical path as kafsql_orderby_topk (head); TAIL parse + emit-order semantics pytest (test_parser/test_compiler)
