@@ -3640,10 +3640,18 @@ def _semantic_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination(emb, bench, threshold=0.35)
 
 
-def semantic_decontam_vec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_decontam_vec_probe(
+    spark: SparkSession, sf_dir: str, bench_limit: int | None = None
+) -> DataFrame:
     """The Arrow-vectorized twin of the gate query — the 100 TB scale
     mode. ONE definition shared by bench.py and tools/scale_rehearsal.py
-    so both tools measure the same workload under the same key."""
+    so both tools measure the same workload under the same key.
+
+    ``bench_limit`` caps the eval set to a FIXED size (rehearsal mode):
+    real decontamination probes a benchmark whose size does not grow with
+    the corpus, so the scale question is corpus-scan linearity at
+    constant bench — without the cap, gen_scale fixtures grow rows AND
+    bench together and the work model is quadratic by fixture design."""
     from pyspark.sql import functions as F
 
     from platform_spark.llmdata.decontam import semantic_contamination
@@ -3652,6 +3660,8 @@ def semantic_decontam_vec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.filter(F.col("vec_id") % 41 == 0).select(
         F.col("vec_id").alias("bench_id"), "embedding"
     )
+    if bench_limit is not None:
+        bench = bench.orderBy("bench_id").limit(bench_limit)
     return semantic_contamination(emb, bench, threshold=0.35, vectorized=True)
 
 

@@ -386,10 +386,9 @@ def _segment_identity(path: str) -> tuple[str, int, str]:
 def _decode_partition(iterator, min_offset, max_offset, skip_corrupt=False):
     import pandas as pd
 
-    from datetime import datetime, timezone
-
     for pdf in iterator:
         out: dict[str, list] = {k: [] for k in KFS_SCHEMA.fieldNames()}
+        ts_ms: list[int] = []  # vectorized datetime conversion at the end
         for path, content in zip(pdf["path"], pdf["content"]):
             topic, partition, suffix = _segment_identity(str(path))
             data = bytes(content)
@@ -407,30 +406,37 @@ def _decode_partition(iterator, min_offset, max_offset, skip_corrupt=False):
                 out["_topic"].append(topic)
                 out["_partition"].append(partition)
                 out["_offset"].append(rec["offset"])
-                out["_ts"].append(
-                    datetime.fromtimestamp(rec["ts_ms"] / 1000.0, tz=timezone.utc)
-                    .replace(tzinfo=None)
-                )
+                ts_ms.append(rec["ts_ms"])
                 out["_key"].append(rec["key"])
                 out["_value"].append(rec["value"])
+                headers = rec["headers"]
+                # "{}" shortcut: headerless records (the common case) skip
+                # a per-record json.dumps in the 10M-row hot loop
                 out["_headers"].append(
-                    json.dumps(
+                    "{}"
+                    if not headers
+                    else json.dumps(
                         {
                             k: (v.decode("utf-8", "replace") if v is not None else None)
-                            for k, v in rec["headers"]
+                            for k, v in headers
                         },
                         separators=(",", ":"),
                     )
                 )
                 out["_segment"].append(suffix)
         # explicit dtypes: an all-pruned batch yields empty lists, which
-        # would otherwise infer float64 and break the Arrow timestamp cast
+        # would otherwise infer float64 and break the Arrow timestamp cast.
+        # _ts converts in ONE vectorized int64->datetime64 cast instead of
+        # two python datetime objects per record (the old per-row
+        # fromtimestamp/replace pair dominated the decode profile).
         yield pd.DataFrame(
             {
                 "_topic": pd.Series(out["_topic"], dtype="object"),
                 "_partition": pd.Series(out["_partition"], dtype="int32"),
                 "_offset": pd.Series(out["_offset"], dtype="int64"),
-                "_ts": pd.Series(out["_ts"], dtype="datetime64[us]"),
+                "_ts": pd.Series(ts_ms, dtype="int64")
+                .astype("datetime64[ms]")
+                .astype("datetime64[us]"),
                 "_key": pd.Series(out["_key"], dtype="object"),
                 "_value": pd.Series(out["_value"], dtype="object"),
                 "_headers": pd.Series(out["_headers"], dtype="object"),

@@ -47,7 +47,13 @@ HEAVY = [
     "llm_embedding_clusters_fast",
     "llm_minhash_lsh_pairs",
     "llm_minhash_rep_pairs",
-    "llm_simhash_pairs",
+    # the simhash DELIVERABLE at scale is the rep leg: the full-pair leg is
+    # already computed rep-first (expand_pairs over simhash_rep_graph) but
+    # its OUTPUT is quadratic in copy counts by definition (gen_scale = N
+    # identical copies -> C(N,2) expanded rows per dup content; 108.5 s at
+    # sf10 in r6 vs 5.5 s for the rep leg), so rehearsing it measures the
+    # fixture's output size, not the machinery. The expansion-equality
+    # oracle (llm_simhash_pairs, full DuckDB pair list) stays pytest-checked.
     "llm_simhash_rep_pairs",
     "llm_ann_ivf_kmeans",
     "llm_duplicate_spans",
@@ -55,7 +61,10 @@ HEAVY = [
     "llm_winnow_fingerprints",
     "llm_lang_id_multi",
     "llm_strip_html",
-    "kfs_segment_roundtrip",
+    # kfs measured as explicit write/read legs below, NOT via the
+    # kfs_segment_roundtrip gate: the gate caches its export write-once,
+    # so its wall silently flips between write+read (cold cache, r6's
+    # 55.9 s) and read-only depending on scratch state
     "llm_tfidf_keywords",
     "llm_decontaminate",
     "analytics_q21_waiting_suppliers",
@@ -218,20 +227,55 @@ def main() -> None:
         timings["ingest_topics"] = round(ingest, 3)
         result["ingest_rows_per_sec"] = round(n_rows / max(ingest, 1e-9))
 
+    def cleanup() -> None:
+        """Clean-slate session state between timed ops: localCheckpoint
+        blocks (clusters/sketch ops) are only released when the driver
+        GCs, and with a 48g rehearsal heap full GCs are rare — without
+        this, retained blocks squeeze execution memory and a late 6 s
+        aggregate measures as 30+ s of spill (observed on q1 in the first
+        r8 runs)."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     for name in args.queries:
         fn, _oracle = GATE[name]
         t0 = time.time()
         force(fn(spark, args.sf_dir))
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]} s", flush=True)
+        cleanup()
+
+    # kfs segment legs, timed separately and always from a cold scratch
+    # dir so the record is reproducible (the roundtrip gate's write-once
+    # cache made r6's number write+read on the first run, read-only after)
+    from platform_spark import kfs as _kfs
+
+    ev = TopicCatalog(spark, args.sf_dir).topic(
+        "events", with_schema_columns=False
+    )
+    kroot = os.path.join(scratch, "kfs_rehearsal")
+    shutil.rmtree(kroot, ignore_errors=True)
+    t0 = time.time()
+    _kfs.write_kfs(ev, kroot, "events", segment_rows=1000).collect()
+    timings["kfs_write_segments"] = round(time.time() - t0, 3)
+    print(f"kfs_write_segments: {timings['kfs_write_segments']} s", flush=True)
+    cleanup()
+    t0 = time.time()
+    force(_kfs.read_kfs(spark, kroot, "events"))
+    timings["kfs_read_segments"] = round(time.time() - t0, 3)
+    print(f"kfs_read_segments: {timings['kfs_read_segments']} s", flush=True)
+    cleanup()
 
     # semantic decontam at rehearsal scale runs the VECTORIZED probe (the
     # expression mode is the oracle reference and interpreted-HOF-bound:
     # at sf10 its 200k x ~4.9k pair fold would dominate the whole run)
+    # against a FIXED-size eval set: without the cap, gen_scale grows the
+    # %41 bench with the corpus and the r8 first run measured a by-design
+    # quadratic (rows x bench = 100x work at 10x copies, 216 s)
     from platform_spark.gate import semantic_decontam_vec_probe
 
     t0 = time.time()
-    force(semantic_decontam_vec_probe(spark, args.sf_dir))
+    force(semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=4096))
     timings["llm_semantic_decontam_vec"] = round(time.time() - t0, 3)
     print(f"llm_semantic_decontam_vec: {timings['llm_semantic_decontam_vec']} s", flush=True)
 
@@ -246,6 +290,21 @@ def main() -> None:
             if k in ref and ref[k] > 0.05
         }
         result["copies_vs_ref"] = args.copies
+        # the assertion commit messages must not be able to drift from:
+        # any wall growing meaningfully faster than the row multiple
+        # (>1.25x headroom — a perfectly linear op measures ratio ~= copies
+        # +- run noise, so the bare multiple would flag noise) is
+        # super-linear and gets named in the artifact (empty = linear-ish)
+        result["super_linear"] = sorted(
+            k
+            for k, v in result["linearity_vs_ref"].items()
+            if v > 1.25 * max(args.copies, 1.0)
+        )
+        if result["super_linear"]:
+            print(
+                f"SUPER-LINEAR at {args.copies}x rows: {result['super_linear']}",
+                file=sys.stderr,
+            )
 
     result["total_sec"] = round(sum(timings.values()), 2)
     with open(args.out, "w") as f:
