@@ -59,6 +59,13 @@ def main() -> int:
         help="use a bare SparkSession (no engine confs) — replicates the "
         "driver exactly; the engine must self-configure the session",
     )
+    ap.add_argument(
+        "--json-out",
+        help="also write a CORRECTNESS-style JSON record (per-gate "
+        "rows/schema/hash match verdicts) — the round-end local snapshot "
+        "that keeps round-over-round comparisons alive when the driver's "
+        "own artifacts go missing",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -90,10 +97,12 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failed = []
+    record: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             print(f"!! unknown query {name}")
             failed.append(name)
+            record[name] = {"error": "unknown query"}
             continue
         t0 = time.time()
         try:
@@ -101,19 +110,32 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"error": f"spark: {e}"[:300]}
             continue
         n_s, c_s, h_s = canon(sdf)
         if name not in oracles:
             print(f"SKIP-ORACLE {name}: rows={n_s} (rows-only check)")
+            record[name] = {"rows": n_s, "rows_only": True}
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            record[name] = {"error": f"duckdb: {e}"[:300]}
             continue
         n_d, c_d, h_d = canon(ddf)
         ok = (n_s, c_s, h_s) == (n_d, c_d, h_d)
+        record[name] = {
+            "rows_match": n_s == n_d,
+            "schema_match": c_s == c_d,
+            "hash_match": h_s == h_d,
+            "spark_rows": n_s,
+            "duck_rows": n_d,
+            "spark_hash": h_s,
+            "duck_hash": h_d,
+            "sec": round(time.time() - t0, 2),
+        }
         status = "ok  " if ok else "FAIL"
         print(
             f"{status} {name}: spark(rows={n_s},hash={h_s}) duck(rows={n_d},hash={h_d}) "
@@ -129,6 +151,22 @@ def main() -> int:
                 print("--- duck ---")
                 print(ddf.head(8).to_string())
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_gates": len(names),
+                    "n_failed": len(failed),
+                    "failed": sorted(failed),
+                    "gates": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json_out}")
     return 1 if failed else 0
 
 
