@@ -2643,8 +2643,13 @@ def test_mix_temperature_isqrt_weight_is_exact(spark):
 
     from platform_spark.llmdata.sampling import _with_exact_sqrt_weight
 
-    # first three: float-floor diverges from exact isqrt; rest: smooth cases
+    import random
+
+    # first three: float-floor diverges from exact isqrt; rest: smooth
+    # cases; plus a seeded random sweep across the full guarded domain
     ns = [9458861055077, 19538665129032, 26179540766523, 1, 2, 999, 10**9]
+    rng = random.Random(8)
+    ns += sorted({rng.randrange(1, 1 << 46) for _ in range(300)} - set(ns))
     assert any(
         math.floor(math.sqrt(n) * 1e6) != math.isqrt(n * 10**12) for n in ns
     )
