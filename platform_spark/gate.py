@@ -5706,7 +5706,7 @@ _TAIL_SUBSETS = [
     "analytics_percentiles",       # exact percentile_cont parity, stable since r2; plain spark_sql agg path ⊂ q1/q18 shapes, tail pytest-checked
     "llm_collapse_repeats",        # single array-lambda expression, dedicated spec pytest; machinery ⊂ llm_chunk_documents (array transform) + llm_repetition_metrics
     "llm_quality_rules_rowwise",   # twin of llm_quality_rules (head) — identical output/oracle; equality also pytest-pinned
-    "llm_dedup_exact",             # one hash-agg ⊂ llm_dedup_clusters_fast (exact-collapse on the same content hash) + llm_dedup_normalized (tail twin)
+    "llm_dedup_exact",             # one hash-agg ⊂ llm_dedup_ngram_jaccard (HEAD: exact-collapse on the same content hash) + llm_dedup_clusters (HEAD: collapse equality) + llm_dedup_normalized (tail twin)
     "llm_materialize_packs",       # ordered string_agg over llm_pack_sequences' bin expression (head checks the bin math; concat order pytest-pinned)
     "llm_token_frequencies",       # per-token count/doc-count agg ⊂ llm_tfidf_keywords tf/df stages (head) + llm_corpus_stats distinct agg (head)
     "llm_unigram_logprob",         # frequency-join + per-doc decimal-exact mean ⊂ llm_tfidf_keywords (tf/df join + smoothed log scoring, head)

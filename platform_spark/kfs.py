@@ -387,8 +387,13 @@ def _decode_partition(iterator, min_offset, max_offset, skip_corrupt=False):
     import pandas as pd
 
     for pdf in iterator:
-        out: dict[str, list] = {k: [] for k in KFS_SCHEMA.fieldNames()}
-        ts_ms: list[int] = []  # vectorized datetime conversion at the end
+        # _ts is carried separately as int64 ms (ts_ms) for one vectorized
+        # datetime64 cast at the end — it must NOT get a list here, or an
+        # append to it would be silently ignored by the frame construction.
+        out: dict[str, list] = {
+            k: [] for k in KFS_SCHEMA.fieldNames() if k != "_ts"
+        }
+        ts_ms: list[int] = []
         for path, content in zip(pdf["path"], pdf["content"]):
             topic, partition, suffix = _segment_identity(str(path))
             data = bytes(content)

@@ -775,10 +775,9 @@ def dedup_by_url(
     nul = (
         nul.withColumnRenamed("__cu", canonical_col) if keep_cu else nul.drop("__cu")
     )
-    # keeper order: highest prefer, then SMALLEST id. The id is never
-    # negated (arithmetic on a string id silently casts to NULL under
-    # non-ANSI Spark and flips the keeper to the LARGEST id); instead the
-    # numeric-by-contract prefer column is negated and MIN picks the rest.
+    # keeper order: highest prefer (NULL prefer loses), then SMALLEST id —
+    # keeper_rank encodes both the never-negate-the-id and the
+    # NULL-score-loses rules (see its docstring).
     if prefer_col is not None:
         from pyspark.sql.types import NumericType
 
@@ -788,8 +787,10 @@ def dedup_by_url(
                 f"(got {canon.schema[prefer_col].dataType.simpleString()}); "
                 "the keeper order negates it"
             )
+    from platform_spark.llmdata.dedup import keeper_rank
+
     rank = (
-        F.struct((-F.col(prefer_col)).alias("np"), F.col(id_col).alias("i"))
+        keeper_rank(F.col(prefer_col), F.col(id_col))
         if prefer_col
         else F.struct(F.col(id_col).alias("i"))
     )

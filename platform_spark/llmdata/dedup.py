@@ -35,6 +35,26 @@ def md5_int(col: Column, seed: str = "", hex_digits: int = 15) -> Column:
     ).cast("bigint")
 
 
+def keeper_rank(score: Column, ident: Column) -> Column:
+    """Null-safe ordering struct for MIN-based keeper selection: highest
+    score wins, a NULL score always LOSES, ties → smallest id.
+
+    Two traps this encodes (both shipped as bugs at least once):
+    - the id is never negated — arithmetic on a string id silently casts
+      to NULL under non-ANSI Spark and flips the keeper to the LARGEST id;
+      the numeric-by-contract score is negated instead, and MIN picks.
+    - a bare negated NULL score sorts FIRST under struct MIN (NULL fields
+      compare smallest), which would let an unscored row beat every scored
+      one; the leading is-null flag (false < true) keeps unscored rows
+      last. Groups that are entirely unscored fall through to min-id.
+    """
+    return F.struct(
+        score.isNull().alias("m"),
+        (-score).alias("ns"),
+        ident.alias("i"),
+    )
+
+
 # -- exact ------------------------------------------------------------------
 
 
@@ -1542,10 +1562,11 @@ def dedup_keep_best(
     normalized: bool = False,
 ) -> DataFrame:
     """Exact dedup with a QUALITY keeper policy: within each duplicate
-    group, keep the row with the highest score (ties → min id) instead of
-    blindly the min id — the standard curation move of keeping the
-    longest/cleanest copy of near-identical pages. One hash aggregate
-    (max_by on a (score, -id) struct), same scale shape as exact_dedup.
+    group, keep the row with the highest score (ties → min id, NULL score
+    loses) instead of blindly the min id — the standard curation move of
+    keeping the longest/cleanest copy of near-identical pages. One hash
+    aggregate (min_by on a keeper_rank struct), same scale shape as
+    exact_dedup.
 
     `normalized=True` groups on the normalization fingerprint
     (lowercase/punct-strip/whitespace-collapse) instead of raw md5.
@@ -1570,13 +1591,10 @@ def dedup_keep_best(
             f"(got {staged.schema['__score'].dataType.simpleString()}); "
             "the keeper order negates it"
         )
-    # order: highest score, then SMALLEST id — negate the numeric score,
-    # never the id (string ids would NULL out under non-ANSI arithmetic
-    # and silently flip the keeper to the largest id)
     return staged.groupBy("content_hash").agg(
         F.min_by(
             F.col("__id"),
-            F.struct((-F.col("__score")).alias("ns"), F.col("__id").alias("i")),
+            keeper_rank(F.col("__score"), F.col("__id")),
         ).alias("keeper"),
         F.max("__score").alias("keeper_score"),
         F.count("*").alias("n_copies"),

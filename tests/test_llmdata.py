@@ -2264,6 +2264,45 @@ def test_keeper_policies_string_ids(spark):
         D.dedup_keep_best(dup, F.col("doc_id"))
 
 
+def test_keeper_policies_null_scores(spark):
+    """A NULL score must LOSE the keeper tiebreak. The naive min-of-
+    (-score, id) struct ranks a negated NULL smallest (NULL struct fields
+    compare first), silently crowning the UNSCORED copy; keeper_rank's
+    leading is-null flag keeps scored rows ahead. All-NULL groups fall
+    through to min id."""
+    from platform_spark.llmdata.cleaning import dedup_by_url
+
+    dup = spark.createDataFrame(
+        [
+            ("a", "same text", None),
+            ("c", "same text", 9),   # only scored copy -> keeper
+            ("b", "same text", 5),
+            ("n2", "all null", None),
+            ("n1", "all null", None),  # all-NULL group -> min id
+        ],
+        "doc_id string, text string, score long",
+    )
+    out = {
+        r.keeper: r
+        for r in D.dedup_keep_best(dup, F.col("score")).collect()
+    }
+    assert set(out) == {"c", "n1"}
+    assert out["c"].keeper_score == 9
+    assert out["n1"].keeper_score is None
+
+    urls = spark.createDataFrame(
+        [
+            ("a", "http://x.com/", None),
+            ("b", "http://x.com/", 9),
+            ("n2", "http://y.com/", None),
+            ("n1", "http://y.com/", None),
+        ],
+        "doc_id string, url string, score long",
+    )
+    kept = {r.doc_id for r in dedup_by_url(urls, prefer_col="score").collect()}
+    assert kept == {"b", "n1"}
+
+
 def test_dedup_incremental_string_ids(spark):
     """best_corpus_id must come through intact (and tie to the SMALLEST
     corpus id) when doc ids are strings — the old negation tiebreak
