@@ -5202,6 +5202,70 @@ FROM t_events WHERE _offset >= 100 AND _offset <= 180"""
 )
 
 
+# Iceberg v2 commit/scan round-trip (pure-Python table format) --------------
+
+
+def _ensure_iceberg_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scratch Iceberg table from `documents`: THREE append
+    snapshots (doc_id % 3 buckets) with a widening add-column evolution on
+    the last commit, identity-partitioned by lang — the reference sink's
+    create-then-append-per-batch surface (iceberg.go:146-204, 330-384)
+    exercised end-to-end through real metadata JSON + Avro manifests."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import IcebergTable, append_dataframe
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ver = hashlib.md5(
+        b"".join(
+            open(os.path.join(here, "iceberg", f), "rb").read()
+            for f in ("avro.py", "table.py")
+        )
+    ).hexdigest()[:8]
+    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs_{ver}")
+    done = os.path.join(loc, "_GATE_SUCCESS")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(loc, docs.schema, partition_by=("lang",), clock=clock)
+        append_dataframe(table, docs.filter(F.col("doc_id") % 3 == 0))
+        append_dataframe(table, docs.filter(F.col("doc_id") % 3 == 1))
+        append_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 3 == 2).withColumn(
+                "quality", F.col("n_chars") * F.lit(2)
+            ),
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_table(spark, sf_dir)
+    table = IcebergTable.load(loc)
+    return table.to_spark(spark)
+
+
+# The oracle recomputes the table's logical content straight from the
+# source parquet: a hash match proves the metadata layer (snapshots →
+# manifest list → manifests → data files, plus the add-column evolution
+# reading old files as NULL) plans EXACTLY the right files and rows.
+_add(
+    "iceberg_commit_scan",
+    _iceberg_gate,
+    """
+SELECT doc_id, lang, source, n_chars,
+  CASE WHEN doc_id % 3 = 2 THEN n_chars * 2 END AS quality
+FROM documents
+""",
+)
+
+
 # Exact heavy hitters: Misra-Gries screen + exact verify ---------------------
 
 
@@ -5653,6 +5717,7 @@ _TAIL_SUBSETS = [
     "llm_duplicate_spans",         # metrics leg ⊂ llm_remove_dup_spans (head): same _positional_spans tokenize/hash/occ-count/join machinery, removal gate adds coverage+rebuild on top; cross-doc/first-pos extras pytest-replayed
     "analytics_q16_parts_supplier",  # NOT-IN anti join ⊂ q21 LeftAnti (head) + q22 anti (tail, pytest); COUNT DISTINCT ⊂ llm_corpus_stats two-level distinct agg (head); partsupp derivation invariants pinned in test_partsupp_view_invariants
     "analytics_q2_min_cost_supplier",  # correlated-MIN scalar subquery ⊂ q20's correlated-SUM nested-IN shape (head) + q17's correlated scalar-avg (tail, pytest; de-correlation plan-asserted in test_plans)
+    "analytics_q11_important_stock",   # 4-table join + group agg ⊂ q5/q8 (head multi-join aggs); the HAVING-vs-global-scalar-agg threshold is the UNCORRELATED special case of q20's correlated-SUM threshold (head) and q22's scalar-avg subquery (tail); DECIMAL(38,9)-exact sum ⊂ q1/kafsql_agg_json_sum (head); full oracle replayed in pytest
     "analytics_q7_nation_trade",   # nation-pair disjunctive join filter ⊂ q19 OR-of-conjuncts (tail, pytest) over q8's dim-broadcast join fan (head) + per-year CASE agg ⊂ q8's CASE-ratio
     "llm_dedup_lines",             # line-granularity twin of llm_remove_dup_spans (head): same count-duplicates → join-back → drop → in-order rebuild shape (posexplode lines vs positional spans); line rules pytest
     "llm_chunk_documents",         # pure array-expression row expansion (sequence+transform+explode) ⊂ llm_remove_dup_spans' positional array machinery (head); zero-exchange plan pinned in test_plans, reconstruction/overlap invariants pytest

@@ -1,0 +1,918 @@
+"""Pure-Python Apache Iceberg v2 table format: create / append / scan.
+
+The reference's iceberg-processor commits topic batches to an Iceberg
+catalog through iceberg-go (internal/sink/iceberg.go:146-204 append with
+retry-on-conflict, 330-384 create-if-missing, 855-884 widening-only
+schema evolution). This container has no Iceberg runtime (no jar, no
+pyiceberg, no avro lib), so this module implements the TABLE FORMAT
+itself from the public spec (https://iceberg.apache.org/spec/), the same
+way kfs.py implements the ``.kfs`` segment format:
+
+- table metadata: ``metadata/v{N}.metadata.json`` + ``version-hint.text``
+  (HadoopTables layout), format-version 2, schemas with field-ids,
+  identity partition specs, snapshot log, metadata log;
+- manifests and manifest lists: real Avro container files (avro.py) with
+  the spec's field-id-annotated schemas, sequence-number inheritance, and
+  per-file partition values + column bounds (single-value serialization);
+- commits: optimistic concurrency via exclusive-create of the next
+  metadata version — conflict → refresh → rebuild → retry, mirroring the
+  reference's isCommitConflict/reload loop (iceberg.go:183-195);
+- scans: snapshot → manifest list → manifests → live data files, with
+  identity-partition pruning against manifest partition summaries and
+  entry partition values; time travel by snapshot id.
+
+Append-only (content=DATA, status ADDED/EXISTING), matching the
+reference sink's surface. Scope: identity partition transforms; flat,
+list, struct, and map column types.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+from platform_spark.iceberg import avro
+
+# -- Spark <-> Iceberg schema -----------------------------------------------
+
+_PRIMS = {  # Spark typeName() -> Iceberg primitive
+    "boolean": "boolean",
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+_PRIMS_BACK = {
+    "boolean": "boolean", "int": "integer", "long": "long", "float": "float",
+    "double": "double", "string": "string", "binary": "binary", "date": "date",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+}
+
+
+class _IdGen:
+    def __init__(self, start: int = 0) -> None:
+        self.last = start
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _field_type(dt, ids: _IdGen):
+    tn = dt.typeName()
+    if tn in _PRIMS:
+        return _PRIMS[tn]
+    if tn == "decimal":
+        return f"decimal({dt.precision}, {dt.scale})"
+    if tn == "array":
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _field_type(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if tn == "struct":
+        return {"type": "struct", "fields": _struct_fields(dt, ids)}
+    if tn == "map":
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _field_type(dt.keyType, ids),
+            "value-id": vid,
+            "value": _field_type(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    raise ValueError(f"iceberg: unsupported Spark type {dt.simpleString()}")
+
+
+def _struct_fields(schema, ids: _IdGen) -> list[dict]:
+    out = []
+    for f in schema.fields:
+        fid = ids.next()  # parent ids assigned before nested ids
+        out.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _field_type(f.dataType, ids),
+            }
+        )
+    return out
+
+
+def schema_to_iceberg(spark_schema, schema_id: int = 0) -> dict:
+    ids = _IdGen()
+    fields = _struct_fields(spark_schema, ids)
+    return {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": fields,
+        "_last_column_id": ids.last,  # stripped before serialization
+    }
+
+
+def _spark_type(t):
+    from pyspark.sql import types as T
+
+    if isinstance(t, str):
+        if t in _PRIMS_BACK:
+            return getattr(
+                T,
+                {
+                    "boolean": "BooleanType",
+                    "integer": "IntegerType",
+                    "long": "LongType",
+                    "float": "FloatType",
+                    "double": "DoubleType",
+                    "string": "StringType",
+                    "binary": "BinaryType",
+                    "date": "DateType",
+                    "timestamp": "TimestampType",
+                    "timestamp_ntz": "TimestampNTZType",
+                }[_PRIMS_BACK[t]],
+            )()  # note timestamptz -> TimestampType (session-tz semantics)
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        raise ValueError(f"iceberg: unknown type {t!r}")
+    if t["type"] == "list":
+        return T.ArrayType(_spark_type(t["element"]), not t["element-required"])
+    if t["type"] == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+                for f in t["fields"]
+            ]
+        )
+    if t["type"] == "map":
+        return T.MapType(
+            _spark_type(t["key"]), _spark_type(t["value"]), not t["value-required"]
+        )
+    raise ValueError(f"iceberg: unknown type {t!r}")
+
+
+def schema_to_spark(ice_schema: dict):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+            for f in ice_schema["fields"]
+        ]
+    )
+
+
+# -- single-value serialization (spec "Binary single-value serialization") --
+
+
+def serialize_bound(ice_type: str, value) -> bytes | None:
+    import datetime
+
+    if value is None or not isinstance(ice_type, str):
+        return None
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(value))
+        if ice_type == "long":
+            return struct.pack("<q", int(value))
+        if ice_type == "float":
+            return struct.pack("<f", float(value))
+        if ice_type == "double":
+            return struct.pack("<d", float(value))
+        if ice_type == "string":
+            return str(value).encode("utf-8")
+        if ice_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if ice_type == "date":
+            if isinstance(value, datetime.date):
+                return struct.pack("<i", (value - datetime.date(1970, 1, 1)).days)
+            return struct.pack("<i", int(value))
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(value, datetime.datetime):
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
+                )
+                return struct.pack(
+                    "<q", int((value - epoch).total_seconds() * 1_000_000)
+                )
+            return struct.pack("<q", int(value))
+    except (ValueError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def deserialize_bound(ice_type: str, raw: bytes):
+    if raw is None:
+        return None
+    if ice_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "boolean":
+        return raw == b"\x01"
+    if ice_type in ("date", "timestamp", "timestamptz"):
+        fmt = "<i" if ice_type == "date" else "<q"
+        return struct.unpack(fmt, raw)[0]
+    return raw
+
+
+# -- avro schemas for manifests (spec "Manifests" / "Manifest Lists") -------
+
+
+def _opt(t):  # nullable union, spec default null
+    return ["null", t]
+
+
+def _kv_map_schema(name: str, key_id: int, value_id: int, value_type):
+    """Iceberg's array-of-(key,value)-records encoding for non-string-key
+    maps (logicalType "map")."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _partition_avro_fields(spec_fields: list[dict], ice_schema: dict) -> list[dict]:
+    types = {f["id"]: f["type"] for f in ice_schema["fields"]}
+    avro_types = {
+        "int": "int", "long": "long", "string": "string", "double": "double",
+        "float": "float", "boolean": "boolean", "date": "int",
+        "timestamp": "long", "timestamptz": "long",
+    }
+    out = []
+    for pf in spec_fields:
+        src = types.get(pf["source-id"], "string")
+        out.append(
+            {
+                "name": pf["name"],
+                "type": _opt(avro_types.get(src, "string")),
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return out
+
+
+def manifest_entry_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": _partition_avro_fields(spec_fields, ice_schema),
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "value_counts", "type": _opt(_kv_map_schema("k119_v120", 119, 120, "long")), "default": None, "field-id": 109},
+            {"name": "null_value_counts", "type": _opt(_kv_map_schema("k121_v122", 121, 122, "long")), "default": None, "field-id": 110},
+            {"name": "lower_bounds", "type": _opt(_kv_map_schema("k126_v127", 126, 127, "bytes")), "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": _opt(_kv_map_schema("k129_v130", 129, 130, "bytes")), "default": None, "field-id": 128},
+            {"name": "split_offsets", "type": _opt({"type": "array", "items": "long"}), "default": None, "field-id": 132},
+            {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": _opt("long"), "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": _opt("boolean"), "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": _opt("bytes"), "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": _opt("bytes"), "default": None, "field-id": 511},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions", "type": _opt({"type": "array", "items": FIELD_SUMMARY}), "default": None, "field-id": 507},
+    ],
+}
+
+
+# -- data-file footer stats (runs on executors for large commits) -----------
+
+
+def _collect_file_stats(
+    path: str, ids_by_name: dict[str, int], types_by_id: dict[int, object]
+) -> dict:
+    """record_count / size / per-column counts+bounds from the parquet
+    footer (pyarrow): one footer read per file, no data scan. Module-level
+    and dict-parameterized so it pickles into a Spark map task."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    mins: dict[int, object] = {}
+    maxs: dict[int, object] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            fid = ids_by_name.get(name)
+            if fid is None or "." in col.path_in_schema:
+                continue  # nested leaves: skip stats, keep counts simple
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                if fid not in mins or st.min < mins[fid]:
+                    mins[fid] = st.min
+                if fid not in maxs or st.max > maxs[fid]:
+                    maxs[fid] = st.max
+    as_kv = lambda d: [{"key": k, "value": v} for k, v in sorted(d.items())]
+    lower = [
+        {"key": k, "value": b}
+        for k, v in sorted(mins.items())
+        if (b := serialize_bound(types_by_id[k], v)) is not None
+    ]
+    upper = [
+        {"key": k, "value": b}
+        for k, v in sorted(maxs.items())
+        if (b := serialize_bound(types_by_id[k], v)) is not None
+    ]
+    return {
+        "record_count": meta.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "value_counts": as_kv(value_counts) or None,
+        "null_value_counts": as_kv(null_counts) or None,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+    }
+
+
+# -- the table --------------------------------------------------------------
+
+
+class CommitConflict(Exception):
+    """Another writer committed the metadata version we targeted."""
+
+
+class IcebergTable:
+    """An Iceberg v2 table at a filesystem ``location`` (HadoopTables
+    layout: ``location/metadata/v{N}.metadata.json`` + version-hint)."""
+
+    def __init__(self, location: str, metadata: dict, version: int, clock=time.time):
+        self.location = location.rstrip("/")
+        self.metadata = metadata
+        self.version = version
+        self._clock = clock
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def _meta_dir(location: str) -> str:
+        return os.path.join(location.rstrip("/"), "metadata")
+
+    @classmethod
+    def exists(cls, location: str) -> bool:
+        return os.path.exists(
+            os.path.join(cls._meta_dir(location), "version-hint.text")
+        )
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        spark_schema,
+        partition_by: tuple[str, ...] = (),
+        properties: dict | None = None,
+        clock=time.time,
+    ) -> "IcebergTable":
+        ice = schema_to_iceberg(spark_schema, schema_id=0)
+        last_col = ice.pop("_last_column_id")
+        by_name = {f["name"]: f for f in ice["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            if col not in by_name:
+                raise ValueError(f"iceberg: partition column {col!r} not in schema")
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        now_ms = int(clock() * 1000)
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, location)),
+            "location": location.rstrip("/"),
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [ice],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        table = cls(location, metadata, version=0, clock=clock)
+        os.makedirs(cls._meta_dir(location), exist_ok=True)
+        table._write_version(1, metadata)
+        table.version = 1
+        return table
+
+    @classmethod
+    def load(cls, location: str, clock=time.time) -> "IcebergTable":
+        meta_dir = cls._meta_dir(location)
+        with open(os.path.join(meta_dir, "version-hint.text")) as f:
+            version = int(f.read().strip())
+        # the hint may lag a concurrent commit (it's advisory in the spec):
+        # roll forward to the newest existing version
+        while os.path.exists(os.path.join(meta_dir, f"v{version + 1}.metadata.json")):
+            version += 1
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+            metadata = json.load(f)
+        return cls(location, metadata, version, clock=clock)
+
+    def refresh(self) -> "IcebergTable":
+        fresh = IcebergTable.load(self.location, clock=self._clock)
+        self.metadata, self.version = fresh.metadata, fresh.version
+        return self
+
+    # -- accessors ----------------------------------------------------------
+
+    @property
+    def schema(self) -> dict:
+        sid = self.metadata["current-schema-id"]
+        return next(s for s in self.metadata["schemas"] if s["schema-id"] == sid)
+
+    @property
+    def spark_schema(self):
+        return schema_to_spark(self.schema)
+
+    @property
+    def spec(self) -> dict:
+        sid = self.metadata["default-spec-id"]
+        return next(
+            s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
+        )
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.metadata["current-snapshot-id"]
+        if sid is None or sid == -1:
+            return None
+        return next(s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid)
+
+    def history(self) -> list[dict]:
+        return list(self.metadata["snapshot-log"])
+
+    # -- commit machinery ---------------------------------------------------
+
+    def _write_version(self, version: int, metadata: dict) -> None:
+        """Exclusive-create commit: the rename target existing means a
+        concurrent writer won — the caller refreshes and retries, the
+        HadoopTables analogue of the reference's commit-conflict reload
+        loop (iceberg.go:183-195)."""
+        meta_dir = self._meta_dir(self.location)
+        path = os.path.join(meta_dir, f"v{version}.metadata.json")
+        try:
+            with open(path, "x") as f:
+                json.dump(metadata, f, indent=1)
+        except FileExistsError as e:
+            raise CommitConflict(path) from e
+        with open(os.path.join(meta_dir, "version-hint.text.tmp"), "w") as f:
+            f.write(str(version))
+        os.replace(
+            os.path.join(meta_dir, "version-hint.text.tmp"),
+            os.path.join(meta_dir, "version-hint.text"),
+        )
+
+    def _partition_value_from_path(self, rel_path: str, pf: dict):
+        """Identity partition value from a hive-style path component."""
+        types = {f["id"]: f["type"] for f in self.schema["fields"]}
+        src_type = types.get(pf["source-id"], "string")
+        needle = f"{pf['name']}="
+        for comp in rel_path.split("/"):
+            if comp.startswith(needle):
+                raw = comp[len(needle):]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                if src_type in ("int", "long", "date", "timestamp", "timestamptz"):
+                    return int(raw)
+                if src_type == "double":
+                    return float(raw)
+                if src_type == "boolean":
+                    return raw == "true"
+                return raw
+        return None
+
+    def _file_stats(self, paths: list[str], spark=None) -> dict[str, dict]:
+        """Footer stats for every data file. Small commits stat on the
+        driver; large ones fan the footer reads out as a Spark job so a
+        100k-file commit doesn't serialize through one process (manifest
+        WRITING stays single-writer by design — it's KBs of metadata)."""
+        ids_by_name = {f["name"]: f["id"] for f in self.schema["fields"]}
+        types_by_id = {f["id"]: f["type"] for f in self.schema["fields"]}
+        if spark is not None and len(paths) >= 64:
+            sc = spark.sparkContext
+            stats = (
+                sc.parallelize(paths, max(1, len(paths) // 16))
+                .map(lambda p: (p, _collect_file_stats(p, ids_by_name, types_by_id)))
+                .collect()
+            )
+            return dict(stats)
+        return {p: _collect_file_stats(p, ids_by_name, types_by_id) for p in paths}
+
+    def append_files(self, paths: list[str], spark=None) -> dict:
+        """Commit an append snapshot over already-written parquet files
+        (they should live under ``location/data/``). Returns the new
+        snapshot dict. Retries on commit conflict like the reference's
+        3-attempt loop (iceberg.go:157-195)."""
+        if not paths:
+            raise ValueError("iceberg: empty append")
+        stats = self._file_stats(paths, spark=spark)
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            try:
+                return self._append_once(paths, stats)
+            except CommitConflict as e:
+                last_err = e
+                self.refresh()
+        raise last_err  # type: ignore[misc]
+
+    def _append_once(self, paths: list[str], all_stats: dict[str, dict]) -> dict:
+        meta_dir = self._meta_dir(self.location)
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq  # deterministic snapshot ids (any unique long is valid)
+        spec_fields = self.spec["fields"]
+        entry_schema = manifest_entry_schema(spec_fields, self.schema)
+        entries = []
+        total_rows = 0
+        part_summaries: list[dict] = [
+            {"contains_null": False, "contains_nan": None,
+             "lower_bound": None, "upper_bound": None}
+            for _ in spec_fields
+        ]
+        types = {f["id"]: f["type"] for f in self.schema["fields"]}
+        for path in sorted(paths):
+            rel = os.path.relpath(path, self.location)
+            stats = all_stats[path]
+            total_rows += stats["record_count"]
+            part = {}
+            for i, pf in enumerate(spec_fields):
+                v = self._partition_value_from_path(rel, pf)
+                part[pf["name"]] = v
+                summ = part_summaries[i]
+                if v is None:
+                    summ["contains_null"] = True
+                else:
+                    b = serialize_bound(types.get(pf["source-id"], "string"), v)
+                    for key, cmp in (("lower_bound", min), ("upper_bound", max)):
+                        summ[key] = b if summ[key] is None else cmp(summ[key], b)
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    # null → inherited from the manifest (spec inheritance);
+                    # written explicitly for robustness like iceberg-go
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": os.path.join(self.location, rel),
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                        **stats,
+                    },
+                }
+            )
+        manifest_name = f"m-{snap_id}-{uuid.uuid5(uuid.NAMESPACE_URL, entries[0]['data_file']['file_path'])}.avro"
+        manifest_path = os.path.join(meta_dir, manifest_name)
+        mlen = avro.write_container(
+            manifest_path,
+            entry_schema,
+            entries,
+            metadata={
+                "schema": json.dumps(self.schema),
+                "schema-id": str(self.schema["schema-id"]),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(self.spec["spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": mlen,
+            "partition_spec_id": self.spec["spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": part_summaries if spec_fields else None,
+        }
+        prior = self.current_snapshot()
+        carried: list[dict] = []
+        if prior is not None:
+            _, _, carried = avro.read_container(prior["manifest-list"])
+        mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{self.metadata['table-uuid']}.avro")
+        avro.write_container(
+            mlist_path,
+            MANIFEST_FILE_SCHEMA,
+            [new_manifest] + carried,
+            metadata={"format-version": "2"},
+        )
+        now_ms = int(self._clock() * 1000)
+        snapshot = {
+            "snapshot-id": snap_id,
+            **({"parent-snapshot-id": prior["snapshot-id"]} if prior else {}),
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+            },
+            "schema-id": self.metadata["current-schema-id"],
+        }
+        new_meta = dict(self.metadata)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshots"] = self.metadata["snapshots"] + [snapshot]
+        new_meta["snapshot-log"] = self.metadata["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        ]
+        new_meta["metadata-log"] = self.metadata["metadata-log"] + [
+            {
+                "timestamp-ms": self.metadata["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{self.version}.metadata.json"
+                ),
+            }
+        ]
+        self._write_version(self.version + 1, new_meta)
+        self.metadata = new_meta
+        self.version += 1
+        return snapshot
+
+    def evolve_schema(self, new_spark_schema) -> None:
+        """Widening-only schema evolution (reference iceberg.go:855-884
+        schemaNeedsUpdate/isWidening): new columns append with fresh ids;
+        existing columns keep their ids; narrowing/renames are rejected
+        upstream by evolution_violations."""
+        from platform_spark.streaming.iceberg import evolution_violations
+
+        bad = evolution_violations(self.spark_schema, new_spark_schema)
+        if bad:
+            raise ValueError(
+                "iceberg schema evolution rejected (widening-only): "
+                + "; ".join(bad)
+            )
+        ids = _IdGen(self.metadata["last-column-id"])
+        old_by_name = {f["name"]: f for f in self.schema["fields"]}
+        fields = []
+        for f in new_spark_schema.fields:
+            if f.name in old_by_name:
+                old = dict(old_by_name[f.name])
+                if isinstance(old["type"], str):
+                    new_prim = _PRIMS.get(f.dataType.typeName())
+                    if new_prim and new_prim != old["type"]:
+                        old["type"] = new_prim  # legal widening (checked above)
+                # nested types passed is_widening only if identical — keep
+                # the existing definition so element/key/value ids stay put
+                fields.append(old)
+            else:
+                fields.append(
+                    {
+                        "id": ids.next(),
+                        "name": f.name,
+                        "required": False,  # added columns must be optional
+                        "type": _field_type(f.dataType, ids),
+                    }
+                )
+        if fields == self.schema["fields"]:
+            return  # nullability-only difference: no new schema version
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"] for s in self.metadata["schemas"]) + 1,
+            "fields": fields,
+        }
+        new_meta = dict(self.metadata)
+        new_meta["schemas"] = self.metadata["schemas"] + [new_schema]
+        new_meta["current-schema-id"] = new_schema["schema-id"]
+        new_meta["last-column-id"] = max(ids.last, new_meta["last-column-id"])
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.evolve_schema(new_spark_schema)
+        self.metadata = new_meta
+        self.version += 1
+
+    # -- scans --------------------------------------------------------------
+
+    def scan_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> list[dict]:
+        """Plan a scan: live data-file entries for the snapshot, pruning
+        whole manifests via partition summaries and individual files via
+        their identity partition values — the metadata-only pruning a real
+        Iceberg reader does before touching data."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else next(
+                s
+                for s in self.metadata["snapshots"]
+                if s["snapshot-id"] == snapshot_id
+            )
+        )
+        if snap is None:
+            return []
+        spec_fields = self.spec["fields"]
+        types = {f["id"]: f["type"] for f in self.schema["fields"]}
+        fnames = [pf["name"] for pf in spec_fields]
+        _, _, manifests = avro.read_container(snap["manifest-list"])
+        out: list[dict] = []
+        for mf in manifests:
+            if partition_filter and mf.get("partitions"):
+                skip = False
+                for i, pf in enumerate(spec_fields):
+                    want = partition_filter.get(pf["name"])
+                    if want is None:
+                        continue
+                    summ = mf["partitions"][i]
+                    t = types.get(pf["source-id"], "string")
+                    lo = deserialize_bound(t, summ["lower_bound"])
+                    hi = deserialize_bound(t, summ["upper_bound"])
+                    if lo is not None and hi is not None and not lo <= want <= hi:
+                        skip = True
+                        break
+                if skip:
+                    continue
+            _, mmeta, entries = avro.read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                part = e["data_file"]["partition"]
+                if partition_filter and any(
+                    partition_filter.get(n) is not None
+                    and part.get(n) != partition_filter[n]
+                    for n in fnames
+                ):
+                    continue
+                if e["sequence_number"] is None:  # spec inheritance
+                    e["sequence_number"] = mf["sequence_number"]
+                out.append(e)
+        return out
+
+    def to_spark(
+        self,
+        spark,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ):
+        """Read the table into a DataFrame: metadata-planned file list →
+        one parquet scan (basePath recovers identity partition columns).
+        Schema comes from table metadata, so added-column evolution reads
+        old files with nulls (mergeSchema-free projection)."""
+        entries = self.scan_files(snapshot_id, partition_filter)
+        if not entries:
+            return spark.createDataFrame([], self.spark_schema)
+        files = [e["data_file"]["file_path"] for e in entries]
+        part_cols = {pf["name"] for pf in self.spec["fields"]}
+        read_schema = self.spark_schema
+        reader = spark.read.schema(read_schema)
+        if part_cols:
+            from pyspark.sql import types as T
+
+            reader = spark.read.schema(
+                T.StructType(
+                    [f for f in read_schema.fields if f.name not in part_cols]
+                )
+            ).option("basePath", os.path.join(self.location, "data"))
+        df = reader.parquet(*files)
+        # restore metadata column order; partition columns come back from
+        # path inference, so cast them to the metadata types explicitly
+        from pyspark.sql import functions as F
+
+        by_name = {f.name: f.dataType for f in read_schema.fields}
+        return df.select(
+            *[
+                F.col(f["name"]).cast(by_name[f["name"]]).alias(f["name"])
+                if f["name"] in part_cols
+                else F.col(f["name"])
+                for f in self.schema["fields"]
+            ]
+        )
+
+
+def append_dataframe(table: IcebergTable, df) -> dict:
+    """Write a DataFrame as parquet data files under ``location/data/``
+    and commit them as one append snapshot (the Spark-side half of the
+    reference's Write() path, iceberg.go:146-204). Widening evolution is
+    applied first when the incoming schema adds/widens columns."""
+    if df.schema != table.spark_schema:
+        table.evolve_schema(df.schema)
+    part_cols = [pf["name"] for pf in table.spec["fields"]]
+    data_dir = os.path.join(table.location, "data")
+    before = _list_parquet(data_dir)
+    writer = df.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_dir)
+    new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+    return table.append_files(new_files, spark=df.sparkSession)
+
+
+def _list_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return out

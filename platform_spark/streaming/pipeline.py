@@ -35,6 +35,7 @@ class ContinuousTopicPipeline:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         partition_cols: tuple[str, ...] = ("_partition",),
         iceberg_table: str | None = None,
+        iceberg_location: str | None = None,
         schema_doc: dict | None = None,
     ) -> None:
         self.spark = spark
@@ -63,6 +64,11 @@ class ContinuousTopicPipeline:
         #: sink/iceberg.go:146-204) with widening-only evolution enforced
         #: (iceberg.go:855-884); otherwise the parquet path below
         self.iceberg_table = iceberg_table
+        #: filesystem path for the PURE-PYTHON Iceberg v2 table
+        #: (platform_spark.iceberg): no catalog/jar needed — real metadata
+        #: JSON + Avro manifests, create-if-missing then append-with-retry,
+        #: the same surface the reference sink drives through iceberg-go
+        self.iceberg_location = iceberg_location
 
     def _use_iceberg(self) -> bool:
         from platform_spark.streaming.iceberg import has_iceberg_catalog
@@ -89,6 +95,24 @@ class ContinuousTopicPipeline:
             )
         batch.writeTo(self.iceberg_table).append()
 
+    def _sink_iceberg_fs(self, batch: DataFrame) -> None:
+        """Pure-Python Iceberg sink: create-if-missing, then one append
+        snapshot per micro-batch with widening-only evolution — the
+        reference's Write() flow (iceberg.go:146-204, createTableWithRetry
+        330-384) without a catalog service; commit conflicts retry inside
+        append_files."""
+        from platform_spark.iceberg.table import IcebergTable, append_dataframe
+
+        if IcebergTable.exists(self.iceberg_location):
+            table = IcebergTable.load(self.iceberg_location)
+        else:
+            table = IcebergTable.create(
+                self.iceberg_location,
+                batch.schema,
+                partition_by=self.partition_cols,
+            )
+        append_dataframe(table, batch)
+
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.transform is not None:
             batch = self.transform(batch)
@@ -98,6 +122,9 @@ class ContinuousTopicPipeline:
             )
         if self._use_iceberg():
             self._sink_iceberg(batch)
+            return
+        if self.iceberg_location is not None:
+            self._sink_iceberg_fs(batch)
             return
         # parquet fallback — schema evolution: mergeSchema on write accepts
         # added columns, the add-column subset of the reference's rules

@@ -266,6 +266,37 @@ def main() -> None:
     print(f"kfs_read_segments: {timings['kfs_read_segments']} s", flush=True)
     cleanup()
 
+    # iceberg legs: cold-scratch create+append (3 snapshots, incl. an
+    # add-column evolution) then a metadata-planned scan — same
+    # cold-scratch discipline as the kfs legs above
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import IcebergTable, append_dataframe
+
+    docs = TopicCatalog(spark, args.sf_dir).table("documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    iroot = os.path.join(scratch, "iceberg_rehearsal")
+    shutil.rmtree(iroot, ignore_errors=True)
+    t0 = time.time()
+    itbl = IcebergTable.create(iroot, docs.schema, partition_by=("lang",))
+    append_dataframe(itbl, docs.filter(F.col("doc_id") % 3 == 0))
+    append_dataframe(itbl, docs.filter(F.col("doc_id") % 3 == 1))
+    append_dataframe(
+        itbl,
+        docs.filter(F.col("doc_id") % 3 == 2).withColumn(
+            "quality", F.col("n_chars") * F.lit(2)
+        ),
+    )
+    timings["iceberg_commit"] = round(time.time() - t0, 3)
+    print(f"iceberg_commit: {timings['iceberg_commit']} s", flush=True)
+    cleanup()
+    t0 = time.time()
+    force(itbl.to_spark(spark))
+    timings["iceberg_scan"] = round(time.time() - t0, 3)
+    print(f"iceberg_scan: {timings['iceberg_scan']} s", flush=True)
+    cleanup()
+
     # semantic decontam at rehearsal scale runs the VECTORIZED probe (the
     # expression mode is the oracle reference and interpreted-HOF-bound:
     # at sf10 its 200k x ~4.9k pair fold would dominate the whole run)
