@@ -607,12 +607,12 @@ class IcebergTable:
                 self.refresh()
         raise last_err  # type: ignore[misc]
 
-    def _append_once(self, paths: list[str], all_stats: dict[str, dict]) -> dict:
-        meta_dir = self._meta_dir(self.location)
-        seq = self.metadata["last-sequence-number"] + 1
-        snap_id = seq  # deterministic snapshot ids (any unique long is valid)
+    def _build_entries(
+        self, paths: list[str], all_stats: dict[str, dict], seq: int, snap_id: int
+    ) -> tuple[list[dict], int, list[dict]]:
+        """ADDED manifest entries + total rows + partition summaries for a
+        set of freshly written data files."""
         spec_fields = self.spec["fields"]
-        entry_schema = manifest_entry_schema(spec_fields, self.schema)
         entries = []
         total_rows = 0
         part_summaries: list[dict] = [
@@ -655,11 +655,25 @@ class IcebergTable:
                     },
                 }
             )
-        manifest_name = f"m-{snap_id}-{uuid.uuid5(uuid.NAMESPACE_URL, entries[0]['data_file']['file_path'])}.avro"
-        manifest_path = os.path.join(meta_dir, manifest_name)
+        return entries, total_rows, part_summaries
+
+    def _write_manifest(
+        self,
+        entries: list[dict],
+        seq: int,
+        snap_id: int,
+        part_summaries: list[dict] | None,
+        deleted: bool = False,
+    ) -> dict:
+        """Write one manifest Avro file; return its manifest_file row."""
+        meta_dir = self._meta_dir(self.location)
+        spec_fields = self.spec["fields"]
+        kind = "d" if deleted else "m"
+        name = f"{kind}-{snap_id}-{uuid.uuid5(uuid.NAMESPACE_URL, entries[0]['data_file']['file_path'])}.avro"
+        manifest_path = os.path.join(meta_dir, name)
         mlen = avro.write_container(
             manifest_path,
-            entry_schema,
+            manifest_entry_schema(spec_fields, self.schema),
             entries,
             metadata={
                 "schema": json.dumps(self.schema),
@@ -670,31 +684,41 @@ class IcebergTable:
                 "content": "data",
             },
         )
-        new_manifest = {
+        rows = sum(e["data_file"]["record_count"] for e in entries)
+        return {
             "manifest_path": manifest_path,
             "manifest_length": mlen,
             "partition_spec_id": self.spec["spec-id"],
             "content": 0,
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            "min_sequence_number": min(
+                e["sequence_number"] or seq for e in entries
+            ),
             "added_snapshot_id": snap_id,
-            "added_files_count": len(entries),
+            "added_files_count": 0 if deleted else len(entries),
             "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": total_rows,
+            "deleted_files_count": len(entries) if deleted else 0,
+            "added_rows_count": 0 if deleted else rows,
             "existing_rows_count": 0,
-            "deleted_rows_count": 0,
+            "deleted_rows_count": rows if deleted else 0,
             "partitions": part_summaries if spec_fields else None,
         }
+
+    def _finalize_snapshot(
+        self,
+        manifests: list[dict],
+        operation: str,
+        summary: dict,
+        seq: int,
+        snap_id: int,
+    ) -> dict:
+        meta_dir = self._meta_dir(self.location)
         prior = self.current_snapshot()
-        carried: list[dict] = []
-        if prior is not None:
-            _, _, carried = avro.read_container(prior["manifest-list"])
-        mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{self.metadata['table-uuid']}.avro")
+        mlist_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{self.metadata['table-uuid']}.avro"
+        )
         avro.write_container(
-            mlist_path,
-            MANIFEST_FILE_SCHEMA,
-            [new_manifest] + carried,
+            mlist_path, MANIFEST_FILE_SCHEMA, manifests,
             metadata={"format-version": "2"},
         )
         now_ms = int(self._clock() * 1000)
@@ -704,11 +728,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
-            "summary": {
-                "operation": "append",
-                "added-data-files": str(len(entries)),
-                "added-records": str(total_rows),
-            },
+            "summary": {"operation": operation, **summary},
             "schema-id": self.metadata["current-schema-id"],
         }
         new_meta = dict(self.metadata)
@@ -731,6 +751,167 @@ class IcebergTable:
         self.metadata = new_meta
         self.version += 1
         return snapshot
+
+    def _append_once(self, paths: list[str], all_stats: dict[str, dict]) -> dict:
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq  # deterministic snapshot ids (any unique long is valid)
+        entries, total_rows, part_summaries = self._build_entries(
+            sorted(paths), all_stats, seq, snap_id
+        )
+        new_manifest = self._write_manifest(entries, seq, snap_id, part_summaries)
+        prior = self.current_snapshot()
+        carried: list[dict] = []
+        if prior is not None:
+            _, _, carried = avro.read_container(prior["manifest-list"])
+        return self._finalize_snapshot(
+            [new_manifest] + carried,
+            "append",
+            {
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+            },
+            seq,
+            snap_id,
+        )
+
+    def replace_files(self, new_paths: list[str], spark=None) -> dict:
+        """Whole-table compaction commit: the given freshly-written files
+        REPLACE every currently-live data file. The new manifest list holds
+        one ADDED manifest for the new files and one DELETED manifest
+        recording the replaced files (status=2, original file sequence
+        numbers preserved) — prior snapshots keep their own manifest lists,
+        so time travel still sees the small files until expire_snapshots.
+
+        This is the table-maintenance half a 100 TB deployment needs that
+        the reference's append-only sink doesn't provide: thousands of
+        micro-batch commits/day produce small files; bin-packing them
+        keeps scan planning O(live files), not O(files ever written)."""
+        if not new_paths:
+            raise ValueError("iceberg: empty replace")
+        replaced = self.scan_files()
+        stats = self._file_stats(new_paths, spark=spark)
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            try:
+                return self._replace_once(new_paths, stats, replaced)
+            except CommitConflict as e:
+                last_err = e
+                self.refresh()
+                replaced = self.scan_files()
+        raise last_err  # type: ignore[misc]
+
+    def _replace_once(
+        self, new_paths: list[str], all_stats: dict[str, dict], replaced: list[dict]
+    ) -> dict:
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq
+        entries, total_rows, part_summaries = self._build_entries(
+            sorted(new_paths), all_stats, seq, snap_id
+        )
+        manifests = [self._write_manifest(entries, seq, snap_id, part_summaries)]
+        if replaced:
+            del_entries = [
+                {
+                    "status": 2,  # DELETED at this snapshot
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": e["file_sequence_number"],
+                    "data_file": e["data_file"],
+                }
+                for e in replaced
+            ]
+            manifests.append(
+                self._write_manifest(
+                    del_entries, seq, snap_id, part_summaries, deleted=True
+                )
+            )
+        deleted_rows = sum(e["data_file"]["record_count"] for e in replaced)
+        return self._finalize_snapshot(
+            manifests,
+            "replace",
+            {
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+                "deleted-data-files": str(len(replaced)),
+                "deleted-records": str(deleted_rows),
+            },
+            seq,
+            snap_id,
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots, then delete
+        every file only they reference (manifest lists, manifests, and —
+        after a replace_files compaction — the replaced data files).
+        Metadata commits FIRST, file deletion second, so a reader of the
+        new version never plans a deleted file; this is standard Iceberg
+        expiry ordering. Returns {'snapshots': n, 'files': n} removed."""
+        snaps = sorted(
+            self.metadata["snapshots"], key=lambda s: s["sequence-number"]
+        )
+        if len(snaps) <= keep_last:
+            return {"snapshots": 0, "files": 0}
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        current = self.metadata["current-snapshot-id"]
+        assert any(s["snapshot-id"] == current for s in kept), (
+            "expire_snapshots would drop the current snapshot"
+        )
+        keep_ids = {s["snapshot-id"] for s in kept}
+        # reachability from kept snapshots
+        live_lists = {s["manifest-list"] for s in kept}
+        live_manifests: set[str] = set()
+        live_data: set[str] = set()
+        for s in kept:
+            _, _, manifests = avro.read_container(s["manifest-list"])
+            for mf in manifests:
+                live_manifests.add(mf["manifest_path"])
+                _, _, es = avro.read_container(mf["manifest_path"])
+                for e in es:
+                    if e["status"] != 2:
+                        live_data.add(e["data_file"]["file_path"])
+        # orphans referenced only by expired snapshots
+        dead: set[str] = set()
+        for s in expired:
+            if s["manifest-list"] in live_lists:
+                continue
+            dead.add(s["manifest-list"])
+            _, _, manifests = avro.read_container(s["manifest-list"])
+            for mf in manifests:
+                if mf["manifest_path"] in live_manifests:
+                    continue
+                dead.add(mf["manifest_path"])
+                _, _, es = avro.read_container(mf["manifest_path"])
+                for e in es:
+                    p = e["data_file"]["file_path"]
+                    if p not in live_data:
+                        dead.add(p)
+        new_meta = dict(self.metadata)
+        new_meta["snapshots"] = [
+            s for s in self.metadata["snapshots"] if s["snapshot-id"] in keep_ids
+        ]
+        new_meta["snapshot-log"] = [
+            h
+            for h in self.metadata["snapshot-log"]
+            if h["snapshot-id"] in keep_ids
+        ]
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.expire_snapshots(keep_last=keep_last)
+        else:  # pragma: no cover
+            raise CommitConflict(self.location)
+        self.metadata = new_meta
+        self.version += 1
+        for p in sorted(dead):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+        return {"snapshots": len(expired), "files": len(dead)}
 
     def evolve_schema(self, new_spark_schema) -> None:
         """Widening-only schema evolution (reference iceberg.go:855-884
@@ -905,6 +1086,28 @@ def append_dataframe(table: IcebergTable, df) -> dict:
     writer.parquet(data_dir)
     new_files = sorted(set(_list_parquet(data_dir)) - set(before))
     return table.append_files(new_files, spark=df.sparkSession)
+
+
+def compact_table(table: IcebergTable, spark, files_per_partition: int = 1) -> dict:
+    """Bin-pack the table's live data files: rewrite current content as
+    ~``files_per_partition`` files per identity partition and commit one
+    ``replace`` snapshot. Run expire_snapshots afterwards to reclaim the
+    replaced files' storage once their history is no longer needed."""
+    df = table.to_spark(spark)
+    part_cols = [pf["name"] for pf in table.spec["fields"]]
+    data_dir = os.path.join(table.location, "data")
+    before = _list_parquet(data_dir)
+    if part_cols:
+        # one shuffle task per live partition value → one output file per
+        # partition dir (hash collisions merge tasks, never split dirs)
+        df = df.repartition(*part_cols)
+        writer = df.write.mode("append").partitionBy(*part_cols)
+    else:
+        df = df.coalesce(max(1, files_per_partition))
+        writer = df.write.mode("append")
+    writer.parquet(data_dir)
+    new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+    return table.replace_files(new_files, spark=spark)
 
 
 def _list_parquet(root: str) -> list[str]:

@@ -276,6 +276,9 @@ def test_append_scan_timetravel_prune(spark, table_loc):
     assert all(e["data_file"]["partition"]["part"] == 2 for e in p2_files)
     got = t.to_spark(spark, partition_filter={"part": 2})
     assert got.count() == 37 and got.agg(F.min("part"), F.max("part")).first() == (2, 2)
+    # the pruning is METADATA-side: the Spark scan only ever sees the
+    # pruned file list (no full-scan-then-filter)
+    assert len(got.inputFiles()) == len(p2_files)
     # fresh load sees the same state
     assert IcebergTable.load(table_loc).to_spark(spark).count() == 150
 
@@ -381,6 +384,46 @@ def test_evolution_rules(spark, table_loc):
     # empty append rejected
     with pytest.raises(ValueError, match="empty append"):
         t.append_files([])
+
+
+def test_compaction_and_snapshot_expiry(spark, table_loc):
+    """replace_files + expire_snapshots: the maintenance pair that keeps
+    scan planning O(live files) under thousands of micro-batch commits.
+    Compaction must not change content; history survives until expiry;
+    expiry physically removes only what no kept snapshot references."""
+    from platform_spark.iceberg.table import compact_table
+
+    df = _mk(spark, 0, 60)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    for lo in range(0, 60, 10):  # 6 small appends -> many small files
+        append_dataframe(t, _mk(spark, lo, lo + 10))
+    pre_snap = t.current_snapshot()["snapshot-id"]
+    n_small = len(t.scan_files())
+    expected = sorted(df.collect())
+
+    rep = compact_table(t, spark)
+    assert rep["summary"]["operation"] == "replace"
+    assert int(rep["summary"]["deleted-data-files"]) == n_small
+    n_packed = len(t.scan_files())
+    assert n_packed < n_small and n_packed <= 4  # ~1 file per part value
+    assert sorted(t.to_spark(spark).collect()) == expected
+    # pre-compaction history still time-travels to the small files
+    assert t.to_spark(spark, snapshot_id=pre_snap).count() == 60
+    small_paths = [
+        e["data_file"]["file_path"]
+        for e in t.scan_files(snapshot_id=pre_snap)
+    ]
+    assert all(os.path.exists(p) for p in small_paths)
+
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] == 6 and removed["files"] > 0
+    assert len(t.metadata["snapshots"]) == 1
+    # replaced data files are physically gone; live content intact
+    assert not any(os.path.exists(p) for p in small_paths)
+    assert sorted(t.to_spark(spark).collect()) == expected
+    assert sorted(IcebergTable.load(table_loc).to_spark(spark).collect()) == expected
+    # expiring below the current snapshot is refused by the guard
+    assert t.expire_snapshots(keep_last=5) == {"snapshots": 0, "files": 0}
 
 
 def test_pipeline_pure_python_iceberg_sink(spark, tmp_path):

@@ -438,6 +438,21 @@ def main() -> None:
         ["ArrowEvalPython"],
         normalize_text(cat.table("documents"), "text"),
     )
+    from platform_spark.gate import _ensure_iceberg_table
+    from platform_spark.iceberg.table import IcebergTable
+
+    _itbl = IcebergTable.load(_ensure_iceberg_table(spark, args.sf))
+    add(
+        "Iceberg metadata-planned scan (pure-Python v2 table, lang pruned)",
+        "File pruning happens in the METADATA layer before Spark plans "
+        "anything: manifest partition summaries skip whole manifests, entry "
+        "partition values skip files, and the scan node receives only the "
+        "surviving file list — executor work is O(matching files) regardless "
+        "of table history. Projection/footer pushdown then apply per file "
+        "as usual; no Filter node is needed for the partition predicate.",
+        ["Scan parquet", "Batched: true"],
+        _itbl.to_spark(spark, partition_filter={"lang": "de"}),
+    )
     add(
         "Robust score calibration (median/MAD z)",
         "Both percentile aggregates collapse to one row per group and "
