@@ -170,7 +170,7 @@ def main() -> None:
         "streaming_log_compact",
         "streaming_lfs_reference",
         "kfs_segment_roundtrip",
-        "iceberg_commit_scan",
+        "iceberg_delete_scan",
         "llm_bpe_pair_counts",
         "llm_duplicate_spans",
         "llm_strip_html",
@@ -292,7 +292,7 @@ def main() -> None:
             .replace("sessionize", "sess").replace("remove_dup_spans", "rm_spans")
             .replace("duplicate_spans", "dup_spans")
             .replace("kfs_segment_roundtrip", "kfs_rt")
-            .replace("iceberg_commit_scan", "ice")
+            .replace("iceberg_delete_scan", "ice")
             .replace("rollup_nation_year", "rollup_ny")
             .replace("curriculum_order", "curric")
             .replace("mix_token_budget", "mix_budget")

@@ -5205,12 +5205,16 @@ FROM t_events WHERE _offset >= 100 AND _offset <= 180"""
 # Iceberg v2 commit/scan round-trip (pure-Python table format) --------------
 
 
-def _ensure_iceberg_table(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_iceberg_table(
+    spark: SparkSession, sf_dir: str, with_deletes: bool = False
+) -> str:
     """Build-once scratch Iceberg table from `documents`: THREE append
     snapshots (doc_id % 3 buckets) with a widening add-column evolution on
     the last commit, identity-partitioned by lang — the reference sink's
     create-then-append-per-batch surface (iceberg.go:146-204, 330-384)
-    exercised end-to-end through real metadata JSON + Avro manifests."""
+    exercised end-to-end through real metadata JSON + Avro manifests.
+    ``with_deletes`` builds a second table that additionally commits TWO
+    position-delete snapshots (v2 row-level deletes, merged on read)."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -5224,7 +5228,8 @@ def _ensure_iceberg_table(spark: SparkSession, sf_dir: str) -> str:
             for f in ("avro.py", "table.py")
         )
     ).hexdigest()[:8]
-    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs_{ver}")
+    suffix = "_del" if with_deletes else ""
+    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs{suffix}_{ver}")
     done = os.path.join(loc, "_GATE_SUCCESS")
     if not os.path.exists(done):
         docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
@@ -5238,6 +5243,12 @@ def _ensure_iceberg_table(spark: SparkSession, sf_dir: str) -> str:
                 "quality", F.col("n_chars") * F.lit(2)
             ),
         )
+        if with_deletes:
+            # two delete commits so accumulation across snapshots is in
+            # the hash: a takedown sweep, then a quality purge that
+            # partially overlaps the first (overlap must not resurrect)
+            table.delete_where(spark, "doc_id % 7 = 0")
+            table.delete_where(spark, "n_chars % 10 < 2 AND doc_id % 2 = 1")
         with open(done, "w") as f:
             f.write("ok")
     return loc
@@ -5262,6 +5273,34 @@ _add(
 SELECT doc_id, lang, source, n_chars,
   CASE WHEN doc_id % 3 = 2 THEN n_chars * 2 END AS quality
 FROM documents
+""",
+)
+
+
+def _iceberg_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_table(spark, sf_dir, with_deletes=True)
+    table = IcebergTable.load(loc)
+    return table.to_spark(spark)
+
+
+# Same build as iceberg_commit_scan PLUS two position-delete commits
+# (Iceberg v2 row-level deletes): the oracle applies the two predicates as
+# NOT-filters over the source, so a hash match proves delete_where captured
+# exactly the matching (file_path, row_index) identities and the
+# merge-on-read broadcast anti-join removed exactly those rows — including
+# the overlap between the two delete sets (deleting a row twice is a no-op,
+# not a resurrection or a double-count).
+_add(
+    "iceberg_delete_scan",
+    _iceberg_delete_gate,
+    """
+SELECT doc_id, lang, source, n_chars,
+  CASE WHEN doc_id % 3 = 2 THEN n_chars * 2 END AS quality
+FROM documents
+WHERE NOT (doc_id % 7 = 0)
+  AND NOT (n_chars % 10 < 2 AND doc_id % 2 = 1)
 """,
 )
 
@@ -5804,6 +5843,7 @@ _TAIL_SUBSETS = [
     "analytics_q13_custdist",      # LEFT JOIN + count histogram ⊂ kafsql_join_left + agg_multi_group shapes
     "analytics_top_event_per_user",  # per-key row_number top-1 ⊂ llm_tfidf_keywords rank window + q15 group-max
     "analytics_pivot_event_counts",  # pivot w/ explicit values rewrites to the same two-phase HashAggregate shape as kafsql_agg_multi_group/q1 (head); the pivot rewrite + coalesce-to-0 semantics carry a full oracle replayed in pytest
+    "iceberg_commit_scan",         # ⊂ iceberg_delete_scan (head): _ensure_iceberg_table runs the IDENTICAL create + three-append + widening-evolution build for both gates (with_deletes only appends two delete commits after it), and to_spark with zero live deletes is the delete gate's scan path minus the anti-join branch; full oracle replayed in pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

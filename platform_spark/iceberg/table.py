@@ -21,9 +21,14 @@ way kfs.py implements the ``.kfs`` segment format:
   identity-partition pruning against manifest partition summaries and
   entry partition values; time travel by snapshot id.
 
-Append-only (content=DATA, status ADDED/EXISTING), matching the
-reference sink's surface. Scope: identity partition transforms; flat,
-list, struct, and map column types.
+Beyond the reference sink's append-only surface, the table supports v2
+row-level deletes: ``delete_where`` commits POSITION delete files
+(spec "Position Delete Files": sorted (file_path, pos) parquet) in
+deletes-content manifests, and ``to_spark`` merges them on read with a
+broadcast anti-join against the data files' ``_metadata.file_path`` /
+``_metadata.row_index`` — the takedown/GDPR operation a training-corpus
+table needs without rewriting data. Scope: identity partition
+transforms; flat, list, struct, and map column types.
 """
 
 from __future__ import annotations
@@ -608,10 +613,16 @@ class IcebergTable:
         raise last_err  # type: ignore[misc]
 
     def _build_entries(
-        self, paths: list[str], all_stats: dict[str, dict], seq: int, snap_id: int
+        self,
+        paths: list[str],
+        all_stats: dict[str, dict],
+        seq: int,
+        snap_id: int,
+        content: int = 0,
     ) -> tuple[list[dict], int, list[dict]]:
         """ADDED manifest entries + total rows + partition summaries for a
-        set of freshly written data files."""
+        set of freshly written data (content=0) or position-delete
+        (content=1) files."""
         spec_fields = self.spec["fields"]
         entries = []
         total_rows = 0
@@ -645,7 +656,7 @@ class IcebergTable:
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": 0,  # DATA
+                        "content": content,  # 0=DATA, 1=POSITION_DELETES
                         "file_path": os.path.join(self.location, rel),
                         "file_format": "PARQUET",
                         "partition": part,
@@ -664,6 +675,7 @@ class IcebergTable:
         snap_id: int,
         part_summaries: list[dict] | None,
         deleted: bool = False,
+        content: int = 0,
     ) -> dict:
         """Write one manifest Avro file; return its manifest_file row."""
         meta_dir = self._meta_dir(self.location)
@@ -681,7 +693,7 @@ class IcebergTable:
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(self.spec["spec-id"]),
                 "format-version": "2",
-                "content": "data",
+                "content": "deletes" if content else "data",
             },
         )
         rows = sum(e["data_file"]["record_count"] for e in entries)
@@ -689,7 +701,7 @@ class IcebergTable:
             "manifest_path": manifest_path,
             "manifest_length": mlen,
             "partition_spec_id": self.spec["spec-id"],
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(
                 e["sequence_number"] or seq for e in entries
@@ -789,19 +801,38 @@ class IcebergTable:
         if not new_paths:
             raise ValueError("iceberg: empty replace")
         replaced = self.scan_files()
+        old_deletes = self.scan_deletes()
         stats = self._file_stats(new_paths, spark=spark)
         last_err: Exception | None = None
         for _attempt in range(3):
             try:
-                return self._replace_once(new_paths, stats, replaced)
+                return self._replace_once(new_paths, stats, replaced, old_deletes)
             except CommitConflict as e:
                 last_err = e
                 self.refresh()
                 replaced = self.scan_files()
+                old_deletes = self.scan_deletes()
         raise last_err  # type: ignore[misc]
 
+    @staticmethod
+    def _retire_entries(entries: list[dict], seq: int, snap_id: int) -> list[dict]:
+        return [
+            {
+                "status": 2,  # DELETED at this snapshot
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": e["file_sequence_number"],
+                "data_file": e["data_file"],
+            }
+            for e in entries
+        ]
+
     def _replace_once(
-        self, new_paths: list[str], all_stats: dict[str, dict], replaced: list[dict]
+        self,
+        new_paths: list[str],
+        all_stats: dict[str, dict],
+        replaced: list[dict],
+        old_deletes: list[dict],
     ) -> dict:
         seq = self.metadata["last-sequence-number"] + 1
         snap_id = seq
@@ -810,19 +841,19 @@ class IcebergTable:
         )
         manifests = [self._write_manifest(entries, seq, snap_id, part_summaries)]
         if replaced:
-            del_entries = [
-                {
-                    "status": 2,  # DELETED at this snapshot
-                    "snapshot_id": snap_id,
-                    "sequence_number": seq,
-                    "file_sequence_number": e["file_sequence_number"],
-                    "data_file": e["data_file"],
-                }
-                for e in replaced
-            ]
             manifests.append(
                 self._write_manifest(
-                    del_entries, seq, snap_id, part_summaries, deleted=True
+                    self._retire_entries(replaced, seq, snap_id),
+                    seq, snap_id, part_summaries, deleted=True,
+                )
+            )
+        if old_deletes:
+            # the rewrite read through merge-on-read, so the packed files
+            # already exclude the deleted rows: retire the delete files too
+            manifests.append(
+                self._write_manifest(
+                    self._retire_entries(old_deletes, seq, snap_id),
+                    seq, snap_id, None, deleted=True, content=1,
                 )
             )
         deleted_rows = sum(e["data_file"]["record_count"] for e in replaced)
@@ -834,6 +865,80 @@ class IcebergTable:
                 "added-records": str(total_rows),
                 "deleted-data-files": str(len(replaced)),
                 "deleted-records": str(deleted_rows),
+            },
+            seq,
+            snap_id,
+        )
+
+    def delete_where(self, spark, predicate) -> dict | None:
+        """Commit POSITION delete files for every current row matching
+        ``predicate`` (a Spark SQL expression string or Column over the
+        table schema). Data files are never rewritten: the matching rows'
+        (file_path, pos) identities are written as sorted position-delete
+        parquet under ``location/deletes/`` and committed in a
+        deletes-content manifest (spec "Position Delete Files"); scans
+        merge them on read. Returns the new snapshot, or None when no row
+        matched. This is the row-level takedown operation (GDPR erasure,
+        contaminated-document removal) a 100 TB corpus table needs:
+        O(matching rows) metadata written, zero data bytes moved, and the
+        matching itself is one distributed filter over the live files."""
+        from pyspark.sql import functions as F
+
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            entries = self.scan_files()
+            if not entries:
+                return None
+            doomed = (
+                self._read_data_entries(spark, entries, with_pos=True)
+                .filter(predicate)
+                .select(
+                    F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+                )
+                # spec: position delete rows sort by (file_path, pos);
+                # range partitioning keeps one data file's ids together
+                .repartitionByRange(F.col("file_path"), F.col("pos"))
+                .sortWithinPartitions("file_path", "pos")
+            )
+            out_dir = os.path.join(self.location, "deletes")
+            before = set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
+            doomed.write.mode("append").parquet(out_dir)
+            new_files = sorted(set(_list_parquet(out_dir)) - before)
+            stats = self._file_stats(new_files, spark=spark)
+            live = [p for p in new_files if stats[p]["record_count"] > 0]
+            for p in set(new_files) - set(live):  # empty shuffle partitions
+                os.remove(p)
+            if not live:
+                return None
+            try:
+                return self._delete_once(live, stats)
+            except CommitConflict as e:
+                # positions may be stale vs the winner's commit (e.g. a
+                # concurrent compaction): drop the files and recompute
+                # against the refreshed snapshot
+                last_err = e
+                for p in live:
+                    os.remove(p)
+                self.refresh()
+        raise last_err  # type: ignore[misc]
+
+    def _delete_once(self, paths: list[str], all_stats: dict[str, dict]) -> dict:
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq
+        entries, total_rows, _ = self._build_entries(
+            sorted(paths), all_stats, seq, snap_id, content=1
+        )
+        new_manifest = self._write_manifest(entries, seq, snap_id, None, content=1)
+        prior = self.current_snapshot()
+        carried: list[dict] = []
+        if prior is not None:
+            _, _, carried = avro.read_container(prior["manifest-list"])
+        return self._finalize_snapshot(
+            [new_manifest] + carried,
+            "delete",
+            {
+                "added-delete-files": str(len(entries)),
+                "added-position-delete-records": str(total_rows),
             },
             seq,
             snap_id,
@@ -981,6 +1086,21 @@ class IcebergTable:
         whole manifests via partition summaries and individual files via
         their identity partition values — the metadata-only pruning a real
         Iceberg reader does before touching data."""
+        return self._scan_entries(snapshot_id, partition_filter, content=0)
+
+    def scan_deletes(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live position-delete file entries for the snapshot. Never
+        partition-pruned: our delete files are written partition-unscoped
+        (null partition values), so every one may apply to any data file;
+        the (file_path, pos) join makes application exact regardless."""
+        return self._scan_entries(snapshot_id, None, content=1)
+
+    def _scan_entries(
+        self,
+        snapshot_id: int | None,
+        partition_filter: dict | None,
+        content: int,
+    ) -> list[dict]:
         snap = (
             self.current_snapshot()
             if snapshot_id is None
@@ -998,6 +1118,8 @@ class IcebergTable:
         _, _, manifests = avro.read_container(snap["manifest-list"])
         out: list[dict] = []
         for mf in manifests:
+            if mf["content"] != content:
+                continue
             if partition_filter and mf.get("partitions"):
                 skip = False
                 for i, pf in enumerate(spec_fields):
@@ -1029,19 +1151,15 @@ class IcebergTable:
                 out.append(e)
         return out
 
-    def to_spark(
-        self,
-        spark,
-        snapshot_id: int | None = None,
-        partition_filter: dict | None = None,
-    ):
-        """Read the table into a DataFrame: metadata-planned file list →
-        one parquet scan (basePath recovers identity partition columns).
-        Schema comes from table metadata, so added-column evolution reads
-        old files with nulls (mergeSchema-free projection)."""
-        entries = self.scan_files(snapshot_id, partition_filter)
-        if not entries:
-            return spark.createDataFrame([], self.spark_schema)
+    def _read_data_entries(self, spark, entries: list[dict], with_pos: bool = False):
+        """Metadata-planned parquet read of the given data-file entries
+        (basePath recovers identity partition columns; schema comes from
+        table metadata, so added-column evolution reads old files with
+        nulls). ``with_pos`` appends ``__fp``/``__pos`` row-identity
+        columns from the parquet reader's constant-time ``_metadata``
+        struct, normalized to the manifests' plain-path form."""
+        from pyspark.sql import functions as F
+
         files = [e["data_file"]["file_path"] for e in entries]
         part_cols = {pf["name"] for pf in self.spec["fields"]}
         read_schema = self.spark_schema
@@ -1057,17 +1175,54 @@ class IcebergTable:
         df = reader.parquet(*files)
         # restore metadata column order; partition columns come back from
         # path inference, so cast them to the metadata types explicitly
+        by_name = {f.name: f.dataType for f in read_schema.fields}
+        cols = [
+            F.col(f["name"]).cast(by_name[f["name"]]).alias(f["name"])
+            if f["name"] in part_cols
+            else F.col(f["name"])
+            for f in self.schema["fields"]
+        ]
+        if with_pos:
+            cols += [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+        return df.select(*cols)
+
+    def to_spark(
+        self,
+        spark,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ):
+        """Read the table into a DataFrame: metadata-planned file list →
+        one parquet scan. Live position deletes merge on read: the data
+        scan's (file_path, row_index) identity anti-joins the delete
+        files, broadcast when the metadata says they are small (they
+        almost always are — deletes are KBs of row ids against TBs of
+        data), so the plan stays a single streaming pass over the data."""
+        entries = self.scan_files(snapshot_id, partition_filter)
+        if not entries:
+            return spark.createDataFrame([], self.spark_schema)
+        deletes = self.scan_deletes(snapshot_id)
+        if not deletes:
+            return self._read_data_entries(spark, entries)
         from pyspark.sql import functions as F
 
-        by_name = {f.name: f.dataType for f in read_schema.fields}
-        return df.select(
-            *[
-                F.col(f["name"]).cast(by_name[f["name"]]).alias(f["name"])
-                if f["name"] in part_cols
-                else F.col(f["name"])
-                for f in self.schema["fields"]
-            ]
+        df = self._read_data_entries(spark, entries, with_pos=True)
+        dels = spark.read.schema("file_path string, pos long").parquet(
+            *[e["data_file"]["file_path"] for e in deletes]
         )
+        del_bytes = sum(e["data_file"]["file_size_in_bytes"] for e in deletes)
+        if del_bytes < 128 * 1024 * 1024:  # metadata-known size → safe hint
+            dels = F.broadcast(dels)
+        return df.join(
+            dels,
+            (df["__fp"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
+            "left_anti",
+        ).drop("__fp", "__pos")
 
 
 def append_dataframe(table: IcebergTable, df) -> dict:

@@ -426,6 +426,70 @@ def test_compaction_and_snapshot_expiry(spark, table_loc):
     assert t.expire_snapshots(keep_last=5) == {"snapshots": 0, "files": 0}
 
 
+def test_position_deletes_merge_on_read(spark, table_loc):
+    """Iceberg v2 row-level deletes: delete_where commits sorted
+    (file_path, pos) position-delete parquet in a deletes-content
+    manifest; scans merge on read via a broadcast anti-join. Deletes
+    accumulate across snapshots, overlap is idempotent, time travel sees
+    the pre-delete rows, compaction folds deletes in and retires the
+    delete files, expiry reclaims them physically."""
+    from platform_spark.iceberg.table import compact_table
+
+    df = _mk(spark, 0, 100)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 50))
+    append_dataframe(t, _mk(spark, 50, 100))
+    pre = t.current_snapshot()["snapshot-id"]
+
+    snap = t.delete_where(spark, "id % 7 = 0")
+    assert snap["summary"]["operation"] == "delete"
+    assert int(snap["summary"]["added-position-delete-records"]) == 15
+    keep1 = [r for r in df.collect() if r.id % 7 != 0]
+    assert sorted(t.to_spark(spark).collect()) == sorted(keep1)
+    # the delete set rides a broadcast anti-join: no shuffle of the data
+    plan = t.to_spark(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "SortMergeJoin" not in plan
+
+    # second delete overlaps the first (ids divisible by 14 hit both):
+    # idempotent, accumulates, never resurrects
+    t.delete_where(spark, "id % 2 = 0")
+    keep2 = [r for r in keep1 if r.id % 2 != 0]
+    assert sorted(t.to_spark(spark).collect()) == sorted(keep2)
+    assert len(t.scan_deletes()) >= 2
+
+    # delete files are spec-sorted by (file_path, pos)
+    import pyarrow.parquet as pq
+
+    for e in t.scan_deletes():
+        rows = pq.read_table(e["data_file"]["file_path"]).to_pylist()
+        assert rows == sorted(rows, key=lambda r: (r["file_path"], r["pos"]))
+        assert e["data_file"]["content"] == 1
+
+    # time travel to before any delete sees everything; partition-filtered
+    # scans still apply the (unpruned) delete files
+    assert t.to_spark(spark, snapshot_id=pre).count() == 100
+    got_p1 = t.to_spark(spark, partition_filter={"part": 1})
+    assert sorted(got_p1.collect()) == sorted(r for r in keep2 if r.part == 1)
+
+    # no-match predicate commits nothing
+    v = t.version
+    assert t.delete_where(spark, "id = -1") is None
+    assert t.version == v
+
+    # compaction reads through MoR, so packed files exclude deleted rows
+    # and the delete files are retired in the replace commit
+    compact_table(t, spark)
+    assert t.scan_deletes() == []
+    assert sorted(t.to_spark(spark).collect()) == sorted(keep2)
+    del_paths = [
+        e["data_file"]["file_path"] for e in t.scan_deletes(snapshot_id=snap["snapshot-id"])
+    ]
+    assert del_paths and all(os.path.exists(p) for p in del_paths)
+    t.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in del_paths)
+    assert sorted(IcebergTable.load(table_loc).to_spark(spark).collect()) == sorted(keep2)
+
+
 def test_pipeline_pure_python_iceberg_sink(spark, tmp_path):
     """ContinuousTopicPipeline → pure-Python Iceberg table: exactly-once
     across restarts (checkpoint replays nothing), one snapshot per

@@ -453,6 +453,20 @@ def main() -> None:
         ["Scan parquet", "Batched: true"],
         _itbl.to_spark(spark, partition_filter={"lang": "de"}),
     )
+    _dtbl = IcebergTable.load(
+        _ensure_iceberg_table(spark, args.sf, with_deletes=True)
+    )
+    add(
+        "Iceberg merge-on-read position deletes (broadcast anti-join)",
+        "Row-level deletes never rewrite data: the scan streams every live "
+        "data file once and anti-joins its constant-cost _metadata "
+        "(file_path, row_index) identity against the position-delete files, "
+        "broadcast because the manifests record their size up front — so "
+        "at 100 TB the deletes (KBs of row ids) ship to every executor and "
+        "the data side needs NO shuffle, no sort, no extra pass.",
+        ["BroadcastHashJoin", "LeftAnti", "row_index"],
+        _dtbl.to_spark(spark),
+    )
     add(
         "Robust score calibration (median/MAD z)",
         "Both percentile aggregates collapse to one row per group and "
