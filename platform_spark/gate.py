@@ -5244,11 +5244,23 @@ def _ensure_iceberg_table(
             ),
         )
         if with_deletes:
-            # two delete commits so accumulation across snapshots is in
-            # the hash: a takedown sweep, then a quality purge that
-            # partially overlaps the first (overlap must not resurrect)
+            # two position-delete commits so accumulation across snapshots
+            # is in the hash: a takedown sweep, then a quality purge that
+            # partially overlaps the first (overlap must not resurrect);
+            # then an EQUALITY delete (O(keys) commit, applied lazily on
+            # read) followed by a re-append of the same keys — the spec's
+            # sequence rule must keep the newer rows alive
             table.delete_where(spark, "doc_id % 7 = 0")
             table.delete_where(spark, "n_chars % 10 < 2 AND doc_id % 2 = 1")
+            table.delete_keys(
+                spark, docs.filter(F.col("doc_id") % 13 == 4).select("doc_id")
+            )
+            append_dataframe(
+                table,
+                docs.filter(F.col("doc_id") % 13 == 4).withColumn(
+                    "quality", F.col("n_chars") * F.lit(3)
+                ),
+            )
         with open(done, "w") as f:
             f.write("ok")
     return loc
@@ -5285,13 +5297,17 @@ def _iceberg_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.to_spark(spark)
 
 
-# Same build as iceberg_commit_scan PLUS two position-delete commits
-# (Iceberg v2 row-level deletes): the oracle applies the two predicates as
-# NOT-filters over the source, so a hash match proves delete_where captured
-# exactly the matching (file_path, row_index) identities and the
-# merge-on-read broadcast anti-join removed exactly those rows — including
-# the overlap between the two delete sets (deleting a row twice is a no-op,
-# not a resurrection or a double-count).
+# Same build as iceberg_commit_scan PLUS the full v2 row-level delete
+# surface: two position-delete commits (the oracle applies their predicates
+# as NOT-filters — the overlap between the two sets must be a no-op, not a
+# resurrection or double-count), one EQUALITY delete of the doc_id%13==4
+# keys, and a re-append of exactly those keys AFTER the equality delete.
+# A hash match therefore proves (a) delete_where captured exactly the
+# matching (file_path, row_index) identities and the merge-on-read
+# broadcast anti-join removed exactly those rows, (b) the equality delete
+# killed every OLDER copy of its keys across all three original batches,
+# and (c) the spec's sequence rule kept the re-appended newer rows
+# (quality = n_chars*3 marks them) alive.
 _add(
     "iceberg_delete_scan",
     _iceberg_delete_gate,
@@ -5301,6 +5317,107 @@ SELECT doc_id, lang, source, n_chars,
 FROM documents
 WHERE NOT (doc_id % 7 = 0)
   AND NOT (n_chars % 10 < 2 AND doc_id % 2 = 1)
+  AND NOT (doc_id % 13 = 4)
+UNION ALL
+SELECT doc_id, lang, source, n_chars, n_chars * 3 AS quality
+FROM documents
+WHERE doc_id % 13 = 4
+""",
+)
+
+
+def _ensure_iceberg_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the MERGE gate: two appends, then one
+    copy-on-write upsert (updates doc_id%5==0 rows, inserts shifted new
+    ids) — only the files holding a matching key get rewritten."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, merge_into,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ver = hashlib.md5(
+        b"".join(
+            open(os.path.join(here, "iceberg", f), "rb").read()
+            for f in ("avro.py", "table.py")
+        )
+    ).hexdigest()[:8]
+    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs_mrg_{ver}")
+    done = os.path.join(loc, "_GATE_SUCCESS")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(loc, docs.schema, partition_by=("lang",), clock=clock)
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 0))
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 1))
+        src = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "lang",
+            F.lit("curated").alias("source"),
+            (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "lang", "source", "n_chars",
+            )
+        )
+        merge_into(table, src, ["doc_id"], spark)
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_merge_table(spark, sf_dir)
+    return IcebergTable.load(loc).to_spark(spark)
+
+
+# Copy-on-write MERGE (upsert): the oracle rebuilds the post-merge content
+# relationally (unchanged rows ∪ updated rows ∪ inserted rows), so a hash
+# match proves the affected-file planning, the matched-row anti-join, and
+# the partial manifest rewrite (EXISTING carries, affected DELETED) kept
+# exactly the right rows and lost none from the untouched files.
+_add(
+    "iceberg_merge_scan",
+    _iceberg_merge_gate,
+    """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, 'curated' AS source, n_chars + 1000 AS n_chars
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 97 = 0
+""",
+)
+
+
+def _iceberg_changes_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_table(spark, sf_dir)
+    table = IcebergTable.load(loc)
+    # snapshot ids are deterministic (= sequence number): 1 is the first
+    # append, so the incremental window covers appends 2 and 3
+    return table.changes(spark, from_snapshot_id=1)
+
+
+# Incremental append scan ("changes since snapshot 1"): the oracle is the
+# logical content of append batches 2+3 (doc_id % 3 in (1, 2)), with the
+# evolution-added column NULL for batch-2 files — proving the per-snapshot
+# added-manifest walk emits exactly the new rows, once each.
+_add(
+    "iceberg_changes_scan",
+    _iceberg_changes_gate,
+    """
+SELECT doc_id, lang, source, n_chars,
+  CASE WHEN doc_id % 3 = 2 THEN n_chars * 2 END AS quality
+FROM documents
+WHERE doc_id % 3 <> 0
 """,
 )
 
@@ -5844,6 +5961,8 @@ _TAIL_SUBSETS = [
     "analytics_top_event_per_user",  # per-key row_number top-1 ⊂ llm_tfidf_keywords rank window + q15 group-max
     "analytics_pivot_event_counts",  # pivot w/ explicit values rewrites to the same two-phase HashAggregate shape as kafsql_agg_multi_group/q1 (head); the pivot rewrite + coalesce-to-0 semantics carry a full oracle replayed in pytest
     "iceberg_commit_scan",         # ⊂ iceberg_delete_scan (head): _ensure_iceberg_table runs the IDENTICAL create + three-append + widening-evolution build for both gates (with_deletes only appends two delete commits after it), and to_spark with zero live deletes is the delete gate's scan path minus the anti-join branch; full oracle replayed in pytest
+    "iceberg_merge_scan",          # copy-on-write MERGE: the scan is the same to_spark path head-pinned by iceberg_delete_scan; the commit side (affected-file planning via the same _metadata identity, partial manifest rewrite) carries its own full relational oracle, replayed in pytest + dedicated lifecycle pytest (test_iceberg merge/deletes interplay)
+    "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

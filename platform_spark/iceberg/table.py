@@ -308,6 +308,7 @@ def manifest_entry_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
             {"name": "lower_bounds", "type": _opt(_kv_map_schema("k126_v127", 126, 127, "bytes")), "default": None, "field-id": 125},
             {"name": "upper_bounds", "type": _opt(_kv_map_schema("k129_v130", 129, 130, "bytes")), "default": None, "field-id": 128},
             {"name": "split_offsets", "type": _opt({"type": "array", "items": "long"}), "default": None, "field-id": 132},
+            {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"}), "default": None, "field-id": 135},
             {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
         ],
     }
@@ -619,10 +620,11 @@ class IcebergTable:
         seq: int,
         snap_id: int,
         content: int = 0,
+        equality_ids: list[int] | None = None,
     ) -> tuple[list[dict], int, list[dict]]:
         """ADDED manifest entries + total rows + partition summaries for a
-        set of freshly written data (content=0) or position-delete
-        (content=1) files."""
+        set of freshly written data (content=0), position-delete
+        (content=1), or equality-delete (content=2) files."""
         spec_fields = self.spec["fields"]
         entries = []
         total_rows = 0
@@ -656,11 +658,13 @@ class IcebergTable:
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": content,  # 0=DATA, 1=POSITION_DELETES
+                        # 0=DATA, 1=POSITION_DELETES, 2=EQUALITY_DELETES
+                        "content": content,
                         "file_path": os.path.join(self.location, rel),
                         "file_format": "PARQUET",
                         "partition": part,
                         "split_offsets": None,
+                        "equality_ids": equality_ids,
                         "sort_order_id": None,
                         **stats,
                     },
@@ -677,7 +681,11 @@ class IcebergTable:
         deleted: bool = False,
         content: int = 0,
     ) -> dict:
-        """Write one manifest Avro file; return its manifest_file row."""
+        """Write one manifest Avro file; return its manifest_file row.
+        File/row counts derive from the entry statuses (1=ADDED,
+        0=EXISTING, 2=DELETED), so mixed rewrite manifests — a partial
+        replace keeping some entries and retiring others — book
+        correctly. ``deleted`` only picks the d-/m- filename kind."""
         meta_dir = self._meta_dir(self.location)
         spec_fields = self.spec["fields"]
         kind = "d" if deleted else "m"
@@ -696,7 +704,13 @@ class IcebergTable:
                 "content": "deletes" if content else "data",
             },
         )
-        rows = sum(e["data_file"]["record_count"] for e in entries)
+        n_files = {s: sum(1 for e in entries if e["status"] == s) for s in (0, 1, 2)}
+        n_rows = {
+            s: sum(
+                e["data_file"]["record_count"] for e in entries if e["status"] == s
+            )
+            for s in (0, 1, 2)
+        }
         return {
             "manifest_path": manifest_path,
             "manifest_length": mlen,
@@ -707,14 +721,40 @@ class IcebergTable:
                 e["sequence_number"] or seq for e in entries
             ),
             "added_snapshot_id": snap_id,
-            "added_files_count": 0 if deleted else len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": len(entries) if deleted else 0,
-            "added_rows_count": 0 if deleted else rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": rows if deleted else 0,
+            "added_files_count": n_files[1],
+            "existing_files_count": n_files[0],
+            "deleted_files_count": n_files[2],
+            "added_rows_count": n_rows[1],
+            "existing_rows_count": n_rows[0],
+            "deleted_rows_count": n_rows[2],
             "partitions": part_summaries if spec_fields else None,
         }
+
+    def _summaries_from_entries(self, entries: list[dict]) -> list[dict] | None:
+        """Manifest partition summaries recomputed from the LIVE entries'
+        partition values (used when rewriting a manifest, where the
+        original path-derived summaries may no longer be tight)."""
+        spec_fields = self.spec["fields"]
+        if not spec_fields:
+            return None
+        types = {f["id"]: f["type"] for f in self.schema["fields"]}
+        summs: list[dict] = [
+            {"contains_null": False, "contains_nan": None,
+             "lower_bound": None, "upper_bound": None}
+            for _ in spec_fields
+        ]
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            for i, pf in enumerate(spec_fields):
+                v = e["data_file"]["partition"].get(pf["name"])
+                if v is None:
+                    summs[i]["contains_null"] = True
+                    continue
+                b = serialize_bound(types.get(pf["source-id"], "string"), v)
+                for key, cmp in (("lower_bound", min), ("upper_bound", max)):
+                    summs[i][key] = b if summs[i][key] is None else cmp(summs[i][key], b)
+        return summs
 
     def _finalize_snapshot(
         self,
@@ -870,6 +910,137 @@ class IcebergTable:
             snap_id,
         )
 
+    def _merge_once(
+        self, new_paths: list[str], all_stats: dict[str, dict], removed: set[str]
+    ) -> dict:
+        """Commit a copy-on-write row-level overwrite: the new files are
+        ADDED; every carried data manifest that references a ``removed``
+        path is REWRITTEN (kept entries → status EXISTING with their
+        original sequence numbers, removed entries → status DELETED at
+        this snapshot); untouched manifests carry over as-is, so the
+        commit's metadata cost is O(affected manifests), not O(table)."""
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq
+        entries, total_rows, part_summaries = self._build_entries(
+            sorted(new_paths), all_stats, seq, snap_id
+        )
+        manifests = [self._write_manifest(entries, seq, snap_id, part_summaries)]
+        removed_files = removed_rows = 0
+        prior = self.current_snapshot()
+        carried: list[dict] = []
+        if prior is not None:
+            _, _, carried = avro.read_container(prior["manifest-list"])
+        for mf in carried:
+            if mf["content"] != 0:
+                manifests.append(mf)
+                continue
+            _, _, es = avro.read_container(mf["manifest_path"])
+            live = [e for e in es if e["status"] != 2]
+            if not any(e["data_file"]["file_path"] in removed for e in live):
+                manifests.append(mf)
+                continue
+            rewritten = []
+            for e in live:
+                seq_e = (
+                    e["sequence_number"]
+                    if e["sequence_number"] is not None
+                    else mf["sequence_number"]
+                )
+                ent = {
+                    "snapshot_id": e["snapshot_id"],
+                    "sequence_number": seq_e,
+                    "file_sequence_number": e["file_sequence_number"],
+                    "data_file": e["data_file"],
+                }
+                if e["data_file"]["file_path"] in removed:
+                    ent["status"] = 2
+                    ent["snapshot_id"] = snap_id
+                    removed_files += 1
+                    removed_rows += e["data_file"]["record_count"]
+                else:
+                    ent["status"] = 0  # EXISTING
+                rewritten.append(ent)
+            manifests.append(
+                self._write_manifest(
+                    rewritten, seq, snap_id,
+                    self._summaries_from_entries(rewritten),
+                )
+            )
+        return self._finalize_snapshot(
+            manifests,
+            "overwrite",
+            {
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+                "deleted-data-files": str(removed_files),
+                "deleted-records": str(removed_rows),
+            },
+            seq,
+            snap_id,
+        )
+
+    def changes(
+        self,
+        spark,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ):
+        """Incremental append scan: the rows added by append snapshots
+        AFTER ``from_snapshot_id`` (exclusive) up TO ``to_snapshot_id``
+        (inclusive; default current). ``replace`` snapshots (compaction)
+        are content-neutral and skipped; a ``delete``/``overwrite``
+        snapshot in range raises, because its change set is not
+        expressible as appended rows — the same contract as Iceberg's
+        incremental read. This is the downstream-pipeline primitive: a
+        consumer checkpoints the last snapshot id it processed and reads
+        exactly the new rows each cycle, O(new data) regardless of table
+        size. Note: files appended in range must not have been physically
+        expired yet (expire_snapshots reclaims compacted-away files)."""
+        snaps = sorted(self.metadata["snapshots"], key=lambda s: s["sequence-number"])
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        from_seq = (
+            by_id[from_snapshot_id]["sequence-number"]
+            if from_snapshot_id is not None
+            else 0
+        )
+        to_snap = (
+            by_id[to_snapshot_id]
+            if to_snapshot_id is not None
+            else (snaps[-1] if snaps else None)
+        )
+        if to_snap is None or to_snap["sequence-number"] <= from_seq:
+            return spark.createDataFrame([], self.spark_schema)
+        in_range = [
+            s for s in snaps
+            if from_seq < s["sequence-number"] <= to_snap["sequence-number"]
+        ]
+        bad = [
+            s["summary"]["operation"]
+            for s in in_range
+            if s["summary"]["operation"] not in ("append", "replace")
+        ]
+        if bad:
+            raise ValueError(
+                f"iceberg: incremental read across non-append snapshots {bad}; "
+                "row-level deletes/overwrites have no append-only changelog"
+            )
+        entries: list[dict] = []
+        for s in in_range:
+            if s["summary"]["operation"] != "append":
+                continue
+            _, _, mlist = avro.read_container(s["manifest-list"])
+            for mf in mlist:
+                if mf["content"] != 0 or mf["added_snapshot_id"] != s["snapshot-id"]:
+                    continue  # carried from an older snapshot
+                _, _, es = avro.read_container(mf["manifest_path"])
+                entries += [
+                    e for e in es
+                    if e["status"] == 1 and e["snapshot_id"] == s["snapshot-id"]
+                ]
+        if not entries:
+            return spark.createDataFrame([], self.spark_schema)
+        return self._read_data_entries(spark, entries)
+
     def delete_where(self, spark, predicate) -> dict | None:
         """Commit POSITION delete files for every current row matching
         ``predicate`` (a Spark SQL expression string or Column over the
@@ -922,23 +1093,69 @@ class IcebergTable:
                 self.refresh()
         raise last_err  # type: ignore[misc]
 
-    def _delete_once(self, paths: list[str], all_stats: dict[str, dict]) -> dict:
+    def delete_keys(self, spark, keys_df) -> dict | None:
+        """Commit an EQUALITY delete: every current row whose values in
+        ``keys_df``'s columns (a subset of the table schema) match a
+        keys_df row is deleted. Unlike ``delete_where``, NO data is read
+        at delete time — the commit is O(keys): the key values land in an
+        equality-delete file and scans apply them lazily, restricted by
+        the spec's sequence rule to data files strictly older than the
+        delete, so the same key appended afterwards survives. This is the
+        constant-time takedown path for a 100 TB table (position deletes
+        pay one distributed scan to resolve row identities; equality
+        deletes defer that work to readers). Returns the new snapshot, or
+        None when keys_df is empty."""
+        names = {f["name"]: f["id"] for f in self.schema["fields"]}
+        bad = [c for c in keys_df.columns if c not in names]
+        if bad:
+            raise ValueError(f"iceberg: equality-delete columns {bad} not in schema")
+        eq_ids = [names[c] for c in keys_df.columns]
+        out_dir = os.path.join(self.location, "deletes")
+        before = set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
+        keys_df.dropDuplicates(keys_df.columns).write.mode("append").parquet(out_dir)
+        new_files = sorted(set(_list_parquet(out_dir)) - before)
+        stats = self._file_stats(new_files, spark=spark)
+        live = [p for p in new_files if stats[p]["record_count"] > 0]
+        for p in set(new_files) - set(live):
+            os.remove(p)
+        if not live:
+            return None
+        # key values are state-independent: a commit conflict only needs
+        # a refresh + re-commit of the same files, never a recompute
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            try:
+                return self._delete_once(live, stats, content=2, equality_ids=eq_ids)
+            except CommitConflict as e:
+                last_err = e
+                self.refresh()
+        raise last_err  # type: ignore[misc]
+
+    def _delete_once(
+        self,
+        paths: list[str],
+        all_stats: dict[str, dict],
+        content: int = 1,
+        equality_ids: list[int] | None = None,
+    ) -> dict:
         seq = self.metadata["last-sequence-number"] + 1
         snap_id = seq
         entries, total_rows, _ = self._build_entries(
-            sorted(paths), all_stats, seq, snap_id, content=1
+            sorted(paths), all_stats, seq, snap_id,
+            content=content, equality_ids=equality_ids,
         )
         new_manifest = self._write_manifest(entries, seq, snap_id, None, content=1)
         prior = self.current_snapshot()
         carried: list[dict] = []
         if prior is not None:
             _, _, carried = avro.read_container(prior["manifest-list"])
+        kind = "position" if content == 1 else "equality"
         return self._finalize_snapshot(
             [new_manifest] + carried,
             "delete",
             {
                 "added-delete-files": str(len(entries)),
-                "added-position-delete-records": str(total_rows),
+                f"added-{kind}-delete-records": str(total_rows),
             },
             seq,
             snap_id,
@@ -1209,20 +1426,87 @@ class IcebergTable:
         deletes = self.scan_deletes(snapshot_id)
         if not deletes:
             return self._read_data_entries(spark, entries)
+        df = self._read_data_entries(spark, entries, with_pos=True)
+        return self._apply_deletes(spark, df, deletes, entries).drop(
+            "__fp", "__pos"
+        )
+
+    def _apply_deletes(self, spark, df, deletes: list[dict], data_entries: list[dict]):
+        """Anti-join a ``with_pos`` data read against the given live
+        delete entries — position deletes by (file_path, pos) identity,
+        equality deletes by key value with the spec's sequence rule
+        (apply only to data files with a strictly OLDER data sequence
+        number, so rows re-inserted after the delete survive). Keeps the
+        ``__fp``/``__pos`` columns."""
         from pyspark.sql import functions as F
 
-        df = self._read_data_entries(spark, entries, with_pos=True)
-        dels = spark.read.schema("file_path string, pos long").parquet(
-            *[e["data_file"]["file_path"] for e in deletes]
+        pos = [e for e in deletes if e["data_file"]["content"] == 1]
+        eq = [e for e in deletes if e["data_file"]["content"] == 2]
+        if pos:
+            dels = spark.read.schema("file_path string, pos long").parquet(
+                *[e["data_file"]["file_path"] for e in pos]
+            )
+            del_bytes = sum(e["data_file"]["file_size_in_bytes"] for e in pos)
+            if del_bytes < 128 * 1024 * 1024:  # metadata-known size → safe hint
+                dels = F.broadcast(dels)
+            df = df.join(
+                dels,
+                (df["__fp"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
+                "left_anti",
+            )
+        if eq:
+            df = self._apply_eq_deletes(spark, df, eq, data_entries)
+        return df
+
+    def _apply_eq_deletes(
+        self, spark, df, eq: list[dict], data_entries: list[dict]
+    ):
+        """Equality-delete application: each row's data sequence number
+        comes from a broadcast (file_path → seq) metadata map — O(files)
+        rows, never a data-sized build side — and each distinct key-column
+        set anti-joins once with the key match AND'ed to
+        ``data_seq < delete_seq``."""
+        from pyspark.sql import functions as F
+
+        names_by_id = {f["id"]: f["name"] for f in self.schema["fields"]}
+        seq_rows = [
+            (e["data_file"]["file_path"], e["sequence_number"])
+            for e in data_entries
+        ]
+        seq_df = F.broadcast(
+            spark.createDataFrame(seq_rows, "file_path string, __data_seq long")
         )
-        del_bytes = sum(e["data_file"]["file_size_in_bytes"] for e in deletes)
-        if del_bytes < 128 * 1024 * 1024:  # metadata-known size → safe hint
-            dels = F.broadcast(dels)
-        return df.join(
-            dels,
-            (df["__fp"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
-            "left_anti",
-        ).drop("__fp", "__pos")
+        df = df.join(seq_df, df["__fp"] == seq_df["file_path"], "left").drop(
+            "file_path"
+        )
+        by_keyset: dict[tuple[str, ...], list[dict]] = {}
+        for e in eq:
+            cols = tuple(names_by_id[i] for i in e["data_file"]["equality_ids"])
+            by_keyset.setdefault(cols, []).append(e)
+        for cols, group in by_keyset.items():
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self.spark_schema.fields
+                if f.name in cols
+            )
+            keys = None
+            for e in group:  # tag each delete file with its own sequence
+                part = (
+                    spark.read.schema(schema)
+                    .parquet(e["data_file"]["file_path"])
+                    .withColumn("__del_seq", F.lit(e["sequence_number"]))
+                )
+                keys = part if keys is None else keys.unionByName(part)
+            if (
+                sum(e["data_file"]["file_size_in_bytes"] for e in group)
+                < 128 * 1024 * 1024
+            ):
+                keys = F.broadcast(keys)
+            cond = df["__data_seq"] < keys["__del_seq"]
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(keys[c])
+            df = df.join(keys, cond, "left_anti")
+        return df.drop("__data_seq")
 
 
 def append_dataframe(table: IcebergTable, df) -> dict:
@@ -1263,6 +1547,88 @@ def compact_table(table: IcebergTable, spark, files_per_partition: int = 1) -> d
     writer.parquet(data_dir)
     new_files = sorted(set(_list_parquet(data_dir)) - set(before))
     return table.replace_files(new_files, spark=spark)
+
+
+def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict:
+    """Copy-on-write MERGE (upsert): source rows REPLACE current table
+    rows with the same ``keys`` value; unmatched source rows insert. Only
+    the data files that actually contain a matching key are rewritten:
+
+    1. one metadata-planned pass semi-joins the live rows' constant-cost
+       ``_metadata.file_path`` against the source keys → the affected
+       file set (collected — bounded by file count, i.e. metadata scale);
+    2. a second pass reads ONLY the affected files (metadata pruning),
+       drops their matched rows with an anti-join, unions the full
+       source, and writes the result as fresh files;
+    3. the commit rewrites just the manifests referencing affected files
+       (kept entries → EXISTING, affected → DELETED) and carries the
+       rest, so a 100-row upsert into a million-file table touches a
+       handful of files and manifests, never the table.
+
+    The CDC-ingestion primitive the reference's append-only sink lacks."""
+    from pyspark.sql import functions as F
+
+    spark = spark or source.sparkSession
+    if source.schema != table.spark_schema:
+        table.evolve_schema(source.schema)
+        source = source.select(
+            *[
+                F.col(f.name) if f.name in source.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table.spark_schema.fields
+            ]
+        )
+    part_cols = [pf["name"] for pf in table.spec["fields"]]
+    data_dir = os.path.join(table.location, "data")
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        entries = table.scan_files()
+        if not entries:
+            return append_dataframe(table, source)
+        deletes = table.scan_deletes()
+        src_keys = source.select(*keys).dropDuplicates(keys)
+        live = table._apply_deletes(
+            spark,
+            table._read_data_entries(spark, entries, with_pos=True),
+            deletes,
+            entries,
+        )
+        affected_set = {
+            r["__fp"]
+            for r in live.join(src_keys, keys, "left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        }
+        affected = [
+            e for e in entries if e["data_file"]["file_path"] in affected_set
+        ]
+        if affected:
+            # second pass is metadata-pruned to ONLY the affected files
+            aff = table._apply_deletes(
+                spark,
+                table._read_data_entries(spark, affected, with_pos=True),
+                deletes,
+                affected,
+            ).drop("__fp", "__pos")
+            merged = aff.join(src_keys, keys, "left_anti").unionByName(source)
+        else:
+            merged = source
+        before = _list_parquet(data_dir)
+        writer = merged.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(data_dir)
+        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+        stats = table._file_stats(new_files, spark=spark)
+        try:
+            return table._merge_once(new_files, stats, affected_set)
+        except CommitConflict as e:
+            last_err = e
+            for p in new_files:  # recompute against the winner's state
+                os.remove(p)
+            table.refresh()
+    raise last_err  # type: ignore[misc]
 
 
 def _list_parquet(root: str) -> list[str]:

@@ -490,6 +490,147 @@ def test_position_deletes_merge_on_read(spark, table_loc):
     assert sorted(IcebergTable.load(table_loc).to_spark(spark).collect()) == sorted(keep2)
 
 
+def test_equality_deletes(spark, table_loc):
+    """Equality deletes: O(keys) commit with no data scan, applied on
+    read only to data files strictly OLDER than the delete (sequence
+    rule), composing with position deletes, merge, compaction."""
+    df = _mk(spark, 0, 60)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 60))
+
+    snap = t.delete_keys(spark, spark.range(10, 20).select("id"))
+    assert snap["summary"]["operation"] == "delete"
+    assert int(snap["summary"]["added-equality-delete-records"]) == 10
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == [
+        i for i in range(60) if not 10 <= i < 20
+    ]
+    # sequence rule: the same key appended AFTER the delete survives,
+    # and the older copy stays dead
+    append_dataframe(t, _mk(spark, 15, 16))
+    got = [r.id for r in t.to_spark(spark).collect()]
+    assert got.count(15) == 1 and len(got) == 51
+    # multi-column keys match as a tuple, not independently
+    t.delete_keys(
+        spark, spark.createDataFrame([(40, "doc-40"), (41, "nope")], "id long, text string")
+    )
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == sorted(
+        i for i in range(60) if not 10 <= i < 20 or i == 15
+        if i != 40
+    )
+    # empty key set commits nothing; unknown column rejected
+    assert t.delete_keys(spark, spark.range(0, 0).select("id")) is None
+    with pytest.raises(ValueError, match="not in schema"):
+        t.delete_keys(spark, spark.range(1).select(F.col("id").alias("nope")))
+    # position + equality deletes compose in one scan
+    t.delete_where(spark, "id = 0")
+    expected = sorted(
+        i for i in range(60)
+        if (not 10 <= i < 20 or i == 15) and i not in (40, 0)
+    )
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == expected
+    # time travel: pre-delete snapshots ignore later delete files
+    first = min(s["snapshot-id"] for s in t.metadata["snapshots"])
+    assert t.to_spark(spark, snapshot_id=first).count() == 60
+    # merge over equality-deleted state sees the post-delete content
+    from platform_spark.iceberg.table import compact_table, merge_into
+
+    merge_into(
+        t, _mk(spark, 12, 13), ["id"], spark  # upsert a dead key = insert
+    )
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == sorted(expected + [12])
+    # compaction folds all delete kinds and retires the delete files
+    compact_table(t, spark)
+    assert t.scan_deletes() == []
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == sorted(expected + [12])
+    assert (
+        IcebergTable.load(table_loc).to_spark(spark).count() == len(expected) + 1
+    )
+
+
+def test_merge_into_copy_on_write(spark, table_loc):
+    """Copy-on-write MERGE: only files containing a matching key are
+    rewritten (manifest rewrite keeps untouched entries EXISTING);
+    updates replace, unmatched source rows insert, history time-travels,
+    and live position deletes are folded into the rewrite."""
+    from platform_spark.iceberg.table import merge_into
+
+    df = _mk(spark, 0, 80)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    for lo in range(0, 80, 20):
+        append_dataframe(t, _mk(spark, lo, lo + 20))
+    pre = t.current_snapshot()["snapshot-id"]
+    n_before = len(t.scan_files())
+    t.delete_where(spark, "id = 5")  # a live position delete on an affected file
+
+    # update ids 0..9 (text -> 'upd-<id>'), insert 200..204
+    src = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 4).alias("part"),
+        F.concat(F.lit("upd-"), F.col("id")).alias("text"),
+    ).unionByName(_mk(spark, 200, 205))
+    snap = merge_into(t, src, ["id"], spark)
+    assert snap["summary"]["operation"] == "overwrite"
+    # deleted id=5 was inside the updated key range: its file rewrites,
+    # but the update resurrects the row via the source (id 5 in src)
+    got = {r.id: r.text for r in t.to_spark(spark).collect()}
+    exp = {i: f"upd-{i}" for i in range(10)}
+    exp.update({i: f"doc-{i}" for i in range(10, 80)})
+    exp.update({i: f"doc-{i}" for i in range(200, 205)})
+    assert got == exp
+    # only the files holding ids 0..9 were rewritten
+    assert int(snap["summary"]["deleted-data-files"]) < n_before
+    assert t.to_spark(spark, snapshot_id=pre).count() == 80
+    assert sorted(IcebergTable.load(table_loc).to_spark(spark).collect()) == sorted(
+        t.to_spark(spark).collect()
+    )
+
+    # a delete whose rows were all folded away: dangling delete rows
+    # must not resurrect or double-delete anything
+    t.delete_where(spark, "id >= 200")
+    assert t.to_spark(spark).count() == len(exp) - 5
+
+    # merge where nothing matches = pure insert (no files rewritten)
+    snap2 = merge_into(t, _mk(spark, 300, 303), ["id"], spark)
+    assert snap2["summary"]["deleted-data-files"] == "0"
+    assert t.to_spark(spark).count() == len(exp) - 5 + 3
+
+
+def test_incremental_changes(spark, table_loc):
+    """changes(): exactly the rows appended in (from, to], replace
+    snapshots skipped as content-neutral, delete/overwrite in range
+    rejected, evolution-added columns read as NULL for older files."""
+    from platform_spark.iceberg.table import compact_table
+
+    df = _mk(spark, 0, 30)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    s1 = append_dataframe(t, _mk(spark, 0, 10))
+    s2 = append_dataframe(t, _mk(spark, 10, 20))
+    rep = compact_table(t, spark)
+    s3 = append_dataframe(t, _mk(spark, 20, 30).withColumn("extra", F.lit(7)))
+
+    full = t.changes(spark)
+    assert sorted(r.id for r in full.collect()) == list(range(30))
+    assert "extra" in full.columns
+    inc = t.changes(spark, from_snapshot_id=s1["snapshot-id"])
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 30))
+    # compaction-only window is empty, not duplicated
+    assert t.changes(
+        spark, from_snapshot_id=s2["snapshot-id"], to_snapshot_id=rep["snapshot-id"]
+    ).count() == 0
+    # bounded upper end
+    assert t.changes(
+        spark, from_snapshot_id=s1["snapshot-id"], to_snapshot_id=s2["snapshot-id"]
+    ).count() == 10
+    # old files surface the evolved column as NULL
+    assert inc.filter("extra IS NULL").count() == 10
+    t.delete_where(spark, "id = 3")
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes(spark, from_snapshot_id=s3["snapshot-id"])
+    # a window that stops before the delete still works
+    assert t.changes(
+        spark, from_snapshot_id=s2["snapshot-id"], to_snapshot_id=s3["snapshot-id"]
+    ).count() == 10
+
+
 def test_pipeline_pure_python_iceberg_sink(spark, tmp_path):
     """ContinuousTopicPipeline → pure-Python Iceberg table: exactly-once
     across restarts (checkpoint replays nothing), one snapshot per
