@@ -850,9 +850,29 @@ class IcebergTable:
             except CommitConflict as e:
                 last_err = e
                 self.refresh()
-                replaced = self.scan_files()
-                old_deletes = self.scan_deletes()
+                # the new files' CONTENT was derived from the pre-conflict
+                # live state; retrying is only sound if the winner did not
+                # change that state (e.g. a pure metadata/eq-delete race
+                # is NOT safe — stale content would resurrect rows)
+                self._check_rewrite_basis(replaced, old_deletes)
         raise last_err  # type: ignore[misc]
+
+    def _check_rewrite_basis(
+        self, replaced: list[dict], old_deletes: list[dict]
+    ) -> None:
+        """After a commit conflict on a rewrite (compaction/merge), verify
+        the refreshed table still has exactly the live data + delete files
+        the rewrite's content was computed from; otherwise fail loudly so
+        the caller recomputes instead of committing stale rows."""
+        want_data = {e["data_file"]["file_path"] for e in replaced}
+        want_del = {e["data_file"]["file_path"] for e in old_deletes}
+        have_data = {e["data_file"]["file_path"] for e in self.scan_files()}
+        have_del = {e["data_file"]["file_path"] for e in self.scan_deletes()}
+        if want_data != have_data or want_del != have_del:
+            raise ValueError(
+                "iceberg: concurrent commit changed table content during a "
+                "rewrite; re-run the rewrite against the fresh state"
+            )
 
     @staticmethod
     def _retire_entries(entries: list[dict], seq: int, snap_id: int) -> list[dict]:
@@ -911,14 +931,19 @@ class IcebergTable:
         )
 
     def _merge_once(
-        self, new_paths: list[str], all_stats: dict[str, dict], removed: set[str]
+        self,
+        new_paths: list[str],
+        all_stats: dict[str, dict],
+        removed: set[str],
+        operation: str = "overwrite",
     ) -> dict:
-        """Commit a copy-on-write row-level overwrite: the new files are
-        ADDED; every carried data manifest that references a ``removed``
-        path is REWRITTEN (kept entries → status EXISTING with their
-        original sequence numbers, removed entries → status DELETED at
-        this snapshot); untouched manifests carry over as-is, so the
-        commit's metadata cost is O(affected manifests), not O(table)."""
+        """Commit a copy-on-write row-level overwrite (or a partial
+        ``replace`` compaction): the new files are ADDED; every carried
+        data manifest that references a ``removed`` path is REWRITTEN
+        (kept entries → status EXISTING with their original sequence
+        numbers, removed entries → status DELETED at this snapshot);
+        untouched manifests carry over as-is, so the commit's metadata
+        cost is O(affected manifests), not O(table)."""
         seq = self.metadata["last-sequence-number"] + 1
         snap_id = seq
         entries, total_rows, part_summaries = self._build_entries(
@@ -968,7 +993,7 @@ class IcebergTable:
             )
         return self._finalize_snapshot(
             manifests,
-            "overwrite",
+            operation,
             {
                 "added-data-files": str(len(entries)),
                 "added-records": str(total_rows),
@@ -1527,26 +1552,87 @@ def append_dataframe(table: IcebergTable, df) -> dict:
     return table.append_files(new_files, spark=df.sparkSession)
 
 
-def compact_table(table: IcebergTable, spark, files_per_partition: int = 1) -> dict:
-    """Bin-pack the table's live data files: rewrite current content as
-    ~``files_per_partition`` files per identity partition and commit one
-    ``replace`` snapshot. Run expire_snapshots afterwards to reclaim the
-    replaced files' storage once their history is no longer needed."""
-    df = table.to_spark(spark)
+def compact_table(
+    table: IcebergTable,
+    spark,
+    files_per_partition: int = 1,
+    partition_filter: dict | None = None,
+) -> dict:
+    """Bin-pack live data files into ~``files_per_partition`` files per
+    identity partition and commit ONE compaction snapshot. Run
+    expire_snapshots afterwards to reclaim the replaced files' storage
+    once their history is no longer needed.
+
+    ``partition_filter`` scopes the rewrite to matching partitions — the
+    shape that works at 100 TB, where compaction runs incrementally over
+    the partitions a micro-batch ingest just touched, never the whole
+    table: the commit rewrites only the manifests referencing the
+    affected files (partial replace); delete files stay live because
+    they may still apply to the untouched partitions (their rewritten
+    rows are folded in, and the now-dangling row ids no-op).
+
+    ``files_per_partition > 1`` salts the shuffle so one huge partition
+    value doesn't serialize through a single task."""
+    from pyspark.sql import functions as F
+
     part_cols = [pf["name"] for pf in table.spec["fields"]]
     data_dir = os.path.join(table.location, "data")
+    entries = table.scan_files(partition_filter=partition_filter)
+    if not entries:
+        return table.current_snapshot() or {}
+    deletes = table.scan_deletes()
+    df = table._apply_deletes(
+        spark,
+        table._read_data_entries(spark, entries, with_pos=True),
+        deletes,
+        entries,
+    ).drop("__fp", "__pos")
     before = _list_parquet(data_dir)
     if part_cols:
-        # one shuffle task per live partition value → one output file per
-        # partition dir (hash collisions merge tasks, never split dirs)
-        df = df.repartition(*part_cols)
+        keys = [F.col(c) for c in part_cols]
+        if files_per_partition > 1:
+            # deterministic salt: big partitions fan out over N tasks,
+            # each task still writes into the right partition dir
+            keys.append(
+                F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+            )
+        df = df.repartition(*keys)
         writer = df.write.mode("append").partitionBy(*part_cols)
     else:
         df = df.coalesce(max(1, files_per_partition))
         writer = df.write.mode("append")
     writer.parquet(data_dir)
     new_files = sorted(set(_list_parquet(data_dir)) - set(before))
-    return table.replace_files(new_files, spark=spark)
+    if partition_filter is None:
+        return table.replace_files(new_files, spark=spark)
+    # partial compaction: replace exactly the affected files via the
+    # manifest-rewrite commit; a retry is only sound if the conflicting
+    # winner left the rewrite's input state untouched (same guard as
+    # replace_files — stale packed content must never resurrect rows)
+    stats = table._file_stats(new_files, spark=spark)
+    removed = {e["data_file"]["file_path"] for e in entries}
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        try:
+            return table._merge_once(new_files, stats, removed, operation="replace")
+        except CommitConflict as e:
+            last_err = e
+            table.refresh()
+            still_live = {
+                x["data_file"]["file_path"]
+                for x in table.scan_files(partition_filter=partition_filter)
+            }
+            now_dels = {
+                x["data_file"]["file_path"] for x in table.scan_deletes()
+            }
+            if not removed <= still_live or now_dels != {
+                x["data_file"]["file_path"] for x in deletes
+            }:
+                raise ValueError(
+                    "iceberg: concurrent commit changed the compacted "
+                    "partitions; re-run compaction against the fresh state"
+                ) from e
+    raise last_err  # type: ignore[misc]
 
 
 def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict:

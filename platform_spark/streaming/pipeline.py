@@ -37,6 +37,8 @@ class ContinuousTopicPipeline:
         iceberg_table: str | None = None,
         iceberg_location: str | None = None,
         schema_doc: dict | None = None,
+        compact_every: int | None = None,
+        expire_keep_last: int = 8,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -69,6 +71,15 @@ class ContinuousTopicPipeline:
         #: JSON + Avro manifests, create-if-missing then append-with-retry,
         #: the same surface the reference sink drives through iceberg-go
         self.iceberg_location = iceberg_location
+        #: auto-maintenance cadence for the pure-Python Iceberg sink: a
+        #: micro-batch pipeline commits thousands of small appends/day, so
+        #: every N appends the sink bin-packs the live files (one replace
+        #: snapshot) and expires history down to ``expire_keep_last``
+        #: snapshots — scan planning stays O(packed files) forever instead
+        #: of O(commits ever made). None disables.
+        self.compact_every = compact_every
+        self.expire_keep_last = expire_keep_last
+        self._appends_since_compact = 0
 
     def _use_iceberg(self) -> bool:
         from platform_spark.streaming.iceberg import has_iceberg_catalog
@@ -112,6 +123,14 @@ class ContinuousTopicPipeline:
                 partition_by=self.partition_cols,
             )
         append_dataframe(table, batch)
+        if self.compact_every:
+            self._appends_since_compact += 1
+            if self._appends_since_compact >= self.compact_every:
+                from platform_spark.iceberg.table import compact_table
+
+                compact_table(table, batch.sparkSession)
+                table.expire_snapshots(keep_last=self.expire_keep_last)
+                self._appends_since_compact = 0
 
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.transform is not None:

@@ -88,6 +88,93 @@ IMPLICIT_COLUMNS = (
     "_segment",
 )
 
+#: per-topic rank key for the scalable offset assignment: (numeric chunk
+#: key, full ORDER BY of the envelope's ROW_NUMBER). Topics not listed
+#: order by their numeric `_key` (the passthrough envelopes' pk).
+_OFFSET_ORDER: dict[str, tuple[str, tuple[str, ...]]] = {
+    "events": ("event_id", ("event_id",)),
+    "orders": ("o_orderkey", ("o_orderkey",)),
+    # the dup-row tiebreak column (dup.off) is not in the output; its
+    # +300 s shift makes (_ts) an equivalent second key
+    "payments": ("o_orderkey", ("o_orderkey", "_ts")),
+}
+
+
+def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
+    """Bit-identical replacement for
+    ``ROW_NUMBER() OVER (PARTITION BY _partition ORDER BY ...) - 1`` that
+    never sorts a whole topic partition in one task: rows chunk into
+    deterministic key-interval buckets on the leading (numeric, per-
+    partition-unique) order key, per-(chunk, partition) counts roll up to
+    cumulative bases on the driver (n_chunks x partitions tiny rows), and
+    each task then ranks only its own chunk slice — sorts are rows/K, not
+    rows/partitions. Interval chunking (not repartitionByRange) keeps the
+    bucket of every row REPRODUCIBLE across the count job and the rank
+    job; a sampled range partitioner could draw different boundaries per
+    execution and mis-base the ranks."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    key = F.expr(chunk_key).cast("long")
+    mn, mx, n = df.agg(F.min(key), F.max(key), F.count(F.lit(1))).first()
+    if n == 0:
+        return df.withColumn("_offset", F.lit(None).cast("bigint"))
+    span = max(1, (int(mx) - int(mn) + 1) // max(1, n_chunks))
+    # key values are ints well under 2**53, so the double division is exact
+    chunked = df.withColumn(
+        "__chunk", F.floor((key - F.lit(int(mn))) / F.lit(span)).cast("int")
+    )
+    counts = chunked.groupBy("__chunk", "_partition").count().collect()
+    bases, cum = [], {}
+    for r in sorted(counts, key=lambda r: (r["_partition"], r["__chunk"])):
+        bases.append((r["__chunk"], r["_partition"], cum.get(r["_partition"], 0)))
+        cum[r["_partition"]] = cum.get(r["_partition"], 0) + r["count"]
+    base_df = F.broadcast(
+        spark.createDataFrame(bases, "__chunk int, _partition int, __base long")
+    )
+    w = Window.partitionBy("__chunk", "_partition").orderBy(
+        *[F.expr(c) for c in order_cols]
+    )
+    return (
+        chunked.join(base_df, ["__chunk", "_partition"])
+        .withColumn(
+            "_offset",
+            (F.row_number().over(w) - 1 + F.col("__base")).cast("bigint"),
+        )
+        .drop("__chunk", "__base")
+    )
+
+
+def materialize_envelope(name: str, df, rows_per_chunk: int = 2_000_000):
+    """Envelope DataFrame with `_offset`/`_segment` recomputed through the
+    chunked rank (scaled so small fixtures keep one chunk and big ones
+    sort at most ~rows_per_chunk rows per task). The dropped window
+    columns are pruned out of the plan by Catalyst, so the envelope's
+    ROW_NUMBER never executes on this path."""
+    chunk_key, order_cols = _OFFSET_ORDER.get(
+        name, ("CAST(_key AS BIGINT)", ("CAST(_key AS BIGINT)",))
+    )
+    base = df.drop("_offset", "_segment")
+    n_rows = base.count()  # column-pruned scan, cheap vs the write
+    n_chunks = max(1, min(256, n_rows // rows_per_chunk + 1))
+    ranked = assign_partition_offsets(base, chunk_key, order_cols, n_chunks)
+    if name == "events":  # one synthetic segment per 1000 offsets
+        seg = F.concat(
+            F.lit("s3://topics/events/"),
+            F.col("_partition").cast("string"),
+            F.lit("/segment-"),
+            (F.floor(F.col("_offset") / 1000) * 1000).cast("long").cast("string"),
+            F.lit(".kfs"),
+        )
+    else:
+        seg = F.concat(
+            F.lit(f"s3://topics/{name}/"),
+            F.col("_partition").cast("string"),
+            F.lit("/segment-0.kfs"),
+        )
+    return ranked.withColumn("_segment", seg)
+
+
 #: schema-on-read types (config.go:346-353)
 SCHEMA_TYPES = {
     "string": "string",
@@ -373,10 +460,14 @@ class TopicCatalog:
                     shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
-            # the envelope's ROW_NUMBER window already hash-shuffled rows on
-            # the `_partition` expression, so the write is partition-local
-            # as-is — an extra repartition("_partition") here would be a
-            # second full shuffle of every topic for the same clustering
+            # recompute `_offset`/`_segment` through the chunked two-phase
+            # rank instead of the envelope's ROW_NUMBER window: the window
+            # is one sort task per `_partition` VALUE (4 in the fixtures),
+            # which externally spills once a partition outgrows one task's
+            # memory — the r8 sf10 rehearsal measured 17.9x wall at 10x
+            # rows on exactly this leg. Output is bit-identical
+            # (tests/test_topics.py equality sweep + every topic gate hash).
+            df = materialize_envelope(name, df)
             (
                 df.select(*IMPLICIT_COLUMNS)
                 .sortWithinPartitions("_partition", "_offset")

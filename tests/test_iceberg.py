@@ -490,6 +490,49 @@ def test_position_deletes_merge_on_read(spark, table_loc):
     assert sorted(IcebergTable.load(table_loc).to_spark(spark).collect()) == sorted(keep2)
 
 
+def test_partition_scoped_compaction(spark, table_loc):
+    """compact_table(partition_filter=...) bin-packs ONLY the matching
+    partitions through a partial manifest rewrite — the incremental
+    maintenance shape for huge tables. Delete files survive (they may
+    still apply elsewhere); content is identical; other partitions'
+    files are untouched."""
+    from platform_spark.iceberg.table import compact_table
+
+    df = _mk(spark, 0, 60)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    for lo in range(0, 60, 10):
+        append_dataframe(t, _mk(spark, lo, lo + 10))
+    t.delete_where(spark, "id % 11 = 0")
+    expected = sorted(r for r in df.collect() if r.id % 11 != 0)
+    all_before = {e["data_file"]["file_path"] for e in t.scan_files()}
+    p2_before = {
+        e["data_file"]["file_path"]
+        for e in t.scan_files(partition_filter={"part": 2})
+    }
+
+    snap = compact_table(t, spark, partition_filter={"part": 2})
+    assert snap["summary"]["operation"] == "replace"
+    assert int(snap["summary"]["deleted-data-files"]) == len(p2_before)
+    assert sorted(t.to_spark(spark).collect()) == expected
+    after = {e["data_file"]["file_path"] for e in t.scan_files()}
+    # non-matching partitions keep their exact files; p2 is repacked
+    assert all_before - p2_before <= after
+    assert not (p2_before & after)
+    assert len(t.scan_files(partition_filter={"part": 2})) == 1
+    # delete files stay live for the untouched partitions
+    assert t.scan_deletes()
+    # an empty filter is a no-op commit-wise
+    v = t.version
+    compact_table(t, spark, partition_filter={"part": 99})
+    assert t.version == v
+    # changes() treats the partial replace as content-neutral
+    assert t.changes(
+        spark,
+        from_snapshot_id=snap["snapshot-id"] - 1,
+        to_snapshot_id=snap["snapshot-id"],
+    ).count() == 0
+
+
 def test_equality_deletes(spark, table_loc):
     """Equality deletes: O(keys) commit with no data scan, applied on
     read only to data files strictly OLDER than the delete (sequence
@@ -656,3 +699,38 @@ def test_pipeline_pure_python_iceberg_sink(spark, tmp_path):
     t.refresh()
     assert t.to_spark(spark).count() == 60
     assert len(t.metadata["snapshots"]) == n_snaps
+
+
+def test_pipeline_iceberg_auto_maintenance(spark, tmp_path):
+    """compact_every: the sink bin-packs and expires history on a commit
+    cadence, so a long-running micro-batch ingest keeps O(packed files)
+    scan planning; content and exactly-once behavior are unchanged."""
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    # many small source files -> many micro-batch appends (1 file/trigger
+    # is forced by writing each range separately)
+    for lo in range(0, 60, 10):
+        _mk(spark, lo, lo + 10).withColumn("_partition", F.col("part")).write.mode(
+            "append"
+        ).parquet(src)
+    loc = str(tmp_path / "ice")
+    pipe = ContinuousTopicPipeline(
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        compact_every=1,
+        expire_keep_last=2,
+    )
+    pipe.run_available_now()
+    t = IcebergTable.load(loc)
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(60))
+    # maintenance ran: history trimmed, live files bin-packed
+    assert len(t.metadata["snapshots"]) <= 2
+    assert len(t.scan_files()) <= 4  # ~1 per _partition value
+    # restart replays nothing and keeps content stable
+    pipe.run_available_now()
+    t.refresh()
+    assert t.to_spark(spark).count() == 60

@@ -297,6 +297,36 @@ def main() -> None:
     print(f"iceberg_scan: {timings['iceberg_scan']} s", flush=True)
     cleanup()
 
+    # row-level legs over the SAME table: a position delete (one
+    # distributed filter + sorted delete-file write), the merge-on-read
+    # scan it induces (broadcast anti-join — the delete set is KBs
+    # against the whole corpus), and a copy-on-write merge whose cost
+    # must track the AFFECTED file count, not the table
+    from platform_spark.iceberg.table import merge_into
+
+    t0 = time.time()
+    itbl.delete_where(spark, "doc_id % 97 = 0")
+    timings["iceberg_delete_commit"] = round(time.time() - t0, 3)
+    print(f"iceberg_delete_commit: {timings['iceberg_delete_commit']} s", flush=True)
+    cleanup()
+    t0 = time.time()
+    force(itbl.to_spark(spark))
+    timings["iceberg_mor_scan"] = round(time.time() - t0, 3)
+    print(f"iceberg_mor_scan: {timings['iceberg_mor_scan']} s", flush=True)
+    cleanup()
+    t0 = time.time()
+    merge_into(
+        itbl,
+        itbl.to_spark(spark).filter("doc_id % 1013 = 5").withColumn(
+            "source", F.lit("merged")
+        ),
+        ["doc_id"],
+        spark,
+    )
+    timings["iceberg_merge_commit"] = round(time.time() - t0, 3)
+    print(f"iceberg_merge_commit: {timings['iceberg_merge_commit']} s", flush=True)
+    cleanup()
+
     # semantic decontam at rehearsal scale runs the VECTORIZED probe (the
     # expression mode is the oracle reference and interpreted-HOF-bound:
     # at sf10 its 200k x ~4.9k pair fold would dominate the whole run)
