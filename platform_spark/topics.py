@@ -145,18 +145,27 @@ def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
     )
 
 
-def materialize_envelope(name: str, df, rows_per_chunk: int = 2_000_000):
+def materialize_envelope(
+    name: str, df, rows_per_chunk: int = 2_000_000, approx_rows: int | None = None
+):
     """Envelope DataFrame with `_offset`/`_segment` recomputed through the
-    chunked rank (scaled so small fixtures keep one chunk and big ones
-    sort at most ~rows_per_chunk rows per task). The dropped window
-    columns are pruned out of the plan by Catalyst, so the envelope's
-    ROW_NUMBER never executes on this path."""
+    chunked rank when a topic is big enough that the window's one-sort-
+    task-per-partition would spill (scaled so sorts stay at most
+    ~rows_per_chunk rows per task). Small topics return the original
+    window plan UNCHANGED — the chunked path's extra jobs (min/max,
+    counts) only pay for themselves at scale. ``approx_rows`` (e.g. from
+    parquet footers) avoids even the sizing count; chunk-count selection
+    only needs the order of magnitude."""
+    n_rows = approx_rows
+    if n_rows is None:
+        n_rows = df.drop("_offset", "_segment").count()  # column-pruned scan
+    n_chunks = max(1, min(256, n_rows // rows_per_chunk + 1))
+    if n_chunks <= 1:
+        return df
     chunk_key, order_cols = _OFFSET_ORDER.get(
         name, ("CAST(_key AS BIGINT)", ("CAST(_key AS BIGINT)",))
     )
     base = df.drop("_offset", "_segment")
-    n_rows = base.count()  # column-pruned scan, cheap vs the write
-    n_chunks = max(1, min(256, n_rows // rows_per_chunk + 1))
     ranked = assign_partition_offsets(base, chunk_key, order_cols, n_chunks)
     if name == "events":  # one synthetic segment per 1000 offsets
         seg = F.concat(
@@ -416,6 +425,27 @@ class TopicCatalog:
                 )
             )
 
+    def _approx_source_rows(self, name: str) -> int:
+        """Row count of a topic's source table straight from the parquet
+        footers (no Spark job) — sizes the chunked rank. `payments`
+        derives from `orders`; exactness is irrelevant, only the order of
+        magnitude picks the chunk count."""
+        import pyarrow.parquet as pq
+
+        table = "orders" if name == "payments" else name
+        path = os.path.join(self.sf_dir, f"{table}.parquet")
+        try:
+            if os.path.isdir(path):
+                return sum(
+                    pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                    for dp, _dirs, files in os.walk(path)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+            return pq.ParquetFile(path).metadata.num_rows
+        except OSError:
+            return 0  # unknown -> single chunk (the safe small-scale plan)
+
     def materialize(self, name: str, root: str) -> str:
         """Write the topic as Parquet partitioned by `_partition` — the
         engine's real storage layout (segment files → parquet files within a
@@ -465,9 +495,12 @@ class TopicCatalog:
             # is one sort task per `_partition` VALUE (4 in the fixtures),
             # which externally spills once a partition outgrows one task's
             # memory — the r8 sf10 rehearsal measured 17.9x wall at 10x
-            # rows on exactly this leg. Output is bit-identical
-            # (tests/test_topics.py equality sweep + every topic gate hash).
-            df = materialize_envelope(name, df)
+            # rows on exactly this leg (394.6 s -> 114.9 s chunked).
+            # Output is bit-identical (tests/test_topics.py equality sweep
+            # + every topic gate hash); small topics keep the window plan.
+            df = materialize_envelope(
+                name, df, approx_rows=self._approx_source_rows(name)
+            )
             (
                 df.select(*IMPLICIT_COLUMNS)
                 .sortWithinPartitions("_partition", "_offset")
