@@ -5205,6 +5205,29 @@ FROM t_events WHERE _offset >= 100 AND _offset <= 180"""
 # Iceberg v2 commit/scan round-trip (pure-Python table format) --------------
 
 
+def _iceberg_scratch(sf_dir: str, suffix: str) -> tuple[str, str]:
+    """Version-keyed scratch location + build marker for a gate-built
+    Iceberg table (keyed on the iceberg module sources, so a format
+    change rebuilds). An interrupted build — dir present, marker missing
+    — is wiped, because IcebergTable.create's exclusive-create would
+    otherwise conflict with its own leftovers forever."""
+    import hashlib
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ver = hashlib.md5(
+        b"".join(
+            open(os.path.join(here, "iceberg", f), "rb").read()
+            for f in ("avro.py", "table.py")
+        )
+    ).hexdigest()[:8]
+    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs{suffix}_{ver}")
+    done = os.path.join(loc, "_GATE_SUCCESS")
+    if not os.path.exists(done) and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    return loc, done
+
+
 def _ensure_iceberg_table(
     spark: SparkSession, sf_dir: str, with_deletes: bool = False
 ) -> str:
@@ -5215,22 +5238,11 @@ def _ensure_iceberg_table(
     exercised end-to-end through real metadata JSON + Avro manifests.
     ``with_deletes`` builds a second table that additionally commits TWO
     position-delete snapshots (v2 row-level deletes, merged on read)."""
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from platform_spark.iceberg.table import IcebergTable, append_dataframe
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    ver = hashlib.md5(
-        b"".join(
-            open(os.path.join(here, "iceberg", f), "rb").read()
-            for f in ("avro.py", "table.py")
-        )
-    ).hexdigest()[:8]
-    suffix = "_del" if with_deletes else ""
-    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs{suffix}_{ver}")
-    done = os.path.join(loc, "_GATE_SUCCESS")
+    loc, done = _iceberg_scratch(sf_dir, "_del" if with_deletes else "")
     if not os.path.exists(done):
         docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
         clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
@@ -5330,23 +5342,13 @@ def _ensure_iceberg_merge_table(spark: SparkSession, sf_dir: str) -> str:
     """Scratch table for the MERGE gate: two appends, then one
     copy-on-write upsert (updates doc_id%5==0 rows, inserts shifted new
     ids) — only the files holding a matching key get rewritten."""
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from platform_spark.iceberg.table import (
         IcebergTable, append_dataframe, merge_into,
     )
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    ver = hashlib.md5(
-        b"".join(
-            open(os.path.join(here, "iceberg", f), "rb").read()
-            for f in ("avro.py", "table.py")
-        )
-    ).hexdigest()[:8]
-    loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs_mrg_{ver}")
-    done = os.path.join(loc, "_GATE_SUCCESS")
+    loc, done = _iceberg_scratch(sf_dir, "_mrg")
     if not os.path.exists(done):
         docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
         clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata

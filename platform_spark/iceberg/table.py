@@ -33,6 +33,7 @@ transforms; flat, list, struct, and map column types.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import struct
@@ -421,12 +422,54 @@ class CommitConflict(Exception):
     """Another writer committed the metadata version we targeted."""
 
 
+@contextlib.contextmanager
+def _write_phase_lock(location: str, timeout: float = 300.0, stale: float = 3600.0):
+    """Advisory single-writer lock for the WRITE phase of operations that
+    attribute their output by directory diff (append/delete/merge/
+    compact): without it, two concurrent writers each list the dir before
+    and after and claim the OTHER writer's freshly-landed part files as
+    their own — both commits then reference the same physical file and
+    every scan double-counts it. Only file creation + listing serializes;
+    the metadata commit stays optimistic (exclusive-create resolves that
+    race). Locks left by dead processes go stale after ``stale`` s."""
+    path = os.path.join(os.path.abspath(location), ".write.lock")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(path).st_mtime > stale:
+                    os.remove(path)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(f"iceberg: write-phase lock busy: {path}")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+
 class IcebergTable:
     """An Iceberg v2 table at a filesystem ``location`` (HadoopTables
     layout: ``location/metadata/v{N}.metadata.json`` + version-hint)."""
 
     def __init__(self, location: str, metadata: dict, version: int, clock=time.time):
-        self.location = location.rstrip("/")
+        # absolute: manifest file_paths derive from this string and must
+        # compare equal to Spark's absolute `_metadata.file_path` in the
+        # merge-on-read / merge_into identity joins — a relative location
+        # would make those joins silently match nothing
+        self.location = os.path.abspath(location).rstrip("/")
         self.metadata = metadata
         self.version = version
         self._clock = clock
@@ -435,7 +478,7 @@ class IcebergTable:
 
     @staticmethod
     def _meta_dir(location: str) -> str:
-        return os.path.join(location.rstrip("/"), "metadata")
+        return os.path.join(os.path.abspath(location).rstrip("/"), "metadata")
 
     @classmethod
     def exists(cls, location: str) -> bool:
@@ -471,7 +514,7 @@ class IcebergTable:
         metadata = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, location)),
-            "location": location.rstrip("/"),
+            "location": os.path.abspath(location).rstrip("/"),
             "last-sequence-number": 0,
             "last-updated-ms": now_ms,
             "last-column-id": last_col,
@@ -561,7 +604,15 @@ class IcebergTable:
         )
 
     def _partition_value_from_path(self, rel_path: str, pf: dict):
-        """Identity partition value from a hive-style path component."""
+        """Identity partition value from a hive-style path component.
+        Values are normalized to the spec's representation (date = days
+        since epoch, timestamp = micros since epoch) and URL-unescaped —
+        Spark percent-encodes specials (space, colon, slash) in partition
+        dir names, and the manifest must store the real value or filters
+        on it silently match nothing."""
+        import datetime
+        from urllib.parse import unquote
+
         types = {f["id"]: f["type"] for f in self.schema["fields"]}
         src_type = types.get(pf["source-id"], "string")
         needle = f"{pf['name']}="
@@ -570,14 +621,40 @@ class IcebergTable:
                 raw = comp[len(needle):]
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     return None
-                if src_type in ("int", "long", "date", "timestamp", "timestamptz"):
+                raw = unquote(raw)
+                if src_type in ("int", "long"):
                     return int(raw)
+                if src_type == "date":
+                    d = datetime.date.fromisoformat(raw)
+                    return (d - datetime.date(1970, 1, 1)).days
+                if src_type in ("timestamp", "timestamptz"):
+                    dt = datetime.datetime.fromisoformat(raw)
+                    epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+                    return int((dt - epoch).total_seconds() * 1_000_000)
                 if src_type == "double":
                     return float(raw)
                 if src_type == "boolean":
                     return raw == "true"
                 return raw
         return None
+
+    def _norm_partition_filter(self, partition_filter: dict | None) -> dict | None:
+        """Normalize user filter values to the manifests' representation
+        (date objects → days, datetimes → micros) so comparisons are
+        value-to-value."""
+        if not partition_filter:
+            return partition_filter
+        import datetime
+
+        out = {}
+        for k, v in partition_filter.items():
+            if isinstance(v, datetime.datetime):
+                epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                v = int((v - epoch).total_seconds() * 1_000_000)
+            elif isinstance(v, datetime.date):
+                v = (v - datetime.date(1970, 1, 1)).days
+            out[k] = v
+        return out
 
     def _file_stats(self, paths: list[str], spark=None) -> dict[str, dict]:
         """Footer stats for every data file. Small commits stat on the
@@ -596,18 +673,22 @@ class IcebergTable:
             return dict(stats)
         return {p: _collect_file_stats(p, ids_by_name, types_by_id) for p in paths}
 
-    def append_files(self, paths: list[str], spark=None) -> dict:
+    def append_files(
+        self, paths: list[str], spark=None, properties_update: dict | None = None
+    ) -> dict:
         """Commit an append snapshot over already-written parquet files
         (they should live under ``location/data/``). Returns the new
         snapshot dict. Retries on commit conflict like the reference's
-        3-attempt loop (iceberg.go:157-195)."""
+        3-attempt loop (iceberg.go:157-195). ``properties_update`` merges
+        into table properties atomically with the commit (the streaming
+        sink records its last batch id this way for replay idempotence)."""
         if not paths:
             raise ValueError("iceberg: empty append")
         stats = self._file_stats(paths, spark=spark)
         last_err: Exception | None = None
         for _attempt in range(3):
             try:
-                return self._append_once(paths, stats)
+                return self._append_once(paths, stats, properties_update)
             except CommitConflict as e:
                 last_err = e
                 self.refresh()
@@ -628,10 +709,11 @@ class IcebergTable:
         spec_fields = self.spec["fields"]
         entries = []
         total_rows = 0
-        part_summaries: list[dict] = [
-            {"contains_null": False, "contains_nan": None,
-             "lower_bound": None, "upper_bound": None}
-            for _ in spec_fields
+        # bounds accumulate as VALUES and serialize once at the end:
+        # min/max over the little-endian serialized bytes would order
+        # 256 (b'\x00\x01..') below 1 (b'\x01\x00..') and mis-prune
+        vals: list[dict] = [
+            {"contains_null": False, "lo": None, "hi": None} for _ in spec_fields
         ]
         types = {f["id"]: f["type"] for f in self.schema["fields"]}
         for path in sorted(paths):
@@ -642,13 +724,11 @@ class IcebergTable:
             for i, pf in enumerate(spec_fields):
                 v = self._partition_value_from_path(rel, pf)
                 part[pf["name"]] = v
-                summ = part_summaries[i]
                 if v is None:
-                    summ["contains_null"] = True
+                    vals[i]["contains_null"] = True
                 else:
-                    b = serialize_bound(types.get(pf["source-id"], "string"), v)
-                    for key, cmp in (("lower_bound", min), ("upper_bound", max)):
-                        summ[key] = b if summ[key] is None else cmp(summ[key], b)
+                    vals[i]["lo"] = v if vals[i]["lo"] is None else min(vals[i]["lo"], v)
+                    vals[i]["hi"] = v if vals[i]["hi"] is None else max(vals[i]["hi"], v)
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -670,6 +750,19 @@ class IcebergTable:
                     },
                 }
             )
+        part_summaries = [
+            {
+                "contains_null": v["contains_null"],
+                "contains_nan": None,
+                "lower_bound": serialize_bound(
+                    types.get(spec_fields[i]["source-id"], "string"), v["lo"]
+                ),
+                "upper_bound": serialize_bound(
+                    types.get(spec_fields[i]["source-id"], "string"), v["hi"]
+                ),
+            }
+            for i, v in enumerate(vals)
+        ]
         return entries, total_rows, part_summaries
 
     def _write_manifest(
@@ -738,10 +831,8 @@ class IcebergTable:
         if not spec_fields:
             return None
         types = {f["id"]: f["type"] for f in self.schema["fields"]}
-        summs: list[dict] = [
-            {"contains_null": False, "contains_nan": None,
-             "lower_bound": None, "upper_bound": None}
-            for _ in spec_fields
+        vals = [
+            {"contains_null": False, "lo": None, "hi": None} for _ in spec_fields
         ]
         for e in entries:
             if e["status"] == 2:
@@ -749,12 +840,25 @@ class IcebergTable:
             for i, pf in enumerate(spec_fields):
                 v = e["data_file"]["partition"].get(pf["name"])
                 if v is None:
-                    summs[i]["contains_null"] = True
+                    vals[i]["contains_null"] = True
                     continue
-                b = serialize_bound(types.get(pf["source-id"], "string"), v)
-                for key, cmp in (("lower_bound", min), ("upper_bound", max)):
-                    summs[i][key] = b if summs[i][key] is None else cmp(summs[i][key], b)
-        return summs
+                # compare VALUES; serialize only at the end (byte order of
+                # little-endian encodings does not follow value order)
+                vals[i]["lo"] = v if vals[i]["lo"] is None else min(vals[i]["lo"], v)
+                vals[i]["hi"] = v if vals[i]["hi"] is None else max(vals[i]["hi"], v)
+        return [
+            {
+                "contains_null": v["contains_null"],
+                "contains_nan": None,
+                "lower_bound": serialize_bound(
+                    types.get(spec_fields[i]["source-id"], "string"), v["lo"]
+                ),
+                "upper_bound": serialize_bound(
+                    types.get(spec_fields[i]["source-id"], "string"), v["hi"]
+                ),
+            }
+            for i, v in enumerate(vals)
+        ]
 
     def _finalize_snapshot(
         self,
@@ -763,12 +867,19 @@ class IcebergTable:
         summary: dict,
         seq: int,
         snap_id: int,
+        properties_update: dict | None = None,
     ) -> dict:
         meta_dir = self._meta_dir(self.location)
         prior = self.current_snapshot()
-        mlist_path = os.path.join(
-            meta_dir, f"snap-{snap_id}-1-{self.metadata['table-uuid']}.avro"
+        # the name must be unique to THIS writer's content: two racing
+        # committers both target seq S+1, and avro.write_container ends in
+        # os.replace — a fixed snap-{seq} name would let the loser clobber
+        # the winner's already-committed manifest list before its own
+        # metadata commit fails with the conflict
+        tag = uuid.uuid5(
+            uuid.NAMESPACE_URL, "|".join(m["manifest_path"] for m in manifests)
         )
+        mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{tag}.avro")
         avro.write_container(
             mlist_path, MANIFEST_FILE_SCHEMA, manifests,
             metadata={"format-version": "2"},
@@ -784,6 +895,11 @@ class IcebergTable:
             "schema-id": self.metadata["current-schema-id"],
         }
         new_meta = dict(self.metadata)
+        if properties_update:
+            new_meta["properties"] = {
+                **self.metadata.get("properties", {}),
+                **properties_update,
+            }
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now_ms
         new_meta["current-snapshot-id"] = snap_id
@@ -804,7 +920,12 @@ class IcebergTable:
         self.version += 1
         return snapshot
 
-    def _append_once(self, paths: list[str], all_stats: dict[str, dict]) -> dict:
+    def _append_once(
+        self,
+        paths: list[str],
+        all_stats: dict[str, dict],
+        properties_update: dict | None = None,
+    ) -> dict:
         seq = self.metadata["last-sequence-number"] + 1
         snap_id = seq  # deterministic snapshot ids (any unique long is valid)
         entries, total_rows, part_summaries = self._build_entries(
@@ -824,6 +945,7 @@ class IcebergTable:
             },
             seq,
             snap_id,
+            properties_update=properties_update,
         )
 
     def replace_files(self, new_paths: list[str], spark=None) -> dict:
@@ -1097,9 +1219,12 @@ class IcebergTable:
                 .sortWithinPartitions("file_path", "pos")
             )
             out_dir = os.path.join(self.location, "deletes")
-            before = set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
-            doomed.write.mode("append").parquet(out_dir)
-            new_files = sorted(set(_list_parquet(out_dir)) - before)
+            with _write_phase_lock(self.location):
+                before = (
+                    set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
+                )
+                doomed.write.mode("append").parquet(out_dir)
+                new_files = sorted(set(_list_parquet(out_dir)) - before)
             stats = self._file_stats(new_files, spark=spark)
             live = [p for p in new_files if stats[p]["record_count"] > 0]
             for p in set(new_files) - set(live):  # empty shuffle partitions
@@ -1136,9 +1261,12 @@ class IcebergTable:
             raise ValueError(f"iceberg: equality-delete columns {bad} not in schema")
         eq_ids = [names[c] for c in keys_df.columns]
         out_dir = os.path.join(self.location, "deletes")
-        before = set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
-        keys_df.dropDuplicates(keys_df.columns).write.mode("append").parquet(out_dir)
-        new_files = sorted(set(_list_parquet(out_dir)) - before)
+        with _write_phase_lock(self.location):
+            before = set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
+            keys_df.dropDuplicates(keys_df.columns).write.mode("append").parquet(
+                out_dir
+            )
+            new_files = sorted(set(_list_parquet(out_dir)) - before)
         stats = self._file_stats(new_files, spark=spark)
         live = [p for p in new_files if stats[p]["record_count"] > 0]
         for p in set(new_files) - set(live):
@@ -1343,6 +1471,7 @@ class IcebergTable:
         partition_filter: dict | None,
         content: int,
     ) -> list[dict]:
+        partition_filter = self._norm_partition_filter(partition_filter)
         snap = (
             self.current_snapshot()
             if snapshot_id is None
@@ -1534,22 +1663,32 @@ class IcebergTable:
         return df.drop("__data_seq")
 
 
-def append_dataframe(table: IcebergTable, df) -> dict:
+def append_dataframe(
+    table: IcebergTable, df, properties_update: dict | None = None
+) -> dict | None:
     """Write a DataFrame as parquet data files under ``location/data/``
     and commit them as one append snapshot (the Spark-side half of the
     reference's Write() path, iceberg.go:146-204). Widening evolution is
-    applied first when the incoming schema adds/widens columns."""
+    applied first when the incoming schema adds/widens columns. An empty
+    DataFrame is a no-op (returns None) — a partitioned write of zero
+    rows produces no files, and a streaming sink must treat such a
+    micro-batch as nothing-to-commit, not an error."""
     if df.schema != table.spark_schema:
         table.evolve_schema(df.schema)
     part_cols = [pf["name"] for pf in table.spec["fields"]]
     data_dir = os.path.join(table.location, "data")
-    before = _list_parquet(data_dir)
-    writer = df.write.mode("append")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(data_dir)
-    new_files = sorted(set(_list_parquet(data_dir)) - set(before))
-    return table.append_files(new_files, spark=df.sparkSession)
+    with _write_phase_lock(table.location):
+        before = _list_parquet(data_dir)
+        writer = df.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(data_dir)
+        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+    if not new_files:
+        return None
+    return table.append_files(
+        new_files, spark=df.sparkSession, properties_update=properties_update
+    )
 
 
 def compact_table(
@@ -1587,22 +1726,23 @@ def compact_table(
         deletes,
         entries,
     ).drop("__fp", "__pos")
-    before = _list_parquet(data_dir)
-    if part_cols:
-        keys = [F.col(c) for c in part_cols]
-        if files_per_partition > 1:
-            # deterministic salt: big partitions fan out over N tasks,
-            # each task still writes into the right partition dir
-            keys.append(
-                F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
-            )
-        df = df.repartition(*keys)
-        writer = df.write.mode("append").partitionBy(*part_cols)
-    else:
-        df = df.coalesce(max(1, files_per_partition))
-        writer = df.write.mode("append")
-    writer.parquet(data_dir)
-    new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+    with _write_phase_lock(table.location):
+        before = _list_parquet(data_dir)
+        if part_cols:
+            keys = [F.col(c) for c in part_cols]
+            if files_per_partition > 1:
+                # deterministic salt: big partitions fan out over N tasks,
+                # each task still writes into the right partition dir
+                keys.append(
+                    F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+                )
+            df = df.repartition(*keys)
+            writer = df.write.mode("append").partitionBy(*part_cols)
+        else:
+            df = df.coalesce(max(1, files_per_partition))
+            writer = df.write.mode("append")
+        writer.parquet(data_dir)
+        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
     if partition_filter is None:
         return table.replace_files(new_files, spark=spark)
     # partial compaction: replace exactly the affected files via the
@@ -1700,12 +1840,13 @@ def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict
             merged = aff.join(src_keys, keys, "left_anti").unionByName(source)
         else:
             merged = source
-        before = _list_parquet(data_dir)
-        writer = merged.write.mode("append")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(data_dir)
-        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+        with _write_phase_lock(table.location):
+            before = _list_parquet(data_dir)
+            writer = merged.write.mode("append")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(data_dir)
+            new_files = sorted(set(_list_parquet(data_dir)) - set(before))
         stats = table._file_stats(new_files, spark=spark)
         try:
             return table._merge_once(new_files, stats, affected_set)

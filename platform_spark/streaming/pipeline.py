@@ -80,6 +80,11 @@ class ContinuousTopicPipeline:
         self.compact_every = compact_every
         self.expire_keep_last = expire_keep_last
         self._appends_since_compact = 0
+        #: partition values the appends since the last compaction touched
+        #: — maintenance bin-packs ONLY these (partition-scoped partial
+        #: rewrites), so per-cycle I/O tracks the recent ingest, not the
+        #: table size
+        self._touched_partitions: set[tuple] = set()
 
     def _use_iceberg(self) -> bool:
         from platform_spark.streaming.iceberg import has_iceberg_catalog
@@ -106,31 +111,64 @@ class ContinuousTopicPipeline:
             )
         batch.writeTo(self.iceberg_table).append()
 
-    def _sink_iceberg_fs(self, batch: DataFrame) -> None:
+    def _sink_iceberg_fs(self, batch: DataFrame, batch_id: int | None) -> None:
         """Pure-Python Iceberg sink: create-if-missing, then one append
         snapshot per micro-batch with widening-only evolution — the
         reference's Write() flow (iceberg.go:146-204, createTableWithRetry
         330-384) without a catalog service; commit conflicts retry inside
-        append_files."""
+        append_files. The last committed batch id rides in table
+        properties atomically with each commit: foreachBatch re-delivers
+        a batch when the process dies between the table commit and the
+        streaming checkpoint, and without this check the replay would
+        double-append."""
         from platform_spark.iceberg.table import IcebergTable, append_dataframe
 
         if IcebergTable.exists(self.iceberg_location):
             table = IcebergTable.load(self.iceberg_location)
+            last = table.metadata.get("properties", {}).get("streaming-batch-id")
+            if (
+                batch_id is not None
+                and last is not None
+                and int(last) >= batch_id
+            ):
+                return  # replay of an already-committed batch
         else:
             table = IcebergTable.create(
                 self.iceberg_location,
                 batch.schema,
                 partition_by=self.partition_cols,
             )
-        append_dataframe(table, batch)
+        props = (
+            {"streaming-batch-id": str(batch_id)} if batch_id is not None else None
+        )
+        if append_dataframe(table, batch, properties_update=props) is None:
+            return  # empty batch: nothing committed, nothing to maintain
         if self.compact_every:
+            if self.partition_cols:
+                self._touched_partitions.update(
+                    tuple(r)
+                    for r in batch.select(*self.partition_cols)
+                    .distinct()
+                    .collect()
+                )
             self._appends_since_compact += 1
             if self._appends_since_compact >= self.compact_every:
                 from platform_spark.iceberg.table import compact_table
 
-                compact_table(table, batch.sparkSession)
+                if self.partition_cols and self._touched_partitions:
+                    # partial rewrites scoped to the recently-ingested
+                    # partitions: O(recent data) per cycle, never O(table)
+                    for t in sorted(self._touched_partitions):
+                        compact_table(
+                            table,
+                            batch.sparkSession,
+                            partition_filter=dict(zip(self.partition_cols, t)),
+                        )
+                else:
+                    compact_table(table, batch.sparkSession)
                 table.expire_snapshots(keep_last=self.expire_keep_last)
                 self._appends_since_compact = 0
+                self._touched_partitions.clear()
 
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.transform is not None:
@@ -143,7 +181,7 @@ class ContinuousTopicPipeline:
             self._sink_iceberg(batch)
             return
         if self.iceberg_location is not None:
-            self._sink_iceberg_fs(batch)
+            self._sink_iceberg_fs(batch, batch_id)
             return
         # parquet fallback — schema evolution: mergeSchema on write accepts
         # added columns, the add-column subset of the reference's rules

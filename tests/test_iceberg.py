@@ -490,6 +490,126 @@ def test_position_deletes_merge_on_read(spark, table_loc):
     assert sorted(IcebergTable.load(table_loc).to_spark(spark).collect()) == sorted(keep2)
 
 
+def test_partition_bounds_are_value_ordered(spark, table_loc):
+    """Manifest partition summaries must order by VALUE: little-endian
+    serialized bytes order 256 below 1, which made pruning skip matching
+    manifests for any int partition spanning a byte boundary."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(600).select(
+        F.col("id"),
+        F.when(F.col("id") < 300, F.lit(1)).otherwise(F.lit(256)).alias("day"),
+    )
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("day",), clock=CLOCK)
+    append_dataframe(t, df)  # ONE append -> one manifest holding 1 and 256
+    from platform_spark.iceberg import avro as _avro
+    from platform_spark.iceberg.table import deserialize_bound
+
+    _, _, manifests = _avro.read_container(t.current_snapshot()["manifest-list"])
+    summ = manifests[0]["partitions"][0]
+    assert deserialize_bound("int", summ["lower_bound"]) == 1
+    assert deserialize_bound("int", summ["upper_bound"]) == 256
+    got = t.to_spark(spark, partition_filter={"day": 1})
+    assert got.count() == 300 and len(got.inputFiles()) < len(t.scan_files())
+
+
+def test_date_and_escaped_string_partitions(spark, table_loc):
+    """Date partition values round-trip as days-since-epoch (crashed with
+    int('2024-01-02') before); string partition values URL-unescape so
+    filters on values with specials match."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int")).alias("day"),
+        F.concat(F.lit("a b/"), (F.col("id") % 2).cast("string")).alias("tag"),
+    )
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("day", "tag"), clock=CLOCK
+    )
+    append_dataframe(t, df)
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(40))
+    # filter by a real date object; stored value is days-since-epoch
+    want = datetime.date(2024, 1, 2)
+    got = t.to_spark(spark, partition_filter={"day": want})
+    assert sorted(r.id for r in got.collect()) == [i for i in range(40) if i % 3 == 1]
+    assert got.agg(F.min("day"), F.max("day")).first() == (want, want)
+    # escaped string partition ('a b/0' -> 'tag=a%20b%2F0' on disk)
+    got2 = t.to_spark(spark, partition_filter={"tag": "a b/0"})
+    assert sorted(r.id for r in got2.collect()) == [i for i in range(40) if i % 2 == 0]
+
+
+def test_relative_location_and_conflict_retry(spark, tmp_path, monkeypatch):
+    """A relative table location must not break the _metadata.file_path
+    identity joins (merge/deletes); a stale second handle's append must
+    conflict, retry, and land without losing or duplicating rows."""
+    import os as _os
+
+    from platform_spark.iceberg.table import merge_into
+
+    monkeypatch.chdir(tmp_path)
+    df = _mk(spark, 0, 30)
+    t = IcebergTable.create("rel/tbl", df.schema, partition_by=("part",), clock=CLOCK)
+    assert _os.path.isabs(t.location)
+    append_dataframe(t, df)
+    t.delete_where(spark, "id = 7")
+    assert t.to_spark(spark).count() == 29
+    merge_into(t, _mk(spark, 0, 3).withColumn("text", F.lit("upd")), ["id"], spark)
+    got = {r.id: r.text for r in t.to_spark(spark).collect()}
+    assert got[0] == got[1] == got[2] == "upd" and len(got) == 29
+    # stale-handle append: second handle loaded before the first's commit
+    t1 = IcebergTable.load("rel/tbl", clock=CLOCK)
+    t2 = IcebergTable.load("rel/tbl", clock=CLOCK)
+    append_dataframe(t1, _mk(spark, 100, 110))
+    append_dataframe(t2, _mk(spark, 200, 210))  # conflict -> refresh -> retry
+    fresh = IcebergTable.load("rel/tbl", clock=CLOCK).to_spark(spark)
+    ids = sorted(r.id for r in fresh.collect())
+    assert ids == sorted(set(got) | set(range(100, 110)) | set(range(200, 210)))
+
+
+def test_pipeline_empty_batch_and_replay(spark, tmp_path):
+    """An all-filtered micro-batch must be a no-op, not a crash; a
+    replayed batch_id must not double-append."""
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    _mk(spark, 0, 20).withColumn("_partition", F.col("part")).write.parquet(src)
+    loc = str(tmp_path / "ice")
+    pipe = ContinuousTopicPipeline(
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        transform=lambda df: df.filter("id < 0"),  # drops everything
+    )
+    pipe.run_available_now()  # must not raise; nothing committed
+    assert not IcebergTable.exists(loc) or IcebergTable.load(loc).to_spark(spark).count() == 0
+
+    pipe2 = ContinuousTopicPipeline(
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused2"),
+        checkpoint_dir=str(tmp_path / "ck2"),
+        iceberg_location=str(tmp_path / "ice2"),
+    )
+    pipe2.run_available_now()
+    t = IcebergTable.load(str(tmp_path / "ice2"))
+    assert t.to_spark(spark).count() == 20
+    # simulate foreachBatch replay after a crash-before-checkpoint: the
+    # recorded streaming-batch-id must make the re-delivery a no-op
+    batch = spark.read.parquet(src)
+    last_id = int(t.metadata["properties"]["streaming-batch-id"])
+    pipe2._sink_iceberg_fs(batch, last_id)
+    t.refresh()
+    assert t.to_spark(spark).count() == 20  # unchanged
+    pipe2._sink_iceberg_fs(batch, last_id + 1)  # genuinely new batch
+    t.refresh()
+    assert t.to_spark(spark).count() == 40
+
+
 def test_partition_scoped_compaction(spark, table_loc):
     """compact_table(partition_filter=...) bin-packs ONLY the matching
     partitions through a partial manifest rewrite — the incremental
