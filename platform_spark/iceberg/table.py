@@ -1388,6 +1388,65 @@ class IcebergTable:
                 pass
         return {"snapshots": len(expired), "files": len(dead)}
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Point the table back at an existing snapshot (bad-write undo).
+        Pure metadata: no file moves; later snapshots stay in history (and
+        in time travel) until expire_snapshots drops them. Mirrors
+        Iceberg's rollback_to_snapshot procedure."""
+        if not any(
+            s["snapshot-id"] == snapshot_id for s in self.metadata["snapshots"]
+        ):
+            raise ValueError(f"iceberg: unknown snapshot {snapshot_id}")
+        new_meta = dict(self.metadata)
+        now_ms = int(self._clock() * 1000)
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["snapshot-log"] = self.metadata["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+        new_meta["last-updated-ms"] = now_ms
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.rollback_to(snapshot_id)
+        self.metadata = new_meta
+        self.version += 1
+
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> list[str]:
+        """Delete data/delete/metadata files under the table location that
+        NO snapshot references — leftovers of conflict-aborted writers
+        (their parquet landed but the metadata commit lost the race) and
+        of delete_where retries. Only files untouched for
+        ``older_than_s`` seconds are removed, so an in-flight writer's
+        not-yet-committed files survive; this mirrors Iceberg's
+        remove_orphan_files safety window. Returns the removed paths."""
+        live: set[str] = set()
+        for s in self.metadata["snapshots"]:
+            live.add(s["manifest-list"])
+            _, _, manifests = avro.read_container(s["manifest-list"])
+            for mf in manifests:
+                live.add(mf["manifest_path"])
+                _, _, es = avro.read_container(mf["manifest_path"])
+                live.update(e["data_file"]["file_path"] for e in es)
+        cutoff = time.time() - older_than_s
+        removed = []
+        for sub in ("data", "deletes", "metadata"):
+            root = os.path.join(self.location, sub)
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    if p in live or not (f.endswith(".parquet") or f.endswith(".avro")):
+                        continue
+                    try:
+                        if os.stat(p).st_mtime < cutoff:
+                            os.remove(p)
+                            removed.append(p)
+                    except FileNotFoundError:
+                        pass
+        return sorted(removed)
+
     def evolve_schema(self, new_spark_schema) -> None:
         """Widening-only schema evolution (reference iceberg.go:855-884
         schemaNeedsUpdate/isWidening): new columns append with fresh ids;

@@ -794,6 +794,45 @@ def test_incremental_changes(spark, table_loc):
     ).count() == 10
 
 
+def test_rollback_and_orphan_removal(spark, table_loc):
+    """rollback_to is a pure metadata undo (later snapshots stay
+    time-travelable until expiry; new appends continue from the rolled-
+    back state); remove_orphan_files reclaims only old unreferenced
+    files."""
+    import time as _time
+
+    df = _mk(spark, 0, 30)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    s1 = append_dataframe(t, _mk(spark, 0, 10))
+    s2 = append_dataframe(t, _mk(spark, 10, 20))
+    t.rollback_to(s1["snapshot-id"])
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(10))
+    # the rolled-past snapshot still time-travels
+    assert t.to_spark(spark, snapshot_id=s2["snapshot-id"]).count() == 20
+    # a new append builds on the rolled-back state with a fresh sequence
+    s3 = append_dataframe(t, _mk(spark, 50, 55))
+    assert s3["sequence-number"] > s2["sequence-number"]
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(10)) + list(range(50, 55))
+    assert IcebergTable.load(table_loc).to_spark(spark).count() == 15
+
+    # orphans: an aborted writer's stray parquet + a fresh in-flight file
+    data_dir = os.path.join(t.location, "data")
+    old_orphan = os.path.join(data_dir, "part=0", "orphan-old.parquet")
+    new_orphan = os.path.join(data_dir, "part=0", "orphan-new.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as f:
+            f.write(b"junk")
+    past = _time.time() - 7200
+    os.utime(old_orphan, (past, past))
+    removed = t.remove_orphan_files(older_than_s=3600)
+    assert removed == [old_orphan]
+    assert os.path.exists(new_orphan) and not os.path.exists(old_orphan)
+    os.remove(new_orphan)  # keep the dir clean for the scan below
+    assert t.to_spark(spark).count() == 15
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.rollback_to(999999)
+
+
 def test_pipeline_pure_python_iceberg_sink(spark, tmp_path):
     """ContinuousTopicPipeline → pure-Python Iceberg table: exactly-once
     across restarts (checkpoint replays nothing), one snapshot per
