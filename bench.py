@@ -171,6 +171,8 @@ def main() -> None:
         "streaming_lfs_reference",
         "kfs_segment_roundtrip",
         "iceberg_delete_scan",
+        "iceberg_merge_scan",
+        "iceberg_changes_scan",
         "llm_bpe_pair_counts",
         "llm_duplicate_spans",
         "llm_strip_html",
@@ -293,6 +295,8 @@ def main() -> None:
             .replace("duplicate_spans", "dup_spans")
             .replace("kfs_segment_roundtrip", "kfs_rt")
             .replace("iceberg_delete_scan", "ice")
+            .replace("iceberg_merge_scan", "ice_mrg")
+            .replace("iceberg_changes_scan", "ice_ch")
             .replace("rollup_nation_year", "rollup_ny")
             .replace("curriculum_order", "curric")
             .replace("mix_token_budget", "mix_budget")
