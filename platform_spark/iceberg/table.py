@@ -530,6 +530,7 @@ class IcebergTable:
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
+            "refs": {},
         }
         table = cls(location, metadata, version=0, clock=clock)
         os.makedirs(cls._meta_dir(location), exist_ok=True)
@@ -1326,7 +1327,21 @@ class IcebergTable:
         )
         if len(snaps) <= keep_last:
             return {"snapshots": 0, "files": 0}
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # tags PIN their snapshots: a tagged corpus version must stay
+        # reproducible however much history is trimmed around it
+        pinned = {
+            r["snapshot-id"] for r in self.metadata.get("refs", {}).values()
+        }
+        kept = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
+        ]
+        expired = [
+            s
+            for s in snaps[:-keep_last]
+            if s["snapshot-id"] not in pinned
+        ]
+        if not expired:
+            return {"snapshots": 0, "files": 0}
         current = self.metadata["current-snapshot-id"]
         assert any(s["snapshot-id"] == current for s in kept), (
             "expire_snapshots would drop the current snapshot"
@@ -1387,6 +1402,61 @@ class IcebergTable:
             except FileNotFoundError:
                 pass
         return {"snapshots": len(expired), "files": len(dead)}
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Name the given snapshot (default: current) as a spec v2 ref of
+        type ``tag`` (metadata ``refs`` map). Tags PIN their snapshot:
+        expire_snapshots keeps tagged snapshots (and their files) alive no
+        matter how old — the mechanism for 'corpus-v1 is exactly what
+        training run X read', reproducible forever while the table keeps
+        ingesting and compacting."""
+        snap_id = (
+            self.metadata["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        )
+        if not any(s["snapshot-id"] == snap_id for s in self.metadata["snapshots"]):
+            raise ValueError(f"iceberg: unknown snapshot {snap_id}")
+        if name in self.metadata.get("refs", {}):
+            raise ValueError(f"iceberg: ref {name!r} already exists")
+        new_meta = dict(self.metadata)
+        new_meta["refs"] = {
+            **self.metadata.get("refs", {}),
+            name: {"snapshot-id": snap_id, "type": "tag"},
+        }
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.create_tag(name, snapshot_id=snap_id)
+        self.metadata = new_meta
+        self.version += 1
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; its snapshot becomes expirable again."""
+        if name not in self.metadata.get("refs", {}):
+            raise ValueError(f"iceberg: unknown ref {name!r}")
+        new_meta = dict(self.metadata)
+        new_meta["refs"] = {
+            k: v for k, v in self.metadata["refs"].items() if k != name
+        }
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.drop_tag(name)
+        self.metadata = new_meta
+        self.version += 1
+
+    def ref_snapshot_id(self, name: str) -> int:
+        refs = self.metadata.get("refs", {})
+        if name not in refs:
+            raise ValueError(f"iceberg: unknown ref {name!r}")
+        return refs[name]["snapshot-id"]
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an existing snapshot (bad-write undo).
@@ -1626,13 +1696,19 @@ class IcebergTable:
         spark,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
+        ref: str | None = None,
     ):
         """Read the table into a DataFrame: metadata-planned file list →
-        one parquet scan. Live position deletes merge on read: the data
-        scan's (file_path, row_index) identity anti-joins the delete
-        files, broadcast when the metadata says they are small (they
-        almost always are — deletes are KBs of row ids against TBs of
-        data), so the plan stays a single streaming pass over the data."""
+        one parquet scan. ``ref`` reads a named tag's pinned snapshot.
+        Live position deletes merge on read: the data scan's (file_path,
+        row_index) identity anti-joins the delete files, broadcast when
+        the metadata says they are small (they almost always are —
+        deletes are KBs of row ids against TBs of data), so the plan
+        stays a single streaming pass over the data."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("iceberg: pass snapshot_id or ref, not both")
+            snapshot_id = self.ref_snapshot_id(ref)
         entries = self.scan_files(snapshot_id, partition_filter)
         if not entries:
             return spark.createDataFrame([], self.spark_schema)

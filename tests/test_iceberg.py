@@ -794,6 +794,45 @@ def test_incremental_changes(spark, table_loc):
     ).count() == 10
 
 
+def test_tags_pin_snapshots_against_expiry(spark, table_loc):
+    """A tag names a snapshot and PINS it: compaction + expiry reclaim
+    everything else, but the tagged corpus version stays byte-for-byte
+    reproducible; dropping the tag releases it."""
+    from platform_spark.iceberg.table import compact_table
+
+    df = _mk(spark, 0, 40)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    t.create_tag("corpus-v1")
+    v1 = sorted(t.to_spark(spark, ref="corpus-v1").collect())
+    append_dataframe(t, _mk(spark, 20, 40))
+    t.delete_where(spark, "id % 5 = 0")
+    compact_table(t, spark)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] > 0
+    # the tagged snapshot survived expiry with its files intact
+    assert sorted(t.to_spark(spark, ref="corpus-v1").collect()) == v1
+    assert len(v1) == 20
+    # current content is unaffected
+    assert t.to_spark(spark).count() == 40 - 8
+    # fresh load sees the ref
+    t2 = IcebergTable.load(table_loc)
+    assert sorted(t2.to_spark(spark, ref="corpus-v1").collect()) == v1
+    # duplicate / unknown refs fail loudly; both selectors rejected
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("corpus-v1")
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.to_spark(spark, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        t.to_spark(spark, ref="corpus-v1", snapshot_id=1)
+    # dropping the tag releases the snapshot to the next expiry
+    t.drop_tag("corpus-v1")
+    assert t.expire_snapshots(keep_last=1)["snapshots"] == 1
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.to_spark(spark, ref="corpus-v1")
+    assert t.to_spark(spark).count() == 32
+
+
 def test_rollback_and_orphan_removal(spark, table_loc):
     """rollback_to is a pure metadata undo (later snapshots stay
     time-travelable until expiry; new appends continue from the rolled-
