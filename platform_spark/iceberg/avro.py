@@ -270,10 +270,14 @@ def read_container(path: str) -> tuple[dict, dict, list]:
     sync = buf.read(16)
     records: list = []
     while True:
-        try:
-            count = read_long(buf)
-        except ValueError:  # clean EOF
-            break
+        # distinguish clean EOF (no bytes at a block boundary) from a
+        # mid-varint truncation: swallowing the latter would silently
+        # return partial entries and a scan would silently drop data files
+        first = buf.read(1)
+        if first == b"":
+            break  # clean EOF
+        buf.seek(-1, io.SEEK_CUR)
+        count = read_long(buf)  # truncated varint raises here
         size = read_long(buf)
         payload = buf.read(size)
         if len(payload) != size:

@@ -1151,10 +1151,14 @@ class IcebergTable:
             if from_snapshot_id is not None
             else 0
         )
+        # default to the CURRENT snapshot, not the highest-sequence one:
+        # after rollback_to() the undone snapshots still sit at the top of
+        # the sequence order, and an incremental consumer must not ingest
+        # their (rolled-back) rows
         to_snap = (
             by_id[to_snapshot_id]
             if to_snapshot_id is not None
-            else (snaps[-1] if snaps else None)
+            else (self.current_snapshot() or (snaps[-1] if snaps else None))
         )
         if to_snap is None or to_snap["sequence-number"] <= from_seq:
             return spark.createDataFrame([], self.spark_schema)
@@ -1328,10 +1332,14 @@ class IcebergTable:
         if len(snaps) <= keep_last:
             return {"snapshots": 0, "files": 0}
         # tags PIN their snapshots: a tagged corpus version must stay
-        # reproducible however much history is trimmed around it
+        # reproducible however much history is trimmed around it. The
+        # CURRENT snapshot is always pinned too — after rollback_to() it
+        # may not be among the newest keep_last, and expiring it would
+        # delete the live manifest list out from under every reader.
         pinned = {
             r["snapshot-id"] for r in self.metadata.get("refs", {}).values()
         }
+        pinned.add(self.metadata["current-snapshot-id"])
         kept = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
         ]
@@ -1343,9 +1351,11 @@ class IcebergTable:
         if not expired:
             return {"snapshots": 0, "files": 0}
         current = self.metadata["current-snapshot-id"]
-        assert any(s["snapshot-id"] == current for s in kept), (
-            "expire_snapshots would drop the current snapshot"
-        )
+        if not any(s["snapshot-id"] == current for s in kept):
+            # unreachable now that the current snapshot is pinned above,
+            # but kept as a hard guard: an assert would strip under -O and
+            # the failure mode is deleting the live manifest list
+            raise ValueError("expire_snapshots would drop the current snapshot")
         keep_ids = {s["snapshot-id"] for s in kept}
         # reachability from kept snapshots
         live_lists = {s["manifest-list"] for s in kept}

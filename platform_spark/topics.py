@@ -116,9 +116,20 @@ def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
 
     spark = df.sparkSession
     key = F.expr(chunk_key).cast("long")
-    mn, mx, n = df.agg(F.min(key), F.max(key), F.count(F.lit(1))).first()
+    mn, mx, n, n_key = df.agg(
+        F.min(key), F.max(key), F.count(F.lit(1)), F.count(key)
+    ).first()
     if n == 0:
         return df.withColumn("_offset", F.lit(None).cast("bigint"))
+    if n_key != n:
+        # a NULL chunk key (e.g. a non-numeric _key under the default
+        # CAST(_key AS BIGINT)) would get a NULL __chunk and the inner
+        # join below would silently DROP those rows from the topic
+        raise ValueError(
+            f"assign_partition_offsets: chunk key {chunk_key!r} is NULL for "
+            f"{n - n_key} of {n} rows; pick a numeric, never-NULL order key "
+            "for this topic (see _OFFSET_ORDER)"
+        )
     span = max(1, (int(mx) - int(mn) + 1) // max(1, n_chunks))
     # key values are ints well under 2**53, so the double division is exact
     chunked = df.withColumn(

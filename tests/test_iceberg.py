@@ -932,3 +932,52 @@ def test_pipeline_iceberg_auto_maintenance(spark, tmp_path):
     pipe.run_available_now()
     t.refresh()
     assert t.to_spark(spark).count() == 60
+
+
+def test_changes_and_expiry_respect_rollback(spark, table_loc):
+    """changes() defaults its window to the CURRENT snapshot (not the
+    highest-sequence one) and expire_snapshots always pins the current
+    snapshot — both matter after rollback_to(), where the undone
+    snapshots still top the sequence order."""
+    df = _mk(spark, 0, 30)
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    s1 = append_dataframe(t, _mk(spark, 0, 10))
+    append_dataframe(t, _mk(spark, 10, 20))
+    append_dataframe(t, _mk(spark, 20, 30))
+    t.rollback_to(s1["snapshot-id"])
+    # default incremental window stops at the CURRENT snapshot: an
+    # incremental consumer must never ingest the rolled-back rows
+    assert t.changes(spark).count() == 10
+    assert t.changes(spark, from_snapshot_id=s1["snapshot-id"]).count() == 0
+    # expiry keeps the current snapshot alive even though it is not among
+    # the newest keep_last (and raises rather than asserts if it ever
+    # would drop it)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots"] >= 1
+    assert t.current_snapshot()["snapshot-id"] == s1["snapshot-id"]
+    assert t.to_spark(spark).count() == 10
+    assert IcebergTable.load(t.location).to_spark(spark).count() == 10
+
+
+def test_avro_truncated_block_header_raises(tmp_path):
+    """A manifest truncated mid-block-header must raise, not silently
+    return partial entries (a scan would silently drop data files);
+    clean EOF at a block boundary still reads fine."""
+    path = str(tmp_path / "t.avro")
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    avro.write_container(path, schema, [{"x": i} for i in range(5)], codec="null")
+    raw = open(path, "rb").read()
+    # a lone continuation byte (0x80) with no terminator = a real
+    # mid-varint truncation of the next block's count
+    with open(path, "wb") as f:
+        f.write(raw + b"\x80")
+    with pytest.raises(ValueError, match="varint"):
+        avro.read_container(path)
+    with open(path, "wb") as f:
+        f.write(raw)
+    _, _, recs = avro.read_container(path)
+    assert len(recs) == 5

@@ -87,3 +87,19 @@ def test_assign_offsets_edge_cases(spark):
             assert off == expected
     empty = assign_partition_offsets(df.filter("k < 0"), "k", ("k",), 4)
     assert empty.count() == 0
+
+
+def test_assign_offsets_null_chunk_key_fails_loudly(spark):
+    """A chunk key that casts to NULL (e.g. a string _key under the
+    default CAST(_key AS BIGINT)) must raise, not silently drop the
+    NULL-keyed rows through the inner base join."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("u"), F.col("id")))
+        .otherwise(F.col("id").cast("string"))
+        .alias("_key"),
+        (F.col("id") % 2).cast("int").alias("_partition"),
+    )
+    with pytest.raises(ValueError, match="NULL for 5 of 10 rows"):
+        assign_partition_offsets(df, "CAST(_key AS BIGINT)", ("_key",), 4)
