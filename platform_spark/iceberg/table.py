@@ -33,7 +33,6 @@ transforms; flat, list, struct, and map column types.
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import struct
@@ -422,42 +421,40 @@ class CommitConflict(Exception):
     """Another writer committed the metadata version we targeted."""
 
 
-@contextlib.contextmanager
-def _write_phase_lock(location: str, timeout: float = 300.0, stale: float = 3600.0):
-    """Advisory single-writer lock for the WRITE phase of operations that
-    attribute their output by directory diff (append/delete/merge/
-    compact): without it, two concurrent writers each list the dir before
-    and after and claim the OTHER writer's freshly-landed part files as
-    their own — both commits then reference the same physical file and
-    every scan double-counts it. Only file creation + listing serializes;
-    the metadata commit stays optimistic (exclusive-create resolves that
-    race). Locks left by dead processes go stale after ``stale`` s."""
-    path = os.path.join(os.path.abspath(location), ".write.lock")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    deadline = time.time() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.stat(path).st_mtime > stale:
-                    os.remove(path)
-                    continue
-            except FileNotFoundError:
-                continue
-            if time.time() > deadline:
-                raise TimeoutError(f"iceberg: write-phase lock busy: {path}")
-            time.sleep(0.05)
+def _staged_write(location: str, subdir: str, write_fn) -> list[str]:
+    """Run a Spark write through a writer-unique staging prefix under
+    ``location/subdir`` and move the produced parquet files into place,
+    preserving their partition sub-paths. Returns the final absolute
+    paths, sorted.
+
+    This is how write ATTRIBUTION stays exact under concurrency: each
+    writer lists only its own staging directory, so two simultaneous
+    writers can never claim each other's freshly-landed part files (the
+    directory-diff double-count hazard that previously needed an advisory
+    lock). No cross-process lock primitive is required, which is also the
+    object-store-compatible shape — on S3 there is no O_EXCL and no
+    atomic rename-on-listing, but a unique prefix per commit plus
+    registering exactly the paths you wrote works anywhere. The staging
+    dir is underscore-prefixed, so Spark's file index ignores it and a
+    concurrent basePath read never sees half-written files; the final
+    moves are same-filesystem renames of already-closed files."""
+    import shutil
+
+    final_root = os.path.join(location, subdir)
+    stage = os.path.join(final_root, f"_stage-{uuid.uuid4().hex}")
+    os.makedirs(stage, exist_ok=True)
     try:
-        yield
+        write_fn(stage)
+        out = []
+        for p in _list_parquet(stage):
+            rel = os.path.relpath(p, stage)
+            dst = os.path.join(final_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(p, dst)
+            out.append(dst)
+        return sorted(out)
     finally:
-        try:
-            os.remove(path)
-        except FileNotFoundError:
-            pass
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 class IcebergTable:
@@ -1223,13 +1220,10 @@ class IcebergTable:
                 .repartitionByRange(F.col("file_path"), F.col("pos"))
                 .sortWithinPartitions("file_path", "pos")
             )
-            out_dir = os.path.join(self.location, "deletes")
-            with _write_phase_lock(self.location):
-                before = (
-                    set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
-                )
-                doomed.write.mode("append").parquet(out_dir)
-                new_files = sorted(set(_list_parquet(out_dir)) - before)
+            new_files = _staged_write(
+                self.location, "deletes",
+                lambda d: doomed.write.mode("append").parquet(d),
+            )
             stats = self._file_stats(new_files, spark=spark)
             live = [p for p in new_files if stats[p]["record_count"] > 0]
             for p in set(new_files) - set(live):  # empty shuffle partitions
@@ -1265,13 +1259,12 @@ class IcebergTable:
         if bad:
             raise ValueError(f"iceberg: equality-delete columns {bad} not in schema")
         eq_ids = [names[c] for c in keys_df.columns]
-        out_dir = os.path.join(self.location, "deletes")
-        with _write_phase_lock(self.location):
-            before = set(_list_parquet(out_dir)) if os.path.isdir(out_dir) else set()
-            keys_df.dropDuplicates(keys_df.columns).write.mode("append").parquet(
-                out_dir
-            )
-            new_files = sorted(set(_list_parquet(out_dir)) - before)
+        new_files = _staged_write(
+            self.location, "deletes",
+            lambda d: keys_df.dropDuplicates(keys_df.columns)
+            .write.mode("append")
+            .parquet(d),
+        )
         stats = self._file_stats(new_files, spark=spark)
         live = [p for p in new_files if stats[p]["record_count"] > 0]
         for p in set(new_files) - set(live):
@@ -1821,14 +1814,14 @@ def append_dataframe(
     if df.schema != table.spark_schema:
         table.evolve_schema(df.schema)
     part_cols = [pf["name"] for pf in table.spec["fields"]]
-    data_dir = os.path.join(table.location, "data")
-    with _write_phase_lock(table.location):
-        before = _list_parquet(data_dir)
+
+    def _write(d: str) -> None:
         writer = df.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(data_dir)
-        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+        writer.parquet(d)
+
+    new_files = _staged_write(table.location, "data", _write)
     if not new_files:
         return None
     return table.append_files(
@@ -1860,7 +1853,6 @@ def compact_table(
     from pyspark.sql import functions as F
 
     part_cols = [pf["name"] for pf in table.spec["fields"]]
-    data_dir = os.path.join(table.location, "data")
     entries = table.scan_files(partition_filter=partition_filter)
     if not entries:
         return table.current_snapshot() or {}
@@ -1871,23 +1863,20 @@ def compact_table(
         deletes,
         entries,
     ).drop("__fp", "__pos")
-    with _write_phase_lock(table.location):
-        before = _list_parquet(data_dir)
-        if part_cols:
-            keys = [F.col(c) for c in part_cols]
-            if files_per_partition > 1:
-                # deterministic salt: big partitions fan out over N tasks,
-                # each task still writes into the right partition dir
-                keys.append(
-                    F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
-                )
-            df = df.repartition(*keys)
-            writer = df.write.mode("append").partitionBy(*part_cols)
-        else:
-            df = df.coalesce(max(1, files_per_partition))
-            writer = df.write.mode("append")
-        writer.parquet(data_dir)
-        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+    if part_cols:
+        keys = [F.col(c) for c in part_cols]
+        if files_per_partition > 1:
+            # deterministic salt: big partitions fan out over N tasks,
+            # each task still writes into the right partition dir
+            keys.append(
+                F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+            )
+        df = df.repartition(*keys)
+        writer = df.write.mode("append").partitionBy(*part_cols)
+    else:
+        df = df.coalesce(max(1, files_per_partition))
+        writer = df.write.mode("append")
+    new_files = _staged_write(table.location, "data", writer.parquet)
     if partition_filter is None:
         return table.replace_files(new_files, spark=spark)
     # partial compaction: replace exactly the affected files via the
@@ -1950,7 +1939,6 @@ def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict
             ]
         )
     part_cols = [pf["name"] for pf in table.spec["fields"]]
-    data_dir = os.path.join(table.location, "data")
     last_err: Exception | None = None
     for _attempt in range(3):
         entries = table.scan_files()
@@ -1985,13 +1973,13 @@ def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict
             merged = aff.join(src_keys, keys, "left_anti").unionByName(source)
         else:
             merged = source
-        with _write_phase_lock(table.location):
-            before = _list_parquet(data_dir)
+        def _write(d: str) -> None:
             writer = merged.write.mode("append")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
-            writer.parquet(data_dir)
-            new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+            writer.parquet(d)
+
+        new_files = _staged_write(table.location, "data", _write)
         stats = table._file_stats(new_files, spark=spark)
         try:
             return table._merge_once(new_files, stats, affected_set)
