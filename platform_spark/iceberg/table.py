@@ -414,11 +414,51 @@ def _collect_file_stats(
     }
 
 
+def _manifest_live_entries(
+    mf: dict, content: int, partition_filter: dict | None, fnames: list[str]
+) -> list[dict]:
+    """Decode one manifest and return its live (non-DELETED) entries of
+    the given content kind, partition-filtered, with the spec's
+    sequence-number inheritance applied. Module-level and plain-data-
+    parameterized so it pickles into a Spark map task: at ~10^5-10^6
+    files a 100 TB table's planning must not serialize through one
+    driver thread."""
+    if mf["content"] != content:
+        return []
+    _, _, entries = avro.read_container(mf["manifest_path"])
+    out = []
+    for e in entries:
+        if e["status"] == 2:  # DELETED
+            continue
+        part = e["data_file"]["partition"]
+        if partition_filter and any(
+            partition_filter.get(n) is not None
+            and part.get(n) != partition_filter[n]
+            for n in fnames
+        ):
+            continue
+        if e["sequence_number"] is None:  # spec inheritance
+            e["sequence_number"] = mf["sequence_number"]
+        out.append(e)
+    return out
+
+
 # -- the table --------------------------------------------------------------
 
 
 class CommitConflict(Exception):
     """Another writer committed the metadata version we targeted."""
+
+
+#: fan manifest decode out as a Spark job past this many estimated live
+#: entries across the surviving manifests. Driver decode runs ~25 µs per
+#: entry, so 100k entries ≈ 2.5 s — the point where one Spark job's
+#: submission overhead (~1 s local) starts winning; at a 100 TB table's
+#: ~10^6 files the fan-out turns ~25 s of serial planning into ~2 s.
+#: Granularity is per-manifest (one task can't split a single giant
+#: manifest), which holds as long as commits/compaction keep manifests
+#: bounded — ours write one manifest per commit.
+_PARALLEL_PLAN_MIN = 100_000
 
 
 def _staged_write(location: str, subdir: str, write_fn) -> list[str]:
@@ -960,8 +1000,8 @@ class IcebergTable:
         keeps scan planning O(live files), not O(files ever written)."""
         if not new_paths:
             raise ValueError("iceberg: empty replace")
-        replaced = self.scan_files()
-        old_deletes = self.scan_deletes()
+        replaced = self.scan_files(spark=spark)
+        old_deletes = self.scan_deletes(spark=spark)
         stats = self._file_stats(new_paths, spark=spark)
         last_err: Exception | None = None
         for _attempt in range(3):
@@ -1206,7 +1246,7 @@ class IcebergTable:
 
         last_err: Exception | None = None
         for _attempt in range(3):
-            entries = self.scan_files()
+            entries = self.scan_files(spark=spark)
             if not entries:
                 return None
             doomed = (
@@ -1583,25 +1623,30 @@ class IcebergTable:
         self,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
+        spark=None,
     ) -> list[dict]:
         """Plan a scan: live data-file entries for the snapshot, pruning
         whole manifests via partition summaries and individual files via
         their identity partition values — the metadata-only pruning a real
-        Iceberg reader does before touching data."""
-        return self._scan_entries(snapshot_id, partition_filter, content=0)
+        Iceberg reader does before touching data. With ``spark`` given and
+        many surviving manifests, the manifest Avro decode fans out as a
+        Spark job (mirroring _file_stats) so planning stays O(manifests /
+        cluster), not O(manifests) on one driver thread."""
+        return self._scan_entries(snapshot_id, partition_filter, content=0, spark=spark)
 
-    def scan_deletes(self, snapshot_id: int | None = None) -> list[dict]:
+    def scan_deletes(self, snapshot_id: int | None = None, spark=None) -> list[dict]:
         """Live position-delete file entries for the snapshot. Never
         partition-pruned: our delete files are written partition-unscoped
         (null partition values), so every one may apply to any data file;
         the (file_path, pos) join makes application exact regardless."""
-        return self._scan_entries(snapshot_id, None, content=1)
+        return self._scan_entries(snapshot_id, None, content=1, spark=spark)
 
     def _scan_entries(
         self,
         snapshot_id: int | None,
         partition_filter: dict | None,
         content: int,
+        spark=None,
     ) -> list[dict]:
         partition_filter = self._norm_partition_filter(partition_filter)
         snap = (
@@ -1619,7 +1664,7 @@ class IcebergTable:
         types = {f["id"]: f["type"] for f in self.schema["fields"]}
         fnames = [pf["name"] for pf in spec_fields]
         _, _, manifests = avro.read_container(snap["manifest-list"])
-        out: list[dict] = []
+        selected: list[dict] = []
         for mf in manifests:
             if mf["content"] != content:
                 continue
@@ -1630,7 +1675,7 @@ class IcebergTable:
                     if want is None:
                         continue
                     summ = mf["partitions"][i]
-                    t = types.get(pf["source-id"], "string")
+                    t = self._result_bound_type(pf, types)
                     lo = deserialize_bound(t, summ["lower_bound"])
                     hi = deserialize_bound(t, summ["upper_bound"])
                     if lo is not None and hi is not None and not lo <= want <= hi:
@@ -1638,21 +1683,50 @@ class IcebergTable:
                         break
                 if skip:
                     continue
-            _, mmeta, entries = avro.read_container(mf["manifest_path"])
-            for e in entries:
-                if e["status"] == 2:  # DELETED
-                    continue
-                part = e["data_file"]["partition"]
-                if partition_filter and any(
-                    partition_filter.get(n) is not None
-                    and part.get(n) != partition_filter[n]
-                    for n in fnames
-                ):
-                    continue
-                if e["sequence_number"] is None:  # spec inheritance
-                    e["sequence_number"] = mf["sequence_number"]
-                out.append(e)
+            selected.append(mf)
+        est_entries = sum(
+            mf["added_files_count"] + mf["existing_files_count"]
+            for mf in selected
+        )
+        if (
+            spark is not None
+            and len(selected) >= 2
+            and est_entries >= _PARALLEL_PLAN_MIN
+        ):
+            # manifest decode is the per-query planning hot path; past a
+            # handful of manifests, fan it out exactly like _file_stats
+            # does for commit-time footer reads
+            sc = spark.sparkContext
+            n_slices = max(1, min(len(selected) // 8, sc.defaultParallelism * 4))
+            indexed = (
+                sc.parallelize(list(enumerate(selected)), n_slices)
+                .flatMap(
+                    lambda t: [
+                        (t[0], e)
+                        for e in _manifest_live_entries(
+                            t[1], content, partition_filter, fnames
+                        )
+                    ]
+                )
+                .collect()
+            )
+            # stable sort by manifest index restores manifest-list order
+            # (entry order within a manifest survives flatMap + collect)
+            return [e for _, e in sorted(indexed, key=lambda t: t[0])]
+        out: list[dict] = []
+        for mf in selected:
+            out.extend(
+                _manifest_live_entries(mf, content, partition_filter, fnames)
+            )
         return out
+
+    @staticmethod
+    def _result_bound_type(pf: dict, types: dict) -> str:
+        """The Iceberg type of a partition field's VALUES (identity →
+        source type; day transform → date int-days)."""
+        if pf.get("transform") == "day":
+            return "date"
+        return types.get(pf["source-id"], "string")
 
     def _read_data_entries(self, spark, entries: list[dict], with_pos: bool = False):
         """Metadata-planned parquet read of the given data-file entries
@@ -1712,10 +1786,10 @@ class IcebergTable:
             if snapshot_id is not None:
                 raise ValueError("iceberg: pass snapshot_id or ref, not both")
             snapshot_id = self.ref_snapshot_id(ref)
-        entries = self.scan_files(snapshot_id, partition_filter)
+        entries = self.scan_files(snapshot_id, partition_filter, spark=spark)
         if not entries:
             return spark.createDataFrame([], self.spark_schema)
-        deletes = self.scan_deletes(snapshot_id)
+        deletes = self.scan_deletes(snapshot_id, spark=spark)
         if not deletes:
             return self._read_data_entries(spark, entries)
         df = self._read_data_entries(spark, entries, with_pos=True)
@@ -1853,10 +1927,10 @@ def compact_table(
     from pyspark.sql import functions as F
 
     part_cols = [pf["name"] for pf in table.spec["fields"]]
-    entries = table.scan_files(partition_filter=partition_filter)
+    entries = table.scan_files(partition_filter=partition_filter, spark=spark)
     if not entries:
         return table.current_snapshot() or {}
-    deletes = table.scan_deletes()
+    deletes = table.scan_deletes(spark=spark)
     df = table._apply_deletes(
         spark,
         table._read_data_entries(spark, entries, with_pos=True),
@@ -1894,10 +1968,10 @@ def compact_table(
             table.refresh()
             still_live = {
                 x["data_file"]["file_path"]
-                for x in table.scan_files(partition_filter=partition_filter)
+                for x in table.scan_files(partition_filter=partition_filter, spark=spark)
             }
             now_dels = {
-                x["data_file"]["file_path"] for x in table.scan_deletes()
+                x["data_file"]["file_path"] for x in table.scan_deletes(spark=spark)
             }
             if not removed <= still_live or now_dels != {
                 x["data_file"]["file_path"] for x in deletes
@@ -1941,10 +2015,10 @@ def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict
     part_cols = [pf["name"] for pf in table.spec["fields"]]
     last_err: Exception | None = None
     for _attempt in range(3):
-        entries = table.scan_files()
+        entries = table.scan_files(spark=spark)
         if not entries:
             return append_dataframe(table, source)
-        deletes = table.scan_deletes()
+        deletes = table.scan_deletes(spark=spark)
         src_keys = source.select(*keys).dropDuplicates(keys)
         live = table._apply_deletes(
             spark,

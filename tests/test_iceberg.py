@@ -1023,3 +1023,25 @@ def test_concurrent_appends_without_lock(spark, table_loc):
         d for d in os.listdir(os.path.join(t.location, "data"))
         if d.startswith("_stage-")
     ]
+
+
+def test_parallel_manifest_planning_matches_serial(spark, table_loc, monkeypatch):
+    """scan_files with spark fans manifest decode out as a Spark job past
+    the threshold; the plan (entries, order, inherited sequence numbers,
+    partition pruning) must be identical to the serial driver decode."""
+    from platform_spark.iceberg import table as tbl_mod
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    for i in range(6):  # 6 append commits -> 6 data manifests carried
+        append_dataframe(t, _mk(spark, i * 10, (i + 1) * 10))
+    t.delete_where(spark, "id % 11 = 3")
+    monkeypatch.setattr(tbl_mod, "_PARALLEL_PLAN_MIN", 2)
+    for pf in (None, {"part": 1}):
+        serial = t.scan_files(partition_filter=pf)
+        par = t.scan_files(partition_filter=pf, spark=spark)
+        assert par == serial and len(serial) > 0
+    assert t.scan_deletes(spark=spark) == t.scan_deletes()
+    # the merge-on-read scan through the parallel planner stays correct
+    got = sorted(r.id for r in t.to_spark(spark).collect())
+    assert got == [i for i in range(60) if i % 11 != 3]

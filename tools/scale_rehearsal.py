@@ -86,6 +86,24 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _plan(tbl, spark, kind: str):
+    """Time scan_files in a specific mode: 'serial' = driver decode,
+    'spark' = the manifest fan-out FORCED below its entry threshold (the
+    rehearsal's 10k files sit under the 100k production cutover, but the
+    record must show both modes' walls so the crossover claim is
+    measured, not asserted)."""
+    from platform_spark.iceberg import table as tbl_mod
+
+    if kind == "serial":
+        return tbl.scan_files()
+    saved = tbl_mod._PARALLEL_PLAN_MIN
+    tbl_mod._PARALLEL_PLAN_MIN = 0
+    try:
+        return tbl.scan_files(spark=spark)
+    finally:
+        tbl_mod._PARALLEL_PLAN_MIN = saved
+
+
 def run_curation_twins(spark, sf_dir: str, scratch: str) -> dict:
     """Batch curate_corpus + streaming curate_stream over the documents
     table; returns walls and the content-set equality verdict."""
@@ -325,6 +343,57 @@ def main() -> None:
     )
     timings["iceberg_merge_commit"] = round(time.time() - t0, 3)
     print(f"iceberg_merge_commit: {timings['iceberg_merge_commit']} s", flush=True)
+    cleanup()
+
+    # metadata-planning leg at high file count: 10k one-row data files
+    # across 100 append commits (the final snapshot carries 100 data
+    # manifests), timing scan_files both serial (driver decode) and with
+    # the Spark manifest-decode fan-out — the path a ~10^5-file 100 TB
+    # table's per-query planning takes. Also timed at half size so
+    # linearity in manifests is in the artifact itself.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    proot = os.path.join(scratch, "iceberg_plan_rehearsal")
+    shutil.rmtree(proot, ignore_errors=True)
+    from pyspark.sql import types as T
+
+    plan_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    ptbl = IcebergTable.create(proot, plan_schema)
+    os.makedirs(os.path.join(proot, "data"), exist_ok=True)
+    n_commits, files_per = 100, 100
+    t0 = time.time()
+    half_marks: dict[str, float] = {}
+    for c in range(n_commits):
+        paths = []
+        for i in range(files_per):
+            p = os.path.join(proot, "data", f"b{c:03d}_{i:03d}.parquet")
+            pq.write_table(
+                pa.table({"id": [c * files_per + i], "v": [0.5]}), p
+            )
+            paths.append(p)
+        ptbl.append_files(paths, spark=spark)
+        if c + 1 == n_commits // 2:
+            for kind in ("serial", "spark"):
+                t1 = time.time()
+                n = len(_plan(ptbl, spark, kind))
+                half_marks[kind] = round(time.time() - t1, 3)
+                assert n == (c + 1) * files_per
+    timings["iceberg_plan_commits_10k"] = round(time.time() - t0, 3)
+    for kind in ("serial", "spark"):
+        t1 = time.time()
+        n_planned = len(_plan(ptbl, spark, kind))
+        timings[f"iceberg_plan_{kind}_10k"] = round(time.time() - t1, 3)
+        timings[f"iceberg_plan_{kind}_5k"] = half_marks[kind]
+        assert n_planned == n_commits * files_per
+        print(
+            f"iceberg_plan_{kind}: 5k={half_marks[kind]} s "
+            f"10k={timings[f'iceberg_plan_{kind}_10k']} s",
+            flush=True,
+        )
+    shutil.rmtree(proot, ignore_errors=True)
     cleanup()
 
     # semantic decontam at rehearsal scale runs the VECTORIZED probe (the
