@@ -159,6 +159,14 @@ def _restore_fixture_at_canon() -> str:
     return CANON
 
 
+def _current_metadata(loc: str) -> str:
+    """The CURRENT metadata version per the version hint (v4: create,
+    append, evolution, append)."""
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    return os.path.join(loc, "metadata", f"v{v}.metadata.json")
+
+
 def test_pyiceberg_reads_golden_table():
     """First environment with pyiceberg validates our bytes end-to-end."""
     pyiceberg_table = pytest.importorskip(
@@ -167,8 +175,7 @@ def test_pyiceberg_reads_golden_table():
         "validation runs automatically in the first environment that has it",
     )
     loc = _restore_fixture_at_canon()
-    meta = os.path.join(loc, "metadata", "v3.metadata.json")
-    t = pyiceberg_table.StaticTable.from_metadata(meta)
+    t = pyiceberg_table.StaticTable.from_metadata(_current_metadata(loc))
     rows = sorted(
         (r["id"], r["part"], r["text"], r["score"])
         for r in t.scan().to_arrow().to_pylist()
@@ -187,7 +194,7 @@ def test_duckdb_iceberg_extension_reads_golden_table():
     except Exception as e:  # noqa: BLE001
         pytest.skip(f"duckdb iceberg extension unavailable: {e}")
     loc = _restore_fixture_at_canon()
-    meta = os.path.join(loc, "metadata", "v3.metadata.json")
+    meta = _current_metadata(loc)
     rows = sorted(
         con.execute(
             f"SELECT id, part, text, score FROM iceberg_scan('{meta}') "
