@@ -32,6 +32,256 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
+#: final-stage short-name overrides, applied AFTER the generic replace
+#: chain in _short: the stdout line must stay under the driver's
+#: 2000-byte tail capture with headroom for new gate keys (full names
+#: always live in .bench/bench_detail.json) — tests/test_bench_line.py
+#: asserts the worst-case budget
+_EXTRA_SHORT = {
+    "emb_clu_fast": "ecf",
+    "dd_clu_fast": "dcf",
+    "a_range_join": "a_rj",
+    "a_asof_join": "a_asof",
+    "sem_dec_expr": "sd_x",
+    "scan_events": "scan",
+    "a_top_event": "a_te",
+    "simhash_fps": "sh_fps",
+    "simhash_rp": "sh_rp",
+    "minhash_rp": "mh_rp",
+    "emb_neardup": "emb_nd",
+    "token_freqs": "tokf",
+    "rep_metrics": "repm",
+    "a_rollup_ny": "a_rny",
+    "a_rollup_t": "a_rt",
+    "bm25_search": "bm25",
+    "dsir_select": "dsir",
+    "ann_sq_topk": "sq",
+    "ann_pq_topk": "pq",
+    "dd_jaccard": "dd_jac",
+    "unigram_lp": "uni_lp",
+    "bigram_lp": "bi_lp",
+    "qual_rules": "qrul",
+    "qual_clf": "qclf",
+    "strip_html": "html",
+    "winnow_fps": "winnow",
+    "mix_budget": "mixb",
+    "ann_brute": "brute",
+    "ann_ivfkm": "ivfkm",
+    "mat_packs": "mpk",
+    "chunkdocs": "chdoc",
+    "a_sliding": "a_sld",
+    "dup_spans": "dspan",
+    "a_ivljoin": "a_ivl",
+    "oov_rate": "oov",
+    "a_runrev": "a_rr",
+    "shufcorp": "shuf",
+    "url_dedup": "url_dd",
+    "dd_incr": "ddi",
+    "s_produce": "s_prod",
+}
+
+
+#: the per-gate headline query set (full names; the stdout line
+#: shortens them via _short)
+HEADLINE_GATES = (
+    "analytics_q1_pricing_summary",
+    "analytics_q3_top_orders",
+    "analytics_q5_nation_revenue",
+    "analytics_q6_revenue",
+    "analytics_top_event_per_user",
+    "llm_text_analysis",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_minhash_signatures",
+    "llm_simhash_fingerprints",
+    "llm_ann_brute_topk",
+    "llm_ann_ivf_topk",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_pairs",
+    "llm_embedding_neardup",
+    "llm_ngram_rep_pairs",
+    "llm_embedding_rep_pairs",
+    "llm_minhash_rep_pairs",
+    "llm_simhash_rep_pairs",
+    "llm_dedup_clusters",
+    "llm_dedup_clusters_fast",
+    "llm_embedding_clusters_fast",
+    "llm_ann_ivf_kmeans",
+    "llm_ann_pca_topk",
+    "analytics_sessionize",
+    "analytics_asof_join",
+    "analytics_range_join",
+    "analytics_time_rollup",
+    "analytics_q4_order_priority",
+    "analytics_q7_nation_trade",
+    "analytics_q10_returned_revenue",
+    "analytics_q12_shipmode",
+    "analytics_q13_custdist",
+    "analytics_q14_promo_revenue",
+    "analytics_q15_top_supplier",
+    "analytics_q17_small_qty_revenue",
+    "analytics_q18_big_orders",
+    "analytics_q19_discount_revenue",
+    "analytics_q22_sales_opportunity",
+    "analytics_q8_market_share",
+    "analytics_q21_waiting_suppliers",
+    "analytics_q2_min_cost_supplier",
+    "analytics_q9_product_profit",
+    "analytics_q11_important_stock",
+    "analytics_q16_parts_supplier",
+    "analytics_q20_promotion_parts",
+    "analytics_percentiles",
+    "llm_split_assignment",
+    "llm_kmv_distinct",
+    "llm_stratified_sample",
+    "llm_weighted_mix",
+    "llm_pack_sequences",
+    "llm_materialize_packs",
+    "llm_token_frequencies",
+    "llm_unigram_logprob",
+    "llm_pii_redaction",
+    "llm_quality_rules",
+    "llm_dedup_lines",
+    "llm_filter_boilerplate",
+    "llm_repetition_metrics",
+    "llm_decontaminate",
+    "llm_chunk_documents",
+    "llm_tfidf_keywords",
+    "llm_collapse_repeats",
+    "llm_corpus_stats",
+    "analytics_sliding_window",
+    "streaming_log_compact",
+    "streaming_lfs_reference",
+    "kfs_segment_roundtrip",
+    "iceberg_delete_scan",
+    "iceberg_merge_scan",
+    "iceberg_changes_scan",
+    "llm_bpe_pair_counts",
+    "llm_duplicate_spans",
+    "llm_strip_html",
+    "llm_shuffle_corpus",
+    "llm_lang_id_multi",
+    "llm_multimodal_audio",
+    "llm_multimodal_resize",
+    "llm_dedup_keep_longest",
+    "llm_oov_rate",
+    "llm_winnow_fingerprints",
+    "analytics_running_revenue",
+    "analytics_moving_avg",
+    "analytics_rollup_nation_year",
+    "llm_bm25_search",
+    "llm_bigram_logprob",
+    "streaming_produce_offsets",
+    "llm_mix_token_budget",
+    "llm_curriculum_order",
+    "llm_remove_dup_spans",
+    "llm_containment_pairs",
+    "llm_dsir_select",
+    "analytics_interval_join",
+    "streaming_sessionize",
+    "llm_minhash_join",
+    "llm_image_phash_rep_pairs",
+    "llm_quality_classifier",
+    "llm_ann_sq_topk",
+    "llm_heavy_hitters",
+    "llm_edit_distance_pairs",
+    "llm_mix_temperature",
+    "llm_ann_pq_topk",
+    "llm_unicode_nfc",
+    "llm_calibrate_scores",
+    "llm_ann_ivfpq_topk",
+    "analytics_pivot_event_counts",
+    "llm_dedup_incremental",
+    "llm_snapshot_diff",
+    "analytics_session_window_native",
+    "llm_url_dedup",
+    "llm_normalize_whitespace",
+)
+
+def _short(k: str) -> str:
+    m = re.match(r"analytics_(q\d+)_", k)
+    if m:
+        return m.group(1)
+    k = re.sub(r"^analytics_", "a_", k)
+    k = re.sub(r"^llm_", "", k)
+    k = re.sub(r"^streaming_", "s_", k)
+    k = re.sub(r"^q_kafsql_", "k_", k)
+    k = (
+        k.replace("multimodal_", "mm_").replace("dedup_", "dd_")
+        .replace("embedding_", "emb_").replace("fingerprints", "fps")
+        .replace("signatures", "sigs").replace("clusters", "clu")
+        .replace("_rep_pairs", "_rp").replace("pair_counts", "pc")
+        .replace("keywords", "kw").replace("boilerplate", "boiler")
+        .replace("repetition", "rep").replace("decontaminate", "decontam")
+        .replace("containment", "contain").replace("interval_join", "ivljoin")
+        .replace("sessionize", "sess").replace("remove_dup_spans", "rm_spans")
+        .replace("duplicate_spans", "dup_spans")
+        .replace("kfs_segment_roundtrip", "kfs_rt")
+        .replace("iceberg_delete_scan", "ice")
+        .replace("iceberg_merge_scan", "ice_mrg")
+        .replace("iceberg_changes_scan", "ice_ch")
+        .replace("rollup_nation_year", "rollup_ny")
+        .replace("curriculum_order", "curric")
+        .replace("mix_token_budget", "mix_budget")
+        .replace("token_frequencies", "token_freqs")
+        .replace("materialize_packs", "mat_packs")
+        .replace("top_event_per_user", "top_event")
+        .replace("split_assignment", "splits")
+        .replace("image_phash_pairs", "phash_pairs")
+        .replace("minhash_join", "mh_join")
+        .replace("produce_offsets", "produce")
+        .replace("running_revenue", "running_rev")
+        .replace("heavy_hitters", "heavy")
+        .replace("edit_distance_pairs", "edp")
+        .replace("mix_temperature", "mixt")
+        .replace("scan_events_full", "scan_events")
+        .replace("text_analysis", "text_an")
+        .replace("dd_ngram_jaccard", "dd_jaccard")
+        .replace("quality_classifier", "qual_clf")
+        .replace("quality_rules", "qual_rules")
+        .replace("sliding_window", "sliding")
+        .replace("dd_keep_longest", "dd_keepl")
+        .replace("bigram_logprob", "bigram_lp")
+        .replace("unigram_logprob", "unigram_lp")
+        .replace("unicode_nfc", "nfc")
+        .replace("calibrate_scores", "calib")
+        .replace("semantic_decontam", "sem_dec")
+        .replace("pivot_event_counts", "pivot")
+        .replace("dd_incremental", "dd_incr")
+        .replace("snapshot_diff", "snapdiff")
+        .replace("session_window_native", "sessw")
+        .replace("minhash_lsh_pairs", "mh_pairs")
+        .replace("ann_brute_topk", "ann_brute")
+        .replace("ann_ivf_kmeans", "ann_ivfkm")
+        .replace("shuffle_corpus", "shufcorp")
+        .replace("ingest_topics", "ingest")
+        .replace("pii_redaction", "pii")
+        .replace("a_percentiles", "a_pctl")
+        .replace("a_time_rollup", "a_rollup_t")
+        .replace("lang_id_multi", "langid")
+        .replace("contain_pairs", "contain")
+        .replace("normalize_whitespace", "norm_ws")
+        .replace("ann_ivfpq_topk", "ivfpq")
+        .replace("simhash_pairs", "sh_pairs")
+        .replace("filter_boiler", "boiler")
+        .replace("s_log_compact", "s_compact")
+        .replace("a_running_rev", "a_runrev")
+        .replace("minhash_sigs", "mh_sigs")
+        .replace("ann_ivf_topk", "ivf")
+        .replace("ann_pca_topk", "pca")
+        .replace("kmv_distinct", "kmv")
+        .replace("weighted_mix", "wmix")
+        .replace("corpus_stats", "cstats")
+        .replace("a_moving_avg", "a_mavg")
+        .replace("stratified_sample", "strat")
+        .replace("chunk_documents", "chunkdocs")
+        .replace("collapse_repeats", "collapse")
+        .replace("s_lfs_reference", "s_lfs")
+        .replace("pack_sequences", "packs")
+        .replace("image_phash_rp", "phash_rp")
+    )
+    return _EXTRA_SHORT.get(k, k)
+
 
 def force(df) -> None:
     """Execute the FULL plan via the noop sink. (A bare .count() would let
@@ -100,120 +350,7 @@ def main() -> None:
 
     from platform_spark.gate import GATE
 
-    for name in (
-        "analytics_q1_pricing_summary",
-        "analytics_q3_top_orders",
-        "analytics_q5_nation_revenue",
-        "analytics_q6_revenue",
-        "analytics_top_event_per_user",
-        "llm_text_analysis",
-        "llm_dedup_exact",
-        "llm_dedup_ngram_jaccard",
-        "llm_minhash_signatures",
-        "llm_simhash_fingerprints",
-        "llm_ann_brute_topk",
-        "llm_ann_ivf_topk",
-        "llm_minhash_lsh_pairs",
-        "llm_simhash_pairs",
-        "llm_embedding_neardup",
-        "llm_ngram_rep_pairs",
-        "llm_embedding_rep_pairs",
-        "llm_minhash_rep_pairs",
-        "llm_simhash_rep_pairs",
-        "llm_dedup_clusters",
-        "llm_dedup_clusters_fast",
-        "llm_embedding_clusters_fast",
-        "llm_ann_ivf_kmeans",
-        "llm_ann_pca_topk",
-        "analytics_sessionize",
-        "analytics_asof_join",
-        "analytics_range_join",
-        "analytics_time_rollup",
-        "analytics_q4_order_priority",
-        "analytics_q7_nation_trade",
-        "analytics_q10_returned_revenue",
-        "analytics_q12_shipmode",
-        "analytics_q13_custdist",
-        "analytics_q14_promo_revenue",
-        "analytics_q15_top_supplier",
-        "analytics_q17_small_qty_revenue",
-        "analytics_q18_big_orders",
-        "analytics_q19_discount_revenue",
-        "analytics_q22_sales_opportunity",
-        "analytics_q8_market_share",
-        "analytics_q21_waiting_suppliers",
-        "analytics_q2_min_cost_supplier",
-        "analytics_q9_product_profit",
-        "analytics_q11_important_stock",
-        "analytics_q16_parts_supplier",
-        "analytics_q20_promotion_parts",
-        "analytics_percentiles",
-        "llm_split_assignment",
-        "llm_kmv_distinct",
-        "llm_stratified_sample",
-        "llm_weighted_mix",
-        "llm_pack_sequences",
-        "llm_materialize_packs",
-        "llm_token_frequencies",
-        "llm_unigram_logprob",
-        "llm_pii_redaction",
-        "llm_quality_rules",
-        "llm_dedup_lines",
-        "llm_filter_boilerplate",
-        "llm_repetition_metrics",
-        "llm_decontaminate",
-        "llm_chunk_documents",
-        "llm_tfidf_keywords",
-        "llm_collapse_repeats",
-        "llm_corpus_stats",
-        "analytics_sliding_window",
-        "streaming_log_compact",
-        "streaming_lfs_reference",
-        "kfs_segment_roundtrip",
-        "iceberg_delete_scan",
-        "iceberg_merge_scan",
-        "iceberg_changes_scan",
-        "llm_bpe_pair_counts",
-        "llm_duplicate_spans",
-        "llm_strip_html",
-        "llm_shuffle_corpus",
-        "llm_lang_id_multi",
-        "llm_multimodal_audio",
-        "llm_multimodal_resize",
-        "llm_dedup_keep_longest",
-        "llm_oov_rate",
-        "llm_winnow_fingerprints",
-        "analytics_running_revenue",
-        "analytics_moving_avg",
-        "analytics_rollup_nation_year",
-        "llm_bm25_search",
-        "llm_bigram_logprob",
-        "streaming_produce_offsets",
-        "llm_mix_token_budget",
-        "llm_curriculum_order",
-        "llm_remove_dup_spans",
-        "llm_containment_pairs",
-        "llm_dsir_select",
-        "analytics_interval_join",
-        "streaming_sessionize",
-        "llm_minhash_join",
-        "llm_image_phash_rep_pairs",
-        "llm_quality_classifier",
-        "llm_ann_sq_topk",
-        "llm_heavy_hitters",
-        "llm_edit_distance_pairs",
-        "llm_mix_temperature",
-        "llm_ann_pq_topk",
-        "llm_unicode_nfc",
-        "llm_calibrate_scores",
-        "llm_ann_ivfpq_topk",
-        "analytics_pivot_event_counts",
-        "llm_dedup_incremental",
-        "llm_snapshot_diff",
-        "analytics_session_window_native",
-        "llm_url_dedup",
-        "llm_normalize_whitespace",
-    ):
+    for name in HEADLINE_GATES:
         fn, _oracle = GATE[name]
         timed(name, lambda f=fn: force(f(spark, sf_dir)))
 
@@ -275,88 +412,6 @@ def main() -> None:
     # shortened): with all 22 TPC-H shapes benched the full-name line is
     # ~2.3 KB, past the driver's 2000-byte tail capture — the exact failure
     # that nulled r3's official record. Full names stay in the detail file.
-    def _short(k: str) -> str:
-        m = re.match(r"analytics_(q\d+)_", k)
-        if m:
-            return m.group(1)
-        k = re.sub(r"^analytics_", "a_", k)
-        k = re.sub(r"^llm_", "", k)
-        k = re.sub(r"^streaming_", "s_", k)
-        k = re.sub(r"^q_kafsql_", "k_", k)
-        return (
-            k.replace("multimodal_", "mm_").replace("dedup_", "dd_")
-            .replace("embedding_", "emb_").replace("fingerprints", "fps")
-            .replace("signatures", "sigs").replace("clusters", "clu")
-            .replace("_rep_pairs", "_rp").replace("pair_counts", "pc")
-            .replace("keywords", "kw").replace("boilerplate", "boiler")
-            .replace("repetition", "rep").replace("decontaminate", "decontam")
-            .replace("containment", "contain").replace("interval_join", "ivljoin")
-            .replace("sessionize", "sess").replace("remove_dup_spans", "rm_spans")
-            .replace("duplicate_spans", "dup_spans")
-            .replace("kfs_segment_roundtrip", "kfs_rt")
-            .replace("iceberg_delete_scan", "ice")
-            .replace("iceberg_merge_scan", "ice_mrg")
-            .replace("iceberg_changes_scan", "ice_ch")
-            .replace("rollup_nation_year", "rollup_ny")
-            .replace("curriculum_order", "curric")
-            .replace("mix_token_budget", "mix_budget")
-            .replace("token_frequencies", "token_freqs")
-            .replace("materialize_packs", "mat_packs")
-            .replace("top_event_per_user", "top_event")
-            .replace("split_assignment", "splits")
-            .replace("image_phash_pairs", "phash_pairs")
-            .replace("minhash_join", "mh_join")
-            .replace("produce_offsets", "produce")
-            .replace("running_revenue", "running_rev")
-            .replace("heavy_hitters", "heavy")
-            .replace("edit_distance_pairs", "edp")
-            .replace("mix_temperature", "mixt")
-            .replace("scan_events_full", "scan_events")
-            .replace("text_analysis", "text_an")
-            .replace("dd_ngram_jaccard", "dd_jaccard")
-            .replace("quality_classifier", "qual_clf")
-            .replace("quality_rules", "qual_rules")
-            .replace("sliding_window", "sliding")
-            .replace("dd_keep_longest", "dd_keepl")
-            .replace("bigram_logprob", "bigram_lp")
-            .replace("unigram_logprob", "unigram_lp")
-            .replace("unicode_nfc", "nfc")
-            .replace("calibrate_scores", "calib")
-            .replace("semantic_decontam", "sem_dec")
-            .replace("pivot_event_counts", "pivot")
-            .replace("dd_incremental", "dd_incr")
-            .replace("snapshot_diff", "snapdiff")
-            .replace("session_window_native", "sessw")
-            .replace("minhash_lsh_pairs", "mh_pairs")
-            .replace("ann_brute_topk", "ann_brute")
-            .replace("ann_ivf_kmeans", "ann_ivfkm")
-            .replace("shuffle_corpus", "shufcorp")
-            .replace("ingest_topics", "ingest")
-            .replace("pii_redaction", "pii")
-            .replace("a_percentiles", "a_pctl")
-            .replace("a_time_rollup", "a_rollup_t")
-            .replace("lang_id_multi", "langid")
-            .replace("contain_pairs", "contain")
-            .replace("normalize_whitespace", "norm_ws")
-            .replace("ann_ivfpq_topk", "ivfpq")
-            .replace("simhash_pairs", "sh_pairs")
-            .replace("filter_boiler", "boiler")
-            .replace("s_log_compact", "s_compact")
-            .replace("a_running_rev", "a_runrev")
-            .replace("minhash_sigs", "mh_sigs")
-            .replace("ann_ivf_topk", "ivf")
-            .replace("ann_pca_topk", "pca")
-            .replace("kmv_distinct", "kmv")
-            .replace("weighted_mix", "wmix")
-            .replace("corpus_stats", "cstats")
-            .replace("a_moving_avg", "a_mavg")
-            .replace("stratified_sample", "strat")
-            .replace("chunk_documents", "chunkdocs")
-            .replace("collapse_repeats", "collapse")
-            .replace("s_lfs_reference", "s_lfs")
-            .replace("pack_sequences", "packs")
-            .replace("image_phash_rp", "phash_rp")
-        )
 
     short_q = {_short(k): round(v, 2) for k, v in timings.items()}
     assert len(short_q) == len(timings), "short-name collision in bench keys"
