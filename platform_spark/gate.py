@@ -5963,7 +5963,12 @@ _TAIL_SUBSETS = [
     "analytics_top_event_per_user",  # per-key row_number top-1 ⊂ llm_tfidf_keywords rank window + q15 group-max
     "analytics_pivot_event_counts",  # pivot w/ explicit values rewrites to the same two-phase HashAggregate shape as kafsql_agg_multi_group/q1 (head); the pivot rewrite + coalesce-to-0 semantics carry a full oracle replayed in pytest
     "iceberg_commit_scan",         # ⊂ iceberg_delete_scan (head): _ensure_iceberg_table runs the IDENTICAL create + three-append + widening-evolution build for both gates (with_deletes only appends two delete commits after it), and to_spark with zero live deletes is the delete gate's scan path minus the anti-join branch; full oracle replayed in pytest
-    "iceberg_merge_scan",          # copy-on-write MERGE: the scan is the same to_spark path head-pinned by iceberg_delete_scan; the commit side (affected-file planning via the same _metadata identity, partial manifest rewrite) carries its own full relational oracle, replayed in pytest + dedicated lifecycle pytest (test_iceberg merge/deletes interplay)
+    # NOTE iceberg_merge_scan PROMOTED to the head window in r9: MERGE is
+    # the flagship row-level operator (the reference's whole processor is
+    # an upsert pipeline) and its commit side — affected-file planning via
+    # _metadata identity, partial manifest rewrite — deserves the driver
+    # gate, not just the pytest replay it had while tail-parked.
+    "llm_unicode_nfc",             # one Arrow-batched pandas_udf (pd.Series.str.normalize) + a pure comparison column, zero shuffle: the Arrow-batch machinery is head-pinned by llm_image_phash_pairs' mapInPandas decode chain, all four normalization forms are pinned against unicodedata in test_normalize_text_forms_match_unicodedata, and the full DuckDB nfc_normalize oracle replays in pytest
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
