@@ -1983,7 +1983,13 @@ def compact_table(
     raise last_err  # type: ignore[misc]
 
 
-def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict:
+def merge_into(
+    table: IcebergTable,
+    source,
+    keys: list[str],
+    spark=None,
+    max_affected_files: int = 100_000,
+) -> dict:
     """Copy-on-write MERGE (upsert): source rows REPLACE current table
     rows with the same ``keys`` value; unmatched source rows insert. Only
     the data files that actually contain a matching key are rewritten:
@@ -1998,6 +2004,15 @@ def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict
        (kept entries → EXISTING, affected → DELETED) and carries the
        rest, so a 100-row upsert into a million-file table touches a
        handful of files and manifests, never the table.
+
+    PLANNING BOUND: the affected-file set is driver-collected, so it is
+    O(files containing a matching key) — Iceberg's own MERGE planning
+    model, fine for the targeted-upsert contract. A merge whose keys
+    match rows in more than ``max_affected_files`` files raises loudly
+    instead of silently materializing an unbounded driver list: a
+    whole-table-matching MERGE is a rewrite, not an upsert — run
+    ``replace_files`` (or compact_table) with the merged content
+    instead, which never collects per-file state.
 
     The CDC-ingestion primitive the reference's append-only sink lacks."""
     from pyspark.sql import functions as F
@@ -2026,13 +2041,21 @@ def merge_into(table: IcebergTable, source, keys: list[str], spark=None) -> dict
             deletes,
             entries,
         )
-        affected_set = {
-            r["__fp"]
-            for r in live.join(src_keys, keys, "left_semi")
+        affected_rows = (
+            live.join(src_keys, keys, "left_semi")
             .select("__fp")
             .distinct()
+            .limit(max_affected_files + 1)  # collect is capped, not open
             .collect()
-        }
+        )
+        if len(affected_rows) > max_affected_files:
+            raise ValueError(
+                f"iceberg: merge_into matched > {max_affected_files} data "
+                "files; a table-wide MERGE is a rewrite, not an upsert — "
+                "use replace_files/compact_table with the merged content, "
+                "or raise max_affected_files explicitly"
+            )
+        affected_set = {r["__fp"] for r in affected_rows}
         affected = [
             e for e in entries if e["data_file"]["file_path"] in affected_set
         ]

@@ -1045,3 +1045,28 @@ def test_parallel_manifest_planning_matches_serial(spark, table_loc, monkeypatch
     # the merge-on-read scan through the parallel planner stays correct
     got = sorted(r.id for r in t.to_spark(spark).collect())
     assert got == [i for i in range(60) if i % 11 != 3]
+
+
+def test_merge_planning_bound(spark, table_loc):
+    """merge_into caps its driver-collected affected-file set: a merge
+    touching every file still works under the default bound, and one
+    matching more files than max_affected_files raises loudly, pointing
+    at the rewrite path."""
+    from platform_spark.iceberg.table import merge_into
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    append_dataframe(t, _mk(spark, 20, 40))
+    assert len(t.scan_files()) >= 8  # 2 commits x 4 partitions
+    # source matching EVERY row -> every file affected; default bound ok
+    src = _mk(spark, 0, 40).withColumn("text", F.lit("rewritten"))
+    merge_into(t, src, ["id"], spark)
+    got = t.to_spark(spark)
+    assert got.count() == 40
+    assert got.filter("text <> 'rewritten'").count() == 0
+    # bound of 1 with >1 affected file raises and commits nothing
+    v_before = t.version
+    with pytest.raises(ValueError, match="replace_files"):
+        merge_into(t, _mk(spark, 0, 40), ["id"], spark, max_affected_files=1)
+    assert IcebergTable.load(table_loc).version == v_before
