@@ -78,6 +78,7 @@ _EXTRA_SHORT = {
     "url_dedup": "url_dd",
     "dd_incr": "ddi",
     "s_produce": "s_prod",
+    "iceberg_day_partition_scan": "ice_day",
 }
 
 
@@ -156,6 +157,7 @@ HEADLINE_GATES = (
     "iceberg_delete_scan",
     "iceberg_merge_scan",
     "iceberg_changes_scan",
+    "iceberg_day_partition_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",

@@ -5424,6 +5424,60 @@ WHERE doc_id % 3 <> 0
 )
 
 
+def _ensure_iceberg_day_table(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the hidden-time-partitioning gate: the events
+    envelope committed into a days(_ts)-partitioned Iceberg table (two
+    appends, so most days hold multiple files) — the ingest-by-day shape
+    every 100 TB corpus deployment uses."""
+    from platform_spark.iceberg.table import IcebergTable, append_dataframe
+
+    loc, done = _iceberg_scratch(sf_dir, "_day")
+    if not os.path.exists(done):
+        ev = catalog_for(spark, sf_dir).topic(
+            "events", with_schema_columns=False
+        ).select("_partition", "_offset", "_ts")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(
+            loc, ev.schema, partition_by=("days(_ts)",), clock=clock
+        )
+        append_dataframe(table, ev.filter("_offset % 2 = 0"))
+        append_dataframe(table, ev.filter("_offset % 2 = 1"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_day_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_day_table(spark, sf_dir)
+    table = IcebergTable.load(loc)
+    return table.to_spark(
+        spark, partition_filter={"_ts_day": datetime.date(2024, 1, 15)}
+    )
+
+
+# Hidden time partitioning (Iceberg day transform): the partition value is
+# int days-since-epoch derived from _ts and lives ONLY in paths/manifests
+# (_ts stays a data column). The oracle recomputes the day's rows straight
+# from the source envelope, so a hash match proves the day derivation, the
+# manifest partition values, and the metadata pruning return exactly the
+# UTC day's rows. File-level pruning is plan-asserted on Spark's actual
+# input file list in tests (test_iceberg day-partition tests).
+_add(
+    "iceberg_day_partition_scan",
+    _iceberg_day_gate,
+    orc.with_topics(
+        """
+SELECT _partition, _offset, _ts FROM t_events
+WHERE CAST(_ts AS DATE) = DATE '2024-01-15'
+"""
+    ),
+)
+
+
 # Exact heavy hitters: Misra-Gries screen + exact verify ---------------------
 
 
@@ -5969,6 +6023,7 @@ _TAIL_SUBSETS = [
     # _metadata identity, partial manifest rewrite — deserves the driver
     # gate, not just the pytest replay it had while tail-parked.
     "llm_unicode_nfc",             # one Arrow-batched pandas_udf (pd.Series.str.normalize) + a pure comparison column, zero shuffle: the Arrow-batch machinery is head-pinned by llm_image_phash_pairs' mapInPandas decode chain, all four normalization forms are pinned against unicodedata in test_normalize_text_forms_match_unicodedata, and the full DuckDB nfc_normalize oracle replays in pytest
+    "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest

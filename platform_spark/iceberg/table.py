@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -272,7 +273,10 @@ def _partition_avro_fields(spec_fields: list[dict], ice_schema: dict) -> list[di
     }
     out = []
     for pf in spec_fields:
-        src = types.get(pf["source-id"], "string")
+        if pf.get("transform") == "day":
+            src = "date"  # day transform values are int days-since-epoch
+        else:
+            src = types.get(pf["source-id"], "string")
         out.append(
             {
                 "name": pf["name"],
@@ -536,7 +540,40 @@ class IcebergTable:
         last_col = ice.pop("_last_column_id")
         by_name = {f["name"]: f for f in ice["fields"]}
         spec_fields = []
-        for i, col in enumerate(partition_by):
+        for i, spec in enumerate(partition_by):
+            m = re.fullmatch(r"days?\((\w+)\)", spec)
+            if m:
+                # hidden time partitioning (spec `day` transform): the
+                # partition VALUE is days-since-epoch derived from the
+                # source column, the source column stays a normal data
+                # column — how every 100 TB deployment partitions a
+                # timestamped corpus without denormalizing a date column
+                col = m.group(1)
+                if col not in by_name:
+                    raise ValueError(
+                        f"iceberg: partition column {col!r} not in schema"
+                    )
+                if by_name[col]["type"] not in ("date", "timestamp", "timestamptz"):
+                    raise ValueError(
+                        f"iceberg: day() needs a date/timestamp source, "
+                        f"got {by_name[col]['type']} for {col!r}"
+                    )
+                pname = f"{col}_day"
+                if pname in by_name:
+                    raise ValueError(
+                        f"iceberg: day({col}) partition name {pname!r} "
+                        "collides with a schema column"
+                    )
+                spec_fields.append(
+                    {
+                        "name": pname,
+                        "transform": "day",
+                        "source-id": by_name[col]["id"],
+                        "field-id": 1000 + i,
+                    }
+                )
+                continue
+            col = spec
             if col not in by_name:
                 raise ValueError(f"iceberg: partition column {col!r} not in schema")
             spec_fields.append(
@@ -660,6 +697,11 @@ class IcebergTable:
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     return None
                 raw = unquote(raw)
+                if pf.get("transform") == "day":
+                    # the write side materializes the day transform as an
+                    # int days-since-epoch column, so the dir value is
+                    # already the spec's partition representation
+                    return int(raw)
                 if src_type in ("int", "long"):
                     return int(raw)
                 if src_type == "date":
@@ -678,15 +720,26 @@ class IcebergTable:
 
     def _norm_partition_filter(self, partition_filter: dict | None) -> dict | None:
         """Normalize user filter values to the manifests' representation
-        (date objects → days, datetimes → micros) so comparisons are
-        value-to-value."""
+        so comparisons are value-to-value: for identity fields, date
+        objects → days and datetimes → micros; for a ``day``-transform
+        field the partition value is int days-since-epoch, so BOTH dates
+        and datetimes normalize to days."""
         if not partition_filter:
             return partition_filter
         import datetime
 
+        transforms = {
+            pf["name"]: pf.get("transform", "identity")
+            for pf in self.spec["fields"]
+        }
         out = {}
         for k, v in partition_filter.items():
-            if isinstance(v, datetime.datetime):
+            if transforms.get(k) == "day":
+                if isinstance(v, datetime.datetime):
+                    v = (v.date() - datetime.date(1970, 1, 1)).days
+                elif isinstance(v, datetime.date):
+                    v = (v - datetime.date(1970, 1, 1)).days
+            elif isinstance(v, datetime.datetime):
                 epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
                 v = int((v - epoch).total_seconds() * 1_000_000)
             elif isinstance(v, datetime.date):
@@ -793,10 +846,10 @@ class IcebergTable:
                 "contains_null": v["contains_null"],
                 "contains_nan": None,
                 "lower_bound": serialize_bound(
-                    types.get(spec_fields[i]["source-id"], "string"), v["lo"]
+                    self._result_bound_type(spec_fields[i], types), v["lo"]
                 ),
                 "upper_bound": serialize_bound(
-                    types.get(spec_fields[i]["source-id"], "string"), v["hi"]
+                    self._result_bound_type(spec_fields[i], types), v["hi"]
                 ),
             }
             for i, v in enumerate(vals)
@@ -889,10 +942,10 @@ class IcebergTable:
                 "contains_null": v["contains_null"],
                 "contains_nan": None,
                 "lower_bound": serialize_bound(
-                    types.get(spec_fields[i]["source-id"], "string"), v["lo"]
+                    self._result_bound_type(spec_fields[i], types), v["lo"]
                 ),
                 "upper_bound": serialize_bound(
-                    types.get(spec_fields[i]["source-id"], "string"), v["hi"]
+                    self._result_bound_type(spec_fields[i], types), v["hi"]
                 ),
             }
             for i, v in enumerate(vals)
@@ -1738,7 +1791,15 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         files = [e["data_file"]["file_path"] for e in entries]
-        part_cols = {pf["name"] for pf in self.spec["fields"]}
+        # only IDENTITY partition columns live in the path instead of the
+        # file (Spark partitionBy strips them); a transform partition
+        # (e.g. day) keeps its SOURCE column in the data file and its
+        # derived dir column is simply never selected
+        part_cols = {
+            pf["name"]
+            for pf in self.spec["fields"]
+            if pf.get("transform", "identity") == "identity"
+        }
         read_schema = self.spark_schema
         reader = spark.read.schema(read_schema)
         if part_cols:
@@ -1875,6 +1936,36 @@ class IcebergTable:
         return df.drop("__data_seq")
 
 
+def _with_partition_columns(table: IcebergTable, df):
+    """(df with derived transform-partition columns added, partitionBy
+    names). Identity fields pass through untouched; a ``day``-transform
+    field materializes int days-since-epoch from its source column just
+    for the write — partitionBy then strips it into the path, so data
+    files carry the source column and never the derived one. The session
+    runs in UTC (session.py), matching the spec's day transform on
+    timestamptz."""
+    from pyspark.sql import functions as F
+
+    names = []
+    ids_to_name = {f["id"]: f["name"] for f in table.schema["fields"]}
+    for pf in table.spec["fields"]:
+        names.append(pf["name"])
+        transform = pf.get("transform", "identity")
+        if transform == "identity":
+            continue
+        if transform == "day":
+            src = ids_to_name[pf["source-id"]]
+            df = df.withColumn(
+                pf["name"],
+                F.datediff(
+                    F.col(src).cast("date"), F.lit("1970-01-01").cast("date")
+                ).cast("int"),
+            )
+        else:
+            raise ValueError(f"iceberg: unsupported transform {transform!r}")
+    return df, names
+
+
 def append_dataframe(
     table: IcebergTable, df, properties_update: dict | None = None
 ) -> dict | None:
@@ -1887,10 +1978,10 @@ def append_dataframe(
     micro-batch as nothing-to-commit, not an error."""
     if df.schema != table.spark_schema:
         table.evolve_schema(df.schema)
-    part_cols = [pf["name"] for pf in table.spec["fields"]]
+    out, part_cols = _with_partition_columns(table, df)
 
     def _write(d: str) -> None:
-        writer = df.write.mode("append")
+        writer = out.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(d)
@@ -1926,7 +2017,6 @@ def compact_table(
     value doesn't serialize through a single task."""
     from pyspark.sql import functions as F
 
-    part_cols = [pf["name"] for pf in table.spec["fields"]]
     entries = table.scan_files(partition_filter=partition_filter, spark=spark)
     if not entries:
         return table.current_snapshot() or {}
@@ -1937,6 +2027,7 @@ def compact_table(
         deletes,
         entries,
     ).drop("__fp", "__pos")
+    df, part_cols = _with_partition_columns(table, df)
     if part_cols:
         keys = [F.col(c) for c in part_cols]
         if files_per_partition > 1:
@@ -2027,7 +2118,6 @@ def merge_into(
                 for f in table.spark_schema.fields
             ]
         )
-    part_cols = [pf["name"] for pf in table.spec["fields"]]
     last_err: Exception | None = None
     for _attempt in range(3):
         entries = table.scan_files(spark=spark)
@@ -2071,9 +2161,10 @@ def merge_into(
         else:
             merged = source
         def _write(d: str) -> None:
-            writer = merged.write.mode("append")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
+            out, names = _with_partition_columns(table, merged)
+            writer = out.write.mode("append")
+            if names:
+                writer = writer.partitionBy(*names)
             writer.parquet(d)
 
         new_files = _staged_write(table.location, "data", _write)

@@ -19,6 +19,7 @@ cluster with an Iceberg catalog the same `foreachBatch` body becomes
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,6 +87,32 @@ class ContinuousTopicPipeline:
         #: table size
         self._touched_partitions: set[tuple] = set()
 
+    def _partition_tracking(self) -> tuple[list, list[str]]:
+        """(select exprs, partition-field names) for the configured
+        partition_cols: a plain column tracks itself; a ``days(col)``
+        entry tracks the derived int days-since-epoch under the Iceberg
+        day-transform field name ``col_day`` — the time partitioning
+        every 100 TB corpus table ships with (ingest by day, prune by
+        day, compact the days a micro-batch touched)."""
+        exprs, names = [], []
+        for c in self.partition_cols:
+            m = re.fullmatch(r"days?\((\w+)\)", c)
+            if m:
+                src, name = m.group(1), f"{m.group(1)}_day"
+                exprs.append(
+                    F.datediff(
+                        F.col(src).cast("date"),
+                        F.lit("1970-01-01").cast("date"),
+                    )
+                    .cast("int")
+                    .alias(name)
+                )
+                names.append(name)
+            else:
+                exprs.append(F.col(c))
+                names.append(c)
+        return exprs, names
+
     def _use_iceberg(self) -> bool:
         from platform_spark.streaming.iceberg import has_iceberg_catalog
 
@@ -99,9 +126,11 @@ class ContinuousTopicPipeline:
         try:
             existing = self.spark.table(self.iceberg_table).schema
         except Exception:  # noqa: BLE001 — table doesn't exist yet
-            batch.writeTo(self.iceberg_table).partitionedBy(
-                *[F.col(c) for c in self.partition_cols]
-            ).create()
+            parts = []
+            for c in self.partition_cols:
+                m = re.fullmatch(r"days?\((\w+)\)", c)
+                parts.append(F.days(F.col(m.group(1))) if m else F.col(c))
+            batch.writeTo(self.iceberg_table).partitionedBy(*parts).create()
             return
         bad = evolution_violations(existing, batch.schema)
         if bad:
@@ -145,11 +174,9 @@ class ContinuousTopicPipeline:
             return  # empty batch: nothing committed, nothing to maintain
         if self.compact_every:
             if self.partition_cols:
+                exprs, _names = self._partition_tracking()
                 self._touched_partitions.update(
-                    tuple(r)
-                    for r in batch.select(*self.partition_cols)
-                    .distinct()
-                    .collect()
+                    tuple(r) for r in batch.select(*exprs).distinct().collect()
                 )
             self._appends_since_compact += 1
             if self._appends_since_compact >= self.compact_every:
@@ -158,11 +185,12 @@ class ContinuousTopicPipeline:
                 if self.partition_cols and self._touched_partitions:
                     # partial rewrites scoped to the recently-ingested
                     # partitions: O(recent data) per cycle, never O(table)
+                    _exprs, names = self._partition_tracking()
                     for t in sorted(self._touched_partitions):
                         compact_table(
                             table,
                             batch.sparkSession,
-                            partition_filter=dict(zip(self.partition_cols, t)),
+                            partition_filter=dict(zip(names, t)),
                         )
                 else:
                     compact_table(table, batch.sparkSession)
@@ -186,10 +214,16 @@ class ContinuousTopicPipeline:
         # parquet fallback — schema evolution: mergeSchema on write accepts
         # added columns, the add-column subset of the reference's rules
         # (iceberg.go:855-884 schemaNeedsUpdate/isWidening)
+        exprs, names = self._partition_tracking()
+        derived = [
+            (e, n) for e, n in zip(exprs, names) if n not in batch.columns
+        ]
+        for e, _n in derived:
+            batch = batch.withColumn(_n, e)
         (
             batch.write.mode("append")
             .option("mergeSchema", "true")
-            .partitionBy(*self.partition_cols)
+            .partitionBy(*names)
             .parquet(self.dest_dir)
         )
 

@@ -1070,3 +1070,161 @@ def test_merge_planning_bound(spark, table_loc):
     with pytest.raises(ValueError, match="replace_files"):
         merge_into(t, _mk(spark, 0, 40), ["id"], spark, max_affected_files=1)
     assert IcebergTable.load(table_loc).version == v_before
+
+
+def _ts_rows(spark, a, b):
+    # 4 rows per UTC day starting 2024-01-01 (epoch 1704067200)
+    return spark.range(a, b).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 21600).alias("ts"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+    )
+
+
+def test_day_transform_partitioning(spark, table_loc):
+    """Hidden time partitioning (spec day transform): the source ts
+    column stays a data column, the derived int days-since-epoch value
+    lives only in paths/manifests, scans prune by day, and the row-level
+    ops (delete/merge/partition-scoped compaction) work over it."""
+    import datetime
+
+    from platform_spark.iceberg.table import compact_table, merge_into
+
+    df = _ts_rows(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("days(ts)",), clock=CLOCK)
+    assert t.spec["fields"][0] == {
+        "name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1000,
+    }
+    append_dataframe(t, _ts_rows(spark, 0, 20))
+    append_dataframe(t, _ts_rows(spark, 20, 40))
+
+    # the derived column is in the PATH and the manifests, not the files
+    one_file = t.scan_files()[0]["data_file"]
+    assert "ts_day=" in one_file["file_path"]
+    assert one_file["partition"]["ts_day"] == (
+        datetime.date.fromisoformat("2024-01-01")
+        - datetime.date(1970, 1, 1)
+    ).days + int(
+        one_file["file_path"].split("ts_day=")[1].split("/")[0]
+    ) - 19723  # value equals the dir component
+    import pyarrow.parquet as pq
+
+    assert pq.read_schema(one_file["file_path"]).names == ["id", "ts", "text"]
+
+    # full scan: schema intact, ts values intact
+    got = t.to_spark(spark)
+    assert got.columns == ["id", "ts", "text"]
+    assert got.count() == 40
+    assert got.filter("ts IS NULL").count() == 0
+
+    # metadata pruning by day: Jan 2 holds exactly ids 4-7
+    day2 = {"ts_day": datetime.date(2024, 1, 2)}
+    pruned = t.scan_files(partition_filter=day2)
+    assert 0 < len(pruned) < len(t.scan_files())
+    rows = sorted(r.id for r in t.to_spark(spark, partition_filter=day2).collect())
+    assert rows == [4, 5, 6, 7]
+    # datetime filters normalize to the same day value
+    assert sorted(
+        r.id
+        for r in t.to_spark(
+            spark,
+            partition_filter={"ts_day": datetime.datetime(2024, 1, 2, 13, 0)},
+        ).collect()
+    ) == [4, 5, 6, 7]
+
+    # row-level ops over the day-partitioned table
+    t.delete_where(spark, "id % 10 = 1")
+    merge_into(
+        t,
+        _ts_rows(spark, 0, 40).filter("id % 10 = 2").withColumn(
+            "text", F.lit("merged")
+        ),
+        ["id"],
+        spark,
+    )
+    got = t.to_spark(spark)
+    assert got.count() == 36
+    assert got.filter("text = 'merged'").count() == 4
+    # partition-scoped compaction over one day keeps content identical
+    before = sorted((r.id, r.text) for r in got.collect())
+    compact_table(t, spark, partition_filter=day2)
+    after = sorted((r.id, r.text) for r in t.to_spark(spark).collect())
+    assert after == before
+
+
+def test_mixed_identity_and_day_partitioning(spark, table_loc):
+    """Identity + day transform together: identity column recovers from
+    the path, the day dir prunes, and both filters compose."""
+    import datetime
+
+    df = _ts_rows(spark, 0, 1).withColumn("lang", F.lit("en"))
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("lang", "days(ts)"), clock=CLOCK
+    )
+    data = _ts_rows(spark, 0, 16).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    append_dataframe(t, data)
+    got = t.to_spark(spark)
+    assert got.count() == 16 and set(got.columns) == {"id", "ts", "text", "lang"}
+    both = t.to_spark(
+        spark,
+        partition_filter={"lang": "de", "ts_day": datetime.date(2024, 1, 3)},
+    )
+    assert sorted(r.id for r in both.collect()) == [9, 11]
+    with pytest.raises(ValueError, match="day\\(\\) needs a date/timestamp"):
+        IcebergTable.create(
+            str(table_loc) + "2", df.schema, partition_by=("days(lang)",)
+        )
+
+
+def test_pipeline_day_partitioned_iceberg_sink(spark, tmp_path):
+    """days(_ts) on the streaming sink: the corpus table partitions by
+    ingest day (the shape every 100 TB deployment uses), a day filter
+    prunes the scan to that day's files (asserted on the actual file
+    list Spark reads), and partition-scoped auto-maintenance compacts
+    only the touched days."""
+    import datetime
+
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    for lo in range(0, 32, 8):  # several micro-batches
+        _ts_rows(spark, lo, lo + 8).withColumnRenamed("ts", "_ts").write.mode(
+            "append"
+        ).parquet(src)
+    loc = str(tmp_path / "ice")
+    pipe = ContinuousTopicPipeline(
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        partition_cols=("days(_ts)",),
+        compact_every=1,
+        expire_keep_last=2,
+    )
+    pipe.run_available_now()
+    t = IcebergTable.load(loc)
+    assert t.spec["fields"][0]["transform"] == "day"
+    got = t.to_spark(spark)
+    assert got.count() == 32 and "_ts" in got.columns
+    # time-pruned scan: the day filter reaches the FILE LIST the parquet
+    # scan is planned over, not just a post-filter
+    day3 = {"_ts_day": datetime.date(2024, 1, 3)}
+    full_files = set(t.to_spark(spark).inputFiles())
+    day_files = set(t.to_spark(spark, partition_filter=day3).inputFiles())
+    assert day_files and day_files < full_files
+    assert all("_ts_day=19725" in f for f in day_files)
+    rows = sorted(
+        r.id for r in t.to_spark(spark, partition_filter=day3).collect()
+    )
+    assert rows == [8, 9, 10, 11]
+    # maintenance compacted per-day: each day's live data is ~1 file
+    assert len(t.scan_files(partition_filter=day3)) <= 2
+    # restart replays nothing
+    n_snaps = len(t.metadata["snapshots"])
+    pipe.run_available_now()
+    t.refresh()
+    assert t.to_spark(spark).count() == 32
+    assert len(t.metadata["snapshots"]) == n_snaps
