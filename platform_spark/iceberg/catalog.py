@@ -1,0 +1,105 @@
+"""KAFSQL over Iceberg tables: a duck-typed TopicCatalog whose topics are
+pure-Python Iceberg v2 tables (one table per topic, envelope schema).
+
+The reference's ETL output IS an Iceberg table (iceberg-processor
+internal/sink/iceberg.go) — and its users then query that output. This
+module closes the loop the same way KfsTopicCatalog (kfs.py:692) does
+for native segments: ``KafSqlEngine(IcebergTopicCatalog(spark, root))``
+runs every KAFSQL query shape DIRECTLY against the committed Iceberg
+tables — metadata-planned scans, snapshot isolation, merge-on-read
+deletes — with no conversion step.
+
+Layout: ``root/<topic>/`` is an Iceberg table whose schema is the topic
+envelope (``_topic _partition _offset _ts _key _value _headers
+_segment``), identity-partitioned by ``_partition`` (mirroring the
+parquet topic layout, so `_partition =` filters prune files) and
+optionally day-partitioned on ``_ts`` for time-bounded queries
+(LAST/BETWEEN prune by ingest day).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from platform_spark.iceberg.table import IcebergTable, append_dataframe
+from platform_spark.topics import IMPLICIT_COLUMNS
+
+
+def materialize_topic_to_iceberg(
+    df: DataFrame,
+    root: str,
+    name: str,
+    partition_by: tuple[str, ...] = ("_partition",),
+) -> IcebergTable:
+    """Commit a topic envelope DataFrame into ``root/name`` as one append
+    snapshot (create-if-missing) — the batch analogue of the streaming
+    Iceberg sink, and the conversion step from parquet topics to
+    Iceberg-backed ones. Pass ``("_partition", "days(_ts)")`` for the
+    time-partitioned corpus layout."""
+    loc = os.path.join(root, name)
+    df = df.select(*IMPLICIT_COLUMNS)
+    if IcebergTable.exists(loc):
+        table = IcebergTable.load(loc)
+    else:
+        table = IcebergTable.create(loc, df.schema, partition_by=partition_by)
+    append_dataframe(table, df)
+    return table
+
+
+class IcebergTopicCatalog:
+    """Duck-typed TopicCatalog over a directory of Iceberg topic tables:
+    ``KafSqlEngine(IcebergTopicCatalog(spark, root))`` gives the full
+    KAFSQL dialect (projection, `_partition`/`_offset`/`_ts` bounds,
+    LAST/TAIL/WITHIN, joins, aggregates, json helpers) over committed
+    Iceberg snapshots.
+
+    Notes vs the parquet catalog: reads are metadata-planned (manifest →
+    file list; row-level deletes merge on read), so a query sees exactly
+    one snapshot; scan budgeting uses the engine's envelope-view fallback
+    (raw_source_path → None), like KfsTopicCatalog."""
+
+    def __init__(self, spark: SparkSession, root: str, configs: dict | None = None):
+        self.spark = spark
+        self.root = root
+        self.configs = configs or {}
+        self._materialized: dict[str, str] = {}
+        self.cache_root = None
+
+    def topic_names(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if IcebergTable.exists(os.path.join(self.root, d))
+        )
+
+    def topic(self, name: str, with_schema_columns: bool = True) -> DataFrame:
+        loc = os.path.join(self.root, name)
+        if not IcebergTable.exists(loc):
+            raise KeyError(f"unknown topic {name!r}")
+        df = IcebergTable.load(loc).to_spark(self.spark)
+        if with_schema_columns:
+            cfg = self.configs.get(name)
+            if cfg:
+                df = df.select("*", *[c.spark_expr() for c in cfg.columns])
+        return df
+
+    def describe(self, name: str) -> list[tuple[str, str, str]]:
+        rows = [
+            ("_topic", "text", "implicit"),
+            ("_partition", "integer", "implicit"),
+            ("_offset", "bigint", "implicit"),
+            ("_ts", "timestamp", "implicit"),
+            ("_key", "bytea", "implicit"),
+            ("_value", "bytea", "implicit"),
+            ("_headers", "jsonb", "implicit"),
+            ("_segment", "text", "implicit"),
+        ]
+        cfg = self.configs.get(name)
+        if cfg:
+            rows += [(c.name, c.type, c.path) for c in cfg.columns]
+        return rows
+
+    def raw_source_path(self, name: str) -> str | None:
+        return None  # EXPLAIN estimates use the envelope-view fallback

@@ -1228,3 +1228,69 @@ def test_pipeline_day_partitioned_iceberg_sink(spark, tmp_path):
     t.refresh()
     assert t.to_spark(spark).count() == 32
     assert len(t.metadata["snapshots"]) == n_snaps
+
+
+def test_kafsql_engine_runs_directly_on_iceberg_tables(spark, tmp_path):
+    """KAFSQL over Iceberg: every dialect query shape runs against
+    Iceberg-backed topics via IcebergTopicCatalog and matches the same
+    engine over the parquet topics — incl. after a row-level delete is
+    committed (the Iceberg side then matches a filtered parquet side)."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import (
+        IcebergTopicCatalog,
+        materialize_topic_to_iceberg,
+    )
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "icetopics")
+    os.makedirs(root, exist_ok=True)
+    for topic in ("events", "orders", "payments"):
+        materialize_topic_to_iceberg(
+            cat.topic(topic, with_schema_columns=False), root, topic
+        )
+
+    now = datetime(2024, 1, 31)
+    ieng = KafSqlEngine(
+        IcebergTopicCatalog(spark, root, configs=cat.configs), now=now
+    )
+    peng = KafSqlEngine(cat, now=now)
+    queries = [
+        "SELECT _partition, _offset, _ts, _key FROM events "
+        "WHERE _partition = 1 AND _ts <= '2024-01-31 00:00:00' LIMIT 100000",
+        "SELECT _partition, count(*) AS n, sum(json_value(_value, '$.amount')) AS s "
+        "FROM events LAST 30d GROUP BY _partition",
+        "SELECT event_type, count(*) AS n FROM events LAST 30d GROUP BY event_type",
+        "SELECT o._key AS k, json_value(p._value, '$.method') AS m "
+        "FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m "
+        "LAST 15000d LIMIT 100000",
+        "SELECT _partition, _offset, _key FROM events TAIL 50",
+    ]
+
+    def canon(df):
+        return sorted(
+            tuple("<null>" if v is None else str(v) for v in row)
+            for row in df.collect()
+        )
+
+    for q in queries:
+        assert canon(ieng.sql(q)) == canon(peng.sql(q)), q
+    # catalog surfaces over the iceberg root
+    assert {r.topic for r in ieng.sql("SHOW TOPICS").collect()} == {
+        "events", "orders", "payments"
+    }
+    assert ieng.sql("DESCRIBE events").count() >= 8
+
+    # a GDPR-style row-level delete is visible to the dialect immediately
+    from platform_spark.iceberg.table import IcebergTable
+
+    IcebergTable.load(os.path.join(root, "events")).delete_where(
+        spark, "_offset % 2 = 1"
+    )
+    got = canon(ieng.sql(queries[0]))
+    want = canon(
+        peng.sql(queries[0]).filter("_offset % 2 = 0")
+    )
+    assert got == want and len(got) > 0
