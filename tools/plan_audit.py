@@ -467,6 +467,25 @@ def main() -> None:
         ["BroadcastHashJoin", "LeftAnti", "row_index"],
         _dtbl.to_spark(spark),
     )
+    import datetime as _dt
+
+    from platform_spark.gate import _ensure_iceberg_day_table
+
+    _daytbl = IcebergTable.load(_ensure_iceberg_day_table(spark, args.sf))
+    add(
+        "Iceberg hidden time partitioning (day transform, one UTC day)",
+        "days(_ts) partition values live only in paths/manifests (_ts "
+        "stays a data column): a date filter normalizes to int "
+        "days-since-epoch and prunes manifests by value-ordered summaries "
+        "and entries by partition value, so the scan node receives only "
+        "that day's files — the ingest-by-day / prune-by-day layout a "
+        "100 TB corpus table runs on, with no derived date column stored "
+        "in the data.",
+        ["Scan parquet", "Batched: true"],
+        _daytbl.to_spark(
+            spark, partition_filter={"_ts_day": _dt.date(2024, 1, 15)}
+        ),
+    )
     from platform_spark import envelope as _env
     from platform_spark.topics import materialize_envelope
 
