@@ -102,4 +102,51 @@ class IcebergTopicCatalog:
         return rows
 
     def raw_source_path(self, name: str) -> str | None:
-        return None  # EXPLAIN estimates use the envelope-view fallback
+        return None  # EXPLAIN prices scans via estimate_topic_scan instead
+
+    def estimate_topic_scan(self, name: str, partition=None, ts_min=None, ts_max=None):
+        """EXPLAIN scan estimate priced PURELY from Iceberg manifests —
+        no parquet footer reads, no data access: each live entry carries
+        record_count, file_size_in_bytes, identity partition values, and
+        per-column bounds, so `_partition =` prunes by partition value
+        and `_ts` bounds prune by the manifests' column bounds (micros).
+        This is the metadata-layer answer to the reference's EXPLAIN
+        segment-count/byte estimates (server.go:929-962): at a ~10^5-file
+        table the estimate costs one manifest walk, not 10^5 footer
+        GETs."""
+        import datetime
+
+        from platform_spark.governance import ScanEstimate
+        from platform_spark.iceberg.table import deserialize_bound
+
+        table = IcebergTable.load(os.path.join(self.root, name))
+        pf = {"_partition": partition} if partition is not None else None
+        entries = table.scan_files(partition_filter=pf, spark=self.spark)
+        by_name = {f["name"]: f for f in table.schema["fields"]}
+        ts_field = by_name.get("_ts")
+
+        def to_micros(dt: datetime.datetime) -> int:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+            return int((dt - epoch).total_seconds() * 1_000_000)
+
+        lo_want = to_micros(ts_min) if ts_min is not None else None
+        hi_want = to_micros(ts_max) if ts_max is not None else None
+        files = rows = nbytes = 0
+        for e in entries:
+            d = e["data_file"]
+            if ts_field is not None and (lo_want is not None or hi_want is not None):
+                lo = hi = None
+                for kv in d.get("lower_bounds") or []:
+                    if kv["key"] == ts_field["id"]:
+                        lo = deserialize_bound(ts_field["type"], kv["value"])
+                for kv in d.get("upper_bounds") or []:
+                    if kv["key"] == ts_field["id"]:
+                        hi = deserialize_bound(ts_field["type"], kv["value"])
+                if lo_want is not None and hi is not None and hi < lo_want:
+                    continue
+                if hi_want is not None and lo is not None and lo > hi_want:
+                    continue
+            files += 1
+            rows += d["record_count"]
+            nbytes += d["file_size_in_bytes"]
+        return ScanEstimate(files=files, bytes=nbytes, rows=rows)

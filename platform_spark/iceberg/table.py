@@ -275,6 +275,8 @@ def _partition_avro_fields(spec_fields: list[dict], ice_schema: dict) -> list[di
     for pf in spec_fields:
         if pf.get("transform") == "day":
             src = "date"  # day transform values are int days-since-epoch
+        elif pf.get("transform") in ("month", "hour"):
+            src = "int"  # int months/hours-since-epoch
         else:
             src = types.get(pf["source-id"], "string")
         out.append(
@@ -541,33 +543,38 @@ class IcebergTable:
         by_name = {f["name"]: f for f in ice["fields"]}
         spec_fields = []
         for i, spec in enumerate(partition_by):
-            m = re.fullmatch(r"days?\((\w+)\)", spec)
+            m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", spec)
             if m:
-                # hidden time partitioning (spec `day` transform): the
-                # partition VALUE is days-since-epoch derived from the
-                # source column, the source column stays a normal data
-                # column — how every 100 TB deployment partitions a
-                # timestamped corpus without denormalizing a date column
-                col = m.group(1)
+                # hidden time partitioning (spec day/month/hour
+                # transforms): the partition VALUE is an int
+                # days/months/hours-since-epoch derived from the source
+                # column, the source column stays a normal data column —
+                # how every 100 TB deployment partitions a timestamped
+                # corpus without denormalizing a date column
+                transform = m.group(1).rstrip("s")
+                col = m.group(2)
                 if col not in by_name:
                     raise ValueError(
                         f"iceberg: partition column {col!r} not in schema"
                     )
-                if by_name[col]["type"] not in ("date", "timestamp", "timestamptz"):
+                ok_src = ("date", "timestamp", "timestamptz")
+                if transform == "hour":
+                    ok_src = ("timestamp", "timestamptz")  # spec: no hour(date)
+                if by_name[col]["type"] not in ok_src:
                     raise ValueError(
-                        f"iceberg: day() needs a date/timestamp source, "
-                        f"got {by_name[col]['type']} for {col!r}"
+                        f"iceberg: {transform}() needs a {'/'.join(ok_src)} "
+                        f"source, got {by_name[col]['type']} for {col!r}"
                     )
-                pname = f"{col}_day"
+                pname = f"{col}_{transform}"
                 if pname in by_name:
                     raise ValueError(
-                        f"iceberg: day({col}) partition name {pname!r} "
-                        "collides with a schema column"
+                        f"iceberg: {transform}({col}) partition name "
+                        f"{pname!r} collides with a schema column"
                     )
                 spec_fields.append(
                     {
                         "name": pname,
-                        "transform": "day",
+                        "transform": transform,
                         "source-id": by_name[col]["id"],
                         "field-id": 1000 + i,
                     }
@@ -697,10 +704,10 @@ class IcebergTable:
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     return None
                 raw = unquote(raw)
-                if pf.get("transform") == "day":
-                    # the write side materializes the day transform as an
-                    # int days-since-epoch column, so the dir value is
-                    # already the spec's partition representation
+                if pf.get("transform") in ("day", "month", "hour"):
+                    # the write side materializes time transforms as int
+                    # days/months/hours-since-epoch columns, so the dir
+                    # value is already the spec's partition representation
                     return int(raw)
                 if src_type in ("int", "long"):
                     return int(raw)
@@ -734,11 +741,19 @@ class IcebergTable:
         }
         out = {}
         for k, v in partition_filter.items():
-            if transforms.get(k) == "day":
+            tr = transforms.get(k)
+            if tr == "day":
                 if isinstance(v, datetime.datetime):
                     v = (v.date() - datetime.date(1970, 1, 1)).days
                 elif isinstance(v, datetime.date):
                     v = (v - datetime.date(1970, 1, 1)).days
+            elif tr == "month":
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    v = (v.year - 1970) * 12 + v.month - 1
+            elif tr == "hour":
+                if isinstance(v, datetime.datetime):
+                    epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    v = int((v - epoch).total_seconds()) // 3600
             elif isinstance(v, datetime.datetime):
                 epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
                 v = int((v - epoch).total_seconds() * 1_000_000)
@@ -1776,9 +1791,11 @@ class IcebergTable:
     @staticmethod
     def _result_bound_type(pf: dict, types: dict) -> str:
         """The Iceberg type of a partition field's VALUES (identity →
-        source type; day transform → date int-days)."""
+        source type; day transform → date int-days; month/hour → int)."""
         if pf.get("transform") == "day":
             return "date"
+        if pf.get("transform") in ("month", "hour"):
+            return "int"
         return types.get(pf["source-id"], "string")
 
     def _read_data_entries(self, spark, entries: list[dict], with_pos: bool = False):
@@ -1953,16 +1970,19 @@ def _with_partition_columns(table: IcebergTable, df):
         transform = pf.get("transform", "identity")
         if transform == "identity":
             continue
+        src = ids_to_name[pf["source-id"]]
         if transform == "day":
-            src = ids_to_name[pf["source-id"]]
-            df = df.withColumn(
-                pf["name"],
-                F.datediff(
-                    F.col(src).cast("date"), F.lit("1970-01-01").cast("date")
-                ).cast("int"),
+            expr = F.datediff(
+                F.col(src).cast("date"), F.lit("1970-01-01").cast("date")
             )
+        elif transform == "month":
+            expr = (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
+        elif transform == "hour":
+            # UTC session: timestamp→double is epoch seconds
+            expr = F.floor(F.col(src).cast("double") / F.lit(3600))
         else:
             raise ValueError(f"iceberg: unsupported transform {transform!r}")
+        df = df.withColumn(pf["name"], expr.cast("int"))
     return df, names
 
 

@@ -222,6 +222,19 @@ class KafSqlEngine:
         self.compiler._validate(q)
         lines = [f"scan topic={q.topic}"]
         for topic in filter(None, (q.topic, q.join_topic)):
+            est_fn = getattr(self.catalog, "estimate_topic_scan", None)
+            if est_fn is not None:
+                # catalogs with their own metadata layer (Iceberg: manifest
+                # record counts/sizes/bounds) price the scan without any
+                # parquet footer access
+                ts_min, ts_max = self.compiler.time_bounds(q)
+                est = est_fn(topic, q.partition, ts_min, ts_max)
+                lines.append(
+                    f"topic={topic} candidate_files={est.files} "
+                    f"est_bytes={est.bytes} est_rows={est.rows} "
+                    "source=iceberg-manifest-estimate"
+                )
+                continue
             path = self.catalog._materialized.get(topic)
             src = "materialized"
             if not path:

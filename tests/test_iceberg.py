@@ -1294,3 +1294,95 @@ def test_kafsql_engine_runs_directly_on_iceberg_tables(spark, tmp_path):
         peng.sql(queries[0]).filter("_offset % 2 = 0")
     )
     assert got == want and len(got) > 0
+
+
+def test_month_and_hour_transform_partitioning(spark, table_loc):
+    """The spec's other time transforms: month (int months-since-epoch,
+    works from date or timestamp) and hour (int hours-since-epoch,
+    timestamp only); filters normalize date/datetime values and prune."""
+    import datetime
+
+    df = spark.range(0, 9).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 864000).alias("ts"),
+    )  # one row every 10 days from 2024-01-01 -> spans Jan..Mar
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("months(ts)",), clock=CLOCK
+    )
+    append_dataframe(t, df)
+    assert t.spec["fields"][0]["transform"] == "month"
+    jan = t.to_spark(
+        spark, partition_filter={"ts_month": datetime.date(2024, 1, 15)}
+    )
+    assert sorted(r.id for r in jan.collect()) == [0, 1, 2, 3]
+    # int form: months since epoch for 2024-02 = (2024-1970)*12 + 1
+    feb = t.to_spark(spark, partition_filter={"ts_month": 649})
+    assert sorted(r.id for r in feb.collect()) == [4, 5]
+    assert 0 < len(t.scan_files(partition_filter={"ts_month": 648})) < len(
+        t.scan_files()
+    )
+
+    loc2 = str(table_loc) + "_h"
+    dfh = spark.range(0, 8).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 1800).alias("ts"),
+    )  # 30-minute steps -> 2 rows per hour
+    th = IcebergTable.create(loc2, dfh.schema, partition_by=("hours(ts)",), clock=CLOCK)
+    append_dataframe(th, dfh)
+    hour1 = th.to_spark(
+        spark,
+        partition_filter={"ts_hour": datetime.datetime(2024, 1, 1, 1, 30)},
+    )
+    assert sorted(r.id for r in hour1.collect()) == [2, 3]
+
+    # hour(date) is rejected per spec
+    dd = spark.range(0, 1).select(F.col("id"), F.current_date().alias("d"))
+    with pytest.raises(ValueError, match="hour\\(\\) needs"):
+        IcebergTable.create(str(table_loc) + "_bad", dd.schema,
+                            partition_by=("hours(d)",))
+
+
+def test_kafsql_explain_prices_iceberg_scans_from_manifests(spark, tmp_path):
+    """EXPLAIN over an Iceberg-backed topic reports candidate files /
+    bytes / rows priced purely from manifests (no parquet footer reads),
+    and `_partition =` + `_ts` bounds shrink the estimate."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import (
+        IcebergTopicCatalog,
+        materialize_topic_to_iceberg,
+    )
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "icetopics")
+    os.makedirs(root, exist_ok=True)
+    materialize_topic_to_iceberg(
+        cat.topic("events", with_schema_columns=False), root, "events"
+    )
+    eng = KafSqlEngine(
+        IcebergTopicCatalog(spark, root, configs=cat.configs),
+        now=datetime(2024, 1, 31),
+    )
+
+    def est_line(sql: str) -> str:
+        lines = [r["plan"] for r in eng.sql(sql).collect()]
+        (line,) = [l for l in lines if "iceberg-manifest-estimate" in l]
+        return line
+
+    full = est_line("EXPLAIN SELECT * FROM events LAST 365d")
+    part = est_line(
+        "EXPLAIN SELECT * FROM events WHERE _partition = 2 LAST 365d"
+    )
+    narrow = est_line(
+        "EXPLAIN SELECT * FROM events WHERE "
+        "_ts BETWEEN '2099-01-01 00:00:00' AND '2099-01-02 00:00:00'"
+    )
+
+    def n(line: str, key: str) -> int:
+        return int(line.split(f"{key}=")[1].split(" ")[0])
+
+    assert n(full, "candidate_files") > n(part, "candidate_files") > 0
+    assert n(full, "est_bytes") > n(part, "est_bytes") > 0
+    assert n(narrow, "est_rows") == 0  # _ts bounds prune via column bounds
