@@ -104,26 +104,22 @@ class IcebergTopicCatalog:
     def raw_source_path(self, name: str) -> str | None:
         return None  # EXPLAIN prices scans via estimate_topic_scan instead
 
-    def estimate_topic_scan(self, name: str, partition=None, ts_min=None, ts_max=None):
-        """EXPLAIN scan estimate priced PURELY from Iceberg manifests —
-        no parquet footer reads, no data access: each live entry carries
-        record_count, file_size_in_bytes, identity partition values, and
-        per-column bounds, so `_partition =` prunes by partition value
-        and `_ts` bounds prune by the manifests' column bounds (micros).
-        This is the metadata-layer answer to the reference's EXPLAIN
-        segment-count/byte estimates (server.go:929-962): at a ~10^5-file
-        table the estimate costs one manifest walk, not 10^5 footer
-        GETs."""
+    def _pruned_entries(self, table: IcebergTable, partition, ts_min, ts_max):
+        """Live entries surviving `_partition =` (identity partition
+        value) and `_ts` bounds (manifest column bounds, micros) — a
+        SUPERSET of the matching rows (files lacking bounds survive), so
+        callers still apply the exact row filters."""
         import datetime
 
-        from platform_spark.governance import ScanEstimate
         from platform_spark.iceberg.table import deserialize_bound
 
-        table = IcebergTable.load(os.path.join(self.root, name))
         pf = {"_partition": partition} if partition is not None else None
         entries = table.scan_files(partition_filter=pf, spark=self.spark)
-        by_name = {f["name"]: f for f in table.schema["fields"]}
-        ts_field = by_name.get("_ts")
+        ts_field = next(
+            (f for f in table.schema["fields"] if f["name"] == "_ts"), None
+        )
+        if ts_field is None or (ts_min is None and ts_max is None):
+            return entries
 
         def to_micros(dt: datetime.datetime) -> int:
             epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
@@ -131,22 +127,63 @@ class IcebergTopicCatalog:
 
         lo_want = to_micros(ts_min) if ts_min is not None else None
         hi_want = to_micros(ts_max) if ts_max is not None else None
-        files = rows = nbytes = 0
+        out = []
         for e in entries:
             d = e["data_file"]
-            if ts_field is not None and (lo_want is not None or hi_want is not None):
-                lo = hi = None
-                for kv in d.get("lower_bounds") or []:
-                    if kv["key"] == ts_field["id"]:
-                        lo = deserialize_bound(ts_field["type"], kv["value"])
-                for kv in d.get("upper_bounds") or []:
-                    if kv["key"] == ts_field["id"]:
-                        hi = deserialize_bound(ts_field["type"], kv["value"])
-                if lo_want is not None and hi is not None and hi < lo_want:
-                    continue
-                if hi_want is not None and lo is not None and lo > hi_want:
-                    continue
-            files += 1
-            rows += d["record_count"]
-            nbytes += d["file_size_in_bytes"]
-        return ScanEstimate(files=files, bytes=nbytes, rows=rows)
+            lo = hi = None
+            for kv in d.get("lower_bounds") or []:
+                if kv["key"] == ts_field["id"]:
+                    lo = deserialize_bound(ts_field["type"], kv["value"])
+            for kv in d.get("upper_bounds") or []:
+                if kv["key"] == ts_field["id"]:
+                    hi = deserialize_bound(ts_field["type"], kv["value"])
+            if lo_want is not None and hi is not None and hi < lo_want:
+                continue
+            if hi_want is not None and lo is not None and lo > hi_want:
+                continue
+            out.append(e)
+        return out
+
+    def topic_scan(
+        self,
+        name: str,
+        partition=None,
+        ts_min=None,
+        ts_max=None,
+        with_schema_columns: bool = True,
+    ) -> DataFrame:
+        """Metadata-pruned topic read for the KAFSQL compiler: the
+        planned file list already honors `_partition =` and `_ts` bounds
+        (manifest partition values + column bounds), so a LAST-window
+        query over a years-deep corpus table reads only the matching
+        days' files — the compiler's exact row filters still apply on
+        top, pruning only shrinks the plan."""
+        loc = os.path.join(self.root, name)
+        if not IcebergTable.exists(loc):
+            raise KeyError(f"unknown topic {name!r}")
+        table = IcebergTable.load(loc)
+        entries = self._pruned_entries(table, partition, ts_min, ts_max)
+        df = table.read_entries(self.spark, entries)
+        if with_schema_columns:
+            cfg = self.configs.get(name)
+            if cfg:
+                df = df.select("*", *[c.spark_expr() for c in cfg.columns])
+        return df
+
+    def estimate_topic_scan(self, name: str, partition=None, ts_min=None, ts_max=None):
+        """EXPLAIN scan estimate priced PURELY from Iceberg manifests —
+        no parquet footer reads, no data access: each live entry carries
+        record_count, file_size_in_bytes, identity partition values, and
+        per-column bounds. This is the metadata-layer answer to the
+        reference's EXPLAIN segment-count/byte estimates
+        (server.go:929-962): at a ~10^5-file table the estimate costs
+        one manifest walk, not 10^5 footer GETs."""
+        from platform_spark.governance import ScanEstimate
+
+        table = IcebergTable.load(os.path.join(self.root, name))
+        entries = self._pruned_entries(table, partition, ts_min, ts_max)
+        return ScanEstimate(
+            files=len(entries),
+            bytes=sum(e["data_file"]["file_size_in_bytes"] for e in entries),
+            rows=sum(e["data_file"]["record_count"] for e in entries),
+        )

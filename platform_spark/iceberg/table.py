@@ -1865,6 +1865,13 @@ class IcebergTable:
                 raise ValueError("iceberg: pass snapshot_id or ref, not both")
             snapshot_id = self.ref_snapshot_id(ref)
         entries = self.scan_files(snapshot_id, partition_filter, spark=spark)
+        return self.read_entries(spark, entries, snapshot_id=snapshot_id)
+
+    def read_entries(self, spark, entries: list[dict], snapshot_id: int | None = None):
+        """DataFrame over a pre-planned data-entry list (a subset of
+        ``scan_files`` output — e.g. externally pruned by column bounds),
+        with the snapshot's live deletes merged on read exactly as
+        ``to_spark`` does."""
         if not entries:
             return spark.createDataFrame([], self.spark_schema)
         deletes = self.scan_deletes(snapshot_id, spark=spark)

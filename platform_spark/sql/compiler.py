@@ -138,7 +138,8 @@ class Compiler:
 
     # -- scan + row filters (P4-P7) -------------------------------------
     def scan(self, topic: str, q: Query, apply_time: bool = True) -> DataFrame:
-        df = self.catalog.topic(topic)
+        ts_min, ts_max = self.time_bounds(q) if apply_time else (None, None)
+        df = self._topic_frame(topic, q.partition, ts_min, ts_max)
         if q.partition is not None:
             df = df.filter(F.col("_partition") == q.partition)
         if q.offset_min is not None:
@@ -148,6 +149,22 @@ class Compiler:
         if apply_time:
             df = self._apply_time_bounds(df, q)
         return df
+
+    def _topic_frame(
+        self, topic: str, partition=None, ts_min=None, ts_max=None
+    ) -> DataFrame:
+        """Catalogs with their own metadata layer (Iceberg) expose
+        ``topic_scan``: a read whose planned FILE LIST already honors the
+        partition/time bounds (a superset of the matching rows — files
+        without stats survive), so a LAST-window query over a years-deep
+        table never plans the other years' files. The exact row filters
+        in scan()/_apply_time_bounds still apply on top; catalogs without
+        the hook return the full topic frame and rely on Spark-side
+        pruning."""
+        fn = getattr(self.catalog, "topic_scan", None)
+        if fn is not None:
+            return fn(topic, partition=partition, ts_min=ts_min, ts_max=ts_max)
+        return self.catalog.topic(topic)
 
     def _apply_time_bounds(self, df: DataFrame, q: Query) -> DataFrame:
         ts_min, ts_max = self.time_bounds(q)
@@ -384,8 +401,15 @@ class Compiler:
         # bounded scan at any scale).
         left = self.scan(q.topic, q)
         ts_min, ts_max = self.time_bounds(q)
-        right = self.catalog.topic(q.join_topic)
         w = timedelta(seconds=q.within_seconds)
+        # the right side's metadata pruning must use the WIDENED bounds
+        # (window ± band) — the band condition admits right rows up to
+        # `within` outside the left window
+        right = self._topic_frame(
+            q.join_topic,
+            ts_min=ts_min - w if ts_min is not None else None,
+            ts_max=ts_max + w if ts_max is not None else None,
+        )
         if ts_min is not None:
             right = right.filter(F.col("_ts") >= F.lit(ts_min - w))
         if ts_max is not None:

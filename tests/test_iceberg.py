@@ -1386,3 +1386,55 @@ def test_kafsql_explain_prices_iceberg_scans_from_manifests(spark, tmp_path):
     assert n(full, "candidate_files") > n(part, "candidate_files") > 0
     assert n(full, "est_bytes") > n(part, "est_bytes") > 0
     assert n(narrow, "est_rows") == 0  # _ts bounds prune via column bounds
+
+
+def test_kafsql_time_pruning_over_day_partitioned_iceberg_topic(spark, tmp_path):
+    """A LAST-window dialect query over a day-partitioned Iceberg topic
+    plans ONLY the matching days' files (asserted on the compiled plan's
+    actual input file list) and still matches the parquet engine's rows;
+    a WITHIN join prunes the right side with band-widened bounds."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import (
+        IcebergTopicCatalog,
+        materialize_topic_to_iceberg,
+    )
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "icetopics")
+    os.makedirs(root, exist_ok=True)
+    for topic in ("events", "orders", "payments"):
+        materialize_topic_to_iceberg(
+            cat.topic(topic, with_schema_columns=False), root, topic,
+            partition_by=("_partition", "days(_ts)"),
+        )
+    now = datetime(2024, 1, 31)
+    ieng = KafSqlEngine(
+        IcebergTopicCatalog(spark, root, configs=cat.configs), now=now
+    )
+    peng = KafSqlEngine(cat, now=now)
+    # the row-level result cache would serve repeat queries as a
+    # LocalRelation (zero input files) and mask the pruning assertion
+    ieng.sql("SET enable_cache = false")
+
+    narrow = "SELECT _partition, _offset, _ts FROM events LAST 2d"
+    wide = "SELECT _partition, _offset, _ts FROM events LAST 365d"
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    assert canon(ieng.sql(narrow)) == canon(peng.sql(narrow))
+    n_narrow = len(set(ieng.sql(narrow).inputFiles()))
+    n_wide = len(set(ieng.sql(wide).inputFiles()))
+    assert 0 < n_narrow < n_wide  # time bounds reached the file list
+    # partition filter composes with the day pruning
+    one = "SELECT _offset FROM events WHERE _partition = 2 LAST 2d"
+    assert canon(ieng.sql(one)) == canon(peng.sql(one))
+    assert len(set(ieng.sql(one).inputFiles())) < n_narrow
+    # WITHIN join (band-widened right bounds) stays row-identical
+    j = ("SELECT o._key AS k, json_value(p._value, '$.method') AS m "
+         "FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m "
+         "LAST 15000d LIMIT 100000")
+    assert canon(ieng.sql(j)) == canon(peng.sql(j))
