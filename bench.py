@@ -78,7 +78,12 @@ _EXTRA_SHORT = {
     "url_dedup": "url_dd",
     "dd_incr": "ddi",
     "s_produce": "s_prod",
+    "phash_rp": "ph_rp",
+    "rm_spans": "rm_sp",
+    "s_compact": "s_cmp",
+    "tfidf_kw": "tfidf",
     "iceberg_day_partition_scan": "ice_day",
+    "iceberg_upsert_scan": "ice_ups",
 }
 
 
@@ -158,6 +163,7 @@ HEADLINE_GATES = (
     "iceberg_merge_scan",
     "iceberg_changes_scan",
     "iceberg_day_partition_scan",
+    "iceberg_upsert_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",

@@ -5424,6 +5424,69 @@ WHERE doc_id % 3 <> 0
 )
 
 
+def _ensure_iceberg_upsert_table(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the CDC-upsert gate: one append, then TWO
+    single-snapshot equality-delete upserts with overlapping key ranges
+    (the second must supersede the first where they overlap, and the
+    sequence rule must keep each upsert's own rows alive)."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    loc, done = _iceberg_scratch(sf_dir, "_ups")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(loc, docs.schema, partition_by=("lang",), clock=clock)
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 0))
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn("source", F.lit("u1")),
+            ["doc_id"],
+        )
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(7)
+            ),
+            ["doc_id"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_upsert_table(spark, sf_dir)
+    return IcebergTable.load(loc).to_spark(spark)
+
+
+# Atomic CDC upsert (equality-delete + data in ONE snapshot): the oracle
+# rebuilds the final state relationally (untouched evens, u1 rows not
+# later superseded, u2 rows), so a hash match proves the sequence rule
+# applied each delete to strictly-older files only — u1's own rows
+# survived u1's delete but died under u2's where keys overlap — with no
+# data file ever rewritten.
+_add(
+    "iceberg_upsert_scan",
+    _iceberg_upsert_gate,
+    """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, 'u1' AS source, n_chars FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars + 7 AS n_chars FROM documents
+WHERE doc_id % 5 = 0
+""",
+)
+
+
 def _ensure_iceberg_day_table(spark: SparkSession, sf_dir: str) -> str:
     """Scratch table for the hidden-time-partitioning gate: the events
     envelope committed into a days(_ts)-partitioned Iceberg table (two
@@ -6023,6 +6086,7 @@ _TAIL_SUBSETS = [
     # _metadata identity, partial manifest rewrite — deserves the driver
     # gate, not just the pytest replay it had while tail-parked.
     "llm_unicode_nfc",             # one Arrow-batched pandas_udf (pd.Series.str.normalize) + a pure comparison column, zero shuffle: the Arrow-batch machinery is head-pinned by llm_image_phash_pairs' mapInPandas decode chain, all four normalization forms are pinned against unicodedata in test_normalize_text_forms_match_unicodedata, and the full DuckDB nfc_normalize oracle replays in pytest
+    "iceberg_upsert_scan",         # NEW r9, tail-placed from birth: the scan side (equality-delete application under the sequence rule, broadcast key anti-join) is head-pinned by iceberg_delete_scan's equality-delete + re-append leg; the single-snapshot commit shape (data + delete manifests at one sequence number) carries its own full relational oracle replayed in pytest, plus dedicated lifecycle tests (test_upsert_dataframe_single_snapshot_cdc, test_pipeline_iceberg_upsert_sink)
     "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
 ]

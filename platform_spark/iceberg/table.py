@@ -1420,6 +1420,55 @@ class IcebergTable:
             snap_id,
         )
 
+    def _upsert_once(
+        self,
+        data_paths: list[str],
+        del_paths: list[str],
+        all_stats: dict[str, dict],
+        eq_ids: list[int],
+        properties_update: dict | None = None,
+    ) -> dict:
+        """ONE snapshot carrying both the batch's data manifest and its
+        equality-delete manifest at the same sequence number: the spec's
+        strict `data_seq < delete_seq` rule makes the delete kill every
+        OLDER copy of the keys while this snapshot's own rows survive."""
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq
+        manifests: list[dict] = []
+        added_rows = del_rows = 0
+        if data_paths:
+            entries, added_rows, summaries = self._build_entries(
+                sorted(data_paths), all_stats, seq, snap_id
+            )
+            manifests.append(
+                self._write_manifest(entries, seq, snap_id, summaries)
+            )
+        if del_paths:
+            dentries, del_rows, _ = self._build_entries(
+                sorted(del_paths), all_stats, seq, snap_id,
+                content=2, equality_ids=eq_ids,
+            )
+            manifests.append(
+                self._write_manifest(dentries, seq, snap_id, None, content=1)
+            )
+        prior = self.current_snapshot()
+        carried: list[dict] = []
+        if prior is not None:
+            _, _, carried = avro.read_container(prior["manifest-list"])
+        return self._finalize_snapshot(
+            manifests + carried,
+            "overwrite",
+            {
+                "added-data-files": str(len(data_paths)),
+                "added-records": str(added_rows),
+                "added-delete-files": str(len(del_paths)),
+                "added-equality-delete-records": str(del_rows),
+            },
+            seq,
+            snap_id,
+            properties_update=properties_update,
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots, then delete
         every file only they reference (manifest lists, manifests, and —
@@ -2019,6 +2068,79 @@ def append_dataframe(
     return table.append_files(
         new_files, spark=df.sparkSession, properties_update=properties_update
     )
+
+
+def upsert_dataframe(
+    table: IcebergTable,
+    df,
+    keys: list[str],
+    properties_update: dict | None = None,
+) -> dict | None:
+    """Streaming-scale UPSERT as ONE atomic snapshot: the batch's key
+    values commit as an equality-delete file TOGETHER with the batch's
+    data files. The sequence rule applies the delete only to strictly
+    older data files, so every prior copy of the keys dies and the
+    same-snapshot new rows survive — O(batch) metadata, ZERO existing
+    files read or rewritten, the merge-on-read CDC primitive a
+    continuous micro-batch pipeline needs (copy-on-write ``merge_into``
+    would re-read and rewrite key-matching files every batch; use it for
+    occasional batch merges, this for per-batch upsert ingest; run
+    ``compact_table`` periodically to fold accumulated deletes). NULL
+    key values match NULL (null-safe equality), like merge_into's
+    null-safe join. Returns the snapshot, or None for an empty batch."""
+    if df.schema != table.spark_schema:
+        table.evolve_schema(df.schema)
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table.spark_schema.fields
+            ]
+        )
+    names = {f["name"]: f["id"] for f in table.schema["fields"]}
+    bad = [c for c in keys if c not in names]
+    if bad:
+        raise ValueError(f"iceberg: upsert key columns {bad} not in schema")
+    eq_ids = [names[c] for c in keys]
+    out, part_cols = _with_partition_columns(table, df)
+
+    def _write_data(d: str) -> None:
+        writer = out.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(d)
+
+    data_files = _staged_write(table.location, "data", _write_data)
+    del_files = _staged_write(
+        table.location, "deletes",
+        lambda d: df.select(*keys)
+        .dropDuplicates(list(keys))
+        .write.mode("append")
+        .parquet(d),
+    )
+    spark = df.sparkSession
+    stats = table._file_stats(data_files + del_files, spark=spark)
+    data_live = [p for p in data_files if stats[p]["record_count"] > 0]
+    del_live = [p for p in del_files if stats[p]["record_count"] > 0]
+    for p in (set(data_files) - set(data_live)) | (set(del_files) - set(del_live)):
+        os.remove(p)
+    if not data_live and not del_live:
+        return None
+    # both file sets are state-independent (derived from the batch, not
+    # the table), so a conflict only needs refresh + re-commit
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        try:
+            return table._upsert_once(
+                data_live, del_live, stats, eq_ids,
+                properties_update=properties_update,
+            )
+        except CommitConflict as e:
+            last_err = e
+            table.refresh()
+    raise last_err  # type: ignore[misc]
 
 
 def compact_table(

@@ -193,6 +193,13 @@ class KafSqlEngine:
     # -- governance -----------------------------------------------------
     def _check_budget(self, q: Query) -> None:
         for topic in filter(None, (q.topic, q.join_topic)):
+            est_fn = getattr(self.catalog, "estimate_topic_scan", None)
+            if est_fn is not None:
+                # metadata-layer catalogs price the budget check from
+                # their manifests — same pre-flight guarantee, no footers
+                ts_min, ts_max = self.compiler.time_bounds(q)
+                self.opt.budget.check(est_fn(topic, q.partition, ts_min, ts_max))
+                continue
             path = self.catalog._materialized.get(topic)
             if not path:
                 continue  # envelope view: no files to budget

@@ -40,6 +40,7 @@ class ContinuousTopicPipeline:
         schema_doc: dict | None = None,
         compact_every: int | None = None,
         expire_keep_last: int = 8,
+        upsert_keys: tuple[str, ...] | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -80,6 +81,12 @@ class ContinuousTopicPipeline:
         #: of O(commits ever made). None disables.
         self.compact_every = compact_every
         self.expire_keep_last = expire_keep_last
+        #: CDC mode for the pure-Python Iceberg sink: each micro-batch
+        #: commits ONE overwrite snapshot whose equality-delete kills the
+        #: batch keys' older copies while the batch's own rows survive
+        #: (sequence rule) — O(batch) per commit, no file rewrites; pair
+        #: with compact_every to fold accumulated deletes
+        self.upsert_keys = upsert_keys
         self._appends_since_compact = 0
         #: partition values the appends since the last compaction touched
         #: — maintenance bin-packs ONLY these (partition-scoped partial
@@ -170,7 +177,15 @@ class ContinuousTopicPipeline:
         props = (
             {"streaming-batch-id": str(batch_id)} if batch_id is not None else None
         )
-        if append_dataframe(table, batch, properties_update=props) is None:
+        if self.upsert_keys:
+            from platform_spark.iceberg.table import upsert_dataframe
+
+            snap = upsert_dataframe(
+                table, batch, list(self.upsert_keys), properties_update=props
+            )
+        else:
+            snap = append_dataframe(table, batch, properties_update=props)
+        if snap is None:
             return  # empty batch: nothing committed, nothing to maintain
         if self.compact_every:
             if self.partition_cols:

@@ -1438,3 +1438,80 @@ def test_kafsql_time_pruning_over_day_partitioned_iceberg_topic(spark, tmp_path)
          "FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m "
          "LAST 15000d LIMIT 100000")
     assert canon(ieng.sql(j)) == canon(peng.sql(j))
+
+
+def test_upsert_dataframe_single_snapshot_cdc(spark, table_loc):
+    """upsert_dataframe commits data + equality-delete in ONE snapshot:
+    older copies of the batch keys die (sequence rule), the batch's own
+    rows survive, no existing file is read or rewritten, and compaction
+    later folds the deletes."""
+    from platform_spark.iceberg.table import compact_table, upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    files_before = {e["data_file"]["file_path"] for e in t.scan_files()}
+    v = t.version
+    snap = upsert_dataframe(
+        t, _mk(spark, 10, 30).withColumn("text", F.lit("v2")), ["id"]
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert t.version == v + 1  # exactly one commit
+    # no pre-existing data file was rewritten or retired
+    assert files_before <= {e["data_file"]["file_path"] for e in t.scan_files()}
+    got = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    assert got == {(i, f"doc-{i}") for i in range(10)} | {
+        (i, "v2") for i in range(10, 30)
+    }
+    # second upsert over an overlapping key range: latest wins
+    upsert_dataframe(t, _mk(spark, 15, 25).withColumn("text", F.lit("v3")), ["id"])
+    got = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    assert got == (
+        {(i, f"doc-{i}") for i in range(10)}
+        | {(i, "v2") for i in list(range(10, 15)) + list(range(25, 30))}
+        | {(i, "v3") for i in range(15, 25)}
+    )
+    # an incremental consumer must not treat upserts as appends
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes(spark)
+    # compaction folds the deletes; content identical, delete files gone
+    compact_table(t, spark)
+    assert t.scan_deletes() == []
+    assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got
+
+
+def test_pipeline_iceberg_upsert_sink(spark, tmp_path):
+    """upsert_keys on the streaming sink: later micro-batch runs replace
+    earlier rows with the same key — the CDC topic→table shape — and the
+    checkpoint keeps replay idempotent."""
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    _mk(spark, 0, 21).withColumn("text", F.lit("v1")).write.mode("append").parquet(src)
+    loc = str(tmp_path / "ice")
+    mk_pipe = lambda: ContinuousTopicPipeline(  # noqa: E731
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        partition_cols=("part",),
+        upsert_keys=("id",),
+    )
+    mk_pipe().run_available_now()
+    t = IcebergTable.load(loc)
+    assert {r.text for r in t.to_spark(spark).collect()} == {"v1"}
+    # a later run upserts the overlapping ids
+    _mk(spark, 10, 21).withColumn("text", F.lit("v2")).write.mode("append").parquet(src)
+    mk_pipe().run_available_now()
+    t.refresh()
+    got = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    assert got == {(i, "v1") for i in range(10)} | {
+        (i, "v2") for i in range(10, 21)
+    }
+    # restart: checkpoint replays nothing
+    n = len(t.metadata["snapshots"])
+    mk_pipe().run_available_now()
+    t.refresh()
+    assert len(t.metadata["snapshots"]) == n
+    assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got
