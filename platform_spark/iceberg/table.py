@@ -543,6 +543,39 @@ class IcebergTable:
         by_name = {f["name"]: f for f in ice["fields"]}
         spec_fields = []
         for i, spec in enumerate(partition_by):
+            mt = re.fullmatch(r"truncate\((\w+),\s*(\d+)\)", spec)
+            if mt:
+                # spec `truncate[W]` transform: strings keep their first
+                # W characters, ints floor to the nearest W multiple —
+                # the prefix-bucketing layout for URL/path/id-keyed
+                # corpora (prune by key prefix, no high-cardinality dirs)
+                col, width = mt.group(1), int(mt.group(2))
+                if col not in by_name:
+                    raise ValueError(
+                        f"iceberg: partition column {col!r} not in schema"
+                    )
+                if by_name[col]["type"] not in ("int", "long", "string"):
+                    raise ValueError(
+                        f"iceberg: truncate() needs an int/long/string "
+                        f"source, got {by_name[col]['type']} for {col!r}"
+                    )
+                if width <= 0:
+                    raise ValueError("iceberg: truncate width must be > 0")
+                pname = f"{col}_trunc"
+                if pname in by_name:
+                    raise ValueError(
+                        f"iceberg: truncate({col}) partition name "
+                        f"{pname!r} collides with a schema column"
+                    )
+                spec_fields.append(
+                    {
+                        "name": pname,
+                        "transform": f"truncate[{width}]",
+                        "source-id": by_name[col]["id"],
+                        "field-id": 1000 + i,
+                    }
+                )
+                continue
             m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", spec)
             if m:
                 # hidden time partitioning (spec day/month/hour
@@ -709,6 +742,9 @@ class IcebergTable:
                     # days/months/hours-since-epoch columns, so the dir
                     # value is already the spec's partition representation
                     return int(raw)
+                if str(pf.get("transform", "")).startswith("truncate["):
+                    # truncated value keeps the SOURCE type
+                    return int(raw) if src_type in ("int", "long") else raw
                 if src_type in ("int", "long"):
                     return int(raw)
                 if src_type == "date":
@@ -1734,6 +1770,109 @@ class IcebergTable:
         self.metadata = new_meta
         self.version += 1
 
+    # -- inspect metadata tables (Iceberg's snapshots/files/... surface) -----
+
+    def inspect_snapshots(self, spark):
+        """The table's snapshot history as a DataFrame (Iceberg's
+        ``<table>.snapshots`` metadata table): ops queries like "which
+        commit added those rows" / "what did maintenance reclaim" without
+        touching any data file."""
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["sequence-number"],
+                s["timestamp-ms"],
+                s["summary"]["operation"],
+                json.dumps({k: v for k, v in s["summary"].items() if k != "operation"}),
+                s["manifest-list"],
+            )
+            for s in sorted(
+                self.metadata["snapshots"], key=lambda s: s["sequence-number"]
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at_ms long, operation string, summary string, "
+            "manifest_list string",
+        )
+
+    def inspect_manifests(self, spark, snapshot_id: int | None = None):
+        """The current (or given) snapshot's manifest list as a DataFrame
+        (``<table>.manifests``)."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else next(
+                s for s in self.metadata["snapshots"]
+                if s["snapshot-id"] == snapshot_id
+            )
+        )
+        if snap is None:
+            rows = []
+        else:
+            _, _, manifests = avro.read_container(snap["manifest-list"])
+            rows = [
+                (
+                    m["manifest_path"], m["manifest_length"], m["content"],
+                    m["sequence_number"], m["min_sequence_number"],
+                    m["added_snapshot_id"], m["added_files_count"],
+                    m["existing_files_count"], m["deleted_files_count"],
+                    m["added_rows_count"], m["existing_rows_count"],
+                    m["deleted_rows_count"],
+                )
+                for m in manifests
+            ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, content int, sequence_number long, "
+            "min_sequence_number long, added_snapshot_id long, "
+            "added_files int, existing_files int, deleted_files int, "
+            "added_rows long, existing_rows long, deleted_rows long",
+        )
+
+    def inspect_files(self, spark, snapshot_id: int | None = None):
+        """Live data + delete file entries as a DataFrame
+        (``<table>.files``): per-file row counts, sizes, and partition
+        values straight from the manifests."""
+        entries = self.scan_files(snapshot_id, spark=spark) + self.scan_deletes(
+            snapshot_id, spark=spark
+        )
+        rows = [
+            (
+                e["data_file"]["file_path"],
+                e["data_file"]["content"],
+                e["data_file"]["record_count"],
+                e["data_file"]["file_size_in_bytes"],
+                e["sequence_number"],
+                json.dumps(e["data_file"]["partition"]),
+            )
+            for e in entries
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, content int, record_count long, "
+            "file_size_in_bytes long, sequence_number long, partition string",
+        )
+
+    def inspect_partitions(self, spark, snapshot_id: int | None = None):
+        """Per-partition live file/row/byte totals (``<table>.partitions``)
+        — the skew/compaction-planning view: which days or partition
+        values are hot, which accumulated small files."""
+        from pyspark.sql import functions as F
+
+        files = self.inspect_files(spark, snapshot_id)
+        return (
+            files.filter(F.col("content") == 0)
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_in_bytes").alias("total_size_bytes"),
+            )
+        )
+
     # -- scans --------------------------------------------------------------
 
     def scan_files(
@@ -2027,6 +2166,23 @@ def _with_partition_columns(table: IcebergTable, df):
         if transform == "identity":
             continue
         src = ids_to_name[pf["source-id"]]
+        mt = re.fullmatch(r"truncate\[(\d+)\]", transform)
+        if mt:
+            w = int(mt.group(1))
+            src_type = next(
+                f["type"] for f in table.schema["fields"]
+                if f["id"] == pf["source-id"]
+            )
+            if src_type == "string":
+                expr = F.substring(F.col(src), 1, w)
+            else:
+                # spec: v - (((v % W) + W) % W) — floors negatives too
+                expr = (
+                    F.col(src)
+                    - F.pmod(F.col(src), F.lit(w))
+                ).cast("long" if src_type == "long" else "int")
+            df = df.withColumn(pf["name"], expr)
+            continue
         if transform == "day":
             expr = F.datediff(
                 F.col(src).cast("date"), F.lit("1970-01-01").cast("date")

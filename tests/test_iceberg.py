@@ -1515,3 +1515,72 @@ def test_pipeline_iceberg_upsert_sink(spark, tmp_path):
     t.refresh()
     assert len(t.metadata["snapshots"]) == n
     assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got
+
+
+def test_truncate_transform_partitioning(spark, table_loc):
+    """truncate[W]: strings bucket by prefix, ints floor to the nearest
+    W multiple (negatives too) — the prefix layout for URL/id-keyed
+    corpora; values keep the source type in paths and manifests."""
+    df = spark.range(0, 30).select(
+        F.col("id"),
+        F.concat(
+            F.lit("user-"), (F.col("id") % 7).cast("string"),
+            F.lit("-x"), F.col("id").cast("string"),
+        ).alias("key"),
+    )
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("truncate(key, 6)",), clock=CLOCK
+    )
+    assert t.spec["fields"][0]["transform"] == "truncate[6]"
+    append_dataframe(t, df)
+    got = t.to_spark(spark, partition_filter={"key_trunc": "user-3"})
+    assert sorted(r.id for r in got.collect()) == [3, 10, 17, 24]
+    assert 0 < len(t.scan_files(partition_filter={"key_trunc": "user-3"})) < len(
+        t.scan_files()
+    )
+    # data files keep the full key column; derived prefix is path-only
+    assert "key" in t.to_spark(spark).columns
+    assert t.to_spark(spark).count() == 30
+
+    loc2 = str(table_loc) + "_i"
+    di = spark.range(0, 30).select((F.col("id") - 15).alias("id"))
+    ti = IcebergTable.create(loc2, di.schema, partition_by=("truncate(id, 10)",), clock=CLOCK)
+    append_dataframe(ti, di)
+    neg = ti.to_spark(spark, partition_filter={"id_trunc": -20})
+    assert sorted(r.id for r in neg.collect()) == list(range(-15, -10))
+    mid = ti.to_spark(spark, partition_filter={"id_trunc": 0})
+    assert sorted(r.id for r in mid.collect()) == list(range(0, 10))
+    with pytest.raises(ValueError, match="width must be > 0"):
+        IcebergTable.create(str(table_loc) + "_b", di.schema,
+                            partition_by=("truncate(id, 0)",))
+
+
+def test_inspect_metadata_tables(spark, table_loc):
+    """The snapshots/manifests/files/partitions inspect surface answers
+    ops questions from metadata alone (no data file reads)."""
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    append_dataframe(t, _mk(spark, 20, 40))
+    t.delete_where(spark, "id % 9 = 1")
+
+    snaps = t.inspect_snapshots(spark).collect()
+    assert [r.operation for r in snaps] == ["append", "append", "delete"]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert json.loads(snaps[0].summary)["added-records"] == "20"
+
+    mans = t.inspect_manifests(spark).collect()
+    assert sum(1 for r in mans if r.content == 1) == 1  # one delete manifest
+    assert sum(r.added_rows for r in mans if r.content == 0) == 40
+
+    files = t.inspect_files(spark)
+    assert files.filter("content = 0").count() == len(t.scan_files())
+    assert files.filter("content = 1").count() == len(t.scan_deletes())
+    total = files.filter("content = 0").agg({"record_count": "sum"}).first()[0]
+    assert total == 40
+
+    parts = {
+        json.loads(r.partition)["part"]: r.record_count
+        for r in t.inspect_partitions(spark).collect()
+    }
+    assert parts == {0: 10, 1: 10, 2: 10, 3: 10}
