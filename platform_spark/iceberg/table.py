@@ -816,7 +816,11 @@ class IcebergTable:
         return {p: _collect_file_stats(p, ids_by_name, types_by_id) for p in paths}
 
     def append_files(
-        self, paths: list[str], spark=None, properties_update: dict | None = None
+        self,
+        paths: list[str],
+        spark=None,
+        properties_update: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Commit an append snapshot over already-written parquet files
         (they should live under ``location/data/``). Returns the new
@@ -830,7 +834,7 @@ class IcebergTable:
         last_err: Exception | None = None
         for _attempt in range(3):
             try:
-                return self._append_once(paths, stats, properties_update)
+                return self._append_once(paths, stats, properties_update, branch)
             except CommitConflict as e:
                 last_err = e
                 self.refresh()
@@ -1002,6 +1006,19 @@ class IcebergTable:
             for i, v in enumerate(vals)
         ]
 
+    def _branch_head(self, branch: str) -> dict | None:
+        """The snapshot a branch ref points at (None for a fresh branch
+        created on an empty table)."""
+        refs = self.metadata.get("refs", {})
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise ValueError(f"iceberg: unknown branch {branch!r}")
+        sid = refs[branch]["snapshot-id"]
+        if sid is None or sid == -1:
+            return None
+        return next(
+            s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid
+        )
+
     def _finalize_snapshot(
         self,
         manifests: list[dict],
@@ -1010,9 +1027,12 @@ class IcebergTable:
         seq: int,
         snap_id: int,
         properties_update: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         meta_dir = self._meta_dir(self.location)
-        prior = self.current_snapshot()
+        prior = (
+            self._branch_head(branch) if branch else self.current_snapshot()
+        )
         # the name must be unique to THIS writer's content: two racing
         # committers both target seq S+1, and avro.write_container ends in
         # os.replace — a fixed snap-{seq} name would let the loser clobber
@@ -1044,11 +1064,20 @@ class IcebergTable:
             }
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now_ms
-        new_meta["current-snapshot-id"] = snap_id
         new_meta["snapshots"] = self.metadata["snapshots"] + [snapshot]
-        new_meta["snapshot-log"] = self.metadata["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-        ]
+        if branch:
+            # write-audit-publish: the commit advances ONLY the branch
+            # ref; main's current snapshot and history are untouched
+            # until publish_branch fast-forwards them
+            new_meta["refs"] = {
+                **self.metadata.get("refs", {}),
+                branch: {"snapshot-id": snap_id, "type": "branch"},
+            }
+        else:
+            new_meta["current-snapshot-id"] = snap_id
+            new_meta["snapshot-log"] = self.metadata["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+            ]
         new_meta["metadata-log"] = self.metadata["metadata-log"] + [
             {
                 "timestamp-ms": self.metadata["last-updated-ms"],
@@ -1067,6 +1096,7 @@ class IcebergTable:
         paths: list[str],
         all_stats: dict[str, dict],
         properties_update: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         seq = self.metadata["last-sequence-number"] + 1
         snap_id = seq  # deterministic snapshot ids (any unique long is valid)
@@ -1074,7 +1104,9 @@ class IcebergTable:
             sorted(paths), all_stats, seq, snap_id
         )
         new_manifest = self._write_manifest(entries, seq, snap_id, part_summaries)
-        prior = self.current_snapshot()
+        prior = (
+            self._branch_head(branch) if branch else self.current_snapshot()
+        )
         carried: list[dict] = []
         if prior is not None:
             _, _, carried = avro.read_container(prior["manifest-list"])
@@ -1088,6 +1120,7 @@ class IcebergTable:
             seq,
             snap_id,
             properties_update=properties_update,
+            branch=branch,
         )
 
     def replace_files(self, new_paths: list[str], spark=None) -> dict:
@@ -1628,6 +1661,102 @@ class IcebergTable:
                 return self.create_tag(name, snapshot_id=snap_id)
         self.metadata = new_meta
         self.version += 1
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a spec v2 ``branch`` ref at the given snapshot (default:
+        current). Appends with ``branch=name`` advance ONLY the branch;
+        main is untouched until ``publish_branch`` — the write-audit-
+        publish flow: stage a risky ingest on a branch, validate it with
+        any scan (``to_spark(ref=name)``), publish atomically or drop."""
+        snap_id = (
+            self.metadata["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        )
+        if snap_id != -1 and not any(
+            s["snapshot-id"] == snap_id for s in self.metadata["snapshots"]
+        ):
+            raise ValueError(f"iceberg: unknown snapshot {snap_id}")
+        if name in self.metadata.get("refs", {}):
+            raise ValueError(f"iceberg: ref {name!r} already exists")
+        new_meta = dict(self.metadata)
+        new_meta["refs"] = {
+            **self.metadata.get("refs", {}),
+            name: {"snapshot-id": snap_id, "type": "branch"},
+        }
+        # the branch's base rides in table properties (spec-legal string
+        # map): publish can prove fast-forward even after expiry trims
+        # the intermediate snapshot RECORDS the ancestry walk would need
+        new_meta["properties"] = {
+            **self.metadata.get("properties", {}),
+            f"branch.{name}.base-snapshot-id": str(snap_id),
+        }
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.create_branch(name, snapshot_id=snap_id)
+        self.metadata = new_meta
+        self.version += 1
+
+    def publish_branch(self, name: str, drop: bool = True) -> dict:
+        """Fast-forward main to the branch head (the PUBLISH step of
+        write-audit-publish): atomic — readers see either the old main or
+        the whole branch. Requires main's current snapshot to be an
+        ancestor of the branch head; if main advanced independently the
+        publish raises (rebuild the branch from fresh main instead —
+        anything else would silently drop main's commits). Returns the
+        published head snapshot; ``drop`` removes the branch ref."""
+        head = self._branch_head(name)
+        if head is None:
+            raise ValueError(f"iceberg: branch {name!r} has no commits")
+        current = self.metadata["current-snapshot-id"]
+        base = self.metadata.get("properties", {}).get(
+            f"branch.{name}.base-snapshot-id"
+        )
+        if current != -1 and (base is None or int(base) != current):
+            # ancestry walk: main's current snapshot must be on the
+            # branch head's parent chain (fast-forward only). The walk
+            # needs the intermediate snapshot records; main == recorded
+            # base short-circuits above so expiry of branch-only history
+            # can't block a legitimate publish.
+            by_id = {s["snapshot-id"]: s for s in self.metadata["snapshots"]}
+            node = head
+            while node is not None and node["snapshot-id"] != current:
+                node = by_id.get(node.get("parent-snapshot-id"))
+            if node is None:
+                raise ValueError(
+                    f"iceberg: main advanced since branch {name!r} was cut; "
+                    "fast-forward publish impossible — re-stage the branch "
+                    "from the fresh main"
+                )
+        now_ms = int(self._clock() * 1000)
+        new_meta = dict(self.metadata)
+        new_meta["current-snapshot-id"] = head["snapshot-id"]
+        new_meta["snapshot-log"] = self.metadata["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": head["snapshot-id"]}
+        ]
+        if drop:
+            new_meta["refs"] = {
+                k: v for k, v in self.metadata.get("refs", {}).items() if k != name
+            }
+        new_meta["properties"] = {
+            k: v
+            for k, v in self.metadata.get("properties", {}).items()
+            if k != f"branch.{name}.base-snapshot-id"
+        }
+        new_meta["last-updated-ms"] = now_ms
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.publish_branch(name, drop=drop)
+        self.metadata = new_meta
+        self.version += 1
+        return head
 
     def drop_tag(self, name: str) -> None:
         """Remove a tag; its snapshot becomes expirable again."""
@@ -2199,7 +2328,10 @@ def _with_partition_columns(table: IcebergTable, df):
 
 
 def append_dataframe(
-    table: IcebergTable, df, properties_update: dict | None = None
+    table: IcebergTable,
+    df,
+    properties_update: dict | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """Write a DataFrame as parquet data files under ``location/data/``
     and commit them as one append snapshot (the Spark-side half of the
@@ -2222,7 +2354,10 @@ def append_dataframe(
     if not new_files:
         return None
     return table.append_files(
-        new_files, spark=df.sparkSession, properties_update=properties_update
+        new_files,
+        spark=df.sparkSession,
+        properties_update=properties_update,
+        branch=branch,
     )
 
 

@@ -1584,3 +1584,44 @@ def test_inspect_metadata_tables(spark, table_loc):
         for r in t.inspect_partitions(spark).collect()
     }
     assert parts == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_wap_branch_stage_validate_publish(spark, table_loc):
+    """Write-audit-publish: staged appends advance only the branch ref
+    (main readers see nothing), the branch validates through any scan,
+    publish fast-forwards main atomically, and a non-fast-forward
+    publish (main moved independently) is rejected."""
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 10))
+    main_log = len(t.metadata["snapshot-log"])
+    t.create_branch("audit")
+    append_dataframe(t, _mk(spark, 10, 20), branch="audit")
+    append_dataframe(t, _mk(spark, 20, 30), branch="audit")
+    # main untouched: count, current snapshot, history
+    assert t.to_spark(spark).count() == 10
+    assert len(t.metadata["snapshot-log"]) == main_log
+    # a fresh loader (another reader) also sees only main
+    assert IcebergTable.load(table_loc).to_spark(spark).count() == 10
+    # the audit scan sees the staged state
+    assert sorted(
+        r.id for r in t.to_spark(spark, ref="audit").collect()
+    ) == list(range(30))
+    # expiry never reclaims the staged branch head
+    t.expire_snapshots(keep_last=1)
+    assert t.to_spark(spark, ref="audit").count() == 30
+    # publish: main fast-forwards to the branch head in one commit
+    head = t.publish_branch("audit")
+    assert t.current_snapshot()["snapshot-id"] == head["snapshot-id"]
+    assert t.to_spark(spark).count() == 30
+    assert "audit" not in t.metadata.get("refs", {})
+    assert IcebergTable.load(table_loc).to_spark(spark).count() == 30
+
+    # non-fast-forward: branch cut, then main advances -> publish raises
+    t.create_branch("risky")
+    append_dataframe(t, _mk(spark, 50, 55), branch="risky")
+    append_dataframe(t, _mk(spark, 90, 95))  # main moves independently
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("risky")
+    # the staged rows never leaked into main
+    assert t.to_spark(spark).filter("id >= 50 AND id < 55").count() == 0
