@@ -103,17 +103,20 @@ class ContinuousTopicPipeline:
         day, compact the days a micro-batch touched)."""
         exprs, names = [], []
         for c in self.partition_cols:
-            m = re.fullmatch(r"days?\((\w+)\)", c)
+            m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", c)
             if m:
-                src, name = m.group(1), f"{m.group(1)}_day"
-                exprs.append(
-                    F.datediff(
+                kind, src = m.group(1).rstrip("s"), m.group(2)
+                name = f"{src}_{kind}"
+                if kind == "day":
+                    e = F.datediff(
                         F.col(src).cast("date"),
                         F.lit("1970-01-01").cast("date"),
                     )
-                    .cast("int")
-                    .alias(name)
-                )
+                elif kind == "month":
+                    e = (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
+                else:  # hour (UTC session: timestamp→double = epoch secs)
+                    e = F.floor(F.col(src).cast("double") / F.lit(3600))
+                exprs.append(e.cast("int").alias(name))
                 names.append(name)
             else:
                 exprs.append(F.col(c))
@@ -135,8 +138,14 @@ class ContinuousTopicPipeline:
         except Exception:  # noqa: BLE001 — table doesn't exist yet
             parts = []
             for c in self.partition_cols:
-                m = re.fullmatch(r"days?\((\w+)\)", c)
-                parts.append(F.days(F.col(m.group(1))) if m else F.col(c))
+                m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", c)
+                if m:
+                    fn = {"day": F.days, "month": F.months, "hour": F.hours}[
+                        m.group(1).rstrip("s")
+                    ]
+                    parts.append(fn(F.col(m.group(2))))
+                else:
+                    parts.append(F.col(c))
             batch.writeTo(self.iceberg_table).partitionedBy(*parts).create()
             return
         bad = evolution_violations(existing, batch.schema)
