@@ -1320,6 +1320,11 @@ class IcebergTable:
         expired yet (expire_snapshots reclaims compacted-away files)."""
         snaps = sorted(self.metadata["snapshots"], key=lambda s: s["sequence-number"])
         by_id = {s["snapshot-id"]: s for s in snaps}
+        if from_snapshot_id is not None and from_snapshot_id not in by_id:
+            raise ValueError(
+                f"iceberg: unknown from-snapshot {from_snapshot_id} (expired "
+                "or foreign); re-baseline the consumer with a full scan"
+            )
         from_seq = (
             by_id[from_snapshot_id]["sequence-number"]
             if from_snapshot_id is not None
@@ -1336,10 +1341,26 @@ class IcebergTable:
         )
         if to_snap is None or to_snap["sequence-number"] <= from_seq:
             return spark.createDataFrame([], self.spark_schema)
-        in_range = [
-            s for s in snaps
-            if from_seq < s["sequence-number"] <= to_snap["sequence-number"]
-        ]
+        # walk the PARENT CHAIN from to_snap down to from_snapshot_id — a
+        # global sequence-range pick would also sweep up branch-only
+        # (write-audit-publish) snapshots whose sequence numbers landed
+        # inside the window, leaking staged rows into a main consumer
+        in_range: list[dict] = []
+        node: dict | None = to_snap
+        while node is not None and node["snapshot-id"] != from_snapshot_id:
+            if node["sequence-number"] <= from_seq:
+                node = None
+                break
+            in_range.append(node)
+            parent = node.get("parent-snapshot-id")
+            node = by_id.get(parent) if parent is not None else None
+        if node is None and from_snapshot_id is not None:
+            raise ValueError(
+                "iceberg: incremental window's ancestry is broken (the "
+                "from-snapshot is not an ancestor of the to-snapshot, or "
+                "intermediate history was expired); re-baseline the consumer"
+            )
+        in_range.reverse()
         bad = [
             s["summary"]["operation"]
             for s in in_range

@@ -1625,3 +1625,26 @@ def test_wap_branch_stage_validate_publish(spark, table_loc):
         t.publish_branch("risky")
     # the staged rows never leaked into main
     assert t.to_spark(spark).filter("id >= 50 AND id < 55").count() == 0
+
+
+def test_changes_ignores_branch_only_snapshots(spark, table_loc):
+    """Incremental reads walk MAIN's ancestry: a staged (unpublished)
+    branch commit whose sequence number lands inside the window must not
+    leak into a main consumer; after publish it appears exactly once."""
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    s1 = append_dataframe(t, _mk(spark, 0, 10))
+    t.create_branch("audit")
+    append_dataframe(t, _mk(spark, 100, 120), branch="audit")  # staged
+    append_dataframe(t, _mk(spark, 10, 20))  # main advances past it
+    got = sorted(
+        r.id for r in t.changes(spark, from_snapshot_id=s1["snapshot-id"]).collect()
+    )
+    assert got == list(range(10, 20))  # no staged rows
+    # after publish the branch rows are main history... but publish is a
+    # non-fast-forward here (main advanced), so it correctly refuses
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("audit")
+    # a consumer checkpointed at an expired/foreign snapshot fails loudly
+    with pytest.raises(ValueError, match="ancestry|unknown|re-baseline"):
+        t.changes(spark, from_snapshot_id=999999)
