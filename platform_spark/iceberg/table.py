@@ -2055,6 +2055,8 @@ class IcebergTable:
         spark=None,
     ) -> list[dict]:
         partition_filter = self._norm_partition_filter(partition_filter)
+        if snapshot_id == -1:  # e.g. a ref cut on an empty table
+            return []
         snap = (
             self.current_snapshot()
             if snapshot_id is None
