@@ -344,6 +344,20 @@ def main() -> None:
     timings["iceberg_merge_commit"] = round(time.time() - t0, 3)
     print(f"iceberg_merge_commit: {timings['iceberg_merge_commit']} s", flush=True)
     cleanup()
+    # atomic CDC upsert: O(batch) by construction — data + equality-delete
+    # in one snapshot, no existing file read; its wall must track the
+    # BATCH size (fixed here), not the table
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    t0 = time.time()
+    upsert_dataframe(
+        itbl,
+        docs.filter("doc_id % 509 = 7").withColumn("source", F.lit("upserted")),
+        ["doc_id"],
+    )
+    timings["iceberg_upsert_commit"] = round(time.time() - t0, 3)
+    print(f"iceberg_upsert_commit: {timings['iceberg_upsert_commit']} s", flush=True)
+    cleanup()
 
     # metadata-planning leg at high file count: 10k one-row data files
     # across 100 append commits (the final snapshot carries 100 data
