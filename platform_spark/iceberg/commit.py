@@ -1,0 +1,145 @@
+"""Pluggable table-commit protocols — the catalog's one job.
+
+An Iceberg commit is, at bottom, a compare-and-swap of the table's
+current-metadata pointer: "publish THIS metadata as version N+1 iff the
+current version is still N". Everything else in the layer (staged data
+files, content-unique manifest lists, per-writer staging prefixes) is
+already safe under concurrency without any coordination; the pointer
+swap is the single primitive that needs one. Real Iceberg delegates it
+to a catalog (Hive lock, DynamoDB conditional put, REST CAS, JDBC row
+version); the reference commits through iceberg-go's catalog the same
+way (iceberg-processor/internal/sink/iceberg.go:146-204, conflict
+reload at iceberg.go:183-195).
+
+Two implementations ship:
+
+- :class:`FilesystemCommit` (the default) — HadoopTables-style
+  exclusive-create of ``metadata/v{N}.metadata.json`` plus an advisory
+  ``version-hint.text``. Correct on POSIX filesystems (local disk, NFS
+  with O_EXCL, HDFS); NOT correct on S3, which has no atomic
+  create-if-absent over a shared name.
+- :class:`CasCommit` — a reference compare-and-swap pointer table
+  (process-local, lock-guarded). Metadata files land under
+  writer-unique names so the WRITE can never conflict; only the pointer
+  swap decides the winner — exactly the shape of a DynamoDB/REST/JDBC
+  catalog, so a real object-store deployment implements `current` +
+  `commit` against its service and drops it in here.
+
+Losers raise :class:`CommitConflict`; every caller in
+:mod:`platform_spark.iceberg.table` already refreshes and retries or
+recomputes on that signal, so the retry semantics are identical across
+protocols.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+
+
+class CommitConflict(Exception):
+    """Another writer committed the metadata version we targeted."""
+
+
+def _meta_dir(location: str) -> str:
+    return os.path.join(os.path.abspath(location).rstrip("/"), "metadata")
+
+
+class CommitProtocol:
+    """The two operations a table-commit backend must provide."""
+
+    def current(self, location: str) -> tuple[int, str] | None:
+        """(version, metadata_path) of the table's current metadata, or
+        None when no table exists at ``location``."""
+        raise NotImplementedError
+
+    def commit(self, location: str, expected_version: int, metadata: dict) -> str:
+        """Atomically publish ``metadata`` as version
+        ``expected_version + 1`` iff the table is still at
+        ``expected_version``; returns the published metadata file's path.
+        Raises :class:`CommitConflict` when another writer got there
+        first — the caller refreshes and retries/recomputes."""
+        raise NotImplementedError
+
+
+class FilesystemCommit(CommitProtocol):
+    """HadoopTables commit: ``open(v{N}.metadata.json, "x")`` IS the CAS
+    (the name encodes the expected version; POSIX exclusive-create admits
+    exactly one winner), then an advisory version-hint rewrite. This is
+    the default and matches the on-disk layout external HadoopTables
+    readers expect."""
+
+    def current(self, location: str) -> tuple[int, str] | None:
+        meta_dir = _meta_dir(location)
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if not os.path.exists(hint):
+            return None
+        with open(hint) as f:
+            version = int(f.read().strip())
+        # the hint may lag a concurrent commit (it's advisory in the
+        # spec): roll forward to the newest existing version
+        while os.path.exists(os.path.join(meta_dir, f"v{version + 1}.metadata.json")):
+            version += 1
+        return version, os.path.join(meta_dir, f"v{version}.metadata.json")
+
+    def commit(self, location: str, expected_version: int, metadata: dict) -> str:
+        meta_dir = _meta_dir(location)
+        path = os.path.join(meta_dir, f"v{expected_version + 1}.metadata.json")
+        try:
+            with open(path, "x") as f:
+                json.dump(metadata, f, indent=1)
+        except FileExistsError as e:
+            raise CommitConflict(path) from e
+        tmp = os.path.join(meta_dir, "version-hint.text.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(expected_version + 1))
+        os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+        return path
+
+
+class CasCommit(CommitProtocol):
+    """Reference catalog-style commit: metadata writes under a
+    writer-UNIQUE name (never contended), then a lock-guarded
+    compare-and-swap of the (version, path) pointer decides the winner —
+    the exact protocol shape of a DynamoDB conditional put or an Iceberg
+    REST catalog's ``updateTable``, usable on stores with no O_EXCL.
+
+    The pointer table lives in this object, so every reader/writer of a
+    table must share ONE CasCommit instance (a real implementation
+    replaces the dict + lock with its service and becomes cross-process
+    for free). Loser metadata files are removed eagerly — they were
+    never visible."""
+
+    def __init__(self) -> None:
+        self._pointers: dict[str, tuple[int, str]] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _key(location: str) -> str:
+        return os.path.abspath(location).rstrip("/")
+
+    def current(self, location: str) -> tuple[int, str] | None:
+        with self._lock:
+            return self._pointers.get(self._key(location))
+
+    def commit(self, location: str, expected_version: int, metadata: dict) -> str:
+        meta_dir = _meta_dir(location)
+        os.makedirs(meta_dir, exist_ok=True)
+        path = os.path.join(
+            meta_dir,
+            f"v{expected_version + 1}-{uuid.uuid4().hex[:12]}.metadata.json",
+        )
+        with open(path, "w") as f:  # unique name: the write cannot conflict
+            json.dump(metadata, f, indent=1)
+        key = self._key(location)
+        with self._lock:
+            cur = self._pointers.get(key, (0, ""))[0]
+            if cur != expected_version:
+                os.remove(path)
+                raise CommitConflict(
+                    f"{key}: expected v{expected_version}, catalog at v{cur}"
+                )
+            self._pointers[key] = (expected_version + 1, path)
+        return path

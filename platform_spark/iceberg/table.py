@@ -41,6 +41,11 @@ import time
 import uuid
 
 from platform_spark.iceberg import avro
+from platform_spark.iceberg.commit import (
+    CommitConflict,
+    CommitProtocol,
+    FilesystemCommit,
+)
 
 # -- Spark <-> Iceberg schema -----------------------------------------------
 
@@ -452,8 +457,9 @@ def _manifest_live_entries(
 # -- the table --------------------------------------------------------------
 
 
-class CommitConflict(Exception):
-    """Another writer committed the metadata version we targeted."""
+# CommitConflict lives in platform_spark.iceberg.commit with the
+# pluggable protocols and is re-exported from this module's imports —
+# external callers keep importing it from table.
 
 
 #: fan manifest decode out as a Spark job past this many estimated live
@@ -507,7 +513,15 @@ class IcebergTable:
     """An Iceberg v2 table at a filesystem ``location`` (HadoopTables
     layout: ``location/metadata/v{N}.metadata.json`` + version-hint)."""
 
-    def __init__(self, location: str, metadata: dict, version: int, clock=time.time):
+    def __init__(
+        self,
+        location: str,
+        metadata: dict,
+        version: int,
+        clock=time.time,
+        protocol: CommitProtocol | None = None,
+        metadata_path: str | None = None,
+    ):
         # absolute: manifest file_paths derive from this string and must
         # compare equal to Spark's absolute `_metadata.file_path` in the
         # merge-on-read / merge_into identity joins — a relative location
@@ -516,6 +530,16 @@ class IcebergTable:
         self.metadata = metadata
         self.version = version
         self._clock = clock
+        #: the catalog commit backend: every metadata publish goes through
+        #: protocol.commit (CAS semantics); default is the HadoopTables
+        #: O_EXCL filesystem protocol
+        self.protocol = protocol or FilesystemCommit()
+        #: path of the CURRENT metadata file — under a non-filesystem
+        #: protocol the name is writer-unique, so it cannot be derived
+        #: from the version number (metadata-log entries need it)
+        self.metadata_path = metadata_path or os.path.join(
+            self._meta_dir(self.location), f"v{version}.metadata.json"
+        )
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -524,10 +548,8 @@ class IcebergTable:
         return os.path.join(os.path.abspath(location).rstrip("/"), "metadata")
 
     @classmethod
-    def exists(cls, location: str) -> bool:
-        return os.path.exists(
-            os.path.join(cls._meta_dir(location), "version-hint.text")
-        )
+    def exists(cls, location: str, protocol: CommitProtocol | None = None) -> bool:
+        return (protocol or FilesystemCommit()).current(location) is not None
 
     @classmethod
     def create(
@@ -537,6 +559,7 @@ class IcebergTable:
         partition_by: tuple[str, ...] = (),
         properties: dict | None = None,
         clock=time.time,
+        protocol: CommitProtocol | None = None,
     ) -> "IcebergTable":
         ice = schema_to_iceberg(spark_schema, schema_id=0)
         last_col = ice.pop("_last_column_id")
@@ -646,28 +669,40 @@ class IcebergTable:
             "metadata-log": [],
             "refs": {},
         }
-        table = cls(location, metadata, version=0, clock=clock)
+        table = cls(location, metadata, version=0, clock=clock, protocol=protocol)
         os.makedirs(cls._meta_dir(location), exist_ok=True)
         table._write_version(1, metadata)
         table.version = 1
         return table
 
     @classmethod
-    def load(cls, location: str, clock=time.time) -> "IcebergTable":
-        meta_dir = cls._meta_dir(location)
-        with open(os.path.join(meta_dir, "version-hint.text")) as f:
-            version = int(f.read().strip())
-        # the hint may lag a concurrent commit (it's advisory in the spec):
-        # roll forward to the newest existing version
-        while os.path.exists(os.path.join(meta_dir, f"v{version + 1}.metadata.json")):
-            version += 1
-        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+    def load(
+        cls,
+        location: str,
+        clock=time.time,
+        protocol: CommitProtocol | None = None,
+    ) -> "IcebergTable":
+        protocol = protocol or FilesystemCommit()
+        cur = protocol.current(location)
+        if cur is None:
+            raise FileNotFoundError(
+                f"iceberg: no table at {location} (catalog has no current "
+                "metadata pointer)"
+            )
+        version, path = cur
+        with open(path) as f:
             metadata = json.load(f)
-        return cls(location, metadata, version, clock=clock)
+        return cls(
+            location, metadata, version,
+            clock=clock, protocol=protocol, metadata_path=path,
+        )
 
     def refresh(self) -> "IcebergTable":
-        fresh = IcebergTable.load(self.location, clock=self._clock)
+        fresh = IcebergTable.load(
+            self.location, clock=self._clock, protocol=self.protocol
+        )
         self.metadata, self.version = fresh.metadata, fresh.version
+        self.metadata_path = fresh.metadata_path
         return self
 
     # -- accessors ----------------------------------------------------------
@@ -700,22 +735,20 @@ class IcebergTable:
     # -- commit machinery ---------------------------------------------------
 
     def _write_version(self, version: int, metadata: dict) -> None:
-        """Exclusive-create commit: the rename target existing means a
-        concurrent writer won — the caller refreshes and retries, the
-        HadoopTables analogue of the reference's commit-conflict reload
-        loop (iceberg.go:183-195)."""
-        meta_dir = self._meta_dir(self.location)
-        path = os.path.join(meta_dir, f"v{version}.metadata.json")
-        try:
-            with open(path, "x") as f:
-                json.dump(metadata, f, indent=1)
-        except FileExistsError as e:
-            raise CommitConflict(path) from e
-        with open(os.path.join(meta_dir, "version-hint.text.tmp"), "w") as f:
-            f.write(str(version))
-        os.replace(
-            os.path.join(meta_dir, "version-hint.text.tmp"),
-            os.path.join(meta_dir, "version-hint.text"),
+        """Publish ``metadata`` as the table's next version through the
+        configured commit protocol — a CAS on the current-metadata
+        pointer. A losing writer gets :class:`CommitConflict` and the
+        caller refreshes and retries, the analogue of the reference's
+        commit-conflict reload loop (iceberg.go:183-195). Callers always
+        target exactly ``self.version + 1``; handing the protocol our
+        CURRENT version as the expected value is what makes the swap a
+        genuine compare-and-swap on any backend."""
+        if version != self.version + 1:  # pragma: no cover — caller bug
+            raise ValueError(
+                f"iceberg: commit targets v{version} from v{self.version}"
+            )
+        self.metadata_path = self.protocol.commit(
+            self.location, self.version, metadata
         )
 
     def _partition_value_from_path(self, rel_path: str, pf: dict):
@@ -1081,9 +1114,10 @@ class IcebergTable:
         new_meta["metadata-log"] = self.metadata["metadata-log"] + [
             {
                 "timestamp-ms": self.metadata["last-updated-ms"],
-                "metadata-file": os.path.join(
-                    meta_dir, f"v{self.version}.metadata.json"
-                ),
+                # the CURRENT metadata file becomes history; under a
+                # non-filesystem protocol its name is writer-unique, so
+                # record the tracked path rather than deriving v{N}
+                "metadata-file": self.metadata_path,
             }
         ]
         self._write_version(self.version + 1, new_meta)
@@ -2389,6 +2423,7 @@ def upsert_dataframe(
     df,
     keys: list[str],
     properties_update: dict | None = None,
+    order_by: list[str] | None = None,
 ) -> dict | None:
     """Streaming-scale UPSERT as ONE atomic snapshot: the batch's key
     values commit as an equality-delete file TOGETHER with the batch's
@@ -2401,7 +2436,18 @@ def upsert_dataframe(
     occasional batch merges, this for per-batch upsert ingest; run
     ``compact_table`` periodically to fold accumulated deletes). NULL
     key values match NULL (null-safe equality), like merge_into's
-    null-safe join. Returns the snapshot, or None for an empty batch."""
+    null-safe join. Returns the snapshot, or None for an empty batch.
+
+    The batch MUST resolve to one row per key: the equality delete and
+    the batch's data files share a sequence number, and the spec rule
+    kills only strictly-OLDER files — two same-key rows inside one batch
+    would BOTH survive, permanently duplicating the key. Pass
+    ``order_by`` (last-wins: the row with the greatest order_by value
+    per key is kept — for CDC event batches that is the event-time /
+    offset column) to dedupe the batch here; without it a batch that
+    actually contains duplicate keys raises instead of committing
+    duplicates. The check is free — it compares the already-computed
+    data-file vs distinct-key-file record counts, no extra job."""
     if df.schema != table.spark_schema:
         table.evolve_schema(df.schema)
         from pyspark.sql import functions as F
@@ -2418,6 +2464,25 @@ def upsert_dataframe(
     if bad:
         raise ValueError(f"iceberg: upsert key columns {bad} not in schema")
     eq_ids = [names[c] for c in keys]
+    if order_by is not None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        bad_o = [c for c in order_by if c not in df.columns]
+        if bad_o:
+            raise ValueError(
+                f"iceberg: upsert order_by columns {bad_o} not in batch"
+            )
+        # last-wins per key: greatest (order_by...) survives; NULL order
+        # values sort first, so any stamped row beats an unstamped one
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order_by]
+        )
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     out, part_cols = _with_partition_columns(table, df)
 
     def _write_data(d: str) -> None:
@@ -2442,6 +2507,21 @@ def upsert_dataframe(
         os.remove(p)
     if not data_live and not del_live:
         return None
+    data_rows = sum(stats[p]["record_count"] for p in data_live)
+    key_rows = sum(stats[p]["record_count"] for p in del_live)
+    if order_by is None and data_rows > key_rows:
+        # the delete file is dropDuplicates(keys) of the batch, so
+        # data rows > distinct keys ⇔ intra-batch duplicate keys — both
+        # copies would outlive the same-sequence delete and the table
+        # would permanently hold duplicates for an upsert primitive
+        for p in data_live + del_live:
+            os.remove(p)
+        raise ValueError(
+            f"iceberg: upsert batch holds {data_rows - key_rows} duplicate-"
+            f"key rows (rows={data_rows}, distinct keys={key_rows}); pass "
+            "order_by=[...] for last-wins dedupe, or make the batch "
+            "key-unique upstream"
+        )
     # both file sets are state-independent (derived from the batch, not
     # the table), so a conflict only needs refresh + re-commit
     last_err: Exception | None = None

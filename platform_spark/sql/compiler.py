@@ -74,11 +74,24 @@ class Compiler:
     # ------------------------------------------------------------------
     def compile(self, q: Query) -> DataFrame:
         self._validate(q)
-        if q.is_join():
-            return self._compile_join(q)
-        if q.has_aggregates():
-            return self._compile_aggregate(q)
-        return self._compile_select(q)
+        # Pin the clock for the WHOLE compile: metadata pruning
+        # (_topic_frame), the row filters (_apply_time_bounds) and a
+        # join's widened right-side frame each call time_bounds(), and
+        # for LAST windows every call would otherwise take its own
+        # wall-clock `now` — pruning and filtering would disagree about
+        # rows stamped between the two instants (a row in a pruned-out
+        # file could pass the filter bound yet never be read).
+        pinned = self.now
+        if pinned is None:
+            self.now = datetime.utcnow()
+        try:
+            if q.is_join():
+                return self._compile_join(q)
+            if q.has_aggregates():
+                return self._compile_aggregate(q)
+            return self._compile_select(q)
+        finally:
+            self.now = pinned
 
     # -- validation (server.go:1312-1352, 1888-1911, 2285-2299) --------
     def _validate(self, q: Query) -> None:

@@ -8,7 +8,7 @@ DESCRIBE / EXPLAIN — server.go:758-962) return small DataFrames.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
 
@@ -191,20 +191,41 @@ class KafSqlEngine:
             return df
 
     # -- governance -----------------------------------------------------
+    def _scan_frames(self, q: Query) -> list[tuple[str, int | None, object, object]]:
+        """One (topic, partition, ts_min, ts_max) frame per scanned topic,
+        mirroring what the compiled plan actually reads: the left topic
+        gets the query's partition filter and window; a WITHIN join's
+        right topic is scanned with NO partition filter and the window
+        widened by ±within (Compiler._compile_join pushes exactly that
+        derived bound) — pricing the right side with the left frame would
+        systematically under-estimate and admit scans the budget should
+        reject."""
+        ts_min, ts_max = self.compiler.time_bounds(q)
+        frames = [(q.topic, q.partition, ts_min, ts_max)]
+        if q.join_topic:
+            w = timedelta(seconds=q.within_seconds or 0)
+            frames.append(
+                (
+                    q.join_topic,
+                    None,
+                    ts_min - w if ts_min is not None else None,
+                    ts_max + w if ts_max is not None else None,
+                )
+            )
+        return frames
+
     def _check_budget(self, q: Query) -> None:
-        for topic in filter(None, (q.topic, q.join_topic)):
+        for topic, partition, ts_min, ts_max in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
                 # metadata-layer catalogs price the budget check from
                 # their manifests — same pre-flight guarantee, no footers
-                ts_min, ts_max = self.compiler.time_bounds(q)
-                self.opt.budget.check(est_fn(topic, q.partition, ts_min, ts_max))
+                self.opt.budget.check(est_fn(topic, partition, ts_min, ts_max))
                 continue
             path = self.catalog._materialized.get(topic)
             if not path:
                 continue  # envelope view: no files to budget
-            ts_min, ts_max = self.compiler.time_bounds(q)
-            est = estimate_scan(path, q.partition, ts_min, ts_max)
+            est = estimate_scan(path, partition, ts_min, ts_max)
             self.opt.budget.check(est)
 
     # -- introspection (C1-C4) ------------------------------------------
@@ -228,14 +249,13 @@ class KafSqlEngine:
         (server.go:929-962) — plus Catalyst's physical plan."""
         self.compiler._validate(q)
         lines = [f"scan topic={q.topic}"]
-        for topic in filter(None, (q.topic, q.join_topic)):
+        for topic, partition, ts_min, ts_max in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
                 # catalogs with their own metadata layer (Iceberg: manifest
                 # record counts/sizes/bounds) price the scan without any
                 # parquet footer access
-                ts_min, ts_max = self.compiler.time_bounds(q)
-                est = est_fn(topic, q.partition, ts_min, ts_max)
+                est = est_fn(topic, partition, ts_min, ts_max)
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "
                     f"est_bytes={est.bytes} est_rows={est.rows} "
@@ -252,8 +272,7 @@ class KafSqlEngine:
                 path = self.catalog.raw_source_path(topic)
                 src = "raw-parquet-estimate"
             if path:
-                ts_min, ts_max = self.compiler.time_bounds(q)
-                est = estimate_scan(path, q.partition, ts_min, ts_max)
+                est = estimate_scan(path, partition, ts_min, ts_max)
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "
                     f"est_bytes={est.bytes} est_rows={est.rows} source={src}"

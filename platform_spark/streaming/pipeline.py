@@ -41,6 +41,7 @@ class ContinuousTopicPipeline:
         compact_every: int | None = None,
         expire_keep_last: int = 8,
         upsert_keys: tuple[str, ...] | None = None,
+        upsert_order_by: tuple[str, ...] | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -87,6 +88,13 @@ class ContinuousTopicPipeline:
         #: (sequence rule) — O(batch) per commit, no file rewrites; pair
         #: with compact_every to fold accumulated deletes
         self.upsert_keys = upsert_keys
+        #: last-wins order for same-key rows WITHIN one micro-batch (a CDC
+        #: batch routinely carries several events per key): the greatest
+        #: (order_by...) row per key is the one upserted. Without it a
+        #: duplicate-key batch raises rather than committing both copies —
+        #: the equality delete only kills strictly-older files, so
+        #: intra-batch duplicates would both survive permanently.
+        self.upsert_order_by = upsert_order_by
         self._appends_since_compact = 0
         #: partition values the appends since the last compaction touched
         #: — maintenance bin-packs ONLY these (partition-scoped partial
@@ -190,7 +198,13 @@ class ContinuousTopicPipeline:
             from platform_spark.iceberg.table import upsert_dataframe
 
             snap = upsert_dataframe(
-                table, batch, list(self.upsert_keys), properties_update=props
+                table,
+                batch,
+                list(self.upsert_keys),
+                properties_update=props,
+                order_by=(
+                    list(self.upsert_order_by) if self.upsert_order_by else None
+                ),
             )
         else:
             snap = append_dataframe(table, batch, properties_update=props)

@@ -338,3 +338,70 @@ def test_explain_never_materializes(spark, tmp_path):
     lines = [r["plan"] for r in eng.sql("EXPLAIN SELECT _offset FROM events LAST 5d").collect()]
     assert cat._materialized == {}  # introspection ran no write job
     assert any("raw-parquet-estimate" in l and "candidate_files=" in l for l in lines)
+
+
+def test_compile_pins_clock_for_last_windows(catalog, monkeypatch):
+    # ADVICE r10: metadata pruning and the row filters each call
+    # time_bounds(); with a wall clock they'd take different `now`s and a
+    # LAST window's prune ts_max would trail the filter ts_max. compile()
+    # pins one clock for the whole compile — every time_bounds() call in
+    # one compile must return the SAME tuple even when utcnow advances.
+    from datetime import timedelta
+
+    import platform_spark.sql.compiler as compiler_mod
+    from platform_spark.sql import parser
+    from platform_spark.sql.compiler import Compiler
+
+    ticks = iter(range(10_000))
+
+    class SteppingDatetime(datetime):
+        @classmethod
+        def utcnow(cls):
+            return NOW + timedelta(seconds=next(ticks))
+
+    monkeypatch.setattr(compiler_mod, "datetime", SteppingDatetime)
+    comp = Compiler(catalog)  # no pinned now: wall clock
+    seen = []
+    orig = Compiler.time_bounds
+
+    def spy(self, q):
+        out = orig(self, q)
+        seen.append(out)
+        return out
+
+    monkeypatch.setattr(Compiler, "time_bounds", spy)
+    comp.compile(parser.parse("SELECT _offset FROM events LAST 1h"))
+    assert len(seen) >= 2  # pruning + row filters both consulted bounds
+    assert len(set(seen)) == 1  # ...and agreed on one window
+    assert comp.now is None  # the pin does not outlive the compile
+
+
+def test_budget_prices_join_right_side_with_widened_frame(catalog, monkeypatch):
+    # ADVICE r10: the compiled WITHIN join scans the RIGHT topic without
+    # the partition filter and with bounds widened by ±within; the budget
+    # estimate must price that same frame, not the left one
+    from datetime import timedelta
+
+    from platform_spark.governance import ScanEstimate
+    from platform_spark.sql import parser
+
+    eng = KafSqlEngine(catalog, now=NOW)
+    calls = []
+
+    def fake_estimate(topic, partition=None, ts_min=None, ts_max=None):
+        calls.append((topic, partition, ts_min, ts_max))
+        return ScanEstimate(files=1, bytes=1, rows=1)
+
+    monkeypatch.setattr(
+        catalog, "estimate_topic_scan", fake_estimate, raising=False
+    )
+    q = parser.parse(
+        "SELECT o.order_id FROM orders o JOIN payments p "
+        "ON o._key = p._key WITHIN 60s LAST 1h"
+    )
+    eng._check_budget(q)
+    assert [c[0] for c in calls] == ["orders", "payments"]
+    (_, _, lmin, lmax), (_, rpart, rmin, rmax) = calls
+    assert rpart is None
+    w = timedelta(seconds=60)
+    assert rmin == lmin - w and rmax == lmax + w

@@ -1025,6 +1025,79 @@ def test_concurrent_appends_without_lock(spark, table_loc):
     ]
 
 
+def test_cas_commit_unit_semantics(tmp_path):
+    """CasCommit is a true compare-and-swap: the metadata write itself
+    never conflicts (writer-unique names); only the pointer swap admits
+    one winner per version, and the loser's file is removed."""
+    from platform_spark.iceberg.commit import CasCommit, CommitConflict
+
+    loc = str(tmp_path / "t")
+    cat = CasCommit()
+    assert cat.current(loc) is None
+    p1 = cat.commit(loc, 0, {"v": 1})
+    assert cat.current(loc) == (1, p1)
+    with pytest.raises(CommitConflict):
+        cat.commit(loc, 0, {"v": "loser"})  # stale expected version
+    metas = os.listdir(os.path.join(loc, "metadata"))
+    assert len(metas) == 1  # the loser's unique file was cleaned up
+    p2 = cat.commit(loc, 1, {"v": 2})
+    assert cat.current(loc) == (2, p2) and p2 != p1
+
+
+def test_cas_commit_protocol_concurrent_appends(spark, table_loc):
+    """The pluggable catalog commit in its CAS shape (pointer swap — what
+    an S3/DynamoDB/REST deployment implements, no O_EXCL anywhere):
+    three concurrent appenders through ONE catalog instance produce the
+    same every-row-once table the filesystem protocol does, and the
+    version-hint/v{N} filenames are gone from the commit path."""
+    import threading
+
+    from platform_spark.iceberg.commit import CasCommit
+
+    cat = CasCommit()
+    df = _mk(spark, 0, 1)
+    IcebergTable.create(
+        table_loc, df.schema, partition_by=("part",), clock=CLOCK, protocol=cat
+    )
+    errs: list[Exception] = []
+
+    def appender(lo: int, hi: int) -> None:
+        try:
+            t = IcebergTable.load(table_loc, clock=CLOCK, protocol=cat)
+            append_dataframe(t, _mk(spark, lo, hi))
+        except Exception as e:  # noqa: BLE001 — surfaced via assert below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i * 30, (i + 1) * 30))
+        for i in range(3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = IcebergTable.load(table_loc, protocol=cat)
+    assert t.version == 4  # create + exactly one pointer swap per append
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(90))
+    files = [e["data_file"]["file_path"] for e in t.scan_files()]
+    assert len(files) == len(set(files))  # no double-claimed part file
+    meta_dir = os.path.join(t.location, "metadata")
+    assert not os.path.exists(os.path.join(meta_dir, "version-hint.text"))
+    # loser metadata files were removed: one unique file per won version
+    metas = [f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")]
+    assert len(metas) == 4
+    # the metadata-log chain records the real (writer-unique) paths
+    log_paths = [m["metadata-file"] for m in t.metadata["metadata-log"]]
+    assert all(os.path.basename(p) in metas for p in log_paths)
+    # history replay works through the protocol: MoR delete + reload
+    t.delete_where(spark, "id % 30 = 7")
+    t2 = IcebergTable.load(table_loc, protocol=cat)
+    assert sorted(r.id for r in t2.to_spark(spark).collect()) == [
+        i for i in range(90) if i % 30 != 7
+    ]
+
+
 def test_parallel_manifest_planning_matches_serial(spark, table_loc, monkeypatch):
     """scan_files with spark fans manifest decode out as a Spark job past
     the threshold; the plan (entries, order, inherited sequence numbers,
@@ -1478,6 +1551,66 @@ def test_upsert_dataframe_single_snapshot_cdc(spark, table_loc):
     compact_table(t, spark)
     assert t.scan_deletes() == []
     assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got
+
+
+def test_upsert_dataframe_rejects_intra_batch_duplicate_keys(spark, table_loc):
+    """The equality delete shares its sequence number with the batch's own
+    data files, and the spec kills only strictly-older files — two
+    same-key rows in one batch would BOTH survive. Without order_by the
+    upsert must refuse such a batch (and leave nothing behind), not
+    commit permanent duplicates."""
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 8))
+    v = t.version
+    dup = _mk(spark, 4, 10).unionAll(
+        _mk(spark, 6, 8).withColumn("text", F.lit("later"))
+    )
+    with pytest.raises(ValueError, match="duplicate-key"):
+        upsert_dataframe(t, dup, ["id"])
+    assert t.version == v  # nothing committed
+    # the rejected batch's staged files were cleaned up, not orphaned
+    import os as _os
+
+    left_behind = [
+        p
+        for sub in ("data", "deletes")
+        for dirpath, _d, files in _os.walk(_os.path.join(table_loc, sub))
+        for p in files
+        if p.endswith(".parquet")
+    ]
+    live = {
+        _os.path.basename(e["data_file"]["file_path"]) for e in t.scan_files()
+    }
+    assert set(left_behind) == live
+
+
+def test_upsert_dataframe_order_by_last_wins(spark, table_loc):
+    """order_by dedupes the batch to one row per key (greatest order_by
+    wins) before the single-snapshot commit — the CDC-batch contract."""
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1).withColumn("ver", F.lit(0))
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 8).withColumn("ver", F.lit(0)))
+    batch = (
+        _mk(spark, 4, 10).withColumn("ver", F.lit(1))
+        .unionAll(
+            _mk(spark, 6, 12)
+            .withColumn("text", F.concat(F.lit("v2-"), F.col("id")))
+            .withColumn("ver", F.lit(2))
+        )
+    )
+    snap = upsert_dataframe(t, batch, ["id"], order_by=["ver"])
+    assert snap["summary"]["operation"] == "overwrite"
+    got = {(r.id, r.text, r.ver) for r in t.to_spark(spark).collect()}
+    assert got == (
+        {(i, f"doc-{i}", 0) for i in range(4)}
+        | {(i, f"doc-{i}", 1) for i in (4, 5)}  # only in the ver=1 half
+        | {(i, f"v2-{i}", 2) for i in range(6, 12)}  # ver=2 beats ver=1
+    )
 
 
 def test_pipeline_iceberg_upsert_sink(spark, tmp_path):
