@@ -1340,6 +1340,7 @@ class IcebergTable:
         spark,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        ref: str | None = None,
     ):
         """Incremental append scan: the rows added by append snapshots
         AFTER ``from_snapshot_id`` (exclusive) up TO ``to_snapshot_id``
@@ -1351,7 +1352,16 @@ class IcebergTable:
         consumer checkpoints the last snapshot id it processed and reads
         exactly the new rows each cycle, O(new data) regardless of table
         size. Note: files appended in range must not have been physically
-        expired yet (expire_snapshots reclaims compacted-away files)."""
+        expired yet (expire_snapshots reclaims compacted-away files).
+
+        ``ref=`` reads the window along a BRANCH or TAG head instead of
+        main: the to-snapshot defaults to the ref's head, and the parent
+        walk follows that head's ancestry — the pre-publish audit read a
+        write-audit-publish reviewer needs (what rows would land on main
+        if this branch were published?). Mutually exclusive with an
+        explicit ``to_snapshot_id``; the main-only guard (branch
+        snapshots never leak into a main consumer) is unchanged when
+        ``ref`` is absent."""
         snaps = sorted(self.metadata["snapshots"], key=lambda s: s["sequence-number"])
         by_id = {s["snapshot-id"]: s for s in snaps}
         if from_snapshot_id is not None and from_snapshot_id not in by_id:
@@ -1368,11 +1378,18 @@ class IcebergTable:
         # after rollback_to() the undone snapshots still sit at the top of
         # the sequence order, and an incremental consumer must not ingest
         # their (rolled-back) rows
-        to_snap = (
-            by_id[to_snapshot_id]
-            if to_snapshot_id is not None
-            else (self.current_snapshot() or (snaps[-1] if snaps else None))
-        )
+        if ref is not None:
+            if to_snapshot_id is not None:
+                raise ValueError(
+                    "iceberg: changes() takes ref= or to_snapshot_id=, not both"
+                )
+            to_snap = by_id.get(self.ref_snapshot_id(ref))
+        else:
+            to_snap = (
+                by_id[to_snapshot_id]
+                if to_snapshot_id is not None
+                else (self.current_snapshot() or (snaps[-1] if snaps else None))
+            )
         if to_snap is None or to_snap["sequence-number"] <= from_seq:
             return spark.createDataFrame([], self.spark_schema)
         # walk the PARENT CHAIN from to_snap down to from_snapshot_id — a
@@ -1539,6 +1556,52 @@ class IcebergTable:
             {
                 "added-delete-files": str(len(entries)),
                 f"added-{kind}-delete-records": str(total_rows),
+            },
+            seq,
+            snap_id,
+        )
+
+    def _rewrite_deletes_once(
+        self,
+        new_paths: list[str],
+        all_stats: dict[str, dict],
+        old_deletes: list[dict],
+    ) -> dict:
+        """Commit delete-file maintenance: the consolidated position
+        deletes are ADDED, every prior live delete entry retires in a
+        DELETED manifest, carried delete manifests drop (their live
+        entries are all retired), and data manifests carry unchanged.
+        Operation is ``replace`` — row content is untouched, so
+        incremental ``changes()`` readers skip it like a compaction."""
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = seq
+        manifests: list[dict] = []
+        added_rows = 0
+        if new_paths:
+            entries, added_rows, _ = self._build_entries(
+                sorted(new_paths), all_stats, seq, snap_id, content=1
+            )
+            manifests.append(
+                self._write_manifest(entries, seq, snap_id, None, content=1)
+            )
+        manifests.append(
+            self._write_manifest(
+                self._retire_entries(old_deletes, seq, snap_id),
+                seq, snap_id, None, deleted=True, content=1,
+            )
+        )
+        prior = self.current_snapshot()
+        carried: list[dict] = []
+        if prior is not None:
+            _, _, all_m = avro.read_container(prior["manifest-list"])
+            carried = [m for m in all_m if m["content"] == 0]
+        return self._finalize_snapshot(
+            manifests + carried,
+            "replace",
+            {
+                "added-delete-files": str(len(new_paths)),
+                "added-position-delete-records": str(added_rows),
+                "removed-delete-files": str(len(old_deletes)),
             },
             seq,
             snap_id,
@@ -2283,17 +2346,12 @@ class IcebergTable:
             df = self._apply_eq_deletes(spark, df, eq, data_entries)
         return df
 
-    def _apply_eq_deletes(
-        self, spark, df, eq: list[dict], data_entries: list[dict]
-    ):
-        """Equality-delete application: each row's data sequence number
-        comes from a broadcast (file_path → seq) metadata map — O(files)
-        rows, never a data-sized build side — and each distinct key-column
-        set anti-joins once with the key match AND'ed to
-        ``data_seq < delete_seq``."""
+    def _with_data_seq(self, spark, df, data_entries: list[dict]):
+        """Tag a ``with_pos`` data read with each row's data sequence
+        number via a broadcast (file_path → seq) metadata map — O(files)
+        rows, never a data-sized build side."""
         from pyspark.sql import functions as F
 
-        names_by_id = {f["id"]: f["name"] for f in self.schema["fields"]}
         seq_rows = [
             (e["data_file"]["file_path"], e["sequence_number"])
             for e in data_entries
@@ -2301,9 +2359,26 @@ class IcebergTable:
         seq_df = F.broadcast(
             spark.createDataFrame(seq_rows, "file_path string, __data_seq long")
         )
-        df = df.join(seq_df, df["__fp"] == seq_df["file_path"], "left").drop(
+        return df.join(seq_df, df["__fp"] == seq_df["file_path"], "left").drop(
             "file_path"
         )
+
+    #: above this many delete files in one keyset group, read them in a
+    #: single parquet scan (file→seq via a broadcast metadata join on
+    #: _metadata.file_path) instead of an N-way union — after hundreds of
+    #: micro-upsert commits a per-file union makes the PLAN itself the
+    #: bottleneck (N leaf scans to analyze), while one multi-file scan
+    #: stays O(1) plan nodes regardless of commit count
+    _EQ_UNION_MAX = 16
+
+    def _eq_key_frames(self, spark, eq: list[dict]):
+        """Group live equality-delete entries by key-column set and yield
+        ``(cols, keys_df)`` where keys_df holds the key values tagged with
+        their delete file's sequence number as ``__del_seq`` (broadcast
+        when metadata says the group is small — it almost always is)."""
+        from pyspark.sql import functions as F
+
+        names_by_id = {f["id"]: f["name"] for f in self.schema["fields"]}
         by_keyset: dict[tuple[str, ...], list[dict]] = {}
         for e in eq:
             cols = tuple(names_by_id[i] for i in e["data_file"]["equality_ids"])
@@ -2314,24 +2389,79 @@ class IcebergTable:
                 for f in self.spark_schema.fields
                 if f.name in cols
             )
-            keys = None
-            for e in group:  # tag each delete file with its own sequence
-                part = (
-                    spark.read.schema(schema)
-                    .parquet(e["data_file"]["file_path"])
-                    .withColumn("__del_seq", F.lit(e["sequence_number"]))
+            if len(group) <= self._EQ_UNION_MAX:
+                keys = None
+                for e in group:  # tag each delete file with its own sequence
+                    part = (
+                        spark.read.schema(schema)
+                        .parquet(e["data_file"]["file_path"])
+                        .withColumn("__del_seq", F.lit(e["sequence_number"]))
+                    )
+                    keys = part if keys is None else keys.unionByName(part)
+            else:
+                seq_map = F.broadcast(
+                    spark.createDataFrame(
+                        [
+                            (e["data_file"]["file_path"], e["sequence_number"])
+                            for e in group
+                        ],
+                        "__del_fp string, __del_seq long",
+                    )
                 )
-                keys = part if keys is None else keys.unionByName(part)
+                scan = (
+                    spark.read.schema(schema)
+                    .parquet(*[e["data_file"]["file_path"] for e in group])
+                    .withColumn(
+                        "__del_fp_raw",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:(//)?", ""
+                        ),
+                    )
+                )
+                keys = scan.join(
+                    seq_map, scan["__del_fp_raw"] == seq_map["__del_fp"], "left"
+                ).drop("__del_fp_raw", "__del_fp")
             if (
                 sum(e["data_file"]["file_size_in_bytes"] for e in group)
                 < 128 * 1024 * 1024
             ):
                 keys = F.broadcast(keys)
+            yield cols, keys
+
+    def _apply_eq_deletes(
+        self, spark, df, eq: list[dict], data_entries: list[dict]
+    ):
+        """Equality-delete application: each row's data sequence number
+        comes from a broadcast (file_path → seq) metadata map, and each
+        distinct key-column set anti-joins once with the key match AND'ed
+        to ``data_seq < delete_seq``."""
+        df = self._with_data_seq(spark, df, data_entries)
+        for cols, keys in self._eq_key_frames(spark, eq):
             cond = df["__data_seq"] < keys["__del_seq"]
             for c in cols:
                 cond = cond & df[c].eqNullSafe(keys[c])
             df = df.join(keys, cond, "left_anti")
         return df.drop("__data_seq")
+
+    def _eq_delete_matches(
+        self, spark, df, eq: list[dict], data_entries: list[dict]
+    ):
+        """The inverse of ``_apply_eq_deletes``: the (``__fp``,
+        ``__pos``) row identities the given equality deletes KILL —
+        semi-join per keyset with the same sequence rule, unioned and
+        deduped. Used by ``rewrite_deletes`` to materialize equality
+        deletes as position deletes."""
+        df = self._with_data_seq(spark, df, data_entries)
+        matched = None
+        for cols, keys in self._eq_key_frames(spark, eq):
+            cond = df["__data_seq"] < keys["__del_seq"]
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(keys[c])
+            hit = df.join(keys, cond, "left_semi").select("__fp", "__pos")
+            matched = hit if matched is None else matched.unionByName(hit)
+        if matched is None:
+            return spark.createDataFrame([], "__fp string, __pos long")
+        return matched.dropDuplicates(["__fp", "__pos"])
 
 
 def _with_partition_columns(table: IcebergTable, df):
@@ -2614,6 +2744,101 @@ def compact_table(
                     "iceberg: concurrent commit changed the compacted "
                     "partitions; re-run compaction against the fresh state"
                 ) from e
+    raise last_err  # type: ignore[misc]
+
+
+def rewrite_deletes(table: IcebergTable, spark) -> dict:
+    """Delete-file maintenance: fold EVERY live delete file (equality +
+    position) into one consolidated set of sorted position-delete files
+    and commit a content-neutral ``replace`` snapshot — data files are
+    never touched. After ~1k micro-upsert commits a scan pays one
+    anti-join input per live equality-delete file; after this rewrite it
+    pays exactly ONE position anti-join, and the retired delete files
+    become reclaimable by ``expire_snapshots``. The fold itself is one
+    column-pruned distributed pass (key columns + row identity) over
+    only the data files an equality delete can still affect
+    (``data_seq < max delete seq``), so its cost tracks the deletes'
+    blast radius, not table size — the between-compactions maintenance
+    primitive (Iceberg's rewrite_position_delete_files shape) a 100 TB
+    CDC table needs; full ``compact_table`` remains the heavyweight fold
+    that also rewrites the data. Returns counts + the new snapshot (a
+    no-op when the table has no live deletes)."""
+    from pyspark.sql import functions as F
+
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        deletes = table.scan_deletes(spark=spark)
+        if not deletes:
+            return {
+                "retired_delete_files": 0,
+                "new_delete_files": 0,
+                "snapshot": table.current_snapshot(),
+            }
+        entries = table.scan_files(spark=spark)
+        pos = [e for e in deletes if e["data_file"]["content"] == 1]
+        eq = [e for e in deletes if e["data_file"]["content"] == 2]
+        doomed = None
+        if pos and entries:
+            # carry existing position deletes forward, dropping ids that
+            # dangle at files a partial compaction already rewrote
+            live_paths = F.broadcast(
+                spark.createDataFrame(
+                    [(e["data_file"]["file_path"],) for e in entries],
+                    "__live_fp string",
+                )
+            )
+            pdf = spark.read.schema("file_path string, pos long").parquet(
+                *[e["data_file"]["file_path"] for e in pos]
+            )
+            doomed = pdf.join(
+                live_paths, pdf["file_path"] == live_paths["__live_fp"],
+                "left_semi",
+            ).select(F.col("file_path").alias("__fp"), F.col("pos").alias("__pos"))
+        if eq and entries:
+            # only files STRICTLY older than the newest delete can match
+            # (spec sequence rule) — after heavy upserting most live data
+            # files are newer than every delete and skip the read
+            max_del = max(e["sequence_number"] for e in eq)
+            affected = [e for e in entries if e["sequence_number"] < max_del]
+            if affected:
+                df = table._read_data_entries(spark, affected, with_pos=True)
+                hit = table._eq_delete_matches(spark, df, eq, affected)
+                doomed = hit if doomed is None else doomed.unionByName(hit)
+        new_files: list[str] = []
+        stats: dict[str, dict] = {}
+        if doomed is not None:
+            out = (
+                doomed.dropDuplicates(["__fp", "__pos"])
+                .select(
+                    F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+                )
+                # spec: position delete rows sort by (file_path, pos)
+                .repartitionByRange(F.col("file_path"), F.col("pos"))
+                .sortWithinPartitions("file_path", "pos")
+            )
+            new_files = _staged_write(
+                table.location, "deletes",
+                lambda d: out.write.mode("append").parquet(d),
+            )
+            stats = table._file_stats(new_files, spark=spark)
+            live_new = [p for p in new_files if stats[p]["record_count"] > 0]
+            for p in set(new_files) - set(live_new):
+                os.remove(p)
+            new_files = live_new
+        try:
+            snap = table._rewrite_deletes_once(new_files, stats, deletes)
+            return {
+                "retired_delete_files": len(deletes),
+                "new_delete_files": len(new_files),
+                "snapshot": snap,
+            }
+        except CommitConflict as e:
+            # the fold's positions were computed against the pre-conflict
+            # state; drop the files and recompute against the refresh
+            last_err = e
+            for p in new_files:
+                os.remove(p)
+            table.refresh()
     raise last_err  # type: ignore[misc]
 
 

@@ -1781,3 +1781,125 @@ def test_changes_ignores_branch_only_snapshots(spark, table_loc):
     # a consumer checkpointed at an expired/foreign snapshot fails loudly
     with pytest.raises(ValueError, match="ancestry|unknown|re-baseline"):
         t.changes(spark, from_snapshot_id=999999)
+
+
+def test_changes_along_branch_ref(spark, table_loc):
+    """changes(ref=...) audits a WAP branch pre-publish: the window walks
+    the BRANCH head's ancestry, so a reviewer reads exactly the staged
+    rows that publishing would land on main — while a plain main read of
+    the same window stays branch-free."""
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    s1 = append_dataframe(t, _mk(spark, 0, 10))
+    t.create_branch("audit")
+    append_dataframe(t, _mk(spark, 100, 110), branch="audit")
+    append_dataframe(t, _mk(spark, 110, 125), branch="audit")
+    # branch audit: from the fork point, exactly the staged rows
+    got = sorted(
+        r.id
+        for r in t.changes(
+            spark, from_snapshot_id=s1["snapshot-id"], ref="audit"
+        ).collect()
+    )
+    assert got == list(range(100, 125))
+    # the same window on main is empty (nothing published yet)
+    assert t.changes(spark, from_snapshot_id=s1["snapshot-id"]).count() == 0
+    # a tag ref works the same way (pinned head)
+    t.create_tag("baseline", s1["snapshot-id"])
+    assert t.changes(spark, ref="baseline").count() == 10
+    # ref= and to_snapshot_id= are mutually exclusive; unknown ref raises
+    with pytest.raises(ValueError, match="not both"):
+        t.changes(spark, ref="audit", to_snapshot_id=s1["snapshot-id"])
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.changes(spark, ref="nope")
+    # publish-then-read: after fast-forward the branch rows appear exactly
+    # once in the MAIN window and the checkpoint chain stays unbroken
+    head = t.publish_branch("audit")
+    got_main = sorted(
+        r.id
+        for r in t.changes(spark, from_snapshot_id=s1["snapshot-id"]).collect()
+    )
+    assert got_main == list(range(100, 125))
+    assert t.current_snapshot()["snapshot-id"] == head["snapshot-id"]
+
+
+def test_rewrite_deletes_folds_eq_and_pos(spark, table_loc):
+    """Delete-file maintenance: after a run of CDC upserts (equality
+    deletes) plus a takedown (position deletes), rewrite_deletes folds
+    everything into consolidated position deletes — content identical,
+    exactly one live delete-file generation, data files untouched, time
+    travel intact, and expire_snapshots then reclaims the retired delete
+    files from disk."""
+    from platform_spark.iceberg.table import rewrite_deletes, upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 40))
+    # force the single-scan eq-delete path (as after ~1k micro-upserts)
+    t._EQ_UNION_MAX = 1
+    for lo in (5, 12, 20):  # three upsert commits → three eq-delete files
+        upsert_dataframe(
+            t,
+            _mk(spark, lo, lo + 6).withColumn("text", F.lit(f"v{lo}")),
+            ["id"],
+        )
+    t.delete_where(spark, "id >= 36")  # position deletes on top
+    want = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    old_del_paths = {e["data_file"]["file_path"] for e in t.scan_deletes()}
+    assert any(
+        e["data_file"]["content"] == 2 for e in t.scan_deletes()
+    )  # eq deletes live
+    data_before = {e["data_file"]["file_path"] for e in t.scan_files()}
+    pre_snap = t.current_snapshot()
+
+    res = rewrite_deletes(t, spark)
+    assert res["retired_delete_files"] == len(old_del_paths)
+    assert res["new_delete_files"] >= 1
+    # content identical; data files untouched; only position deletes live
+    assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == want
+    assert {e["data_file"]["file_path"] for e in t.scan_files()} == data_before
+    live = t.scan_deletes()
+    assert {e["data_file"]["content"] for e in live} == {1}
+    assert not old_del_paths & {e["data_file"]["file_path"] for e in live}
+    # the maintenance snapshot is content-neutral for incremental readers
+    snap = append_dataframe(t, _mk(spark, 100, 105))
+    got = sorted(
+        r.id
+        for r in t.changes(spark, from_snapshot_id=pre_snap["snapshot-id"]).collect()
+    )
+    assert got == list(range(100, 105))
+    # time travel to the pre-rewrite snapshot still merges the OLD deletes
+    assert {
+        (r.id, r.text)
+        for r in t.to_spark(spark, snapshot_id=pre_snap["snapshot-id"]).collect()
+    } == want
+    # a later upsert still last-wins over the folded state
+    upsert_dataframe(t, _mk(spark, 20, 23).withColumn("text", F.lit("v9")), ["id"])
+    got2 = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    assert {(i, "v9") for i in range(20, 23)} <= got2
+    assert len(got2) == len(want) + 5
+    # expiry reclaims the retired delete files' storage
+    t.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in old_del_paths)
+    assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got2
+
+
+def test_rewrite_deletes_noop_and_dead_keys(spark, table_loc):
+    """No live deletes → no-op without a commit; an equality delete whose
+    keys match nothing folds to a retire-only commit (zero new files) and
+    the scan stops paying for it."""
+    from platform_spark.iceberg.table import rewrite_deletes
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 10))
+    v = t.version
+    assert rewrite_deletes(t, spark)["retired_delete_files"] == 0
+    assert t.version == v  # no commit
+    # an eq delete for keys that never existed
+    t.delete_keys(spark, spark.createDataFrame([(999,), (1000,)], "id long"))
+    res = rewrite_deletes(t, spark)
+    assert res["retired_delete_files"] == 1
+    assert res["new_delete_files"] == 0
+    assert t.scan_deletes() == []
+    assert t.to_spark(spark).count() == 10
