@@ -5541,6 +5541,75 @@ WHERE CAST(_ts AS DATE) = DATE '2024-01-15'
 )
 
 
+def _ensure_iceberg_kafsql_root(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch topic ROOT for the KAFSQL-over-Iceberg gate: the events
+    envelope committed as an Iceberg topic table partitioned by
+    (_partition, days(_ts)) — the corpus layout — then CDC-upserted
+    (every 7th offset re-keyed to _segment='upserted'), so the dialect
+    read path crosses manifest planning, hidden-partition pruning AND
+    merge-on-read equality deletes in one query."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    root, done = _iceberg_scratch(sf_dir, "_sql")
+    if not os.path.exists(done):
+        ev = catalog_for(spark, sf_dir).topic("events", with_schema_columns=False)
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(
+            os.path.join(root, "events"),
+            ev.schema,
+            partition_by=("_partition", "days(_ts)"),
+            clock=clock,
+        )
+        append_dataframe(table, ev)
+        upsert_dataframe(
+            table,
+            ev.filter("_offset % 7 = 0").withColumn(
+                "_segment", F.lit("upserted")
+            ),
+            ["_partition", "_offset"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+def _iceberg_kafsql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_root(spark, sf_dir)
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    return eng.sql(
+        "SELECT _partition, _segment, count(*) AS n, "
+        "min(_offset) AS lo, max(_offset) AS hi "
+        "FROM events LAST 16d GROUP BY _partition, _segment"
+    )
+
+
+# KAFSQL dialect end-to-end OVER an Iceberg topic (IcebergTopicCatalog):
+# LAST window + multi-column GROUP BY against a day-partitioned table that
+# holds a live CDC upsert. The oracle rebuilds the post-upsert state
+# relationally from the raw envelope, so a hash match proves the dialect's
+# time bounds, the manifest-planned scan, the day-transform pruning, and
+# the merge-on-read equality-delete application compose correctly.
+_add(
+    "iceberg_kafsql_scan",
+    _iceberg_kafsql_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition,
+  CASE WHEN _offset % 7 = 0 THEN 'upserted' ELSE _segment END AS _segment,
+  COUNT(*) AS n, MIN(_offset) AS lo, MAX(_offset) AS hi
+FROM t_events
+WHERE _ts >= TIMESTAMP '{_last_lo(16)}' AND _ts <= TIMESTAMP '{_NOW_S}'
+GROUP BY 1, 2"""
+    ),
+)
+
+
 # Exact heavy hitters: Misra-Gries screen + exact verify ---------------------
 
 
@@ -6089,6 +6158,7 @@ _TAIL_SUBSETS = [
     "iceberg_upsert_scan",         # NEW r9, tail-placed from birth: the scan side (equality-delete application under the sequence rule, broadcast key anti-join) is head-pinned by iceberg_delete_scan's equality-delete + re-append leg; the single-snapshot commit shape (data + delete manifests at one sequence number) carries its own full relational oracle replayed in pytest, plus dedicated lifecycle tests (test_upsert_dataframe_single_snapshot_cdc, test_pipeline_iceberg_upsert_sink)
     "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
+    "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so
