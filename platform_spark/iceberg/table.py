@@ -2622,10 +2622,16 @@ def upsert_dataframe(
         writer.parquet(d)
 
     data_files = _staged_write(table.location, "data", _write_data)
+    # ONE equality-delete file per commit: the keyset is O(batch) by the
+    # CDC contract, and scans pay per live delete FILE — without the
+    # coalesce a 50-row micro-batch emits one near-empty file per
+    # shuffle partition (32x the files for the same keys). Huge backfill
+    # merges belong to merge_into, not this path.
     del_files = _staged_write(
         table.location, "deletes",
         lambda d: df.select(*keys)
         .dropDuplicates(list(keys))
+        .coalesce(1)
         .write.mode("append")
         .parquet(d),
     )

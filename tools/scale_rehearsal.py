@@ -216,6 +216,11 @@ def main() -> None:
     ap.add_argument("--queries", nargs="*", default=HEAVY)
     ap.add_argument("--curation", action="store_true")
     ap.add_argument("--skip-ingest", action="store_true")
+    ap.add_argument(
+        "--upserts", type=int, default=400,
+        help="micro-upsert commits for the delete-maintenance leg "
+        "(cost is O(commits), SF-independent)",
+    )
     args = ap.parse_args()
 
     from platform_spark.gate import GATE
@@ -357,6 +362,75 @@ def main() -> None:
     )
     timings["iceberg_upsert_commit"] = round(time.time() - t0, 3)
     print(f"iceberg_upsert_commit: {timings['iceberg_upsert_commit']} s", flush=True)
+    cleanup()
+
+    # continuous-CDC endurance: N micro-upsert commits accumulate N live
+    # equality-delete files; the scan pays for them until rewrite_deletes
+    # folds everything into one consolidated position-delete set. The
+    # artifact records scan wall BEFORE vs AFTER maintenance — after must
+    # be flat (~the clean-table scan), and the whole leg is O(commits),
+    # independent of SF, so its cross-SF ratio must sit near 1x.
+    from platform_spark.iceberg.table import rewrite_deletes
+
+    uroot = os.path.join(scratch, "iceberg_cdc_rehearsal")
+    shutil.rmtree(uroot, ignore_errors=True)
+    useed = spark.range(0, 200_000).select(
+        F.col("id").alias("key"),
+        F.lit("base").alias("val"),
+        F.col("id").alias("n"),
+    )
+    utbl = IcebergTable.create(uroot, useed.schema)
+    append_dataframe(utbl, useed)
+    n_up = args.upserts
+    t0 = time.time()
+    for c in range(n_up):
+        lo = (c * 37) % 199_000
+        batch = spark.range(lo, lo + 50).select(
+            F.col("id").alias("key"),
+            F.lit(f"u{c}").alias("val"),
+            (F.col("id") + c).alias("n"),
+        )
+        upsert_dataframe(utbl, batch, ["key"])
+    timings[f"iceberg_micro_upserts_{n_up}"] = round(time.time() - t0, 3)
+    print(
+        f"iceberg_micro_upserts_{n_up}: {timings[f'iceberg_micro_upserts_{n_up}']} s "
+        f"({len(utbl.scan_deletes())} live delete files)",
+        flush=True,
+    )
+    cleanup()
+    t0 = time.time()
+    n_pre = utbl.to_spark(spark).count()
+    timings["iceberg_cdc_scan_pre_maint"] = round(time.time() - t0, 3)
+    print(
+        f"iceberg_cdc_scan_pre_maint: {timings['iceberg_cdc_scan_pre_maint']} s",
+        flush=True,
+    )
+    cleanup()
+    t0 = time.time()
+    maint = rewrite_deletes(utbl, spark)
+    timings["iceberg_rewrite_deletes"] = round(time.time() - t0, 3)
+    print(
+        f"iceberg_rewrite_deletes: {timings['iceberg_rewrite_deletes']} s "
+        f"({maint['retired_delete_files']} -> {maint['new_delete_files']} files)",
+        flush=True,
+    )
+    cleanup()
+    t0 = time.time()
+    n_post = utbl.to_spark(spark).count()
+    timings["iceberg_cdc_scan_post_maint"] = round(time.time() - t0, 3)
+    print(
+        f"iceberg_cdc_scan_post_maint: {timings['iceberg_cdc_scan_post_maint']} s",
+        flush=True,
+    )
+    assert n_pre == n_post == 200_000, (n_pre, n_post)
+    result["cdc_maintenance"] = {
+        "upsert_commits": n_up,
+        "retired_delete_files": maint["retired_delete_files"],
+        "new_delete_files": maint["new_delete_files"],
+        "scan_pre_s": timings["iceberg_cdc_scan_pre_maint"],
+        "scan_post_s": timings["iceberg_cdc_scan_post_maint"],
+    }
+    shutil.rmtree(uroot, ignore_errors=True)
     cleanup()
 
     # metadata-planning leg at high file count: 10k one-row data files
