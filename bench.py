@@ -10,13 +10,22 @@ Phases:
    BASELINE.md (a); also reports rows/sec.
 2. scan: full-topic scan-and-count — the consume-from-S3 analogue (b).
 3. queries: the KAFSQL + analytics + llmdata headline set (c), each forced
-   with a noop sink so the full plan executes. Every query runs twice:
-   the per-query number is the SECOND (steady-state) run — the first run
+   with a noop sink so the full plan executes. Every query runs at least
+   twice: the per-query number is the steady-state run — the first run
    carries one-time whole-stage-codegen JIT compilation of that plan shape,
    which on a long-lived cluster amortizes to zero. Cold (first-run) times
    are reported separately under "queries_cold" for transparency; "value"
    sums ingest + steady-state runs. The engine's row-level result cache is
-   disabled for the whole bench so both runs execute the full plan.
+   disabled for the whole bench so every run executes the full plan.
+
+Repeat policy (noise control): this host's run-to-run wall variance
+(±15% observed on identical code, r8→r9) exceeds any real per-leg signal
+for cheap legs, so the steady-state number is the BEST of 2 runs for
+legs under 2 s (3 runs under 0.8 s) and a single run for expensive legs
+(repeating the ~15 multi-second legs would double the suite wall for
+noise that min-of-N can't fix anyway). Per-leg max-min spread and run
+counts land in the detail file ("repeat_spread"/"repeat_runs"), so a
+future reader can tell a noisy leg from a real regression.
 """
 
 from __future__ import annotations
@@ -314,14 +323,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
+
+    REPEAT2_S = 2.0  # legs under this get a second steady run (best-of)
+    REPEAT3_S = 0.8  # and a third under this
 
     def timed(name: str, fn) -> None:
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        fn()
-        timings[name] = round(time.time() - t1, 3)
+        runs: list[float] = []
+        while True:
+            t1 = time.time()
+            fn()
+            runs.append(time.time() - t1)
+            if len(runs) == 1 and runs[0] < REPEAT2_S:
+                continue
+            if len(runs) == 2 and min(runs) < REPEAT3_S:
+                continue
+            break
+        timings[name] = round(min(runs), 3)
+        n_runs[name] = len(runs)
+        if len(runs) > 1:
+            spread[name] = round(max(runs) - min(runs), 3)
 
     # -- phase 1: ingest (envelope -> partitioned parquet topic tables) ----
     topic_root = os.path.join(BENCH_ROOT, f"topics_sf{sf}")
@@ -407,6 +432,12 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "repeat_policy": (
+            f"steady = best of 2 runs under {REPEAT2_S}s "
+            f"(3 under {REPEAT3_S}s), single run otherwise"
+        ),
+        "repeat_runs": n_runs,
+        "repeat_spread": spread,
         "sf": float(sf),
         "ingest_rows_per_sec": round(n_topic_rows / max(ingest_sec, 1e-9)),
     }
