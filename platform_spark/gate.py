@@ -5487,6 +5487,50 @@ WHERE doc_id % 5 = 0
 )
 
 
+def _iceberg_changelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_upsert_table(spark, sf_dir)
+    return IcebergTable.load(loc).changelog(spark)
+
+
+# Row-level CDC changelog over the SAME upsert table as iceberg_upsert_scan:
+# every batch emits inserts for its rows and deletes for the parent-live
+# rows its equality delete killed (an update = delete+insert). The oracle
+# enumerates all six event classes relationally — the first append's
+# inserts, each upsert's inserts, and each upsert's kills restricted to
+# what was STILL LIVE at its parent (u2 kills u1's copy on the 3∩5
+# overlap, not the long-dead original) — so a hash match proves the
+# changelog materializes deletes against the right snapshot with the
+# sequence rule, not just the final state. Snapshot ids/ordinals are
+# deterministic (snapshot-id = sequence = commit index).
+_add(
+    "iceberg_changelog_scan",
+    _iceberg_changelog_gate,
+    """
+SELECT doc_id, lang, source, n_chars,
+  'insert' AS _change_type, CAST(1 AS BIGINT) AS _change_snapshot_id,
+  CAST(0 AS INT) AS _change_ordinal
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, 'u1' AS source, n_chars, 'insert', 2, 1
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'delete', 2, 1
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars + 7 AS n_chars, 'insert', 3, 2
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, lang, 'u1' AS source, n_chars, 'delete', 3, 2
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'delete', 3, 2
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0 AND doc_id % 3 <> 0
+""",
+)
+
+
 def _ensure_iceberg_day_table(spark: SparkSession, sf_dir: str) -> str:
     """Scratch table for the hidden-time-partitioning gate: the events
     envelope committed into a days(_ts)-partitioned Iceberg table (two
@@ -6158,6 +6202,7 @@ _TAIL_SUBSETS = [
     "iceberg_upsert_scan",         # NEW r9, tail-placed from birth: the scan side (equality-delete application under the sequence rule, broadcast key anti-join) is head-pinned by iceberg_delete_scan's equality-delete + re-append leg; the single-snapshot commit shape (data + delete manifests at one sequence number) carries its own full relational oracle replayed in pytest, plus dedicated lifecycle tests (test_upsert_dataframe_single_snapshot_cdc, test_pipeline_iceberg_upsert_sink)
     "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
+    "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest

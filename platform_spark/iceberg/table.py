@@ -1362,6 +1362,42 @@ class IcebergTable:
         explicit ``to_snapshot_id``; the main-only guard (branch
         snapshots never leak into a main consumer) is unchanged when
         ``ref`` is absent."""
+        in_range = self._ancestry_window(from_snapshot_id, to_snapshot_id, ref)
+        bad = [
+            s["summary"]["operation"]
+            for s in in_range
+            if s["summary"]["operation"] not in ("append", "replace")
+        ]
+        if bad:
+            raise ValueError(
+                f"iceberg: incremental read across non-append snapshots {bad}; "
+                "row-level deletes/overwrites have no append-only changelog — "
+                "use changelog() for a CDC read that includes deletes"
+            )
+        entries: list[dict] = []
+        for s in in_range:
+            if s["summary"]["operation"] != "append":
+                continue
+            entries += self._added_data_entries(s)
+        if not entries:
+            return spark.createDataFrame([], self.spark_schema)
+        return self._read_data_entries(spark, entries)
+
+    def _ancestry_window(
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None,
+        ref: str | None = None,
+    ) -> list[dict]:
+        """Oldest-first snapshots on the PARENT CHAIN from the window's
+        head (to_snapshot_id / ref head / current) down to — exclusive —
+        ``from_snapshot_id``. A global sequence-range pick would also
+        sweep up branch-only (write-audit-publish) snapshots whose
+        sequence numbers landed inside the window, leaking staged rows
+        into a main consumer; the parent walk cannot. Defaults to the
+        CURRENT snapshot, not the highest-sequence one: after
+        rollback_to() the undone snapshots still sit at the top of the
+        sequence order and must not be ingested."""
         snaps = sorted(self.metadata["snapshots"], key=lambda s: s["sequence-number"])
         by_id = {s["snapshot-id"]: s for s in snaps}
         if from_snapshot_id is not None and from_snapshot_id not in by_id:
@@ -1374,14 +1410,11 @@ class IcebergTable:
             if from_snapshot_id is not None
             else 0
         )
-        # default to the CURRENT snapshot, not the highest-sequence one:
-        # after rollback_to() the undone snapshots still sit at the top of
-        # the sequence order, and an incremental consumer must not ingest
-        # their (rolled-back) rows
         if ref is not None:
             if to_snapshot_id is not None:
                 raise ValueError(
-                    "iceberg: changes() takes ref= or to_snapshot_id=, not both"
+                    "iceberg: incremental reads take ref= or to_snapshot_id=, "
+                    "not both"
                 )
             to_snap = by_id.get(self.ref_snapshot_id(ref))
         else:
@@ -1391,11 +1424,7 @@ class IcebergTable:
                 else (self.current_snapshot() or (snaps[-1] if snaps else None))
             )
         if to_snap is None or to_snap["sequence-number"] <= from_seq:
-            return spark.createDataFrame([], self.spark_schema)
-        # walk the PARENT CHAIN from to_snap down to from_snapshot_id — a
-        # global sequence-range pick would also sweep up branch-only
-        # (write-audit-publish) snapshots whose sequence numbers landed
-        # inside the window, leaking staged rows into a main consumer
+            return []
         in_range: list[dict] = []
         node: dict | None = to_snap
         while node is not None and node["snapshot-id"] != from_snapshot_id:
@@ -1412,32 +1441,189 @@ class IcebergTable:
                 "intermediate history was expired); re-baseline the consumer"
             )
         in_range.reverse()
-        bad = [
-            s["summary"]["operation"]
-            for s in in_range
-            if s["summary"]["operation"] not in ("append", "replace")
-        ]
-        if bad:
-            raise ValueError(
-                f"iceberg: incremental read across non-append snapshots {bad}; "
-                "row-level deletes/overwrites have no append-only changelog"
-            )
-        entries: list[dict] = []
+        return in_range
+
+    def _added_data_entries(self, snap: dict) -> list[dict]:
+        """Live data entries ADDED at exactly this snapshot."""
+        out: list[dict] = []
+        _, _, mlist = avro.read_container(snap["manifest-list"])
+        for mf in mlist:
+            if mf["content"] != 0 or mf["added_snapshot_id"] != snap["snapshot-id"]:
+                continue  # carried from an older snapshot
+            _, _, es = avro.read_container(mf["manifest_path"])
+            out += [
+                e for e in es
+                if e["status"] == 1 and e["snapshot_id"] == snap["snapshot-id"]
+            ]
+        return out
+
+    def changelog(
+        self,
+        spark,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        ref: str | None = None,
+    ):
+        """Row-level CDC read of the window — the general form of
+        ``changes()`` that also expresses deletes and overwrites (the
+        shape Iceberg's create_changelog_view emits). Returns the table
+        columns plus ``_change_type`` ('insert' | 'delete'),
+        ``_change_snapshot_id`` and ``_change_ordinal`` (the snapshot's
+        position in the window, for consumers that must apply batches in
+        order). Per snapshot, oldest first:
+
+        - inserts: rows of the data files ADDED at that snapshot;
+        - deletes: rows of data files REMOVED at that snapshot
+          (copy-on-write merge/overwrite) plus rows KILLED by the delete
+          files added at that snapshot, materialized against the PARENT
+          snapshot's live state (position deletes by row identity,
+          equality deletes under the spec's strictly-older sequence
+          rule). An updated row therefore appears as delete+insert, like
+          Iceberg's changelog.
+        - ``replace`` snapshots (compaction, delete-file maintenance)
+          are content-neutral and skipped.
+
+        Cost is O(changed rows + files the new delete files can affect),
+        never O(table): the delete materialization reads only parent
+        files older than the snapshot's deletes (metadata-pruned), and an
+        append-only window degenerates to exactly ``changes()``. The
+        parent snapshot's manifests must not be expired yet — same
+        contract as ``changes()``."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        in_range = self._ancestry_window(from_snapshot_id, to_snapshot_id, ref)
+        base = self.spark_schema
+        empty_schema = T.StructType(
+            base.fields
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_change_snapshot_id", T.LongType(), False),
+                T.StructField("_change_ordinal", T.IntegerType(), False),
+            ]
+        )
+        parts = []
+        ordinal = -1
         for s in in_range:
-            if s["summary"]["operation"] != "append":
+            op = s["summary"]["operation"]
+            if op == "replace":
                 continue
+            ordinal += 1
+            sid = s["snapshot-id"]
+
+            def _tag(df, kind: str, _sid=sid, _o=ordinal):
+                return df.select(
+                    *[F.col(f.name) for f in base.fields],
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(_sid).cast("long").alias("_change_snapshot_id"),
+                    F.lit(_o).cast("int").alias("_change_ordinal"),
+                )
+
+            added = self._added_data_entries(s)
+            if added:
+                parts.append(_tag(self._read_data_entries(spark, added), "insert"))
+            parent_id = s.get("parent-snapshot-id")
+            if parent_id is None:
+                continue
+            # file-level removals (copy-on-write rewrites): rows of data
+            # files retired at this snapshot, read as of the PARENT (so
+            # parent-era row-level deletes still apply to them)
+            removed_paths = set()
             _, _, mlist = avro.read_container(s["manifest-list"])
             for mf in mlist:
-                if mf["content"] != 0 or mf["added_snapshot_id"] != s["snapshot-id"]:
-                    continue  # carried from an older snapshot
+                if mf["content"] != 0:
+                    continue
                 _, _, es = avro.read_container(mf["manifest_path"])
-                entries += [
-                    e for e in es
-                    if e["status"] == 1 and e["snapshot_id"] == s["snapshot-id"]
+                removed_paths |= {
+                    e["data_file"]["file_path"]
+                    for e in es
+                    if e["status"] == 2 and e["snapshot_id"] == sid
+                }
+            parent_entries = self.scan_files(snapshot_id=parent_id, spark=spark)
+            parent_deletes = self.scan_deletes(snapshot_id=parent_id, spark=spark)
+            if removed_paths:
+                removed_entries = [
+                    e for e in parent_entries
+                    if e["data_file"]["file_path"] in removed_paths
                 ]
-        if not entries:
-            return spark.createDataFrame([], self.spark_schema)
-        return self._read_data_entries(spark, entries)
+                if removed_entries:
+                    gone = self._read_data_entries(
+                        spark, removed_entries, with_pos=True
+                    )
+                    gone = self._apply_deletes(
+                        spark, gone, parent_deletes, removed_entries
+                    ).drop("__fp", "__pos")
+                    parts.append(_tag(gone, "delete"))
+            # row-level removals: delete files added AT this snapshot,
+            # applied against the parent's live rows they can reach
+            new_dels = [
+                e
+                for e in self._scan_entries(sid, None, content=1, spark=spark)
+                if e["snapshot_id"] == sid
+            ]
+            if new_dels:
+                pos = [e for e in new_dels if e["data_file"]["content"] == 1]
+                eq = [e for e in new_dels if e["data_file"]["content"] == 2]
+                live_parent = [
+                    e for e in parent_entries
+                    if e["data_file"]["file_path"] not in removed_paths
+                ]
+                if eq:
+                    # spec sequence rule: only strictly-older files reachable
+                    max_del = max(e["sequence_number"] for e in eq)
+                    eq_targets = [
+                        e for e in live_parent
+                        if e["sequence_number"] < max_del
+                    ]
+                else:
+                    eq_targets = []
+                targets = live_parent if pos else eq_targets
+                if targets:
+                    df = self._read_data_entries(spark, targets, with_pos=True)
+                    # parent-era deletes already removed these rows before
+                    # this snapshot — they must not re-emit as deletes now
+                    df = self._apply_deletes(spark, df, parent_deletes, targets)
+                    killed = None
+                    if pos:
+                        ids = spark.read.schema(
+                            "file_path string, pos long"
+                        ).parquet(*[e["data_file"]["file_path"] for e in pos])
+                        del_bytes = sum(
+                            e["data_file"]["file_size_in_bytes"] for e in pos
+                        )
+                        if del_bytes < 128 * 1024 * 1024:
+                            ids = F.broadcast(ids)
+                        killed = df.join(
+                            ids,
+                            (df["__fp"] == ids["file_path"])
+                            & (df["__pos"] == ids["pos"]),
+                            "left_semi",
+                        )
+                    if eq and eq_targets:
+                        tagged = self._with_data_seq(spark, df, targets)
+                        for cols, keys in self._eq_key_frames(spark, eq):
+                            cond = tagged["__data_seq"] < keys["__del_seq"]
+                            for c in cols:
+                                cond = cond & tagged[c].eqNullSafe(keys[c])
+                            h = tagged.join(keys, cond, "left_semi").drop(
+                                "__data_seq"
+                            )
+                            killed = h if killed is None else killed.unionByName(h)
+                    if killed is not None:
+                        parts.append(
+                            _tag(
+                                killed.dropDuplicates(["__fp", "__pos"]).drop(
+                                    "__fp", "__pos"
+                                ),
+                                "delete",
+                            )
+                        )
+        if not parts:
+            return spark.createDataFrame([], empty_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def delete_where(self, spark, predicate) -> dict | None:
         """Commit POSITION delete files for every current row matching
@@ -1655,6 +1841,94 @@ class IcebergTable:
             snap_id,
             properties_update=properties_update,
         )
+
+    def rewrite_manifests(
+        self, target_entries_per_manifest: int = 100_000
+    ) -> dict:
+        """Pure-METADATA manifest compaction (Iceberg's rewrite_manifests
+        shape): consolidate the current snapshot's manifest list — which
+        grows by one or two manifests per commit, so after 10k
+        micro-batch commits every query plans through 10k tiny Avro
+        files — into ⌈live entries / target⌉ manifests per content kind,
+        committed as one content-neutral ``replace`` snapshot. Live
+        entries carry over as EXISTING with their original snapshot ids
+        and sequence numbers (the equality-delete sequence rule keeps
+        working verbatim); dead (status=DELETED) entries drop — history
+        readers use the old snapshots' own manifest lists, which are
+        untouched. After this, planning cost tracks LIVE FILES, not
+        commit count; run it on the same cadence as delete maintenance.
+        Zero data or delete files are read or written. Returns
+        {'manifests_replaced': n, 'manifests_created': n, 'snapshot': s}
+        (no commit when the list is already consolidated)."""
+        fnames = [pf["name"] for pf in self.spec["fields"]]
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            prior = self.current_snapshot()
+            if prior is None:
+                return {"manifests_replaced": 0, "manifests_created": 0,
+                        "snapshot": None}
+            _, _, mlist = avro.read_container(prior["manifest-list"])
+            by_kind: dict[int, list[dict]] = {0: [], 1: []}
+            for mf in mlist:
+                by_kind[mf["content"]] += _manifest_live_entries(
+                    mf, mf["content"], None, fnames
+                )
+            n_created = sum(
+                (len(es) + target_entries_per_manifest - 1)
+                // target_entries_per_manifest
+                for es in by_kind.values()
+                if es
+            )
+            if len(mlist) <= max(n_created, 1):
+                return {"manifests_replaced": 0, "manifests_created": 0,
+                        "snapshot": prior}
+            seq = self.metadata["last-sequence-number"] + 1
+            snap_id = seq
+            manifests: list[dict] = []
+            for kind in (0, 1):
+                entries = by_kind[kind]
+                for i in range(0, len(entries), target_entries_per_manifest):
+                    chunk = [
+                        {
+                            "status": 0,  # EXISTING — original identity kept
+                            "snapshot_id": e["snapshot_id"],
+                            "sequence_number": e["sequence_number"],
+                            "file_sequence_number": e["file_sequence_number"],
+                            "data_file": e["data_file"],
+                        }
+                        for e in entries[i : i + target_entries_per_manifest]
+                    ]
+                    manifests.append(
+                        self._write_manifest(
+                            chunk, seq, snap_id,
+                            self._summaries_from_entries(chunk)
+                            if kind == 0 else None,
+                            content=kind,
+                        )
+                    )
+            try:
+                snap = self._finalize_snapshot(
+                    manifests,
+                    "replace",
+                    {
+                        "manifests-replaced": str(len(mlist)),
+                        "manifests-created": str(len(manifests)),
+                        "entries-processed": str(
+                            sum(len(v) for v in by_kind.values())
+                        ),
+                    },
+                    seq,
+                    snap_id,
+                )
+                return {
+                    "manifests_replaced": len(mlist),
+                    "manifests_created": len(manifests),
+                    "snapshot": snap,
+                }
+            except CommitConflict as e:
+                last_err = e
+                self.refresh()  # pure metadata: recompute from fresh list
+        raise last_err  # type: ignore[misc]
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots, then delete
@@ -2615,18 +2889,20 @@ def upsert_dataframe(
         )
     out, part_cols = _with_partition_columns(table, df)
 
+    # ONE task's worth of files per commit (one file per touched
+    # partition value): a CDC micro-batch is O(batch) by contract, and
+    # scans pay per live FILE — without the coalesce a 50-row batch
+    # emits one near-empty file per shuffle partition, and a 400-commit
+    # endurance run measured ~12.8k data files whose open cost dwarfed
+    # the delete anti-joins (sf1 rehearsal: 44 s scan). Huge backfills
+    # belong to append_dataframe/merge_into, not this path.
     def _write_data(d: str) -> None:
-        writer = out.write.mode("append")
+        writer = out.coalesce(1).write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(d)
 
     data_files = _staged_write(table.location, "data", _write_data)
-    # ONE equality-delete file per commit: the keyset is O(batch) by the
-    # CDC contract, and scans pay per live delete FILE — without the
-    # coalesce a 50-row micro-batch emits one near-empty file per
-    # shuffle partition (32x the files for the same keys). Huge backfill
-    # merges belong to merge_into, not this path.
     del_files = _staged_write(
         table.location, "deletes",
         lambda d: df.select(*keys)

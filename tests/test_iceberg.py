@@ -1884,6 +1884,171 @@ def test_rewrite_deletes_folds_eq_and_pos(spark, table_loc):
     assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got2
 
 
+def _replay_changelog(rows, upto=None):
+    """Reconstruct table content from changelog rows: per ordinal in
+    order, apply deletes (by id) then inserts."""
+    by_ord: dict[int, list] = {}
+    for r in rows:
+        by_ord.setdefault(r._change_ordinal, []).append(r)
+    state: dict[int, tuple] = {}
+    for o in sorted(by_ord):
+        if upto is not None and o > upto:
+            break
+        batch = by_ord[o]
+        for r in batch:
+            if r._change_type == "delete":
+                state.pop(r.id, None)
+        for r in batch:
+            if r._change_type == "insert":
+                state[r.id] = (r.id, r.part, r.text)
+    return set(state.values())
+
+
+def test_changelog_cdc_read(spark, table_loc):
+    """changelog(): the general incremental read — upserts emit
+    delete+insert, row-level deletes emit the killed rows, replace
+    snapshots are skipped, and replaying the batches in ordinal order
+    reconstructs the live table exactly."""
+    from platform_spark.iceberg.table import (
+        compact_table, rewrite_deletes, upsert_dataframe,
+    )
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    s1 = append_dataframe(t, _mk(spark, 0, 12))
+    upsert_dataframe(
+        t, _mk(spark, 5, 9).withColumn("text", F.lit("v2")), ["id"]
+    )
+    t.delete_keys(spark, spark.createDataFrame([(9,), (10,)], "id long"))
+    t.delete_where(spark, "id = 11")
+    rows = t.changelog(spark).collect()
+    # window from table birth replays to exactly the live content
+    live = {(r.id, r.part, r.text) for r in t.to_spark(spark).collect()}
+    assert _replay_changelog(rows) == live
+    # the upsert batch emits delete(old 5-8) + insert(v2 5-8); the
+    # delete_keys batch emits exactly the still-live killed rows (9, 10);
+    # delete_where emits 11
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append(r)
+    ins = {(r.id, r.text) for r in by_type["insert"]}
+    assert {(i, "v2") for i in range(5, 9)} <= ins
+    dels = sorted((r.id, r.text) for r in by_type["delete"])
+    assert dels == [
+        *[(i, f"doc-{i}") for i in range(5, 9)],  # superseded by upsert
+        (9, f"doc-9"), (10, f"doc-10"), (11, f"doc-11"),
+    ]
+    # ordinals follow snapshot order (upsert before the key delete)
+    ords = {
+        r._change_snapshot_id: r._change_ordinal for r in rows
+    }
+    assert sorted(ords.values()) == sorted(set(ords.values()))
+    # a partial window starting after the first append yields no s1 rows
+    w = t.changelog(spark, from_snapshot_id=s1["snapshot-id"]).collect()
+    assert all(r._change_snapshot_id != s1["snapshot-id"] for r in w)
+    # maintenance snapshots are content-neutral: compaction +
+    # delete-rewrite in the window change nothing in the replay
+    n_before = len(t.changelog(spark).collect())
+    rewrite_deletes(t, spark)
+    compact_table(t, spark)
+    append_dataframe(t, _mk(spark, 100, 103))
+    rows2 = t.changelog(spark).collect()
+    live2 = {(r.id, r.part, r.text) for r in t.to_spark(spark).collect()}
+    assert _replay_changelog(rows2) == live2
+    assert len(rows2) == n_before + 3  # only the new append added events
+
+
+def test_changelog_copy_on_write_merge(spark, table_loc):
+    """A copy-on-write merge_into emits file-level delete+insert pairs
+    (removed files' parent-era rows out, new files' rows in) — replay
+    still reconstructs the merged table, and only the files containing a
+    matching key contribute delete events."""
+    from platform_spark.iceberg.table import merge_into
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    merge_into(
+        t, _mk(spark, 18, 24).withColumn("text", F.lit("m")), ["id"], spark
+    )
+    rows = t.changelog(spark).collect()
+    live = {(r.id, r.part, r.text) for r in t.to_spark(spark).collect()}
+    assert _replay_changelog(rows) == live
+    # the merge's delete events only come from partitions holding ids
+    # 18/19 (part 2 and 3) — untouched files never emit
+    merge_sid = t.current_snapshot()["snapshot-id"]
+    merge_dels = {
+        r.part for r in rows
+        if r._change_type == "delete" and r._change_snapshot_id == merge_sid
+    }
+    assert merge_dels <= {18 % 4, 19 % 4}
+
+
+def test_rewrite_manifests_pure_metadata_consolidation(spark, table_loc):
+    """rewrite_manifests folds a commit-count-long manifest list into one
+    manifest per content kind without touching any data/delete file:
+    content identical, equality-delete sequence rule still applies from
+    the carried per-entry sequence numbers, history snapshots untouched,
+    incremental readers skip the replace, expiry reclaims old manifests."""
+    from platform_spark.iceberg import avro as _avro
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    for lo in range(0, 24, 4):  # six append commits
+        append_dataframe(t, _mk(spark, lo, lo + 4))
+    upsert_dataframe(t, _mk(spark, 2, 6).withColumn("text", F.lit("v2")), ["id"])
+    upsert_dataframe(t, _mk(spark, 4, 8).withColumn("text", F.lit("v3")), ["id"])
+    t.delete_keys(spark, spark.createDataFrame([(20,)], "id long"))
+    want = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    pre_snap = t.current_snapshot()
+    _, _, mlist_before = _avro.read_container(pre_snap["manifest-list"])
+    assert len(mlist_before) > 8  # one-plus per commit: the 10k-commit disease
+    data_files = {e["data_file"]["file_path"] for e in t.scan_files()}
+    del_files = {e["data_file"]["file_path"] for e in t.scan_deletes()}
+    old_manifest_paths = {m["manifest_path"] for m in mlist_before}
+
+    res = t.rewrite_manifests()
+    assert res["manifests_replaced"] == len(mlist_before)
+    assert res["manifests_created"] == 2  # one data + one deletes
+    _, _, mlist_after = _avro.read_container(
+        t.current_snapshot()["manifest-list"]
+    )
+    assert len(mlist_after) == 2
+    # nothing but metadata moved; content and sequence semantics intact
+    assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == want
+    assert {e["data_file"]["file_path"] for e in t.scan_files()} == data_files
+    assert {e["data_file"]["file_path"] for e in t.scan_deletes()} == del_files
+    # v3 beat v2 on the overlap BECAUSE of per-entry sequence numbers —
+    # still true reading through the consolidated manifests
+    assert {(i, "v3") for i in range(4, 8)} <= want
+    # a second rewrite is a no-op (already consolidated)
+    v = t.version
+    assert t.rewrite_manifests()["manifests_replaced"] == 0
+    assert t.version == v
+    # incremental readers skip the replace; history reads old lists
+    snap = append_dataframe(t, _mk(spark, 100, 103))
+    got = sorted(
+        r.id
+        for r in t.changes(spark, from_snapshot_id=pre_snap["snapshot-id"]).collect()
+    )
+    assert got == [100, 101, 102]
+    assert {
+        (r.id, r.text)
+        for r in t.to_spark(spark, snapshot_id=pre_snap["snapshot-id"]).collect()
+    } == want
+    # upserts keep working on top of the consolidated list
+    upsert_dataframe(t, _mk(spark, 100, 101).withColumn("text", F.lit("v4")), ["id"])
+    assert (100, "v4") in {
+        (r.id, r.text) for r in t.to_spark(spark).collect()
+    }
+    # expiry reclaims the replaced manifest files
+    t.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in old_manifest_paths)
+    live_now = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    assert (100, "v4") in live_now and len(live_now) == len(want) + 3
+
+
 def test_rewrite_deletes_noop_and_dead_keys(spark, table_loc):
     """No live deletes → no-op without a commit; an equality delete whose
     keys match nothing folds to a retire-only commit (zero new files) and

@@ -423,12 +423,63 @@ def main() -> None:
         flush=True,
     )
     assert n_pre == n_post == 200_000, (n_pre, n_post)
+    # second maintenance axis: the manifest LIST grew by ~2 per commit
+    # (N upserts → ~2N+1 manifests), so planning pays per commit until
+    # rewrite_manifests folds the list; time it and the plan before/after
+    from platform_spark.iceberg import avro as _avro
+
+    t0 = time.time()
+    n_files_pre = len(utbl.scan_files())
+    timings["iceberg_cdc_plan_pre_mfrewrite"] = round(time.time() - t0, 3)
+    n_mf_pre = len(
+        _avro.read_container(utbl.current_snapshot()["manifest-list"])[2]
+    )
+    t0 = time.time()
+    mres = utbl.rewrite_manifests()
+    timings["iceberg_rewrite_manifests"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_files_post = len(utbl.scan_files())
+    timings["iceberg_cdc_plan_post_mfrewrite"] = round(time.time() - t0, 3)
+    assert n_files_post == n_files_pre, (n_files_pre, n_files_post)
+    print(
+        f"iceberg_rewrite_manifests: {timings['iceberg_rewrite_manifests']} s "
+        f"({n_mf_pre} -> {mres['manifests_created']} manifests; "
+        f"plan {timings['iceberg_cdc_plan_pre_mfrewrite']} -> "
+        f"{timings['iceberg_cdc_plan_post_mfrewrite']} s, "
+        f"{n_files_pre} files)",
+        flush=True,
+    )
+    # third maintenance axis: bin-pack the per-commit small data files
+    # (one per touched partition per batch) and time the steady scan the
+    # table settles into — the full maintenance cadence a continuous-CDC
+    # deployment runs (rewrite_deletes -> rewrite_manifests -> compact)
+    from platform_spark.iceberg.table import compact_table
+
+    t0 = time.time()
+    compact_table(utbl, spark, files_per_partition=32)
+    timings["iceberg_cdc_compact"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_final = utbl.to_spark(spark).count()
+    timings["iceberg_cdc_scan_post_compact"] = round(time.time() - t0, 3)
+    assert n_final == 200_000, n_final
+    print(
+        f"iceberg_cdc_compact: {timings['iceberg_cdc_compact']} s; "
+        f"scan_post_compact: {timings['iceberg_cdc_scan_post_compact']} s",
+        flush=True,
+    )
     result["cdc_maintenance"] = {
         "upsert_commits": n_up,
         "retired_delete_files": maint["retired_delete_files"],
         "new_delete_files": maint["new_delete_files"],
         "scan_pre_s": timings["iceberg_cdc_scan_pre_maint"],
         "scan_post_s": timings["iceberg_cdc_scan_post_maint"],
+        "manifests_replaced": mres["manifests_replaced"],
+        "manifests_created": mres["manifests_created"],
+        "plan_pre_s": timings["iceberg_cdc_plan_pre_mfrewrite"],
+        "plan_post_s": timings["iceberg_cdc_plan_post_mfrewrite"],
+        "live_files": n_files_post,
+        "compact_s": timings["iceberg_cdc_compact"],
+        "scan_post_compact_s": timings["iceberg_cdc_scan_post_compact"],
     }
     shutil.rmtree(uroot, ignore_errors=True)
     cleanup()
