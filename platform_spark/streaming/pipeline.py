@@ -230,8 +230,19 @@ class ContinuousTopicPipeline:
                             batch.sparkSession,
                             partition_filter=dict(zip(names, t)),
                         )
+                    if self.upsert_keys:
+                        # partition-scoped compaction deliberately keeps
+                        # delete files live (they may reach untouched
+                        # partitions); in CDC mode each batch added one,
+                        # so fold them here — O(deletes' blast radius)
+                        from platform_spark.iceberg.table import rewrite_deletes
+
+                        rewrite_deletes(table, batch.sparkSession)
                 else:
                     compact_table(table, batch.sparkSession)
+                # the manifest LIST grew ~1-2 per commit since the last
+                # cycle; fold it so plan cost tracks live files forever
+                table.rewrite_manifests()
                 table.expire_snapshots(keep_last=self.expire_keep_last)
                 self._appends_since_compact = 0
                 self._touched_partitions.clear()

@@ -1650,6 +1650,46 @@ def test_pipeline_iceberg_upsert_sink(spark, tmp_path):
     assert {(r.id, r.text) for r in t.to_spark(spark).collect()} == got
 
 
+def test_pipeline_upsert_sink_auto_maintenance(spark, tmp_path):
+    """compact_every in CDC mode runs the full maintenance cadence:
+    partition-scoped compaction, delete-file fold (partition compaction
+    keeps eq-delete files live on its own), manifest-list fold, expiry —
+    the table a continuous upsert pipeline settles into stays a handful
+    of files/manifests with zero live equality deletes, content exact."""
+    from platform_spark.iceberg import avro as _avro
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "ice")
+    mk_pipe = lambda: ContinuousTopicPipeline(  # noqa: E731
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        partition_cols=("part",),
+        upsert_keys=("id",),
+        upsert_order_by=("text",),
+        compact_every=1,
+        expire_keep_last=2,
+    )
+    for lo in range(0, 24, 6):  # one upsert commit per run, overlapping keys
+        _mk(spark, lo, lo + 8).withColumn(
+            "text", F.lit(f"b{lo}")
+        ).write.mode("append").parquet(src)
+        mk_pipe().run_available_now()
+    t = IcebergTable.load(loc)
+    got = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    # last-wins per id across the overlapping batches (b18 > b12 > ... by
+    # the text ordering, which matches batch order here)
+    assert len(got) == 26 and (20, "b18") in got and (0, "b0") in got
+    # maintenance left no live equality deletes and a folded manifest list
+    assert t.scan_deletes() == []
+    _, _, mlist = _avro.read_container(t.current_snapshot()["manifest-list"])
+    assert len(mlist) <= 4
+    assert len(t.metadata["snapshots"]) <= 2 + 1  # expire_keep_last honored
+
+
 def test_truncate_transform_partitioning(spark, table_loc):
     """truncate[W]: strings bucket by prefix, ints floor to the nearest
     W multiple (negatives too) — the prefix layout for URL/id-keyed
