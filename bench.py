@@ -93,6 +93,14 @@ _EXTRA_SHORT = {
     "tfidf_kw": "tfidf",
     "iceberg_day_partition_scan": "ice_day",
     "iceberg_upsert_scan": "ice_ups",
+    "iceberg_changelog_scan": "ice_cl",
+    "iceberg_kafsql_scan": "ice_sql",
+    "semdedup": "smd",
+    "decontam": "dcm",
+    "snapdiff": "snd",
+    "langid": "lid",
+    "winnow": "win",
+    "collapse": "clps",
 }
 
 
@@ -173,6 +181,8 @@ HEADLINE_GATES = (
     "iceberg_changes_scan",
     "iceberg_day_partition_scan",
     "iceberg_upsert_scan",
+    "iceberg_changelog_scan",
+    "iceberg_kafsql_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",
