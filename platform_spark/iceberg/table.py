@@ -2828,6 +2828,7 @@ def upsert_dataframe(
     keys: list[str],
     properties_update: dict | None = None,
     order_by: list[str] | None = None,
+    write_partitions: int = 1,
 ) -> dict | None:
     """Streaming-scale UPSERT as ONE atomic snapshot: the batch's key
     values commit as an equality-delete file TOGETHER with the batch's
@@ -2894,10 +2895,12 @@ def upsert_dataframe(
     # scans pay per live FILE — without the coalesce a 50-row batch
     # emits one near-empty file per shuffle partition, and a 400-commit
     # endurance run measured ~12.8k data files whose open cost dwarfed
-    # the delete anti-joins (sf1 rehearsal: 44 s scan). Huge backfills
-    # belong to append_dataframe/merge_into, not this path.
+    # the delete anti-joins (sf1 rehearsal: 44 s scan). Raise
+    # ``write_partitions`` for an unusually large batch that needs a
+    # parallel write; huge backfills belong to append_dataframe/
+    # merge_into, not this path.
     def _write_data(d: str) -> None:
-        writer = out.coalesce(1).write.mode("append")
+        writer = out.coalesce(max(1, write_partitions)).write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(d)

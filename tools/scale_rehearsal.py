@@ -543,9 +543,17 @@ def main() -> None:
     # quadratic (rows x bench = 100x work at 10x copies, 216 s)
     from platform_spark.gate import semantic_decontam_vec_probe
 
-    t0 = time.time()
-    force(semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=4096))
-    timings["llm_semantic_decontam_vec"] = round(time.time() - t0, 3)
+    # best-of-2: this leg's single-shot wall spans cold 27 s / warm 18 s
+    # at sf1 (Arrow+codegen warmup of the probe shape), and that spread
+    # alone pushed the r10 first-cut cross-SF ratio past the 1.25x flag
+    # line (12.7x vs a true ~10x) — min-of-2 compares warm vs warm
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        force(semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=4096))
+        runs.append(time.time() - t0)
+        cleanup()
+    timings["llm_semantic_decontam_vec"] = round(min(runs), 3)
     print(f"llm_semantic_decontam_vec: {timings['llm_semantic_decontam_vec']} s", flush=True)
 
     if args.curation:
