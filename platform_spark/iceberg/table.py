@@ -1930,16 +1930,27 @@ class IcebergTable:
                 self.refresh()  # pure metadata: recompute from fresh list
         raise last_err  # type: ignore[misc]
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
         """Expire all but the newest ``keep_last`` snapshots, then delete
         every file only they reference (manifest lists, manifests, and —
         after a replace_files compaction — the replaced data files).
         Metadata commits FIRST, file deletion second, so a reader of the
         new version never plans a deleted file; this is standard Iceberg
-        expiry ordering. Returns {'snapshots': n, 'files': n} removed."""
+        expiry ordering. ``older_than_ms`` adds the deployment-shaped
+        age guard (Iceberg's expire_snapshots(older_than=...)): only
+        snapshots whose commit timestamp is strictly below it expire, so
+        "keep a day of time travel" composes with the count floor —
+        whichever keeps MORE history wins. Returns {'snapshots': n,
+        'files': n} removed."""
         snaps = sorted(
             self.metadata["snapshots"], key=lambda s: s["sequence-number"]
         )
+        if older_than_ms is not None:
+            # age pins: young snapshots join the keep_last tail
+            young = [s for s in snaps if s["timestamp-ms"] >= older_than_ms]
+            keep_last = max(keep_last, len(young))
         if len(snaps) <= keep_last:
             return {"snapshots": 0, "files": 0}
         # tags PIN their snapshots: a tagged corpus version must stay

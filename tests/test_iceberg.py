@@ -1690,6 +1690,34 @@ def test_pipeline_upsert_sink_auto_maintenance(spark, tmp_path):
     assert len(t.metadata["snapshots"]) <= 2 + 1  # expire_keep_last honored
 
 
+def test_expire_snapshots_older_than(spark, table_loc):
+    """Age-based expiry composes with the count floor: only snapshots
+    strictly older than the cutoff expire, whichever policy keeps more
+    history wins, and tag/current pins still hold."""
+    now = [1_700_000_000.0]
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=lambda: now[0])
+    for lo in range(0, 40, 10):  # four commits, one hour apart
+        now[0] += 3600
+        append_dataframe(t, _mk(spark, lo, lo + 10))
+    ts = [s["timestamp-ms"] for s in t.metadata["snapshots"]]
+    # cutoff between commit 2 and 3: commits 1-2 are expirable by age,
+    # but keep_last=3 keeps commit 2 anyway (count floor wins)
+    res = t.expire_snapshots(keep_last=3, older_than_ms=ts[1] + 1)
+    assert res["snapshots"] == 1
+    assert len(t.metadata["snapshots"]) == 3
+    # age floor wins over an aggressive count: everything is younger
+    # than the cutoff → nothing expires despite keep_last=1
+    res = t.expire_snapshots(keep_last=1, older_than_ms=ts[0])
+    assert res["snapshots"] == 0
+    # content never changes
+    assert t.to_spark(spark).count() == 40
+    # with a permissive age cutoff the count floor applies as before
+    res = t.expire_snapshots(keep_last=1, older_than_ms=ts[-1] + 1)
+    assert res["snapshots"] == 2
+    assert t.to_spark(spark).count() == 40
+
+
 def test_truncate_transform_partitioning(spark, table_loc):
     """truncate[W]: strings bucket by prefix, ints floor to the nearest
     W multiple (negatives too) — the prefix layout for URL/id-keyed
@@ -1844,6 +1872,10 @@ def test_changes_along_branch_ref(spark, table_loc):
     assert got == list(range(100, 125))
     # the same window on main is empty (nothing published yet)
     assert t.changes(spark, from_snapshot_id=s1["snapshot-id"]).count() == 0
+    # changelog() takes the same ref= path (append-only branch → inserts)
+    cl = t.changelog(spark, from_snapshot_id=s1["snapshot-id"], ref="audit")
+    assert sorted(r.id for r in cl.collect()) == list(range(100, 125))
+    assert {r._change_type for r in cl.collect()} == {"insert"}
     # a tag ref works the same way (pinned head)
     t.create_tag("baseline", s1["snapshot-id"])
     assert t.changes(spark, ref="baseline").count() == 10
