@@ -95,12 +95,17 @@ _EXTRA_SHORT = {
     "iceberg_upsert_scan": "ice_ups",
     "iceberg_changelog_scan": "ice_cl",
     "iceberg_kafsql_scan": "ice_sql",
+    "iceberg_matview_scan": "ice_mv",
     "semdedup": "smd",
     "decontam": "dcm",
     "snapdiff": "snd",
     "langid": "lid",
     "winnow": "win",
     "collapse": "clps",
+    "contain": "ctn",
+    "boiler": "blr",
+    "curric": "cur",
+    "a_pivot": "apv",
 }
 
 
@@ -183,6 +188,7 @@ HEADLINE_GATES = (
     "iceberg_upsert_scan",
     "iceberg_changelog_scan",
     "iceberg_kafsql_scan",
+    "iceberg_matview_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",

@@ -5487,6 +5487,86 @@ WHERE doc_id % 5 = 0
 )
 
 
+def _ensure_iceberg_matview(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch for the incrementally-maintained-aggregate gate: the SAME
+    commit sequence as the upsert table (append evens → upsert %3 →
+    upsert %5), but with an IncrementalAggregate REFRESHED AFTER EVERY
+    COMMIT — so the persisted state the gate reads was produced by one
+    full rebuild plus two O(changed rows) changelog folds, never by a
+    final-state scan."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    root, done = _iceberg_scratch(sf_dir, "_mv")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731
+        table = IcebergTable.create(
+            os.path.join(root, "tbl"), docs.schema,
+            partition_by=("lang",), clock=clock,
+        )
+        agg = IncrementalAggregate(
+            os.path.join(root, "view"), group_cols=["lang"],
+            sum_cols=["n_chars"],
+        )
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 0))
+        agg.refresh(spark, table)  # rebuild
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn("source", F.lit("u1")),
+            ["doc_id"],
+        )
+        agg.refresh(spark, table)  # incremental fold
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(7)
+            ),
+            ["doc_id"],
+        )
+        agg.refresh(spark, table)  # incremental fold
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+def _iceberg_matview_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.matview import IncrementalAggregate
+
+    root = _ensure_iceberg_matview(spark, sf_dir)
+    return IncrementalAggregate(
+        os.path.join(root, "view"), group_cols=["lang"], sum_cols=["n_chars"]
+    ).read(spark)
+
+
+# Incrementally-maintained aggregate: the state was built by folding each
+# upsert's changelog (insert adds, delete subtracts — an update nets) into
+# the prior state, never by scanning the final table; the oracle computes
+# the final-state GROUP BY directly, so a hash match proves delta
+# maintenance converges to the exact full aggregate across overlapping
+# upserts (u2 superseding part of u1).
+_add(
+    "iceberg_matview_scan",
+    _iceberg_matview_gate,
+    """
+WITH final AS (
+  SELECT lang, n_chars FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT lang, n_chars + 7 AS n_chars FROM documents WHERE doc_id % 5 = 0
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM final GROUP BY lang
+""",
+)
+
+
 def _iceberg_changelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_spark.iceberg.table import IcebergTable
 
@@ -6202,6 +6282,7 @@ _TAIL_SUBSETS = [
     "iceberg_upsert_scan",         # NEW r9, tail-placed from birth: the scan side (equality-delete application under the sequence rule, broadcast key anti-join) is head-pinned by iceberg_delete_scan's equality-delete + re-append leg; the single-snapshot commit shape (data + delete manifests at one sequence number) carries its own full relational oracle replayed in pytest, plus dedicated lifecycle tests (test_upsert_dataframe_single_snapshot_cdc, test_pipeline_iceberg_upsert_sink)
     "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
+    "iceberg_matview_scan",        # NEW r10, tail-placed from birth: the changelog events it folds are pinned by iceberg_changelog_scan's six-event-class oracle (tail, pytest-replayed) over the SAME commit sequence, and the delete-materialization machinery under those events is head-pinned by iceberg_delete_scan/iceberg_merge_scan; the view-specific surface (sign-folding delta merge, state swap, checkpoint) carries this full final-state GROUP BY oracle replayed in pytest plus the step-by-step equality + expired-checkpoint-recovery test (test_incremental_aggregate_maintenance)
     "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
 ]

@@ -1690,6 +1690,69 @@ def test_pipeline_upsert_sink_auto_maintenance(spark, tmp_path):
     assert len(t.metadata["snapshots"]) <= 2 + 1  # expire_keep_last honored
 
 
+def test_incremental_aggregate_maintenance(spark, table_loc, tmp_path):
+    """IncrementalAggregate: a persisted GROUP BY maintained in
+    O(changed rows) from changelog() — after every kind of table change
+    (append, overlapping upserts, key/predicate deletes, maintenance)
+    the state equals the full aggregate of the live table, refresh is
+    idempotent, and a checkpoint re-fold after a no-op is free."""
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.iceberg.table import (
+        compact_table, rewrite_deletes, upsert_dataframe,
+    )
+
+    def full(t):
+        return {
+            (r.part, r.n, r.s)
+            for r in t.to_spark(spark)
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .collect()
+        }
+
+    def state(agg):
+        return {(r.part, r.n, r.sum_id) for r in agg.read(spark).collect()}
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    agg = IncrementalAggregate(
+        str(tmp_path / "mv"), group_cols=["part"], sum_cols=["id"]
+    )
+    assert agg.read(spark).count() == 0
+    append_dataframe(t, _mk(spark, 0, 20))
+    assert agg.refresh(spark, t) == -1  # first materialization = rebuild
+    assert state(agg) == full(t)
+    # incremental folds: upsert (delete+insert nets), deletes, appends
+    upsert_dataframe(t, _mk(spark, 5, 9).withColumn("text", F.lit("v2")), ["id"])
+    n = agg.refresh(spark, t)
+    assert n == 8  # 4 deletes + 4 inserts
+    assert state(agg) == full(t)
+    t.delete_keys(spark, spark.createDataFrame([(0,), (4,), (8,)], "id long"))
+    t.delete_where(spark, "id >= 18")
+    append_dataframe(t, _mk(spark, 40, 45))
+    assert agg.refresh(spark, t) > 0
+    assert state(agg) == full(t)
+    # no table movement → zero events, checkpoint already current
+    assert agg.refresh(spark, t) == 0
+    # maintenance snapshots are content-neutral for the view too
+    rewrite_deletes(t, spark)
+    compact_table(t, spark)
+    assert agg.refresh(spark, t) == 0
+    assert state(agg) == full(t)
+    # a group whose last row dies disappears from the state
+    t.delete_where(spark, "part = 3")
+    agg.refresh(spark, t)
+    assert state(agg) == full(t)
+    assert all(r.part != 3 for r in agg.read(spark).collect())
+    # expired checkpoint → loud error, rebuild recovers
+    append_dataframe(t, _mk(spark, 50, 55))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="re-baseline|unknown|ancestry"):
+        agg.refresh(spark, t)
+    agg.rebuild(spark, t)
+    assert state(agg) == full(t)
+
+
 def test_expire_snapshots_older_than(spark, table_loc):
     """Age-based expiry composes with the count floor: only snapshots
     strictly older than the cutoff expire, whichever policy keeps more
