@@ -111,38 +111,25 @@ class IcebergTopicCatalog:
         callers still apply the exact row filters."""
         import datetime
 
-        from platform_spark.iceberg.table import deserialize_bound
-
         pf = {"_partition": partition} if partition is not None else None
         entries = table.scan_files(partition_filter=pf, spark=self.spark)
-        ts_field = next(
-            (f for f in table.schema["fields"] if f["name"] == "_ts"), None
-        )
-        if ts_field is None or (ts_min is None and ts_max is None):
+        has_ts = any(f["name"] == "_ts" for f in table.schema["fields"])
+        if not has_ts or (ts_min is None and ts_max is None):
             return entries
 
         def to_micros(dt: datetime.datetime) -> int:
             epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
             return int((dt - epoch).total_seconds() * 1_000_000)
 
-        lo_want = to_micros(ts_min) if ts_min is not None else None
-        hi_want = to_micros(ts_max) if ts_max is not None else None
-        out = []
-        for e in entries:
-            d = e["data_file"]
-            lo = hi = None
-            for kv in d.get("lower_bounds") or []:
-                if kv["key"] == ts_field["id"]:
-                    lo = deserialize_bound(ts_field["type"], kv["value"])
-            for kv in d.get("upper_bounds") or []:
-                if kv["key"] == ts_field["id"]:
-                    hi = deserialize_bound(ts_field["type"], kv["value"])
-            if lo_want is not None and hi is not None and hi < lo_want:
-                continue
-            if hi_want is not None and lo is not None and lo > hi_want:
-                continue
-            out.append(e)
-        return out
+        return table.filter_entries_by_bounds(
+            entries,
+            {
+                "_ts": (
+                    to_micros(ts_min) if ts_min is not None else None,
+                    to_micros(ts_max) if ts_max is not None else None,
+                )
+            },
+        )
 
     def topic_scan(
         self,

@@ -2568,25 +2568,74 @@ class IcebergTable:
             ]
         return df.select(*cols)
 
+    def filter_entries_by_bounds(
+        self, entries: list[dict], column_bounds: dict
+    ) -> list[dict]:
+        """Data skipping from manifest COLUMN bounds: keep only entries
+        whose per-file [lower, upper] for each bounded column can
+        intersect the wanted ``(lo, hi)`` range (either end None = open).
+        A SUPERSET of the matching rows — files lacking bounds survive —
+        so callers still apply exact row filters; pruning only shrinks
+        the plan. Values use the raw Iceberg representation (ints,
+        floats, strings; timestamps as micros since epoch). On a table
+        written sorted/laid-out by the column (operators/layout.py),
+        this turns a point lookup or range query over 10^5 files into a
+        handful of file reads with ZERO footer access — the manifest is
+        the sparse index."""
+        fields = {f["name"]: f for f in self.schema["fields"]}
+        checks = []
+        for col, (lo_want, hi_want) in column_bounds.items():
+            if col not in fields:
+                raise ValueError(f"iceberg: bounds column {col!r} not in schema")
+            f = fields[col]
+            checks.append((f["id"], f["type"], lo_want, hi_want))
+        out = []
+        for e in entries:
+            d = e["data_file"]
+            keep = True
+            for fid, ftype, lo_want, hi_want in checks:
+                lo = hi = None
+                for kv in d.get("lower_bounds") or []:
+                    if kv["key"] == fid:
+                        lo = deserialize_bound(ftype, kv["value"])
+                for kv in d.get("upper_bounds") or []:
+                    if kv["key"] == fid:
+                        hi = deserialize_bound(ftype, kv["value"])
+                if lo_want is not None and hi is not None and hi < lo_want:
+                    keep = False
+                    break
+                if hi_want is not None and lo is not None and lo > hi_want:
+                    keep = False
+                    break
+            if keep:
+                out.append(e)
+        return out
+
     def to_spark(
         self,
         spark,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
         ref: str | None = None,
+        column_bounds: dict | None = None,
     ):
         """Read the table into a DataFrame: metadata-planned file list →
         one parquet scan. ``ref`` reads a named tag's pinned snapshot.
-        Live position deletes merge on read: the data scan's (file_path,
-        row_index) identity anti-joins the delete files, broadcast when
-        the metadata says they are small (they almost always are —
-        deletes are KBs of row ids against TBs of data), so the plan
-        stays a single streaming pass over the data."""
+        ``column_bounds`` ({col: (lo, hi)}) prunes the file list by
+        manifest column bounds before Spark plans anything (superset
+        semantics — apply the exact filter on the result). Live position
+        deletes merge on read: the data scan's (file_path, row_index)
+        identity anti-joins the delete files, broadcast when the
+        metadata says they are small (they almost always are — deletes
+        are KBs of row ids against TBs of data), so the plan stays a
+        single streaming pass over the data."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("iceberg: pass snapshot_id or ref, not both")
             snapshot_id = self.ref_snapshot_id(ref)
         entries = self.scan_files(snapshot_id, partition_filter, spark=spark)
+        if column_bounds:
+            entries = self.filter_entries_by_bounds(entries, column_bounds)
         return self.read_entries(spark, entries, snapshot_id=snapshot_id)
 
     def read_entries(self, spark, entries: list[dict], snapshot_id: int | None = None):

@@ -1753,6 +1753,37 @@ def test_incremental_aggregate_maintenance(spark, table_loc, tmp_path):
     assert state(agg) == full(t)
 
 
+def test_column_bounds_data_skipping(spark, table_loc):
+    """Manifest column bounds prune the FILE LIST before Spark plans: on
+    a table whose files hold disjoint id ranges, a point/range lookup
+    reads only the intersecting files (asserted on inputFiles), results
+    stay exact after the row filter, and files lacking bounds survive
+    (superset semantics)."""
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    for lo in range(0, 400, 100):  # 4 commits, disjoint id ranges
+        append_dataframe(t, _mk(spark, lo, lo + 100).coalesce(1))
+    all_files = set(t.to_spark(spark).inputFiles())
+    # range straddling two commits
+    pruned = t.to_spark(spark, column_bounds={"id": (150, 250)})
+    assert set(pruned.inputFiles()) < all_files
+    assert len(set(pruned.inputFiles())) == 2
+    got = sorted(r.id for r in pruned.filter("id BETWEEN 150 AND 250").collect())
+    assert got == list(range(150, 251))
+    # point lookup: one file
+    point = t.to_spark(spark, column_bounds={"id": (42, 42)})
+    assert len(set(point.inputFiles())) == 1
+    assert [r.text for r in point.filter("id = 42").collect()] == ["doc-42"]
+    # open-ended + string bounds compose; unknown column raises
+    hi = t.to_spark(spark, column_bounds={"id": (300, None), "text": ("doc-", None)})
+    assert len(set(hi.inputFiles())) == 1
+    with pytest.raises(ValueError, match="not in schema"):
+        t.to_spark(spark, column_bounds={"nope": (1, 2)})
+    # estimate path: the same pruning powers metadata-only planning
+    entries = t.filter_entries_by_bounds(t.scan_files(), {"id": (0, 99)})
+    assert sum(e["data_file"]["record_count"] for e in entries) == 100
+
+
 def test_expire_snapshots_older_than(spark, table_loc):
     """Age-based expiry composes with the count floor: only snapshots
     strictly older than the cutoff expire, whichever policy keeps more
