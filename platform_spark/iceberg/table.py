@@ -372,6 +372,44 @@ MANIFEST_FILE_SCHEMA = {
 # -- data-file footer stats (runs on executors for large commits) -----------
 
 
+#: spec `write.metadata.metrics.default = truncate(16)`: string/binary
+#: bounds store a 16-unit prefix, never the full value — a 100 KB text
+#: column would otherwise put its whole min/max document into EVERY
+#: manifest entry (parquet footers themselves carry up to 4 KB of stats
+#: per column), and manifests are the per-query planning hot path
+_BOUND_TRUNC = 16
+
+
+def _truncate_lower(v, ice_type: str):
+    """A prefix is always a valid LOWER bound (≤ the real minimum)."""
+    if ice_type in ("string", "binary") and v is not None:
+        return v[:_BOUND_TRUNC]
+    return v
+
+
+def _truncate_upper(v, ice_type: str):
+    """Valid UPPER bound from a prefix: increment its last unit (spec
+    truncateStringMax/truncateBinaryMax). None = unbounded above (all
+    units already at the maximum — vanishingly rare)."""
+    if ice_type == "string" and v is not None and len(v) > _BOUND_TRUNC:
+        chars = list(v[:_BOUND_TRUNC])
+        for i in reversed(range(len(chars))):
+            cp = ord(chars[i]) + 1
+            if 0xD800 <= cp <= 0xDFFF:
+                cp = 0xE000  # skip the surrogate gap (not encodable)
+            if cp <= 0x10FFFF:
+                return "".join(chars[:i]) + chr(cp)
+        return None
+    if ice_type == "binary" and v is not None and len(v) > _BOUND_TRUNC:
+        b = bytearray(v[:_BOUND_TRUNC])
+        for i in reversed(range(len(b))):
+            if b[i] < 0xFF:
+                b[i] += 1
+                return bytes(b[: i + 1])
+        return None
+    return v
+
+
 def _collect_file_stats(
     path: str, ids_by_name: dict[str, int], types_by_id: dict[int, object]
 ) -> dict:
@@ -408,12 +446,22 @@ def _collect_file_stats(
     lower = [
         {"key": k, "value": b}
         for k, v in sorted(mins.items())
-        if (b := serialize_bound(types_by_id[k], v)) is not None
+        if (
+            b := serialize_bound(
+                types_by_id[k], _truncate_lower(v, types_by_id[k])
+            )
+        )
+        is not None
     ]
     upper = [
         {"key": k, "value": b}
         for k, v in sorted(maxs.items())
-        if (b := serialize_bound(types_by_id[k], v)) is not None
+        if (
+            b := serialize_bound(
+                types_by_id[k], _truncate_upper(v, types_by_id[k])
+            )
+        )
+        is not None
     ]
     return {
         "record_count": meta.num_rows,

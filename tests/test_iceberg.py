@@ -1784,6 +1784,50 @@ def test_column_bounds_data_skipping(spark, table_loc):
     assert sum(e["data_file"]["record_count"] for e in entries) == 100
 
 
+def test_string_bounds_truncate_in_manifests(spark, table_loc):
+    """Spec truncate(16): long string columns store a 16-char prefix as
+    the lower bound and an incremented prefix as the upper bound — a
+    100 KB document must never land whole in every manifest entry — and
+    bounds pruning stays a correct superset through the truncation."""
+    from platform_spark.iceberg.table import _truncate_upper, deserialize_bound
+
+    df = spark.createDataFrame(
+        [(i, ("b" if i < 50 else "m") * 40 + f"tail-{i}") for i in range(100)],
+        "id long, text string",
+    )
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    append_dataframe(t, df.filter("id < 50").coalesce(1))
+    append_dataframe(t, df.filter("id >= 50").coalesce(1))
+    fld = next(f for f in t.schema["fields"] if f["name"] == "text")
+    for e in t.scan_files():
+        lo = {kv["key"]: kv["value"] for kv in e["data_file"]["lower_bounds"]}
+        hi = {kv["key"]: kv["value"] for kv in e["data_file"]["upper_bounds"]}
+        lo_s = deserialize_bound("string", lo[fld["id"]])
+        hi_s = deserialize_bound("string", hi[fld["id"]])
+        assert len(lo_s) <= 16 and len(hi_s) <= 16
+        assert lo_s in ("b" * 16, "m" * 16)
+        # upper bound = prefix with last unit incremented → ≥ every value
+        assert hi_s in ("b" * 15 + "c", "m" * 15 + "n")
+    # pruning through truncated bounds: 'm'-prefixed lookups skip file 1
+    pruned = t.filter_entries_by_bounds(
+        t.scan_files(), {"text": ("m", "n")}
+    )
+    assert len(pruned) == 1
+    assert (
+        t.to_spark(spark, column_bounds={"text": ("m", "n")})
+        .filter("text >= 'm' AND text < 'n'")
+        .count()
+        == 50
+    )
+    # increment edge: all-max prefix drops the upper bound (unbounded),
+    # and an increment never lands inside the surrogate gap
+    assert _truncate_upper(chr(0x10FFFF) * 20, "string") is None
+    assert (
+        _truncate_upper(chr(0xD7FF) * 20, "string")
+        == chr(0xD7FF) * 15 + chr(0xE000)
+    )
+
+
 def test_expire_snapshots_older_than(spark, table_loc):
     """Age-based expiry composes with the count floor: only snapshots
     strictly older than the cutoff expire, whichever policy keeps more
