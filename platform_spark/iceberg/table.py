@@ -608,6 +608,7 @@ class IcebergTable:
         properties: dict | None = None,
         clock=time.time,
         protocol: CommitProtocol | None = None,
+        sort_by: tuple[str, ...] = (),
     ) -> "IcebergTable":
         ice = schema_to_iceberg(spark_schema, schema_id=0)
         last_col = ice.pop("_last_column_id")
@@ -695,6 +696,26 @@ class IcebergTable:
                     "field-id": 1000 + i,
                 }
             )
+        sort_fields = []
+        for s in sort_by:
+            col, direction = s, "asc"
+            if s.lower().endswith(" desc"):
+                col, direction = s[:-5].strip(), "desc"
+            elif s.lower().endswith(" asc"):
+                col = s[:-4].strip()
+            if col not in by_name:
+                raise ValueError(f"iceberg: sort column {col!r} not in schema")
+            sort_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "direction": direction,
+                    "null-order": "nulls-first",
+                }
+            )
+        sort_orders = [{"order-id": 0, "fields": []}]
+        if sort_fields:
+            sort_orders.append({"order-id": 1, "fields": sort_fields})
         now_ms = int(clock() * 1000)
         metadata = {
             "format-version": 2,
@@ -708,8 +729,8 @@ class IcebergTable:
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 1 if sort_fields else 0,
+            "sort-orders": sort_orders,
             "properties": dict(properties or {}),
             "current-snapshot-id": -1,
             "snapshots": [],
@@ -904,11 +925,14 @@ class IcebergTable:
         branch: str | None = None,
     ) -> dict:
         """Commit an append snapshot over already-written parquet files
-        (they should live under ``location/data/``). Returns the new
-        snapshot dict. Retries on commit conflict like the reference's
-        3-attempt loop (iceberg.go:157-195). ``properties_update`` merges
-        into table properties atomically with the commit (the streaming
-        sink records its last batch id this way for replay idempotence)."""
+        (they should live under ``location/data/``; on a table created
+        with ``sort_by=`` the caller is expected to have written them in
+        that order — entries are tagged with the default sort-order id).
+        Returns the new snapshot dict. Retries on commit conflict like
+        the reference's 3-attempt loop (iceberg.go:157-195).
+        ``properties_update`` merges into table properties atomically
+        with the commit (the streaming sink records its last batch id
+        this way for replay idempotence)."""
         if not paths:
             raise ValueError("iceberg: empty append")
         stats = self._file_stats(paths, spark=spark)
@@ -972,7 +996,15 @@ class IcebergTable:
                         "partition": part,
                         "split_offsets": None,
                         "equality_ids": equality_ids,
-                        "sort_order_id": None,
+                        # every internal Spark writer lays data out per
+                        # the declared order (_apply_sort_layout);
+                        # append_files callers providing their own files
+                        # are documented to honor it
+                        "sort_order_id": (
+                            self.metadata.get("default-sort-order-id") or None
+                        )
+                        if content == 0
+                        else None,
                         **stats,
                     },
                 }
@@ -2616,6 +2648,23 @@ class IcebergTable:
             ]
         return df.select(*cols)
 
+    def sort_columns(self) -> list[tuple[str, str]]:
+        """The default sort order as [(column, 'asc'|'desc')] — empty
+        when the table is unsorted (order-id 0)."""
+        oid = self.metadata.get("default-sort-order-id", 0)
+        order = next(
+            (
+                o
+                for o in self.metadata.get("sort-orders", [])
+                if o["order-id"] == oid
+            ),
+            None,
+        )
+        if not order or not order["fields"]:
+            return []
+        names = {f["id"]: f["name"] for f in self.schema["fields"]}
+        return [(names[f["source-id"]], f["direction"]) for f in order["fields"]]
+
     def filter_entries_by_bounds(
         self, entries: list[dict], column_bounds: dict
     ) -> list[dict]:
@@ -2896,6 +2945,32 @@ def _with_partition_columns(table: IcebergTable, df):
     return df, names
 
 
+def _apply_sort_layout(
+    table: IcebergTable, df, part_cols, range_partition: bool = True
+):
+    """Lay a batch out per the table's DECLARED sort order
+    (``create(sort_by=...)``) before a write: range-partition on
+    (partition cols, sort cols) so each task owns a contiguous key range
+    — per-file column bounds come out disjoint and the manifest becomes
+    a selective sparse index for ``column_bounds`` lookups — then sort
+    within tasks so parquet row-group stats are tight too.
+    ``range_partition=False`` only sorts rows (micro-batch upserts write
+    one file per commit anyway). No-op on unsorted tables."""
+    from pyspark.sql import functions as F
+
+    sort_cols = table.sort_columns()
+    if not sort_cols:
+        return df
+    order = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc()
+        for c, d in sort_cols
+    ]
+    keys = [F.col(c) for c in part_cols] + order
+    if range_partition:
+        df = df.repartitionByRange(*keys)
+    return df.sortWithinPartitions(*keys)
+
+
 def append_dataframe(
     table: IcebergTable,
     df,
@@ -2912,6 +2987,7 @@ def append_dataframe(
     if df.schema != table.spark_schema:
         table.evolve_schema(df.schema)
     out, part_cols = _with_partition_columns(table, df)
+    out = _apply_sort_layout(table, out, part_cols)
 
     def _write(d: str) -> None:
         writer = out.write.mode("append")
@@ -3008,7 +3084,11 @@ def upsert_dataframe(
     # parallel write; huge backfills belong to append_dataframe/
     # merge_into, not this path.
     def _write_data(d: str) -> None:
-        writer = out.coalesce(max(1, write_partitions)).write.mode("append")
+        laid = _apply_sort_layout(
+            table, out.coalesce(max(1, write_partitions)), part_cols,
+            range_partition=False,  # one file per commit: sort rows only
+        )
+        writer = laid.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(d)
@@ -3094,7 +3174,15 @@ def compact_table(
         entries,
     ).drop("__fp", "__pos")
     df, part_cols = _with_partition_columns(table, df)
-    if part_cols:
+    if table.sort_columns():
+        # declared sort order: compaction is where layout is
+        # re-established after CDC — range partitioning replaces the
+        # hash salt (it splits big partitions by key range instead)
+        df = _apply_sort_layout(table, df, part_cols)
+        writer = df.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+    elif part_cols:
         keys = [F.col(c) for c in part_cols]
         if files_per_partition > 1:
             # deterministic salt: big partitions fan out over N tasks,
@@ -3323,6 +3411,7 @@ def merge_into(
             merged = source
         def _write(d: str) -> None:
             out, names = _with_partition_columns(table, merged)
+            out = _apply_sort_layout(table, out, names)
             writer = out.write.mode("append")
             if names:
                 writer = writer.partitionBy(*names)

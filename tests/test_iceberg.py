@@ -1784,6 +1784,48 @@ def test_column_bounds_data_skipping(spark, table_loc):
     assert sum(e["data_file"]["record_count"] for e in entries) == 100
 
 
+def test_declared_sort_order_layout(spark, table_loc):
+    """create(sort_by=...): every internal writer lays batches out by
+    the declared order (range partition + local sort), so per-file
+    column bounds come out disjoint and a point lookup through
+    column_bounds touches ONE file even when the input arrived shuffled
+    — and compaction re-establishes the layout after CDC churn."""
+    from platform_spark.iceberg.table import compact_table, upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK, sort_by=("id",))
+    assert t.metadata["default-sort-order-id"] == 1
+    assert t.sort_columns() == [("id", "asc")]
+    # shuffled input: layout must come from the writer, not the source
+    shuffled = _mk(spark, 0, 320).orderBy(F.rand(7)).repartition(8)
+    append_dataframe(t, shuffled)
+    entries = t.scan_files()
+    assert all(e["data_file"]["sort_order_id"] == 1 for e in entries)
+    # disjoint per-file id ranges → a point lookup plans exactly one file
+    assert len(t.filter_entries_by_bounds(entries, {"id": (200, 200)})) == 1
+    point = t.to_spark(spark, column_bounds={"id": (200, 200)})
+    assert [r.text for r in point.filter("id = 200").collect()] == ["doc-200"]
+    # CDC churn then compaction: layout (and the 1-file lookup) returns
+    upsert_dataframe(t, _mk(spark, 100, 104).withColumn("text", F.lit("v2")), ["id"])
+    compact_table(t, spark)
+    entries2 = t.scan_files()
+    assert len(t.filter_entries_by_bounds(entries2, {"id": (100, 100)})) == 1
+    got = t.to_spark(spark, column_bounds={"id": (100, 103)}).filter(
+        "id BETWEEN 100 AND 103"
+    )
+    assert sorted((r.id, r.text) for r in got.collect()) == [
+        (i, "v2") for i in range(100, 104)
+    ]
+    # unknown sort column fails at create time
+    with pytest.raises(ValueError, match="not in schema"):
+        IcebergTable.create(table_loc + "2", df.schema, sort_by=("nope",))
+    # DESC direction round-trips through metadata
+    t3 = IcebergTable.create(
+        table_loc + "3", df.schema, clock=CLOCK, sort_by=("part", "id desc")
+    )
+    assert t3.sort_columns() == [("part", "asc"), ("id", "desc")]
+
+
 def test_string_bounds_truncate_in_manifests(spark, table_loc):
     """Spec truncate(16): long string columns store a 16-char prefix as
     the lower bound and an incremented prefix as the upper bound — a
