@@ -3160,7 +3160,10 @@ def compact_table(
     rows are folded in, and the now-dangling row ids no-op).
 
     ``files_per_partition > 1`` salts the shuffle so one huge partition
-    value doesn't serialize through a single task."""
+    value doesn't serialize through a single task; on a table with a
+    DECLARED sort order the salt is unnecessary — range partitioning on
+    (partition, sort) keys splits big partitions by key range while
+    re-establishing the bounds-skipping layout."""
     from pyspark.sql import functions as F
 
     entries = table.scan_files(partition_filter=partition_filter, spark=spark)
