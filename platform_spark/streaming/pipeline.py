@@ -42,6 +42,7 @@ class ContinuousTopicPipeline:
         expire_keep_last: int = 8,
         upsert_keys: tuple[str, ...] | None = None,
         upsert_order_by: tuple[str, ...] | None = None,
+        sort_cols: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -95,6 +96,11 @@ class ContinuousTopicPipeline:
         #: the equality delete only kills strictly-older files, so
         #: intra-batch duplicates would both survive permanently.
         self.upsert_order_by = upsert_order_by
+        #: declared sort order for the created Iceberg table: every sink
+        #: write lays batches out by it (and compaction re-establishes
+        #: it), so manifest column bounds stay a selective sparse index
+        #: for point/range lookups on the sunk table
+        self.sort_cols = sort_cols
         self._appends_since_compact = 0
         #: partition values the appends since the last compaction touched
         #: — maintenance bin-packs ONLY these (partition-scoped partial
@@ -190,6 +196,7 @@ class ContinuousTopicPipeline:
                 self.iceberg_location,
                 batch.schema,
                 partition_by=self.partition_cols,
+                sort_by=self.sort_cols,
             )
         props = (
             {"streaming-batch-id": str(batch_id)} if batch_id is not None else None

@@ -1670,6 +1670,7 @@ def test_pipeline_upsert_sink_auto_maintenance(spark, tmp_path):
         partition_cols=("part",),
         upsert_keys=("id",),
         upsert_order_by=("text",),
+        sort_cols=("id",),
         compact_every=1,
         expire_keep_last=2,
     )
@@ -1688,6 +1689,11 @@ def test_pipeline_upsert_sink_auto_maintenance(spark, tmp_path):
     _, _, mlist = _avro.read_container(t.current_snapshot()["manifest-list"])
     assert len(mlist) <= 4
     assert len(t.metadata["snapshots"]) <= 2 + 1  # expire_keep_last honored
+    # the sink declared sort_cols: maintenance re-laid the table out, so
+    # a point lookup bounds-prunes to a strict subset of the live files
+    assert t.sort_columns() == [("id", "asc")]
+    hit = t.filter_entries_by_bounds(t.scan_files(), {"id": (25, 25)})
+    assert len(hit) < len(t.scan_files())
 
 
 def test_incremental_aggregate_maintenance(spark, table_loc, tmp_path):
