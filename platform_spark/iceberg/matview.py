@@ -6,10 +6,18 @@ histograms. Recomputing them is a full scan per refresh; this module
 maintains them in **O(changed rows)** instead, by folding the table's
 ``changelog()`` (insert/delete events per snapshot) into a persisted
 state: inserts add to the group's running SUM/COUNT, deletes subtract,
-and an update (delete+insert of the same key) nets out exactly. The
-refresh checkpoint is the last folded snapshot id, so restarts are
-idempotent and a crashed refresh re-folds the same window onto the
-PREVIOUS state (the state swap is atomic).
+and an update (delete+insert of the same key) nets out exactly.
+
+Crash safety: each refresh writes its new state into a fresh
+uniquely-named directory, then publishes it with ONE ``os.replace`` of
+the checkpoint file — the checkpoint names BOTH the folded snapshot id
+and the live state directory, so there is no window where the two can
+disagree. A crash before the replace leaves the previous (state,
+checkpoint) pair fully intact and the orphaned new directory is swept
+on the next refresh; a crash after the replace is simply a completed
+refresh. (The earlier design renamed the state directory and wrote the
+checkpoint separately, which had both a double-fold window and a
+missing-state window.)
 
 SUM and COUNT are self-inverting, which is what makes delta maintenance
 exact; MIN/MAX are not (a deleted minimum needs a rescan) and are
@@ -36,13 +44,18 @@ class IncrementalAggregate:
     ``sum(col) AS sum_<col>`` per entry in ``sum_cols``, maintained from
     an IcebergTable's changelog.
 
-    ``state_dir`` holds the materialized groups (parquet) plus a
-    ``_CHECKPOINT`` json with the last folded snapshot id. ``refresh``
-    folds only the snapshots committed since — O(changed rows) — and
-    returns the number of change events folded. ``read`` returns the
-    current state as a DataFrame (groups with zero live rows are
-    dropped, so the state always equals the full aggregate of the live
-    table — asserted by tests against random op sequences)."""
+    ``state_dir`` holds uniquely-named state directories (parquet) plus
+    a ``_CHECKPOINT`` json naming the last folded snapshot id AND the
+    live state directory — published together in one atomic rename.
+    ``refresh`` folds only the snapshots committed since the checkpoint
+    — O(changed rows) — and returns the number of change events folded.
+    ``read`` returns the current state as a DataFrame (groups with zero
+    live rows are dropped, so the state always equals the full aggregate
+    of the live table — asserted by tests against random op sequences).
+
+    State writes run at natural parallelism (no single-task funnel): the
+    state's size is bounded by GROUP cardinality, which for per-URL or
+    per-document keys on a 100 TB corpus is itself corpus-sized."""
 
     def __init__(
         self,
@@ -61,16 +74,25 @@ class IncrementalAggregate:
     def _ckpt_path(self) -> str:
         return os.path.join(self.state_dir, "_CHECKPOINT")
 
-    @property
-    def _data_dir(self) -> str:
-        return os.path.join(self.state_dir, "state")
-
-    def checkpoint(self) -> int | None:
-        """Last folded snapshot id (None before the first refresh)."""
+    def _ckpt(self) -> dict | None:
         if not os.path.exists(self._ckpt_path):
             return None
         with open(self._ckpt_path) as f:
-            return json.load(f)["snapshot-id"]
+            return json.load(f)
+
+    def checkpoint(self) -> int | None:
+        """Last folded snapshot id (None before the first refresh)."""
+        ck = self._ckpt()
+        return ck["snapshot-id"] if ck else None
+
+    def _live_data_dir(self) -> str | None:
+        """The checkpoint-published state directory (None before the
+        first refresh, or when the checkpointed fold produced an empty
+        state)."""
+        ck = self._ckpt()
+        if not ck or not ck.get("state-dir"):
+            return None
+        return os.path.join(self.state_dir, ck["state-dir"])
 
     def _measures(self):
         from pyspark.sql import functions as F
@@ -86,7 +108,7 @@ class IncrementalAggregate:
     # -- maintenance ---------------------------------------------------------
 
     def rebuild(self, spark, table: IcebergTable) -> None:
-        """Full recompute from the LIVE table (one scan) + checkpoint at
+        """Full recompute from the LIVE table (one scan), published at
         the current snapshot. Used for the first materialization (cheaper
         than folding all history, and works when old history is already
         expired) and as the recovery path when a consumer's checkpoint
@@ -98,19 +120,19 @@ class IncrementalAggregate:
             F.sum(c).alias(f"sum_{c}") for c in self.sum_cols
         ]
         full = table.to_spark(spark).groupBy(*self.group_cols).agg(*aggs)
-        self._swap_state(full)
-        self._write_ckpt(current["snapshot-id"] if current else None)
+        self._publish(full, current["snapshot-id"] if current else None)
 
     def refresh(self, spark, table: IcebergTable) -> int:
         """Fold the changelog window (checkpoint, current] into the
         state. Returns the number of change events folded (0 when the
         table hasn't moved; -1 when the first materialization ran as a
-        full rebuild instead). The state write is write-new-then-swap,
-        and the checkpoint is written only after the swap — a crash
-        anywhere re-runs the same fold against the previous state. If
-        the checkpoint snapshot has been EXPIRED, the fold raises; call
-        ``rebuild`` to re-baseline (same contract as any incremental
-        Iceberg consumer)."""
+        full rebuild instead). The new state is written to a fresh
+        directory and (state, snapshot) are published together by ONE
+        atomic checkpoint replace — a crash anywhere re-runs the same
+        fold against the previous state, never against a half-swapped
+        one. If the checkpoint snapshot has been EXPIRED, the fold
+        raises; call ``rebuild`` to re-baseline (same contract as any
+        incremental Iceberg consumer)."""
         from pyspark.sql import functions as F
 
         current = table.current_snapshot()
@@ -124,9 +146,14 @@ class IncrementalAggregate:
             return -1
         changes = table.changelog(spark, from_snapshot_id=ckpt)
         n_events = changes.count()
+        if n_events == 0:
+            # state unchanged: republish the same state dir at the new id
+            self._publish(None, current["snapshot-id"])
+            return 0
         delta = changes.groupBy(*self.group_cols).agg(*self._measures())
-        if os.path.isdir(self._data_dir) and n_events > 0:
-            prev = spark.read.parquet(self._data_dir)
+        live = self._live_data_dir()
+        if live is not None:
+            prev = spark.read.parquet(live)
             merged = (
                 prev.unionByName(delta)
                 .groupBy(*self.group_cols)
@@ -139,39 +166,65 @@ class IncrementalAggregate:
                 )
                 .filter(F.col("n") > 0)  # groups with no live rows drop
             )
-        elif os.path.isdir(self._data_dir):
-            merged = None  # no events: state unchanged, just move the ckpt
         else:
             merged = delta.filter(F.col("n") > 0)
-        if merged is not None:
-            self._swap_state(merged)
-        self._write_ckpt(current["snapshot-id"])
+        self._publish(merged, current["snapshot-id"])
         return n_events
 
-    def _swap_state(self, df) -> None:
-        new_dir = os.path.join(self.state_dir, f"_new-{uuid.uuid4()}")
-        df.coalesce(1).write.parquet(new_dir)
-        old_dir = os.path.join(self.state_dir, f"_old-{uuid.uuid4()}")
-        if os.path.isdir(self._data_dir):
-            os.rename(self._data_dir, old_dir)
-        os.rename(new_dir, self._data_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+    def _publish(self, df, snapshot_id: int | None) -> None:
+        """Write ``df`` (None = keep current state) to a fresh state
+        directory, then atomically point the checkpoint at (snapshot,
+        directory). Superseded/orphaned state dirs are swept AFTER the
+        publish — they are never referenced by any checkpoint."""
+        ck = self._ckpt() or {}
+        if df is None:
+            name = ck.get("state-dir")
+        else:
+            name = f"state-{uuid.uuid4().hex[:12]}"
+            df.write.parquet(os.path.join(self.state_dir, name))
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot-id": snapshot_id, "state-dir": name}, f)
+        os.replace(tmp, self._ckpt_path)
+        for d in os.listdir(self.state_dir):
+            if d.startswith("state-") and d != name:
+                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
-    def _write_ckpt(self, snapshot_id: int | None) -> None:
-        with open(self._ckpt_path + ".tmp", "w") as f:
-            json.dump({"snapshot-id": snapshot_id}, f)
-        os.replace(self._ckpt_path + ".tmp", self._ckpt_path)
-
-    def read(self, spark):
+    def read(self, spark, table: IcebergTable | None = None):
         """The maintained aggregate as a DataFrame (empty before the
-        first refresh of a non-empty table)."""
-        if not os.path.isdir(self._data_dir):
+        first refresh of a non-empty table). For the empty case, pass
+        ``table`` to derive the group/sum column types from the source
+        schema (otherwise group columns default to string — kept for
+        callers that predate the parameter)."""
+        live = self._live_data_dir()
+        if live is None:
             from pyspark.sql import types as T
 
-            fields = [T.StructField(c, T.StringType()) for c in self.group_cols]
-            fields.append(T.StructField("n", T.LongType()))
-            fields += [
-                T.StructField(f"sum_{c}", T.LongType()) for c in self.sum_cols
-            ]
+            if table is not None:
+                src = {f.name: f.dataType for f in table.spark_schema.fields}
+
+                def _sum_type(dt):
+                    if isinstance(dt, (T.FloatType, T.DoubleType)):
+                        return T.DoubleType()
+                    if isinstance(dt, T.DecimalType):
+                        # Spark's sum widens decimal(p, s) to (p + 10, s)
+                        return T.DecimalType(min(dt.precision + 10, 38), dt.scale)
+                    return T.LongType()
+
+                fields = [T.StructField(c, src[c]) for c in self.group_cols]
+                fields.append(T.StructField("n", T.LongType()))
+                fields += [
+                    T.StructField(f"sum_{c}", _sum_type(src[c]))
+                    for c in self.sum_cols
+                ]
+            else:
+                fields = [
+                    T.StructField(c, T.StringType()) for c in self.group_cols
+                ]
+                fields.append(T.StructField("n", T.LongType()))
+                fields += [
+                    T.StructField(f"sum_{c}", T.LongType())
+                    for c in self.sum_cols
+                ]
             return spark.createDataFrame([], T.StructType(fields))
-        return spark.read.parquet(self._data_dir)
+        return spark.read.parquet(live)

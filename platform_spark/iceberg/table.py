@@ -2103,7 +2103,13 @@ class IcebergTable:
                 break
             except CommitConflict:
                 self.refresh()
-                return self.expire_snapshots(keep_last=keep_last)
+                # keep the AGE guard on retry: the young-snapshot pin must
+                # be recomputed against the refreshed snapshot list, or
+                # snapshots committed during the conflict could expire
+                # despite being younger than older_than_ms
+                return self.expire_snapshots(
+                    keep_last=keep_last, older_than_ms=older_than_ms
+                )
         else:  # pragma: no cover
             raise CommitConflict(self.location)
         self.metadata = new_meta
@@ -2849,9 +2855,33 @@ class IcebergTable:
                         ),
                     )
                 )
-                keys = scan.join(
-                    seq_map, scan["__del_fp_raw"] == seq_map["__del_fp"], "left"
-                ).drop("__del_fp_raw", "__del_fp")
+                # a normalization miss here must fail LOUDLY: a null
+                # __del_seq would null the data_seq < del_seq predicate
+                # and silently resurrect deleted rows
+                keys = (
+                    scan.join(
+                        seq_map,
+                        scan["__del_fp_raw"] == seq_map["__del_fp"],
+                        "left",
+                    )
+                    .withColumn(
+                        "__del_seq",
+                        F.when(
+                            F.col("__del_seq").isNotNull(), F.col("__del_seq")
+                        ).otherwise(
+                            F.raise_error(
+                                F.concat(
+                                    F.lit(
+                                        "iceberg: eq-delete file path did not "
+                                        "map to its sequence number: "
+                                    ),
+                                    F.col("__del_fp_raw"),
+                                )
+                            ).cast("long")
+                        ),
+                    )
+                    .drop("__del_fp_raw", "__del_fp")
+                )
             if (
                 sum(e["data_file"]["file_size_in_bytes"] for e in group)
                 < 128 * 1024 * 1024

@@ -2326,3 +2326,119 @@ def test_rewrite_deletes_noop_and_dead_keys(spark, table_loc):
     assert res["new_delete_files"] == 0
     assert t.scan_deletes() == []
     assert t.to_spark(spark).count() == 10
+
+
+def test_matview_publish_is_atomic(spark, table_loc, tmp_path, monkeypatch):
+    """A crash between the state write and the checkpoint publish leaves
+    the PREVIOUS (state, checkpoint) pair fully intact — the two are
+    published together by one os.replace, so there is no double-fold
+    window (new state + old checkpoint) and no missing-state window
+    (mid-swap rename). Re-running the refresh converges and sweeps the
+    orphaned state directory."""
+    import platform_spark.iceberg.matview as mv
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    agg = IncrementalAggregate(str(tmp_path / "mv"), ["part"], sum_cols=["id"])
+    agg.refresh(spark, t)
+    ckpt_before = agg.checkpoint()
+    state_before = {(r.part, r.n, r.sum_id) for r in agg.read(spark).collect()}
+    upsert_dataframe(t, _mk(spark, 5, 9).withColumn("text", F.lit("v2")), ["id"])
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("crash before checkpoint publish")
+
+    monkeypatch.setattr(mv.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="crash before"):
+        agg.refresh(spark, t)
+    monkeypatch.setattr(mv.os, "replace", real_replace)
+    # the crashed refresh is invisible: checkpoint AND state are the old pair
+    assert agg.checkpoint() == ckpt_before
+    assert {
+        (r.part, r.n, r.sum_id) for r in agg.read(spark).collect()
+    } == state_before
+    # re-run folds the same window exactly once and converges to the
+    # full aggregate; the orphaned state dir from the crash is swept
+    assert agg.refresh(spark, t) == 8  # 4 deletes + 4 inserts
+    full = {
+        (r.part, r.n, r.s)
+        for r in t.to_spark(spark)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert {(r.part, r.n, r.sum_id) for r in agg.read(spark).collect()} == full
+    state_dirs = [d for d in os.listdir(str(tmp_path / "mv")) if d.startswith("state-")]
+    assert len(state_dirs) == 1
+
+
+def test_matview_empty_read_schema_derives_types(spark, table_loc, tmp_path):
+    """read() on an uninitialized view with the source table given
+    derives the group/sum column types from the table schema, so the
+    empty shape unions/compares cleanly with the post-refresh one
+    (instead of hardcoding string group columns)."""
+    from platform_spark.iceberg.matview import IncrementalAggregate
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5)], "id long, part long, score double"
+    )
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    agg = IncrementalAggregate(
+        str(tmp_path / "mv"), ["part"], sum_cols=["id", "score"]
+    )
+    empty = agg.read(spark, table=t)
+    assert empty.count() == 0
+    append_dataframe(t, df)
+    agg.refresh(spark, t)
+    filled = agg.read(spark)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in filled.schema.fields
+    ]
+    assert empty.unionByName(filled).count() == 1
+    # the no-table fallback keeps the legacy string shape
+    legacy = IncrementalAggregate(str(tmp_path / "mv2"), ["part"]).read(spark)
+    assert [f.dataType.simpleString() for f in legacy.schema.fields] == [
+        "string", "bigint"
+    ]
+
+
+def test_expire_conflict_retry_keeps_age_guard(spark, table_loc, monkeypatch):
+    """expire_snapshots' conflict retry must re-apply older_than_ms
+    against the REFRESHED snapshot list: a snapshot committed
+    concurrently during the conflict is younger than the age cutoff and
+    must survive a retry whose count floor would otherwise expire it."""
+    now = [1_700_000_000.0]
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, clock=lambda: now[0])
+    for lo in range(0, 30, 10):
+        now[0] += 3600
+        append_dataframe(t, _mk(spark, lo, lo + 10))
+    ts = [s["timestamp-ms"] for s in t.metadata["snapshots"]]
+    # snapshot 0 is expirable by age; 1 and 2 are pinned young
+    cutoff = ts[0] + 1
+
+    real = t._write_version
+    state = {"raised": False}
+
+    def flaky(version, metadata):
+        if not state["raised"]:
+            state["raised"] = True
+            # a concurrent writer lands an append and wins the version race
+            t2 = IcebergTable.load(table_loc, clock=lambda: now[0])
+            append_dataframe(t2, _mk(spark, 100, 110))
+            raise CommitConflict("lost to the concurrent append")
+        return real(version, metadata)
+
+    monkeypatch.setattr(t, "_write_version", flaky)
+    res = t.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    # without the age guard on retry, the count floor (keep_last widened
+    # to 2 pre-conflict) would also expire snapshot 1 — young by age
+    assert res["snapshots"] == 1
+    left = sorted(s["timestamp-ms"] for s in t.metadata["snapshots"])
+    assert left == sorted([ts[1], ts[2], int(now[0] * 1000)])
+    assert t.to_spark(spark).count() == 40

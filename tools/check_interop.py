@@ -73,7 +73,11 @@ def check_pyiceberg(root: str) -> bool | None:
 
 
 def check_duckdb(root: str) -> bool | None:
-    import duckdb
+    try:
+        import duckdb
+    except ImportError:
+        print("skip duckdb: not installed")
+        return None
 
     con = duckdb.connect()
     try:
