@@ -104,32 +104,45 @@ class IcebergTopicCatalog:
     def raw_source_path(self, name: str) -> str | None:
         return None  # EXPLAIN prices scans via estimate_topic_scan instead
 
-    def _pruned_entries(self, table: IcebergTable, partition, ts_min, ts_max):
+    def _pruned_entries(
+        self,
+        table: IcebergTable,
+        partition,
+        ts_min,
+        ts_max,
+        offset_min=None,
+        offset_max=None,
+    ):
         """Live entries surviving `_partition =` (identity partition
-        value) and `_ts` bounds (manifest column bounds, micros) — a
-        SUPERSET of the matching rows (files lacking bounds survive), so
-        callers still apply the exact row filters."""
+        value), `_ts` bounds and `_offset` bounds (manifest column
+        bounds) — a SUPERSET of the matching rows (files lacking bounds
+        survive), so callers still apply the exact row filters. The
+        `_offset` bounds make the S7 fetch-from-offset shape
+        (server.go:1431-1436) metadata-pruned over Iceberg topics, like
+        the KFS catalog's batch-level offset pruning (kfs.py:465): on a
+        table with a declared `_offset` sort order the per-file bounds
+        are tight, so a tail fetch plans a handful of files out of 10^5."""
         import datetime
 
         pf = {"_partition": partition} if partition is not None else None
         entries = table.scan_files(partition_filter=pf, spark=self.spark)
-        has_ts = any(f["name"] == "_ts" for f in table.schema["fields"])
-        if not has_ts or (ts_min is None and ts_max is None):
-            return entries
+        fields = {f["name"] for f in table.schema["fields"]}
 
         def to_micros(dt: datetime.datetime) -> int:
             epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
             return int((dt - epoch).total_seconds() * 1_000_000)
 
-        return table.filter_entries_by_bounds(
-            entries,
-            {
-                "_ts": (
-                    to_micros(ts_min) if ts_min is not None else None,
-                    to_micros(ts_max) if ts_max is not None else None,
-                )
-            },
-        )
+        bounds: dict = {}
+        if "_ts" in fields and (ts_min is not None or ts_max is not None):
+            bounds["_ts"] = (
+                to_micros(ts_min) if ts_min is not None else None,
+                to_micros(ts_max) if ts_max is not None else None,
+            )
+        if "_offset" in fields and (offset_min is not None or offset_max is not None):
+            bounds["_offset"] = (offset_min, offset_max)
+        if not bounds:
+            return entries
+        return table.filter_entries_by_bounds(entries, bounds)
 
     def topic_scan(
         self,
@@ -137,19 +150,24 @@ class IcebergTopicCatalog:
         partition=None,
         ts_min=None,
         ts_max=None,
+        offset_min=None,
+        offset_max=None,
         with_schema_columns: bool = True,
     ) -> DataFrame:
         """Metadata-pruned topic read for the KAFSQL compiler: the
-        planned file list already honors `_partition =` and `_ts` bounds
-        (manifest partition values + column bounds), so a LAST-window
-        query over a years-deep corpus table reads only the matching
-        days' files — the compiler's exact row filters still apply on
-        top, pruning only shrinks the plan."""
+        planned file list already honors `_partition =`, `_ts` bounds
+        and `_offset` bounds (manifest partition values + column
+        bounds), so a LAST-window query over a years-deep corpus table
+        reads only the matching days' files and a fetch-from-offset
+        reads only the matching tail files — the compiler's exact row
+        filters still apply on top, pruning only shrinks the plan."""
         loc = os.path.join(self.root, name)
         if not IcebergTable.exists(loc):
             raise KeyError(f"unknown topic {name!r}")
         table = IcebergTable.load(loc)
-        entries = self._pruned_entries(table, partition, ts_min, ts_max)
+        entries = self._pruned_entries(
+            table, partition, ts_min, ts_max, offset_min, offset_max
+        )
         df = table.read_entries(self.spark, entries)
         if with_schema_columns:
             cfg = self.configs.get(name)
@@ -157,7 +175,15 @@ class IcebergTopicCatalog:
                 df = df.select("*", *[c.spark_expr() for c in cfg.columns])
         return df
 
-    def estimate_topic_scan(self, name: str, partition=None, ts_min=None, ts_max=None):
+    def estimate_topic_scan(
+        self,
+        name: str,
+        partition=None,
+        ts_min=None,
+        ts_max=None,
+        offset_min=None,
+        offset_max=None,
+    ):
         """EXPLAIN scan estimate priced PURELY from Iceberg manifests —
         no parquet footer reads, no data access: each live entry carries
         record_count, file_size_in_bytes, identity partition values, and
@@ -168,7 +194,9 @@ class IcebergTopicCatalog:
         from platform_spark.governance import ScanEstimate
 
         table = IcebergTable.load(os.path.join(self.root, name))
-        entries = self._pruned_entries(table, partition, ts_min, ts_max)
+        entries = self._pruned_entries(
+            table, partition, ts_min, ts_max, offset_min, offset_max
+        )
         return ScanEstimate(
             files=len(entries),
             bytes=sum(e["data_file"]["file_size_in_bytes"] for e in entries),

@@ -152,7 +152,9 @@ class Compiler:
     # -- scan + row filters (P4-P7) -------------------------------------
     def scan(self, topic: str, q: Query, apply_time: bool = True) -> DataFrame:
         ts_min, ts_max = self.time_bounds(q) if apply_time else (None, None)
-        df = self._topic_frame(topic, q.partition, ts_min, ts_max)
+        df = self._topic_frame(
+            topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max
+        )
         if q.partition is not None:
             df = df.filter(F.col("_partition") == q.partition)
         if q.offset_min is not None:
@@ -164,19 +166,33 @@ class Compiler:
         return df
 
     def _topic_frame(
-        self, topic: str, partition=None, ts_min=None, ts_max=None
+        self,
+        topic: str,
+        partition=None,
+        ts_min=None,
+        ts_max=None,
+        offset_min=None,
+        offset_max=None,
     ) -> DataFrame:
         """Catalogs with their own metadata layer (Iceberg) expose
         ``topic_scan``: a read whose planned FILE LIST already honors the
-        partition/time bounds (a superset of the matching rows — files
-        without stats survive), so a LAST-window query over a years-deep
-        table never plans the other years' files. The exact row filters
-        in scan()/_apply_time_bounds still apply on top; catalogs without
-        the hook return the full topic frame and rely on Spark-side
-        pruning."""
+        partition/time/offset bounds (a superset of the matching rows —
+        files without stats survive), so a LAST-window query over a
+        years-deep table never plans the other years' files and a
+        `WHERE _offset >=` fetch never plans below the watermark. The
+        exact row filters in scan()/_apply_time_bounds still apply on
+        top; catalogs without the hook return the full topic frame and
+        rely on Spark-side pruning."""
         fn = getattr(self.catalog, "topic_scan", None)
         if fn is not None:
-            return fn(topic, partition=partition, ts_min=ts_min, ts_max=ts_max)
+            return fn(
+                topic,
+                partition=partition,
+                ts_min=ts_min,
+                ts_max=ts_max,
+                offset_min=offset_min,
+                offset_max=offset_max,
+            )
         return self.catalog.topic(topic)
 
     def _apply_time_bounds(self, df: DataFrame, q: Query) -> DataFrame:

@@ -191,17 +191,21 @@ class KafSqlEngine:
             return df
 
     # -- governance -----------------------------------------------------
-    def _scan_frames(self, q: Query) -> list[tuple[str, int | None, object, object]]:
-        """One (topic, partition, ts_min, ts_max) frame per scanned topic,
-        mirroring what the compiled plan actually reads: the left topic
-        gets the query's partition filter and window; a WITHIN join's
-        right topic is scanned with NO partition filter and the window
-        widened by ±within (Compiler._compile_join pushes exactly that
-        derived bound) — pricing the right side with the left frame would
-        systematically under-estimate and admit scans the budget should
-        reject."""
+    def _scan_frames(
+        self, q: Query
+    ) -> list[tuple[str, int | None, object, object, int | None, int | None]]:
+        """One (topic, partition, ts_min, ts_max, offset_min, offset_max)
+        frame per scanned topic, mirroring what the compiled plan
+        actually reads: the left topic gets the query's partition filter,
+        window, and offset bounds; a WITHIN join's right topic is scanned
+        with NO partition/offset filter and the window widened by ±within
+        (Compiler._compile_join pushes exactly that derived bound) —
+        pricing the right side with the left frame would systematically
+        under-estimate and admit scans the budget should reject."""
         ts_min, ts_max = self.compiler.time_bounds(q)
-        frames = [(q.topic, q.partition, ts_min, ts_max)]
+        frames = [
+            (q.topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max)
+        ]
         if q.join_topic:
             w = timedelta(seconds=q.within_seconds or 0)
             frames.append(
@@ -210,17 +214,28 @@ class KafSqlEngine:
                     None,
                     ts_min - w if ts_min is not None else None,
                     ts_max + w if ts_max is not None else None,
+                    None,
+                    None,
                 )
             )
         return frames
 
     def _check_budget(self, q: Query) -> None:
-        for topic, partition, ts_min, ts_max in self._scan_frames(q):
+        for topic, partition, ts_min, ts_max, off_min, off_max in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
                 # metadata-layer catalogs price the budget check from
                 # their manifests — same pre-flight guarantee, no footers
-                self.opt.budget.check(est_fn(topic, partition, ts_min, ts_max))
+                self.opt.budget.check(
+                    est_fn(
+                        topic,
+                        partition,
+                        ts_min,
+                        ts_max,
+                        offset_min=off_min,
+                        offset_max=off_max,
+                    )
+                )
                 continue
             path = self.catalog._materialized.get(topic)
             if not path:
@@ -249,13 +264,20 @@ class KafSqlEngine:
         (server.go:929-962) — plus Catalyst's physical plan."""
         self.compiler._validate(q)
         lines = [f"scan topic={q.topic}"]
-        for topic, partition, ts_min, ts_max in self._scan_frames(q):
+        for topic, partition, ts_min, ts_max, off_min, off_max in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
                 # catalogs with their own metadata layer (Iceberg: manifest
                 # record counts/sizes/bounds) price the scan without any
                 # parquet footer access
-                est = est_fn(topic, partition, ts_min, ts_max)
+                est = est_fn(
+                    topic,
+                    partition,
+                    ts_min,
+                    ts_max,
+                    offset_min=off_min,
+                    offset_max=off_max,
+                )
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "
                     f"est_bytes={est.bytes} est_rows={est.rows} "

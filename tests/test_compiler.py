@@ -388,7 +388,10 @@ def test_budget_prices_join_right_side_with_widened_frame(catalog, monkeypatch):
     eng = KafSqlEngine(catalog, now=NOW)
     calls = []
 
-    def fake_estimate(topic, partition=None, ts_min=None, ts_max=None):
+    def fake_estimate(
+        topic, partition=None, ts_min=None, ts_max=None,
+        offset_min=None, offset_max=None,
+    ):
         calls.append((topic, partition, ts_min, ts_max))
         return ScanEstimate(files=1, bytes=1, rows=1)
 

@@ -2442,3 +2442,60 @@ def test_expire_conflict_retry_keeps_age_guard(spark, table_loc, monkeypatch):
     left = sorted(s["timestamp-ms"] for s in t.metadata["snapshots"])
     assert left == sorted([ts[1], ts[2], int(now[0] * 1000)])
     assert t.to_spark(spark).count() == 40
+
+
+def test_kafsql_offset_pruning_over_iceberg_topic(spark, tmp_path):
+    """A `WHERE _offset >=` fetch (the S7 fetch-from-offset analogue)
+    over an Iceberg topic prunes the planned FILE LIST via manifest
+    `_offset` column bounds — matching the KFS catalog's batch-level
+    offset pruning — asserted on the compiled plan's actual input files,
+    row-identical to the parquet engine, and priced identically by the
+    manifest-only EXPLAIN estimate."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import (
+        IcebergTopicCatalog,
+        materialize_topic_to_iceberg,
+    )
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "icetopics")
+    os.makedirs(root, exist_ok=True)
+    ev = cat.topic("events", with_schema_columns=False)
+    cut = ev.agg(F.max("_offset")).first()[0] // 2
+    # two commits with disjoint per-file offset ranges (a live topic's
+    # natural layout: offsets only grow, so later files carry higher
+    # bounds — the declared sort orders make this tight after compaction)
+    for sl in (
+        ev.filter(F.col("_offset") < cut),
+        ev.filter(F.col("_offset") >= cut),
+    ):
+        materialize_topic_to_iceberg(sl, root, "events")
+    now = datetime(2024, 1, 31)
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    ieng = KafSqlEngine(icat, now=now)
+    peng = KafSqlEngine(cat, now=now)
+    ieng.sql("SET enable_cache = false")
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    full = "SELECT _partition, _offset FROM events LAST 365d"
+    fetch = (
+        f"SELECT _partition, _offset FROM events "
+        f"WHERE _offset >= {cut + 1} LAST 365d"
+    )
+    assert canon(ieng.sql(fetch)) == canon(peng.sql(fetch))
+    n_full = len(set(ieng.sql(full).inputFiles()))
+    n_fetch = len(set(ieng.sql(fetch).inputFiles()))
+    assert 0 < n_fetch < n_full  # offset bound reached the file list
+    # the manifest-only estimate prices the same pruned plan
+    est_full = icat.estimate_topic_scan("events")
+    est_fetch = icat.estimate_topic_scan("events", offset_min=cut + 1)
+    assert est_fetch.files == n_fetch
+    assert est_fetch.files < est_full.files
+    # upper bounds prune the other side too
+    est_head = icat.estimate_topic_scan("events", offset_max=cut - 1)
+    assert est_head.files < est_full.files
