@@ -1537,6 +1537,39 @@ class IcebergTable:
             ]
         return out
 
+    def _snapshot_diff(self, snap: dict) -> dict:
+        """The file-set delta committed AT exactly this snapshot, from
+        one manifest-list read: data/delete entries ADDED (status 1) and
+        the file paths REMOVED (status 2). Only manifests written at
+        this snapshot are decoded (removals always rewrite their
+        manifest, stamping ``added_snapshot_id``), so a diff costs
+        O(files touched by the commit), never O(table) — which is what
+        lets a wide changelog window maintain the live-file state
+        incrementally instead of re-walking the parent's full manifest
+        tree once per snapshot."""
+        sid = snap["snapshot-id"]
+        out: dict = {
+            "added_data": [],
+            "removed_data": set(),
+            "added_deletes": [],
+            "removed_deletes": set(),
+        }
+        _, _, mlist = avro.read_container(snap["manifest-list"])
+        for mf in mlist:
+            if mf["added_snapshot_id"] != sid:
+                continue  # carried unchanged from an older snapshot
+            _, _, es = avro.read_container(mf["manifest_path"])
+            for e in es:
+                if e["snapshot_id"] != sid:
+                    continue  # EXISTING entry carried into a rewrite
+                if e["status"] == 1:
+                    key = "added_data" if mf["content"] == 0 else "added_deletes"
+                    out[key].append(e)
+                elif e["status"] == 2:
+                    key = "removed_data" if mf["content"] == 0 else "removed_deletes"
+                    out[key].add(e["data_file"]["file_path"])
+        return out
+
     def changelog(
         self,
         spark,
@@ -1563,13 +1596,22 @@ class IcebergTable:
         - ``replace`` snapshots (compaction, delete-file maintenance)
           are content-neutral and skipped.
 
-        Cost is O(changed rows + files the new delete files can affect),
-        never O(table): the delete materialization reads only parent
-        files older than the snapshot's deletes (metadata-pruned), and an
-        append-only window degenerates to exactly ``changes()``. The
-        parent snapshot's manifests must not be expired yet — same
-        contract as ``changes()``."""
-        from pyspark.sql import functions as F
+        Cost is O(changed rows + files the new delete files can affect)
+        in DATA, and — critically for a continuous-CDC table folding
+        hundreds or thousands of commits per refresh — both the plan
+        width and the metadata walk are O(1) in the window length for
+        the dominant append/equality-delete cadence: every snapshot's
+        delta comes from one manifest-list diff (``_snapshot_diff``),
+        the parent live state is walked ONCE at the window start and
+        maintained incrementally, all inserts in the window read as ONE
+        provenance-tagged multi-file scan, and equality-delete kills
+        fold relationally under first-matching-delete-wins instead of
+        one union branch per snapshot. Windows with copy-on-write
+        removals or position-delete adds fall back to a per-snapshot
+        fold for those events (still with the incremental state and the
+        single insert leaf). The window's files and the parent
+        snapshot's manifests must not be expired yet — same contract as
+        ``changes()``."""
         from pyspark.sql import types as T
 
         in_range = self._ancestry_window(from_snapshot_id, to_snapshot_id, ref)
@@ -1582,128 +1624,292 @@ class IcebergTable:
                 T.StructField("_change_ordinal", T.IntegerType(), False),
             ]
         )
-        parts = []
-        ordinal = -1
-        for s in in_range:
-            op = s["summary"]["operation"]
-            if op == "replace":
-                continue
-            ordinal += 1
-            sid = s["snapshot-id"]
-
-            def _tag(df, kind: str, _sid=sid, _o=ordinal):
-                return df.select(
-                    *[F.col(f.name) for f in base.fields],
-                    F.lit(kind).alias("_change_type"),
-                    F.lit(_sid).cast("long").alias("_change_snapshot_id"),
-                    F.lit(_o).cast("int").alias("_change_ordinal"),
-                )
-
-            added = self._added_data_entries(s)
-            if added:
-                parts.append(_tag(self._read_data_entries(spark, added), "insert"))
-            parent_id = s.get("parent-snapshot-id")
-            if parent_id is None:
-                continue
-            # file-level removals (copy-on-write rewrites): rows of data
-            # files retired at this snapshot, read as of the PARENT (so
-            # parent-era row-level deletes still apply to them)
-            removed_paths = set()
-            _, _, mlist = avro.read_container(s["manifest-list"])
-            for mf in mlist:
-                if mf["content"] != 0:
-                    continue
-                _, _, es = avro.read_container(mf["manifest_path"])
-                removed_paths |= {
-                    e["data_file"]["file_path"]
-                    for e in es
-                    if e["status"] == 2 and e["snapshot_id"] == sid
-                }
-            parent_entries = self.scan_files(snapshot_id=parent_id, spark=spark)
-            parent_deletes = self.scan_deletes(snapshot_id=parent_id, spark=spark)
-            if removed_paths:
-                removed_entries = [
-                    e for e in parent_entries
-                    if e["data_file"]["file_path"] in removed_paths
-                ]
-                if removed_entries:
-                    gone = self._read_data_entries(
-                        spark, removed_entries, with_pos=True
-                    )
-                    gone = self._apply_deletes(
-                        spark, gone, parent_deletes, removed_entries
-                    ).drop("__fp", "__pos")
-                    parts.append(_tag(gone, "delete"))
-            # row-level removals: delete files added AT this snapshot,
-            # applied against the parent's live rows they can reach
-            new_dels = [
-                e
-                for e in self._scan_entries(sid, None, content=1, spark=spark)
-                if e["snapshot_id"] == sid
-            ]
-            if new_dels:
-                pos = [e for e in new_dels if e["data_file"]["content"] == 1]
-                eq = [e for e in new_dels if e["data_file"]["content"] == 2]
-                live_parent = [
-                    e for e in parent_entries
-                    if e["data_file"]["file_path"] not in removed_paths
-                ]
-                if eq:
-                    # spec sequence rule: only strictly-older files reachable
-                    max_del = max(e["sequence_number"] for e in eq)
-                    eq_targets = [
-                        e for e in live_parent
-                        if e["sequence_number"] < max_del
-                    ]
-                else:
-                    eq_targets = []
-                targets = live_parent if pos else eq_targets
-                if targets:
-                    df = self._read_data_entries(spark, targets, with_pos=True)
-                    # parent-era deletes already removed these rows before
-                    # this snapshot — they must not re-emit as deletes now
-                    df = self._apply_deletes(spark, df, parent_deletes, targets)
-                    killed = None
-                    if pos:
-                        ids = spark.read.schema(
-                            "file_path string, pos long"
-                        ).parquet(*[e["data_file"]["file_path"] for e in pos])
-                        del_bytes = sum(
-                            e["data_file"]["file_size_in_bytes"] for e in pos
-                        )
-                        if del_bytes < 128 * 1024 * 1024:
-                            ids = F.broadcast(ids)
-                        killed = df.join(
-                            ids,
-                            (df["__fp"] == ids["file_path"])
-                            & (df["__pos"] == ids["pos"]),
-                            "left_semi",
-                        )
-                    if eq and eq_targets:
-                        tagged = self._with_data_seq(spark, df, targets)
-                        for cols, keys in self._eq_key_frames(spark, eq):
-                            cond = tagged["__data_seq"] < keys["__del_seq"]
-                            for c in cols:
-                                cond = cond & tagged[c].eqNullSafe(keys[c])
-                            h = tagged.join(keys, cond, "left_semi").drop(
-                                "__data_seq"
-                            )
-                            killed = h if killed is None else killed.unionByName(h)
-                    if killed is not None:
-                        parts.append(
-                            _tag(
-                                killed.dropDuplicates(["__fp", "__pos"]).drop(
-                                    "__fp", "__pos"
-                                ),
-                                "delete",
-                            )
-                        )
+        if not in_range:
+            return spark.createDataFrame([], empty_schema)
+        diffs = [self._snapshot_diff(s) for s in in_range]
+        # live file state AS OF THE WINDOW'S PARENT: walked once here,
+        # then maintained from the per-snapshot diffs
+        first_parent = in_range[0].get("parent-snapshot-id")
+        if first_parent is not None:
+            live_data = {
+                e["data_file"]["file_path"]: e
+                for e in self.scan_files(snapshot_id=first_parent, spark=spark)
+            }
+            live_dels = {
+                e["data_file"]["file_path"]: e
+                for e in self.scan_deletes(snapshot_id=first_parent, spark=spark)
+            }
+        else:
+            live_data, live_dels = {}, {}
+        fast = all(
+            not d["removed_data"]
+            and all(e["data_file"]["content"] == 2 for e in d["added_deletes"])
+            for s, d in zip(in_range, diffs)
+            if s["summary"]["operation"] != "replace"
+        )
+        if fast:
+            parts = self._changelog_fast(
+                spark, in_range, diffs, live_data, live_dels, base
+            )
+        else:
+            parts = self._changelog_general(
+                spark, in_range, diffs, live_data, live_dels, base
+            )
         if not parts:
             return spark.createDataFrame([], empty_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _changelog_insert_leaf(self, spark, adds: list[tuple], base):
+        """ONE multi-file read of every data file added in the window,
+        each row tagged with its snapshot/ordinal via a broadcast
+        (file → provenance) metadata join — one plan leaf regardless of
+        how many commits the window spans."""
+        from pyspark.sql import functions as F
+
+        ins = self._read_data_entries(spark, [e for e, _, _ in adds], with_pos=True)
+        prov = F.broadcast(
+            spark.createDataFrame(
+                [(e["data_file"]["file_path"], sid, o) for e, sid, o in adds],
+                "__prov_fp string, _change_snapshot_id long, _change_ordinal int",
+            )
+        )
+        return ins.join(prov, ins["__fp"] == prov["__prov_fp"]).select(
+            *[F.col(f.name) for f in base.fields],
+            F.lit("insert").alias("_change_type"),
+            F.col("_change_snapshot_id"),
+            F.col("_change_ordinal"),
+        )
+
+    def _changelog_fast(self, spark, in_range, diffs, live_data, live_dels, base):
+        """Append/equality-delete-only windows (the continuous-upsert
+        CDC cadence) fold RELATIONALLY with plan width independent of
+        the window length: the single insert leaf, plus one
+        kill-candidate read joined against one provenance-tagged
+        delete-key frame under FIRST-MATCHING-DELETE-WINS — a live row
+        dies at the oldest delete whose sequence number strictly exceeds
+        the row's data sequence; if that delete predates the window
+        (ordinal -1) the row was already dead at the window start and
+        emits nothing. This is the same event set the per-snapshot fold
+        produces: a row's delete event belongs to the first snapshot
+        whose deletes reach it, and later matching deletes see it
+        already gone. Replace snapshots need no handling — candidates
+        read the PRE-replace file identities, which stay on disk until
+        ``expire_snapshots`` (the not-yet-expired contract)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        adds: list[tuple] = []  # (entry, snapshot_id, ordinal)
+        eqs: list[tuple] = []   # (entry, snapshot_id, ordinal)
+        ordinal = -1
+        for s, d in zip(in_range, diffs):
+            if s["summary"]["operation"] == "replace":
+                continue
+            ordinal += 1
+            sid = s["snapshot-id"]
+            adds += [(e, sid, ordinal) for e in d["added_data"]]
+            eqs += [(e, sid, ordinal) for e in d["added_deletes"]]
+        parts = []
+        if adds:
+            parts.append(self._changelog_insert_leaf(spark, adds, base))
+        if eqs:
+            # only rows with an older data sequence than SOME window
+            # delete can die in-window — metadata-prune the candidates
+            max_del = max(e["sequence_number"] for e, _, _ in eqs)
+            cand = [
+                e
+                for e in list(live_data.values()) + [e for e, _, _ in adds]
+                if e["sequence_number"] < max_del
+            ]
+            if cand:
+                df = self._read_data_entries(spark, cand, with_pos=True)
+                # rows position-deleted before the window start were
+                # already dead and must not emit
+                pos0 = [
+                    e for e in live_dels.values()
+                    if e["data_file"]["content"] == 1
+                ]
+                if pos0:
+                    ids = spark.read.schema("file_path string, pos long").parquet(
+                        *[e["data_file"]["file_path"] for e in pos0]
+                    )
+                    if (
+                        sum(e["data_file"]["file_size_in_bytes"] for e in pos0)
+                        < 128 * 1024 * 1024
+                    ):
+                        ids = F.broadcast(ids)
+                    df = df.join(
+                        ids,
+                        (df["__fp"] == ids["file_path"])
+                        & (df["__pos"] == ids["pos"]),
+                        "left_anti",
+                    )
+                df = self._with_data_seq(spark, df, cand)
+                # pre-window equality deletes compete at ordinal -1:
+                # winning means "dead before the window"
+                eq0 = [
+                    (e, -1, -1)
+                    for e in live_dels.values()
+                    if e["data_file"]["content"] == 2
+                ]
+                killed = None
+                for cols, keys in self._eq_key_frames_tagged(spark, eq0 + eqs):
+                    cond = df["__data_seq"] < keys["__del_seq"]
+                    for c in cols:
+                        cond = cond & df[c].eqNullSafe(keys[c])
+                    hit = df.join(keys, cond, "inner").select(
+                        *[df[f.name] for f in base.fields],
+                        df["__fp"],
+                        df["__pos"],
+                        keys["__del_seq"],
+                        keys["__del_sid"],
+                        keys["__del_ord"],
+                    )
+                    killed = hit if killed is None else killed.unionByName(hit)
+                if killed is not None:
+                    w = Window.partitionBy("__fp", "__pos").orderBy(
+                        "__del_seq", "__del_ord"
+                    )
+                    parts.append(
+                        killed.withColumn("__rn", F.row_number().over(w))
+                        .filter((F.col("__rn") == 1) & (F.col("__del_ord") >= 0))
+                        .select(
+                            *[F.col(f.name) for f in base.fields],
+                            F.lit("delete").alias("_change_type"),
+                            F.col("__del_sid").cast("long").alias(
+                                "_change_snapshot_id"
+                            ),
+                            F.col("__del_ord").cast("int").alias(
+                                "_change_ordinal"
+                            ),
+                        )
+                    )
+        return parts
+
+    def _changelog_general(self, spark, in_range, diffs, live_data, live_dels, base):
+        """Windows carrying copy-on-write removals or position-delete
+        adds keep the per-snapshot fold for DELETE events (each delete
+        set materializes against its own parent's live state), but the
+        parent state comes from the incrementally-maintained diff map —
+        one full manifest walk per changelog call, not per snapshot —
+        and every insert in the window still reads as one
+        provenance-tagged leaf."""
+        from pyspark.sql import functions as F
+
+        parts: list = []
+        adds: list[tuple] = []
+        ordinal = -1
+        for s, d in zip(in_range, diffs):
+            op = s["summary"]["operation"]
+            sid = s["snapshot-id"]
+            if op != "replace":
+                ordinal += 1
+
+                def _tag(df, kind: str, _sid=sid, _o=ordinal):
+                    return df.select(
+                        *[F.col(f.name) for f in base.fields],
+                        F.lit(kind).alias("_change_type"),
+                        F.lit(_sid).cast("long").alias("_change_snapshot_id"),
+                        F.lit(_o).cast("int").alias("_change_ordinal"),
+                    )
+
+                adds += [(e, sid, ordinal) for e in d["added_data"]]
+                removed_paths = d["removed_data"]
+                parent_entries = list(live_data.values())
+                parent_deletes = list(live_dels.values())
+                # file-level removals (copy-on-write rewrites): rows of
+                # data files retired at this snapshot, read as of the
+                # PARENT (so parent-era row-level deletes still apply)
+                if removed_paths:
+                    removed_entries = [
+                        live_data[p] for p in removed_paths if p in live_data
+                    ]
+                    if removed_entries:
+                        gone = self._read_data_entries(
+                            spark, removed_entries, with_pos=True
+                        )
+                        gone = self._apply_deletes(
+                            spark, gone, parent_deletes, removed_entries
+                        ).drop("__fp", "__pos")
+                        parts.append(_tag(gone, "delete"))
+                # row-level removals: delete files added AT this
+                # snapshot, applied against the parent's live rows
+                new_dels = d["added_deletes"]
+                if new_dels:
+                    pos = [e for e in new_dels if e["data_file"]["content"] == 1]
+                    eq = [e for e in new_dels if e["data_file"]["content"] == 2]
+                    live_parent = [
+                        e
+                        for e in parent_entries
+                        if e["data_file"]["file_path"] not in removed_paths
+                    ]
+                    if eq:
+                        # spec sequence rule: only strictly-older files
+                        max_del = max(e["sequence_number"] for e in eq)
+                        eq_targets = [
+                            e for e in live_parent
+                            if e["sequence_number"] < max_del
+                        ]
+                    else:
+                        eq_targets = []
+                    targets = live_parent if pos else eq_targets
+                    if targets:
+                        df = self._read_data_entries(spark, targets, with_pos=True)
+                        # parent-era deletes already removed these rows
+                        # before this snapshot — they must not re-emit
+                        df = self._apply_deletes(spark, df, parent_deletes, targets)
+                        killed = None
+                        if pos:
+                            ids = spark.read.schema(
+                                "file_path string, pos long"
+                            ).parquet(*[e["data_file"]["file_path"] for e in pos])
+                            del_bytes = sum(
+                                e["data_file"]["file_size_in_bytes"] for e in pos
+                            )
+                            if del_bytes < 128 * 1024 * 1024:
+                                ids = F.broadcast(ids)
+                            killed = df.join(
+                                ids,
+                                (df["__fp"] == ids["file_path"])
+                                & (df["__pos"] == ids["pos"]),
+                                "left_semi",
+                            )
+                        if eq and eq_targets:
+                            tagged = self._with_data_seq(spark, df, targets)
+                            for cols, keys in self._eq_key_frames(spark, eq):
+                                cond = tagged["__data_seq"] < keys["__del_seq"]
+                                for c in cols:
+                                    cond = cond & tagged[c].eqNullSafe(keys[c])
+                                h = tagged.join(keys, cond, "left_semi").drop(
+                                    "__data_seq"
+                                )
+                                killed = (
+                                    h if killed is None else killed.unionByName(h)
+                                )
+                        if killed is not None:
+                            parts.append(
+                                _tag(
+                                    killed.dropDuplicates(["__fp", "__pos"]).drop(
+                                        "__fp", "__pos"
+                                    ),
+                                    "delete",
+                                )
+                            )
+            # maintain the live state THROUGH every snapshot (replace
+            # included — compaction changes the file set)
+            for p in d["removed_data"]:
+                live_data.pop(p, None)
+            for e in d["added_data"]:
+                live_data[e["data_file"]["file_path"]] = e
+            for p in d["removed_deletes"]:
+                live_dels.pop(p, None)
+            for e in d["added_deletes"]:
+                live_dels[e["data_file"]["file_path"]] = e
+        if adds:
+            parts.insert(0, self._changelog_insert_leaf(spark, adds, base))
+        return parts
 
     def delete_where(self, spark, predicate) -> dict | None:
         """Commit POSITION delete files for every current row matching
@@ -2813,13 +3019,25 @@ class IcebergTable:
         ``(cols, keys_df)`` where keys_df holds the key values tagged with
         their delete file's sequence number as ``__del_seq`` (broadcast
         when metadata says the group is small — it almost always is)."""
+        for cols, keys in self._eq_key_frames_tagged(
+            spark, [(e, -1, -1) for e in eq]
+        ):
+            yield cols, keys.drop("__del_sid", "__del_ord")
+
+    def _eq_key_frames_tagged(self, spark, tagged: list[tuple]):
+        """``_eq_key_frames`` with per-file changelog provenance: input
+        is ``[(entry, snapshot_id, ordinal)]`` and each yielded keys_df
+        carries ``__del_seq``, ``__del_sid`` and ``__del_ord``. The
+        relational changelog fold needs the provenance to attribute each
+        kill to its snapshot; plain delete application wraps this and
+        drops the tags."""
         from pyspark.sql import functions as F
 
         names_by_id = {f["id"]: f["name"] for f in self.schema["fields"]}
-        by_keyset: dict[tuple[str, ...], list[dict]] = {}
-        for e in eq:
+        by_keyset: dict[tuple[str, ...], list[tuple]] = {}
+        for e, sid, o in tagged:
             cols = tuple(names_by_id[i] for i in e["data_file"]["equality_ids"])
-            by_keyset.setdefault(cols, []).append(e)
+            by_keyset.setdefault(cols, []).append((e, sid, o))
         for cols, group in by_keyset.items():
             schema = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
@@ -2828,26 +3046,34 @@ class IcebergTable:
             )
             if len(group) <= self._EQ_UNION_MAX:
                 keys = None
-                for e in group:  # tag each delete file with its own sequence
+                for e, sid, o in group:  # tag each file with its identity
                     part = (
                         spark.read.schema(schema)
                         .parquet(e["data_file"]["file_path"])
                         .withColumn("__del_seq", F.lit(e["sequence_number"]))
+                        .withColumn("__del_sid", F.lit(sid).cast("long"))
+                        .withColumn("__del_ord", F.lit(o).cast("int"))
                     )
                     keys = part if keys is None else keys.unionByName(part)
             else:
                 seq_map = F.broadcast(
                     spark.createDataFrame(
                         [
-                            (e["data_file"]["file_path"], e["sequence_number"])
-                            for e in group
+                            (
+                                e["data_file"]["file_path"],
+                                e["sequence_number"],
+                                sid,
+                                o,
+                            )
+                            for e, sid, o in group
                         ],
-                        "__del_fp string, __del_seq long",
+                        "__del_fp string, __del_seq long, "
+                        "__del_sid long, __del_ord int",
                     )
                 )
                 scan = (
                     spark.read.schema(schema)
-                    .parquet(*[e["data_file"]["file_path"] for e in group])
+                    .parquet(*[e["data_file"]["file_path"] for e, _, _ in group])
                     .withColumn(
                         "__del_fp_raw",
                         F.regexp_replace(
@@ -2883,7 +3109,7 @@ class IcebergTable:
                     .drop("__del_fp_raw", "__del_fp")
                 )
             if (
-                sum(e["data_file"]["file_size_in_bytes"] for e in group)
+                sum(e["data_file"]["file_size_in_bytes"] for e, _, _ in group)
                 < 128 * 1024 * 1024
             ):
                 keys = F.broadcast(keys)

@@ -2242,6 +2242,71 @@ def test_changelog_copy_on_write_merge(spark, table_loc):
     assert merge_dels <= {18 % 4, 19 % 4}
 
 
+def test_changelog_wide_window_plan_width(spark, table_loc):
+    """A continuous-upsert window folds with PLAN WIDTH independent of
+    the number of snapshots: N micro-upsert commits changelog as ~3 scan
+    leaves (one provenance-tagged insert read, one kill-candidate read,
+    one delete-key read), not O(N) union branches — the property that
+    keeps a 1-commit/min table's daily matview refresh analyzable
+    (~1,440 snapshots would otherwise union ~3,000 leaves). The event
+    set stays identical to the per-snapshot semantics: each superseded
+    row dies exactly once, at the FIRST delete that reaches it."""
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 40))
+    for c in range(24):
+        lo = (c * 3) % 30
+        upsert_dataframe(
+            t, _mk(spark, lo, lo + 4).withColumn("text", F.lit(f"u{c}")), ["id"]
+        )
+    cl = t.changelog(spark)
+    plan = cl._jdf.queryExecution().optimizedPlan().toString()
+    n_leaves = plan.count("Relation")
+    assert n_leaves <= 6, f"changelog plan has {n_leaves} leaves for 25 snapshots"
+    rows = cl.collect()
+    # every upsert killed exactly its 4 live predecessors and inserted 4
+    assert len(rows) == 40 + 24 * 8
+    live = {(r.id, r.part, r.text) for r in t.to_spark(spark).collect()}
+    assert _replay_changelog(rows) == live
+    # first-matching-delete-wins: each physical row emits ≤1 delete event
+    died: dict[tuple, list] = {}
+    for r in rows:
+        if r._change_type == "delete":
+            died.setdefault((r.id, r.text), []).append(r._change_ordinal)
+    assert all(len(v) == 1 for v in died.values())
+    # a partial window over the same cadence stays narrow and correct:
+    # rows live at the window start emit their delete at the first
+    # IN-WINDOW kill; rows already dead at the start emit nothing
+    mid = t.metadata["snapshots"][12]["snapshot-id"]
+    w = t.changelog(spark, from_snapshot_id=mid)
+    n_leaves_w = (
+        w._jdf.queryExecution().optimizedPlan().toString().count("Relation")
+    )
+    assert n_leaves_w <= 6
+    wrows = w.collect()
+    pre = {
+        (r.id, r.part, r.text)
+        for r in t.to_spark(spark, snapshot_id=mid).collect()
+    }
+    state = dict()
+    for tup in pre:
+        state[tup[0]] = tup
+    for o in sorted({r._change_ordinal for r in wrows}):
+        batch = [r for r in wrows if r._change_ordinal == o]
+        for r in batch:
+            if r._change_type == "delete":
+                assert state.get(r.id) == (r.id, r.part, r.text), (
+                    "delete event does not match the live row at its parent"
+                )
+                state.pop(r.id)
+        for r in batch:
+            if r._change_type == "insert":
+                state[r.id] = (r.id, r.part, r.text)
+    assert set(state.values()) == live
+
+
 def test_rewrite_manifests_pure_metadata_consolidation(spark, table_loc):
     """rewrite_manifests folds a commit-count-long manifest list into one
     manifest per content kind without touching any data/delete file:

@@ -381,6 +381,16 @@ def main() -> None:
     )
     utbl = IcebergTable.create(uroot, useed.schema)
     append_dataframe(utbl, useed)
+    # baseline a derived aggregate at the SEED snapshot so the post-upsert
+    # refresh below measures a genuine wide-window incremental fold
+    from platform_spark.iceberg.matview import IncrementalAggregate
+
+    mv = IncrementalAggregate(
+        os.path.join(scratch, "cdc_mv_state"),
+        group_cols=["val"],
+        sum_cols=["n"],
+    )
+    mv.refresh(spark, utbl)
     n_up = args.upserts
     t0 = time.time()
     for c in range(n_up):
@@ -395,6 +405,49 @@ def main() -> None:
     print(
         f"iceberg_micro_upserts_{n_up}: {timings[f'iceberg_micro_upserts_{n_up}']} s "
         f"({len(utbl.scan_deletes())} live delete files)",
+        flush=True,
+    )
+    cleanup()
+    # wide-window CDC consumer: fold the WHOLE N-commit window through
+    # changelog() and an IncrementalAggregate refresh — the daily-matview
+    # shape a 1-commit/min table produces (~1,440 snapshots/refresh).
+    # Plan width must be O(1) in the window length (the relational fast
+    # path: one insert leaf + one kill-candidate join), and fold wall
+    # must track CHANGED ROWS, not window length × table size.
+    t0 = time.time()
+    cl = utbl.changelog(spark)
+    n_leaves = (
+        cl._jdf.queryExecution().optimizedPlan().toString().count("Relation")
+    )
+    n_events = cl.count()
+    timings["iceberg_changelog_wide_fold"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_folded = mv.refresh(spark, utbl)
+    assert n_folded == n_events, (n_folded, n_events)
+    timings["iceberg_matview_wide_refresh"] = round(time.time() - t0, 3)
+    n_mv_groups = mv.read(spark, utbl).count()
+    # folded state must equal the full aggregate of the live table
+    full = (
+        utbl.to_spark(spark)
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n").alias("sum_n"))
+    )
+    n_mismatch = (
+        mv.read(spark, utbl)
+        .withColumnRenamed("n", "mv_n")
+        .withColumnRenamed("sum_n", "mv_sum_n")
+        .join(full, "val", "full_outer")
+        .filter(
+            "mv_n IS DISTINCT FROM n OR mv_sum_n IS DISTINCT FROM sum_n"
+        )
+        .count()
+    )
+    assert n_mismatch == 0, f"{n_mismatch} matview groups diverged"
+    print(
+        f"iceberg_changelog_wide_fold: {timings['iceberg_changelog_wide_fold']} s "
+        f"({n_events} events over {n_up + 1} snapshots, {n_leaves} plan leaves); "
+        f"matview_wide_refresh: {timings['iceberg_matview_wide_refresh']} s "
+        f"({n_mv_groups} groups)",
         flush=True,
     )
     cleanup()
@@ -480,6 +533,11 @@ def main() -> None:
         "live_files": n_files_post,
         "compact_s": timings["iceberg_cdc_compact"],
         "scan_post_compact_s": timings["iceberg_cdc_scan_post_compact"],
+        "changelog_wide_fold_s": timings["iceberg_changelog_wide_fold"],
+        "changelog_events": n_events,
+        "changelog_plan_leaves": n_leaves,
+        "matview_wide_refresh_s": timings["iceberg_matview_wide_refresh"],
+        "matview_groups": n_mv_groups,
     }
     shutil.rmtree(uroot, ignore_errors=True)
     cleanup()
