@@ -11,7 +11,7 @@ version); the reference commits through iceberg-go's catalog the same
 way (iceberg-processor/internal/sink/iceberg.go:146-204, conflict
 reload at iceberg.go:183-195).
 
-Two implementations ship:
+Three implementations ship:
 
 - :class:`FilesystemCommit` (the default) — HadoopTables-style
   exclusive-create of ``metadata/v{N}.metadata.json`` plus an advisory
@@ -24,6 +24,15 @@ Two implementations ship:
   swap decides the winner — exactly the shape of a DynamoDB/REST/JDBC
   catalog, so a real object-store deployment implements `current` +
   `commit` against its service and drops it in here.
+- :class:`LockedPointerCommit` — the DURABLE cross-process form of the
+  same protocol: the (version, path) pointer is a json file and the
+  compare-and-swap runs under an ``fcntl.flock`` critical section, so
+  independent OS processes (a streaming sink, a maintenance job, an
+  ad-hoc backfill) can commit to one table concurrently with no shared
+  Python state. Metadata still lands under writer-unique names; the
+  pointer file is the only contended object. Correct wherever flock is
+  (local disk, most NFSv4); an S3 deployment swaps the flock section
+  for its service's conditional put, nothing else changes.
 
 Losers raise :class:`CommitConflict`; every caller in
 :mod:`platform_spark.iceberg.table` already refreshes and retries or
@@ -142,4 +151,81 @@ class CasCommit(CommitProtocol):
                     f"{key}: expected v{expected_version}, catalog at v{cur}"
                 )
             self._pointers[key] = (expected_version + 1, path)
+        return path
+
+
+class LockedPointerCommit(CommitProtocol):
+    """Durable cross-PROCESS compare-and-swap: the pointer lives in
+    ``metadata/catalog-pointer.json`` and both operations run inside an
+    ``fcntl.flock`` exclusive section on ``metadata/catalog.lock``. The
+    critical section is tiny (read pointer, compare, ``os.replace`` the
+    new pointer) — metadata json, manifests and data files are all
+    written OUTSIDE it under writer-unique names, so lock hold time is
+    independent of commit size. A crash inside the section leaves either
+    the old or the new pointer (os.replace is atomic) and the flock dies
+    with the process, so no cleanup or lease expiry is needed.
+
+    This is the deployment shape for multi-writer tables on a shared
+    POSIX filesystem (the reference's analogue is its iceberg-go catalog
+    against a real service, iceberg-processor/internal/sink/iceberg.go:
+    146-204): a streaming CDC sink, a maintenance cron and ad-hoc
+    backfills in separate OS processes all commit through the same
+    pointer with losers raising :class:`CommitConflict` exactly like the
+    in-process protocols."""
+
+    _POINTER = "catalog-pointer.json"
+    _LOCK = "catalog.lock"
+
+    def _locked(self, location: str):
+        import fcntl
+        from contextlib import contextmanager
+
+        meta_dir = _meta_dir(location)
+        os.makedirs(meta_dir, exist_ok=True)
+
+        @contextmanager
+        def section():
+            with open(os.path.join(meta_dir, self._LOCK), "a+") as lk:
+                fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+                try:
+                    yield meta_dir
+                finally:
+                    fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
+
+        return section()
+
+    def _read_pointer(self, meta_dir: str) -> tuple[int, str] | None:
+        p = os.path.join(meta_dir, self._POINTER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return d["version"], d["path"]
+
+    def current(self, location: str) -> tuple[int, str] | None:
+        with self._locked(location) as meta_dir:
+            return self._read_pointer(meta_dir)
+
+    def commit(self, location: str, expected_version: int, metadata: dict) -> str:
+        meta_dir = _meta_dir(location)
+        os.makedirs(meta_dir, exist_ok=True)
+        path = os.path.join(
+            meta_dir,
+            f"v{expected_version + 1}-{uuid.uuid4().hex[:12]}.metadata.json",
+        )
+        with open(path, "w") as f:  # unique name: the write cannot conflict
+            json.dump(metadata, f, indent=1)
+        with self._locked(location) as md:
+            cur = self._read_pointer(md)
+            cur_version = cur[0] if cur else 0
+            if cur_version != expected_version:
+                os.remove(path)
+                raise CommitConflict(
+                    f"{location}: expected v{expected_version}, "
+                    f"catalog at v{cur_version}"
+                )
+            tmp = os.path.join(md, self._POINTER + f".{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": expected_version + 1, "path": path}, f)
+            os.replace(tmp, os.path.join(md, self._POINTER))
         return path

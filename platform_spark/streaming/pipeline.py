@@ -43,6 +43,7 @@ class ContinuousTopicPipeline:
         upsert_keys: tuple[str, ...] | None = None,
         upsert_order_by: tuple[str, ...] | None = None,
         sort_cols: tuple[str, ...] = (),
+        commit_protocol=None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -101,6 +102,12 @@ class ContinuousTopicPipeline:
         #: it), so manifest column bounds stay a selective sparse index
         #: for point/range lookups on the sunk table
         self.sort_cols = sort_cols
+        #: table-commit backend (platform_spark.iceberg.commit). Default
+        #: FilesystemCommit; a multi-writer deployment (this sink + a
+        #: maintenance cron + backfills in separate OS processes) passes
+        #: LockedPointerCommit so every pointer swap is a durable
+        #: cross-process CAS — the reference's catalog-service analogue
+        self.commit_protocol = commit_protocol
         self._appends_since_compact = 0
         #: partition values the appends since the last compaction touched
         #: — maintenance bin-packs ONLY these (partition-scoped partial
@@ -182,8 +189,10 @@ class ContinuousTopicPipeline:
         double-append."""
         from platform_spark.iceberg.table import IcebergTable, append_dataframe
 
-        if IcebergTable.exists(self.iceberg_location):
-            table = IcebergTable.load(self.iceberg_location)
+        if IcebergTable.exists(self.iceberg_location, protocol=self.commit_protocol):
+            table = IcebergTable.load(
+                self.iceberg_location, protocol=self.commit_protocol
+            )
             last = table.metadata.get("properties", {}).get("streaming-batch-id")
             if (
                 batch_id is not None
@@ -197,6 +206,7 @@ class ContinuousTopicPipeline:
                 batch.schema,
                 partition_by=self.partition_cols,
                 sort_by=self.sort_cols,
+                protocol=self.commit_protocol,
             )
         props = (
             {"streaming-batch-id": str(batch_id)} if batch_id is not None else None
