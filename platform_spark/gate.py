@@ -5611,6 +5611,95 @@ FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0 AND doc_id % 3 <> 0
 )
 
 
+def _ensure_iceberg_branch_cdc(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the BRANCH-changelog gate: the same CDC cadence
+    as the upsert table but staged on a write-audit-publish branch —
+    append evens on main (snap 1), branch 'audit', TWO overlapping
+    upserts committed to the BRANCH (snaps 2, 3), then a main append
+    (snap 4) that must never leak into a branch consumer. The branch
+    head's ancestry is 3 → 2 → 1."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    loc, done = _iceberg_scratch(sf_dir, "_brcl")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(loc, docs.schema, partition_by=("lang",), clock=clock)
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 0))
+        table.create_branch("audit")
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn("source", F.lit("b1")),
+            ["doc_id"],
+            branch="audit",
+        )
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(7)
+            ),
+            ["doc_id"],
+            branch="audit",
+        )
+        # a MAIN commit after the branch diverged: ancestry-walked branch
+        # reads must not sweep it up even though its sequence number is
+        # inside the window
+        append_dataframe(
+            table,
+            docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 == 0)),
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_branch_changelog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_branch_cdc(spark, sf_dir)
+    return IcebergTable.load(loc).changelog(spark, ref="audit")
+
+
+# Row-level CDC changelog ALONG A BRANCH REF — the pre-publish audit a
+# write-audit-publish reviewer runs ("what would land on main?"): the
+# window walks the BRANCH head's ancestry, so both branch upserts' kills
+# materialize against the correct branch-visible parent (b2 kills b1's
+# copy on the 3∩5 overlap, not the long-dead original; b2 kills the
+# original evens copy only where b1 didn't already), and the main append
+# committed after the divergence — whose sequence number lies inside the
+# window — contributes nothing. Snapshot ids/ordinals deterministic as in
+# the main-changelog gate.
+_add(
+    "iceberg_branch_changelog_scan",
+    _iceberg_branch_changelog_gate,
+    """
+SELECT doc_id, lang, source, n_chars,
+  'insert' AS _change_type, CAST(1 AS BIGINT) AS _change_snapshot_id,
+  CAST(0 AS INT) AS _change_ordinal
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, 'b1' AS source, n_chars, 'insert', 2, 1
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'delete', 2, 1
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars + 7 AS n_chars, 'insert', 3, 2
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, lang, 'b1' AS source, n_chars, 'delete', 3, 2
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'delete', 3, 2
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0 AND doc_id % 3 <> 0
+""",
+)
+
+
 def _ensure_iceberg_day_table(spark: SparkSession, sf_dir: str) -> str:
     """Scratch table for the hidden-time-partitioning gate: the events
     envelope committed into a days(_ts)-partitioned Iceberg table (two
@@ -6283,6 +6372,7 @@ _TAIL_SUBSETS = [
     "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
     "iceberg_matview_scan",        # NEW r10, tail-placed from birth: the changelog events it folds are pinned by iceberg_changelog_scan's six-event-class oracle (tail, pytest-replayed) over the SAME commit sequence, and the delete-materialization machinery under those events is head-pinned by iceberg_delete_scan/iceberg_merge_scan; the view-specific surface (sign-folding delta merge, state swap, checkpoint) carries this full final-state GROUP BY oracle replayed in pytest plus the step-by-step equality + expired-checkpoint-recovery test (test_incremental_aggregate_maintenance)
+    "iceberg_branch_changelog_scan",  # NEW r11, tail-placed from birth: strict subset of iceberg_changelog_scan's six-event-class machinery (same kill-attribution/ordinal surface, head-pinned delete application per that entry) — the branch-specific increment is ref-ancestry window selection, which _ancestry_window shares verbatim with changes(ref=) (tested by test_changes_along_branch_ref) plus the branch-head parent seeding, and THIS gate's oracle pins exactly that: kills against the branch-visible parent and a mid-window main commit contributing nothing
     "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
 ]

@@ -2086,6 +2086,7 @@ class IcebergTable:
         all_stats: dict[str, dict],
         eq_ids: list[int],
         properties_update: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         """ONE snapshot carrying both the batch's data manifest and its
         equality-delete manifest at the same sequence number: the spec's
@@ -2110,7 +2111,7 @@ class IcebergTable:
             manifests.append(
                 self._write_manifest(dentries, seq, snap_id, None, content=1)
             )
-        prior = self.current_snapshot()
+        prior = self._branch_head(branch) if branch else self.current_snapshot()
         carried: list[dict] = []
         if prior is not None:
             _, _, carried = avro.read_container(prior["manifest-list"])
@@ -2126,6 +2127,7 @@ class IcebergTable:
             seq,
             snap_id,
             properties_update=properties_update,
+            branch=branch,
         )
 
     def rewrite_manifests(
@@ -3269,6 +3271,7 @@ def upsert_dataframe(
     properties_update: dict | None = None,
     order_by: list[str] | None = None,
     write_partitions: int = 1,
+    branch: str | None = None,
 ) -> dict | None:
     """Streaming-scale UPSERT as ONE atomic snapshot: the batch's key
     values commit as an equality-delete file TOGETHER with the batch's
@@ -3292,7 +3295,13 @@ def upsert_dataframe(
     offset column) to dedupe the batch here; without it a batch that
     actually contains duplicate keys raises instead of committing
     duplicates. The check is free — it compares the already-computed
-    data-file vs distinct-key-file record counts, no extra job."""
+    data-file vs distinct-key-file record counts, no extra job.
+
+    ``branch=`` stages the upsert on a write-audit-publish branch ref:
+    the equality delete applies along the BRANCH ancestry (it kills the
+    branch-visible copies), only the branch head advances, and main
+    consumers see nothing until ``publish_branch`` — the CDC form of the
+    staged-ingest flow ``append_dataframe(branch=)`` provides."""
     if df.schema != table.spark_schema:
         table.evolve_schema(df.schema)
         from pyspark.sql import functions as F
@@ -3389,6 +3398,7 @@ def upsert_dataframe(
             return table._upsert_once(
                 data_live, del_live, stats, eq_ids,
                 properties_update=properties_update,
+                branch=branch,
             )
         except CommitConflict as e:
             last_err = e
