@@ -1718,11 +1718,23 @@ class IcebergTable:
             # only rows with an older data sequence than SOME window
             # delete can die in-window — metadata-prune the candidates
             max_del = max(e["sequence_number"] for e, _, _ in eqs)
+            # pre-window equality deletes compete at ordinal -1 (winning
+            # means "dead before the window"); they join the candidate
+            # pruning too, since a candidate only matters if SOME delete
+            # can reach it
+            eq0 = [
+                (e, -1, -1)
+                for e in live_dels.values()
+                if e["data_file"]["content"] == 2
+            ]
             cand = [
                 e
                 for e in list(live_data.values()) + [e for e, _, _ in adds]
                 if e["sequence_number"] < max_del
             ]
+            cand = self._prune_kill_candidates(
+                cand, [e for e, _, _ in eq0 + eqs]
+            )
             if cand:
                 df = self._read_data_entries(spark, cand, with_pos=True)
                 # rows position-deleted before the window start were
@@ -1747,13 +1759,6 @@ class IcebergTable:
                         "left_anti",
                     )
                 df = self._with_data_seq(spark, df, cand)
-                # pre-window equality deletes compete at ordinal -1:
-                # winning means "dead before the window"
-                eq0 = [
-                    (e, -1, -1)
-                    for e in live_dels.values()
-                    if e["data_file"]["content"] == 2
-                ]
                 killed = None
                 for cols, keys in self._eq_key_frames_tagged(spark, eq0 + eqs):
                     cond = df["__data_seq"] < keys["__del_seq"]
@@ -1848,10 +1853,13 @@ class IcebergTable:
                     if eq:
                         # spec sequence rule: only strictly-older files
                         max_del = max(e["sequence_number"] for e in eq)
-                        eq_targets = [
-                            e for e in live_parent
-                            if e["sequence_number"] < max_del
-                        ]
+                        eq_targets = self._prune_kill_candidates(
+                            [
+                                e for e in live_parent
+                                if e["sequence_number"] < max_del
+                            ],
+                            eq,
+                        )
                     else:
                         eq_targets = []
                     targets = live_parent if pos else eq_targets
@@ -2922,6 +2930,90 @@ class IcebergTable:
                 out.append(e)
         return out
 
+    def _entry_bounds(self, entry: dict, fid: int, ftype) -> tuple:
+        """(lower, upper) recorded in the manifest for one column of one
+        file entry — (None, None) when the file has no bounds for it."""
+        d = entry["data_file"]
+        lo = hi = None
+        for kv in d.get("lower_bounds") or []:
+            if kv["key"] == fid:
+                lo = deserialize_bound(ftype, kv["value"])
+        for kv in d.get("upper_bounds") or []:
+            if kv["key"] == fid:
+                hi = deserialize_bound(ftype, kv["value"])
+        return lo, hi
+
+    def _prune_kill_candidates(
+        self, cand: list[dict], eq_entries: list[dict]
+    ) -> list[dict]:
+        """Metadata-prune a kill-candidate data-file list by the
+        equality-delete files' OWN manifest key bounds: a data file whose
+        recorded [min, max] for the (first) key column intersects no
+        delete file's key range cannot contain a killed row, so the
+        delete materialization never reads it. Conservative superset —
+        files or deletes lacking bounds keep everything they touch, and
+        string/binary bound truncation only widens ranges (lower bounds
+        truncate down, upper bounds round up). On a sorted table with
+        localized CDC batches this is the difference between a wide
+        changelog fold / rewrite_deletes pass reading O(table) and
+        reading O(touched key ranges) — the same sparse-index mechanic
+        point lookups get from ``filter_entries_by_bounds``, applied to
+        the DELETE side. Cost: O((files + deletes) log deletes) on the
+        driver, manifests only."""
+        import bisect
+
+        if not cand or not eq_entries:
+            return cand
+        types_by_id = {f["id"]: f["type"] for f in self.schema["fields"]}
+        # merged key intervals per keyset (keyed by first equality column)
+        raw: dict[int, list | None] = {}
+        for e in eq_entries:
+            fid = e["data_file"]["equality_ids"][0]
+            lo, hi = self._entry_bounds(e, fid, types_by_id[fid])
+            # NULL delete keys match null-safely but live outside any
+            # [min, max]: a delete file carrying one makes its keyset
+            # unbounded (so candidates with null keys stay readable)
+            nulls = 0
+            for kv in e["data_file"].get("null_value_counts") or []:
+                if kv["key"] == fid:
+                    nulls = kv["value"]
+            if lo is None or hi is None or nulls:
+                raw[fid] = None  # unbounded delete: keyset reaches anything
+            elif raw.get(fid, []) is not None:
+                raw.setdefault(fid, []).append((lo, hi))
+        merged: dict[int, tuple[list, list] | None] = {}
+        for fid, ivs in raw.items():
+            if ivs is None:
+                merged[fid] = None
+                continue
+            ivs.sort()
+            out = [list(ivs[0])]
+            for lo, hi in ivs[1:]:
+                if lo <= out[-1][1]:
+                    out[-1][1] = max(out[-1][1], hi)
+                else:
+                    out.append([lo, hi])
+            merged[fid] = ([iv[0] for iv in out], [iv[1] for iv in out])
+        kept = []
+        for e in cand:
+            reachable = False
+            for fid, iv in merged.items():
+                if iv is None:
+                    reachable = True
+                    break
+                clo, chi = self._entry_bounds(e, fid, types_by_id[fid])
+                if clo is None or chi is None:
+                    reachable = True  # no bounds recorded: must read
+                    break
+                los, his = iv
+                i = bisect.bisect_left(his, clo)
+                if i < len(los) and los[i] <= chi:
+                    reachable = True
+                    break
+            if reachable:
+                kept.append(e)
+        return kept
+
     def to_spark(
         self,
         spark,
@@ -3549,7 +3641,9 @@ def rewrite_deletes(table: IcebergTable, spark) -> dict:
             # (spec sequence rule) — after heavy upserting most live data
             # files are newer than every delete and skip the read
             max_del = max(e["sequence_number"] for e in eq)
-            affected = [e for e in entries if e["sequence_number"] < max_del]
+            affected = table._prune_kill_candidates(
+                [e for e in entries if e["sequence_number"] < max_del], eq
+            )
             if affected:
                 df = table._read_data_entries(spark, affected, with_pos=True)
                 hit = table._eq_delete_matches(spark, df, eq, affected)

@@ -2482,6 +2482,91 @@ def test_changelog_wide_window_plan_width(spark, table_loc):
     assert set(state.values()) == live
 
 
+def test_delete_key_bounds_prune_kill_candidates(spark, table_loc):
+    """Equality-delete materialization (wide changelog folds,
+    rewrite_deletes) prunes its data-file read set by the delete files'
+    OWN manifest key bounds: on a sorted table with localized CDC
+    batches, only files whose key range intersects a delete file's key
+    range are read — O(touched ranges), not O(table). Null delete keys
+    disable the pruning for their keyset (null-safe equality matches
+    outside any [min, max]), so correctness never depends on it."""
+    from pyspark.sql import types as T
+
+    from platform_spark.iceberg.table import (
+        rewrite_deletes, upsert_dataframe,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IcebergTable.create(table_loc, schema, clock=CLOCK, sort_by=("id",))
+
+    def batch(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.concat(F.lit(tag), F.col("id")).alias("text")
+        )
+
+    for lo in range(0, 400, 100):  # four disjoint-range files
+        append_dataframe(t, batch(lo, lo + 100, "base-"))
+    first = t.current_snapshot()["snapshot-id"]
+    upsert_dataframe(t, batch(150, 160, "upd-"), ["id"])
+
+    # unit: of the four original files only the 100-199 one is reachable
+    eq = [e for e in t.scan_deletes() if e["data_file"]["content"] == 2]
+    assert len(eq) == 1
+    max_del = max(e["sequence_number"] for e in eq)
+    older = [e for e in t.scan_files() if e["sequence_number"] < max_del]
+    assert len(older) == 4
+    kept = t._prune_kill_candidates(older, eq)
+    assert len(kept) == 1
+    lo_b, hi_b = t._entry_bounds(kept[0], 1, "long")
+    assert lo_b <= 150 and hi_b >= 159
+
+    # the wide changelog fold emits exactly the superseded rows — and
+    # stays correct with the pruned candidate set
+    ev = t.changelog(spark, from_snapshot_id=first).collect()
+    dels = sorted(r.id for r in ev if r._change_type == "delete")
+    assert dels == list(range(150, 160))
+    assert all(
+        r.text == f"base-{r.id}" for r in ev if r._change_type == "delete"
+    )
+
+    # rewrite_deletes reads only the reachable file; the consolidated
+    # position deletes reference it alone, and content is unchanged
+    res = rewrite_deletes(t, spark)
+    assert res["retired_delete_files"] == 1
+    pos = [e for e in t.scan_deletes() if e["data_file"]["content"] == 1]
+    ids = spark.read.parquet(
+        *[e["data_file"]["file_path"] for e in pos]
+    ).collect()
+    assert len(ids) == 10 and len({r.file_path for r in ids}) == 1
+    got = {(r.id, r.text) for r in t.to_spark(spark).collect()}
+    want = {
+        (i, f"upd-{i}" if 150 <= i < 160 else f"base-{i}")
+        for i in range(400)
+    }
+    assert got == want
+
+    # null-key deletes: pruning must keep everything (null-safe match)
+    t2loc = table_loc + "_null"
+    t2 = IcebergTable.create(t2loc, schema, clock=CLOCK, sort_by=("id",))
+    df = spark.createDataFrame([(None, "n-null"), (5, "n-5")], schema)
+    append_dataframe(t2, df)
+    append_dataframe(t2, batch(100, 200, "base-"))
+    t2.delete_keys(spark, spark.createDataFrame([(None,)], "id long"))
+    eq2 = [e for e in t2.scan_deletes() if e["data_file"]["content"] == 2]
+    older2 = [
+        e for e in t2.scan_files()
+        if e["sequence_number"] < max(x["sequence_number"] for x in eq2)
+    ]
+    assert len(t2._prune_kill_candidates(older2, eq2)) == len(older2)
+    got2 = {r.text for r in t2.to_spark(spark).collect()}
+    assert "n-null" not in got2 and "n-5" in got2
+
+
 def test_rewrite_manifests_pure_metadata_consolidation(spark, table_loc):
     """rewrite_manifests folds a commit-count-long manifest list into one
     manifest per content kind without touching any data/delete file:
