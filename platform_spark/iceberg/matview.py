@@ -145,12 +145,22 @@ class IncrementalAggregate:
             self.rebuild(spark, table)
             return -1
         changes = table.changelog(spark, from_snapshot_id=ckpt)
-        n_events = changes.count()
+        # ONE execution of the changelog plan: aggregate the delta (plus
+        # an event tally) and pin the group-sized result with an eager
+        # localCheckpoint, then both the emptiness check and the state
+        # merge read the pinned rows. The old count()-then-fold shape ran
+        # the whole fold twice per refresh.
+        delta = (
+            changes.groupBy(*self.group_cols)
+            .agg(*self._measures(), F.count(F.lit(1)).alias("__events"))
+            .localCheckpoint(eager=True)
+        )
+        n_events = (delta.agg(F.sum("__events")).collect()[0][0]) or 0
         if n_events == 0:
             # state unchanged: republish the same state dir at the new id
             self._publish(None, current["snapshot-id"])
             return 0
-        delta = changes.groupBy(*self.group_cols).agg(*self._measures())
+        delta = delta.drop("__events")
         live = self._live_data_dir()
         if live is not None:
             prev = spark.read.parquet(live)
