@@ -385,12 +385,11 @@ def main() -> None:
     # refresh below measures a genuine wide-window incremental fold
     from platform_spark.iceberg.matview import IncrementalAggregate
 
-    mv = IncrementalAggregate(
-        os.path.join(scratch, "cdc_mv_state"),
-        group_cols=["val"],
-        sum_cols=["n"],
-    )
+    mv_state = os.path.join(scratch, "cdc_mv_state")
+    shutil.rmtree(mv_state, ignore_errors=True)  # stale state from a prior run
+    mv = IncrementalAggregate(mv_state, group_cols=["val"], sum_cols=["n"])
     mv.refresh(spark, utbl)
+    seed_snap = utbl.current_snapshot()["snapshot-id"]
     n_up = args.upserts
     t0 = time.time()
     for c in range(n_up):
@@ -415,7 +414,9 @@ def main() -> None:
     # path: one insert leaf + one kill-candidate join), and fold wall
     # must track CHANGED ROWS, not window length × table size.
     t0 = time.time()
-    cl = utbl.changelog(spark)
+    # the CONSUMER window: everything after the seed baseline — the same
+    # window the matview refresh below folds
+    cl = utbl.changelog(spark, from_snapshot_id=seed_snap)
     n_leaves = (
         cl._jdf.queryExecution().optimizedPlan().toString().count("Relation")
     )
