@@ -473,6 +473,94 @@ def _collect_file_stats(
     }
 
 
+def _parse_spec_fields(partition_by: tuple, by_name: dict) -> list[dict]:
+    """Parse ``partition_by`` declarations (``col``, ``days(col)``,
+    ``months(col)``, ``hours(col)``, ``truncate(col, W)``) into spec
+    partition fields WITHOUT field-ids — the caller assigns those
+    (create: 1000+i; evolve_partition_spec: reuse-or-allocate)."""
+    spec_fields = []
+    for spec in partition_by:
+        mt = re.fullmatch(r"truncate\((\w+),\s*(\d+)\)", spec)
+        if mt:
+            # spec `truncate[W]` transform: strings keep their first
+            # W characters, ints floor to the nearest W multiple —
+            # the prefix-bucketing layout for URL/path/id-keyed
+            # corpora (prune by key prefix, no high-cardinality dirs)
+            col, width = mt.group(1), int(mt.group(2))
+            if col not in by_name:
+                raise ValueError(
+                    f"iceberg: partition column {col!r} not in schema"
+                )
+            if by_name[col]["type"] not in ("int", "long", "string"):
+                raise ValueError(
+                    f"iceberg: truncate() needs an int/long/string "
+                    f"source, got {by_name[col]['type']} for {col!r}"
+                )
+            if width <= 0:
+                raise ValueError("iceberg: truncate width must be > 0")
+            pname = f"{col}_trunc"
+            if pname in by_name:
+                raise ValueError(
+                    f"iceberg: truncate({col}) partition name "
+                    f"{pname!r} collides with a schema column"
+                )
+            spec_fields.append(
+                {
+                    "name": pname,
+                    "transform": f"truncate[{width}]",
+                    "source-id": by_name[col]["id"],
+                }
+            )
+            continue
+        m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", spec)
+        if m:
+            # hidden time partitioning (spec day/month/hour
+            # transforms): the partition VALUE is an int
+            # days/months/hours-since-epoch derived from the source
+            # column, the source column stays a normal data column —
+            # how every 100 TB deployment partitions a timestamped
+            # corpus without denormalizing a date column
+            transform = m.group(1).rstrip("s")
+            col = m.group(2)
+            if col not in by_name:
+                raise ValueError(
+                    f"iceberg: partition column {col!r} not in schema"
+                )
+            ok_src = ("date", "timestamp", "timestamptz")
+            if transform == "hour":
+                ok_src = ("timestamp", "timestamptz")  # spec: no hour(date)
+            if by_name[col]["type"] not in ok_src:
+                raise ValueError(
+                    f"iceberg: {transform}() needs a {'/'.join(ok_src)} "
+                    f"source, got {by_name[col]['type']} for {col!r}"
+                )
+            pname = f"{col}_{transform}"
+            if pname in by_name:
+                raise ValueError(
+                    f"iceberg: {transform}({col}) partition name "
+                    f"{pname!r} collides with a schema column"
+                )
+            spec_fields.append(
+                {
+                    "name": pname,
+                    "transform": transform,
+                    "source-id": by_name[col]["id"],
+                }
+            )
+            continue
+        col = spec
+        if col not in by_name:
+            raise ValueError(f"iceberg: partition column {col!r} not in schema")
+        spec_fields.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": by_name[col]["id"],
+            }
+        )
+    return spec_fields
+
+
 def _manifest_live_entries(
     mf: dict, content: int, partition_filter: dict | None, fnames: list[str]
 ) -> list[dict]:
@@ -498,6 +586,9 @@ def _manifest_live_entries(
             continue
         if e["sequence_number"] is None:  # spec inheritance
             e["sequence_number"] = mf["sequence_number"]
+        # partition-spec evolution: remember which spec wrote this file
+        # (readers group by it; avro encoding ignores non-schema keys)
+        e["_spec_id"] = mf.get("partition_spec_id")
         out.append(e)
     return out
 
@@ -613,89 +704,10 @@ class IcebergTable:
         ice = schema_to_iceberg(spark_schema, schema_id=0)
         last_col = ice.pop("_last_column_id")
         by_name = {f["name"]: f for f in ice["fields"]}
-        spec_fields = []
-        for i, spec in enumerate(partition_by):
-            mt = re.fullmatch(r"truncate\((\w+),\s*(\d+)\)", spec)
-            if mt:
-                # spec `truncate[W]` transform: strings keep their first
-                # W characters, ints floor to the nearest W multiple —
-                # the prefix-bucketing layout for URL/path/id-keyed
-                # corpora (prune by key prefix, no high-cardinality dirs)
-                col, width = mt.group(1), int(mt.group(2))
-                if col not in by_name:
-                    raise ValueError(
-                        f"iceberg: partition column {col!r} not in schema"
-                    )
-                if by_name[col]["type"] not in ("int", "long", "string"):
-                    raise ValueError(
-                        f"iceberg: truncate() needs an int/long/string "
-                        f"source, got {by_name[col]['type']} for {col!r}"
-                    )
-                if width <= 0:
-                    raise ValueError("iceberg: truncate width must be > 0")
-                pname = f"{col}_trunc"
-                if pname in by_name:
-                    raise ValueError(
-                        f"iceberg: truncate({col}) partition name "
-                        f"{pname!r} collides with a schema column"
-                    )
-                spec_fields.append(
-                    {
-                        "name": pname,
-                        "transform": f"truncate[{width}]",
-                        "source-id": by_name[col]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
-                continue
-            m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", spec)
-            if m:
-                # hidden time partitioning (spec day/month/hour
-                # transforms): the partition VALUE is an int
-                # days/months/hours-since-epoch derived from the source
-                # column, the source column stays a normal data column —
-                # how every 100 TB deployment partitions a timestamped
-                # corpus without denormalizing a date column
-                transform = m.group(1).rstrip("s")
-                col = m.group(2)
-                if col not in by_name:
-                    raise ValueError(
-                        f"iceberg: partition column {col!r} not in schema"
-                    )
-                ok_src = ("date", "timestamp", "timestamptz")
-                if transform == "hour":
-                    ok_src = ("timestamp", "timestamptz")  # spec: no hour(date)
-                if by_name[col]["type"] not in ok_src:
-                    raise ValueError(
-                        f"iceberg: {transform}() needs a {'/'.join(ok_src)} "
-                        f"source, got {by_name[col]['type']} for {col!r}"
-                    )
-                pname = f"{col}_{transform}"
-                if pname in by_name:
-                    raise ValueError(
-                        f"iceberg: {transform}({col}) partition name "
-                        f"{pname!r} collides with a schema column"
-                    )
-                spec_fields.append(
-                    {
-                        "name": pname,
-                        "transform": transform,
-                        "source-id": by_name[col]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
-                continue
-            col = spec
-            if col not in by_name:
-                raise ValueError(f"iceberg: partition column {col!r} not in schema")
-            spec_fields.append(
-                {
-                    "name": col,
-                    "transform": "identity",
-                    "source-id": by_name[col]["id"],
-                    "field-id": 1000 + i,
-                }
-            )
+        spec_fields = [
+            {**pf, "field-id": 1000 + i}
+            for i, pf in enumerate(_parse_spec_fields(partition_by, by_name))
+        ]
         sort_fields = []
         for s in sort_by:
             col, direction = s, "asc"
@@ -791,6 +803,15 @@ class IcebergTable:
         return next(
             s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
         )
+
+    def partition_spec(self, spec_id: int | None) -> dict:
+        """The partition spec with the given id (None or unknown → the
+        current default, the pre-evolution behavior)."""
+        if spec_id is not None:
+            for s in self.metadata["partition-specs"]:
+                if s["spec-id"] == spec_id:
+                    return s
+        return self.spec
 
     def current_snapshot(self) -> dict | None:
         sid = self.metadata["current-snapshot-id"]
@@ -1032,14 +1053,19 @@ class IcebergTable:
         part_summaries: list[dict] | None,
         deleted: bool = False,
         content: int = 0,
+        spec: dict | None = None,
     ) -> dict:
         """Write one manifest Avro file; return its manifest_file row.
         File/row counts derive from the entry statuses (1=ADDED,
         0=EXISTING, 2=DELETED), so mixed rewrite manifests — a partial
         replace keeping some entries and retiring others — book
-        correctly. ``deleted`` only picks the d-/m- filename kind."""
+        correctly. ``deleted`` only picks the d-/m- filename kind.
+        ``spec`` pins the partition spec the entries were written under
+        (REWRITES of pre-evolution manifests must keep the old spec, or
+        their partition structs would mis-serialize); default current."""
         meta_dir = self._meta_dir(self.location)
-        spec_fields = self.spec["fields"]
+        spec = spec or self.spec
+        spec_fields = spec["fields"]
         kind = "d" if deleted else "m"
         name = f"{kind}-{snap_id}-{uuid.uuid5(uuid.NAMESPACE_URL, entries[0]['data_file']['file_path'])}.avro"
         manifest_path = os.path.join(meta_dir, name)
@@ -1051,7 +1077,7 @@ class IcebergTable:
                 "schema": json.dumps(self.schema),
                 "schema-id": str(self.schema["schema-id"]),
                 "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": str(self.spec["spec-id"]),
+                "partition-spec-id": str(spec["spec-id"]),
                 "format-version": "2",
                 "content": "deletes" if content else "data",
             },
@@ -1066,7 +1092,7 @@ class IcebergTable:
         return {
             "manifest_path": manifest_path,
             "manifest_length": mlen,
-            "partition_spec_id": self.spec["spec-id"],
+            "partition_spec_id": spec["spec-id"],
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(
@@ -1082,11 +1108,14 @@ class IcebergTable:
             "partitions": part_summaries if spec_fields else None,
         }
 
-    def _summaries_from_entries(self, entries: list[dict]) -> list[dict] | None:
+    def _summaries_from_entries(
+        self, entries: list[dict], spec: dict | None = None
+    ) -> list[dict] | None:
         """Manifest partition summaries recomputed from the LIVE entries'
         partition values (used when rewriting a manifest, where the
-        original path-derived summaries may no longer be tight)."""
-        spec_fields = self.spec["fields"]
+        original path-derived summaries may no longer be tight). ``spec``
+        pins a pre-evolution manifest's own spec; default current."""
+        spec_fields = (spec or self.spec)["fields"]
         if not spec_fields:
             return None
         types = {f["id"]: f["type"] for f in self.schema["fields"]}
@@ -1396,10 +1425,12 @@ class IcebergTable:
                 else:
                     ent["status"] = 0  # EXISTING
                 rewritten.append(ent)
+            mf_spec = self.partition_spec(mf.get("partition_spec_id"))
             manifests.append(
                 self._write_manifest(
                     rewritten, seq, snap_id,
-                    self._summaries_from_entries(rewritten),
+                    self._summaries_from_entries(rewritten, spec=mf_spec),
+                    spec=mf_spec,
                 )
             )
         return self._finalize_snapshot(
@@ -1531,10 +1562,10 @@ class IcebergTable:
             if mf["content"] != 0 or mf["added_snapshot_id"] != snap["snapshot-id"]:
                 continue  # carried from an older snapshot
             _, _, es = avro.read_container(mf["manifest_path"])
-            out += [
-                e for e in es
-                if e["status"] == 1 and e["snapshot_id"] == snap["snapshot-id"]
-            ]
+            for e in es:
+                if e["status"] == 1 and e["snapshot_id"] == snap["snapshot-id"]:
+                    e["_spec_id"] = mf.get("partition_spec_id")
+                    out.append(e)
         return out
 
     def _snapshot_diff(self, snap: dict) -> dict:
@@ -1564,6 +1595,7 @@ class IcebergTable:
                     continue  # EXISTING entry carried into a rewrite
                 if e["status"] == 1:
                     key = "added_data" if mf["content"] == 0 else "added_deletes"
+                    e["_spec_id"] = mf.get("partition_spec_id")
                     out[key].append(e)
                 elif e["status"] == 2:
                     key = "removed_data" if mf["content"] == 0 else "removed_deletes"
@@ -2164,15 +2196,20 @@ class IcebergTable:
                 return {"manifests_replaced": 0, "manifests_created": 0,
                         "snapshot": None}
             _, _, mlist = avro.read_container(prior["manifest-list"])
-            by_kind: dict[int, list[dict]] = {0: [], 1: []}
+            # group by (content kind, partition spec): entries written
+            # under different specs cannot share a manifest (their
+            # partition structs have different shapes)
+            by_group: dict[tuple, list[dict]] = {}
             for mf in mlist:
-                by_kind[mf["content"]] += _manifest_live_entries(
+                key = (mf["content"], mf.get("partition_spec_id"))
+                by_group.setdefault(key, [])
+                by_group[key] += _manifest_live_entries(
                     mf, mf["content"], None, fnames
                 )
             n_created = sum(
                 (len(es) + target_entries_per_manifest - 1)
                 // target_entries_per_manifest
-                for es in by_kind.values()
+                for es in by_group.values()
                 if es
             )
             if len(mlist) <= max(n_created, 1):
@@ -2181,8 +2218,11 @@ class IcebergTable:
             seq = self.metadata["last-sequence-number"] + 1
             snap_id = seq
             manifests: list[dict] = []
-            for kind in (0, 1):
-                entries = by_kind[kind]
+            for (kind, spec_id), entries in sorted(
+                by_group.items(),
+                key=lambda kv: (kv[0][0], kv[0][1] if kv[0][1] is not None else -1),
+            ):
+                g_spec = self.partition_spec(spec_id)
                 for i in range(0, len(entries), target_entries_per_manifest):
                     chunk = [
                         {
@@ -2197,9 +2237,10 @@ class IcebergTable:
                     manifests.append(
                         self._write_manifest(
                             chunk, seq, snap_id,
-                            self._summaries_from_entries(chunk)
+                            self._summaries_from_entries(chunk, spec=g_spec)
                             if kind == 0 else None,
                             content=kind,
+                            spec=g_spec,
                         )
                     )
             try:
@@ -2210,7 +2251,7 @@ class IcebergTable:
                         "manifests-replaced": str(len(mlist)),
                         "manifests-created": str(len(manifests)),
                         "entries-processed": str(
-                            sum(len(v) for v in by_kind.values())
+                            sum(len(v) for v in by_group.values())
                         ),
                     },
                     seq,
@@ -2604,6 +2645,67 @@ class IcebergTable:
         self.metadata = new_meta
         self.version += 1
 
+    def evolve_partition_spec(self, partition_by: tuple[str, ...]) -> None:
+        """Partition-spec evolution (spec v2): change how FUTURE writes
+        are partitioned — identity columns, ``days(ts)``/``months``/
+        ``hours`` hidden time transforms, ``truncate(col, W)`` — as one
+        metadata-only commit. ZERO data moves: existing files keep their
+        original spec and stay scannable and partition-prunable through
+        their own manifests' recorded ``partition_spec_id``; new commits
+        write and prune under the new spec; a filter on a field an old
+        spec lacks simply keeps the old files (conservative superset) and
+        prunes the new ones. ``compact_table`` rewrites under the CURRENT
+        spec, so routine (or partition-scoped) compaction migrates old
+        data lazily — the only way to repartition a 100 TB table without
+        an offline rewrite, and how the spec intends it. A spec field
+        identical to one in any prior spec (same source, transform, name)
+        keeps its field-id, as the spec requires."""
+        by_name = {f["name"]: f for f in self.schema["fields"]}
+        parsed = _parse_spec_fields(tuple(partition_by), by_name)
+        prior_ids: dict[tuple, int] = {}
+        for sp in self.metadata["partition-specs"]:
+            for pf in sp["fields"]:
+                key = (pf["source-id"], pf["transform"], pf["name"])
+                prior_ids.setdefault(key, pf["field-id"])
+        next_id = self.metadata.get("last-partition-id", 999) + 1
+        fields = []
+        for pf in parsed:
+            key = (pf["source-id"], pf["transform"], pf["name"])
+            if key in prior_ids:
+                fid = prior_ids[key]
+            else:
+                fid = next_id
+                next_id += 1
+            fields.append({**pf, "field-id": fid})
+        cur = self.spec
+        if fields == cur["fields"]:
+            return  # identical to the current default: no new version
+        new_spec = {
+            "spec-id": max(
+                s["spec-id"] for s in self.metadata["partition-specs"]
+            )
+            + 1,
+            "fields": fields,
+        }
+        new_meta = dict(self.metadata)
+        new_meta["partition-specs"] = self.metadata["partition-specs"] + [
+            new_spec
+        ]
+        new_meta["default-spec-id"] = new_spec["spec-id"]
+        new_meta["last-partition-id"] = max(
+            self.metadata.get("last-partition-id", 999), next_id - 1
+        )
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.evolve_partition_spec(partition_by)
+        self.metadata = new_meta
+        self.version += 1
+
     # -- inspect metadata tables (Iceberg's snapshots/files/... surface) -----
 
     def inspect_snapshots(self, spark):
@@ -2752,19 +2854,24 @@ class IcebergTable:
         )
         if snap is None:
             return []
-        spec_fields = self.spec["fields"]
         types = {f["id"]: f["type"] for f in self.schema["fields"]}
-        fnames = [pf["name"] for pf in spec_fields]
         _, _, manifests = avro.read_container(snap["manifest-list"])
         selected: list[dict] = []
         for mf in manifests:
             if mf["content"] != content:
                 continue
+            # each manifest prunes under ITS OWN spec (partition-spec
+            # evolution: old manifests' summaries/values are keyed by
+            # the spec they were written with); a filter field an old
+            # spec lacks simply cannot prune that manifest
+            sp_fields = self.partition_spec(mf.get("partition_spec_id"))[
+                "fields"
+            ]
             if partition_filter and mf.get("partitions"):
                 skip = False
-                for i, pf in enumerate(spec_fields):
+                for i, pf in enumerate(sp_fields):
                     want = partition_filter.get(pf["name"])
-                    if want is None:
+                    if want is None or i >= len(mf["partitions"]):
                         continue
                     summ = mf["partitions"][i]
                     t = self._result_bound_type(pf, types)
@@ -2775,6 +2882,7 @@ class IcebergTable:
                         break
                 if skip:
                     continue
+            mf["_fnames"] = [pf["name"] for pf in sp_fields]
             selected.append(mf)
         est_entries = sum(
             mf["added_files_count"] + mf["existing_files_count"]
@@ -2796,7 +2904,7 @@ class IcebergTable:
                     lambda t: [
                         (t[0], e)
                         for e in _manifest_live_entries(
-                            t[1], content, partition_filter, fnames
+                            t[1], content, partition_filter, t[1]["_fnames"]
                         )
                     ]
                 )
@@ -2808,7 +2916,9 @@ class IcebergTable:
         out: list[dict] = []
         for mf in selected:
             out.extend(
-                _manifest_live_entries(mf, content, partition_filter, fnames)
+                _manifest_live_entries(
+                    mf, content, partition_filter, mf["_fnames"]
+                )
             )
         return out
 
@@ -2828,7 +2938,36 @@ class IcebergTable:
         table metadata, so added-column evolution reads old files with
         nulls). ``with_pos`` appends ``__fp``/``__pos`` row-identity
         columns from the parquet reader's constant-time ``_metadata``
-        struct, normalized to the manifests' plain-path form."""
+        struct, normalized to the manifests' plain-path form. After
+        partition-spec evolution the entries may span specs with
+        different IDENTITY column sets (different physical dir layouts);
+        they read as one group per layout, unioned — plan width O(specs
+        ever used), which evolution keeps tiny."""
+        groups: dict[tuple, list] = {}
+        for e in entries:
+            sp = self.partition_spec(e.get("_spec_id"))
+            key = tuple(
+                sorted(
+                    pf["name"]
+                    for pf in sp["fields"]
+                    if pf.get("transform", "identity") == "identity"
+                )
+            )
+            groups.setdefault(key, []).append(e)
+        parts = [
+            self._read_entry_group(spark, es, set(key), with_pos)
+            for key, es in groups.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_entry_group(
+        self, spark, entries: list[dict], part_cols: set, with_pos: bool
+    ):
+        """One physical layout's worth of ``_read_data_entries``: every
+        entry here shares the same identity-partition column set."""
         from pyspark.sql import functions as F
 
         files = [e["data_file"]["file_path"] for e in entries]
@@ -2836,11 +2975,6 @@ class IcebergTable:
         # file (Spark partitionBy strips them); a transform partition
         # (e.g. day) keeps its SOURCE column in the data file and its
         # derived dir column is simply never selected
-        part_cols = {
-            pf["name"]
-            for pf in self.spec["fields"]
-            if pf.get("transform", "identity") == "identity"
-        }
         read_schema = self.spark_schema
         reader = spark.read.schema(read_schema)
         if part_cols:

@@ -44,6 +44,7 @@ class ContinuousTopicPipeline:
         upsert_order_by: tuple[str, ...] | None = None,
         sort_cols: tuple[str, ...] = (),
         commit_protocol=None,
+        matviews: tuple = (),
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -108,6 +109,15 @@ class ContinuousTopicPipeline:
         #: LockedPointerCommit so every pointer swap is a durable
         #: cross-process CAS — the reference's catalog-service analogue
         self.commit_protocol = commit_protocol
+        #: IncrementalAggregate views the sink maintains itself: each is
+        #: refreshed after every committed batch — O(changed rows) per
+        #: cycle via the changelog fold (one bounded plan even if the
+        #: sink fell behind by hundreds of commits) — so the derived
+        #: tables a corpus feeds downstream (per-source doc counts,
+        #: per-language token totals) are always at most one batch stale
+        #: with no separate scheduler. A view whose checkpoint was
+        #: expired out from under it re-baselines with one full rebuild.
+        self.matviews = tuple(matviews)
         self._appends_since_compact = 0
         #: partition values the appends since the last compaction touched
         #: — maintenance bin-packs ONLY these (partition-scoped partial
@@ -227,6 +237,13 @@ class ContinuousTopicPipeline:
             snap = append_dataframe(table, batch, properties_update=props)
         if snap is None:
             return  # empty batch: nothing committed, nothing to maintain
+        for mv in self.matviews:
+            try:
+                mv.refresh(batch.sparkSession, table)
+            except ValueError:
+                # checkpoint expired (cadence change, manual expiry):
+                # re-baseline — same contract as any incremental consumer
+                mv.rebuild(batch.sparkSession, table)
         if self.compact_every:
             if self.partition_cols:
                 exprs, _names = self._partition_tracking()

@@ -937,6 +937,78 @@ def test_pipeline_iceberg_sink_locked_pointer_protocol(spark, tmp_path):
     assert not os.path.exists(os.path.join(meta_dir, "version-hint.text"))
 
 
+def test_pipeline_sink_maintained_matviews(spark, tmp_path):
+    """The CDC sink maintains declared IncrementalAggregate views
+    itself: after every committed micro-batch each view folds that
+    batch's changelog (O(changed rows)), so derived tables stay at most
+    one batch stale with no separate scheduler. The folded state equals
+    the full GROUP BY of the live table through upsert batches, survives
+    a replayed restart untouched, and a view whose checkpoint is expired
+    re-baselines with one rebuild instead of failing the sink."""
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    for lo in range(0, 60, 20):  # three micro-batches (1 file per trigger)
+        _mk(spark, lo, lo + 20).withColumn(
+            "_partition", F.col("part")
+        ).write.mode("append").parquet(src)
+    loc = str(tmp_path / "ice")
+    mv = IncrementalAggregate(
+        str(tmp_path / "mv"), group_cols=["part"], sum_cols=["id"]
+    )
+    pipe = ContinuousTopicPipeline(
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        upsert_keys=("id",),
+        matviews=(mv,),
+    )
+    pipe.run_available_now()
+    t = IcebergTable.load(loc)
+
+    def full_agg():
+        return {
+            (r.part, r.n, r.sum_id)
+            for r in t.to_spark(spark)
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+            .collect()
+        }
+
+    def mv_state():
+        return {
+            (r.part, r.n, r.sum_id)
+            for r in mv.read(spark, t).collect()
+        }
+
+    assert mv_state() == full_agg()
+    ck_after_run = mv.checkpoint()
+    assert ck_after_run == t.current_snapshot()["snapshot-id"]
+    # replayed restart: no new commits, view untouched
+    pipe.run_available_now()
+    t.refresh()
+    assert mv.checkpoint() == ck_after_run and mv_state() == full_agg()
+    # expired checkpoint → the sink re-baselines instead of dying
+    _mk(spark, 100, 110).withColumn("_partition", F.col("part")).write.mode(
+        "append"
+    ).parquet(src)
+    t.refresh()
+    with open(mv._ckpt_path) as f:
+        state = json.load(f)
+    state["snapshot-id"] = 999_999  # a snapshot id that never existed
+    with open(mv._ckpt_path, "w") as f:
+        json.dump(state, f)
+    pipe.run_available_now()
+    t.refresh()
+    assert mv_state() == full_agg()
+    assert {r.id for r in t.to_spark(spark).collect()} == set(range(60)) | set(
+        range(100, 110)
+    )
+
+
 def test_pipeline_iceberg_auto_maintenance(spark, tmp_path):
     """compact_every: the sink bin-packs and expires history on a commit
     cadence, so a long-running micro-batch ingest keeps O(packed files)
@@ -2565,6 +2637,112 @@ def test_delete_key_bounds_prune_kill_candidates(spark, table_loc):
     assert len(t2._prune_kill_candidates(older2, eq2)) == len(older2)
     got2 = {r.text for r in t2.to_spark(spark).collect()}
     assert "n-null" not in got2 and "n-5" in got2
+
+
+def test_partition_spec_evolution(spark, table_loc):
+    """Partition-spec evolution: one metadata-only commit changes how
+    FUTURE writes partition; zero data moves. Old files stay scannable
+    and prunable under their own recorded spec (a filter on a field an
+    old spec lacks keeps those files — conservative superset); new files
+    write and prune under the new spec; mixed-layout reads (scan,
+    row-level delete, changelog) stay correct; rewrite_manifests
+    consolidates per (kind, spec); compact_table rewrites under the
+    CURRENT spec and thereby migrates the table lazily, after which
+    pruning is tight again. Re-declaring a field from any prior spec
+    keeps its field-id (spec rule)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from platform_spark.iceberg.table import compact_table
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def mk(lo, hi, day):
+        return spark.createDataFrame(
+            [
+                (i, i % 3, datetime.datetime(2024, 1, day, 12, 0), f"doc-{i}")
+                for i in range(lo, hi)
+            ],
+            schema,
+        )
+
+    # spec 0: unpartitioned (one file, so pruning counts are exact below)
+    t = IcebergTable.create(table_loc, schema, clock=CLOCK)
+    append_dataframe(t, mk(0, 8, 1).coalesce(1))
+    # spec 1: identity(part) — metadata-only
+    v_before = t.version
+    t.evolve_partition_spec(("part",))
+    assert t.version == v_before + 1
+    part_fid = next(
+        pf["field-id"] for pf in t.spec["fields"] if pf["name"] == "part"
+    )
+    append_dataframe(t, mk(8, 16, 2))
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(16))
+    # pruning: the old (unpartitioned) file is KEPT — it cannot prove it
+    # lacks part=1 — while new files prune exactly
+    ent = t.scan_files(partition_filter={"part": 1})
+    by_spec: dict = {}
+    for e in ent:
+        by_spec.setdefault(e["_spec_id"], []).append(e)
+    assert len(by_spec[0]) == 1  # the old file survives every filter
+    assert all(
+        e["data_file"]["partition"]["part"] == 1 for e in by_spec[1]
+    )
+    # spec 2: hidden time partitioning — days(ts)
+    t.evolve_partition_spec(("days(ts)",))
+    append_dataframe(t, mk(16, 24, 3))
+    assert {e["_spec_id"] for e in t.scan_files()} == {0, 1, 2}
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == list(range(24))
+    # day filter prunes only spec-2 files; all older files conservatively kept
+    day3 = (datetime.date(2024, 1, 3) - datetime.date(1970, 1, 1)).days
+    ent = t.scan_files(partition_filter={"ts_day": day3})
+    assert {e["_spec_id"] for e in ent} == {0, 1, 2}
+    ent_none = t.scan_files(partition_filter={"ts_day": day3 + 100})
+    assert {e["_spec_id"] for e in ent_none} == {0, 1}  # spec-2 pruned out
+    # row-level delete across the three layouts (mixed-spec with_pos read)
+    t.delete_where(spark, "id % 8 = 5")
+    live = sorted(r.id for r in t.to_spark(spark).collect())
+    assert live == [i for i in range(24) if i % 8 != 5]
+    # changelog across the evolution replays to the live content
+    rows = t.changelog(spark).collect()
+    assert _replay_changelog(rows) == {
+        (r.id, r.part, r.text) for r in t.to_spark(spark).select(
+            "id", "part", "text"
+        ).collect()
+    }
+    # manifest consolidation respects spec boundaries: more spec-2
+    # commits grow the list, then the fold makes exactly one manifest
+    # per (content kind, spec)
+    append_dataframe(t, mk(24, 28, 3))
+    append_dataframe(t, mk(28, 32, 3))
+    live = live + list(range(24, 32))
+    res = t.rewrite_manifests()
+    assert res["manifests_created"] == 4  # data×3 specs + deletes×1
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == live
+    # compaction migrates everything to the CURRENT spec...
+    compact_table(t, spark)
+    assert {e["_spec_id"] for e in t.scan_files()} == {2}
+    assert sorted(r.id for r in t.to_spark(spark).collect()) == live
+    # ...after which time-partition pruning is exact
+    ent = t.scan_files(partition_filter={"ts_day": day3})
+    assert ent and all(
+        e["data_file"]["partition"]["ts_day"] == day3 for e in ent
+    )
+    # re-declaring identity(part) reuses its original field-id
+    t.evolve_partition_spec(("part",))
+    assert (
+        next(pf["field-id"] for pf in t.spec["fields"] if pf["name"] == "part")
+        == part_fid
+    )
+    assert t.spec["spec-id"] == 3
 
 
 def test_rewrite_manifests_pure_metadata_consolidation(spark, table_loc):
