@@ -47,6 +47,7 @@ _OPS = st.lists(
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("rewrite_deletes"), st.just(0)),
         st.tuples(st.just("rewrite_manifests"), st.just(0)),
+        st.tuples(st.just("evolve"), st.integers(0, 2)),
     ),
     min_size=2,
     max_size=7,
@@ -89,6 +90,12 @@ def test_random_op_sequences_match_model_and_changelog(spark, tmp_path, ops):
             t.delete_where(spark, f"id % {p} = 1")
             for i in [k for k in model if k % p == 1]:
                 model.pop(i)
+        elif kind == "evolve":
+            # partition-spec evolution is LOGICALLY invisible: the model
+            # does not change, whatever mix of layouts the files land in
+            t.evolve_partition_spec(
+                [(), ("part",), ("truncate(id, 8)",)][p]
+            )
         elif kind == "compact":
             if t.scan_files():
                 compact_table(t, spark)
