@@ -743,7 +743,12 @@ class IcebergTable:
             "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
             "default-sort-order-id": 1 if sort_fields else 0,
             "sort-orders": sort_orders,
-            "properties": dict(properties or {}),
+            # every internal writer stamps parquet field ids from here on
+            # — the property is what makes rename/drop_column legal later
+            "properties": {
+                "write.parquet.field-ids": "true",
+                **(properties or {}),
+            },
             "current-snapshot-id": -1,
             "snapshots": [],
             "snapshot-log": [],
@@ -1973,8 +1978,13 @@ class IcebergTable:
             doomed = (
                 self._read_data_entries(spark, entries, with_pos=True)
                 .filter(predicate)
-                .select(
-                    F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+                .select(  # spec-reserved position-delete field ids
+                    F.col("__fp").alias(
+                        "file_path", metadata={"parquet.field.id": 2147483546}
+                    ),
+                    F.col("__pos").alias(
+                        "pos", metadata={"parquet.field.id": 2147483545}
+                    ),
                 )
                 # spec: position delete rows sort by (file_path, pos);
                 # range partitioning keeps one data file's ids together
@@ -2022,7 +2032,9 @@ class IcebergTable:
         eq_ids = [names[c] for c in keys_df.columns]
         new_files = _staged_write(
             self.location, "deletes",
-            lambda d: keys_df.dropDuplicates(keys_df.columns)
+            lambda d: _with_field_ids(
+                self, keys_df.dropDuplicates(keys_df.columns)
+            )
             .write.mode("append")
             .parquet(d),
         )
@@ -2645,6 +2657,158 @@ class IcebergTable:
         self.metadata = new_meta
         self.version += 1
 
+    def _fid_resolution(self) -> bool:
+        return (
+            self.metadata.get("properties", {}).get(
+                "read.parquet.field-id-resolution"
+            )
+            == "true"
+        )
+
+    def _maybe_fid_schema(self, spark, struct):
+        """Annotate a read schema with parquet field ids when this table
+        has field-id RESOLUTION active (set by the first rename/drop
+        column operation): Spark then matches parquet columns by the ids
+        our writers stamp instead of by name, so renamed columns read
+        pre-rename files correctly and dropped ids never resurrect.
+        Inactive tables read by name — which keeps externally-written
+        id-less files (``append_files``) and pre-upgrade tables readable
+        exactly as before."""
+        if not self._fid_resolution():
+            return struct
+        from pyspark.sql import types as T
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        ids = {f["name"]: f["id"] for f in self.schema["fields"]}
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    metadata=(
+                        {"parquet.field.id": ids[f.name]}
+                        if f.name in ids
+                        else None
+                    ),
+                )
+                for f in struct.fields
+            ]
+        )
+
+    def _schema_change_guards(self, name: str, op: str) -> None:
+        """Shared refusals for rename/drop: the column must not source
+        any partition spec (its name is baked into directory layouts and
+        manifest partition structs of every era) or sort order. Field-id
+        stamping must have been on for the table's whole write history
+        (``write.parquet.field-ids`` — set by create() since the feature
+        landed), or id-resolution would fail loudly on the old files."""
+        fid = next(
+            (f["id"] for f in self.schema["fields"] if f["name"] == name), None
+        )
+        if fid is None:
+            raise ValueError(f"iceberg: no column {name!r} to {op}")
+        if (
+            self.metadata.get("properties", {}).get("write.parquet.field-ids")
+            != "true"
+        ):
+            raise ValueError(
+                f"iceberg: cannot {op} {name!r}: this table predates "
+                "parquet field-id stamping, so its files can only resolve "
+                "columns by name (rewrite via compact_table into a new "
+                "table to migrate)"
+            )
+        for sp in self.metadata["partition-specs"]:
+            for pf in sp["fields"]:
+                if pf["source-id"] == fid:
+                    raise ValueError(
+                        f"iceberg: cannot {op} {name!r}: partition spec "
+                        f"{sp['spec-id']} field {pf['name']!r} sources it; "
+                        "evolve_partition_spec away from it first"
+                    )
+        for order in self.metadata.get("sort-orders", []):
+            for sf in order.get("fields", []):
+                if sf["source-id"] == fid:
+                    raise ValueError(
+                        f"iceberg: cannot {op} {name!r}: sort order "
+                        f"{order['order-id']} references it"
+                    )
+
+    def _commit_schema(self, fields: list[dict]) -> None:
+        """Commit a new schema version with the given fields plus
+        field-id read resolution turned on (rename/drop semantics depend
+        on it), with the standard conflict retry."""
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            new_schema = {
+                "type": "struct",
+                "schema-id": max(
+                    s["schema-id"] for s in self.metadata["schemas"]
+                )
+                + 1,
+                "fields": fields,
+            }
+            new_meta = dict(self.metadata)
+            new_meta["schemas"] = self.metadata["schemas"] + [new_schema]
+            new_meta["current-schema-id"] = new_schema["schema-id"]
+            new_meta["properties"] = {
+                **self.metadata.get("properties", {}),
+                "read.parquet.field-id-resolution": "true",
+            }
+            new_meta["last-updated-ms"] = int(self._clock() * 1000)
+            try:
+                self._write_version(self.version + 1, new_meta)
+                self.metadata = new_meta
+                self.version += 1
+                return
+            except CommitConflict as e:
+                last_err = e
+                self.refresh()
+        raise last_err  # type: ignore[misc]
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only column rename (spec: names change, field-ids
+        are identity): the new schema version keeps the column's id, and
+        because writers stamp parquet field ids, pre-rename files keep
+        reading correctly under the new name via id resolution — which
+        this operation switches on for the table. Renaming a column that
+        sources a partition spec or sort order is refused (evolve those
+        first); equality-delete KEY columns rename fine (delete files
+        resolve by id like data files)."""
+        self._schema_change_guards(old, "rename")
+        if any(f["name"] == new for f in self.schema["fields"]):
+            raise ValueError(f"iceberg: rename target {new!r} already exists")
+        fields = [
+            {**f, "name": new} if f["name"] == old else f
+            for f in self.schema["fields"]
+        ]
+        self._commit_schema(fields)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only column drop: the field leaves the current
+        schema (its id is never reused — ``last-column-id`` only grows),
+        and existing files keep the physical column — no read requests
+        it (this reader applies the CURRENT schema to time travel too;
+        the bytes stay available to external readers and the pre-drop
+        schema versions remain in metadata). Refused while any LIVE
+        equality-delete file
+        keys on the column — those deletes must keep matching until
+        maintenance folds them (rewrite_deletes, then drop)."""
+        self._schema_change_guards(name, "drop")
+        fid = next(
+            f["id"] for f in self.schema["fields"] if f["name"] == name
+        )
+        for e in self.scan_deletes():
+            if fid in (e["data_file"].get("equality_ids") or ()):
+                raise ValueError(
+                    f"iceberg: cannot drop {name!r}: a live equality-delete "
+                    "file keys on it; run rewrite_deletes first"
+                )
+        fields = [f for f in self.schema["fields"] if f["name"] != name]
+        if not fields:
+            raise ValueError("iceberg: cannot drop the last column")
+        self._commit_schema(fields)
+
     def evolve_partition_spec(self, partition_by: tuple[str, ...]) -> None:
         """Partition-spec evolution (spec v2): change how FUTURE writes
         are partitioned — identity columns, ``days(ts)``/``months``/
@@ -2975,7 +3139,7 @@ class IcebergTable:
         # file (Spark partitionBy strips them); a transform partition
         # (e.g. day) keeps its SOURCE column in the data file and its
         # derived dir column is simply never selected
-        read_schema = self.spark_schema
+        read_schema = self._maybe_fid_schema(spark, self.spark_schema)
         reader = spark.read.schema(read_schema)
         if part_cols:
             from pyspark.sql import types as T
@@ -3267,10 +3431,13 @@ class IcebergTable:
             cols = tuple(names_by_id[i] for i in e["data_file"]["equality_ids"])
             by_keyset.setdefault(cols, []).append((e, sid, o))
         for cols, group in by_keyset.items():
-            schema = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in self.spark_schema.fields
-                if f.name in cols
+            from pyspark.sql import types as T
+
+            schema = self._maybe_fid_schema(
+                spark,
+                T.StructType(
+                    [f for f in self.spark_schema.fields if f.name in cols]
+                ),
             )
             if len(group) <= self._EQ_UNION_MAX:
                 keys = None
@@ -3429,6 +3596,27 @@ def _with_partition_columns(table: IcebergTable, df):
     return df, names
 
 
+def _with_field_ids(table: IcebergTable, df):
+    """Stamp each schema column with its Iceberg field id as parquet
+    field-id metadata before a write (Spark's writer embeds them when
+    ``spark.sql.parquet.fieldId.write.enabled`` — default true). Derived
+    partition columns pass through untagged (they strip into the path).
+    This is what lets a later ``rename_column``/``drop_column`` switch
+    the table to id-based column resolution with its whole file history
+    intact."""
+    from pyspark.sql import functions as F
+
+    ids = {f["name"]: f["id"] for f in table.schema["fields"]}
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _apply_sort_layout(
     table: IcebergTable, df, part_cols, range_partition: bool = True
 ):
@@ -3439,9 +3627,12 @@ def _apply_sort_layout(
     a selective sparse index for ``column_bounds`` lookups — then sort
     within tasks so parquet row-group stats are tight too.
     ``range_partition=False`` only sorts rows (micro-batch upserts write
-    one file per commit anyway). No-op on unsorted tables."""
+    one file per commit anyway). Layout-only on unsorted tables (field
+    ids are stamped either way — every data write funnels through
+    here)."""
     from pyspark.sql import functions as F
 
+    df = _with_field_ids(table, df)
     sort_cols = table.sort_columns()
     if not sort_cols:
         return df
@@ -3587,7 +3778,7 @@ def upsert_dataframe(
     data_files = _staged_write(table.location, "data", _write_data)
     del_files = _staged_write(
         table.location, "deletes",
-        lambda d: df.select(*keys)
+        lambda d: _with_field_ids(table, df.select(*keys))
         .dropDuplicates(list(keys))
         .coalesce(1)
         .write.mode("append")
@@ -3669,6 +3860,7 @@ def compact_table(
         entries,
     ).drop("__fp", "__pos")
     df, part_cols = _with_partition_columns(table, df)
+    df = _with_field_ids(table, df)
     if table.sort_columns():
         # declared sort order: compaction is where layout is
         # re-established after CDC — range partitioning replaces the
@@ -3787,8 +3979,13 @@ def rewrite_deletes(table: IcebergTable, spark) -> dict:
         if doomed is not None:
             out = (
                 doomed.dropDuplicates(["__fp", "__pos"])
-                .select(
-                    F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+                .select(  # spec-reserved position-delete field ids
+                    F.col("__fp").alias(
+                        "file_path", metadata={"parquet.field.id": 2147483546}
+                    ),
+                    F.col("__pos").alias(
+                        "pos", metadata={"parquet.field.id": 2147483545}
+                    ),
                 )
                 # spec: position delete rows sort by (file_path, pos)
                 .repartitionByRange(F.col("file_path"), F.col("pos"))

@@ -2639,6 +2639,125 @@ def test_delete_key_bounds_prune_kill_candidates(spark, table_loc):
     assert "n-null" not in got2 and "n-5" in got2
 
 
+def test_rename_and_drop_column(spark, table_loc):
+    """Metadata-only rename/drop via parquet field-id resolution: every
+    internal writer stamps Iceberg field ids into parquet, so the first
+    rename switches the table to id-based column matching and
+    pre-rename files read correctly under the new name — including
+    equality-delete KEY files (a post-rename upsert still kills
+    pre-rename copies). Guards: partition-spec sources and sort columns
+    refuse, live eq-delete keys block a drop until rewrite_deletes, and
+    tables that predate field-id stamping refuse outright."""
+    from pyspark.sql import types as T
+
+    from platform_spark.iceberg.table import rewrite_deletes, upsert_dataframe
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.LongType()),
+            T.StructField("txt", T.StringType()),
+            T.StructField("extra", T.LongType()),
+        ]
+    )
+
+    def mk(lo, hi, tag):
+        return spark.createDataFrame(
+            [(i, i % 3, f"{tag}-{i}", i * 10) for i in range(lo, hi)], schema
+        )
+
+    t = IcebergTable.create(table_loc, schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, mk(0, 12, "a"))
+    upsert_dataframe(t, mk(3, 6, "u1"), ["id"])  # pre-rename eq-delete
+
+    t.rename_column("txt", "body")
+    assert [f.name for f in t.spark_schema.fields] == [
+        "id", "part", "body", "extra",
+    ]
+    got = {(r.id, r.body) for r in t.to_spark(spark).collect()}
+    assert got == {
+        (i, f"u1-{i}" if 3 <= i < 6 else f"a-{i}") for i in range(12)
+    }
+
+    # post-rename writes + a cross-rename upsert (old copies must die)
+    def mk2(lo, hi, tag):
+        return spark.createDataFrame(
+            [(i, i % 3, f"{tag}-{i}", i * 10) for i in range(lo, hi)],
+            t.spark_schema,
+        )
+
+    append_dataframe(t, mk2(12, 16, "b"))
+    upsert_dataframe(t, mk2(4, 8, "u2"), ["id"])
+    got = {(r.id, r.body) for r in t.to_spark(spark).collect()}
+    want = {
+        (
+            i,
+            "u2-%d" % i if 4 <= i < 8
+            else "u1-%d" % i if 3 <= i < 4
+            else "b-%d" % i if i >= 12
+            else "a-%d" % i,
+        )
+        for i in range(16)
+    }
+    assert got == want
+
+    # rename the upsert KEY column: eq-delete files resolve by id too
+    t.rename_column("id", "doc_id")
+    upsert_dataframe(
+        t,
+        spark.createDataFrame(
+            [(0, 0, "u3-0", 0)], t.spark_schema
+        ),
+        ["doc_id"],
+    )
+    got = {(r.doc_id, r.body) for r in t.to_spark(spark).collect()}
+    assert (0, "u3-0") in got and (0, "a-0") not in got and len(got) == 16
+
+    # guards
+    with pytest.raises(ValueError, match="partition spec"):
+        t.rename_column("part", "bucket")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("extra", "body")
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.drop_column("doc_id")
+    # changelog across the rename window replays to the live table
+    rows = t.changelog(spark).collect()
+    state = {}
+    by_ord: dict[int, list] = {}
+    for r in rows:
+        by_ord.setdefault(r._change_ordinal, []).append(r)
+    for o in sorted(by_ord):
+        for r in by_ord[o]:
+            if r._change_type == "delete":
+                state.pop(r.doc_id, None)
+        for r in by_ord[o]:
+            if r._change_type == "insert":
+                state[r.doc_id] = (r.doc_id, r.body)
+    assert set(state.values()) == got
+
+    # drop a plain column; old files keep the bytes, reads stop seeing it
+    t.drop_column("extra")
+    assert [f.name for f in t.spark_schema.fields] == ["doc_id", "part", "body"]
+    assert {(r.doc_id, r.body) for r in t.to_spark(spark).collect()} == got
+    # after folding eq-deletes to position deletes the key drop is legal
+    rewrite_deletes(t, spark)
+    t.drop_column("body")
+    assert {r.doc_id for r in t.to_spark(spark).collect()} == {
+        i for i in range(16)
+    }
+
+    # a table that predates field-id stamping refuses loudly
+    t2 = IcebergTable.create(
+        table_loc + "_old",
+        schema,
+        clock=CLOCK,
+        properties={"write.parquet.field-ids": "false"},
+    )
+    append_dataframe(t2, mk(0, 4, "x"))
+    with pytest.raises(ValueError, match="predates"):
+        t2.rename_column("txt", "body")
+
+
 def test_partition_spec_evolution(spark, table_loc):
     """Partition-spec evolution: one metadata-only commit changes how
     FUTURE writes partition; zero data moves. Old files stay scannable
