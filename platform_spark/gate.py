@@ -5755,6 +5755,74 @@ WHERE doc_id % 3 = 0
 )
 
 
+def _ensure_iceberg_rename(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the column-rename gate: append evens, upsert
+    %3 (pre-rename equality delete), RENAME source→origin and
+    n_chars→chars, then upsert %5 keyed on doc_id — the post-rename
+    scan must read pre-rename files and delete keys by FIELD ID under
+    the new names, and the pre-rename eq-delete must keep applying."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    loc, done = _iceberg_scratch(sf_dir, "_ren")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(loc, docs.schema, partition_by=("lang",), clock=clock)
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 0))
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn("source", F.lit("u1")),
+            ["doc_id"],
+        )
+        table.rename_column("source", "origin")
+        table.rename_column("n_chars", "chars")
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id", "lang",
+                F.lit("u2").alias("origin"),
+                (F.col("n_chars") + 7).alias("chars"),
+            ),
+            ["doc_id"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_rename_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_rename(spark, sf_dir)
+    return IcebergTable.load(loc).to_spark(spark)
+
+
+# Column rename mid-history (field-id resolution): files and equality-
+# delete keys written under the OLD names must read under the new names
+# by parquet field id, with the sequence rule intact across the rename
+# (u2 kills u1's copy on the 3∩5 overlap; the pre-rename eq-delete keeps
+# killing the originals). The oracle rebuilds the final state with the
+# new names as plain aliases.
+_add(
+    "iceberg_rename_scan",
+    _iceberg_rename_gate,
+    """
+SELECT doc_id, lang, source AS origin, n_chars AS chars FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, 'u1' AS origin, n_chars AS chars FROM documents
+WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, lang, 'u2' AS origin, n_chars + 7 AS chars FROM documents
+WHERE doc_id % 5 = 0
+""",
+)
+
+
 def _ensure_iceberg_day_table(spark: SparkSession, sf_dir: str) -> str:
     """Scratch table for the hidden-time-partitioning gate: the events
     envelope committed into a days(_ts)-partitioned Iceberg table (two
@@ -6427,6 +6495,7 @@ _TAIL_SUBSETS = [
     "iceberg_day_partition_scan",  # NEW r9, tail-placed from birth: the scan/prune machinery (manifest partition values + summary bounds + to_spark metadata planning) is head-pinned by iceberg_delete_scan and iceberg_merge_scan over the identity spec; the day-transform derivation carries its own full envelope oracle (UTC day recompute from t_events) replayed in pytest, and file-level pruning is asserted on Spark's actual inputFiles list in test_iceberg's day-partition tests
     "iceberg_changes_scan",        # incremental append scan: pure metadata walk (per-snapshot added manifests) over the same Avro manifest machinery head-pinned by iceberg_delete_scan's build; full oracle (appends 2+3 incl. NULL-evolved column) replayed in pytest + window/guard semantics pytest
     "iceberg_matview_scan",        # NEW r10, tail-placed from birth: the changelog events it folds are pinned by iceberg_changelog_scan's six-event-class oracle (tail, pytest-replayed) over the SAME commit sequence, and the delete-materialization machinery under those events is head-pinned by iceberg_delete_scan/iceberg_merge_scan; the view-specific surface (sign-folding delta merge, state swap, checkpoint) carries this full final-state GROUP BY oracle replayed in pytest plus the step-by-step equality + expired-checkpoint-recovery test (test_incremental_aggregate_maintenance)
+    "iceberg_rename_scan",  # NEW r11, tail-placed from birth: strict subset of the head-pinned upsert machinery (iceberg_upsert_scan pins the same append→upsert→scan oracle under stable names) — the rename-specific increment is parquet field-id column resolution on data reads and eq-delete key frames, exactly what THIS gate's oracle pins (pre-rename files and delete keys served under post-rename names, sequence rule intact across the rename); guards and drop semantics are pytest-pinned in test_rename_and_drop_column
     "iceberg_spec_evolution_scan",  # NEW r11, tail-placed from birth: strict subset of the head-pinned upsert machinery (iceberg_upsert_scan pins the same append→eq-delete-upsert→scan relational oracle on a single spec) — the evolution-specific increment is per-manifest spec resolution + the grouped mixed-layout read, exactly what THIS gate's oracle pins (pre-evolution rows killed by a post-evolution delete across the layout boundary); the broader surface (pruning conservatism, migration via compaction, per-spec manifest rewrites, field-id reuse) is pytest-pinned in test_partition_spec_evolution
     "iceberg_branch_changelog_scan",  # NEW r11, tail-placed from birth: strict subset of iceberg_changelog_scan's six-event-class machinery (same kill-attribution/ordinal surface, head-pinned delete application per that entry) — the branch-specific increment is ref-ancestry window selection, which _ancestry_window shares verbatim with changes(ref=) (tested by test_changes_along_branch_ref) plus the branch-head parent seeding, and THIS gate's oracle pins exactly that: kills against the branch-visible parent and a mid-window main commit contributing nothing
     "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
