@@ -97,6 +97,9 @@ _EXTRA_SHORT = {
     "iceberg_changelog_scan": "ice_cl",
     "iceberg_kafsql_scan": "ice_sql",
     "iceberg_matview_scan": "ice_mv",
+    "iceberg_branch_changelog_scan": "ice_bcl",
+    "iceberg_spec_evolution_scan": "ice_evo",
+    "iceberg_rename_scan": "ice_ren",
     "semdedup": "smd",
     "decontam": "dcm",
     "snapdiff": "snd",
@@ -190,6 +193,9 @@ HEADLINE_GATES = (
     "iceberg_changelog_scan",
     "iceberg_kafsql_scan",
     "iceberg_matview_scan",
+    "iceberg_branch_changelog_scan",
+    "iceberg_spec_evolution_scan",
+    "iceberg_rename_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",
