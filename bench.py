@@ -97,9 +97,9 @@ _EXTRA_SHORT = {
     "iceberg_changelog_scan": "ice_cl",
     "iceberg_kafsql_scan": "ice_sql",
     "iceberg_matview_scan": "ice_mv",
-    "iceberg_branch_changelog_scan": "ice_bcl",
-    "iceberg_spec_evolution_scan": "ice_evo",
-    "iceberg_rename_scan": "ice_ren",
+    "iceberg_branch_changelog_scan": "i_bcl",
+    "iceberg_spec_evolution_scan": "i_evo",
+    "iceberg_rename_scan": "i_ren",
     "semdedup": "smd",
     "decontam": "dcm",
     "snapdiff": "snd",
