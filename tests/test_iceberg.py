@@ -2826,6 +2826,13 @@ def test_partition_spec_evolution(spark, table_loc):
     assert {e["_spec_id"] for e in ent} == {0, 1, 2}
     ent_none = t.scan_files(partition_filter={"ts_day": day3 + 100})
     assert {e["_spec_id"] for e in ent_none} == {0, 1}  # spec-2 pruned out
+    # the incremental append read also spans the layout boundary: the
+    # window after the first append holds spec-1 and spec-2 files
+    first_snap = t.metadata["snapshots"][0]["snapshot-id"]
+    inc = sorted(
+        r.id for r in t.changes(spark, from_snapshot_id=first_snap).collect()
+    )
+    assert inc == list(range(8, 24))
     # row-level delete across the three layouts (mixed-spec with_pos read)
     t.delete_where(spark, "id % 8 = 5")
     live = sorted(r.id for r in t.to_spark(spark).collect())
