@@ -2898,6 +2898,36 @@ class IcebergTable:
             "manifest_list string",
         )
 
+    def inspect_refs(self, spark):
+        """Named refs as a DataFrame (``<table>.refs``): every branch and
+        tag with its pinned snapshot, plus — for write-audit-publish
+        branches — the base snapshot the branch diverged from and how
+        many branch-only snapshots are staged (the reviewer's "what is
+        waiting to publish" view), all from metadata alone."""
+        props = self.metadata.get("properties", {})
+        rows = []
+        for name, ref in sorted(self.metadata.get("refs", {}).items()):
+            base = props.get(f"branch.{name}.base-snapshot-id")
+            staged = None
+            if ref.get("type") == "branch" and base is not None:
+                staged = len(
+                    self._ancestry_window(int(base), None, ref=name)
+                )
+            rows.append(
+                (
+                    name,
+                    ref.get("type"),
+                    ref["snapshot-id"],
+                    int(base) if base is not None else None,
+                    staged,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "base_snapshot_id long, staged_snapshots int",
+        )
+
     def inspect_manifests(self, spark, snapshot_id: int | None = None):
         """The current (or given) snapshot's manifest list as a DataFrame
         (``<table>.manifests``)."""

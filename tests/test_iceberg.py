@@ -2219,6 +2219,19 @@ def test_inspect_metadata_tables(spark, table_loc):
     }
     assert parts == {0: 10, 1: 10, 2: 10, 3: 10}
 
+    # refs view: a staged WAP branch shows its base and staged depth,
+    # a tag pins with no staging bookkeeping
+    t.create_branch("audit")
+    append_dataframe(t, _mk(spark, 100, 105), branch="audit")
+    append_dataframe(t, _mk(spark, 105, 110), branch="audit")
+    t.create_tag("v1")
+    refs = {r.name: r for r in t.inspect_refs(spark).collect()}
+    assert refs["audit"].type == "branch"
+    assert refs["audit"].staged_snapshots == 2
+    assert refs["audit"].base_snapshot_id == refs["v1"].snapshot_id
+    assert refs["v1"].type == "tag" and refs["v1"].staged_snapshots is None
+    assert refs["v1"].snapshot_id == t.current_snapshot()["snapshot-id"]
+
 
 def test_wap_branch_stage_validate_publish(spark, table_loc):
     """Write-audit-publish: staged appends advance only the branch ref
