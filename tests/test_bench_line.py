@@ -61,9 +61,10 @@ def test_bench_line_fits_tail_capture():
     )
     # the construction above is ALREADY pessimistic (every steady value
     # 5 chars vs the observed 4-char max, worst-case header numbers), so
-    # the bound only needs real margin beyond that worst case; 50B
-    # covers a couple of legs going 6-char wide before capture truncates
-    assert len(line) <= 1950, (
+    # the bound only needs real margin beyond that worst case; the r12
+    # key trims put the worst case at 1810B, restoring ~150B headroom
+    # (ADVICE r11) — enough for several new legs before capture truncates
+    assert len(line) <= 1850, (
         f"bench line would be {len(line)}B at 5-char values; the driver "
         "captures 2000B — shorten keys in bench._EXTRA_SHORT before "
         "adding gates"
