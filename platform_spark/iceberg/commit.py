@@ -11,7 +11,7 @@ version); the reference commits through iceberg-go's catalog the same
 way (iceberg-processor/internal/sink/iceberg.go:146-204, conflict
 reload at iceberg.go:183-195).
 
-Three implementations ship:
+Four implementations ship:
 
 - :class:`FilesystemCommit` (the default) — HadoopTables-style
   exclusive-create of ``metadata/v{N}.metadata.json`` plus an advisory
@@ -31,8 +31,14 @@ Three implementations ship:
   ad-hoc backfill) can commit to one table concurrently with no shared
   Python state. Metadata still lands under writer-unique names; the
   pointer file is the only contended object. Correct wherever flock is
-  (local disk, most NFSv4); an S3 deployment swaps the flock section
-  for its service's conditional put, nothing else changes.
+  (local disk, most NFSv4).
+- :class:`ConditionalPutCommit` — the same pointer protocol with the
+  flock section swapped for an object store's conditional put
+  (If-None-Match create / If-Match etag replace — S3 conditional
+  writes, GCS generations, DynamoDB conditional puts). Ships with
+  :class:`EtagObjectStore`, the in-memory double the hammer tests run
+  against; a real deployment implements the two-method get/put surface
+  over its service and nothing else changes.
 
 Losers raise :class:`CommitConflict`; every caller in
 :mod:`platform_spark.iceberg.table` already refreshes and retries or
@@ -176,17 +182,18 @@ class LockedPointerCommit(CommitProtocol):
     _POINTER = "catalog-pointer.json"
     _LOCK = "catalog.lock"
 
-    def _locked(self, location: str):
+    def _locked(self, location: str, shared: bool = False):
         import fcntl
         from contextlib import contextmanager
 
         meta_dir = _meta_dir(location)
         os.makedirs(meta_dir, exist_ok=True)
+        mode = fcntl.LOCK_SH if shared else fcntl.LOCK_EX
 
         @contextmanager
         def section():
             with open(os.path.join(meta_dir, self._LOCK), "a+") as lk:
-                fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+                fcntl.flock(lk.fileno(), mode)
                 try:
                     yield meta_dir
                 finally:
@@ -203,7 +210,11 @@ class LockedPointerCommit(CommitProtocol):
         return d["version"], d["path"]
 
     def current(self, location: str) -> tuple[int, str] | None:
-        with self._locked(location) as meta_dir:
+        # SHARED lock for the pure read (r11 ADVICE): concurrent
+        # refreshers/pollers no longer serialize against each other —
+        # only against a writer mid-swap, and even that is belt-and-
+        # braces since the pointer swap itself is an atomic os.replace.
+        with self._locked(location, shared=True) as meta_dir:
             return self._read_pointer(meta_dir)
 
     def commit(self, location: str, expected_version: int, metadata: dict) -> str:
@@ -228,4 +239,127 @@ class LockedPointerCommit(CommitProtocol):
             with open(tmp, "w") as f:
                 json.dump({"version": expected_version + 1, "path": path}, f)
             os.replace(tmp, os.path.join(md, self._POINTER))
+        return path
+
+
+class PreconditionFailed(Exception):
+    """The object store rejected a conditional write: the precondition
+    (If-Match etag / If-None-Match create) no longer held."""
+
+
+class EtagObjectStore:
+    """In-memory conditional-put object store — the test double for the
+    S3 deployment shape. Mimics the PUBLIC semantics of S3 conditional
+    writes (``If-None-Match: *`` create-if-absent, ``If-Match: <etag>``
+    replace-if-unchanged) / GCS generation preconditions / DynamoDB
+    conditional puts: every successful put yields a fresh opaque etag,
+    and a conditional put whose precondition no longer holds raises
+    :class:`PreconditionFailed` atomically. One instance stands for the
+    bucket; thread-safe, so threaded hammers model concurrent clients
+    of the real service."""
+
+    def __init__(self) -> None:
+        self._objects: dict[str, tuple[str, str]] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: str) -> tuple[str, str] | None:
+        """(body, etag) or None when the key does not exist."""
+        with self._lock:
+            return self._objects.get(key)
+
+    def put(
+        self,
+        key: str,
+        body: str,
+        *,
+        if_none_match: bool = False,
+        if_match: str | None = None,
+    ) -> str:
+        """Conditional write; returns the new etag. ``if_none_match``
+        succeeds only when the key is absent (S3 ``If-None-Match: *``);
+        ``if_match`` only when the stored etag still equals it."""
+        with self._lock:
+            cur = self._objects.get(key)
+            if if_none_match and cur is not None:
+                raise PreconditionFailed(f"{key}: already exists")
+            if if_match is not None and (cur is None or cur[1] != if_match):
+                raise PreconditionFailed(f"{key}: etag moved")
+            etag = uuid.uuid4().hex
+            self._objects[key] = (body, etag)
+            return etag
+
+
+class ConditionalPutCommit(CommitProtocol):
+    """The object-store deployment of the pointer protocol —
+    :class:`LockedPointerCommit`'s docstring claims "an S3 deployment
+    swaps the flock section for its service's conditional put, nothing
+    else changes"; this class IS that swap, as a tested seam. The
+    pointer lives at ``<location>/metadata/catalog-pointer.json`` in a
+    conditional-put object store (:class:`EtagObjectStore` in tests; a
+    real S3/GCS/DynamoDB client implements the same two-method get/put
+    surface); metadata json still lands on shared storage under
+    writer-unique names OUTSIDE the swap, exactly as in every other
+    protocol.
+
+    The retry semantics a real backend must honor, pinned by the
+    threaded hammer in tests/test_iceberg.py:
+
+    1. GET the pointer: (body, etag) — or absent for a new table.
+    2. Version in the body != the caller's expected version →
+       :class:`CommitConflict` immediately (fast fail, no write).
+    3. Conditional PUT of the new pointer: ``If-None-Match`` when no
+       pointer existed, else ``If-Match: <etag from step 1>``.
+    4. :class:`PreconditionFailed` → another writer swapped between
+       steps 1 and 3 → :class:`CommitConflict`; the loser's unique
+       metadata file is removed (it was never visible).
+
+    No lock is held anywhere, and ``current()`` is a plain GET — reads
+    never contend with writers or each other."""
+
+    _POINTER = "catalog-pointer.json"
+
+    def __init__(self, store: EtagObjectStore) -> None:
+        self._store = store
+
+    def _key(self, location: str) -> str:
+        return os.path.join(_meta_dir(location), self._POINTER)
+
+    @staticmethod
+    def _parse(body: str) -> tuple[int, str]:
+        d = json.loads(body)
+        return d["version"], d["path"]
+
+    def current(self, location: str) -> tuple[int, str] | None:
+        got = self._store.get(self._key(location))
+        return self._parse(got[0]) if got else None
+
+    def commit(self, location: str, expected_version: int, metadata: dict) -> str:
+        meta_dir = _meta_dir(location)
+        os.makedirs(meta_dir, exist_ok=True)
+        path = os.path.join(
+            meta_dir,
+            f"v{expected_version + 1}-{uuid.uuid4().hex[:12]}.metadata.json",
+        )
+        with open(path, "w") as f:  # unique name: the write cannot conflict
+            json.dump(metadata, f, indent=1)
+        key = self._key(location)
+        got = self._store.get(key)
+        cur_version = self._parse(got[0])[0] if got else 0
+        if cur_version != expected_version:
+            os.remove(path)
+            raise CommitConflict(
+                f"{location}: expected v{expected_version}, "
+                f"catalog at v{cur_version}"
+            )
+        body = json.dumps({"version": expected_version + 1, "path": path})
+        try:
+            if got is None:
+                self._store.put(key, body, if_none_match=True)
+            else:
+                self._store.put(key, body, if_match=got[1])
+        except PreconditionFailed as e:
+            os.remove(path)
+            raise CommitConflict(
+                f"{location}: pointer moved between read and swap"
+            ) from e
         return path

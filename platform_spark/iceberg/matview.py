@@ -185,19 +185,44 @@ class IncrementalAggregate:
         """Write ``df`` (None = keep current state) to a fresh state
         directory, then atomically point the checkpoint at (snapshot,
         directory). Superseded/orphaned state dirs are swept AFTER the
-        publish — they are never referenced by any checkpoint."""
+        publish — they are never referenced by any checkpoint.
+
+        Reader grace (one generation): a concurrent reader holds a LAZY
+        DataFrame over the state dir ``read()`` resolved, and executes
+        it at action time — possibly after this publish. Sweeping the
+        just-superseded directory here would turn that into a mid-query
+        FileNotFound (realistic since the multi-writer sink protocol
+        lets a refresher and readers live in different processes). So
+        the checkpoint also records ``prev-state-dir`` — the directory
+        the previous generation published — and the sweep keeps BOTH:
+        a superseded state survives exactly one more refresh. The
+        contract a cross-process reader gets is "a read planned against
+        the current state stays executable until the refresh after
+        next"; state is group-cardinality-sized, so holding one extra
+        copy is bounded and cheap."""
         ck = self._ckpt() or {}
         if df is None:
+            # no new state written: same generation, keep prev as-is
             name = ck.get("state-dir")
+            prev = ck.get("prev-state-dir")
         else:
             name = f"state-{uuid.uuid4().hex[:12]}"
             df.write.parquet(os.path.join(self.state_dir, name))
+            prev = ck.get("state-dir")
         tmp = self._ckpt_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"snapshot-id": snapshot_id, "state-dir": name}, f)
+            json.dump(
+                {
+                    "snapshot-id": snapshot_id,
+                    "state-dir": name,
+                    "prev-state-dir": prev,
+                },
+                f,
+            )
         os.replace(tmp, self._ckpt_path)
+        keep = {d for d in (name, prev) if d}
         for d in os.listdir(self.state_dir):
-            if d.startswith("state-") and d != name:
+            if d.startswith("state-") and d not in keep:
                 shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
     def read(self, spark, table: IcebergTable | None = None):

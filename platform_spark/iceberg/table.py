@@ -2311,6 +2311,26 @@ class IcebergTable:
             r["snapshot-id"] for r in self.metadata.get("refs", {}).values()
         }
         pinned.add(self.metadata["current-snapshot-id"])
+        # BRANCHES pin their whole staged ancestry, not just their head:
+        # changes()/changelog(ref=) — the pre-publish WAP audit read —
+        # walks the parent chain from the branch head down to the
+        # recorded branch.<name>.base-snapshot-id, so expiring an
+        # interior snapshot while the branch is staged would break that
+        # chain unrecoverably (r11 ADVICE). Walk each branch head's
+        # parents and pin through (and including) its base.
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        props = self.metadata.get("properties", {})
+        for name, r in self.metadata.get("refs", {}).items():
+            if r.get("type") != "branch":
+                continue
+            base_raw = props.get(f"branch.{name}.base-snapshot-id")
+            base_id = int(base_raw) if base_raw is not None else None
+            node = by_id.get(r["snapshot-id"])
+            while node is not None:
+                pinned.add(node["snapshot-id"])
+                if node["snapshot-id"] == base_id:
+                    break
+                node = by_id.get(node.get("parent-snapshot-id"))
         kept = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
         ]
@@ -2673,12 +2693,24 @@ class IcebergTable:
         pre-rename files correctly and dropped ids never resurrect.
         Inactive tables read by name — which keeps externally-written
         id-less files (``append_files``) and pre-upgrade tables readable
-        exactly as before."""
+        exactly as before.
+
+        The session conf below is a DOCUMENTED one-time set (r11
+        ADVICE): ``fieldId.read.enabled`` only changes behavior for
+        reads whose schema carries ``parquet.field.id`` metadata — the
+        annotated schema this method returns — so leaving it on is
+        inert for every plain-schema read on the shared session (no
+        get/restore scoping needed; a restore would also race
+        concurrent planners on the same session)."""
         if not self._fid_resolution():
             return struct
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if (
+            spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+            != "true"
+        ):
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         ids = {f["name"]: f["id"] for f in self.schema["fields"]}
         return T.StructType(
             [
@@ -2910,9 +2942,18 @@ class IcebergTable:
             base = props.get(f"branch.{name}.base-snapshot-id")
             staged = None
             if ref.get("type") == "branch" and base is not None:
-                staged = len(
-                    self._ancestry_window(int(base), None, ref=name)
-                )
+                # an ops/inspection view degrades, never throws: when a
+                # branch's base or an interior snapshot was expired, the
+                # staged depth is unknowable (staged_snapshots stays
+                # NULL) but the other refs still render (r11 ADVICE).
+                # expire_snapshots now pins staged ancestry, so this is
+                # strictly a legacy-metadata / foreign-writer guard.
+                try:
+                    staged = len(
+                        self._ancestry_window(int(base), None, ref=name)
+                    )
+                except ValueError:
+                    staged = None
             rows.append(
                 (
                     name,
@@ -3276,66 +3317,86 @@ class IcebergTable:
     ) -> list[dict]:
         """Metadata-prune a kill-candidate data-file list by the
         equality-delete files' OWN manifest key bounds: a data file whose
-        recorded [min, max] for the (first) key column intersects no
-        delete file's key range cannot contain a killed row, so the
-        delete materialization never reads it. Conservative superset —
-        files or deletes lacking bounds keep everything they touch, and
-        string/binary bound truncation only widens ranges (lower bounds
-        truncate down, upper bounds round up). On a sorted table with
-        localized CDC batches this is the difference between a wide
-        changelog fold / rewrite_deletes pass reading O(table) and
-        reading O(touched key ranges) — the same sparse-index mechanic
-        point lookups get from ``filter_entries_by_bounds``, applied to
-        the DELETE side. Cost: O((files + deletes) log deletes) on the
-        driver, manifests only."""
+        recorded [min, max] intersects no delete file's key range cannot
+        contain a killed row, so the delete materialization never reads
+        it. Composite keys (r12): delete files group by their FULL
+        ``equality_ids`` tuple, and a candidate is reachable by a keyset
+        only if EVERY key column's range intersects that keyset's
+        per-column interval union — so a (tenant_id, doc_id)-keyed
+        corpus still prunes on doc_id when tenant_id is low-cardinality
+        and its bounds alone would keep all files. (Per-column
+        independence is a superset of the exact per-delete-file
+        conjunction, hence conservative.) Other fallbacks unchanged and
+        per-column: a delete file with missing bounds or NULLs in a key
+        column makes that COLUMN unbounded for its keyset (its other
+        columns still constrain); a candidate lacking bounds for a
+        column passes that column. String/binary bound truncation only
+        widens ranges (lower bounds truncate down, upper bounds round
+        up). On a sorted table with localized CDC batches this is the
+        difference between a wide changelog fold / rewrite_deletes pass
+        reading O(table) and reading O(touched key ranges). Cost:
+        O((files + deletes) * key_width * log deletes) on the driver,
+        manifests only."""
         import bisect
 
         if not cand or not eq_entries:
             return cand
         types_by_id = {f["id"]: f["type"] for f in self.schema["fields"]}
-        # merged key intervals per keyset (keyed by first equality column)
-        raw: dict[int, list | None] = {}
+        # per keyset (full equality_ids tuple): per-column raw intervals,
+        # None = that column unbounded for this keyset
+        raw: dict[tuple, dict[int, list | None]] = {}
         for e in eq_entries:
-            fid = e["data_file"]["equality_ids"][0]
-            lo, hi = self._entry_bounds(e, fid, types_by_id[fid])
-            # NULL delete keys match null-safely but live outside any
-            # [min, max]: a delete file carrying one makes its keyset
-            # unbounded (so candidates with null keys stay readable)
-            nulls = 0
-            for kv in e["data_file"].get("null_value_counts") or []:
-                if kv["key"] == fid:
-                    nulls = kv["value"]
-            if lo is None or hi is None or nulls:
-                raw[fid] = None  # unbounded delete: keyset reaches anything
-            elif raw.get(fid, []) is not None:
-                raw.setdefault(fid, []).append((lo, hi))
-        merged: dict[int, tuple[list, list] | None] = {}
-        for fid, ivs in raw.items():
-            if ivs is None:
-                merged[fid] = None
-                continue
-            ivs.sort()
-            out = [list(ivs[0])]
-            for lo, hi in ivs[1:]:
-                if lo <= out[-1][1]:
-                    out[-1][1] = max(out[-1][1], hi)
+            keyset = tuple(e["data_file"]["equality_ids"])
+            cols = raw.setdefault(keyset, {fid: [] for fid in keyset})
+            for fid in keyset:
+                if cols[fid] is None:
+                    continue
+                lo, hi = self._entry_bounds(e, fid, types_by_id[fid])
+                # NULL delete keys match null-safely but live outside
+                # any [min, max]: they unbound this column only
+                nulls = 0
+                for kv in e["data_file"].get("null_value_counts") or []:
+                    if kv["key"] == fid:
+                        nulls = kv["value"]
+                if lo is None or hi is None or nulls:
+                    cols[fid] = None
                 else:
-                    out.append([lo, hi])
-            merged[fid] = ([iv[0] for iv in out], [iv[1] for iv in out])
+                    cols[fid].append((lo, hi))
+        # merge each column's intervals into a sorted disjoint union
+        merged: dict[tuple, dict[int, tuple[list, list] | None]] = {}
+        for keyset, cols in raw.items():
+            mcols: dict[int, tuple[list, list] | None] = {}
+            for fid, ivs in cols.items():
+                if ivs is None:
+                    mcols[fid] = None
+                    continue
+                ivs.sort()
+                out = [list(ivs[0])]
+                for lo, hi in ivs[1:]:
+                    if lo <= out[-1][1]:
+                        out[-1][1] = max(out[-1][1], hi)
+                    else:
+                        out.append([lo, hi])
+                mcols[fid] = ([iv[0] for iv in out], [iv[1] for iv in out])
+            merged[keyset] = mcols
         kept = []
         for e in cand:
             reachable = False
-            for fid, iv in merged.items():
-                if iv is None:
-                    reachable = True
-                    break
-                clo, chi = self._entry_bounds(e, fid, types_by_id[fid])
-                if clo is None or chi is None:
-                    reachable = True  # no bounds recorded: must read
-                    break
-                los, his = iv
-                i = bisect.bisect_left(his, clo)
-                if i < len(los) and los[i] <= chi:
+            for keyset, mcols in merged.items():
+                # reachable by this keyset iff EVERY column intersects
+                all_cols_hit = True
+                for fid, iv in mcols.items():
+                    if iv is None:
+                        continue  # unbounded column: always intersects
+                    clo, chi = self._entry_bounds(e, fid, types_by_id[fid])
+                    if clo is None or chi is None:
+                        continue  # no candidate bounds: must assume hit
+                    los, his = iv
+                    i = bisect.bisect_left(his, clo)
+                    if not (i < len(los) and los[i] <= chi):
+                        all_cols_hit = False
+                        break
+                if all_cols_hit:
                     reachable = True
                     break
             if reachable:

@@ -1345,6 +1345,151 @@ def test_cas_commit_protocol_concurrent_appends(spark, table_loc):
     ]
 
 
+def test_conditional_put_commit_unit_semantics(tmp_path):
+    """ConditionalPutCommit is the tested seam for the S3 deployment
+    claim ('swap the flock section for a conditional put; nothing else
+    changes'): separate protocol instances sharing one store see each
+    other's commits, a stale expected version fast-fails WITHOUT a
+    write, and a pointer swap racing between the GET and the
+    conditional PUT is caught by the etag precondition — both loser
+    paths clean up their unique metadata file."""
+    from platform_spark.iceberg.commit import (
+        CommitConflict, ConditionalPutCommit, EtagObjectStore,
+    )
+
+    store = EtagObjectStore()
+    loc = str(tmp_path / "t")
+    a = ConditionalPutCommit(store)
+    b = ConditionalPutCommit(store)
+    assert a.current(loc) is None
+    p1 = a.commit(loc, 0, {"v": 1})
+    assert b.current(loc) == (1, p1)  # shared store, no shared instance
+    # stale version: fast fail on the GET, before any conditional put
+    with pytest.raises(CommitConflict):
+        b.commit(loc, 0, {"v": "loser"})
+    metas = [
+        f for f in os.listdir(os.path.join(loc, "metadata"))
+        if f.endswith(".metadata.json")
+    ]
+    assert len(metas) == 1
+    # GET->PUT race: a competing writer swaps the pointer after this
+    # commit's GET returned a matching version — the If-Match etag
+    # rejects the now-stale put
+    real_get = store.get
+    raced = {"done": False}
+
+    def racing_get(key):
+        got = real_get(key)
+        if not raced["done"]:
+            raced["done"] = True
+            b.commit(loc, 1, {"v": "sniper"})
+        return got
+
+    store.get = racing_get
+    with pytest.raises(CommitConflict, match="between read and swap"):
+        a.commit(loc, 1, {"v": "too-slow"})
+    store.get = real_get
+    assert a.current(loc)[0] == 2  # the sniper's commit stands
+    metas = [
+        f for f in os.listdir(os.path.join(loc, "metadata"))
+        if f.endswith(".metadata.json")
+    ]
+    assert len(metas) == 2  # winner v1 + sniper v2; both losers removed
+
+
+def test_conditional_put_commit_hammer_and_table(spark, table_loc, tmp_path):
+    """The LockedPointerCommit hammer's semantics, replayed through the
+    conditional-put protocol (threaded — the store stands for the
+    remote service, each thread for a client process): a strictly
+    linear version chain, every commit lands exactly once, no metadata
+    litter. Then an IcebergTable runs end-to-end through it with stale
+    handles retrying via the store."""
+    import threading
+
+    from platform_spark.iceberg.commit import (
+        CommitConflict, ConditionalPutCommit, EtagObjectStore,
+    )
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    store = EtagObjectStore()
+    loc = str(tmp_path / "hammer")
+    n_workers, n_commits = 3, 15
+    rows: list[tuple[str, int, int]] = []
+    rows_lock = threading.Lock()
+    errs: list[Exception] = []
+
+    def worker(wid: str) -> None:
+        # own protocol instance = own "process"; only the store is shared
+        p = ConditionalPutCommit(store)
+        done = 0
+        try:
+            while done < n_commits:
+                cur = p.current(loc)
+                v = cur[0] if cur else 0
+                try:
+                    path = p.commit(
+                        loc, v, {"writer": wid, "seq": done, "parent": v}
+                    )
+                except CommitConflict:
+                    continue  # refresh-and-retry, same as every caller
+                won = int(os.path.basename(path).split("-")[0][1:])
+                with rows_lock:
+                    rows.append((wid, done, won))
+                done += 1
+        except Exception as e:  # noqa: BLE001 — surfaced via assert
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(f"w{w}",))
+        for w in range(n_workers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    total = n_workers * n_commits
+    assert len(rows) == total
+    # strictly linear history: versions 1..total, each won exactly once
+    assert sorted(r[2] for r in rows) == list(range(1, total + 1))
+    for w in range(n_workers):
+        seqs = sorted(r[1] for r in rows if r[0] == f"w{w}")
+        assert seqs == list(range(n_commits))
+    version, path = ConditionalPutCommit(store).current(loc)
+    assert version == total and os.path.exists(path)
+    # losers cleaned up: exactly one metadata file per won version
+    metas = [
+        f for f in os.listdir(os.path.join(loc, "metadata"))
+        if f.endswith(".metadata.json")
+    ]
+    assert len(metas) == total
+
+    # end-to-end: a Spark table commits through the conditional put,
+    # and a stale second handle's append retries through the store
+    df = _mk(spark, 0, 1)
+    IcebergTable.create(
+        table_loc, df.schema, partition_by=("part",), clock=CLOCK,
+        protocol=ConditionalPutCommit(store),
+    )
+    t1 = IcebergTable.load(
+        table_loc, clock=CLOCK, protocol=ConditionalPutCommit(store)
+    )
+    t2 = IcebergTable.load(
+        table_loc, clock=CLOCK, protocol=ConditionalPutCommit(store)
+    )
+    append_dataframe(t1, _mk(spark, 0, 20))
+    append_dataframe(t2, _mk(spark, 20, 40))  # t2 stale: internal retry
+    upsert_dataframe(
+        t1, _mk(spark, 5, 10).withColumn("text", F.lit("v2")), ["id"]
+    )
+    t3 = IcebergTable.load(table_loc, protocol=ConditionalPutCommit(store))
+    got = {(r.id, r.text) for r in t3.to_spark(spark).collect()}
+    want = {(i, "v2" if 5 <= i < 10 else f"doc-{i}") for i in range(40)}
+    assert got == want
+    meta_dir = os.path.join(t3.location, "metadata")
+    assert not os.path.exists(os.path.join(meta_dir, "version-hint.text"))
+
+
 def test_parallel_manifest_planning_matches_serial(spark, table_loc, monkeypatch):
     """scan_files with spark fans manifest decode out as a Spark job past
     the threshold; the plan (entries, order, inherited sequence numbers,
@@ -2151,6 +2296,57 @@ def test_expire_snapshots_older_than(spark, table_loc):
     assert t.to_spark(spark).count() == 40
 
 
+def test_expire_pins_staged_branch_ancestry(spark, table_loc):
+    """r11 ADVICE: expiry while a WAP branch is staged must pin the
+    branch's whole parent chain down to its recorded base — not just
+    the branch HEAD — or the pre-publish audit read (changes/changelog
+    over the branch window) hits 'ancestry broken' and the chain is
+    unrecoverable. And inspect_refs DEGRADES (staged_snapshots=NULL)
+    instead of throwing when a foreign writer expired branch ancestry
+    anyway."""
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 10))
+    base_id = t.current_snapshot()["snapshot-id"]
+    t.create_branch("audit")
+    append_dataframe(t, _mk(spark, 100, 105), branch="audit")
+    b1 = t.ref_snapshot_id("audit")
+    append_dataframe(t, _mk(spark, 105, 110), branch="audit")
+    b2 = t.ref_snapshot_id("audit")
+    # main advances independently while the branch is staged
+    append_dataframe(t, _mk(spark, 10, 20))
+    mid = t.current_snapshot()["snapshot-id"]
+    append_dataframe(t, _mk(spark, 20, 30))
+
+    # keep_last=1 keeps only the newest main commit by count — but the
+    # staged chain (head b2, interior b1, base) is pinned; only the
+    # unpinned interior MAIN commit expires
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots"] == 1
+    left = {s["snapshot-id"] for s in t.metadata["snapshots"]}
+    assert {base_id, b1, b2}.issubset(left)
+    assert mid not in left
+
+    # the pre-publish audit read still walks the full branch window
+    staged = t.changes(spark, from_snapshot_id=base_id, ref="audit")
+    assert sorted(r.id for r in staged.collect()) == list(range(100, 110))
+    refs = {r.name: r for r in t.inspect_refs(spark).collect()}
+    assert refs["audit"].staged_snapshots == 2
+
+    # degradation path: a FOREIGN writer expired the interior branch
+    # snapshot — the ops view reports NULL for that ref, not an error
+    pruned = dict(t.metadata)
+    pruned["snapshots"] = [
+        s for s in t.metadata["snapshots"] if s["snapshot-id"] != b1
+    ]
+    orig_meta = t.metadata
+    t.metadata = pruned
+    refs = {r.name: r for r in t.inspect_refs(spark).collect()}
+    assert refs["audit"].staged_snapshots is None
+    assert refs["audit"].snapshot_id == b2  # the rest still renders
+    t.metadata = orig_meta
+
+
 def test_truncate_transform_partitioning(spark, table_loc):
     """truncate[W]: strings bucket by prefix, ints floor to the nearest
     W multiple (negatives too) — the prefix layout for URL/id-keyed
@@ -2652,6 +2848,94 @@ def test_delete_key_bounds_prune_kill_candidates(spark, table_loc):
     assert "n-null" not in got2 and "n-5" in got2
 
 
+def test_composite_key_kill_candidate_pruning(spark, table_loc):
+    """r11 verdict #4: a composite-key CDC table — (tenant_id, doc_id)
+    with few tenants — must prune on the SECOND key column too. Every
+    data file spans the full tenant range, so first-column bounds alone
+    keep all files; intersecting bounds across ALL equality columns
+    keeps only the file whose doc range the delete touches. The fold
+    stays correct on the pruned set, and a delete file with NULLs in
+    one key column unbounds only that column — the other still
+    prunes."""
+    from pyspark.sql import types as T
+
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    schema = T.StructType(
+        [
+            T.StructField("tenant", T.LongType()),
+            T.StructField("doc", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = IcebergTable.create(table_loc, schema, clock=CLOCK, sort_by=("doc",))
+
+    def batch(lo, hi, tag):
+        # every batch covers BOTH tenants: tenant bounds are [1, 2] in
+        # every file, doc bounds are the localized [lo, hi) range
+        return spark.range(lo, hi).select(
+            (F.col("id") % 2 + 1).alias("tenant"),
+            F.col("id").alias("doc"),
+            F.concat(F.lit(tag), F.col("id")).alias("text"),
+        )
+
+    for lo in range(0, 400, 100):  # four files, disjoint doc ranges
+        append_dataframe(t, batch(lo, lo + 100, "base-"))
+    first = t.current_snapshot()["snapshot-id"]
+    upsert_dataframe(t, batch(150, 160, "upd-"), ["tenant", "doc"])
+
+    eq = [e for e in t.scan_deletes() if e["data_file"]["content"] == 2]
+    assert len(eq) == 1
+    assert tuple(eq[0]["data_file"]["equality_ids"]) == (1, 2)
+    max_del = max(e["sequence_number"] for e in eq)
+    older = [e for e in t.scan_files() if e["sequence_number"] < max_del]
+    assert len(older) == 4
+    # tenant (field 1) bounds are [1, 2] everywhere — first-column-only
+    # pruning would keep all four; the composite intersection keeps one
+    for e in older:
+        assert t._entry_bounds(e, 1, "long") == (1, 2)
+    kept = t._prune_kill_candidates(older, eq)
+    assert len(kept) == 1
+    lo_b, hi_b = t._entry_bounds(kept[0], 2, "long")
+    assert lo_b <= 150 and hi_b >= 159
+
+    # the fold over the pruned candidate set is still exact
+    ev = t.changelog(spark, from_snapshot_id=first).collect()
+    dels = sorted(r.doc for r in ev if r._change_type == "delete")
+    assert dels == list(range(150, 160))
+
+    # NULLs in ONE key column unbound only that column: a delete file
+    # with null tenants but doc keys in [150, 159] still prunes to the
+    # one doc-range file
+    t2loc = table_loc + "_null1col"
+    t2 = IcebergTable.create(t2loc, schema, clock=CLOCK, sort_by=("doc",))
+    rows = [(None, d, f"base-{d}") for d in range(0, 400, 7)]
+    append_dataframe(t2, spark.createDataFrame(rows, schema))
+    for lo in range(0, 400, 100):
+        append_dataframe(t2, batch(lo, lo + 100, "base-"))
+    t2.delete_keys(
+        spark,
+        spark.createDataFrame(
+            [(None, d) for d in range(150, 160)], "tenant long, doc long"
+        ),
+    )
+    eq2 = [e for e in t2.scan_deletes() if e["data_file"]["content"] == 2]
+    older2 = [
+        e
+        for e in t2.scan_files()
+        if e["sequence_number"] < max(x["sequence_number"] for x in eq2)
+    ]
+    assert len(older2) == 5
+    kept2 = t2._prune_kill_candidates(older2, eq2)
+    # doc bounds [150, 159] reach the null-tenant file (docs 0..399 by 7)
+    # and the 100-199 file — tenant column is unbounded by the nulls
+    assert len(kept2) == 2
+    got2 = {(r.tenant, r.doc) for r in t2.to_spark(spark).collect()}
+    assert (None, 154) not in got2  # 154 = 7*22 → was present, killed
+    assert (None, 147) in got2
+    assert (1, 154) in got2  # non-null tenants unaffected (null-safe eq)
+
+
 def test_rename_and_drop_column(spark, table_loc):
     """Metadata-only rename/drop via parquet field-id resolution: every
     internal writer stamps Iceberg field ids into parquet, so the first
@@ -3004,6 +3288,14 @@ def test_matview_publish_is_atomic(spark, table_loc, tmp_path, monkeypatch):
     assert {
         (r.part, r.n, r.sum_id) for r in agg.read(spark).collect()
     } == state_before
+    mv_root = str(tmp_path / "mv")
+    live_dir = os.path.basename(agg._live_data_dir())
+    orphans = {
+        d
+        for d in os.listdir(mv_root)
+        if d.startswith("state-") and d != live_dir
+    }
+    assert orphans  # the crashed refresh left its unreferenced state dir
     # re-run folds the same window exactly once and converges to the
     # full aggregate; the orphaned state dir from the crash is swept
     assert agg.refresh(spark, t) == 8  # 4 deletes + 4 inserts
@@ -3015,8 +3307,81 @@ def test_matview_publish_is_atomic(spark, table_loc, tmp_path, monkeypatch):
         .collect()
     }
     assert {(r.part, r.n, r.sum_id) for r in agg.read(spark).collect()} == full
-    state_dirs = [d for d in os.listdir(str(tmp_path / "mv")) if d.startswith("state-")]
-    assert len(state_dirs) == 1
+    # the crash orphan is swept; the superseded generation is kept for
+    # one refresh (reader grace), so exactly {current, previous} remain
+    state_dirs = {
+        d for d in os.listdir(mv_root) if d.startswith("state-")
+    }
+    assert orphans.isdisjoint(state_dirs)
+    assert state_dirs == {os.path.basename(agg._live_data_dir()), live_dir}
+
+
+def test_matview_read_survives_concurrent_refresh_sweep(
+    spark, table_loc, tmp_path
+):
+    """A lazy read planned before a concurrent refresh publishes still
+    executes afterwards (r11 verdict #3: the multi-writer sink protocol
+    makes a cross-process reader/refresher overlap realistic, and an
+    immediate sweep turned it into a mid-query FileNotFound). The
+    superseded state dir survives exactly ONE more refresh — the
+    documented reader-grace bound — and is swept by the refresh after
+    next."""
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    agg = IncrementalAggregate(str(tmp_path / "mv"), ["part"], sum_cols=["id"])
+    agg.refresh(spark, t)
+    gen1 = os.path.basename(agg._live_data_dir())
+
+    # reader plans against generation 1 but has not executed yet
+    planned = agg.read(spark)
+
+    # a "concurrent" refresher publishes generation 2 and sweeps
+    upsert_dataframe(t, _mk(spark, 5, 9).withColumn("text", F.lit("v2")), ["id"])
+    assert agg.refresh(spark, t) == 8
+    gen2 = os.path.basename(agg._live_data_dir())
+    assert gen2 != gen1
+
+    # the planned read executes mid-overlap: no FileNotFound, and it
+    # sees the consistent generation-1 aggregate it planned against
+    rows = {(r.part, r.n, r.sum_id) for r in planned.collect()}
+    assert sum(r[1] for r in rows) == 20  # pre-upsert row count
+
+    # a fresh read sees generation 2 = the live table's full aggregate
+    full = {
+        (r.part, r.n, r.s)
+        for r in t.to_spark(spark)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert {
+        (r.part, r.n, r.sum_id) for r in agg.read(spark).collect()
+    } == full
+
+    # grace is one generation: the refresh after next sweeps gen1
+    t.delete_keys(spark, spark.createDataFrame([(0,), (1,)], "id long"))
+    assert agg.refresh(spark, t) > 0
+    dirs = {
+        d
+        for d in os.listdir(str(tmp_path / "mv"))
+        if d.startswith("state-")
+    }
+    assert gen1 not in dirs
+    assert dirs == {os.path.basename(agg._live_data_dir()), gen2}
+
+    # a no-op republish (table unmoved) does NOT advance the generation
+    # or shrink the grace window
+    assert agg.refresh(spark, t) == 0
+    dirs2 = {
+        d
+        for d in os.listdir(str(tmp_path / "mv"))
+        if d.startswith("state-")
+    }
+    assert dirs2 == dirs
 
 
 def test_matview_empty_read_schema_derives_types(spark, table_loc, tmp_path):
