@@ -108,6 +108,7 @@ _EXTRA_SHORT = {
     "iceberg_branch_changelog_scan": "i_bcl",
     "iceberg_spec_evolution_scan": "i_evo",
     "iceberg_rename_scan": "i_ren",
+    "iceberg_kafsql_evolved_scan": "i_esql",
     "semdedup": "smd",
     "decontam": "dcm",
     "snapdiff": "snd",
@@ -229,6 +230,7 @@ HEADLINE_GATES = (
     "iceberg_branch_changelog_scan",
     "iceberg_spec_evolution_scan",
     "iceberg_rename_scan",
+    "iceberg_kafsql_evolved_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",

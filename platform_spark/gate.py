@@ -5946,6 +5946,86 @@ GROUP BY 1, 2"""
 )
 
 
+def _ensure_iceberg_kafsql_evo_root(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch topic ROOT for the KAFSQL-over-evolved-topic gate: a
+    'foreign' Iceberg events table whose writer named the segment
+    column ``seg``, created UNPARTITIONED (spec 0) with half the
+    envelope — then normalized into the topic contract and the corpus
+    layout entirely by METADATA commits: rename seg→_segment (field-id
+    resolution now active; the old files serve _segment by id),
+    evolve_partition_spec to (_partition, days(_ts)) (zero data moves),
+    append the other half under the new spec, and CDC-upsert every 7th
+    offset keyed on the composite (_partition, _offset). The dialect
+    read then crosses: schema-on-read over two column-name eras, file
+    planning over two physical layouts, per-spec partition pruning, and
+    merge-on-read eq-deletes killing rows in BOTH layouts."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    root, done = _iceberg_scratch(sf_dir, "_esql")
+    if not os.path.exists(done):
+        ev = catalog_for(spark, sf_dir).topic("events", with_schema_columns=False)
+        foreign = ev.withColumnRenamed("_segment", "seg")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(
+            os.path.join(root, "events"), foreign.schema, clock=clock
+        )
+        append_dataframe(table, foreign.filter("_offset % 2 = 0"))
+        table.rename_column("seg", "_segment")
+        table.evolve_partition_spec(("_partition", "days(_ts)"))
+        append_dataframe(table, ev.filter("_offset % 2 = 1"))
+        upsert_dataframe(
+            table,
+            ev.filter("_offset % 7 = 0").withColumn(
+                "_segment", F.lit("upserted")
+            ),
+            ["_partition", "_offset"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+def _iceberg_kafsql_evolved_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_evo_root(spark, sf_dir)
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    return eng.sql(
+        "SELECT _partition, _segment, count(*) AS n, "
+        "min(_offset) AS lo, max(_offset) AS hi "
+        "FROM events WHERE _partition = 2 LAST 16d "
+        "GROUP BY _partition, _segment"
+    )
+
+
+# KAFSQL over a topic that was RENAMED INTO the envelope contract and
+# partition-spec-evolved mid-history (r11 verdict #5): the `_partition =`
+# filter prunes new-spec manifests while conservatively keeping the
+# unpartitioned spec-0 files, the LAST window prunes by day on the
+# evolved spec, _segment resolves by parquet field id in the pre-rename
+# files, and the composite-key (partition, offset) eq-delete kills the
+# superseded copies in both layouts. The oracle rebuilds the final state
+# from the raw envelope, so a hash match proves the whole composition.
+_add(
+    "iceberg_kafsql_evolved_scan",
+    _iceberg_kafsql_evolved_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition,
+  CASE WHEN _offset % 7 = 0 THEN 'upserted' ELSE _segment END AS _segment,
+  COUNT(*) AS n, MIN(_offset) AS lo, MAX(_offset) AS hi
+FROM t_events
+WHERE _partition = 2
+  AND _ts >= TIMESTAMP '{_last_lo(16)}' AND _ts <= TIMESTAMP '{_NOW_S}'
+GROUP BY 1, 2"""
+    ),
+)
+
+
 # Exact heavy hitters: Misra-Gries screen + exact verify ---------------------
 
 
@@ -6500,6 +6580,7 @@ _TAIL_SUBSETS = [
     "iceberg_branch_changelog_scan",  # NEW r11, tail-placed from birth: strict subset of iceberg_changelog_scan's six-event-class machinery (same kill-attribution/ordinal surface, head-pinned delete application per that entry) — the branch-specific increment is ref-ancestry window selection, which _ancestry_window shares verbatim with changes(ref=) (tested by test_changes_along_branch_ref) plus the branch-head parent seeding, and THIS gate's oracle pins exactly that: kills against the branch-visible parent and a mid-window main commit contributing nothing
     "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
+    "iceberg_kafsql_evolved_scan",  # NEW r12, tail-placed from birth: strict subset of three tail gates' pinned machinery — iceberg_kafsql_scan (the same dialect-over-IcebergTopicCatalog composition with the same LAST+GROUP BY+upsert oracle shape), iceberg_rename_scan (field-id resolution on data and delete-key reads), iceberg_spec_evolution_scan (per-manifest spec pruning over mixed layouts) — composed in ONE topic: what's NEW is only that the catalog's schema-on-read + `_partition =` + `_ts`-bounds planning path (catalog.py _pruned_entries) runs over a renamed+evolved table end-to-end through the compiler, exactly what THIS gate's full relational oracle (partition-filtered post-upsert rebuild from the raw envelope) pins; the constituent guards stay pytest-pinned in test_rename_and_drop_column/test_partition_spec_evolution
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest
 # run (tests/test_tail_gates.py) — the driver runs pytest every round, so

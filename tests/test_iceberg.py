@@ -1761,6 +1761,82 @@ def test_kafsql_engine_runs_directly_on_iceberg_tables(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_kafsql_catalog_prunes_evolved_renamed_topic(spark, tmp_path):
+    """The dialect's planning path over a topic normalized INTO the
+    envelope by metadata commits (rename seg→_segment, spec evolution
+    to identity(_partition)): `_partition =` pruning keeps ALL spec-0
+    (unpartitioned) files — conservative superset — but only the
+    matching partition's new-spec files, and the query result matches
+    the parquet engine. Composes the r11 rename + evolution surfaces
+    through catalog.py's _pruned_entries, the plan-level twin of the
+    iceberg_kafsql_evolved_scan oracle gate."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.iceberg.table import upsert_dataframe
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "evotopics")
+    os.makedirs(root, exist_ok=True)
+    foreign = ev.withColumnRenamed("_segment", "seg")
+    t = IcebergTable.create(
+        os.path.join(root, "events"), foreign.schema, clock=CLOCK
+    )
+    append_dataframe(t, foreign.filter("_offset % 2 = 0"))
+    n_spec0 = len(t.scan_files())
+    t.rename_column("seg", "_segment")
+    t.evolve_partition_spec(("_partition",))
+    append_dataframe(t, ev.filter("_offset % 2 = 1"))
+    upsert_dataframe(
+        t,
+        ev.filter("_offset % 7 = 0").withColumn("_segment", F.lit("upd")),
+        ["_partition", "_offset"],
+    )
+
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    all_entries = t.scan_files(spark=spark)
+    pruned = icat._pruned_entries(t, 2, None, None)
+    assert len(pruned) < len(all_entries)
+    # every spec-0 file survives (no _partition value recorded there);
+    # new-spec files survive only for partition 2
+    spec0_kept = [e for e in pruned if not e["data_file"]["partition"]]
+    assert len(spec0_kept) == n_spec0
+    for e in pruned:
+        part = dict(e["data_file"]["partition"] or {})
+        assert part.get("_partition", 2) == 2
+
+    # end-to-end: dialect result over the evolved topic == parquet
+    # engine over the equivalent post-upsert envelope
+    now = datetime(2024, 1, 31)
+    ieng = KafSqlEngine(icat, now=now)
+    q = (
+        "SELECT _partition, _segment, count(*) AS n FROM events "
+        "WHERE _partition = 2 LAST 30d GROUP BY _partition, _segment"
+    )
+    got = {(r._partition, r._segment, r.n) for r in ieng.sql(q).collect()}
+    peng = KafSqlEngine(cat, now=now)
+    base = peng.sql(
+        "SELECT _partition, _offset, _segment FROM events "
+        "WHERE _partition = 2 LAST 30d LIMIT 100000"
+    )
+    want = {
+        (r._partition, r._segment, r.n)
+        for r in base.withColumn(
+            "_segment",
+            F.when(F.col("_offset") % 7 == 0, F.lit("upd")).otherwise(
+                F.col("_segment")
+            ),
+        )
+        .groupBy("_partition", "_segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_month_and_hour_transform_partitioning(spark, table_loc):
     """The spec's other time transforms: month (int months-since-epoch,
     works from date or timestamp) and hour (int hours-since-epoch,
