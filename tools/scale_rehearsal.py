@@ -615,6 +615,37 @@ def main() -> None:
     timings["llm_semantic_decontam_vec"] = round(min(runs), 3)
     print(f"llm_semantic_decontam_vec: {timings['llm_semantic_decontam_vec']} s", flush=True)
 
+    # attribution counters (r11 verdict #2): the leg's cost model is
+    # rows x bench x dim, map-only — record the actual candidate-pair
+    # count, the executed plan's Exchange count (must stay 0: any
+    # shuffle appearing here IS the regression), and the scan partition
+    # count, so a future cross-SF drift is attributable to pair growth
+    # vs skew vs a plan change instead of being re-litigated from wall
+    # clocks alone.
+    from pyspark.sql import functions as F
+
+    from platform_spark.gate import _emb_table
+
+    emb = _emb_table(spark, args.sf_dir)
+    n_rows = emb.count()
+    n_bench = emb.filter(F.col("vec_id") % 41 == 0).limit(4096).count()
+    probe_df = semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=4096)
+    plan_str = probe_df._jdf.queryExecution().executedPlan().toString()
+    pairs = n_rows * n_bench
+    result["semantic_decontam_vec_counters"] = {
+        "rows": n_rows,
+        "bench": n_bench,
+        "candidate_pairs": pairs,
+        "n_exchanges": plan_str.count("Exchange"),
+        "scan_partitions": emb.rdd.getNumPartitions(),
+        "pairs_per_sec": round(pairs / max(min(runs), 1e-9)),
+    }
+    print(
+        "semantic_decontam_vec_counters: "
+        f"{result['semantic_decontam_vec_counters']}",
+        flush=True,
+    )
+
     if args.curation:
         result["curation"] = run_curation_twins(spark, args.sf_dir, scratch)
 
