@@ -109,6 +109,7 @@ _EXTRA_SHORT = {
     "iceberg_spec_evolution_scan": "i_evo",
     "iceberg_rename_scan": "i_ren",
     "iceberg_kafsql_evolved_scan": "i_esql",
+    "iceberg_bucket_scan": "i_bkt",
     "semdedup": "smd",
     "decontam": "dcm",
     "snapdiff": "snd",
@@ -231,6 +232,7 @@ HEADLINE_GATES = (
     "iceberg_spec_evolution_scan",
     "iceberg_rename_scan",
     "iceberg_kafsql_evolved_scan",
+    "iceberg_bucket_scan",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",

@@ -5946,6 +5946,66 @@ GROUP BY 1, 2"""
 )
 
 
+def _ensure_iceberg_bucket(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch table for the bucket-transform gate: documents committed
+    into a bucket(doc_id, 8)-partitioned table (spec murmur3 buckets —
+    iceberg/bucket.py pins the published Appendix-B hash vectors), then
+    CDC-upserted — every row must route through its spec bucket and
+    come back exactly once."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    loc, done = _iceberg_scratch(sf_dir, "_bkt")
+    if not os.path.exists(done):
+        docs = _doc_table(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        clock = lambda: 1_700_000_000.0  # noqa: E731 — deterministic metadata
+        table = IcebergTable.create(
+            loc, docs.schema, partition_by=("bucket(doc_id, 8)",), clock=clock
+        )
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 0))
+        append_dataframe(table, docs.filter(F.col("doc_id") % 2 == 1))
+        upsert_dataframe(
+            table,
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn("source", F.lit("u1")),
+            ["doc_id"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return loc
+
+
+def _iceberg_bucket_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_spark.iceberg.table import IcebergTable
+
+    loc = _ensure_iceberg_bucket(spark, sf_dir)
+    return IcebergTable.load(loc).to_spark(spark)
+
+
+# Hidden hash partitioning (spec bucket[N] transform): bucket ids live
+# ONLY in paths/manifests (murmur3_x86_32 per spec — the hash is pinned
+# against the spec's published reference vectors in tests, so external
+# readers compute identical buckets) while doc_id stays a data column.
+# The oracle rebuilds the post-upsert state relationally: a hash match
+# proves every row routed through its spec bucket and the eq-delete
+# killed the superseded copies across bucket directories exactly once.
+# Point-lookup pruning (plan only the key's bucket) is plan-asserted on
+# the manifest file list in tests/test_iceberg.py bucket tests.
+_add(
+    "iceberg_bucket_scan",
+    _iceberg_bucket_gate,
+    """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT doc_id, lang, 'u1' AS source, n_chars FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
+
+
 def _ensure_iceberg_kafsql_evo_root(spark: SparkSession, sf_dir: str) -> str:
     """Scratch topic ROOT for the KAFSQL-over-evolved-topic gate: a
     'foreign' Iceberg events table whose writer named the segment
@@ -6580,6 +6640,7 @@ _TAIL_SUBSETS = [
     "iceberg_branch_changelog_scan",  # NEW r11, tail-placed from birth: strict subset of iceberg_changelog_scan's six-event-class machinery (same kill-attribution/ordinal surface, head-pinned delete application per that entry) — the branch-specific increment is ref-ancestry window selection, which _ancestry_window shares verbatim with changes(ref=) (tested by test_changes_along_branch_ref) plus the branch-head parent seeding, and THIS gate's oracle pins exactly that: kills against the branch-visible parent and a mid-window main commit contributing nothing
     "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
+    "iceberg_bucket_scan",  # NEW r12, tail-placed from birth: strict subset of the head-pinned append/upsert/scan machinery (iceberg_upsert_scan's relational oracle over identity partitions; iceberg_day_partition_scan pins the hidden-transform write/derive/prune shape) — the bucket-specific increment is the spec murmur3_x86_32 derivation itself, which is pinned HARDER than any oracle can: tests/test_iceberg.py::test_bucket_transform_spec_vectors asserts the published Appendix-B reference hashes and test_bucket_udf_matches_scalar the vectorized/scalar equality; THIS gate's full relational oracle proves rows route through buckets and come back exactly once through a CDC upsert
     "iceberg_kafsql_evolved_scan",  # NEW r12, tail-placed from birth: strict subset of three tail gates' pinned machinery — iceberg_kafsql_scan (the same dialect-over-IcebergTopicCatalog composition with the same LAST+GROUP BY+upsert oracle shape), iceberg_rename_scan (field-id resolution on data and delete-key reads), iceberg_spec_evolution_scan (per-manifest spec pruning over mixed layouts) — composed in ONE topic: what's NEW is only that the catalog's schema-on-read + `_partition =` + `_ts`-bounds planning path (catalog.py _pruned_entries) runs over a renamed+evolved table end-to-end through the compiler, exactly what THIS gate's full relational oracle (partition-filtered post-upsert rebuild from the raw envelope) pins; the constituent guards stay pytest-pinned in test_rename_and_drop_column/test_partition_spec_evolution
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest

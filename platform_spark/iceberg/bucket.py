@@ -1,0 +1,173 @@
+"""The spec ``bucket[N]`` partition transform (Iceberg v2 spec §Appendix B).
+
+Bucketing is THE layout for high-cardinality point-lookup keys at 100 TB:
+``bucket(16, doc_id)`` spreads writes across 16 stable directories while a
+point predicate ``doc_id = X`` plans exactly the one bucket's files —
+1/16th of the table — from manifests alone, with no value-range
+assumptions (ranges don't help uniformly-hashed ids; buckets do).
+
+The spec FIXES the hash so every engine computes identical buckets:
+``bucket_id = (murmur3_x86_32(le_bytes(v)) & Integer.MAX_VALUE) % N``
+with int/long/date/time/timestamp widened to an 8-byte little-endian
+signed long (so ``bucket(int 34) == bucket(long 34)`` by construction),
+strings hashed as UTF-8 bytes, binary as raw bytes — all with seed 0.
+The test suite pins the spec's published Appendix-B reference vectors
+(34 → 2017239379, 'iceberg' → 1210000089, …), so an external
+iceberg-java/pyiceberg reader agrees with every bucket this writer lays
+down.
+
+Write-side evaluation is an Arrow-batched pandas UDF: the hash is
+spec-fixed (NOT Spark's murmur variant — different seed and byte
+widths), so a JVM-side evaluation would need a custom catalyst
+expression, which PySpark cannot register; the numeric path is fully
+numpy-vectorized uint32 arithmetic (two unrolled block rounds for the
+fixed 8-byte input), so the per-batch cost is a handful of array ops,
+not per-row Python. Reference: iceberg spec "Bucket transform details";
+the Go reference has no bucketing at all (its layout is
+topic/partition/segment, server.go:1504-1511).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: resolves the pandas UDF's type hints
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_MASK = 0xFFFFFFFF
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 over ``data`` — returns the UNSIGNED 32-bit hash.
+    Scalar reference implementation (drives string/binary values and the
+    vectorized path's property tests)."""
+    h = seed & _MASK
+    n_blocks = len(data) // 4
+    for i in range(n_blocks):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * _C1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * _C2) & _MASK
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _MASK
+        h = (h * 5 + 0xE6546B64) & _MASK
+    tail = data[4 * n_blocks :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _C1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * _C2) & _MASK
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK
+    h ^= h >> 16
+    return h
+
+
+def _to_signed32(h: int) -> int:
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def hash_value(value, ice_type: str) -> int:
+    """The spec hash (SIGNED int32) of one value under its Iceberg type.
+    int/long/date/time/timestamp(tz) widen to 8-byte little-endian
+    signed long; string → UTF-8; binary/fixed → raw bytes."""
+    if ice_type in ("int", "long", "date", "time", "timestamp", "timestamptz"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    elif ice_type in ("binary", "fixed"):
+        data = bytes(value)
+    else:
+        raise ValueError(f"iceberg: bucket() cannot hash type {ice_type!r}")
+    return _to_signed32(murmur3_32(data))
+
+
+def bucket_value(value, ice_type: str, n: int) -> int | None:
+    """``(hash & Integer.MAX_VALUE) % N`` — the spec bucket id; None
+    hashes to None (null partition value)."""
+    if value is None:
+        return None
+    return (hash_value(value, ice_type) & 0x7FFFFFFF) % n
+
+
+def _hash_int64_numpy(arr):
+    """Vectorized murmur3_x86_32 of 8-byte little-endian longs (the
+    widened numeric path): block rounds unrolled for the fixed 2-block,
+    empty-tail input. Returns uint32 hashes."""
+    import numpy as np
+
+    v = arr.astype(np.int64).view(np.uint64)
+    k1 = (v & np.uint64(_MASK)).astype(np.uint32)  # low word (LE first)
+    k2 = (v >> np.uint64(32)).astype(np.uint32)  # high word
+    h = np.zeros(len(v), dtype=np.uint32)  # seed 0
+    for k in (k1, k2):
+        k = k * np.uint32(_C1)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * np.uint32(_C2)
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # len(data)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def bucket_udf(ice_type: str, n: int):
+    """Arrow-batched pandas UDF computing the spec bucket id for a
+    column of ``ice_type``. Numeric/temporal types run the vectorized
+    numpy path; strings/binary hash per row (variable length) inside
+    the same Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    numeric = ice_type in (
+        "int", "long", "date", "time", "timestamp", "timestamptz",
+    )
+
+    @pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if numeric:
+            if ice_type == "date":
+                # arrow hands dates as datetime.date objects or
+                # datetime64; normalize to days-since-epoch ints
+                s2 = pd.to_datetime(s)
+                vals = (
+                    s2.astype("datetime64[s]").astype("int64") // 86400
+                )
+            elif ice_type in ("timestamp", "timestamptz"):
+                vals = s.astype("datetime64[us]").astype("int64")
+            elif s.dtype.kind == "i":
+                vals = s  # int64 straight off Arrow (no nulls)
+            else:
+                # nullable longs arrive as float64 off the Arrow
+                # boundary; Int64 keeps the null mask, fillna(0) is
+                # masked out below. (Keys beyond 2^53 with nulls in the
+                # SAME batch would lose precision at that boundary —
+                # a pandas/Arrow conversion limit, not a hash one.)
+                vals = s.astype("Int64").fillna(0).astype("int64")
+            mask = s.notna().to_numpy()
+            out = np.full(len(s), -1, dtype=np.int64)
+            if mask.any():
+                h = _hash_int64_numpy(vals.to_numpy()[mask])
+                out[mask] = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+            res = pd.Series(out).astype("object")
+            res[~mask] = None
+            return res
+        return s.map(
+            lambda v: None if v is None else bucket_value(v, ice_type, n)
+        )
+
+    return _bucket

@@ -282,6 +282,8 @@ def _partition_avro_fields(spec_fields: list[dict], ice_schema: dict) -> list[di
             src = "date"  # day transform values are int days-since-epoch
         elif pf.get("transform") in ("month", "hour"):
             src = "int"  # int months/hours-since-epoch
+        elif str(pf.get("transform", "")).startswith("bucket["):
+            src = "int"  # bucket ids are int whatever the source
         else:
             src = types.get(pf["source-id"], "string")
         out.append(
@@ -480,6 +482,42 @@ def _parse_spec_fields(partition_by: tuple, by_name: dict) -> list[dict]:
     (create: 1000+i; evolve_partition_spec: reuse-or-allocate)."""
     spec_fields = []
     for spec in partition_by:
+        mb = re.fullmatch(r"bucket\((\w+),\s*(\d+)\)", spec)
+        if mb:
+            # spec `bucket[N]` transform: murmur3_x86_32-hashed stable
+            # buckets (iceberg/bucket.py pins the published Appendix-B
+            # vectors) — the point-lookup layout for high-cardinality
+            # keys where value ranges carry no locality
+            col, n = mb.group(1), int(mb.group(2))
+            if col not in by_name:
+                raise ValueError(
+                    f"iceberg: partition column {col!r} not in schema"
+                )
+            ok = (
+                "int", "long", "string", "date",
+                "timestamp", "timestamptz", "binary",
+            )
+            if by_name[col]["type"] not in ok:
+                raise ValueError(
+                    f"iceberg: bucket() needs a {'/'.join(ok)} source, "
+                    f"got {by_name[col]['type']} for {col!r}"
+                )
+            if n <= 0:
+                raise ValueError("iceberg: bucket count must be > 0")
+            pname = f"{col}_bucket"
+            if pname in by_name:
+                raise ValueError(
+                    f"iceberg: bucket({col}) partition name "
+                    f"{pname!r} collides with a schema column"
+                )
+            spec_fields.append(
+                {
+                    "name": pname,
+                    "transform": f"bucket[{n}]",
+                    "source-id": by_name[col]["id"],
+                }
+            )
+            continue
         mt = re.fullmatch(r"truncate\((\w+),\s*(\d+)\)", spec)
         if mt:
             # spec `truncate[W]` transform: strings keep their first
@@ -873,6 +911,8 @@ class IcebergTable:
                 if str(pf.get("transform", "")).startswith("truncate["):
                     # truncated value keeps the SOURCE type
                     return int(raw) if src_type in ("int", "long") else raw
+                if str(pf.get("transform", "")).startswith("bucket["):
+                    return int(raw)  # bucket ids are int
                 if src_type in ("int", "long"):
                     return int(raw)
                 if src_type == "date":
@@ -925,6 +965,40 @@ class IcebergTable:
                 v = (v - datetime.date(1970, 1, 1)).days
             out[k] = v
         return out
+
+    def bucket_value(self, column: str, value) -> int:
+        """The spec bucket id a SOURCE value lands in under this table's
+        bucket spec field for ``column`` — the read-side half of
+        bucketing: a point lookup ``doc_id = X`` plans only bucket
+        ``bucket_value('doc_id', X)``'s files via
+        ``partition_filter={'doc_id_bucket': ...}``. Raises when no
+        current spec field buckets the column."""
+        import re as _re
+
+        from platform_spark.iceberg.bucket import bucket_value as _bv
+
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        for pf in self.spec["fields"]:
+            m = _re.fullmatch(r"bucket\[(\d+)\]", str(pf.get("transform")))
+            if m and by_id.get(pf["source-id"], {}).get("name") == column:
+                src_type = by_id[pf["source-id"]]["type"]
+                if src_type in ("timestamp", "timestamptz") and hasattr(
+                    value, "timestamp"
+                ):
+                    import datetime as _dt
+
+                    epoch = _dt.datetime(
+                        1970, 1, 1, tzinfo=value.tzinfo
+                    )
+                    value = int((value - epoch).total_seconds() * 1_000_000)
+                elif src_type == "date" and hasattr(value, "toordinal"):
+                    import datetime as _dt
+
+                    value = (value - _dt.date(1970, 1, 1)).days
+                return _bv(value, src_type, int(m.group(1)))
+        raise ValueError(
+            f"iceberg: no bucket transform on {column!r} in the current spec"
+        )
 
     def _file_stats(self, paths: list[str], spark=None) -> dict[str, dict]:
         """Footer stats for every data file. Small commits stat on the
@@ -3160,10 +3234,13 @@ class IcebergTable:
     @staticmethod
     def _result_bound_type(pf: dict, types: dict) -> str:
         """The Iceberg type of a partition field's VALUES (identity →
-        source type; day transform → date int-days; month/hour → int)."""
+        source type; day transform → date int-days; month/hour → int;
+        bucket → int bucket id; truncate keeps the source type)."""
         if pf.get("transform") == "day":
             return "date"
         if pf.get("transform") in ("month", "hour"):
+            return "int"
+        if str(pf.get("transform", "")).startswith("bucket["):
             return "int"
         return types.get(pf["source-id"], "string")
 
@@ -3655,6 +3732,19 @@ def _with_partition_columns(table: IcebergTable, df):
         if transform == "identity":
             continue
         src = ids_to_name[pf["source-id"]]
+        mb = re.fullmatch(r"bucket\[(\d+)\]", transform)
+        if mb:
+            from platform_spark.iceberg.bucket import bucket_udf
+
+            src_type = next(
+                f["type"] for f in table.schema["fields"]
+                if f["id"] == pf["source-id"]
+            )
+            df = df.withColumn(
+                pf["name"],
+                bucket_udf(src_type, int(mb.group(1)))(F.col(src)),
+            )
+            continue
         mt = re.fullmatch(r"truncate\[(\d+)\]", transform)
         if mt:
             w = int(mt.group(1))

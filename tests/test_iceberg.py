@@ -2461,6 +2461,150 @@ def test_truncate_transform_partitioning(spark, table_loc):
                             partition_by=("truncate(id, 0)",))
 
 
+def test_bucket_transform_spec_vectors():
+    """The bucket hash is the SPEC's murmur3_x86_32, pinned against the
+    published Appendix-B reference vectors — an external iceberg-java /
+    pyiceberg reader computes identical buckets for every value, which
+    is the whole point of a spec-fixed transform."""
+    from platform_spark.iceberg.bucket import bucket_value, hash_value
+
+    assert hash_value(34, "int") == 2017239379
+    assert hash_value(34, "long") == 2017239379  # int widens to long
+    assert hash_value("iceberg", "string") == 1210000089
+    assert hash_value(17486, "date") == -653330422  # 2017-11-16
+    # 2017-11-16T22:31:08 in micros
+    assert hash_value(1510871468000000, "timestamp") == -2047944441
+    assert hash_value(b"\x00\x01\x02\x03", "binary") == -188683207
+    assert bucket_value(34, "long", 16) == 2017239379 % 16
+    assert bucket_value(None, "long", 16) is None
+    # negative hash: (h & Integer.MAX_VALUE) % N stays in [0, N)
+    b = bucket_value(17486, "date", 7)
+    assert 0 <= b < 7 and b == ((-653330422) & 0x7FFFFFFF) % 7
+
+
+def test_bucket_udf_matches_scalar(spark):
+    """The numpy-vectorized UDF path and the scalar reference agree on
+    every value class (positives, negatives, nulls, strings) — the
+    vectorized two-block unroll is bit-identical to the byte-wise
+    reference."""
+    import pandas as pd
+
+    from platform_spark.iceberg.bucket import bucket_udf, bucket_value
+
+    vals = [0, 1, -1, 34, -34, 2**33, -(2**33), 7, 12345678901, None]
+    df = spark.createDataFrame([(v,) for v in vals], "id long")
+    got = [
+        r.b
+        for r in df.select(bucket_udf("long", 16)("id").alias("b")).collect()
+    ]
+    want = [
+        None if v is None else bucket_value(v, "long", 16) for v in vals
+    ]
+    assert got == want
+    svals = ["iceberg", "", "ü-höh", "doc-42", None]
+    sdf = spark.createDataFrame([(v,) for v in svals], "k string")
+    got_s = [
+        r.b
+        for r in sdf.select(bucket_udf("string", 8)("k").alias("b")).collect()
+    ]
+    assert got_s == [
+        None if v is None else bucket_value(v, "string", 8) for v in svals
+    ]
+
+
+def test_bucket_transform_partitioning(spark, table_loc):
+    """bucket[N] end-to-end: writes spread across N stable directories,
+    a point lookup plans ONLY its bucket's files (1/N of the table from
+    manifests alone), CDC upserts keep landing in the right buckets,
+    and evolve_partition_spec can move a table ONTO bucketing with zero
+    data moves."""
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = spark.range(0, 400).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("text")
+    )
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("bucket(id, 8)",), clock=CLOCK
+    )
+    assert t.spec["fields"][0]["transform"] == "bucket[8]"
+    append_dataframe(t, df)
+    # every row readable; files land in at most 8 bucket partitions
+    assert t.to_spark(spark).count() == 400
+    parts = {
+        e["data_file"]["partition"]["id_bucket"] for e in t.scan_files()
+    }
+    assert parts <= set(range(8)) and len(parts) >= 2
+    # point lookup: plan exactly the key's bucket
+    b42 = t.bucket_value("id", 42)
+    planned = t.scan_files(partition_filter={"id_bucket": b42})
+    assert 0 < len(planned) < len(t.scan_files())
+    got = t.to_spark(spark, partition_filter={"id_bucket": b42}).filter(
+        "id = 42"
+    )
+    assert [(r.id, r.text) for r in got.collect()] == [(42, "doc-42")]
+    # the bucket is spec-stable: the manifest value equals the scalar
+    from platform_spark.iceberg.bucket import bucket_value as bv
+
+    for e in t.scan_files():
+        pth = e["data_file"]["file_path"]
+        rows = spark.read.parquet(pth).collect()
+        want_b = e["data_file"]["partition"]["id_bucket"]
+        assert all(bv(r.id, "long", 8) == want_b for r in rows)
+    # CDC upsert: replaced rows keep resolving through their bucket
+    upsert_dataframe(
+        t,
+        spark.createDataFrame([(42, "doc-42-v2")], df.schema),
+        ["id"],
+    )
+    got2 = t.to_spark(spark, partition_filter={"id_bucket": b42}).filter(
+        "id = 42"
+    )
+    assert [(r.id, r.text) for r in got2.collect()] == [(42, "doc-42-v2")]
+    with pytest.raises(ValueError, match="no bucket transform"):
+        t.bucket_value("text", "x")
+
+    # evolution ONTO bucketing: old unpartitioned files stay readable
+    # and conservatively unpruned; new files prune by bucket
+    loc2 = str(table_loc) + "_evo"
+    t2 = IcebergTable.create(loc2, df.schema, clock=CLOCK)
+    append_dataframe(t2, df.filter("id < 200"))
+    t2.evolve_partition_spec(("bucket(id, 4)",))
+    append_dataframe(t2, df.filter("id >= 200"))
+    assert t2.to_spark(spark).count() == 400
+    bk = t2.bucket_value("id", 250)
+    pl = t2.scan_files(partition_filter={"id_bucket": bk})
+    assert len(pl) < len(t2.scan_files())  # new-spec files pruned
+    assert (
+        t2.to_spark(spark, partition_filter={"id_bucket": bk})
+        .filter("id = 250")
+        .count()
+        == 1
+    )
+
+
+def test_bucket_transform_string_key(spark, table_loc):
+    """String bucketing (UTF-8 murmur per spec): URL/doc-key point
+    lookups prune to one bucket; non-ASCII keys hash stably."""
+    df = spark.range(0, 200).select(
+        F.concat(F.lit("https://src.example.com/p/"), F.col("id")).alias(
+            "url"
+        ),
+        F.col("id").alias("n"),
+    )
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("bucket(url, 6)",), clock=CLOCK
+    )
+    append_dataframe(t, df)
+    key = "https://src.example.com/p/77"
+    b = t.bucket_value("url", key)
+    planned = t.scan_files(partition_filter={"url_bucket": b})
+    assert 0 < len(planned) < len(t.scan_files())
+    got = t.to_spark(spark, partition_filter={"url_bucket": b}).filter(
+        F.col("url") == key
+    )
+    assert [r.n for r in got.collect()] == [77]
+
+
 def test_inspect_metadata_tables(spark, table_loc):
     """The snapshots/manifests/files/partitions inspect surface answers
     ops questions from metadata alone (no data file reads)."""

@@ -47,7 +47,7 @@ _OPS = st.lists(
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("rewrite_deletes"), st.just(0)),
         st.tuples(st.just("rewrite_manifests"), st.just(0)),
-        st.tuples(st.just("evolve"), st.integers(0, 2)),
+        st.tuples(st.just("evolve"), st.integers(0, 3)),
     ),
     min_size=2,
     max_size=7,
@@ -94,7 +94,7 @@ def test_random_op_sequences_match_model_and_changelog(spark, tmp_path, ops):
             # partition-spec evolution is LOGICALLY invisible: the model
             # does not change, whatever mix of layouts the files land in
             t.evolve_partition_spec(
-                [(), ("part",), ("truncate(id, 8)",)][p]
+                [(), ("part",), ("truncate(id, 8)",), ("bucket(id, 4)",)][p]
             )
         elif kind == "compact":
             if t.scan_files():
