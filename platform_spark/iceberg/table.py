@@ -3798,6 +3798,55 @@ def _with_field_ids(table: IcebergTable, df):
     )
 
 
+def _apply_zorder_layout(
+    table: IcebergTable, df, part_cols, zorder_by, n_files: int
+):
+    """Lay a compaction batch out along the Z-order (Morton) curve of
+    ``zorder_by`` so manifest/row-group bounding boxes come out small in
+    EVERY listed dimension — the multi-column answer where a linear
+    declared sort order only tightens its leading column (Iceberg's
+    rewrite_data_files ``strategy => 'sort', sort_order => zorder(...)``
+    shape).
+
+    Scale path: each column is rank-normalized through ~256 sampled
+    quantile boundaries (one ``approxQuantile`` pass per column, driver
+    holds ≤255 doubles — RangePartitioner-style sampling, so skew bends
+    bin POPULATIONS, never correctness), the bin id is a ≤256-element
+    JVM higher-order-function count (no UDF, no window — a global
+    ``percent_rank`` window would serialize the table through one
+    task), and the interleaved key drives ONE range exchange + local
+    sort. NULLs bin to 0 (cluster at the curve origin). Columns must
+    cast to double (int/long/float/double/date/timestamp)."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.operators.layout import zorder_key
+
+    df = _with_field_ids(table, df)
+    bins = 256  # 8 bits/dim: files << bins, boxes stay tight; <=7 dims
+    qs = [i / bins for i in range(1, bins)]
+    norm = []
+    for c in zorder_by:
+        src = F.col(c)
+        if dict(
+            (f["name"], f["type"]) for f in table.schema["fields"]
+        ).get(c) in ("date",):
+            src = src.cast("timestamp")
+        dcol = src.cast("double")
+        tmp = df.select(dcol.alias("__zq"))
+        bounds = sorted(set(tmp.stat.approxQuantile("__zq", qs, 0.01)))
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bin_id = F.size(F.filter(arr, lambda x: x <= dcol))
+        norm.append(bin_id.cast("bigint"))
+    z = zorder_key(norm, bits=8).alias("__z")
+    keyed = df.withColumn("__z", z)
+    keys = [F.col(c) for c in part_cols] + [F.col("__z")]
+    return (
+        keyed.repartitionByRange(max(1, n_files), *keys)
+        .sortWithinPartitions(*keys)
+        .drop("__z")
+    )
+
+
 def _apply_sort_layout(
     table: IcebergTable, df, part_cols, range_partition: bool = True
 ):
@@ -4009,6 +4058,8 @@ def compact_table(
     spark,
     files_per_partition: int = 1,
     partition_filter: dict | None = None,
+    zorder_by: tuple[str, ...] = (),
+    zorder_files: int | None = None,
 ) -> dict:
     """Bin-pack live data files into ~``files_per_partition`` files per
     identity partition and commit ONE compaction snapshot. Run
@@ -4027,7 +4078,16 @@ def compact_table(
     value doesn't serialize through a single task; on a table with a
     DECLARED sort order the salt is unnecessary — range partitioning on
     (partition, sort) keys splits big partitions by key range while
-    re-establishing the bounds-skipping layout."""
+    re-establishing the bounds-skipping layout.
+
+    ``zorder_by`` rewrites along the Morton curve of those columns
+    instead (``_apply_zorder_layout``): use it when queries filter on
+    SEVERAL independent columns — a linear order tightens only its
+    leading column's bounds; the curve tightens all of them at ~equal
+    selectivity. ``zorder_files`` sets the output file count (defaults
+    to ``files_per_partition`` × live identity partitions, or the
+    shuffle parallelism when unpartitioned); more files = finer
+    skipping granularity, smaller files."""
     from pyspark.sql import functions as F
 
     entries = table.scan_files(partition_filter=partition_filter, spark=spark)
@@ -4042,7 +4102,26 @@ def compact_table(
     ).drop("__fp", "__pos")
     df, part_cols = _with_partition_columns(table, df)
     df = _with_field_ids(table, df)
-    if table.sort_columns():
+    if zorder_by:
+        if zorder_files is None:
+            n_parts = len(
+                {
+                    tuple(sorted((e["data_file"]["partition"] or {}).items()))
+                    for e in entries
+                }
+            )
+            zorder_files = (
+                files_per_partition * n_parts
+                if part_cols
+                else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            )
+        df = _apply_zorder_layout(
+            table, df, part_cols, tuple(zorder_by), zorder_files
+        )
+        writer = df.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+    elif table.sort_columns():
         # declared sort order: compaction is where layout is
         # re-established after CDC — range partitioning replaces the
         # hash salt (it splits big partitions by key range instead)

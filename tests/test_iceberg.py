@@ -2605,6 +2605,80 @@ def test_bucket_transform_string_key(spark, table_loc):
     assert [r.n for r in got.collect()] == [77]
 
 
+def test_zorder_compaction_prunes_both_dimensions(spark, table_loc):
+    """compact_table(zorder_by=(x, y)): after the Morton-curve rewrite,
+    manifest column bounds prune the file list on EITHER column at
+    ~equal selectivity — where the same table linearly sorted by x
+    prunes x but reads ~everything for a y range. Content is unchanged
+    (compaction is a replace snapshot)."""
+    from platform_spark.iceberg.table import compact_table
+
+    n = 20_000
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") * 7919 % n).alias("x"),   # decorrelated uniform dims
+        (F.col("id") * 104729 % n).alias("y"),
+    )
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    # many small appends = scattered layout: every file spans ~full range
+    for lo in range(0, n, n // 8):
+        append_dataframe(t, df.filter((F.col("id") >= lo) & (F.col("id") < lo + n // 8)))
+    before_entries = t.scan_files()
+    before = {e["data_file"]["file_path"] for e in before_entries}
+    span = n // 25  # 4% of the value space
+    x_rng = (1000, 1000 + span)
+    y_rng = (6200, 6200 + span)
+    # scattered layout: every file spans ~the full range of both dims,
+    # so bounds-filtering keeps EVERYTHING
+    assert len(
+        t.filter_entries_by_bounds(before_entries, {"x": x_rng})
+    ) == len(before_entries)
+    assert len(
+        t.filter_entries_by_bounds(before_entries, {"y": y_rng})
+    ) == len(before_entries)
+
+    compact_table(t, spark, zorder_by=("x", "y"), zorder_files=64)
+    entries = t.scan_files()
+    assert len(entries) >= 32  # range exchange produced a real file set
+    assert {e["data_file"]["file_path"] for e in entries}.isdisjoint(before)
+
+    # a narrow range on EITHER dimension now prunes most files (curve
+    # segments approximate boxes; cuts are unaligned, so the bound is
+    # loose-but-strict: well under half, vs 100% before)
+    kept_x = t.filter_entries_by_bounds(entries, {"x": x_rng})
+    kept_y = t.filter_entries_by_bounds(entries, {"y": y_rng})
+    assert len(kept_x) < len(entries) * 0.5, (len(kept_x), len(entries))
+    assert len(kept_y) < len(entries) * 0.5, (len(kept_y), len(entries))
+
+    # content-neutral: exact same rows after the rewrite
+    assert t.to_spark(spark).count() == n
+    got = t.to_spark(spark).agg(
+        F.sum("id"), F.sum("x"), F.sum("y")
+    ).collect()[0]
+    s = n * (n - 1) // 2
+    assert tuple(got) == (s, s, s)  # both dims are permutations of id
+
+    # pruned reads return exactly the matching rows (superset + filter)
+    rows = (
+        t.read_entries(spark, kept_x)
+        .filter("x between %d and %d" % x_rng)
+        .count()
+    )
+    assert rows == span + 1
+
+    # contrast: LINEAR sort by x prunes x but stays blind off-axis
+    loc2 = str(table_loc) + "_lin"
+    t2 = IcebergTable.create(loc2, df.schema, clock=CLOCK, sort_by=("x",))
+    append_dataframe(t2, df)
+    compact_table(t2, spark)
+    e2 = t2.scan_files()
+    if len(e2) > 4:
+        lin_y = t2.filter_entries_by_bounds(e2, {"y": y_rng})
+        z_y_frac = len(kept_y) / len(entries)
+        lin_y_frac = len(lin_y) / len(e2)
+        assert lin_y_frac > z_y_frac  # the curve beats the line off-axis
+
+
 def test_inspect_metadata_tables(spark, table_loc):
     """The snapshots/manifests/files/partitions inspect surface answers
     ops questions from metadata alone (no data file reads)."""
