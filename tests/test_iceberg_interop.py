@@ -38,6 +38,12 @@ non-identity transform encodings (partition field names, int
 months-since-epoch values, string-prefix values) in manifests and
 partition summaries.
 
+``bkt``: a bucket[4](id) spec — the murmur3-hashed bucket ids in paths,
+manifests and partition summaries. The interop half is the strongest
+check the transform can get: a pyiceberg ``row_filter="id = N"`` scan
+prunes through ITS OWN murmur3 against OUR recorded bucket values, so
+any hash disagreement loses rows loudly.
+
 Delete parquet payloads here are pyarrow-written with fixed names
 (golden-del-b3), so the eq-delete bytes are pinned too — unlike the
 Spark-written delete files the gates commit. NOTE for external readers:
@@ -77,6 +83,8 @@ EXPECTED_TXF = [
     *[(i, dt.datetime(2024, 1, 10 + i), f"doc-{i}") for i in range(5)],
     *[(i, dt.datetime(2024, 2, i - 3), f"ref-{i}") for i in range(5, 10)],
 ]
+#: logical content of golden table `bkt` (id, text)
+EXPECTED_BKT = [(i, f"k-{i}") for i in range(12)]
 
 
 def _write_parquet(path: str, cols: dict) -> None:
@@ -200,6 +208,30 @@ def build_golden(root: str) -> None:
         tpaths.append(p)
     t2.append_files(tpaths)
 
+    # -- table `bkt`: bucket[4](id) hash partitioning ------------------------
+    from platform_spark.iceberg.bucket import bucket_value
+
+    loc3 = os.path.join(root, "bkt")
+    schema3 = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t3 = IcebergTable.create(loc3, schema3, partition_by=("bucket(id, 4)",), clock=clock)
+    by_bucket: dict[int, list[int]] = {}
+    for i in range(12):
+        by_bucket.setdefault(bucket_value(i, "long", 4), []).append(i)
+    kpaths = []
+    for b in sorted(by_bucket):
+        p = os.path.join(loc3, "data", f"id_bucket={b}", f"golden-k-{b}.parquet")
+        if not _copy_fixture_parquet(root, p):
+            ids = by_bucket[b]
+            _write_parquet(p, {
+                "id": pa.array(ids, pa.int64()),
+                "text": pa.array([f"k-{i}" for i in ids], pa.string()),
+            })
+        kpaths.append(p)
+    t3.append_files(kpaths)
+
 
 def _copy_fixture_parquet(root: str, dest: str) -> bool:
     """Copy the fixture's copy of ``dest`` (same root-relative path)
@@ -278,6 +310,19 @@ def test_pyiceberg_reads_golden_tables():
         for r in t2.scan().to_arrow().to_pylist()
     )
     assert rows2 == sorted(EXPECTED_TXF)
+    # bucket spec: pyiceberg prunes a point lookup through ITS murmur3
+    # against OUR recorded bucket values — a hash disagreement between
+    # the two implementations would lose the row here
+    t3 = pyiceberg_table.StaticTable.from_metadata(
+        _current_metadata(os.path.join(root, "bkt"))
+    )
+    rows3 = sorted(
+        (r["id"], r["text"]) for r in t3.scan().to_arrow().to_pylist()
+    )
+    assert rows3 == sorted(EXPECTED_BKT)
+    for probe in (0, 7, 11):
+        hit = t3.scan(row_filter=f"id = {probe}").to_arrow().to_pylist()
+        assert [(r["id"], r["text"]) for r in hit] == [(probe, f"k-{probe}")]
 
 
 def test_duckdb_iceberg_extension_reads_golden_tables():
@@ -306,6 +351,13 @@ def test_duckdb_iceberg_extension_reads_golden_tables():
         ).fetchall()
     )
     assert rows2 == sorted(EXPECTED_TXF)
+    meta3 = _current_metadata(os.path.join(root, "bkt"))
+    rows3 = sorted(
+        con.execute(
+            f"SELECT id, text FROM iceberg_scan('{meta3}') ORDER BY id"
+        ).fetchall()
+    )
+    assert rows3 == sorted(EXPECTED_BKT)
 
 
 def test_golden_tables_read_back_through_own_scanner(spark):
@@ -343,6 +395,18 @@ def test_golden_tables_read_back_through_own_scanner(spark):
     # hidden-partition pruning straight off the fixture's manifests
     assert len(t2.scan_files(partition_filter={"ts_month": 649})) == 1
     assert len(t2.scan_files(partition_filter={"text_trunc": "doc-"})) == 1
+
+    t3 = IcebergTable.load(os.path.join(root, "bkt"))
+    rows3 = sorted((r.id, r.text) for r in t3.to_spark(spark).collect())
+    assert rows3 == sorted(EXPECTED_BKT)
+    # point lookup plans exactly one bucket's file off the fixture
+    b7 = t3.bucket_value("id", 7)
+    planned = t3.scan_files(partition_filter={"id_bucket": b7})
+    assert len(planned) == 1
+    got = t3.to_spark(spark, partition_filter={"id_bucket": b7}).filter(
+        "id = 7"
+    )
+    assert [(r.id, r.text) for r in got.collect()] == [(7, "k-7")]
 
 
 if __name__ == "__main__":

@@ -12,7 +12,9 @@ neither, so the pytest twins skip there):
 It restores the fixture at its canonical path (metadata embeds absolute
 paths), then for each available reader scans both golden tables —
 ``tbl`` (identity partitions, widening evolution, a single-snapshot
-equality-delete upsert, a branch ref) and ``txf`` (truncate[4] + month
+equality-delete upsert, a branch ref), ``bkt`` (bucket[4] murmur3
+hash partitioning — the pyiceberg check prunes a point lookup through
+ITS murmur3 against OUR bucket values) and ``txf`` (truncate[4] + month
 hidden partitioning) — and diffs the rows against the pinned expected
 content. Exit 0 = every available reader matched; exit 1 = a reader
 mismatched; exit 2 = no external reader available (nothing validated).
@@ -30,6 +32,7 @@ sys.path.insert(0, os.path.join(
 
 from test_iceberg_interop import (  # noqa: E402
     EXPECTED,
+    EXPECTED_BKT,
     EXPECTED_TXF,
     _current_metadata,
     _restore_fixture_at_canon,
@@ -69,6 +72,18 @@ def check_pyiceberg(root: str) -> bool | None:
          for r in t2.scan().to_arrow().to_pylist()],
         EXPECTED_TXF,
     )
+    t3 = StaticTable.from_metadata(_current_metadata(os.path.join(root, "bkt")))
+    ok &= _check(
+        "pyiceberg bkt",
+        [(r["id"], r["text"]) for r in t3.scan().to_arrow().to_pylist()],
+        EXPECTED_BKT,
+    )
+    ok &= _check(
+        "pyiceberg bkt point-lookup (its murmur3 vs our buckets)",
+        [(r["id"], r["text"])
+         for r in t3.scan(row_filter="id = 7").to_arrow().to_pylist()],
+        [(7, "k-7")],
+    )
     return ok
 
 
@@ -100,6 +115,14 @@ def check_duckdb(root: str) -> bool | None:
             f"SELECT id, ts, text FROM iceberg_scan('{meta2}')"
         ).fetchall(),
         EXPECTED_TXF,
+    )
+    meta3 = _current_metadata(os.path.join(root, "bkt"))
+    ok &= _check(
+        "duckdb bkt",
+        con.execute(
+            f"SELECT id, text FROM iceberg_scan('{meta3}')"
+        ).fetchall(),
+        EXPECTED_BKT,
     )
     return ok
 
