@@ -5218,7 +5218,7 @@ def _iceberg_scratch(sf_dir: str, suffix: str) -> tuple[str, str]:
     ver = hashlib.md5(
         b"".join(
             open(os.path.join(here, "iceberg", f), "rb").read()
-            for f in ("avro.py", "table.py")
+            for f in ("avro.py", "table.py", "bucket.py")
         )
     ).hexdigest()[:8]
     loc = os.path.join(_topic_cache_root(sf_dir), f"iceberg_docs{suffix}_{ver}")
