@@ -140,28 +140,33 @@ def bucket_udf(ice_type: str, n: int):
         import numpy as np
 
         if numeric:
+            # mask FIRST: NaT/NaN must never reach the int conversions
+            # (pandas 2 raises on non-finite datetime64→int64)
+            mask = s.notna().to_numpy()
+            sv = s[mask]
             if ice_type == "date":
                 # arrow hands dates as datetime.date objects or
                 # datetime64; normalize to days-since-epoch ints
-                s2 = pd.to_datetime(s)
                 vals = (
-                    s2.astype("datetime64[s]").astype("int64") // 86400
+                    pd.to_datetime(sv)
+                    .astype("datetime64[s]")
+                    .astype("int64")
+                    // 86400
                 )
             elif ice_type in ("timestamp", "timestamptz"):
-                vals = s.astype("datetime64[us]").astype("int64")
-            elif s.dtype.kind == "i":
-                vals = s  # int64 straight off Arrow (no nulls)
+                vals = sv.astype("datetime64[us]").astype("int64")
+            elif sv.dtype.kind == "i":
+                vals = sv  # int64 straight off Arrow
             else:
                 # nullable longs arrive as float64 off the Arrow
-                # boundary; Int64 keeps the null mask, fillna(0) is
-                # masked out below. (Keys beyond 2^53 with nulls in the
-                # SAME batch would lose precision at that boundary —
-                # a pandas/Arrow conversion limit, not a hash one.)
-                vals = s.astype("Int64").fillna(0).astype("int64")
-            mask = s.notna().to_numpy()
+                # boundary; Int64 round-trips the exact integers.
+                # (Keys beyond 2^53 with nulls in the SAME batch would
+                # lose precision at that boundary — a pandas/Arrow
+                # conversion limit, not a hash one.)
+                vals = sv.astype("Int64").astype("int64")
             out = np.full(len(s), -1, dtype=np.int64)
             if mask.any():
-                h = _hash_int64_numpy(vals.to_numpy()[mask])
+                h = _hash_int64_numpy(vals.to_numpy())
                 out[mask] = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
             res = pd.Series(out).astype("object")
             res[~mask] = None

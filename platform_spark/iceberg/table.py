@@ -280,8 +280,8 @@ def _partition_avro_fields(spec_fields: list[dict], ice_schema: dict) -> list[di
     for pf in spec_fields:
         if pf.get("transform") == "day":
             src = "date"  # day transform values are int days-since-epoch
-        elif pf.get("transform") in ("month", "hour"):
-            src = "int"  # int months/hours-since-epoch
+        elif pf.get("transform") in ("year", "month", "hour"):
+            src = "int"  # int years/months/hours-since-epoch
         elif str(pf.get("transform", "")).startswith("bucket["):
             src = "int"  # bucket ids are int whatever the source
         else:
@@ -477,7 +477,8 @@ def _collect_file_stats(
 
 def _parse_spec_fields(partition_by: tuple, by_name: dict) -> list[dict]:
     """Parse ``partition_by`` declarations (``col``, ``days(col)``,
-    ``months(col)``, ``hours(col)``, ``truncate(col, W)``) into spec
+    ``months(col)``, ``hours(col)``, ``years(col)``, ``truncate(col, W)``,
+    ``bucket(col, N)``) into spec
     partition fields WITHOUT field-ids — the caller assigns those
     (create: 1000+i; evolve_partition_spec: reuse-or-allocate)."""
     spec_fields = []
@@ -550,9 +551,9 @@ def _parse_spec_fields(partition_by: tuple, by_name: dict) -> list[dict]:
                 }
             )
             continue
-        m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", spec)
+        m = re.fullmatch(r"(days?|months?|hours?|years?)\((\w+)\)", spec)
         if m:
-            # hidden time partitioning (spec day/month/hour
+            # hidden time partitioning (spec year/day/month/hour
             # transforms): the partition VALUE is an int
             # days/months/hours-since-epoch derived from the source
             # column, the source column stays a normal data column —
@@ -903,7 +904,7 @@ class IcebergTable:
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     return None
                 raw = unquote(raw)
-                if pf.get("transform") in ("day", "month", "hour"):
+                if pf.get("transform") in ("year", "day", "month", "hour"):
                     # the write side materializes time transforms as int
                     # days/months/hours-since-epoch columns, so the dir
                     # value is already the spec's partition representation
@@ -946,7 +947,10 @@ class IcebergTable:
         out = {}
         for k, v in partition_filter.items():
             tr = transforms.get(k)
-            if tr == "day":
+            if tr == "year":
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    v = v.year - 1970
+            elif tr == "day":
                 if isinstance(v, datetime.datetime):
                     v = (v.date() - datetime.date(1970, 1, 1)).days
                 elif isinstance(v, datetime.date):
@@ -2918,7 +2922,8 @@ class IcebergTable:
     def evolve_partition_spec(self, partition_by: tuple[str, ...]) -> None:
         """Partition-spec evolution (spec v2): change how FUTURE writes
         are partitioned — identity columns, ``days(ts)``/``months``/
-        ``hours`` hidden time transforms, ``truncate(col, W)`` — as one
+        ``hours``/``years`` hidden time transforms, ``truncate(col, W)``,
+        ``bucket(col, N)`` — as one
         metadata-only commit. ZERO data moves: existing files keep their
         original spec and stay scannable and partition-prunable through
         their own manifests' recorded ``partition_spec_id``; new commits
@@ -3234,11 +3239,11 @@ class IcebergTable:
     @staticmethod
     def _result_bound_type(pf: dict, types: dict) -> str:
         """The Iceberg type of a partition field's VALUES (identity →
-        source type; day transform → date int-days; month/hour → int;
+        source type; day transform → date int-days; year/month/hour → int;
         bucket → int bucket id; truncate keeps the source type)."""
         if pf.get("transform") == "day":
             return "date"
-        if pf.get("transform") in ("month", "hour"):
+        if pf.get("transform") in ("year", "month", "hour"):
             return "int"
         if str(pf.get("transform", "")).startswith("bucket["):
             return "int"
@@ -3762,7 +3767,9 @@ def _with_partition_columns(table: IcebergTable, df):
                 ).cast("long" if src_type == "long" else "int")
             df = df.withColumn(pf["name"], expr)
             continue
-        if transform == "day":
+        if transform == "year":
+            expr = F.year(src) - F.lit(1970)
+        elif transform == "day":
             expr = F.datediff(
                 F.col(src).cast("date"), F.lit("1970-01-01").cast("date")
             )

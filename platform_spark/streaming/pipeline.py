@@ -125,20 +125,63 @@ class ContinuousTopicPipeline:
         #: table size
         self._touched_partitions: set[tuple] = set()
 
-    def _partition_tracking(self) -> tuple[list, list[str]]:
+    def _partition_tracking(self, batch=None) -> tuple[list, list[str]]:
         """(select exprs, partition-field names) for the configured
         partition_cols: a plain column tracks itself; a ``days(col)``
         entry tracks the derived int days-since-epoch under the Iceberg
         day-transform field name ``col_day`` — the time partitioning
         every 100 TB corpus table ships with (ingest by day, prune by
-        day, compact the days a micro-batch touched)."""
+        day, compact the days a micro-batch touched); ``bucket(col, N)``
+        tracks the spec murmur3 bucket id under ``col_bucket`` and
+        ``truncate(col, W)`` the prefix/floored value under
+        ``col_trunc`` (``batch`` supplies the source column type for the
+        bucket hash)."""
+        from pyspark.sql import types as T
+
         exprs, names = [], []
         for c in self.partition_cols:
-            m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", c)
+            mb = re.fullmatch(r"bucket\((\w+),\s*(\d+)\)", c)
+            if mb:
+                from platform_spark.iceberg.bucket import bucket_udf
+
+                src, n = mb.group(1), int(mb.group(2))
+                if batch is None:
+                    raise ValueError(
+                        "bucket() partition tracking needs the batch "
+                        "schema for the source column type"
+                    )
+                dt = batch.schema[src].dataType
+                ice = {
+                    T.IntegerType(): "int", T.LongType(): "long",
+                    T.StringType(): "string", T.DateType(): "date",
+                    T.TimestampType(): "timestamp", T.BinaryType(): "binary",
+                }.get(dt)
+                if ice is None:
+                    raise ValueError(
+                        f"bucket() source {src!r} has unsupported type {dt}"
+                    )
+                exprs.append(bucket_udf(ice, n)(F.col(src)).alias(f"{src}_bucket"))
+                names.append(f"{src}_bucket")
+                continue
+            mt = re.fullmatch(r"truncate\((\w+),\s*(\d+)\)", c)
+            if mt:
+                src, w = mt.group(1), int(mt.group(2))
+                if batch is not None and isinstance(
+                    batch.schema[src].dataType, T.StringType
+                ):
+                    e = F.substring(F.col(src), 1, w)
+                else:
+                    e = F.col(src) - F.pmod(F.col(src), F.lit(w))
+                exprs.append(e.alias(f"{src}_trunc"))
+                names.append(f"{src}_trunc")
+                continue
+            m = re.fullmatch(r"(days?|months?|hours?|years?)\((\w+)\)", c)
             if m:
                 kind, src = m.group(1).rstrip("s"), m.group(2)
                 name = f"{src}_{kind}"
-                if kind == "day":
+                if kind == "year":
+                    e = F.year(src) - F.lit(1970)
+                elif kind == "day":
                     e = F.datediff(
                         F.col(src).cast("date"),
                         F.lit("1970-01-01").cast("date"),
@@ -169,9 +212,10 @@ class ContinuousTopicPipeline:
         except Exception:  # noqa: BLE001 — table doesn't exist yet
             parts = []
             for c in self.partition_cols:
-                m = re.fullmatch(r"(days?|months?|hours?)\((\w+)\)", c)
+                m = re.fullmatch(r"(days?|months?|hours?|years?)\((\w+)\)", c)
                 if m:
-                    fn = {"day": F.days, "month": F.months, "hour": F.hours}[
+                    fn = {"year": F.years, "day": F.days,
+                          "month": F.months, "hour": F.hours}[
                         m.group(1).rstrip("s")
                     ]
                     parts.append(fn(F.col(m.group(2))))
@@ -246,7 +290,7 @@ class ContinuousTopicPipeline:
                 mv.rebuild(batch.sparkSession, table)
         if self.compact_every:
             if self.partition_cols:
-                exprs, _names = self._partition_tracking()
+                exprs, _names = self._partition_tracking(batch)
                 self._touched_partitions.update(
                     tuple(r) for r in batch.select(*exprs).distinct().collect()
                 )
@@ -257,7 +301,7 @@ class ContinuousTopicPipeline:
                 if self.partition_cols and self._touched_partitions:
                     # partial rewrites scoped to the recently-ingested
                     # partitions: O(recent data) per cycle, never O(table)
-                    _exprs, names = self._partition_tracking()
+                    _exprs, names = self._partition_tracking(batch)
                     for t in sorted(self._touched_partitions):
                         compact_table(
                             table,
@@ -297,7 +341,7 @@ class ContinuousTopicPipeline:
         # parquet fallback — schema evolution: mergeSchema on write accepts
         # added columns, the add-column subset of the reference's rules
         # (iceberg.go:855-884 schemaNeedsUpdate/isWidening)
-        exprs, names = self._partition_tracking()
+        exprs, names = self._partition_tracking(batch)
         derived = [
             (e, n) for e, n in zip(exprs, names) if n not in batch.columns
         ]

@@ -1882,6 +1882,35 @@ def test_month_and_hour_transform_partitioning(spark, table_loc):
         IcebergTable.create(str(table_loc) + "_bad", dd.schema,
                             partition_by=("hours(d)",))
 
+    # year transform (int years-since-epoch): rows every ~100 days span
+    # 2024-2026; both int and date/datetime filter values prune
+    loc3 = str(table_loc) + "_y"
+    dfy = spark.range(0, 9).select(
+        F.col("id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("id") * 8640000
+        ).alias("ts"),
+    )
+    ty = IcebergTable.create(loc3, dfy.schema, partition_by=("years(ts)",), clock=CLOCK)
+    append_dataframe(ty, dfy)
+    assert ty.spec["fields"][0]["transform"] == "year"
+    y2024 = ty.to_spark(spark, partition_filter={"ts_year": 54})  # 2024
+    ids_2024 = sorted(r.id for r in y2024.collect())
+    assert ids_2024 == [
+        r.id
+        for r in dfy.collect()
+        if r.ts.year == 2024
+    ]
+    y2025 = ty.to_spark(
+        spark, partition_filter={"ts_year": datetime.date(2025, 6, 1)}
+    )
+    assert sorted(r.id for r in y2025.collect()) == [
+        r.id for r in dfy.collect() if r.ts.year == 2025
+    ]
+    assert 0 < len(ty.scan_files(partition_filter={"ts_year": 54})) < len(
+        ty.scan_files()
+    )
+
 
 def test_kafsql_explain_prices_iceberg_scans_from_manifests(spark, tmp_path):
     """EXPLAIN over an Iceberg-backed topic reports candidate files /
@@ -2510,6 +2539,46 @@ def test_bucket_udf_matches_scalar(spark):
     assert got_s == [
         None if v is None else bucket_value(v, "string", 8) for v in svals
     ]
+    # timestamps (micros widening) and dates (days), nulls interleaved
+    import datetime as dtm
+
+    tvals = [
+        dtm.datetime(2017, 11, 16, 22, 31, 8),
+        dtm.datetime(1970, 1, 1),
+        None,
+        dtm.datetime(1969, 12, 31, 23, 59, 59),
+    ]
+    tdf = spark.createDataFrame([(v,) for v in tvals], "ts timestamp")
+    got_t = [
+        r.b
+        for r in tdf.select(bucket_udf("timestamp", 16)("ts").alias("b")).collect()
+    ]
+    epoch = dtm.datetime(1970, 1, 1)
+    want_t = [
+        None
+        if v is None
+        else bucket_value(
+            round((v - epoch).total_seconds() * 1_000_000), "timestamp", 16
+        )
+        for v in tvals
+    ]
+    assert got_t == want_t
+    # spec vector: 2017-11-16T22:31:08 hashes to -2047944441
+    assert got_t[0] == ((-2047944441) & 0x7FFFFFFF) % 16
+    dvals = [dtm.date(2017, 11, 16), dtm.date(1970, 1, 1), None]
+    ddf = spark.createDataFrame([(v,) for v in dvals], "d date")
+    got_d = [
+        r.b
+        for r in ddf.select(bucket_udf("date", 16)("d").alias("b")).collect()
+    ]
+    want_d = [
+        None
+        if v is None
+        else bucket_value((v - dtm.date(1970, 1, 1)).days, "date", 16)
+        for v in dvals
+    ]
+    assert got_d == want_d
+    assert want_d[0] == ((-653330422) & 0x7FFFFFFF) % 16  # spec vector
 
 
 def test_bucket_transform_partitioning(spark, table_loc):
@@ -3608,6 +3677,74 @@ def test_matview_publish_is_atomic(spark, table_loc, tmp_path, monkeypatch):
     }
     assert orphans.isdisjoint(state_dirs)
     assert state_dirs == {os.path.basename(agg._live_data_dir()), live_dir}
+
+
+def test_pipeline_bucket_partitioned_cdc_deployment(spark, tmp_path):
+    """Deployment composition (the 100 TB shape, end to end): the CDC
+    sink commits through the durable cross-process catalog into a
+    bucket(id, 4)-partitioned table while maintaining a declared
+    matview; compact_every bin-packs only the TOUCHED buckets (the
+    bucket-aware partition tracking added with the transform); and a
+    separate 'process' — its own protocol instance — point-looks-up
+    through exactly one bucket's files afterwards."""
+    from platform_spark.iceberg.commit import LockedPointerCommit
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.streaming.pipeline import ContinuousTopicPipeline
+
+    src = str(tmp_path / "src")
+    for lo in range(0, 60, 20):  # three micro-batches
+        _mk(spark, lo, lo + 20).write.mode("append").parquet(src)
+    loc = str(tmp_path / "ice")
+    mv = IncrementalAggregate(
+        str(tmp_path / "mv"), group_cols=["part"], sum_cols=["id"]
+    )
+    pipe = ContinuousTopicPipeline(
+        spark,
+        source_dir=src,
+        dest_dir=str(tmp_path / "unused"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        iceberg_location=loc,
+        partition_cols=("bucket(id, 4)",),
+        upsert_keys=("id",),
+        compact_every=2,
+        commit_protocol=LockedPointerCommit(),
+        matviews=(mv,),
+    )
+    pipe.run_available_now()
+
+    # the "other process": a fresh handle through its own protocol
+    t = IcebergTable.load(loc, protocol=LockedPointerCommit())
+    assert {r.id for r in t.to_spark(spark).collect()} == set(range(60))
+    # every file's partition value is a real bucket id
+    parts = {e["data_file"]["partition"]["id_bucket"] for e in t.scan_files()}
+    assert parts <= set(range(4))
+    # point lookup plans one bucket's files only
+    b = t.bucket_value("id", 17)
+    planned = t.scan_files(partition_filter={"id_bucket": b})
+    assert 0 < len(planned) < len(t.scan_files())
+    got = t.to_spark(spark, partition_filter={"id_bucket": b}).filter("id = 17")
+    assert [r.id for r in got.collect()] == [17]
+    # the sink-maintained view equals the full aggregate of the table
+    full = {
+        (r.part, r.n, r.s)
+        for r in t.to_spark(spark)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert {
+        (r.part, r.n, r.sum_id) for r in mv.read(spark, t).collect()
+    } == full
+    # a CDC re-upsert through the sink replays cleanly after compaction
+    _mk(spark, 10, 15).withColumn("text", F.lit("v2")).write.mode(
+        "append"
+    ).parquet(src)
+    pipe.run_available_now()
+    t.refresh()
+    got2 = {
+        (r.id, r.text) for r in t.to_spark(spark).collect() if 10 <= r.id < 15
+    }
+    assert got2 == {(i, "v2") for i in range(10, 15)}
 
 
 def test_matview_read_survives_concurrent_refresh_sweep(

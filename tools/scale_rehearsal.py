@@ -602,6 +602,14 @@ def main() -> None:
     # quadratic (rows x bench = 100x work at 10x copies, 216 s)
     from platform_spark.gate import semantic_decontam_vec_probe
 
+    SDV_BENCH_CAP = 400  # must bind at EVERY rehearsal scale (see above)
+
+    # bench cap 400 (r12, was 4096): the r12 counters showed the old cap
+    # binding at sf10 (pre-cap 4878) but NOT at sf1 (pre-cap 488), so the
+    # cross-SF ratio measured the fixture's bench growth (8.4x more
+    # per-row hash work at sf10), not corpus linearity — the very thing
+    # the cap exists to hold constant. 400 binds at every rehearsal
+    # scale >= sf1, so the ratio is rows-only again.
     # best-of-2: this leg's single-shot wall spans cold 27 s / warm 18 s
     # at sf1 (Arrow+codegen warmup of the probe shape), and that spread
     # alone pushed the r10 first-cut cross-SF ratio past the 1.25x flag
@@ -609,7 +617,7 @@ def main() -> None:
     runs = []
     for _ in range(2):
         t0 = time.time()
-        force(semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=4096))
+        force(semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=SDV_BENCH_CAP))
         runs.append(time.time() - t0)
         cleanup()
     timings["llm_semantic_decontam_vec"] = round(min(runs), 3)
@@ -628,8 +636,8 @@ def main() -> None:
 
     emb = _emb_table(spark, args.sf_dir)
     n_rows = emb.count()
-    n_bench = emb.filter(F.col("vec_id") % 41 == 0).limit(4096).count()
-    probe_df = semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=4096)
+    n_bench = emb.filter(F.col("vec_id") % 41 == 0).limit(SDV_BENCH_CAP).count()
+    probe_df = semantic_decontam_vec_probe(spark, args.sf_dir, bench_limit=SDV_BENCH_CAP)
     plan_str = probe_df._jdf.queryExecution().executedPlan().toString()
     pairs = n_rows * n_bench
     result["semantic_decontam_vec_counters"] = {
