@@ -2674,6 +2674,27 @@ def test_bucket_transform_string_key(spark, table_loc):
     assert [r.n for r in got.collect()] == [77]
 
 
+def test_zorder_layout_plan_shape(spark, table_loc):
+    """The z-order layout is the plan you'd want at 100 TB: NO Window
+    operator (a percent_rank normalization would serialize the table
+    through one task) and exactly ONE shuffle — the range exchange on
+    the interleaved key that any sorted write pays."""
+    from platform_spark.iceberg.table import _apply_zorder_layout
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") * 7 % 5000).alias("x"),
+        (F.col("id") * 13 % 5000).alias("y"),
+    )
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    laid = _apply_zorder_layout(t, df, [], ("x", "y"), 8)
+    plan = laid._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    phys = laid._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1
+    assert "rangepartitioning" in phys.lower()
+
+
 def test_zorder_compaction_prunes_both_dimensions(spark, table_loc):
     """compact_table(zorder_by=(x, y)): after the Morton-curve rewrite,
     manifest column bounds prune the file list on EITHER column at
