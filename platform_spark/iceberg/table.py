@@ -2981,6 +2981,64 @@ class IcebergTable:
         self.metadata = new_meta
         self.version += 1
 
+    def evolve_sort_order(self, sort_by: tuple[str, ...]) -> None:
+        """Sort-order evolution (spec ``replaceSortOrder``): change the
+        DEFAULT sort order future writes lay out by — one metadata-only
+        commit, zero data moves, the third leg of the evolution story
+        (schema, partition spec, sort order). Existing files keep the
+        sort-order id they were written under (their manifest entries
+        already record it); every writer funnels through
+        ``_apply_sort_layout``, which reads the default order at write
+        time, and ``compact_table`` rewrites under the CURRENT order —
+        so routine compaction migrates the layout lazily, exactly like
+        spec evolution. Pass ``()`` to make the table unsorted
+        (order-id 0). ``'col desc'`` suffixes work as in create(). An
+        order identical to an existing one reuses its id."""
+        by_name = {f["name"]: f for f in self.schema["fields"]}
+        fields = []
+        for s in sort_by:
+            col, direction = s, "asc"
+            if s.lower().endswith(" desc"):
+                col, direction = s[:-5].strip(), "desc"
+            elif s.lower().endswith(" asc"):
+                col = s[:-4].strip()
+            if col not in by_name:
+                raise ValueError(f"iceberg: sort column {col!r} not in schema")
+            fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "direction": direction,
+                    "null-order": "nulls-first",
+                }
+            )
+        orders = list(self.metadata.get("sort-orders", []))
+        if not any(o["order-id"] == 0 for o in orders):
+            orders.insert(0, {"order-id": 0, "fields": []})
+        existing = next(
+            (o for o in orders if o["fields"] == fields), None
+        )
+        if existing is not None:
+            new_id = existing["order-id"]
+        else:
+            new_id = max(o["order-id"] for o in orders) + 1
+            orders.append({"order-id": new_id, "fields": fields})
+        if new_id == self.metadata.get("default-sort-order-id", 0):
+            return  # already the default: no new version
+        new_meta = dict(self.metadata)
+        new_meta["sort-orders"] = orders
+        new_meta["default-sort-order-id"] = new_id
+        new_meta["last-updated-ms"] = int(self._clock() * 1000)
+        for _attempt in range(3):
+            try:
+                self._write_version(self.version + 1, new_meta)
+                break
+            except CommitConflict:
+                self.refresh()
+                return self.evolve_sort_order(sort_by)
+        self.metadata = new_meta
+        self.version += 1
+
     # -- inspect metadata tables (Iceberg's snapshots/files/... surface) -----
 
     def inspect_snapshots(self, spark):

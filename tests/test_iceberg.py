@@ -2674,6 +2674,66 @@ def test_bucket_transform_string_key(spark, table_loc):
     assert [r.n for r in got.collect()] == [77]
 
 
+def test_sort_order_evolution(spark, table_loc):
+    """evolve_sort_order: a metadata-only commit changes the layout
+    future writes use — the third evolution leg (schema, spec, sort
+    order). Old files keep their recorded order id; compaction migrates
+    the whole table to the new order lazily, restoring selective
+    manifest bounds; an identical order reuses its id; () reverts to
+    unsorted (order-id 0). Content never changes."""
+    from platform_spark.iceberg.table import compact_table
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") * 2654435761 % 4000).alias("id"),  # scattered ids
+        F.concat(F.lit("d-"), F.col("id")).alias("text"),
+    )
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    for lo in range(0, 4000, 1000):
+        append_dataframe(
+            t, df.filter((F.col("id") >= lo) & (F.col("id") < lo + 1000))
+        )
+    assert t.sort_columns() == []
+    v0 = t.version
+
+    t.evolve_sort_order(("id",))
+    assert t.sort_columns() == [("id", "asc")]
+    assert t.version == v0 + 1  # one metadata-only commit, no snapshot
+    assert t.current_snapshot()["snapshot-id"] == IcebergTable.load(
+        table_loc
+    ).current_snapshot()["snapshot-id"]
+
+    # post-evolution appends lay out by the new order; compaction
+    # migrates the old files — a point range then plans few files
+    append_dataframe(t, df.filter("id >= 4000"))  # empty, harmless
+    compact_table(t, spark, files_per_partition=8)
+    entries = t.scan_files()
+    if len(entries) > 2:
+        kept = t.filter_entries_by_bounds(entries, {"id": (100, 140)})
+        assert len(kept) < len(entries)
+    got = sorted(r.id for r in t.to_spark(spark).collect())
+    assert got == sorted((i * 2654435761) % 4000 for i in range(4000))
+
+    # identical order reuses its id; re-evolving to the default is a no-op
+    oid = t.metadata["default-sort-order-id"]
+    v1 = t.version
+    t.evolve_sort_order(("id",))
+    assert t.version == v1 and t.metadata["default-sort-order-id"] == oid
+    # a different order gets a fresh id; flipping back REUSES the first
+    t.evolve_sort_order(("id desc",))
+    assert t.sort_columns() == [("id", "desc")]
+    desc_id = t.metadata["default-sort-order-id"]
+    assert desc_id != oid
+    t.evolve_sort_order(("id",))
+    assert t.metadata["default-sort-order-id"] == oid
+    # unsorted reverts to order-id 0
+    t.evolve_sort_order(())
+    assert t.metadata["default-sort-order-id"] == 0
+    assert t.sort_columns() == []
+    # unknown column refuses
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_sort_order(("nope",))
+
+
 def test_zorder_layout_plan_shape(spark, table_loc):
     """The z-order layout is the plan you'd want at 100 TB: NO Window
     operator (a percent_rank normalization would serialize the table

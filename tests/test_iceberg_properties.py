@@ -48,6 +48,7 @@ _OPS = st.lists(
         st.tuples(st.just("rewrite_deletes"), st.just(0)),
         st.tuples(st.just("rewrite_manifests"), st.just(0)),
         st.tuples(st.just("evolve"), st.integers(0, 3)),
+        st.tuples(st.just("sort_evolve"), st.integers(0, 2)),
     ),
     min_size=2,
     max_size=7,
@@ -96,6 +97,10 @@ def test_random_op_sequences_match_model_and_changelog(spark, tmp_path, ops):
             t.evolve_partition_spec(
                 [(), ("part",), ("truncate(id, 8)",), ("bucket(id, 4)",)][p]
             )
+        elif kind == "sort_evolve":
+            # sort-order evolution is LOGICALLY invisible too: only the
+            # layout of future writes changes
+            t.evolve_sort_order([(), ("id",), ("text desc",)][p])
         elif kind == "compact":
             if t.scan_files():
                 compact_table(t, spark)
