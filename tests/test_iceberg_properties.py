@@ -23,6 +23,7 @@ from platform_spark.iceberg.table import (  # noqa: E402
     IcebergTable,
     append_dataframe,
     compact_table,
+    merge_into,
     rewrite_deletes,
     upsert_dataframe,
 )
@@ -42,6 +43,7 @@ _OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 3)),
         st.tuples(st.just("upsert"), st.integers(0, 5)),
+        st.tuples(st.just("merge"), st.integers(0, 5)),
         st.tuples(st.just("delete_keys"), st.integers(0, 5)),
         st.tuples(st.just("delete_where"), st.integers(2, 4)),
         st.tuples(st.just("compact"), st.just(0)),
@@ -82,6 +84,13 @@ def test_random_op_sequences_match_model_and_changelog(spark, tmp_path, ops):
             upsert_dataframe(t, _batch(spark, ids, f"u{n}"), ["id"])
             for i in ids:
                 model[i] = (i, i % 3, f"u{n}-{i}")
+        elif kind == "merge":
+            # copy-on-write twin of upsert: same model semantics,
+            # different physical path (affected-file rewrite)
+            ids = list(range(p, p + 3))
+            merge_into(t, _batch(spark, ids, f"m{n}"), ["id"], spark=spark)
+            for i in ids:
+                model[i] = (i, i % 3, f"m{n}-{i}")
         elif kind == "delete_keys":
             ids = [(i,) for i in range(p, p + 3)]
             t.delete_keys(spark, spark.createDataFrame(ids, "id long"))
