@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from platform_spark.iceberg.table import IcebergTable
 
@@ -73,6 +74,25 @@ class IncrementalAggregate:
     @property
     def _ckpt_path(self) -> str:
         return os.path.join(self.state_dir, "_CHECKPOINT")
+
+    @contextmanager
+    def _refresh_lock(self):
+        """Serialize REFRESHERS (cross-process, flock on the state dir):
+        two concurrent refreshes would each write a fresh state dir and
+        race the checkpoint replace — last writer wins even with an
+        OLDER fold (self-healing but momentarily regressive), and worse,
+        the winner's sweep could delete the loser's not-yet-published
+        directory, publishing a checkpoint that names a deleted dir.
+        Under the lock refreshes run strictly one-after-another; READERS
+        never take it (the one-generation sweep grace covers them)."""
+        import fcntl
+
+        with open(os.path.join(self.state_dir, "_REFRESH_LOCK"), "a+") as lk:
+            fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk.fileno(), fcntl.LOCK_UN)
 
     def _ckpt(self) -> dict | None:
         if not os.path.exists(self._ckpt_path):
@@ -113,6 +133,10 @@ class IncrementalAggregate:
         than folding all history, and works when old history is already
         expired) and as the recovery path when a consumer's checkpoint
         snapshot has been expired out from under it."""
+        with self._refresh_lock():
+            self._rebuild_locked(spark, table)
+
+    def _rebuild_locked(self, spark, table: IcebergTable) -> None:
         from pyspark.sql import functions as F
 
         current = table.current_snapshot()
@@ -133,6 +157,10 @@ class IncrementalAggregate:
         one. If the checkpoint snapshot has been EXPIRED, the fold
         raises; call ``rebuild`` to re-baseline (same contract as any
         incremental Iceberg consumer)."""
+        with self._refresh_lock():
+            return self._refresh_locked(spark, table)
+
+    def _refresh_locked(self, spark, table: IcebergTable) -> int:
         from pyspark.sql import functions as F
 
         current = table.current_snapshot()
@@ -142,7 +170,7 @@ class IncrementalAggregate:
         if ckpt == current["snapshot-id"]:
             return 0
         if ckpt is None:
-            self.rebuild(spark, table)
+            self._rebuild_locked(spark, table)
             return -1
         changes = table.changelog(spark, from_snapshot_id=ckpt)
         # ONE execution of the changelog plan: aggregate the delta (plus

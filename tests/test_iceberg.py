@@ -3896,6 +3896,56 @@ def test_matview_read_survives_concurrent_refresh_sweep(
     assert dirs2 == dirs
 
 
+def test_matview_concurrent_refreshers_serialize(spark, table_loc, tmp_path):
+    """Two refreshers on ONE state dir (separate instances = separate
+    processes as far as the flock can tell) serialize instead of racing:
+    no refresher's unpublished state dir is swept out from under it, the
+    checkpoint always names an existing directory, and the final state
+    equals the full aggregate."""
+    import threading
+
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
+    append_dataframe(t, _mk(spark, 0, 20))
+    mv_dir = str(tmp_path / "mv")
+    a = IncrementalAggregate(mv_dir, ["part"], sum_cols=["id"])
+    b = IncrementalAggregate(mv_dir, ["part"], sum_cols=["id"])
+    a.refresh(spark, t)
+    upsert_dataframe(t, _mk(spark, 5, 9).withColumn("text", F.lit("v2")), ["id"])
+
+    errs: list[Exception] = []
+
+    def go(agg):
+        try:
+            agg.refresh(spark, t)
+        except Exception as e:  # noqa: BLE001 — surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=go, args=(x,)) for x in (a, b, a, b)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    # checkpoint names a directory that exists
+    live = a._live_data_dir()
+    assert live is not None and os.path.isdir(live)
+    full = {
+        (r.part, r.n, r.s)
+        for r in t.to_spark(spark)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert {
+        (r.part, r.n, r.sum_id) for r in a.read(spark).collect()
+    } == full
+    assert a.checkpoint() == t.current_snapshot()["snapshot-id"]
+
+
 def test_matview_empty_read_schema_derives_types(spark, table_loc, tmp_path):
     """read() on an uninitialized view with the source table given
     derives the group/sum column types from the table schema, so the
