@@ -617,8 +617,19 @@ def main() -> None:
         "so r4 per-query numbers are not strictly comparable to r2/r3.",
         "",
     ]
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+    # preserve hand-recorded audit sections (round-10+ entries like the
+    # wide-window fold, the partsupp adjudication, zorder measurements):
+    # everything from the MANUAL marker down survives regeneration
+    manual_tail = ""
+    plans_path = os.path.join(REPO, "PLANS.md")
+    marker = "<!-- MANUAL ENTRIES BELOW"
+    if os.path.exists(plans_path):
+        prev = open(plans_path).read()
+        i = prev.find(marker)
+        if i >= 0:
+            manual_tail = "\n" + prev[i:]
+    with open(plans_path, "w") as f:
+        f.write("\n".join(out) + manual_tail)
     print(f"PLANS.md written; all checks present: {ok}")
     sys.exit(0 if ok else 1)
 
