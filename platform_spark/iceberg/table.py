@@ -866,6 +866,38 @@ class IcebergTable:
     def history(self) -> list[dict]:
         return list(self.metadata["snapshot-log"])
 
+    def snapshot_id_as_of(self, ts_ms) -> int:
+        """The snapshot that was current AT ``ts_ms`` (newest
+        snapshot-log entry at or before it) — the resolution rule behind
+        Iceberg's ``FOR SYSTEM_TIME AS OF``. Accepts epoch millis or a
+        datetime. Raises when the timestamp predates the first commit,
+        or when the resolved snapshot has been expired (its log entry
+        outlived it — same loud-fail contract as any expired read)."""
+        import datetime
+
+        if isinstance(ts_ms, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=ts_ms.tzinfo)
+            ts_ms = int((ts_ms - epoch).total_seconds() * 1000)
+        eligible = [
+            h
+            for h in self.metadata["snapshot-log"]
+            if h["timestamp-ms"] <= ts_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"iceberg: no snapshot at or before {ts_ms} ms — the "
+                "timestamp predates the table's visible history"
+            )
+        sid = max(eligible, key=lambda h: h["timestamp-ms"])["snapshot-id"]
+        if not any(
+            s["snapshot-id"] == sid for s in self.metadata["snapshots"]
+        ):
+            raise ValueError(
+                f"iceberg: snapshot {sid} for timestamp {ts_ms} ms was "
+                "expired; that point in time is no longer reproducible"
+            )
+        return sid
+
     # -- commit machinery ---------------------------------------------------
 
     def _write_version(self, version: int, metadata: dict) -> None:
@@ -3041,6 +3073,35 @@ class IcebergTable:
 
     # -- inspect metadata tables (Iceberg's snapshots/files/... surface) -----
 
+    def inspect_history(self, spark):
+        """The table's snapshot-log as a DataFrame (Iceberg's
+        ``<table>.history``): when each snapshot BECAME current, plus
+        ``is_current_ancestor`` — false for entries stranded by a
+        rollback (they were current once but are off the current
+        lineage), the exact signal an auditor needs to spot undone
+        commits. Resolves ``snapshot_id_as_of``/``to_spark(as_of=)``
+        visually."""
+        ancestors = set()
+        by_id = {s["snapshot-id"]: s for s in self.metadata["snapshots"]}
+        node = self.current_snapshot()
+        while node is not None:
+            ancestors.add(node["snapshot-id"])
+            node = by_id.get(node.get("parent-snapshot-id"))
+        rows = [
+            (
+                h["timestamp-ms"],
+                h["snapshot-id"],
+                by_id.get(h["snapshot-id"], {}).get("parent-snapshot-id"),
+                h["snapshot-id"] in ancestors,
+            )
+            for h in self.metadata["snapshot-log"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
     def inspect_snapshots(self, spark):
         """The table's snapshot history as a DataFrame (Iceberg's
         ``<table>.snapshots`` metadata table): ops queries like "which
@@ -3550,9 +3611,12 @@ class IcebergTable:
         partition_filter: dict | None = None,
         ref: str | None = None,
         column_bounds: dict | None = None,
+        as_of=None,
     ):
         """Read the table into a DataFrame: metadata-planned file list →
-        one parquet scan. ``ref`` reads a named tag's pinned snapshot.
+        one parquet scan. ``ref`` reads a named tag's pinned snapshot;
+        ``as_of`` (epoch millis or datetime) reads the snapshot that was
+        current at that wall-clock instant — ``FOR SYSTEM_TIME AS OF``.
         ``column_bounds`` ({col: (lo, hi)}) prunes the file list by
         manifest column bounds before Spark plans anything (superset
         semantics — apply the exact filter on the result). Live position
@@ -3561,10 +3625,14 @@ class IcebergTable:
         metadata says they are small (they almost always are — deletes
         are KBs of row ids against TBs of data), so the plan stays a
         single streaming pass over the data."""
+        if sum(x is not None for x in (snapshot_id, ref, as_of)) > 1:
+            raise ValueError(
+                "iceberg: pass ONE of snapshot_id, ref, as_of"
+            )
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("iceberg: pass snapshot_id or ref, not both")
             snapshot_id = self.ref_snapshot_id(ref)
+        if as_of is not None:
+            snapshot_id = self.snapshot_id_as_of(as_of)
         entries = self.scan_files(snapshot_id, partition_filter, spark=spark)
         if column_bounds:
             entries = self.filter_entries_by_bounds(entries, column_bounds)

@@ -2674,6 +2674,58 @@ def test_bucket_transform_string_key(spark, table_loc):
     assert [r.n for r in got.collect()] == [77]
 
 
+def test_time_travel_as_of_and_history(spark, table_loc):
+    """FOR SYSTEM_TIME AS OF: to_spark(as_of=) reads the snapshot that
+    was current at that instant (newest snapshot-log entry at or before
+    it); predating history or landing on an expired snapshot raises
+    loudly; inspect_history marks rollback-stranded entries as
+    non-ancestors — the audit view behind the resolution."""
+    import datetime as dtm
+
+    now = [1_700_000_000.0]
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=lambda: now[0])
+    commit_ts = []
+    for lo in range(0, 30, 10):
+        now[0] += 3600
+        append_dataframe(t, _mk(spark, lo, lo + 10))
+        commit_ts.append(int(now[0] * 1000))
+
+    # between commits 2 and 3 → the state as of commit 2
+    mid = commit_ts[1] + 1800_000
+    assert t.to_spark(spark, as_of=mid).count() == 20
+    assert t.snapshot_id_as_of(mid) == t.history()[1]["snapshot-id"]
+    # exact commit instant is inclusive; datetime values resolve too
+    assert t.to_spark(spark, as_of=commit_ts[0]).count() == 10
+    as_dt = dtm.datetime.utcfromtimestamp(commit_ts[2] / 1000 + 60)
+    assert t.to_spark(spark, as_of=as_dt).count() == 30
+    # predating the first commit raises
+    with pytest.raises(ValueError, match="predates"):
+        t.snapshot_id_as_of(commit_ts[0] - 10_000_000)
+    # one of snapshot_id/ref/as_of only
+    with pytest.raises(ValueError, match="ONE of"):
+        t.to_spark(spark, as_of=mid, snapshot_id=1)
+
+    # rollback strands the later entry: history marks it non-ancestor
+    sid2 = t.history()[1]["snapshot-id"]
+    t.rollback_to(sid2)
+    hist = {
+        r.snapshot_id: r.is_current_ancestor
+        for r in t.inspect_history(spark).collect()
+    }
+    assert hist[sid2] is True
+    assert hist[t.history()[0]["snapshot-id"]] is True
+    stranded = [s for s, anc in hist.items() if not anc]
+    assert stranded  # the undone 3rd commit shows as non-ancestor
+
+    # expiry: the resolved snapshot must still exist
+    now[0] += 3600
+    append_dataframe(t, _mk(spark, 50, 55))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired|predates"):
+        t.snapshot_id_as_of(commit_ts[0])
+
+
 def test_sort_order_evolution(spark, table_loc):
     """evolve_sort_order: a metadata-only commit changes the layout
     future writes use — the third evolution leg (schema, spec, sort
