@@ -823,7 +823,7 @@ def test_tags_pin_snapshots_against_expiry(spark, table_loc):
         t.create_tag("corpus-v1")
     with pytest.raises(ValueError, match="unknown ref"):
         t.to_spark(spark, ref="nope")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="ONE of"):
         t.to_spark(spark, ref="corpus-v1", snapshot_id=1)
     # dropping the tag releases the snapshot to the next expiry
     t.drop_tag("corpus-v1")
