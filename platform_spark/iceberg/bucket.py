@@ -124,11 +124,115 @@ def _hash_int64_numpy(arr):
     return h
 
 
+def _hash_bytes_same_len_numpy(buf):
+    """Vectorized murmur3_x86_32 of N byte-strings of EQUAL length:
+    ``buf`` is an (N, L) uint8 matrix. The only Python-level loop is
+    over the L//4 blocks (key length, typically tiny); every operation
+    inside is an N-wide numpy array op — the variable-length analogue
+    of :func:`_hash_int64_numpy`'s unrolled 2-block rounds. Returns
+    uint32 hashes; bit-exact vs the scalar reference (property-tested
+    in tests/test_iceberg.py)."""
+    import numpy as np
+
+    n_rows, length = buf.shape
+    h = np.zeros(n_rows, dtype=np.uint32)
+    n_blocks = length // 4
+    if n_blocks:
+        # one C-level pass assembles the little-endian words: an explicit
+        # '<u4' view is exact on any host endianness and ~60x cheaper
+        # than four byte-shift/or temporaries
+        k_all = np.ascontiguousarray(buf[:, : n_blocks * 4]).view("<u4")
+        for i in range(n_blocks):
+            k = k_all[:, i] * np.uint32(_C1)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(_C2)
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    t = length - n_blocks * 4
+    if t:
+        k = np.zeros(n_rows, dtype=np.uint32)
+        if t >= 3:
+            k ^= buf[:, n_blocks * 4 + 2].astype(np.uint32) << np.uint32(16)
+        if t >= 2:
+            k ^= buf[:, n_blocks * 4 + 1].astype(np.uint32) << np.uint32(8)
+        k ^= buf[:, n_blocks * 4].astype(np.uint32)
+        k = k * np.uint32(_C1)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * np.uint32(_C2)
+        h ^= k
+    h ^= np.uint32(length)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+#: below this many rows of one length, matrix setup costs more than the
+#: scalar loop saves — hash the stragglers row-at-a-time instead
+_VEC_MIN_GROUP = 8
+
+
+def _bucket_bytes_batch(values, n: int):
+    """Spec bucket ids for a batch of ``bytes`` (None → None),
+    length-grouped so each equal-length class hashes as ONE 2-D numpy
+    pass (r12 verdict: the per-row scalar murmur3 was the last
+    Python-loop write path — at 100 TB a string-keyed bucketed corpus
+    pays it on every write and compaction rewrite). Outlier lengths
+    with fewer than ``_VEC_MIN_GROUP`` rows fall back to the scalar
+    reference."""
+    import numpy as np
+
+    out = np.full(len(values), None, dtype=object)
+    by_len: dict[int, list[int]] = {}
+    for i, v in enumerate(values):
+        if v is not None:
+            by_len.setdefault(len(v), []).append(i)
+    for length, idxs in by_len.items():
+        if length == 0 or len(idxs) < _VEC_MIN_GROUP:
+            for i in idxs:
+                out[i] = (murmur3_32(values[i]) & 0x7FFFFFFF) % n
+            continue
+        buf = np.frombuffer(
+            b"".join([values[i] for i in idxs]), dtype=np.uint8
+        ).reshape(len(idxs), length)
+        h = _hash_bytes_same_len_numpy(buf)
+        ids = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+        # object-dtype fancy-index writeback: one C-level pass, the
+        # int64→object conversion included (a per-row Python loop here
+        # would cost more than the hash itself)
+        out[np.asarray(idxs)] = ids.astype(np.int64).astype(object)
+    return out
+
+
+def assert_utc_session(spark, ice_type: str) -> None:
+    """Refuse to bucket a timestamp column on a non-UTC session: Spark
+    localizes datetime64 values crossing the Arrow boundary to
+    ``spark.sql.session.timeZone``, so a foreign-TZ session would write
+    bucket ids that diverge from the spec (and from every external
+    reader), silently breaking point-lookup pruning and interop. The
+    framework's own sessions pin UTC (session.py); this guard makes
+    that a checked contract instead of an assumption (r12 ADVICE)."""
+    if ice_type not in ("timestamp", "timestamptz"):
+        return
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"iceberg: bucketing a {ice_type} column requires "
+            f"spark.sql.session.timeZone=UTC (session has {tz!r}); "
+            "non-UTC sessions would hash localized micros and write "
+            "spec-divergent bucket ids"
+        )
+
+
 def bucket_udf(ice_type: str, n: int):
     """Arrow-batched pandas UDF computing the spec bucket id for a
-    column of ``ice_type``. Numeric/temporal types run the vectorized
-    numpy path; strings/binary hash per row (variable length) inside
-    the same Arrow batch."""
+    column of ``ice_type``. Numeric/temporal types run the fixed-width
+    vectorized numpy path; strings/binary length-group each Arrow batch
+    and hash every length class as one 2-D numpy pass (scalar fallback
+    only for sub-``_VEC_MIN_GROUP`` outlier lengths)."""
     from pyspark.sql.functions import pandas_udf
 
     numeric = ice_type in (
@@ -159,10 +263,19 @@ def bucket_udf(ice_type: str, n: int):
                 vals = sv  # int64 straight off Arrow
             else:
                 # nullable longs arrive as float64 off the Arrow
-                # boundary; Int64 round-trips the exact integers.
-                # (Keys beyond 2^53 with nulls in the SAME batch would
-                # lose precision at that boundary — a pandas/Arrow
-                # conversion limit, not a hash one.)
+                # boundary; Int64 round-trips integers exactly only up
+                # to 2^53 — beyond that the value ALREADY lost precision
+                # in the float, and hashing it would silently land rows
+                # in the wrong bucket for external readers. Fail loudly
+                # instead (r12 ADVICE).
+                fv = sv.to_numpy(dtype="float64")
+                if (np.abs(fv) >= 2.0**53).any():
+                    raise ValueError(
+                        "iceberg: bucket() got long keys >= 2^53 in a "
+                        "nullable batch — the Arrow float64 boundary "
+                        "cannot round-trip them exactly; make the key "
+                        "column non-nullable or re-key below 2^53"
+                    )
                 vals = sv.astype("Int64").astype("int64")
             out = np.full(len(s), -1, dtype=np.int64)
             if mask.any():
@@ -171,8 +284,12 @@ def bucket_udf(ice_type: str, n: int):
             res = pd.Series(out).astype("object")
             res[~mask] = None
             return res
-        return s.map(
-            lambda v: None if v is None else bucket_value(v, ice_type, n)
-        )
+        if ice_type == "string":
+            enc = [
+                None if v is None else str(v).encode("utf-8") for v in s
+            ]
+        else:  # binary / fixed: Arrow hands bytes (or bytearray)
+            enc = [None if v is None else bytes(v) for v in s]
+        return pd.Series(_bucket_bytes_batch(enc, n))
 
     return _bucket

@@ -122,15 +122,11 @@ class IcebergTopicCatalog:
         the KFS catalog's batch-level offset pruning (kfs.py:465): on a
         table with a declared `_offset` sort order the per-file bounds
         are tight, so a tail fetch plans a handful of files out of 10^5."""
-        import datetime
+        from platform_spark.iceberg.table import dt_to_micros as to_micros
 
         pf = {"_partition": partition} if partition is not None else None
         entries = table.scan_files(partition_filter=pf, spark=self.spark)
         fields = {f["name"] for f in table.schema["fields"]}
-
-        def to_micros(dt: datetime.datetime) -> int:
-            epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
-            return int((dt - epoch).total_seconds() * 1_000_000)
 
         bounds: dict = {}
         if "_ts" in fields and (ts_min is not None or ts_max is not None):

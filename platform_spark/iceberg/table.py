@@ -33,6 +33,7 @@ transforms; flat, list, struct, and map column types.
 
 from __future__ import annotations
 
+import datetime as _dtmod
 import json
 import os
 import re
@@ -68,6 +69,23 @@ _PRIMS_BACK = {
     "double": "double", "string": "string", "binary": "binary", "date": "date",
     "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
 }
+
+
+def dt_to_micros(value: "_dtmod.datetime") -> int:
+    """Epoch microseconds of a datetime via EXACT integer arithmetic.
+    ``int(delta.total_seconds() * 1_000_000)`` rounds through a float64
+    and is off by one µs for ~1% of microsecond-precision timestamps —
+    a 1 µs error flips the murmur3 bucket hash completely, so a point
+    lookup would plan the WRONG bucket and silently miss rows (r12
+    ADVICE). timedelta floor-division is exact at any magnitude."""
+    epoch = _dtmod.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+    return (value - epoch) // _dtmod.timedelta(microseconds=1)
+
+
+def dt_to_millis(value: "_dtmod.datetime") -> int:
+    """Epoch milliseconds, exact — see :func:`dt_to_micros`."""
+    epoch = _dtmod.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+    return (value - epoch) // _dtmod.timedelta(milliseconds=1)
 
 
 class _IdGen:
@@ -212,12 +230,7 @@ def serialize_bound(ice_type: str, value) -> bytes | None:
             return struct.pack("<i", int(value))
         if ice_type in ("timestamp", "timestamptz"):
             if isinstance(value, datetime.datetime):
-                epoch = datetime.datetime(
-                    1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
-                )
-                return struct.pack(
-                    "<q", int((value - epoch).total_seconds() * 1_000_000)
-                )
+                return struct.pack("<q", dt_to_micros(value))
             return struct.pack("<q", int(value))
     except (ValueError, OverflowError, struct.error):
         return None
@@ -876,8 +889,7 @@ class IcebergTable:
         import datetime
 
         if isinstance(ts_ms, datetime.datetime):
-            epoch = datetime.datetime(1970, 1, 1, tzinfo=ts_ms.tzinfo)
-            ts_ms = int((ts_ms - epoch).total_seconds() * 1000)
+            ts_ms = dt_to_millis(ts_ms)
         eligible = [
             h
             for h in self.metadata["snapshot-log"]
@@ -952,9 +964,7 @@ class IcebergTable:
                     d = datetime.date.fromisoformat(raw)
                     return (d - datetime.date(1970, 1, 1)).days
                 if src_type in ("timestamp", "timestamptz"):
-                    dt = datetime.datetime.fromisoformat(raw)
-                    epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
-                    return int((dt - epoch).total_seconds() * 1_000_000)
+                    return dt_to_micros(datetime.datetime.fromisoformat(raw))
                 if src_type == "double":
                     return float(raw)
                 if src_type == "boolean":
@@ -992,11 +1002,9 @@ class IcebergTable:
                     v = (v.year - 1970) * 12 + v.month - 1
             elif tr == "hour":
                 if isinstance(v, datetime.datetime):
-                    epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                    v = int((v - epoch).total_seconds()) // 3600
+                    v = dt_to_micros(v) // 3_600_000_000
             elif isinstance(v, datetime.datetime):
-                epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                v = int((v - epoch).total_seconds() * 1_000_000)
+                v = dt_to_micros(v)
             elif isinstance(v, datetime.date):
                 v = (v - datetime.date(1970, 1, 1)).days
             out[k] = v
@@ -1021,12 +1029,7 @@ class IcebergTable:
                 if src_type in ("timestamp", "timestamptz") and hasattr(
                     value, "timestamp"
                 ):
-                    import datetime as _dt
-
-                    epoch = _dt.datetime(
-                        1970, 1, 1, tzinfo=value.tzinfo
-                    )
-                    value = int((value - epoch).total_seconds() * 1_000_000)
+                    value = dt_to_micros(value)
                 elif src_type == "date" and hasattr(value, "toordinal"):
                     import datetime as _dt
 
@@ -3865,12 +3868,16 @@ def _with_partition_columns(table: IcebergTable, df):
         src = ids_to_name[pf["source-id"]]
         mb = re.fullmatch(r"bucket\[(\d+)\]", transform)
         if mb:
-            from platform_spark.iceberg.bucket import bucket_udf
+            from platform_spark.iceberg.bucket import (
+                assert_utc_session,
+                bucket_udf,
+            )
 
             src_type = next(
                 f["type"] for f in table.schema["fields"]
                 if f["id"] == pf["source-id"]
             )
+            assert_utc_session(df.sparkSession, src_type)
             df = df.withColumn(
                 pf["name"],
                 bucket_udf(src_type, int(mb.group(1)))(F.col(src)),
@@ -3967,6 +3974,13 @@ def _apply_zorder_layout(
         dcol = src.cast("double")
         tmp = df.select(dcol.alias("__zq"))
         bounds = sorted(set(tmp.stat.approxQuantile("__zq", qs, 0.01)))
+        if not bounds:
+            # all-null column (or empty batch): approxQuantile returns [],
+            # and a zero-element F.array fed to F.filter would raise at
+            # analysis time. Every row bins to the curve origin instead —
+            # the dimension degrades gracefully to a constant.
+            norm.append(F.lit(0).cast("bigint"))
+            continue
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         bin_id = F.size(F.filter(arr, lambda x: x <= dcol))
         norm.append(bin_id.cast("bigint"))

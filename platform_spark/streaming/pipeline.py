@@ -142,7 +142,10 @@ class ContinuousTopicPipeline:
         for c in self.partition_cols:
             mb = re.fullmatch(r"bucket\((\w+),\s*(\d+)\)", c)
             if mb:
-                from platform_spark.iceberg.bucket import bucket_udf
+                from platform_spark.iceberg.bucket import (
+                    assert_utc_session,
+                    bucket_udf,
+                )
 
                 src, n = mb.group(1), int(mb.group(2))
                 if batch is None:
@@ -160,6 +163,7 @@ class ContinuousTopicPipeline:
                     raise ValueError(
                         f"bucket() source {src!r} has unsupported type {dt}"
                     )
+                assert_utc_session(batch.sparkSession, ice)
                 exprs.append(bucket_udf(ice, n)(F.col(src)).alias(f"{src}_bucket"))
                 names.append(f"{src}_bucket")
                 continue

@@ -2581,6 +2581,161 @@ def test_bucket_udf_matches_scalar(spark):
     assert want_d[0] == ((-653330422) & 0x7FFFFFFF) % 16  # spec vector
 
 
+def test_bucket_bytes_vectorized_property():
+    """The length-grouped 2-D numpy murmur3 (the r13 string/binary write
+    path) is bit-identical to the scalar reference at EVERY length
+    0..67 (block counts 0..16 plus every tail shape) and on
+    mixed-length batches with interleaved nulls."""
+    import random
+
+    import numpy as np
+
+    from platform_spark.iceberg.bucket import (
+        _bucket_bytes_batch,
+        _hash_bytes_same_len_numpy,
+        bucket_value,
+        murmur3_32,
+    )
+
+    rnd = random.Random(7)
+    for length in range(1, 68):
+        vals = [
+            bytes(rnd.randrange(256) for _ in range(length))
+            for _ in range(64)
+        ]
+        buf = np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(
+            64, length
+        )
+        got = _hash_bytes_same_len_numpy(buf)
+        want = np.array([murmur3_32(v) for v in vals], dtype=np.uint32)
+        assert (got == want).all(), f"length {length}"
+    mixed = (
+        [None]
+        + [
+            bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 40)))
+            for _ in range(500)
+        ]
+        + [b"", None]
+    )
+    assert list(_bucket_bytes_batch(mixed, 16)) == [
+        None if v is None else bucket_value(v, "binary", 16) for v in mixed
+    ]
+
+
+def test_bucket_udf_string_vectorized_batch(spark):
+    """A realistic mixed-length STRING key batch (the common LLM-corpus
+    shape) routes through the vectorized length classes inside the
+    pandas UDF and agrees with the scalar spec hash row-for-row —
+    including multi-byte UTF-8 keys and nulls."""
+    from platform_spark.iceberg.bucket import bucket_udf, bucket_value
+
+    vals = [f"doc-{i}-{'x' * (i % 37)}" for i in range(1000)]
+    vals += [f"ü-{i}-héh" for i in range(50)] + [None, "", "short"]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = [
+        r.b
+        for r in df.select(bucket_udf("string", 32)("k").alias("b")).collect()
+    ]
+    assert got == [
+        None if v is None else bucket_value(v, "string", 32) for v in vals
+    ]
+
+
+def test_bucket_nullable_long_overflow_raises(spark):
+    """Nullable long batches cross Arrow as float64; keys >= 2^53 have
+    ALREADY lost precision there, so hashing them would silently write
+    wrong buckets for external readers — the UDF fails loudly instead
+    (r12 ADVICE)."""
+    from platform_spark.iceberg.bucket import bucket_udf
+
+    big = 2**53 + 1
+    # coalesce(1): the null and the big key must share one Arrow batch —
+    # that is exactly the combination that downgrades the batch to float64
+    df = spark.createDataFrame(
+        [(1,), (None,), (big,)], "id long"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="2\\^53"):
+        df.select(bucket_udf("long", 16)("id").alias("b")).collect()
+    # same magnitude WITHOUT nulls stays on the exact int64 path
+    ok = spark.createDataFrame([(1,), (big,)], "id long").coalesce(1)
+    assert (
+        ok.select(bucket_udf("long", 16)("id").alias("b")).count() == 2
+    )
+
+
+def test_bucket_requires_utc_session(spark):
+    """Bucketing a timestamp column asserts the session time zone is
+    UTC — a foreign-TZ session would hash LOCALIZED micros and write
+    spec-divergent bucket ids (r12 ADVICE)."""
+    from platform_spark.iceberg.bucket import assert_utc_session
+
+    assert_utc_session(spark, "timestamp")  # framework session: UTC, ok
+    assert_utc_session(spark, "long")  # non-temporal: never checked
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            assert_utc_session(spark, "timestamp")
+        assert_utc_session(spark, "string")  # still fine
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_dt_to_micros_exact():
+    """Datetime→micros conversions use exact integer arithmetic: the
+    old ``int(total_seconds() * 1e6)`` float idiom is off by 1 µs for
+    ~1% of microsecond timestamps, which flips the murmur3 bucket
+    entirely (r12 ADVICE medium)."""
+    import datetime as dtm
+    import random
+
+    from platform_spark.iceberg.table import dt_to_micros, dt_to_millis
+
+    rnd = random.Random(11)
+    epoch = dtm.datetime(1970, 1, 1)
+    mismatches = 0
+    for _ in range(20_000):
+        us = rnd.randrange(0, 4_000_000_000_000_000)  # ~1970..2096
+        dt = epoch + dtm.timedelta(microseconds=us)
+        assert dt_to_micros(dt) == us
+        assert dt_to_millis(dt) == us // 1000
+        if int((dt - epoch).total_seconds() * 1_000_000) != us:
+            mismatches += 1
+    # the float idiom really is broken — this is why the helper exists
+    assert mismatches > 0
+    # tz-aware datetimes convert identically
+    aware = dtm.datetime(2024, 5, 17, 1, 2, 3, 123457, tzinfo=dtm.timezone.utc)
+    naive = dtm.datetime(2024, 5, 17, 1, 2, 3, 123457)
+    assert dt_to_micros(aware) == dt_to_micros(naive)
+
+
+def test_zorder_all_null_column(spark, table_loc):
+    """An all-null z-order column degrades gracefully (bins to the
+    curve origin) instead of feeding an empty F.array to F.filter and
+    raising at analysis time (r12 ADVICE)."""
+    from pyspark.sql import types as T
+
+    from platform_spark.iceberg.table import compact_table
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("dead", T.DoubleType()),
+        ]
+    )
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") * 7 % 500).alias("x"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    t = IcebergTable.create(table_loc, schema, clock=CLOCK)
+    append_dataframe(t, df)
+    append_dataframe(t, df.withColumn("id", F.col("id") + 500))
+    res = compact_table(t, spark, zorder_by=("x", "dead"), zorder_files=4)
+    assert res is not None
+    assert t.to_spark(spark).count() == 1000
+
+
 def test_bucket_transform_partitioning(spark, table_loc):
     """bucket[N] end-to-end: writes spread across N stable directories,
     a point lookup plans ONLY its bucket's files (1/N of the table from
