@@ -63,10 +63,23 @@ class IncrementalAggregate:
         state_dir: str,
         group_cols: list[str],
         sum_cols: list[str] | None = None,
+        keep_generations: int = 2,
     ):
+        """``keep_generations`` is the reader-grace window: how many
+        state generations (current included) survive each refresh's
+        sweep. The default 2 keeps {current, previous} — a read planned
+        against the current state stays executable until the refresh
+        after next. Readers that hold lazy plans across MORE refresh
+        cycles (long-lived dashboards over a fast refresher) raise it;
+        state is group-cardinality-sized, so each extra generation is
+        bounded and cheap (r12 verdict #2: the bound is a tunable, not
+        a footgun)."""
+        if keep_generations < 1:
+            raise ValueError("keep_generations must be >= 1")
         self.state_dir = state_dir
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols or [])
+        self.keep_generations = keep_generations
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state layout --------------------------------------------------------
@@ -215,40 +228,46 @@ class IncrementalAggregate:
         directory). Superseded/orphaned state dirs are swept AFTER the
         publish — they are never referenced by any checkpoint.
 
-        Reader grace (one generation): a concurrent reader holds a LAZY
-        DataFrame over the state dir ``read()`` resolved, and executes
-        it at action time — possibly after this publish. Sweeping the
-        just-superseded directory here would turn that into a mid-query
-        FileNotFound (realistic since the multi-writer sink protocol
-        lets a refresher and readers live in different processes). So
-        the checkpoint also records ``prev-state-dir`` — the directory
-        the previous generation published — and the sweep keeps BOTH:
-        a superseded state survives exactly one more refresh. The
-        contract a cross-process reader gets is "a read planned against
-        the current state stays executable until the refresh after
-        next"; state is group-cardinality-sized, so holding one extra
-        copy is bounded and cheap."""
+        Reader grace (``keep_generations``, default 2): a concurrent
+        reader holds a LAZY DataFrame over the state dir ``read()``
+        resolved, and executes it at action time — possibly after this
+        publish. Sweeping the just-superseded directory here would turn
+        that into a mid-query FileNotFound (realistic since the
+        multi-writer sink protocol lets a refresher and readers live in
+        different processes). So the checkpoint records the superseded
+        directories most-recent-first (``prev-state-dirs``) and the
+        sweep keeps the newest ``keep_generations`` of {current} ∪
+        prevs: a state published N-1 refreshes ago is still readable.
+        State is group-cardinality-sized, so each retained generation
+        is bounded and cheap."""
         ck = self._ckpt() or {}
+        prevs = ck.get("prev-state-dirs")
+        if prevs is None:  # pre-r13 checkpoint: single prev-state-dir
+            legacy = ck.get("prev-state-dir")
+            prevs = [legacy] if legacy else []
         if df is None:
-            # no new state written: same generation, keep prev as-is
+            # no new state written: same generation, keep prevs as-is
             name = ck.get("state-dir")
-            prev = ck.get("prev-state-dir")
         else:
             name = f"state-{uuid.uuid4().hex[:12]}"
             df.write.parquet(os.path.join(self.state_dir, name))
-            prev = ck.get("state-dir")
+            if ck.get("state-dir"):
+                prevs = [ck["state-dir"]] + prevs
+        prevs = [d for d in prevs if d][: max(0, self.keep_generations - 1)]
         tmp = self._ckpt_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "snapshot-id": snapshot_id,
                     "state-dir": name,
-                    "prev-state-dir": prev,
+                    "prev-state-dirs": prevs,
+                    # kept for pre-r13 readers of the checkpoint file
+                    "prev-state-dir": prevs[0] if prevs else None,
                 },
                 f,
             )
         os.replace(tmp, self._ckpt_path)
-        keep = {d for d in (name, prev) if d}
+        keep = {name, *prevs} - {None}
         for d in os.listdir(self.state_dir):
             if d.startswith("state-") and d not in keep:
                 shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)

@@ -1291,6 +1291,51 @@ def test_locked_pointer_commit_spark_table(spark, table_loc):
     assert not os.path.exists(os.path.join(meta_dir, "version-hint.text"))
 
 
+def test_commit_conflict_budget_is_bounded(spark, table_loc):
+    """Every metadata-evolution path shares ONE bounded conflict budget
+    (_commit_metadata_update): under a permanently-conflicting protocol
+    — the wedged-foreign-writer failure mode of a conditional-put S3
+    backend — the table raises CommitConflict loudly after exactly
+    COMMIT_ATTEMPTS total losses instead of looping forever (the old
+    shape recursed with a FRESH 3-attempt budget per conflict; r12
+    verdict #3)."""
+    from platform_spark.iceberg.commit import CommitConflict, FilesystemCommit
+
+    df = spark.range(0, 10).select(F.col("id"))
+    t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
+    append_dataframe(t, df)
+    append_dataframe(t, df)  # 2 snapshots: expire below has real work
+
+    class WedgedCommit(FilesystemCommit):
+        """Reads fine; every commit loses the race."""
+
+        def __init__(self):
+            self.attempts = 0
+
+        def commit(self, location, expected_version, metadata):
+            self.attempts += 1
+            raise CommitConflict(f"wedged at v{expected_version}")
+
+    for op in (
+        lambda w: w.create_tag("v1"),
+        lambda w: w.evolve_sort_order(("id",)),
+        lambda w: w.evolve_partition_spec(("bucket(id, 4)",)),
+        lambda w: w.rollback_to(w.metadata["current-snapshot-id"]),
+        lambda w: w.rename_column("id", "id2"),
+        lambda w: w.expire_snapshots(keep_last=1),
+    ):
+        proto = WedgedCommit()
+        wedged = IcebergTable.load(table_loc, clock=CLOCK, protocol=proto)
+        with pytest.raises(CommitConflict, match="lost the commit race"):
+            op(wedged)
+        assert proto.attempts == IcebergTable.COMMIT_ATTEMPTS
+    # the table itself is untouched: a fresh loader sees the old state
+    t2 = IcebergTable.load(table_loc)
+    assert t2.metadata.get("refs", {}) == {}
+    assert t2.to_spark(spark).count() == 20
+    assert len(t2.metadata["snapshots"]) == 2  # nothing expired
+
+
 def test_cas_commit_protocol_concurrent_appends(spark, table_loc):
     """The pluggable catalog commit in its CAS shape (pointer swap — what
     an S3/DynamoDB/REST deployment implements, no O_EXCL anywhere):
@@ -4101,6 +4146,54 @@ def test_matview_read_survives_concurrent_refresh_sweep(
         if d.startswith("state-")
     }
     assert dirs2 == dirs
+
+
+@pytest.mark.parametrize("keep", [1, 3])
+def test_matview_keep_generations_tunable(spark, table_loc, tmp_path, keep):
+    """The reader-grace window is ``keep_generations`` (r12 verdict #6):
+    after each refresh exactly min(keep, generations so far) state dirs
+    survive, newest-first — long-held reader plans become a tunable
+    retention decision instead of a hard-coded {current, previous}."""
+    from platform_spark.iceberg.matview import IncrementalAggregate
+    from platform_spark.iceberg.table import upsert_dataframe
+
+    df = _mk(spark, 0, 1)
+    t = IcebergTable.create(
+        table_loc, df.schema, partition_by=("part",), clock=CLOCK
+    )
+    append_dataframe(t, _mk(spark, 0, 10))
+    agg = IncrementalAggregate(
+        str(tmp_path / "mv"), ["part"], sum_cols=["id"], keep_generations=keep
+    )
+    seen: list[str] = []
+    agg.refresh(spark, t)
+    seen.append(os.path.basename(agg._live_data_dir()))
+    for i in range(4):
+        upsert_dataframe(
+            t,
+            _mk(spark, i, i + 3).withColumn("text", F.lit(f"v{i}")),
+            ["id"],
+        )
+        assert agg.refresh(spark, t) > 0
+        seen.append(os.path.basename(agg._live_data_dir()))
+        dirs = {
+            d
+            for d in os.listdir(str(tmp_path / "mv"))
+            if d.startswith("state-")
+        }
+        # newest `keep` generations survive, older ones are swept
+        assert dirs == set(seen[-keep:])
+    # the live state still equals the full aggregate
+    full = {
+        (r.part, r.n, r.s)
+        for r in t.to_spark(spark)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert {
+        (r.part, r.n, r.sum_id) for r in agg.read(spark).collect()
+    } == full
 
 
 def test_matview_concurrent_refreshers_serialize(spark, table_loc, tmp_path):
