@@ -75,7 +75,7 @@ _EXTRA_SHORT = {
     "dsir_select": "dsir",
     "ann_sq_topk": "sq",
     "ann_pq_topk": "pq",
-    "dd_jaccard": "dd_jac",
+    "dd_jaccard": "ddj",
     "unigram_lp": "u_lp",
     "bigram_lp": "bi_lp",
     "qual_rules": "qrul",
@@ -102,14 +102,22 @@ _EXTRA_SHORT = {
     "tfidf_kw": "tfidf",
     "iceberg_day_partition_scan": "i_day",
     "iceberg_upsert_scan": "i_ups",
-    "iceberg_changelog_scan": "ice_cl",
+    "iceberg_changelog_scan": "i_cl",
     "iceberg_kafsql_scan": "i_sql",
-    "iceberg_matview_scan": "ice_mv",
+    "iceberg_matview_scan": "i_mv",
     "iceberg_branch_changelog_scan": "i_bcl",
     "iceberg_spec_evolution_scan": "i_evo",
     "iceberg_rename_scan": "i_ren",
     "iceberg_kafsql_evolved_scan": "i_esql",
     "iceberg_bucket_scan": "i_bkt",
+    "iceberg_kafsql_bucket_lookup": "i_bk",
+    "iceberg_kafsql_time_travel": "i_tt",
+    # r13 line-budget trims (same rule as r12: full names stay in the
+    # detail file and the leg_history ledger)
+    "ice_mrg": "i_mrg",
+    "sem_dec": "sdec",
+    "ice_ch": "i_ch",
+    "kfs_rt": "kfs",
     "semdedup": "smd",
     "decontam": "dcm",
     "snapdiff": "snd",
@@ -233,6 +241,8 @@ HEADLINE_GATES = (
     "iceberg_rename_scan",
     "iceberg_kafsql_evolved_scan",
     "iceberg_bucket_scan",
+    "iceberg_kafsql_bucket_lookup",
+    "iceberg_kafsql_time_travel",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",
@@ -398,6 +408,15 @@ def main() -> None:
     # and repeats are expensive).
     WARM_CAP_S = 2.0
     WARM_MAX_RUNS = 6
+    # r13: the INVERSE signature on multi-second legs. r12's ledger
+    # caught llm_embedding_clusters_fast drifting 7.17 -> 8.11 s across
+    # bench invocations on identical code — monotonically SLOWER, the
+    # opposite of JIT warm-up, i.e. suite-position noise (GC/heap state
+    # accumulated by the 100+ legs that ran before it), which best-of-2
+    # samples too thinly. A multi-second leg whose later run is >10%
+    # slower than its first gets extra runs (up to SLOW_MAX_RUNS) so the
+    # reported best is sampled from more than one heap state.
+    SLOW_MAX_RUNS = 4
 
     def timed(name: str, fn) -> None:
         t0 = time.time()
@@ -424,6 +443,12 @@ def main() -> None:
                 and no_improve < 2
             ):
                 continue  # still tiering up: two flat runs end the leg
+            if (
+                len(runs) < SLOW_MAX_RUNS
+                and min(runs) >= WARM_CAP_S
+                and runs[-1] > runs[0] * 1.10
+            ):
+                continue  # inverse signature: resample the heap state
             break
         timings[name] = round(min(runs), 3)
         n_runs[name] = len(runs)
@@ -554,6 +579,37 @@ def main() -> None:
     detail["history"] = {
         k: {"prior": prior.get(k, []), "now": v} for k, v in timings.items()
     }
+
+    # mechanical adjudication artifact (r12 verdict #7): per-leg best vs
+    # the prior recorded best at this SF, flagging >1.25x moves in either
+    # direction together with this invocation's spread/run count — the
+    # verdict reads THIS instead of recomputing deltas from BENCH_r*.json
+    flags = {}
+    deltas = {}
+    for k, v in timings.items():
+        pb = min(prior[k]) if prior.get(k) else None
+        ratio = round(v / pb, 3) if pb else None
+        deltas[k] = {"prev_best": pb, "now": v, "ratio": ratio}
+        if ratio is not None and (ratio > 1.25 or ratio < 0.8):
+            flags[k] = {
+                "prev_best": pb,
+                "now": v,
+                "ratio": ratio,
+                "repeat_spread": spread.get(k),
+                "repeat_runs": n_runs.get(k),
+            }
+    delta_doc = {
+        "sf": float(sf),
+        "flagged_over_1.25x": flags,
+        "n_legs": len(deltas),
+        "n_new_legs": sum(1 for d in deltas.values() if d["ratio"] is None),
+        "legs": deltas,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DELTA.json"), "w",
+    ) as f:
+        json.dump(delta_doc, f, indent=1)
 
     detail_path = os.path.join(BENCH_ROOT, "bench_detail.json")
     with open(detail_path, "w") as f:

@@ -6086,6 +6086,136 @@ GROUP BY 1, 2"""
 )
 
 
+def _ensure_iceberg_kafsql_bkt_root(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch topic ROOT shared by the bucket-lookup and time-travel
+    dialect gates: the events envelope committed into a
+    bucket(_key, 8)-partitioned Iceberg topic at t0, then CDC-upserted
+    (every 5th offset re-segmented) ONE HOUR LATER on the metadata
+    clock — so a `FOR SYSTEM_TIME AS OF` instant between the two
+    commits replays the pre-upsert corpus and a `_key =` lookup plans
+    only the key's spec bucket."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    root, done = _iceberg_scratch(sf_dir, "_bsql")
+    if not os.path.exists(done):
+        ev = catalog_for(spark, sf_dir).topic("events", with_schema_columns=False)
+        times = [1_700_000_000.0]
+        table = IcebergTable.create(
+            os.path.join(root, "events"),
+            ev.schema,
+            partition_by=("bucket(_key, 8)",),
+            clock=lambda: times[0],
+        )
+        append_dataframe(table, ev)
+        times[0] += 3600.0  # the upsert snapshot lands one hour later
+        upsert_dataframe(
+            table,
+            ev.filter("_offset % 5 = 0").withColumn(
+                "_segment", F.lit("upserted")
+            ),
+            ["_partition", "_offset"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+#: the first non-null key in scan order — deterministic at any sf, and
+#: computable by BOTH sides (Spark collects it, the oracle derives it in
+#: SQL) so the gate needs no sf-specific literal
+_BKT_KEY_SQL = (
+    "SELECT _key FROM t_events WHERE _key IS NOT NULL "
+    "ORDER BY _partition, _offset LIMIT 1"
+)
+
+
+def _iceberg_kafsql_bucket_lookup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_bkt_root(spark, sf_dir)
+    key = (
+        catalog_for(spark, sf_dir)
+        .topic("events", with_schema_columns=False)
+        .filter(F.col("_key").isNotNull())
+        .orderBy("_partition", "_offset")
+        .select(F.col("_key").cast("string").alias("k"))
+        .first()
+        .k
+    )
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    return eng.sql(
+        "SELECT _partition, _offset, _key, _segment FROM events "
+        f"WHERE _key = '{key}' LAST 30d LIMIT 100000"
+    )
+
+
+# Dialect point lookup over a _key-bucketed Iceberg topic (r12 verdict
+# #4): the catalog maps `_key = 'x'` to the key's spec murmur3 bucket and
+# plans 1/8 of the files from manifests alone (inputFiles-asserted in
+# test_kafsql_bucket_point_lookup); the exact row filter then composes
+# with merge-on-read upsert deletes. The oracle derives the same key in
+# SQL and rebuilds the post-upsert state from the raw envelope, so a hash
+# match proves the bucket route never loses or duplicates a key's rows.
+_add(
+    "iceberg_kafsql_bucket_lookup",
+    _iceberg_kafsql_bucket_lookup_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition, _offset, {orc.bytea('_key')} AS _key,
+  CASE WHEN _offset % 5 = 0 THEN 'upserted' ELSE _segment END AS _segment
+FROM t_events
+WHERE _key = ({_BKT_KEY_SQL})
+  AND _ts >= TIMESTAMP '{_last_lo(30)}' AND _ts <= TIMESTAMP '{_NOW_S}'"""
+    ),
+)
+
+
+def _iceberg_kafsql_time_travel_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_bkt_root(spark, sf_dir)
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    # 1_700_001_800_000 ms sits BETWEEN the append (t0) and the upsert
+    # (t0 + 1h) on the table's metadata clock
+    return eng.sql(
+        "SELECT _partition, _segment, count(*) AS n, "
+        "min(_offset) AS lo, max(_offset) AS hi "
+        "FROM events FOR SYSTEM_TIME AS OF 1700001800000 LAST 30d "
+        "GROUP BY _partition, _segment"
+    )
+
+
+# Time travel through the dialect (r12 verdict #5): FOR SYSTEM_TIME AS OF
+# resolves to the snapshot current at the instant — here BETWEEN the
+# append and the upsert, so the oracle is the raw envelope WITHOUT the
+# upsert rewrite. A hash match proves the historical read excludes both
+# the upsert's new data files AND its equality deletes (a current-state
+# read would show 'upserted' segments; a data-only pin would double-count
+# the superseded rows).
+_add(
+    "iceberg_kafsql_time_travel",
+    _iceberg_kafsql_time_travel_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition, _segment, COUNT(*) AS n,
+  MIN(_offset) AS lo, MAX(_offset) AS hi
+FROM t_events
+WHERE _ts >= TIMESTAMP '{_last_lo(30)}' AND _ts <= TIMESTAMP '{_NOW_S}'
+GROUP BY 1, 2"""
+    ),
+)
+
+
 # Exact heavy hitters: Misra-Gries screen + exact verify ---------------------
 
 
@@ -6641,6 +6771,8 @@ _TAIL_SUBSETS = [
     "iceberg_changelog_scan",      # NEW r10, tail-placed from birth: the delete-materialization machinery it composes is head-pinned — equality-delete application under the sequence rule by iceberg_delete_scan (head) and the upsert commit shape by iceberg_merge_scan (head) + iceberg_upsert_scan's relational oracle over the SAME scratch table; the changelog-specific surface (per-snapshot kill attribution, parent-live restriction, ordinals) carries this six-event-class oracle replayed in pytest plus replay-reconstruction tests (test_changelog_cdc_read, test_changelog_copy_on_write_merge)
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
     "iceberg_bucket_scan",  # NEW r12, tail-placed from birth: strict subset of the head-pinned append/upsert/scan machinery (iceberg_upsert_scan's relational oracle over identity partitions; iceberg_day_partition_scan pins the hidden-transform write/derive/prune shape) — the bucket-specific increment is the spec murmur3_x86_32 derivation itself, which is pinned HARDER than any oracle can: tests/test_iceberg.py::test_bucket_transform_spec_vectors asserts the published Appendix-B reference hashes and test_bucket_udf_matches_scalar the vectorized/scalar equality; THIS gate's full relational oracle proves rows route through buckets and come back exactly once through a CDC upsert
+    "iceberg_kafsql_bucket_lookup",  # NEW r13, tail-placed from birth: strict subset of pinned machinery — iceberg_bucket_scan (tail, same bucket(…)-partitioned write/upsert build with the spec murmur3 pinned against the published Appendix-B vectors in pytest) + iceberg_kafsql_scan (tail, the same dialect-over-IcebergTopicCatalog composition) + kafsql_select_star (head, projection/render path) — the r13 increment is only the catalog's key_eq→bucket-id metadata planning (catalog.py _pruned_entries) and the compiler's `_key =` row filter, exactly what THIS gate's oracle pins (post-upsert rows of one derived key, the 1/N inputFiles prune plan-asserted in test_kafsql_bucket_point_lookup)
+    "iceberg_kafsql_time_travel",  # NEW r13, tail-placed from birth: strict subset of pinned machinery — iceberg_kafsql_scan (tail, same dialect LAST+GROUP BY composition and oracle shape) + the snapshot_id_as_of resolution rule pinned in pytest (test_time_travel_as_of, test_kafsql_system_time_as_of incl. loud pre-history/wrong-catalog failures) — the r13 increment is only the parser's FOR SYSTEM_TIME clause and the catalog's as_of→snapshot plan pin; THIS gate's oracle is the PRE-upsert envelope, so a hash match proves the historical read excludes the later upsert's data files and equality deletes both
     "iceberg_kafsql_evolved_scan",  # NEW r12, tail-placed from birth: strict subset of three tail gates' pinned machinery — iceberg_kafsql_scan (the same dialect-over-IcebergTopicCatalog composition with the same LAST+GROUP BY+upsert oracle shape), iceberg_rename_scan (field-id resolution on data and delete-key reads), iceberg_spec_evolution_scan (per-manifest spec pruning over mixed layouts) — composed in ONE topic: what's NEW is only that the catalog's schema-on-read + `_partition =` + `_ts`-bounds planning path (catalog.py _pruned_entries) runs over a renamed+evolved table end-to-end through the compiler, exactly what THIS gate's full relational oracle (partition-filtered post-upsert rebuild from the raw envelope) pins; the constituent guards stay pytest-pinned in test_rename_and_drop_column/test_partition_spec_evolution
 ]
 # every tail entry is ALSO hash-checked against its oracle on each pytest

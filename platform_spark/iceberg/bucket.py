@@ -82,9 +82,18 @@ def hash_value(value, ice_type: str) -> int:
     if ice_type in ("int", "long", "date", "time", "timestamp", "timestamptz"):
         data = int(value).to_bytes(8, "little", signed=True)
     elif ice_type == "string":
-        data = str(value).encode("utf-8")
+        # a bytes value under a string type decodes (spec: string hashes
+        # its UTF-8 bytes) — str(b'x') would silently hash "b'x'" and
+        # plan the wrong bucket
+        data = (
+            bytes(value)
+            if isinstance(value, (bytes, bytearray, memoryview))
+            else str(value).encode("utf-8")
+        )
     elif ice_type in ("binary", "fixed"):
-        data = bytes(value)
+        data = (
+            value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        )
     else:
         raise ValueError(f"iceberg: bucket() cannot hash type {ice_type!r}")
     return _to_signed32(murmur3_32(data))

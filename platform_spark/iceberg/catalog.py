@@ -104,6 +104,21 @@ class IcebergTopicCatalog:
     def raw_source_path(self, name: str) -> str | None:
         return None  # EXPLAIN prices scans via estimate_topic_scan instead
 
+    @staticmethod
+    def _bucket_spec_field(
+        table: IcebergTable, column: str
+    ) -> tuple[str, int] | None:
+        """(spec field name, N) when the table's CURRENT default spec
+        buckets ``column``; None otherwise."""
+        import re as _re
+
+        by_id = {f["id"]: f for f in table.schema["fields"]}
+        for pf in table.spec["fields"]:
+            m = _re.fullmatch(r"bucket\[(\d+)\]", str(pf.get("transform")))
+            if m and by_id.get(pf["source-id"], {}).get("name") == column:
+                return pf["name"], int(m.group(1))
+        return None
+
     def _pruned_entries(
         self,
         table: IcebergTable,
@@ -112,6 +127,8 @@ class IcebergTopicCatalog:
         ts_max,
         offset_min=None,
         offset_max=None,
+        key_eq: str | None = None,
+        snapshot_id: int | None = None,
     ):
         """Live entries surviving `_partition =` (identity partition
         value), `_ts` bounds and `_offset` bounds (manifest column
@@ -121,11 +138,37 @@ class IcebergTopicCatalog:
         (server.go:1431-1436) metadata-pruned over Iceberg topics, like
         the KFS catalog's batch-level offset pruning (kfs.py:465): on a
         table with a declared `_offset` sort order the per-file bounds
-        are tight, so a tail fetch plans a handful of files out of 10^5."""
+        are tight, so a tail fetch plans a handful of files out of 10^5.
+
+        ``key_eq`` is the point-lookup half of bucketing (r12 verdict
+        #4): when the table's current spec has ``bucket[N]`` on
+        ``_key``, the equality value hashes to its spec bucket id and
+        the scan plans ONLY that bucket's files — 1/N of the table from
+        manifests alone. Files written under an earlier spec without
+        the bucket field are conservatively kept (scan_files prunes
+        each manifest under its own spec); non-bucketed tables simply
+        skip the prune and rely on the exact row filter.
+
+        ``snapshot_id`` pins the whole plan (data files AND the delete
+        files merged on read) to one historical snapshot — time
+        travel."""
         from platform_spark.iceberg.table import dt_to_micros as to_micros
 
-        pf = {"_partition": partition} if partition is not None else None
-        entries = table.scan_files(partition_filter=pf, spark=self.spark)
+        pf: dict = {}
+        if partition is not None:
+            pf["_partition"] = partition
+        if key_eq is not None:
+            bucket = self._bucket_spec_field(table, "_key")
+            if bucket is not None:
+                name, _n = bucket
+                # the spec hashes a key's UTF-8 bytes whether the topic
+                # writer recorded _key as string or binary —
+                # bucket_value normalizes either way
+                pf[name] = table.bucket_value("_key", key_eq)
+        entries = table.scan_files(
+            snapshot_id=snapshot_id, partition_filter=pf or None,
+            spark=self.spark,
+        )
         fields = {f["name"] for f in table.schema["fields"]}
 
         bounds: dict = {}
@@ -149,22 +192,33 @@ class IcebergTopicCatalog:
         offset_min=None,
         offset_max=None,
         with_schema_columns: bool = True,
+        key_eq: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Metadata-pruned topic read for the KAFSQL compiler: the
-        planned file list already honors `_partition =`, `_ts` bounds
-        and `_offset` bounds (manifest partition values + column
-        bounds), so a LAST-window query over a years-deep corpus table
-        reads only the matching days' files and a fetch-from-offset
-        reads only the matching tail files — the compiler's exact row
-        filters still apply on top, pruning only shrinks the plan."""
+        planned file list already honors `_partition =`, `_ts` bounds,
+        `_offset` bounds (manifest partition values + column bounds)
+        and — on a `_key`-bucketed table — a `_key =` point lookup
+        (plans 1/N of the files from the spec murmur3 bucket id alone),
+        so a LAST-window query over a years-deep corpus table reads
+        only the matching days' files and a key lookup only its
+        bucket's — the compiler's exact row filters still apply on top,
+        pruning only shrinks the plan. ``as_of`` (datetime or epoch
+        millis) pins the read to the snapshot current at that instant
+        (``FOR SYSTEM_TIME AS OF``): the corpus-reproducibility query —
+        'what did the topic look like when we cut the training set'."""
         loc = os.path.join(self.root, name)
         if not IcebergTable.exists(loc):
             raise KeyError(f"unknown topic {name!r}")
         table = IcebergTable.load(loc)
-        entries = self._pruned_entries(
-            table, partition, ts_min, ts_max, offset_min, offset_max
+        snapshot_id = (
+            table.snapshot_id_as_of(as_of) if as_of is not None else None
         )
-        df = table.read_entries(self.spark, entries)
+        entries = self._pruned_entries(
+            table, partition, ts_min, ts_max, offset_min, offset_max,
+            key_eq=key_eq, snapshot_id=snapshot_id,
+        )
+        df = table.read_entries(self.spark, entries, snapshot_id=snapshot_id)
         if with_schema_columns:
             cfg = self.configs.get(name)
             if cfg:
@@ -179,6 +233,8 @@ class IcebergTopicCatalog:
         ts_max=None,
         offset_min=None,
         offset_max=None,
+        key_eq: str | None = None,
+        as_of=None,
     ):
         """EXPLAIN scan estimate priced PURELY from Iceberg manifests —
         no parquet footer reads, no data access: each live entry carries
@@ -190,8 +246,12 @@ class IcebergTopicCatalog:
         from platform_spark.governance import ScanEstimate
 
         table = IcebergTable.load(os.path.join(self.root, name))
+        snapshot_id = (
+            table.snapshot_id_as_of(as_of) if as_of is not None else None
+        )
         entries = self._pruned_entries(
-            table, partition, ts_min, ts_max, offset_min, offset_max
+            table, partition, ts_min, ts_max, offset_min, offset_max,
+            key_eq=key_eq, snapshot_id=snapshot_id,
         )
         return ScanEstimate(
             files=len(entries),

@@ -93,6 +93,13 @@ class Query:
     offset_max: int | None = None
     ts_min: datetime | None = None
     ts_max: datetime | None = None
+    #: `WHERE _key = '<text>'` point lookup (extension: the reference
+    #: rejects it, parser.go:259-261; over a _key-bucketed Iceberg topic
+    #: it plans 1/N of the files from the spec bucket id)
+    key_eq: str | None = None
+    #: `FOR SYSTEM_TIME AS OF <ts>` — snapshot time travel (Iceberg
+    #: topics only; extension over the reference's always-current reads)
+    as_of: datetime | None = None
 
     within_seconds: float | None = None  # WITHIN <d> band (joins)
     last_seconds: float | None = None  # LAST <d>

@@ -126,6 +126,12 @@ class Compiler:
                 raise ValidationError("joins do not support TAIL/SCAN FULL")
             if q.partition is not None or q.offset_min is not None or q.offset_max is not None:
                 raise ValidationError("joins do not support partition/offset filters")
+            if q.key_eq is not None:
+                raise ValidationError("joins do not support _key filters")
+            if q.as_of is not None:
+                raise ValidationError(
+                    "joins do not support FOR SYSTEM_TIME AS OF"
+                )
             if q.has_aggregates():
                 raise ValidationError("joins do not support aggregates")
         if (
@@ -153,7 +159,8 @@ class Compiler:
     def scan(self, topic: str, q: Query, apply_time: bool = True) -> DataFrame:
         ts_min, ts_max = self.time_bounds(q) if apply_time else (None, None)
         df = self._topic_frame(
-            topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max
+            topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max,
+            key_eq=q.key_eq, as_of=q.as_of,
         )
         if q.partition is not None:
             df = df.filter(F.col("_partition") == q.partition)
@@ -161,6 +168,11 @@ class Compiler:
             df = df.filter(F.col("_offset") >= q.offset_min)
         if q.offset_max is not None:
             df = df.filter(F.col("_offset") <= q.offset_max)
+        if q.key_eq is not None:
+            # exact row filter on top of any bucket prune: the record
+            # key is binary; a text literal compares against its UTF-8
+            # decode (same convention the join ON `_key` path uses)
+            df = df.filter(F.col("_key").cast("string") == q.key_eq)
         if apply_time:
             df = self._apply_time_bounds(df, q)
         return df
@@ -173,6 +185,8 @@ class Compiler:
         ts_max=None,
         offset_min=None,
         offset_max=None,
+        key_eq=None,
+        as_of=None,
     ) -> DataFrame:
         """Catalogs with their own metadata layer (Iceberg) expose
         ``topic_scan``: a read whose planned FILE LIST already honors the
@@ -182,17 +196,39 @@ class Compiler:
         `WHERE _offset >=` fetch never plans below the watermark. The
         exact row filters in scan()/_apply_time_bounds still apply on
         top; catalogs without the hook return the full topic frame and
-        rely on Spark-side pruning."""
+        rely on Spark-side pruning.
+
+        ``key_eq`` rides along when the catalog understands it (bucket
+        point-lookup planning — a catalog without the capability just
+        gets the exact row filter). ``as_of`` is different: time travel
+        NEEDS snapshot history, so a catalog that cannot honor it must
+        reject the query loudly rather than silently serve the current
+        state as if it were historical."""
         fn = getattr(self.catalog, "topic_scan", None)
+        supported = set()
         if fn is not None:
-            return fn(
-                topic,
+            import inspect
+
+            supported = set(inspect.signature(fn).parameters)
+        if as_of is not None and "as_of" not in supported:
+            raise ValidationError(
+                "FOR SYSTEM_TIME AS OF requires an Iceberg-backed topic "
+                "(snapshot history); this catalog serves only the "
+                "current state"
+            )
+        if fn is not None:
+            kwargs = dict(
                 partition=partition,
                 ts_min=ts_min,
                 ts_max=ts_max,
                 offset_min=offset_min,
                 offset_max=offset_max,
             )
+            if key_eq is not None and "key_eq" in supported:
+                kwargs["key_eq"] = key_eq
+            if as_of is not None:
+                kwargs["as_of"] = as_of
+            return fn(topic, **kwargs)
         return self.catalog.topic(topic)
 
     def _apply_time_bounds(self, df: DataFrame, q: Query) -> DataFrame:

@@ -204,7 +204,10 @@ class KafSqlEngine:
         under-estimate and admit scans the budget should reject."""
         ts_min, ts_max = self.compiler.time_bounds(q)
         frames = [
-            (q.topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max)
+            (
+                q.topic, q.partition, ts_min, ts_max,
+                q.offset_min, q.offset_max, q.key_eq, q.as_of,
+            )
         ]
         if q.join_topic:
             w = timedelta(seconds=q.within_seconds or 0)
@@ -216,12 +219,31 @@ class KafSqlEngine:
                     ts_max + w if ts_max is not None else None,
                     None,
                     None,
+                    None,
+                    None,
                 )
             )
         return frames
 
+    @staticmethod
+    def _est_kwargs(est_fn, key_eq, as_of) -> dict:
+        """Extension kwargs (bucket point-lookup, time travel) for an
+        estimate hook, included only when its signature takes them —
+        the same duck-typed capability check the compiler applies."""
+        import inspect
+
+        supported = set(inspect.signature(est_fn).parameters)
+        extra = {}
+        if key_eq is not None and "key_eq" in supported:
+            extra["key_eq"] = key_eq
+        if as_of is not None and "as_of" in supported:
+            extra["as_of"] = as_of
+        return extra
+
     def _check_budget(self, q: Query) -> None:
-        for topic, partition, ts_min, ts_max, off_min, off_max in self._scan_frames(q):
+        for (
+            topic, partition, ts_min, ts_max, off_min, off_max, key_eq, as_of,
+        ) in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
                 # metadata-layer catalogs price the budget check from
@@ -234,6 +256,7 @@ class KafSqlEngine:
                         ts_max,
                         offset_min=off_min,
                         offset_max=off_max,
+                        **self._est_kwargs(est_fn, key_eq, as_of),
                     )
                 )
                 continue
@@ -264,7 +287,9 @@ class KafSqlEngine:
         (server.go:929-962) — plus Catalyst's physical plan."""
         self.compiler._validate(q)
         lines = [f"scan topic={q.topic}"]
-        for topic, partition, ts_min, ts_max, off_min, off_max in self._scan_frames(q):
+        for (
+            topic, partition, ts_min, ts_max, off_min, off_max, key_eq, as_of,
+        ) in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
                 # catalogs with their own metadata layer (Iceberg: manifest
@@ -277,6 +302,7 @@ class KafSqlEngine:
                     ts_max,
                     offset_min=off_min,
                     offset_max=off_max,
+                    **self._est_kwargs(est_fn, key_eq, as_of),
                 )
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "

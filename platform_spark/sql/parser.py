@@ -167,12 +167,23 @@ def _extract_keyword_clauses(q: Query, tail: str) -> str:
 
 
 def _parse_from(q: Query, tail: str) -> str:
-    m = re.match(rf"(?i)^({_IDENT})(?:\s+(?!(?:JOIN|LEFT|WHERE|GROUP|ORDER|LIMIT)\b)({_IDENT}))?\s*", tail)
+    m = re.match(rf"(?i)^({_IDENT})(?:\s+(?!(?:JOIN|LEFT|WHERE|GROUP|ORDER|LIMIT|FOR)\b)({_IDENT}))?\s*", tail)
     if not m:
         raise ParseError(f"cannot parse FROM clause: {tail[:40]!r}")
     q.topic = m.group(1)
     q.topic_alias = m.group(2) or ""
     tail = tail[m.end() :]
+
+    # time travel: FROM topic [alias] FOR SYSTEM_TIME AS OF <ts>
+    # (SQL:2011 temporal syntax; resolved to the Iceberg snapshot that
+    # was current at the instant — rejected by the compiler on catalogs
+    # without snapshot history)
+    fm = re.match(
+        rf"(?i)^FOR\s+SYSTEM_TIME\s+AS\s+OF\s+({_TS_LIT})\s*", tail
+    )
+    if fm:
+        q.as_of = parse_ts_literal(fm.group(1))
+        tail = tail[fm.end() :]
 
     jm = re.match(
         rf"(?i)^(LEFT\s+(?:OUTER\s+)?JOIN|JOIN|INNER\s+JOIN)\s+({_IDENT})"
@@ -273,6 +284,14 @@ def _parse_where(q: Query, tail: str) -> str:
                 q.ts_min = parse_ts_literal(tm.group(2))
             else:
                 q.ts_max = parse_ts_literal(tm.group(2))
+            continue
+        km = re.match(r"(?i)^_key\s*=\s*'([^']*)'$", pred)
+        if km:
+            # extension (the reference rejects _key predicates,
+            # parser.go:259-261): point lookup by record key — over a
+            # _key-bucketed Iceberg topic the catalog plans only the
+            # key's spec bucket (1/N of the files)
+            q.key_eq = km.group(1)
             continue
         # the reference rejects every other predicate (parser.go:259-261)
         raise ParseError(f"unsupported WHERE predicate: {pred!r}")

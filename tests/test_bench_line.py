@@ -77,15 +77,22 @@ def test_short_names_stay_stable_for_known_keys():
     tracks."""
     bench = _bench()
     expect = {
+        # r13 renames (line-budget trims for the two new legs):
+        # ice_mrg->i_mrg, kfs_rt->kfs, sem_dec->sdec, dd_jac->ddj,
+        # ice_cl->i_cl, ice_mv->i_mv, ice_ch->i_ch — recorded here and in
+        # bench.py so the cross-round diff maps old keys to new ones
         "ingest_topics": "ingest",
         "analytics_q1_pricing_summary": "q1",
         "iceberg_delete_scan": "ice",
-        "iceberg_merge_scan": "ice_mrg",
-        "kfs_segment_roundtrip": "kfs_rt",
-        "llm_semantic_decontam": "sem_dec",
+        "iceberg_merge_scan": "i_mrg",
+        "kfs_segment_roundtrip": "kfs",
+        "llm_semantic_decontam": "sdec",
         "llm_embedding_clusters_fast": "ecf",
         "llm_ann_pq_topk": "pq",
         "q_kafsql_agg": "k_agg",
+        "iceberg_kafsql_bucket_lookup": "i_bk",
+        "iceberg_kafsql_time_travel": "i_tt",
+        "llm_dedup_ngram_jaccard": "ddj",
     }
     for full, short in expect.items():
         assert bench._short(full) == short

@@ -1806,6 +1806,153 @@ def test_kafsql_engine_runs_directly_on_iceberg_tables(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_kafsql_bucket_point_lookup(spark, tmp_path):
+    """Dialect point lookup over a `_key`-bucketed Iceberg topic (r12
+    verdict #4): `WHERE _key = 'x'` maps through the catalog's metadata
+    planner to ONE spec bucket's files — the compiled scan's inputFiles
+    is a strict subset (~1/N) of the table — while the exact row filter
+    keeps the result identical to the parquet engine's full-scan
+    answer."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "bkttopics")
+    os.makedirs(root, exist_ok=True)
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema,
+        partition_by=("bucket(_key, 8)",), clock=CLOCK,
+    )
+    # several appends so every bucket holds multiple files
+    for p in range(4):
+        append_dataframe(t, ev.filter(F.col("_partition") == p))
+    key = (
+        ev.filter(F.col("_key").isNotNull())
+        .select(F.col("_key").cast("string").alias("k"))
+        .first()
+        .k
+    )
+
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    all_entries = t.scan_files(spark=spark)
+    planned = icat._pruned_entries(t, None, None, None, key_eq=key)
+    assert 0 < len(planned) <= len(all_entries) // 4  # ~1/8 of the files
+    # str and bytes forms hash identically (spec: UTF-8 bytes)
+    want_bucket = t.bucket_value("_key", key)
+    assert want_bucket == t.bucket_value("_key", key.encode("utf-8"))
+    for e in planned:
+        assert e["data_file"]["partition"]["_key_bucket"] == want_bucket
+
+    now = datetime(2024, 1, 31)
+    ieng = KafSqlEngine(icat, now=now)
+    q = (
+        f"SELECT _partition, _offset, _key FROM events WHERE _key = '{key}' "
+        "LAST 30d LIMIT 100000"
+    )
+    df = ieng.sql(q)
+    # the COMPILED scan reads only the planned bucket's parquet files
+    norm = lambda p: p.replace("file:", "").lstrip("/")  # noqa: E731
+    assert {norm(f) for f in df.inputFiles()} == {
+        norm(e["data_file"]["file_path"]) for e in planned
+    }
+    # same rows as the parquet engine's full-scan evaluation of the
+    # same query (there `_key =` is just an exact row filter)
+    peng = KafSqlEngine(cat, now=now)
+    canon = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    got, want = canon(df), canon(peng.sql(q))
+    assert got == want and len(got) > 0
+    # EXPLAIN prices the lookup from manifests: 1/N of the full estimate
+    est_all = icat.estimate_topic_scan("events")
+    est_key = icat.estimate_topic_scan("events", key_eq=key)
+    assert 0 < est_key.files <= est_all.files // 4
+    assert est_key.rows < est_all.rows
+
+
+def test_kafsql_system_time_as_of(spark, tmp_path):
+    """`FROM t FOR SYSTEM_TIME AS OF <ts>` through the dialect (r12
+    verdict #5): replays the snapshot current at the instant — the
+    corpus-reproducibility query ('what did the topic look like when
+    the training set was cut'). Pre-upsert instants see the original
+    rows, later instants the upserted ones; pre-history instants and
+    non-Iceberg catalogs fail loudly."""
+    from datetime import datetime
+
+    from platform_spark.errors import ValidationError
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.iceberg.table import upsert_dataframe
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "ttopics")
+    os.makedirs(root, exist_ok=True)
+    times = [1_700_000_000.0]
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema,
+        partition_by=("_partition",), clock=lambda: times[0],
+    )
+    append_dataframe(t, ev)
+    times[0] += 3600.0  # upsert lands one hour later
+    upsert_dataframe(
+        t,
+        ev.filter("_offset % 5 = 0").withColumn("_segment", F.lit("upserted")),
+        ["_partition", "_offset"],
+    )
+
+    now = datetime(2024, 1, 31)
+    ieng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=now)
+    between_ms = 1_700_000_000_000 + 1_800_000  # between the two commits
+    q_tpl = (
+        "SELECT _segment, count(*) AS n FROM events "
+        "FOR SYSTEM_TIME AS OF {ts} LAST 30d GROUP BY _segment"
+    )
+    # pre-upsert instant: no 'upserted' segment, original row count
+    before = {
+        r._segment: r.n
+        for r in ieng.sql(q_tpl.format(ts=between_ms)).collect()
+    }
+    assert "upserted" not in before
+    total = ev.filter(
+        "_ts >= timestamp'2024-01-01' and _ts <= timestamp'2024-01-31'"
+    ).count()
+    assert sum(before.values()) == total
+    # post-upsert instant: upserted rows visible, total unchanged
+    after_ms = 1_700_000_000_000 + 7_200_000
+    after = {
+        r._segment: r.n
+        for r in ieng.sql(q_tpl.format(ts=after_ms)).collect()
+    }
+    assert after.get("upserted", 0) > 0
+    assert sum(after.values()) == total
+    # the un-suffixed read equals the latest instant
+    current = {
+        r._segment: r.n
+        for r in ieng.sql(
+            "SELECT _segment, count(*) AS n FROM events LAST 30d "
+            "GROUP BY _segment"
+        ).collect()
+    }
+    assert current == after
+    # EXPLAIN prices the historical snapshot (more files pre-compaction
+    # semantics aside: both estimates come from manifests, no footers)
+    icat = IcebergTopicCatalog(spark, root)
+    est_before = icat.estimate_topic_scan("events", as_of=between_ms)
+    est_after = icat.estimate_topic_scan("events", as_of=after_ms)
+    assert est_before.rows < est_after.rows  # upsert added data+delete rows
+    # pre-history instant fails loudly
+    with pytest.raises(ValueError, match="predates"):
+        ieng.sql(q_tpl.format(ts=1_600_000_000_000)).collect()
+    # a catalog without snapshot history rejects time travel
+    peng = KafSqlEngine(cat, now=now)
+    with pytest.raises(ValidationError, match="Iceberg-backed"):
+        peng.sql(q_tpl.format(ts=between_ms))
+
+
 def test_kafsql_catalog_prunes_evolved_renamed_topic(spark, tmp_path):
     """The dialect's planning path over a topic normalized INTO the
     envelope by metadata commits (rename seg→_segment, spec evolution

@@ -64,8 +64,11 @@ def test_ts_between():
 
 
 def test_where_rejects_other_predicates():
+    # `_key = '<text>'` is an r13 EXTENSION (bucket point lookup) —
+    # everything else outside the reference's fixed WHERE subset
+    # (parser.go:259-261) is still rejected
     with pytest.raises(ParseError):
-        parser.parse("SELECT * FROM events WHERE _key = 'a' LAST 5m")
+        parser.parse("SELECT * FROM events WHERE _value = 'a' LAST 5m")
     with pytest.raises(ParseError):
         parser.parse("SELECT * FROM events WHERE amount > 5 LAST 5m")
 
@@ -157,3 +160,39 @@ def test_ts_between_mid_clause():
     assert q.partition == 0
     assert q.ts_min.day == 2 and q.ts_max.day == 3
     assert q.offset_min == 5
+
+
+def test_key_equality_predicate():
+    q = parser.parse(
+        "SELECT _offset FROM events WHERE _key = 'doc-42' LAST 1h"
+    )
+    assert q.key_eq == "doc-42"
+    # composes with the classic predicates
+    q = parser.parse(
+        "SELECT _offset FROM events "
+        "WHERE _partition = 1 AND _key = 'k' AND _offset >= 5 LAST 1h"
+    )
+    assert q.partition == 1 and q.key_eq == "k" and q.offset_min == 5
+    # only equality against a quoted literal is supported
+    with pytest.raises(ParseError):
+        parser.parse("SELECT * FROM events WHERE _key > 'a' LAST 1h")
+    with pytest.raises(ParseError):
+        parser.parse("SELECT * FROM events WHERE _key = 42 LAST 1h")
+
+
+def test_for_system_time_as_of():
+    q = parser.parse(
+        "SELECT * FROM events FOR SYSTEM_TIME AS OF "
+        "'2024-01-15 00:00:00' LAST 30d"
+    )
+    assert q.as_of is not None and q.as_of.day == 15
+    assert q.topic == "events" and q.topic_alias == ""
+    # with an alias before the temporal clause; epoch-millis literal
+    q = parser.parse(
+        "SELECT e._offset FROM events e FOR SYSTEM_TIME AS OF "
+        "1700000000000 LAST 1h"
+    )
+    assert q.topic_alias == "e" and q.as_of.year == 2023
+    # FOR is never mistaken for an alias
+    q = parser.parse("SELECT * FROM events LAST 1h")
+    assert q.as_of is None
