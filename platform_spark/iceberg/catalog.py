@@ -104,6 +104,16 @@ class IcebergTopicCatalog:
     def raw_source_path(self, name: str) -> str | None:
         return None  # EXPLAIN prices scans via estimate_topic_scan instead
 
+    def topic_history(self, name: str) -> DataFrame:
+        """``SHOW SNAPSHOTS FROM <topic>``: the topic table's snapshot
+        log — (made_current_at, snapshot_id, parent_id,
+        is_current_ancestor) — the discovery half of time travel: these
+        are the instants/ids FOR SYSTEM_TIME / SYSTEM_VERSION accept."""
+        loc = os.path.join(self.root, name)
+        if not IcebergTable.exists(loc):
+            raise KeyError(f"unknown topic {name!r}")
+        return IcebergTable.load(loc).inspect_history(self.spark)
+
     @staticmethod
     def _bucket_spec_field(
         table: IcebergTable, column: str
@@ -194,6 +204,8 @@ class IcebergTopicCatalog:
         with_schema_columns: bool = True,
         key_eq: str | None = None,
         as_of=None,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Metadata-pruned topic read for the KAFSQL compiler: the
         planned file list already honors `_partition =`, `_ts` bounds,
@@ -206,14 +218,32 @@ class IcebergTopicCatalog:
         pruning only shrinks the plan. ``as_of`` (datetime or epoch
         millis) pins the read to the snapshot current at that instant
         (``FOR SYSTEM_TIME AS OF``): the corpus-reproducibility query —
-        'what did the topic look like when we cut the training set'."""
+        'what did the topic look like when we cut the training set'.
+        ``snapshot_id`` pins a specific snapshot by id
+        (``FOR SYSTEM_VERSION AS OF``; ids come from SHOW SNAPSHOTS) and
+        ``ref`` a named tag/branch (``FOR SYSTEM_VERSION AS OF 'name'``)
+        — unknown/expired ids and unknown refs fail loudly."""
         loc = os.path.join(self.root, name)
         if not IcebergTable.exists(loc):
             raise KeyError(f"unknown topic {name!r}")
         table = IcebergTable.load(loc)
-        snapshot_id = (
-            table.snapshot_id_as_of(as_of) if as_of is not None else None
-        )
+        if sum(x is not None for x in (as_of, snapshot_id, ref)) > 1:
+            raise ValueError("pass ONE of as_of / snapshot_id / ref")
+        if ref is not None:
+            # ref_snapshot_id validates the ref; its id is trusted as-is
+            # (a branch cut on an empty table legally points at -1)
+            snapshot_id = table.ref_snapshot_id(ref)
+        elif as_of is not None:
+            snapshot_id = table.snapshot_id_as_of(as_of)
+        elif snapshot_id is not None and not any(
+            s["snapshot-id"] == snapshot_id
+            for s in table.metadata["snapshots"]
+        ):
+            raise ValueError(
+                f"iceberg: topic {name!r} has no snapshot {snapshot_id} "
+                "(expired or never committed; SHOW SNAPSHOTS lists the "
+                "live ids)"
+            )
         entries = self._pruned_entries(
             table, partition, ts_min, ts_max, offset_min, offset_max,
             key_eq=key_eq, snapshot_id=snapshot_id,
@@ -235,6 +265,8 @@ class IcebergTopicCatalog:
         offset_max=None,
         key_eq: str | None = None,
         as_of=None,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
     ):
         """EXPLAIN scan estimate priced PURELY from Iceberg manifests —
         no parquet footer reads, no data access: each live entry carries
@@ -246,9 +278,10 @@ class IcebergTopicCatalog:
         from platform_spark.governance import ScanEstimate
 
         table = IcebergTable.load(os.path.join(self.root, name))
-        snapshot_id = (
-            table.snapshot_id_as_of(as_of) if as_of is not None else None
-        )
+        if ref is not None:
+            snapshot_id = table.ref_snapshot_id(ref)
+        elif as_of is not None:
+            snapshot_id = table.snapshot_id_as_of(as_of)
         entries = self._pruned_entries(
             table, partition, ts_min, ts_max, offset_min, offset_max,
             key_eq=key_eq, snapshot_id=snapshot_id,

@@ -3302,15 +3302,23 @@ class IcebergTable:
         partition_filter = self._norm_partition_filter(partition_filter)
         if snapshot_id == -1:  # e.g. a ref cut on an empty table
             return []
-        snap = (
-            self.current_snapshot()
-            if snapshot_id is None
-            else next(
-                s
-                for s in self.metadata["snapshots"]
-                if s["snapshot-id"] == snapshot_id
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = next(
+                (
+                    s
+                    for s in self.metadata["snapshots"]
+                    if s["snapshot-id"] == snapshot_id
+                ),
+                None,
             )
-        )
+            if snap is None:
+                raise ValueError(
+                    f"iceberg: no snapshot {snapshot_id} on "
+                    f"{self.location!r} (expired or never committed; "
+                    "SHOW SNAPSHOTS / inspect_history lists the live ids)"
+                )
         if snap is None:
             return []
         types = {f["id"]: f["type"] for f in self.schema["fields"]}

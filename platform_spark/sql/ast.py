@@ -17,6 +17,7 @@ from enum import Enum
 class QueryType(str, Enum):
     SHOW_TOPICS = "show_topics"
     SHOW_PARTITIONS = "show_partitions"
+    SHOW_SNAPSHOTS = "show_snapshots"
     DESCRIBE = "describe"
     SELECT = "select"
     EXPLAIN = "explain"
@@ -100,6 +101,13 @@ class Query:
     #: `FOR SYSTEM_TIME AS OF <ts>` — snapshot time travel (Iceberg
     #: topics only; extension over the reference's always-current reads)
     as_of: datetime | None = None
+    #: `FOR SYSTEM_VERSION AS OF <snapshot-id>` — read a pinned snapshot
+    #: by id (the ids `SHOW SNAPSHOTS FROM t` lists)
+    version_of: int | None = None
+    #: `FOR SYSTEM_VERSION AS OF '<ref>'` — read a named tag/branch
+    #: (Iceberg's ref syntax: the 'corpus-v1 is what run X trained on'
+    #: pin survives however much history expires around it)
+    version_ref: str | None = None
 
     within_seconds: float | None = None  # WITHIN <d> band (joins)
     last_seconds: float | None = None  # LAST <d>

@@ -128,9 +128,13 @@ class Compiler:
                 raise ValidationError("joins do not support partition/offset filters")
             if q.key_eq is not None:
                 raise ValidationError("joins do not support _key filters")
-            if q.as_of is not None:
+            if (
+                q.as_of is not None
+                or q.version_of is not None
+                or q.version_ref is not None
+            ):
                 raise ValidationError(
-                    "joins do not support FOR SYSTEM_TIME AS OF"
+                    "joins do not support FOR SYSTEM_TIME/SYSTEM_VERSION"
                 )
             if q.has_aggregates():
                 raise ValidationError("joins do not support aggregates")
@@ -160,7 +164,8 @@ class Compiler:
         ts_min, ts_max = self.time_bounds(q) if apply_time else (None, None)
         df = self._topic_frame(
             topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max,
-            key_eq=q.key_eq, as_of=q.as_of,
+            key_eq=q.key_eq, as_of=q.as_of, version_of=q.version_of,
+            version_ref=q.version_ref,
         )
         if q.partition is not None:
             df = df.filter(F.col("_partition") == q.partition)
@@ -187,6 +192,8 @@ class Compiler:
         offset_max=None,
         key_eq=None,
         as_of=None,
+        version_of=None,
+        version_ref=None,
     ) -> DataFrame:
         """Catalogs with their own metadata layer (Iceberg) expose
         ``topic_scan``: a read whose planned FILE LIST already honors the
@@ -216,6 +223,14 @@ class Compiler:
                 "(snapshot history); this catalog serves only the "
                 "current state"
             )
+        if (
+            version_of is not None and "snapshot_id" not in supported
+        ) or (version_ref is not None and "ref" not in supported):
+            raise ValidationError(
+                "FOR SYSTEM_VERSION AS OF requires an Iceberg-backed "
+                "topic (snapshot history); this catalog serves only the "
+                "current state"
+            )
         if fn is not None:
             kwargs = dict(
                 partition=partition,
@@ -228,6 +243,10 @@ class Compiler:
                 kwargs["key_eq"] = key_eq
             if as_of is not None:
                 kwargs["as_of"] = as_of
+            if version_of is not None:
+                kwargs["snapshot_id"] = version_of
+            if version_ref is not None:
+                kwargs["ref"] = version_ref
             return fn(topic, **kwargs)
         return self.catalog.topic(topic)
 

@@ -12,7 +12,7 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
 
-from platform_spark.errors import GovernanceError
+from platform_spark.errors import GovernanceError, ValidationError
 from platform_spark.governance import (
     QueryLimiter,
     ResultCache,
@@ -149,6 +149,8 @@ class KafSqlEngine:
             return self._show_topics()
         if q.type == QueryType.SHOW_PARTITIONS:
             return self._show_partitions(q.topic)
+        if q.type == QueryType.SHOW_SNAPSHOTS:
+            return self._show_snapshots(q.topic)
         if q.type == QueryType.DESCRIBE:
             return self._describe(q.topic)
         if q.type == QueryType.EXPLAIN:
@@ -206,7 +208,8 @@ class KafSqlEngine:
         frames = [
             (
                 q.topic, q.partition, ts_min, ts_max,
-                q.offset_min, q.offset_max, q.key_eq, q.as_of,
+                q.offset_min, q.offset_max,
+                (q.key_eq, q.as_of, q.version_of, q.version_ref),
             )
         ]
         if q.join_topic:
@@ -219,30 +222,35 @@ class KafSqlEngine:
                     ts_max + w if ts_max is not None else None,
                     None,
                     None,
-                    None,
-                    None,
+                    (None, None, None, None),
                 )
             )
         return frames
 
     @staticmethod
-    def _est_kwargs(est_fn, key_eq, as_of) -> dict:
-        """Extension kwargs (bucket point-lookup, time travel) for an
-        estimate hook, included only when its signature takes them —
-        the same duck-typed capability check the compiler applies."""
+    def _est_kwargs(est_fn, ext: tuple) -> dict:
+        """Extension kwargs (bucket point-lookup, time travel by
+        instant or snapshot id) for an estimate hook, included only
+        when its signature takes them — the same duck-typed capability
+        check the compiler applies."""
         import inspect
 
+        key_eq, as_of, version_of, version_ref = ext
         supported = set(inspect.signature(est_fn).parameters)
         extra = {}
         if key_eq is not None and "key_eq" in supported:
             extra["key_eq"] = key_eq
         if as_of is not None and "as_of" in supported:
             extra["as_of"] = as_of
+        if version_of is not None and "snapshot_id" in supported:
+            extra["snapshot_id"] = version_of
+        if version_ref is not None and "ref" in supported:
+            extra["ref"] = version_ref
         return extra
 
     def _check_budget(self, q: Query) -> None:
         for (
-            topic, partition, ts_min, ts_max, off_min, off_max, key_eq, as_of,
+            topic, partition, ts_min, ts_max, off_min, off_max, ext,
         ) in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
@@ -256,7 +264,7 @@ class KafSqlEngine:
                         ts_max,
                         offset_min=off_min,
                         offset_max=off_max,
-                        **self._est_kwargs(est_fn, key_eq, as_of),
+                        **self._est_kwargs(est_fn, ext),
                     )
                 )
                 continue
@@ -275,6 +283,21 @@ class KafSqlEngine:
         df = self.catalog.topic(topic, with_schema_columns=False)
         return df.select("_partition").distinct().orderBy("_partition")
 
+    def _show_snapshots(self, topic: str) -> DataFrame:
+        """SHOW SNAPSHOTS FROM t — the discovery half of time travel:
+        lists (made_current_at, snapshot_id, parent_id,
+        is_current_ancestor) for Iceberg-backed topics so the user can
+        pick the FOR SYSTEM_TIME / SYSTEM_VERSION target. Catalogs
+        without snapshot history reject it (there is nothing to list)."""
+        fn = getattr(self.catalog, "topic_history", None)
+        if fn is None:
+            raise ValidationError(
+                "SHOW SNAPSHOTS requires an Iceberg-backed topic "
+                "(snapshot history); this catalog serves only the "
+                "current state"
+            )
+        return fn(topic).orderBy("made_current_at")
+
     def _describe(self, topic: str) -> DataFrame:
         rows = self.catalog.describe(topic)
         return self.spark.createDataFrame(
@@ -288,7 +311,7 @@ class KafSqlEngine:
         self.compiler._validate(q)
         lines = [f"scan topic={q.topic}"]
         for (
-            topic, partition, ts_min, ts_max, off_min, off_max, key_eq, as_of,
+            topic, partition, ts_min, ts_max, off_min, off_max, ext,
         ) in self._scan_frames(q):
             est_fn = getattr(self.catalog, "estimate_topic_scan", None)
             if est_fn is not None:
@@ -302,7 +325,7 @@ class KafSqlEngine:
                     ts_max,
                     offset_min=off_min,
                     offset_max=off_max,
-                    **self._est_kwargs(est_fn, key_eq, as_of),
+                    **self._est_kwargs(est_fn, ext),
                 )
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "

@@ -105,6 +105,12 @@ def parse(statement: str) -> Query:
     m = re.match(rf"(?i)^SHOW\s+PARTITIONS\s+FROM\s+({_IDENT})$", text)
     if m:
         return Query(type=QueryType.SHOW_PARTITIONS, topic=m.group(1))
+    m = re.match(rf"(?i)^SHOW\s+SNAPSHOTS\s+FROM\s+({_IDENT})$", text)
+    if m:
+        # the discovery half of time travel: lists (made_current_at,
+        # snapshot_id, parent_id, is_current_ancestor) so a user can
+        # pick the instant/id to feed FOR SYSTEM_TIME/SYSTEM_VERSION
+        return Query(type=QueryType.SHOW_SNAPSHOTS, topic=m.group(1))
     m = re.match(rf"(?i)^DESCRIBE\s+({_IDENT})$", text)
     if m:
         return Query(type=QueryType.DESCRIBE, topic=m.group(1))
@@ -177,11 +183,28 @@ def _parse_from(q: Query, tail: str) -> str:
     # time travel: FROM topic [alias] FOR SYSTEM_TIME AS OF <ts>
     # (SQL:2011 temporal syntax; resolved to the Iceberg snapshot that
     # was current at the instant — rejected by the compiler on catalogs
-    # without snapshot history)
+    # without snapshot history), or FOR SYSTEM_VERSION AS OF <id>
+    # (a pinned snapshot id from SHOW SNAPSHOTS)
+    vm = re.match(
+        r"(?i)^FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+|'[^']*')\s*", tail
+    )
+    if vm:
+        lit = vm.group(1)
+        if lit.startswith("'"):
+            # quoted = a named ref (tag/branch), Iceberg's VERSION AS OF
+            # 'name' form; bare digits = a snapshot id
+            q.version_ref = lit[1:-1]
+        else:
+            q.version_of = int(lit)
+        tail = tail[vm.end() :]
     fm = re.match(
         rf"(?i)^FOR\s+SYSTEM_TIME\s+AS\s+OF\s+({_TS_LIT})\s*", tail
     )
     if fm:
+        if q.version_of is not None or q.version_ref is not None:
+            raise ParseError(
+                "pass ONE of FOR SYSTEM_TIME / FOR SYSTEM_VERSION"
+            )
         q.as_of = parse_ts_literal(fm.group(1))
         tail = tail[fm.end() :]
 

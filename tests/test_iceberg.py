@@ -1952,6 +1952,57 @@ def test_kafsql_system_time_as_of(spark, tmp_path):
     with pytest.raises(ValidationError, match="Iceberg-backed"):
         peng.sql(q_tpl.format(ts=between_ms))
 
+    # SHOW SNAPSHOTS: the discovery half — two snapshots, both on the
+    # current lineage, ordered by made_current_at
+    snaps = ieng.sql("SHOW SNAPSHOTS FROM events").collect()
+    assert len(snaps) == 2
+    assert snaps[0].made_current_at < snaps[1].made_current_at
+    assert all(r.is_current_ancestor for r in snaps)
+    with pytest.raises(ValidationError, match="Iceberg-backed"):
+        peng.sql("SHOW SNAPSHOTS FROM events")
+
+    # FOR SYSTEM_VERSION AS OF <id>: pin the first snapshot by id —
+    # identical result to the pre-upsert instant read
+    first_id = snaps[0].snapshot_id
+    ver = {
+        r._segment: r.n
+        for r in ieng.sql(
+            "SELECT _segment, count(*) AS n FROM events "
+            f"FOR SYSTEM_VERSION AS OF {first_id} LAST 30d "
+            "GROUP BY _segment"
+        ).collect()
+    }
+    assert ver == before
+    # unknown/expired ids fail loudly, naming the discovery statement
+    with pytest.raises(ValueError, match="SHOW SNAPSHOTS"):
+        ieng.sql(
+            "SELECT _segment, count(*) AS n FROM events "
+            "FOR SYSTEM_VERSION AS OF 9999 LAST 30d GROUP BY _segment"
+        )
+    # named-ref form: a tag pinned at the first snapshot reads the same
+    # pre-upsert state, survives history however it evolves
+    t.create_tag("corpus-v1", snapshot_id=first_id)
+    tagged = {
+        r._segment: r.n
+        for r in ieng.sql(
+            "SELECT _segment, count(*) AS n FROM events "
+            "FOR SYSTEM_VERSION AS OF 'corpus-v1' LAST 30d "
+            "GROUP BY _segment"
+        ).collect()
+    }
+    assert tagged == before
+    with pytest.raises(ValueError, match="unknown ref"):
+        ieng.sql(
+            "SELECT _segment, count(*) AS n FROM events "
+            "FOR SYSTEM_VERSION AS OF 'nope' LAST 30d GROUP BY _segment"
+        )
+    with pytest.raises(ValidationError, match="Iceberg-backed"):
+        peng.sql(
+            "SELECT _segment, count(*) AS n FROM events "
+            f"FOR SYSTEM_VERSION AS OF {first_id} LAST 30d "
+            "GROUP BY _segment"
+        )
+
 
 def test_kafsql_catalog_prunes_evolved_renamed_topic(spark, tmp_path):
     """The dialect's planning path over a topic normalized INTO the

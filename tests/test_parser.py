@@ -196,3 +196,22 @@ def test_for_system_time_as_of():
     # FOR is never mistaken for an alias
     q = parser.parse("SELECT * FROM events LAST 1h")
     assert q.as_of is None
+
+
+def test_for_system_version_and_show_snapshots():
+    q = parser.parse(
+        "SELECT _offset FROM events FOR SYSTEM_VERSION AS OF 7 LAST 1h"
+    )
+    assert q.version_of == 7 and q.as_of is None
+    with pytest.raises(ParseError, match="ONE of"):
+        parser.parse(
+            "SELECT * FROM events FOR SYSTEM_VERSION AS OF 7 "
+            "FOR SYSTEM_TIME AS OF 1700000000000 LAST 1h"
+        )
+    q = parser.parse("SHOW SNAPSHOTS FROM events")
+    assert q.type == QueryType.SHOW_SNAPSHOTS and q.topic == "events"
+    # quoted form = a named tag/branch ref (Iceberg VERSION AS OF 'name')
+    q = parser.parse(
+        "SELECT * FROM events FOR SYSTEM_VERSION AS OF 'corpus-v1' LAST 1h"
+    )
+    assert q.version_ref == "corpus-v1" and q.version_of is None
