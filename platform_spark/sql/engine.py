@@ -63,7 +63,17 @@ class KafSqlEngine:
     def collect_with_timeout(self, df: DataFrame, timeout: float | None = None):
         """Run an action under the engine's query timeout (the analogue of
         the reference's per-query context deadline, server.go:472-478):
-        the job group is cancelled when the deadline passes."""
+        the job group is cancelled when the deadline passes.
+
+        The canceller is a REAPER LOOP, not a one-shot timer:
+        ``cancelJobGroup`` only cancels jobs that are ACTIVE when it is
+        called, and a complex plan can spend more than the whole timeout
+        in analysis/codegen BEFORE its first job submits — a one-shot
+        cancel fired during planning is a silent no-op and the query
+        then runs to completion unbounded (found r13 when a slower host
+        stretched planning past a 1 s test deadline). After the deadline
+        the reaper re-cancels every 250 ms until the action returns, so
+        a job submitted at ANY point after the deadline is caught."""
         import threading
         import uuid
 
@@ -74,26 +84,33 @@ class KafSqlEngine:
         group = f"kafsql-{uuid.uuid4().hex[:8]}"
         sc.setJobGroup(group, "kafsql query", interruptOnCancel=True)
         fired = threading.Event()
+        done = threading.Event()
 
-        def _cancel() -> None:
+        def _reaper() -> None:
+            if done.wait(timeout):
+                return  # action finished inside the deadline
             fired.set()
-            sc.cancelJobGroup(group)
+            while not done.is_set():
+                sc.cancelJobGroup(group)
+                done.wait(0.25)
 
-        timer = threading.Timer(timeout, _cancel)
-        timer.start()
+        reaper = threading.Thread(
+            target=_reaper, name=f"{group}-reaper", daemon=True
+        )
+        reaper.start()
         try:
             return df.collect()
         except Exception as e:  # noqa: BLE001
-            # only report a timeout if OUR timer actually cancelled the job;
-            # genuine failures (analysis errors, OOM, source errors) re-raise
-            # unmasked so callers/logs see the real cause
+            # only report a timeout if OUR reaper actually cancelled the
+            # job; genuine failures (analysis errors, OOM, source errors)
+            # re-raise unmasked so callers/logs see the real cause
             if fired.is_set():
                 raise GovernanceError(
                     f"query cancelled (timeout {timeout}s)"
                 ) from e
             raise
         finally:
-            timer.cancel()
+            done.set()
             sc.setJobGroup("", "")
 
     #: session-var surface (C6, server SET/RESET): engine knobs by name
