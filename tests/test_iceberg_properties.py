@@ -71,6 +71,9 @@ def test_random_op_sequences_match_model_and_changelog(spark, tmp_path, ops):
     df0 = _batch(spark, [0], "seed")
     t = IcebergTable.create(loc, df0.schema, partition_by=("part",), clock=CLOCK)
     model: dict[int, tuple] = {}
+    #: (snapshot id, model at that instant) after every committing op —
+    #: the time-travel invariant's replay points
+    history: list[tuple[int, set]] = []
     fresh = 0  # next never-used id block for appends (appends = new rows)
     for n, (kind, p) in enumerate(ops):
         if kind == "append":
@@ -117,8 +120,24 @@ def test_random_op_sequences_match_model_and_changelog(spark, tmp_path, ops):
             rewrite_deletes(t, spark)
         elif kind == "rewrite_manifests":
             t.rewrite_manifests()
+        sid = t.metadata["current-snapshot-id"]
+        if sid != -1 and (not history or history[-1][0] != sid):
+            history.append((sid, set(model.values())))
     got = {(r.id, r.part, r.text) for r in t.to_spark(spark).collect()}
     assert got == set(model.values())
+    # time travel: reading a PAST snapshot by id reproduces the model
+    # exactly as it stood then — through every later upsert, delete,
+    # compaction and manifest rewrite (maintenance must rewrite only
+    # CURRENT metadata, never history). First/middle/last keep the
+    # replay cost bounded.
+    probes = {0, len(history) // 2, len(history) - 1} if history else set()
+    for idx in probes:
+        sid, want = history[idx]
+        past = {
+            (r.id, r.part, r.text)
+            for r in t.to_spark(spark, snapshot_id=sid).collect()
+        }
+        assert past == want, f"snapshot {sid} (op {idx}) diverged"
     # changelog replay over the full window reconstructs the same state
     # (maintenance snapshots must be invisible to it)
     state: dict[int, tuple] = {}
