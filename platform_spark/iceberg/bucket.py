@@ -294,8 +294,10 @@ def bucket_udf(ice_type: str, n: int):
             res[~mask] = None
             return res
         if ice_type == "string":
+            # pd.isna catches None, NaN and pd.NA alike — str(pd.NA)
+            # would otherwise hash the literal "<NA>"
             enc = [
-                None if v is None else str(v).encode("utf-8") for v in s
+                None if pd.isna(v) else str(v).encode("utf-8") for v in s
             ]
         else:  # binary / fixed: Arrow hands bytes (or bytearray)
             enc = [None if v is None else bytes(v) for v in s]
