@@ -83,12 +83,12 @@ _EXTRA_SHORT = {
     "strip_html": "html",
     "winnow_fps": "win",
     "mix_budget": "mixb",
-    "ann_brute": "brute",
-    "ann_ivfkm": "ivfkm",
+    "ann_brute": "brt",
+    "ann_ivfkm": "ivk",
     "mat_packs": "mpk",
-    "chunkdocs": "chdoc",
+    "chunkdocs": "chd",
     "a_sliding": "a_sld",
-    "dup_spans": "dspan",
+    "dup_spans": "dsp",
     "a_ivljoin": "a_ivl",
     "oov_rate": "oov",
     "a_runrev": "a_rr",
@@ -99,7 +99,7 @@ _EXTRA_SHORT = {
     "phash_rp": "ph_rp",
     "rm_spans": "rm_sp",
     "s_compact": "s_cmp",
-    "tfidf_kw": "tfidf",
+    "tfidf_kw": "tfi",
     "iceberg_day_partition_scan": "i_day",
     "iceberg_upsert_scan": "i_ups",
     "iceberg_changelog_scan": "i_cl",
@@ -111,6 +111,7 @@ _EXTRA_SHORT = {
     "iceberg_kafsql_evolved_scan": "i_esql",
     "iceberg_bucket_scan": "i_bkt",
     "iceberg_kafsql_bucket_lookup": "i_bk",
+    "iceberg_kafsql_key_in_lookup": "i_kin",
     "iceberg_kafsql_time_travel": "i_tt",
     # r13 line-budget trims (same rule as r12: full names stay in the
     # detail file and the leg_history ledger)
@@ -153,6 +154,7 @@ _EXTRA_SHORT = {
     "norm_ws": "n_ws",
     "emb_rp": "e_rp",
     "a_sess": "sess",
+    "a_mavg": "a_mv",
 }
 
 
@@ -242,6 +244,7 @@ HEADLINE_GATES = (
     "iceberg_kafsql_evolved_scan",
     "iceberg_bucket_scan",
     "iceberg_kafsql_bucket_lookup",
+    "iceberg_kafsql_key_in_lookup",
     "iceberg_kafsql_time_travel",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",

@@ -6178,6 +6178,66 @@ WHERE _key = ({_BKT_KEY_SQL})
 )
 
 
+#: first two DISTINCT non-null keys in scan order — both sides derive
+#: the same pair (Spark collects it, the oracle computes it in SQL)
+_BKT_KEYS2_SQL = (
+    "SELECT _key FROM t_events WHERE _key IS NOT NULL GROUP BY _key "
+    "ORDER BY MIN(CAST(_partition AS BIGINT) * 1000000000 + _offset) LIMIT 2"
+)
+
+
+def _iceberg_kafsql_key_in_lookup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_bkt_root(spark, sf_dir)
+    keys = [
+        r.k
+        for r in catalog_for(spark, sf_dir)
+        .topic("events", with_schema_columns=False)
+        .filter(F.col("_key").isNotNull())
+        .groupBy(F.col("_key").cast("string").alias("k"))
+        .agg(
+            F.min(
+                F.col("_partition").cast("long") * F.lit(1_000_000_000)
+                + F.col("_offset")
+            ).alias("ord")
+        )
+        .orderBy("ord")
+        .limit(2)
+        .collect()
+    ]
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    in_list = ", ".join(f"'{k}'" for k in keys)
+    return eng.sql(
+        "SELECT _partition, _offset, _key, _segment FROM events "
+        f"WHERE _key IN ({in_list}) LAST 30d LIMIT 100000"
+    )
+
+
+# IN-list batch fetch over the bucketed topic (the r13 twin of the
+# point lookup): the catalog plans the UNION of the keys' spec buckets
+# from manifests alone (set-valued partition filter, union-of-buckets
+# inputFiles asserted in test_kafsql_bucket_point_lookup) and the exact
+# isin filter composes with the merge-on-read upsert. The oracle derives
+# the same two keys in SQL and rebuilds the post-upsert state.
+_add(
+    "iceberg_kafsql_key_in_lookup",
+    _iceberg_kafsql_key_in_lookup_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition, _offset, {orc.bytea('_key')} AS _key,
+  CASE WHEN _offset % 5 = 0 THEN 'upserted' ELSE _segment END AS _segment
+FROM t_events
+WHERE _key IN ({_BKT_KEYS2_SQL})
+  AND _ts >= TIMESTAMP '{_last_lo(30)}' AND _ts <= TIMESTAMP '{_NOW_S}'"""
+    ),
+)
+
+
 def _iceberg_kafsql_time_travel_gate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6772,6 +6832,7 @@ _TAIL_SUBSETS = [
     "iceberg_kafsql_scan",         # NEW r10, tail-placed from birth: every constituent is head-pinned — the dialect's LAST+GROUP BY compile by kafsql_last/kafsql_agg_multi_group, the upserted merge-on-read scan by iceberg_merge_scan + iceberg_delete_scan (head) and iceberg_upsert_scan's relational oracle (tail, pytest-replayed), day-transform pruning by iceberg_day_partition_scan's envelope oracle; what's NEW here is only their COMPOSITION through IcebergTopicCatalog (catalog.py glue), which carries this full post-upsert relational oracle replayed in pytest plus test_kafsql_engine_runs_directly_on_iceberg_tables' parquet-vs-iceberg equality over every dialect shape
     "iceberg_bucket_scan",  # NEW r12, tail-placed from birth: strict subset of the head-pinned append/upsert/scan machinery (iceberg_upsert_scan's relational oracle over identity partitions; iceberg_day_partition_scan pins the hidden-transform write/derive/prune shape) — the bucket-specific increment is the spec murmur3_x86_32 derivation itself, which is pinned HARDER than any oracle can: tests/test_iceberg.py::test_bucket_transform_spec_vectors asserts the published Appendix-B reference hashes and test_bucket_udf_matches_scalar the vectorized/scalar equality; THIS gate's full relational oracle proves rows route through buckets and come back exactly once through a CDC upsert
     "iceberg_kafsql_bucket_lookup",  # NEW r13, tail-placed from birth: strict subset of pinned machinery — iceberg_bucket_scan (tail, same bucket(…)-partitioned write/upsert build with the spec murmur3 pinned against the published Appendix-B vectors in pytest) + iceberg_kafsql_scan (tail, the same dialect-over-IcebergTopicCatalog composition) + kafsql_select_star (head, projection/render path) — the r13 increment is only the catalog's key_eq→bucket-id metadata planning (catalog.py _pruned_entries) and the compiler's `_key =` row filter, exactly what THIS gate's oracle pins (post-upsert rows of one derived key, the 1/N inputFiles prune plan-asserted in test_kafsql_bucket_point_lookup)
+    "iceberg_kafsql_key_in_lookup",  # NEW r13, tail-placed from birth: the IN-list twin of iceberg_kafsql_bucket_lookup (tail) — identical machinery (same scratch root, same post-upsert oracle shape, same catalog planning path) with the single increment of a SET-valued partition filter (union of the member keys' bucket ids, _part_value_matches/table.py + member-wise summary pruning), whose union-of-buckets file plan is inputFiles-asserted in test_kafsql_bucket_point_lookup; the oracle derives the same two keys in SQL, so the gate carries a full relational oracle of its own
     "iceberg_kafsql_time_travel",  # NEW r13, tail-placed from birth: strict subset of pinned machinery — iceberg_kafsql_scan (tail, same dialect LAST+GROUP BY composition and oracle shape) + the snapshot_id_as_of resolution rule pinned in pytest (test_time_travel_as_of, test_kafsql_system_time_as_of incl. loud pre-history/wrong-catalog failures) — the r13 increment is only the parser's FOR SYSTEM_TIME clause and the catalog's as_of→snapshot plan pin; THIS gate's oracle is the PRE-upsert envelope, so a hash match proves the historical read excludes the later upsert's data files and equality deletes both
     "iceberg_kafsql_evolved_scan",  # NEW r12, tail-placed from birth: strict subset of three tail gates' pinned machinery — iceberg_kafsql_scan (the same dialect-over-IcebergTopicCatalog composition with the same LAST+GROUP BY+upsert oracle shape), iceberg_rename_scan (field-id resolution on data and delete-key reads), iceberg_spec_evolution_scan (per-manifest spec pruning over mixed layouts) — composed in ONE topic: what's NEW is only that the catalog's schema-on-read + `_partition =` + `_ts`-bounds planning path (catalog.py _pruned_entries) runs over a renamed+evolved table end-to-end through the compiler, exactly what THIS gate's full relational oracle (partition-filtered post-upsert rebuild from the raw envelope) pins; the constituent guards stay pytest-pinned in test_rename_and_drop_column/test_partition_spec_evolution
 ]

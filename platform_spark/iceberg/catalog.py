@@ -173,8 +173,13 @@ class IcebergTopicCatalog:
                 name, _n = bucket
                 # the spec hashes a key's UTF-8 bytes whether the topic
                 # writer recorded _key as string or binary —
-                # bucket_value normalizes either way
-                pf[name] = table.bucket_value("_key", key_eq)
+                # bucket_value normalizes either way. A tuple (IN list)
+                # plans the UNION of its members' buckets.
+                keys = key_eq if isinstance(key_eq, tuple) else (key_eq,)
+                ids = frozenset(
+                    table.bucket_value("_key", k) for k in keys
+                )
+                pf[name] = next(iter(ids)) if len(ids) == 1 else ids
         entries = table.scan_files(
             snapshot_id=snapshot_id, partition_filter=pf or None,
             spark=self.spark,

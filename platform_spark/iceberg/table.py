@@ -613,6 +613,15 @@ def _parse_spec_fields(partition_by: tuple, by_name: dict) -> list[dict]:
     return spec_fields
 
 
+def _part_value_matches(have, want) -> bool:
+    """One partition value against a filter value: scalar = equality,
+    tuple/set/frozenset = membership (the IN-list point-lookup shape —
+    e.g. `_key IN (...)` maps to the SET of the keys' bucket ids)."""
+    if isinstance(want, (set, frozenset, tuple)):
+        return have in want
+    return have == want
+
+
 def _manifest_live_entries(
     mf: dict, content: int, partition_filter: dict | None, fnames: list[str]
 ) -> list[dict]:
@@ -632,7 +641,7 @@ def _manifest_live_entries(
         part = e["data_file"]["partition"]
         if partition_filter and any(
             partition_filter.get(n) is not None
-            and part.get(n) != partition_filter[n]
+            and not _part_value_matches(part.get(n), partition_filter[n])
             for n in fnames
         ):
             continue
@@ -1029,6 +1038,12 @@ class IcebergTable:
         }
         out = {}
         for k, v in partition_filter.items():
+            if isinstance(v, (set, frozenset, list, tuple)):
+                # IN-list: normalize member-wise (recursion depth 1)
+                out[k] = tuple(
+                    self._norm_partition_filter({k: m})[k] for m in v
+                )
+                continue
             tr = transforms.get(k)
             if tr == "year":
                 if isinstance(v, (datetime.datetime, datetime.date)):
@@ -3344,9 +3359,15 @@ class IcebergTable:
                     t = self._result_bound_type(pf, types)
                     lo = deserialize_bound(t, summ["lower_bound"])
                     hi = deserialize_bound(t, summ["upper_bound"])
-                    if lo is not None and hi is not None and not lo <= want <= hi:
-                        skip = True
-                        break
+                    if lo is not None and hi is not None:
+                        vals = (
+                            want
+                            if isinstance(want, (set, frozenset, tuple))
+                            else (want,)
+                        )
+                        if not any(lo <= w <= hi for w in vals):
+                            skip = True
+                            break
                 if skip:
                     continue
             mf["_fnames"] = [pf["name"] for pf in sp_fields]

@@ -98,6 +98,9 @@ class Query:
     #: rejects it, parser.go:259-261; over a _key-bucketed Iceberg topic
     #: it plans 1/N of the files from the spec bucket id)
     key_eq: str | None = None
+    #: `WHERE _key IN ('a', 'b', ...)` — the batch-fetch twin of key_eq
+    #: (plans the UNION of the keys' buckets)
+    key_in: tuple[str, ...] | None = None
     #: `FOR SYSTEM_TIME AS OF <ts>` — snapshot time travel (Iceberg
     #: topics only; extension over the reference's always-current reads)
     as_of: datetime | None = None

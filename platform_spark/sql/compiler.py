@@ -126,7 +126,7 @@ class Compiler:
                 raise ValidationError("joins do not support TAIL/SCAN FULL")
             if q.partition is not None or q.offset_min is not None or q.offset_max is not None:
                 raise ValidationError("joins do not support partition/offset filters")
-            if q.key_eq is not None:
+            if q.key_eq is not None or q.key_in is not None:
                 raise ValidationError("joins do not support _key filters")
             if (
                 q.as_of is not None
@@ -162,9 +162,13 @@ class Compiler:
     # -- scan + row filters (P4-P7) -------------------------------------
     def scan(self, topic: str, q: Query, apply_time: bool = True) -> DataFrame:
         ts_min, ts_max = self.time_bounds(q) if apply_time else (None, None)
+        # key_eq and key_in share the catalog's bucket-planning hook: a
+        # single key rides as a scalar, an IN list as a tuple (the
+        # catalog plans the union of the keys' buckets)
+        key_sel = q.key_eq if q.key_eq is not None else q.key_in
         df = self._topic_frame(
             topic, q.partition, ts_min, ts_max, q.offset_min, q.offset_max,
-            key_eq=q.key_eq, as_of=q.as_of, version_of=q.version_of,
+            key_eq=key_sel, as_of=q.as_of, version_of=q.version_of,
             version_ref=q.version_ref,
         )
         if q.partition is not None:
@@ -178,6 +182,8 @@ class Compiler:
             # key is binary; a text literal compares against its UTF-8
             # decode (same convention the join ON `_key` path uses)
             df = df.filter(F.col("_key").cast("string") == q.key_eq)
+        if q.key_in is not None:
+            df = df.filter(F.col("_key").cast("string").isin(*q.key_in))
         if apply_time:
             df = self._apply_time_bounds(df, q)
         return df

@@ -226,7 +226,10 @@ class KafSqlEngine:
             (
                 q.topic, q.partition, ts_min, ts_max,
                 q.offset_min, q.offset_max,
-                (q.key_eq, q.as_of, q.version_of, q.version_ref),
+                (
+                    q.key_eq if q.key_eq is not None else q.key_in,
+                    q.as_of, q.version_of, q.version_ref,
+                ),
             )
         ]
         if q.join_topic:

@@ -316,6 +316,13 @@ def _parse_where(q: Query, tail: str) -> str:
             # key's spec bucket (1/N of the files)
             q.key_eq = km.group(1)
             continue
+        kin = re.match(r"(?i)^_key\s+IN\s*\((\s*'[^']*'(?:\s*,\s*'[^']*')*\s*)\)$", pred)
+        if kin:
+            # batch fetch: the IN-list twin (union of the keys' buckets)
+            q.key_in = tuple(
+                m.group(1) for m in re.finditer(r"'([^']*)'", kin.group(1))
+            )
+            continue
         # the reference rejects every other predicate (parser.go:259-261)
         raise ParseError(f"unsupported WHERE predicate: {pred!r}")
     return tail

@@ -77,10 +77,12 @@ def test_short_names_stay_stable_for_known_keys():
     tracks."""
     bench = _bench()
     expect = {
-        # r13 renames (line-budget trims for the two new legs):
+        # r13 renames (line-budget trims for the three new legs):
         # ice_mrg->i_mrg, kfs_rt->kfs, sem_dec->sdec, dd_jac->ddj,
-        # ice_cl->i_cl, ice_mv->i_mv, ice_ch->i_ch — recorded here and in
-        # bench.py so the cross-round diff maps old keys to new ones
+        # ice_cl->i_cl, ice_mv->i_mv, ice_ch->i_ch, dspan->dsp,
+        # chdoc->chd, ivfkm->ivk, brute->brt, tfidf->tfi, a_mavg->a_mv —
+        # recorded here and in bench.py so the cross-round diff maps old
+        # keys to new ones
         "ingest_topics": "ingest",
         "analytics_q1_pricing_summary": "q1",
         "iceberg_delete_scan": "ice",

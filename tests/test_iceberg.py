@@ -1871,6 +1871,35 @@ def test_kafsql_bucket_point_lookup(spark, tmp_path):
     assert 0 < est_key.files <= est_all.files // 4
     assert est_key.rows < est_all.rows
 
+    # IN-list batch fetch: two keys from DIFFERENT buckets plan exactly
+    # the union of both buckets' files
+    keys2 = [
+        r.k
+        for r in ev.filter(F.col("_key").isNotNull())
+        .select(F.col("_key").cast("string").alias("k"))
+        .distinct()
+        .collect()
+    ]
+    b0 = t.bucket_value("_key", keys2[0])
+    other = next(k for k in keys2 if t.bucket_value("_key", k) != b0)
+    pair = (keys2[0], other)
+    planned_in = icat._pruned_entries(t, None, None, None, key_eq=pair)
+    want_ids = {t.bucket_value("_key", k) for k in pair}
+    got_ids = {
+        e["data_file"]["partition"]["_key_bucket"] for e in planned_in
+    }
+    assert got_ids == want_ids
+    assert len(planned_in) > len(planned)  # two buckets > one
+    q_in = (
+        "SELECT _partition, _offset, _key FROM events "
+        f"WHERE _key IN ('{pair[0]}', '{pair[1]}') LAST 30d LIMIT 100000"
+    )
+    df_in = ieng.sql(q_in)
+    assert {norm(f) for f in df_in.inputFiles()} == {
+        norm(e["data_file"]["file_path"]) for e in planned_in
+    }
+    assert canon(df_in) == canon(peng.sql(q_in)) and df_in.count() > 0
+
 
 def test_kafsql_system_time_as_of(spark, tmp_path):
     """`FROM t FOR SYSTEM_TIME AS OF <ts>` through the dialect (r12

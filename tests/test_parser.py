@@ -215,3 +215,19 @@ def test_for_system_version_and_show_snapshots():
         "SELECT * FROM events FOR SYSTEM_VERSION AS OF 'corpus-v1' LAST 1h"
     )
     assert q.version_ref == "corpus-v1" and q.version_of is None
+
+
+def test_key_in_predicate():
+    q = parser.parse(
+        "SELECT _offset FROM events WHERE _key IN ('a', 'b', 'c') LAST 1h"
+    )
+    assert q.key_in == ("a", "b", "c") and q.key_eq is None
+    q = parser.parse(
+        "SELECT _offset FROM events "
+        "WHERE _partition = 1 AND _key IN ('x') LAST 1h"
+    )
+    assert q.partition == 1 and q.key_in == ("x",)
+    with pytest.raises(ParseError):
+        parser.parse("SELECT * FROM events WHERE _key IN (42) LAST 1h")
+    with pytest.raises(ParseError):
+        parser.parse("SELECT * FROM events WHERE _value IN ('a') LAST 1h")
