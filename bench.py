@@ -449,9 +449,12 @@ def main() -> None:
             if (
                 len(runs) < SLOW_MAX_RUNS
                 and min(runs) >= WARM_CAP_S
-                and runs[-1] > runs[0] * 1.10
+                and (max(runs) - min(runs)) > min(runs) * 0.15
             ):
-                continue  # inverse signature: resample the heap state
+                # wide spread on an expensive leg (either direction —
+                # r13's ecf sampled [12.6, 10.3] and stopped at 2 runs
+                # under the one-sided rule): resample the heap state
+                continue
             break
         timings[name] = round(min(runs), 3)
         n_runs[name] = len(runs)
