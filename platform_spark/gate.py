@@ -6126,10 +6126,15 @@ def _ensure_iceberg_kafsql_bkt_root(spark: SparkSession, sf_dir: str) -> str:
 
 #: the first non-null key in scan order — deterministic at any sf, and
 #: computable by BOTH sides (Spark collects it, the oracle derives it in
-#: SQL) so the gate needs no sf-specific literal
+#: SQL) so the gate needs no sf-specific literal. Quote-bearing keys are
+#: excluded on BOTH sides: the collected key is interpolated into the
+#: dialect statement as a single-quoted literal and the parser's string
+#: grammar has no escape form, so a key containing `'` would break the
+#: statement rather than mis-match (ADVICE r13; the synthetic corpus's
+#: keys are numeric text, so this is armor, not behavior).
 _BKT_KEY_SQL = (
     "SELECT _key FROM t_events WHERE _key IS NOT NULL "
-    "ORDER BY _partition, _offset LIMIT 1"
+    "AND _key NOT LIKE '%''%' ORDER BY _partition, _offset LIMIT 1"
 )
 
 
@@ -6144,7 +6149,10 @@ def _iceberg_kafsql_bucket_lookup_gate(
     key = (
         catalog_for(spark, sf_dir)
         .topic("events", with_schema_columns=False)
-        .filter(F.col("_key").isNotNull())
+        .filter(
+            F.col("_key").isNotNull()
+            & ~F.col("_key").cast("string").contains("'")
+        )
         .orderBy("_partition", "_offset")
         .select(F.col("_key").cast("string").alias("k"))
         .first()
@@ -6178,10 +6186,12 @@ WHERE _key = ({_BKT_KEY_SQL})
 )
 
 
-#: first two DISTINCT non-null keys in scan order — both sides derive
-#: the same pair (Spark collects it, the oracle computes it in SQL)
+#: first two DISTINCT non-null quote-free keys in scan order — both
+#: sides derive the same pair (Spark collects it, the oracle computes it
+#: in SQL); see _BKT_KEY_SQL for the quote-free rationale
 _BKT_KEYS2_SQL = (
-    "SELECT _key FROM t_events WHERE _key IS NOT NULL GROUP BY _key "
+    "SELECT _key FROM t_events WHERE _key IS NOT NULL "
+    "AND _key NOT LIKE '%''%' GROUP BY _key "
     "ORDER BY MIN(CAST(_partition AS BIGINT) * 1000000000 + _offset) LIMIT 2"
 )
 
@@ -6198,7 +6208,10 @@ def _iceberg_kafsql_key_in_lookup_gate(
         r.k
         for r in catalog_for(spark, sf_dir)
         .topic("events", with_schema_columns=False)
-        .filter(F.col("_key").isNotNull())
+        .filter(
+            F.col("_key").isNotNull()
+            & ~F.col("_key").cast("string").contains("'")
+        )
         .groupBy(F.col("_key").cast("string").alias("k"))
         .agg(
             F.min(
@@ -6216,6 +6229,56 @@ def _iceberg_kafsql_key_in_lookup_gate(
         "SELECT _partition, _offset, _key, _segment FROM events "
         f"WHERE _key IN ({in_list}) LAST 30d LIMIT 100000"
     )
+
+
+def _iceberg_kafsql_key_lookup_unbounded_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_bkt_root(spark, sf_dir)
+    key = (
+        catalog_for(spark, sf_dir)
+        .topic("events", with_schema_columns=False)
+        .filter(
+            F.col("_key").isNotNull()
+            & ~F.col("_key").cast("string").contains("'")
+        )
+        .orderBy("_partition", "_offset")
+        .select(F.col("_key").cast("string").alias("k"))
+        .first()
+        .k
+    )
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    # NO time bound: the bucketed catalog plans 1/N of the files from
+    # manifests, the engine's ScanBudget prices that plan, and the
+    # compiler admits the lookup through the unbounded guard (r13
+    # verdict #2) — clause-shape rejection would cap the S7 point-fetch
+    # at max_unbounded_scan rows for no reason
+    return eng.sql(
+        "SELECT _partition, _offset, _key, _segment FROM events "
+        f"WHERE _key = '{key}' LIMIT 100000"
+    )
+
+
+# BARE (no LAST) bucket point lookup — the budget-admitted unbounded
+# form: same catalog planning and upsert merge as
+# iceberg_kafsql_bucket_lookup, the oracle simply drops the time bounds,
+# so a hash match proves the admitted path reads the key's FULL history
+# exactly (not a time-truncated subset).
+_add(
+    "iceberg_kafsql_key_lookup_unbounded",
+    _iceberg_kafsql_key_lookup_unbounded_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition, _offset, {orc.bytea('_key')} AS _key,
+  CASE WHEN _offset % 5 = 0 THEN 'upserted' ELSE _segment END AS _segment
+FROM t_events
+WHERE _key = ({_BKT_KEY_SQL})"""
+    ),
+)
 
 
 # IN-list batch fetch over the bucketed topic (the r13 twin of the
@@ -6272,6 +6335,90 @@ SELECT _partition, _segment, COUNT(*) AS n,
 FROM t_events
 WHERE _ts >= TIMESTAMP '{_last_lo(30)}' AND _ts <= TIMESTAMP '{_NOW_S}'
 GROUP BY 1, 2"""
+    ),
+)
+
+
+def _ensure_iceberg_kafsql_jtt_root(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch topic ROOT for the per-side join time travel gate: orders
+    AND payments envelopes committed as Iceberg topics at t0; orders
+    then CDC-upserted (every 7th offset re-segmented) an hour later on
+    the metadata clock — so `orders FOR SYSTEM_TIME AS OF <between>`
+    replays the pre-upsert side while payments reads current."""
+    from pyspark.sql import functions as F
+
+    from platform_spark.iceberg.table import (
+        IcebergTable, append_dataframe, upsert_dataframe,
+    )
+
+    root, done = _iceberg_scratch(sf_dir, "_jtt")
+    if not os.path.exists(done):
+        cat = catalog_for(spark, sf_dir)
+        times = [1_700_000_000.0]
+        for name in ("orders", "payments"):
+            df = cat.topic(name, with_schema_columns=False)
+            t = IcebergTable.create(
+                os.path.join(root, name), df.schema,
+                clock=lambda: times[0],
+            )
+            append_dataframe(t, df)
+        times[0] += 3600.0  # the upsert snapshot lands one hour later
+        orders = IcebergTable.load(
+            os.path.join(root, "orders"), clock=lambda: times[0]
+        )
+        upsert_dataframe(
+            orders,
+            cat.topic("orders", with_schema_columns=False)
+            .filter("_offset % 7 = 0")
+            .withColumn("_segment", F.lit("upserted")),
+            ["_partition", "_offset"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+def _iceberg_kafsql_join_time_travel_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_jtt_root(spark, sf_dir)
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    # left side pinned BETWEEN orders' append and upsert snapshots;
+    # right side reads current payments
+    return eng.sql(
+        "SELECT o._key AS okey, o._offset AS ooffset, "
+        "o._segment AS oseg, p._offset AS poffset "
+        "FROM orders o FOR SYSTEM_TIME AS OF 1700001800000 "
+        "JOIN payments p ON o._key = p._key WITHIN 10m LAST 15000d "
+        "LIMIT 100000"
+    )
+
+
+# Per-side join time travel (r13 verdict #6): the LEFT topic is pinned
+# to the snapshot BETWEEN its append and its upsert, the right reads
+# current — the corpus-reproducibility join ('docs AS OF the training
+# cut against today's eval topic'). The oracle joins the RAW orders
+# envelope (= the pre-upsert state; oseg can never be 'upserted') to
+# current payments, so a hash match proves the pin isolates exactly one
+# join side: a current-state left read would surface 'upserted'
+# segments, a both-sides pin is impossible to confuse because payments
+# has only one snapshot and the band/window semantics are the
+# kafsql_join_inner machinery unchanged.
+_add(
+    "iceberg_kafsql_join_time_travel",
+    _iceberg_kafsql_join_time_travel_gate,
+    orc.with_topics(
+        f"""
+SELECT {orc.bytea('o._key')} AS okey, o._offset AS ooffset,
+  o._segment AS oseg, p._offset AS poffset
+FROM (SELECT * FROM t_orders
+      WHERE _ts >= TIMESTAMP '{_last_lo(15000)}'
+        AND _ts <= TIMESTAMP '{_NOW_S}') o
+JOIN t_payments p
+  ON o._key = p._key
+ AND abs(epoch_us(o._ts) - epoch_us(p._ts)) <= 600000000"""
     ),
 )
 
@@ -6704,6 +6851,8 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 # driver replica `tools/check_oracle.py` — see COVERAGE.md.
 # ---------------------------------------------------------------------------
 _TAIL_SUBSETS = [
+    "iceberg_kafsql_key_lookup_unbounded",  # bare (no LAST) twin of iceberg_kafsql_bucket_lookup (tail, same bucket planning + upsert merge — this gate only DROPS the ts bounds, whose machinery stays head-pinned by kafsql_last); the unbounded-guard admission + budget enforcement are pytest-pinned (test_key_lookup_budget_admission)
+    "iceberg_kafsql_join_time_travel",  # per-side AS OF = iceberg_kafsql_time_travel's snapshot pin (tail, pre-upsert oracle proves data+delete planning) threaded into kafsql_join_inner's head-pinned join machinery (same ON/WITHIN/LAST band over orders/payments); the only new code is the parser suffix + per-side kwargs plumb, and THIS gate's own full relational oracle (pre-upsert left x current right) pins exactly that composition
     # subset-of gate                 superset that stays in the window
     # NOTE llm_dedup_clusters (pairwise path) deliberately stays in the
     # HEAD window: its full-pair oracle independently pins the expansion

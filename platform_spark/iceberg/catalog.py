@@ -60,6 +60,18 @@ class IcebergTopicCatalog:
     one snapshot; scan budgeting uses the engine's envelope-view fallback
     (raw_source_path → None), like KfsTopicCatalog."""
 
+    #: declared scan-hook capabilities (compiler.scan_capabilities reads
+    #: this FIRST) — honored by both topic_scan and estimate_topic_scan,
+    #: so wrapping either hook in a decorator can't silently break time
+    #: travel's loud-rejection contract or the key_eq bucket prune
+    topic_scan_capabilities = frozenset(
+        {
+            "partition", "ts_min", "ts_max", "offset_min", "offset_max",
+            "key_eq", "as_of", "snapshot_id", "ref",
+            "with_schema_columns",
+        }
+    )
+
     def __init__(self, spark: SparkSession, root: str, configs: dict | None = None):
         self.spark = spark
         self.root = root
@@ -129,6 +141,17 @@ class IcebergTopicCatalog:
                 return pf["name"], int(m.group(1))
         return None
 
+    def plans_key_lookup(self, name: str) -> bool:
+        """True when ``_key = x`` over ``name`` is metadata-planned to
+        1/N of the files (the current default spec buckets ``_key``).
+        The compiler admits such a lookup WITHOUT a time bound — its
+        cost is priced from manifests and enforced by the engine's
+        ScanBudget, unlike the blanket clause-shape guard (r13 verdict
+        #2). Non-bucketed tables return False and keep the loud
+        unbounded-query rejection."""
+        table = IcebergTable.load(os.path.join(self.root, name))
+        return self._bucket_spec_field(table, "_key") is not None
+
     def _pruned_entries(
         self,
         table: IcebergTable,
@@ -154,10 +177,12 @@ class IcebergTopicCatalog:
         #4): when the table's current spec has ``bucket[N]`` on
         ``_key``, the equality value hashes to its spec bucket id and
         the scan plans ONLY that bucket's files — 1/N of the table from
-        manifests alone. Files written under an earlier spec without
-        the bucket field are conservatively kept (scan_files prunes
-        each manifest under its own spec); non-bucketed tables simply
-        skip the prune and rely on the exact row filter.
+        manifests alone. Each manifest re-hashes the key under its OWN
+        spec's bucket[N] (BucketLookup), so eras with a different bucket
+        count each prune to 1/N_their_own; files written under an
+        earlier spec without any bucket field are conservatively kept;
+        non-bucketed tables simply skip the prune and rely on the exact
+        row filter.
 
         ``snapshot_id`` pins the whole plan (data files AND the delete
         files merged on read) to one historical snapshot — time
@@ -170,16 +195,21 @@ class IcebergTopicCatalog:
         if key_eq is not None:
             bucket = self._bucket_spec_field(table, "_key")
             if bucket is not None:
+                from platform_spark.iceberg.table import BucketLookup
+
                 name, _n = bucket
                 # the spec hashes a key's UTF-8 bytes whether the topic
                 # writer recorded _key as string or binary —
                 # bucket_value normalizes either way. A tuple (IN list)
-                # plans the UNION of its members' buckets.
+                # plans the UNION of its members' buckets. The RAW keys
+                # travel in a BucketLookup so each manifest hashes them
+                # under its OWN spec's bucket[N] — after a bucket-count
+                # evolution the current N's ids would silently mis-prune
+                # old-era manifests (ADVICE r13), and per-spec hashing
+                # also keeps old eras pruning to 1/N_old instead of
+                # being conservatively kept.
                 keys = key_eq if isinstance(key_eq, tuple) else (key_eq,)
-                ids = frozenset(
-                    table.bucket_value("_key", k) for k in keys
-                )
-                pf[name] = next(iter(ids)) if len(ids) == 1 else ids
+                pf[name] = BucketLookup("_key", keys)
         entries = table.scan_files(
             snapshot_id=snapshot_id, partition_filter=pf or None,
             spark=self.spark,

@@ -613,6 +613,31 @@ def _parse_spec_fields(partition_by: tuple, by_name: dict) -> list[dict]:
     return spec_fields
 
 
+class BucketLookup:
+    """Partition-filter value for a bucketed point lookup, re-resolved
+    PER MANIFEST SPEC: carries the source column and the raw source
+    value(s), and each manifest hashes them under ITS OWN ``bucket[N]``
+    transform at scan-planning time. After partition-spec evolution
+    changes the bucket count (``bucket(_key,4)`` → ``bucket(_key,8)``),
+    both eras' spec fields share the name ``_key_bucket``, so a plain
+    by-name id computed under N=8 would silently mis-prune the N=4
+    manifests (rows vanish from point lookups). Resolving per spec makes
+    the lookup correct across every era — AND keeps old-era manifests
+    pruning to 1/N_old instead of being conservatively kept, which is
+    the behavior a 100 TB table wants after a bucket-count migration."""
+
+    __slots__ = ("source", "values")
+
+    def __init__(self, source: str, values):
+        self.source = source
+        self.values = tuple(values) if isinstance(
+            values, (set, frozenset, list, tuple)
+        ) else (values,)
+
+    def __repr__(self):  # EXPLAIN/estimate surfaces may str() the filter
+        return f"BucketLookup({self.source}={list(self.values)!r})"
+
+
 def _part_value_matches(have, want) -> bool:
     """One partition value against a filter value: scalar = equality,
     tuple/set/frozenset = membership (the IN-list point-lookup shape —
@@ -962,6 +987,34 @@ class IcebergTable:
             "up — is a foreign writer wedged?"
         ) from last_err
 
+    def _commit_with_retries(self, attempt, what: str, on_conflict=None):
+        """FILE-commit sibling of :meth:`_commit_metadata_update`: run
+        ``attempt()`` — which derives whatever it needs from the CURRENT
+        table state and commits — under the SAME bounded
+        ``COMMIT_ATTEMPTS`` budget with the same loud give-up error. On
+        each :class:`CommitConflict` loss the table refreshes, then
+        ``on_conflict()`` (when given) performs the path's extra
+        recovery/soundness work — dropping stale staged files, or
+        re-validating that the rewrite's input basis is untouched —
+        before the next attempt. Consolidates the nine inline
+        ``for _attempt in range(3)`` loops (append/replace/delete/
+        upsert/compact/maintenance) that each carried their own budget
+        and error text (r13 verdict #4)."""
+        last_err: Exception | None = None
+        for _attempt in range(self.COMMIT_ATTEMPTS):
+            try:
+                return attempt()
+            except CommitConflict as e:
+                last_err = e
+                self.refresh()
+                if on_conflict is not None:
+                    on_conflict()
+        raise CommitConflict(
+            f"iceberg: {what} lost the commit race "
+            f"{self.COMMIT_ATTEMPTS} times on {self.location!r}; giving "
+            "up — is a foreign writer wedged?"
+        ) from last_err
+
     def _write_version(self, version: int, metadata: dict) -> None:
         """Publish ``metadata`` as the table's next version through the
         configured commit protocol — a CAS on the current-metadata
@@ -1066,6 +1119,69 @@ class IcebergTable:
             out[k] = v
         return out
 
+    def _resolve_filter_for_spec(
+        self, partition_filter: dict | None, sp_fields: list[dict]
+    ) -> dict | None:
+        """Resolve a normalized partition filter against ONE manifest's
+        spec fields. ``BucketLookup`` values hash under THAT spec's own
+        ``bucket[N]`` on the same source column (no field in this spec
+        buckets the source → no constraint, conservative keep). Plain
+        by-name values apply only when the manifest field's transform
+        equals the CURRENT spec's transform for that name — same-name/
+        different-transform fields across spec eras must keep files, not
+        mis-prune them with another era's representation."""
+        if not partition_filter:
+            return partition_filter
+        import re as _re
+
+        by_id = {f["id"]: f for f in self.schema["fields"]}
+        cur_tr = {
+            pf["name"]: pf.get("transform", "identity")
+            for pf in self.spec["fields"]
+        }
+        spec_by_name = {pf["name"]: pf for pf in sp_fields}
+        out: dict = {}
+        for k, v in partition_filter.items():
+            if isinstance(v, BucketLookup):
+                for pf in sp_fields:
+                    src = by_id.get(pf["source-id"], {})
+                    m = _re.fullmatch(
+                        r"bucket\[(\d+)\]", str(pf.get("transform"))
+                    )
+                    if m and src.get("name") == v.source:
+                        n = int(m.group(1))
+                        src_type = src["type"]
+                        ids = frozenset(
+                            self._bucket_source_value(src_type, mv, n)
+                            for mv in v.values
+                        )
+                        out[pf["name"]] = (
+                            next(iter(ids)) if len(ids) == 1 else ids
+                        )
+                        break
+                continue  # no bucket field on this source in this spec
+            pf = spec_by_name.get(k)
+            if pf is not None and k in cur_tr and (
+                pf.get("transform", "identity") != cur_tr[k]
+            ):
+                continue  # era mismatch: keep this manifest's files
+            out[k] = v
+        return out or None
+
+    @staticmethod
+    def _bucket_source_value(src_type: str, value, n: int) -> int | None:
+        """Spec bucket id of one SOURCE value under ``bucket[n]``,
+        coercing datetime/date the same way ``bucket_value`` does."""
+        from platform_spark.iceberg.bucket import bucket_value as _bv
+
+        if src_type in ("timestamp", "timestamptz") and hasattr(
+            value, "timestamp"
+        ):
+            value = dt_to_micros(value)
+        elif src_type == "date" and hasattr(value, "toordinal"):
+            value = (value - _dtmod.date(1970, 1, 1)).days
+        return _bv(value, src_type, n)
+
     def bucket_value(self, column: str, value) -> int:
         """The spec bucket id a SOURCE value lands in under this table's
         bucket spec field for ``column`` — the read-side half of
@@ -1123,22 +1239,18 @@ class IcebergTable:
         (they should live under ``location/data/``; on a table created
         with ``sort_by=`` the caller is expected to have written them in
         that order — entries are tagged with the default sort-order id).
-        Returns the new snapshot dict. Retries on commit conflict like
-        the reference's 3-attempt loop (iceberg.go:157-195).
-        ``properties_update`` merges into table properties atomically
-        with the commit (the streaming sink records its last batch id
-        this way for replay idempotence)."""
+        Returns the new snapshot dict. Retries on commit conflict under
+        the shared bounded budget (the reference's own loop is bounded
+        too, iceberg.go:157-195). ``properties_update`` merges into
+        table properties atomically with the commit (the streaming sink
+        records its last batch id this way for replay idempotence)."""
         if not paths:
             raise ValueError("iceberg: empty append")
         stats = self._file_stats(paths, spark=spark)
-        last_err: Exception | None = None
-        for _attempt in range(3):
-            try:
-                return self._append_once(paths, stats, properties_update, branch)
-            except CommitConflict as e:
-                last_err = e
-                self.refresh()
-        raise last_err  # type: ignore[misc]
+        return self._commit_with_retries(
+            lambda: self._append_once(paths, stats, properties_update, branch),
+            "append_files",
+        )
 
     def _build_entries(
         self,
@@ -1457,19 +1569,15 @@ class IcebergTable:
         replaced = self.scan_files(spark=spark)
         old_deletes = self.scan_deletes(spark=spark)
         stats = self._file_stats(new_paths, spark=spark)
-        last_err: Exception | None = None
-        for _attempt in range(3):
-            try:
-                return self._replace_once(new_paths, stats, replaced, old_deletes)
-            except CommitConflict as e:
-                last_err = e
-                self.refresh()
-                # the new files' CONTENT was derived from the pre-conflict
-                # live state; retrying is only sound if the winner did not
-                # change that state (e.g. a pure metadata/eq-delete race
-                # is NOT safe — stale content would resurrect rows)
-                self._check_rewrite_basis(replaced, old_deletes)
-        raise last_err  # type: ignore[misc]
+        return self._commit_with_retries(
+            lambda: self._replace_once(new_paths, stats, replaced, old_deletes),
+            "replace_files",
+            # the new files' CONTENT was derived from the pre-conflict
+            # live state; retrying is only sound if the winner did not
+            # change that state (e.g. a pure metadata/eq-delete race
+            # is NOT safe — stale content would resurrect rows)
+            on_conflict=lambda: self._check_rewrite_basis(replaced, old_deletes),
+        )
 
     def _check_rewrite_basis(
         self, replaced: list[dict], old_deletes: list[dict]
@@ -2139,8 +2247,7 @@ class IcebergTable:
         matching itself is one distributed filter over the live files."""
         from pyspark.sql import functions as F
 
-        last_err: Exception | None = None
-        for _attempt in range(3):
+        def attempt():
             entries = self.scan_files(spark=spark)
             if not entries:
                 return None
@@ -2172,15 +2279,15 @@ class IcebergTable:
                 return None
             try:
                 return self._delete_once(live, stats)
-            except CommitConflict as e:
+            except CommitConflict:
                 # positions may be stale vs the winner's commit (e.g. a
-                # concurrent compaction): drop the files and recompute
-                # against the refreshed snapshot
-                last_err = e
+                # concurrent compaction): drop the files; the retry
+                # recomputes against the refreshed snapshot
                 for p in live:
                     os.remove(p)
-                self.refresh()
-        raise last_err  # type: ignore[misc]
+                raise
+
+        return self._commit_with_retries(attempt, "delete_where")
 
     def delete_keys(self, spark, keys_df) -> dict | None:
         """Commit an EQUALITY delete: every current row whose values in
@@ -2215,14 +2322,12 @@ class IcebergTable:
             return None
         # key values are state-independent: a commit conflict only needs
         # a refresh + re-commit of the same files, never a recompute
-        last_err: Exception | None = None
-        for _attempt in range(3):
-            try:
-                return self._delete_once(live, stats, content=2, equality_ids=eq_ids)
-            except CommitConflict as e:
-                last_err = e
-                self.refresh()
-        raise last_err  # type: ignore[misc]
+        return self._commit_with_retries(
+            lambda: self._delete_once(
+                live, stats, content=2, equality_ids=eq_ids
+            ),
+            "delete_keys",
+        )
 
     def _delete_once(
         self,
@@ -2370,8 +2475,8 @@ class IcebergTable:
         {'manifests_replaced': n, 'manifests_created': n, 'snapshot': s}
         (no commit when the list is already consolidated)."""
         fnames = [pf["name"] for pf in self.spec["fields"]]
-        last_err: Exception | None = None
-        for _attempt in range(3):
+
+        def attempt():
             prior = self.current_snapshot()
             if prior is None:
                 return {"manifests_replaced": 0, "manifests_created": 0,
@@ -2424,29 +2529,28 @@ class IcebergTable:
                             spec=g_spec,
                         )
                     )
-            try:
-                snap = self._finalize_snapshot(
-                    manifests,
-                    "replace",
-                    {
-                        "manifests-replaced": str(len(mlist)),
-                        "manifests-created": str(len(manifests)),
-                        "entries-processed": str(
-                            sum(len(v) for v in by_group.values())
-                        ),
-                    },
-                    seq,
-                    snap_id,
-                )
-                return {
-                    "manifests_replaced": len(mlist),
-                    "manifests_created": len(manifests),
-                    "snapshot": snap,
-                }
-            except CommitConflict as e:
-                last_err = e
-                self.refresh()  # pure metadata: recompute from fresh list
-        raise last_err  # type: ignore[misc]
+            # pure metadata: a conflict loss just recomputes from the
+            # refreshed manifest list on the next attempt
+            snap = self._finalize_snapshot(
+                manifests,
+                "replace",
+                {
+                    "manifests-replaced": str(len(mlist)),
+                    "manifests-created": str(len(manifests)),
+                    "entries-processed": str(
+                        sum(len(v) for v in by_group.values())
+                    ),
+                },
+                seq,
+                snap_id,
+            )
+            return {
+                "manifests_replaced": len(mlist),
+                "manifests_created": len(manifests),
+                "snapshot": snap,
+            }
+
+        return self._commit_with_retries(attempt, "rewrite_manifests")
 
     def expire_snapshots(
         self, keep_last: int = 1, older_than_ms: int | None = None
@@ -3349,10 +3453,17 @@ class IcebergTable:
             sp_fields = self.partition_spec(mf.get("partition_spec_id"))[
                 "fields"
             ]
-            if partition_filter and mf.get("partitions"):
+            # resolve the filter against THIS manifest's spec (bucket
+            # lookups hash under its own N; same-name fields from a
+            # different era drop out) — by-name matching alone would
+            # mis-prune old-era manifests after spec evolution
+            mf_filter = self._resolve_filter_for_spec(
+                partition_filter, sp_fields
+            )
+            if mf_filter and mf.get("partitions"):
                 skip = False
                 for i, pf in enumerate(sp_fields):
-                    want = partition_filter.get(pf["name"])
+                    want = mf_filter.get(pf["name"])
                     if want is None or i >= len(mf["partitions"]):
                         continue
                     summ = mf["partitions"][i]
@@ -3371,6 +3482,7 @@ class IcebergTable:
                 if skip:
                     continue
             mf["_fnames"] = [pf["name"] for pf in sp_fields]
+            mf["_pfilter"] = mf_filter
             selected.append(mf)
         est_entries = sum(
             mf["added_files_count"] + mf["existing_files_count"]
@@ -3392,7 +3504,7 @@ class IcebergTable:
                     lambda t: [
                         (t[0], e)
                         for e in _manifest_live_entries(
-                            t[1], content, partition_filter, t[1]["_fnames"]
+                            t[1], content, t[1]["_pfilter"], t[1]["_fnames"]
                         )
                     ]
                 )
@@ -3405,7 +3517,7 @@ class IcebergTable:
         for mf in selected:
             out.extend(
                 _manifest_live_entries(
-                    mf, content, partition_filter, mf["_fnames"]
+                    mf, content, mf["_pfilter"], mf["_fnames"]
                 )
             )
         return out
@@ -4238,18 +4350,14 @@ def upsert_dataframe(
         )
     # both file sets are state-independent (derived from the batch, not
     # the table), so a conflict only needs refresh + re-commit
-    last_err: Exception | None = None
-    for _attempt in range(3):
-        try:
-            return table._upsert_once(
-                data_live, del_live, stats, eq_ids,
-                properties_update=properties_update,
-                branch=branch,
-            )
-        except CommitConflict as e:
-            last_err = e
-            table.refresh()
-    raise last_err  # type: ignore[misc]
+    return table._commit_with_retries(
+        lambda: table._upsert_once(
+            data_live, del_live, stats, eq_ids,
+            properties_update=properties_update,
+            branch=branch,
+        ),
+        "upsert_dataframe",
+    )
 
 
 def compact_table(
@@ -4350,28 +4458,30 @@ def compact_table(
     # replace_files — stale packed content must never resurrect rows)
     stats = table._file_stats(new_files, spark=spark)
     removed = {e["data_file"]["file_path"] for e in entries}
-    last_err: Exception | None = None
-    for _attempt in range(3):
-        try:
-            return table._merge_once(new_files, stats, removed, operation="replace")
-        except CommitConflict as e:
-            last_err = e
-            table.refresh()
-            still_live = {
-                x["data_file"]["file_path"]
-                for x in table.scan_files(partition_filter=partition_filter, spark=spark)
-            }
-            now_dels = {
-                x["data_file"]["file_path"] for x in table.scan_deletes(spark=spark)
-            }
-            if not removed <= still_live or now_dels != {
-                x["data_file"]["file_path"] for x in deletes
-            }:
-                raise ValueError(
-                    "iceberg: concurrent commit changed the compacted "
-                    "partitions; re-run compaction against the fresh state"
-                ) from e
-    raise last_err  # type: ignore[misc]
+
+    def basis_unchanged():
+        # raised inside the retry helper's except block, so the
+        # CommitConflict chains implicitly as __context__
+        still_live = {
+            x["data_file"]["file_path"]
+            for x in table.scan_files(partition_filter=partition_filter, spark=spark)
+        }
+        now_dels = {
+            x["data_file"]["file_path"] for x in table.scan_deletes(spark=spark)
+        }
+        if not removed <= still_live or now_dels != {
+            x["data_file"]["file_path"] for x in deletes
+        }:
+            raise ValueError(
+                "iceberg: concurrent commit changed the compacted "
+                "partitions; re-run compaction against the fresh state"
+            )
+
+    return table._commit_with_retries(
+        lambda: table._merge_once(new_files, stats, removed, operation="replace"),
+        "compact_table",
+        on_conflict=basis_unchanged,
+    )
 
 
 def rewrite_deletes(table: IcebergTable, spark) -> dict:
@@ -4392,8 +4502,7 @@ def rewrite_deletes(table: IcebergTable, spark) -> dict:
     no-op when the table has no live deletes)."""
     from pyspark.sql import functions as F
 
-    last_err: Exception | None = None
-    for _attempt in range(3):
+    def attempt():
         deletes = table.scan_deletes(spark=spark)
         if not deletes:
             return {
@@ -4466,14 +4575,14 @@ def rewrite_deletes(table: IcebergTable, spark) -> dict:
                 "new_delete_files": len(new_files),
                 "snapshot": snap,
             }
-        except CommitConflict as e:
+        except CommitConflict:
             # the fold's positions were computed against the pre-conflict
-            # state; drop the files and recompute against the refresh
-            last_err = e
+            # state; drop the files — the retry recomputes from fresh
             for p in new_files:
                 os.remove(p)
-            table.refresh()
-    raise last_err  # type: ignore[misc]
+            raise
+
+    return table._commit_with_retries(attempt, "rewrite_deletes")
 
 
 def merge_into(
@@ -4520,8 +4629,7 @@ def merge_into(
                 for f in table.spark_schema.fields
             ]
         )
-    last_err: Exception | None = None
-    for _attempt in range(3):
+    def attempt():
         entries = table.scan_files(spark=spark)
         if not entries:
             return append_dataframe(table, source)
@@ -4574,12 +4682,12 @@ def merge_into(
         stats = table._file_stats(new_files, spark=spark)
         try:
             return table._merge_once(new_files, stats, affected_set)
-        except CommitConflict as e:
-            last_err = e
+        except CommitConflict:
             for p in new_files:  # recompute against the winner's state
                 os.remove(p)
-            table.refresh()
-    raise last_err  # type: ignore[misc]
+            raise
+
+    return table._commit_with_retries(attempt, "merge_into")
 
 
 def _list_parquet(root: str) -> list[str]:

@@ -1210,7 +1210,11 @@ def _lsh_cosine_pairs(
     hold occupancy (and candidate-pair count) roughly constant — the sf1
     rehearsal (COVERAGE.md) shows cost is linear in candidate pairs.
     """
-    from platform_spark.llmdata.similarity import dot_expr, norm_expr
+    from platform_spark.llmdata.similarity import (
+        cosine_prenorm,
+        dot_expr,
+        norm_expr,
+    )
 
     import hashlib
     import struct
@@ -1286,8 +1290,8 @@ def _lsh_cosine_pairs(
         F.col("nrm").alias("nrm_b"),
     )
     cand = cand.join(va, "id_a").join(vb, "id_b")
-    cos = dot_expr(F.col("v_a"), F.col("v_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
+    cos = cosine_prenorm(
+        F.col("v_a"), F.col("v_b"), F.col("nrm_a"), F.col("nrm_b")
     )
     return cand.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")

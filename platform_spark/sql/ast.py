@@ -111,6 +111,12 @@ class Query:
     #: (Iceberg's ref syntax: the 'corpus-v1 is what run X trained on'
     #: pin survives however much history expires around it)
     version_ref: str | None = None
+    #: per-side time travel on the JOIN topic (`JOIN t FOR SYSTEM_TIME
+    #: AS OF ... ON ...`) — the corpus-reproducibility join: the docs
+    #: topic AS OF the training cut against today's eval topic
+    join_as_of: datetime | None = None
+    join_version_of: int | None = None
+    join_version_ref: str | None = None
 
     within_seconds: float | None = None  # WITHIN <d> band (joins)
     last_seconds: float | None = None  # LAST <d>

@@ -45,6 +45,45 @@ GROUP_KEY_SEP = "\x1f"
 GROUP_KEY_NULL = "<nil>"
 
 
+#: every optional kwarg a catalog scan/estimate hook may understand —
+#: the capability vocabulary `scan_capabilities` resolves against
+SCAN_CAPABILITIES = frozenset(
+    {
+        "partition", "ts_min", "ts_max", "offset_min", "offset_max",
+        "key_eq", "as_of", "snapshot_id", "ref", "with_schema_columns",
+    }
+)
+
+
+def scan_capabilities(owner, fn) -> frozenset:
+    """The optional-kwarg capabilities of a catalog hook (``topic_scan``
+    or ``estimate_topic_scan``). A DECLARED ``topic_scan_capabilities``
+    attribute on the catalog wins outright — signature sniffing alone
+    (the r13 shape) silently breaks on a decorator-wrapped hook (whose
+    visible signature is ``*args, **kwargs``) and mis-fires time
+    travel's loud-rejection contract. The fallback inspects the
+    signature FOLLOWING ``__wrapped__`` chains, and treats a bare
+    ``**kwargs`` as supporting the full vocabulary (a wrapper that
+    forwards everything)."""
+    if fn is None:
+        return frozenset()  # no hook ⇒ no capabilities, declared or not
+    caps = getattr(owner, "topic_scan_capabilities", None)
+    if caps is not None:
+        return frozenset(caps)
+    import inspect
+
+    try:
+        sig = inspect.signature(fn, follow_wrapped=True)
+    except (TypeError, ValueError):
+        return frozenset()
+    params = sig.parameters
+    if any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    ):
+        return SCAN_CAPABILITIES
+    return frozenset(params) & SCAN_CAPABILITIES
+
+
 @dataclass
 class CompilerOptions:
     default_limit: int = 1000
@@ -128,14 +167,9 @@ class Compiler:
                 raise ValidationError("joins do not support partition/offset filters")
             if q.key_eq is not None or q.key_in is not None:
                 raise ValidationError("joins do not support _key filters")
-            if (
-                q.as_of is not None
-                or q.version_of is not None
-                or q.version_ref is not None
-            ):
-                raise ValidationError(
-                    "joins do not support FOR SYSTEM_TIME/SYSTEM_VERSION"
-                )
+            # per-side FOR SYSTEM_TIME/SYSTEM_VERSION is allowed: each
+            # side routes through _topic_frame, which still rejects
+            # loudly on catalogs without snapshot history
             if q.has_aggregates():
                 raise ValidationError("joins do not support aggregates")
         if (
@@ -143,10 +177,33 @@ class Compiler:
             and not q.scan_full
             and q.tail is None
             and not q.has_time_bound()
+            and not self._admits_key_lookup(q)
         ):
             raise ValidationError(
                 "unbounded query: add LAST/TAIL/_ts bounds or SCAN FULL"
             )
+
+    def _admits_key_lookup(self, q: Query) -> bool:
+        """A ``_key =`` / ``_key IN`` query whose catalog PLANS the
+        lookup from bucket metadata (1/N of the files from manifests
+        alone) may run without a time bound: its cost is MEASURED —
+        ``estimate_topic_scan`` prices the planned file set and the
+        engine's ScanBudget enforces the cap before execution — so the
+        blanket clause-shape guard (r13) would force SCAN FULL's
+        ``max_unbounded_scan`` row cap onto the reference's S7
+        point-fetch shape (log.go:468 binary-search-by-offset is its
+        offset analogue) for no reason. Non-bucketed topics and
+        catalogs without metadata planning keep the loud rejection:
+        there a bare key filter IS a full scan."""
+        if (q.key_eq is None and q.key_in is None) or q.is_join():
+            return False
+        plans = getattr(self.catalog, "plans_key_lookup", None)
+        if plans is None:
+            return False
+        try:
+            return bool(plans(q.topic))
+        except FileNotFoundError:
+            return False  # unknown topic: scan() raises its own error
 
     # -- effective limit (server.go:1321-1346) --------------------------
     def effective_limit(self, q: Query) -> int:
@@ -218,11 +275,7 @@ class Compiler:
         reject the query loudly rather than silently serve the current
         state as if it were historical."""
         fn = getattr(self.catalog, "topic_scan", None)
-        supported = set()
-        if fn is not None:
-            import inspect
-
-            supported = set(inspect.signature(fn).parameters)
+        supported = scan_capabilities(self.catalog, fn)
         if as_of is not None and "as_of" not in supported:
             raise ValidationError(
                 "FOR SYSTEM_TIME AS OF requires an Iceberg-backed topic "
@@ -499,6 +552,9 @@ class Compiler:
             q.join_topic,
             ts_min=ts_min - w if ts_min is not None else None,
             ts_max=ts_max + w if ts_max is not None else None,
+            as_of=q.join_as_of,
+            version_of=q.join_version_of,
+            version_ref=q.join_version_ref,
         )
         if ts_min is not None:
             right = right.filter(F.col("_ts") >= F.lit(ts_min - w))

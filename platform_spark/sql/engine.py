@@ -21,7 +21,11 @@ from platform_spark.governance import (
 )
 from platform_spark.sql import parser
 from platform_spark.sql.ast import Query, QueryType
-from platform_spark.sql.compiler import Compiler, CompilerOptions
+from platform_spark.sql.compiler import (
+    Compiler,
+    CompilerOptions,
+    scan_capabilities,
+)
 from platform_spark.topics import TopicCatalog
 
 
@@ -242,21 +246,19 @@ class KafSqlEngine:
                     ts_max + w if ts_max is not None else None,
                     None,
                     None,
-                    (None, None, None, None),
+                    (None, q.join_as_of, q.join_version_of, q.join_version_ref),
                 )
             )
         return frames
 
-    @staticmethod
-    def _est_kwargs(est_fn, ext: tuple) -> dict:
+    def _est_kwargs(self, est_fn, ext: tuple) -> dict:
         """Extension kwargs (bucket point-lookup, time travel by
         instant or snapshot id) for an estimate hook, included only
-        when its signature takes them — the same duck-typed capability
-        check the compiler applies."""
-        import inspect
-
+        when the catalog's declared capabilities (or, failing that, the
+        hook's wrapper-following signature) include them — the same
+        capability resolution the compiler applies."""
         key_eq, as_of, version_of, version_ref = ext
-        supported = set(inspect.signature(est_fn).parameters)
+        supported = scan_capabilities(self.catalog, est_fn)
         extra = {}
         if key_eq is not None and "key_eq" in supported:
             extra["key_eq"] = key_eq
@@ -316,7 +318,27 @@ class KafSqlEngine:
                 "(snapshot history); this catalog serves only the "
                 "current state"
             )
-        return fn(topic).orderBy("made_current_at")
+        from pyspark.sql import functions as F
+
+        from platform_spark.functions import render
+
+        # made_current_at renders with F4's `YYYY-MM-DD HH:MM:SS.mmm`
+        # convention like every other dialect timestamp (the raw frame
+        # carries epoch millis); the fixed-width text keeps the
+        # chronological sort order, and quoted back into
+        # FOR SYSTEM_TIME AS OF it parses as the same instant
+        return (
+            fn(topic)
+            .orderBy("made_current_at")
+            .select(
+                render.ts_text(
+                    F.timestamp_millis(F.col("made_current_at"))
+                ).alias("made_current_at"),
+                "snapshot_id",
+                "parent_id",
+                "is_current_ancestor",
+            )
+        )
 
     def _describe(self, topic: str) -> DataFrame:
         rows = self.catalog.describe(topic)

@@ -29,6 +29,13 @@ _JSON_FUNCS = {"json_value", "json_query", "json_exists"}  # parser.go:553-563
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
+#: parse-time cap on `_key IN (...)` members — past this, the batch
+#: fetch belongs in a join (see the ParseError below): 100 random keys
+#: already cover essentially every bucket of a bucket[16..64] spec
+#: (coupon collector), so a longer list bloats the plan's isin literals
+#: without the bucket union pruning anything
+MAX_KEY_IN = 100
+
 
 def _squash(text: str) -> str:
     """Collapse whitespace outside single-quoted strings."""
@@ -172,6 +179,37 @@ def _extract_keyword_clauses(q: Query, tail: str) -> str:
     return tail
 
 
+def _parse_time_travel(tail: str):
+    """(as_of, version_of, version_ref, rest) from an optional
+    `FOR SYSTEM_VERSION AS OF <id|'ref'>` / `FOR SYSTEM_TIME AS OF <ts>`
+    suffix — shared by the FROM topic and the JOIN topic, so either
+    join side can pin independently."""
+    as_of = version_of = version_ref = None
+    vm = re.match(
+        r"(?i)^FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+|'[^']*')\s*", tail
+    )
+    if vm:
+        lit = vm.group(1)
+        if lit.startswith("'"):
+            # quoted = a named ref (tag/branch), Iceberg's VERSION AS OF
+            # 'name' form; bare digits = a snapshot id
+            version_ref = lit[1:-1]
+        else:
+            version_of = int(lit)
+        tail = tail[vm.end() :]
+    fm = re.match(
+        rf"(?i)^FOR\s+SYSTEM_TIME\s+AS\s+OF\s+({_TS_LIT})\s*", tail
+    )
+    if fm:
+        if version_of is not None or version_ref is not None:
+            raise ParseError(
+                "pass ONE of FOR SYSTEM_TIME / FOR SYSTEM_VERSION"
+            )
+        as_of = parse_ts_literal(fm.group(1))
+        tail = tail[fm.end() :]
+    return as_of, version_of, version_ref, tail
+
+
 def _parse_from(q: Query, tail: str) -> str:
     m = re.match(rf"(?i)^({_IDENT})(?:\s+(?!(?:JOIN|LEFT|WHERE|GROUP|ORDER|LIMIT|FOR)\b)({_IDENT}))?\s*", tail)
     if not m:
@@ -185,32 +223,11 @@ def _parse_from(q: Query, tail: str) -> str:
     # was current at the instant — rejected by the compiler on catalogs
     # without snapshot history), or FOR SYSTEM_VERSION AS OF <id>
     # (a pinned snapshot id from SHOW SNAPSHOTS)
-    vm = re.match(
-        r"(?i)^FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+|'[^']*')\s*", tail
-    )
-    if vm:
-        lit = vm.group(1)
-        if lit.startswith("'"):
-            # quoted = a named ref (tag/branch), Iceberg's VERSION AS OF
-            # 'name' form; bare digits = a snapshot id
-            q.version_ref = lit[1:-1]
-        else:
-            q.version_of = int(lit)
-        tail = tail[vm.end() :]
-    fm = re.match(
-        rf"(?i)^FOR\s+SYSTEM_TIME\s+AS\s+OF\s+({_TS_LIT})\s*", tail
-    )
-    if fm:
-        if q.version_of is not None or q.version_ref is not None:
-            raise ParseError(
-                "pass ONE of FOR SYSTEM_TIME / FOR SYSTEM_VERSION"
-            )
-        q.as_of = parse_ts_literal(fm.group(1))
-        tail = tail[fm.end() :]
+    q.as_of, q.version_of, q.version_ref, tail = _parse_time_travel(tail)
 
     jm = re.match(
         rf"(?i)^(LEFT\s+(?:OUTER\s+)?JOIN|JOIN|INNER\s+JOIN)\s+({_IDENT})"
-        rf"(?:\s+(?!(?:ON|WHERE|GROUP|ORDER|LIMIT)\b)({_IDENT}))?\s*",
+        rf"(?:\s+(?!(?:ON|WHERE|GROUP|ORDER|LIMIT|FOR)\b)({_IDENT}))?\s*",
         tail,
     )
     if jm:
@@ -218,6 +235,12 @@ def _parse_from(q: Query, tail: str) -> str:
         q.join_topic = jm.group(2)
         q.join_alias = jm.group(3) or ""
         tail = tail[jm.end() :]
+        # per-side pin: JOIN topic [alias] FOR SYSTEM_TIME/VERSION AS OF
+        # — the corpus-reproducibility join (docs AS OF the training cut
+        # against today's eval topic); each side pins independently
+        (
+            q.join_as_of, q.join_version_of, q.join_version_ref, tail,
+        ) = _parse_time_travel(tail)
         om = re.match(r"(?i)^ON\s+", tail)
         if om:
             tail = tail[om.end() :]
@@ -322,6 +345,17 @@ def _parse_where(q: Query, tail: str) -> str:
             q.key_in = tuple(
                 m.group(1) for m in re.finditer(r"'([^']*)'", kin.group(1))
             )
+            if len(q.key_in) > MAX_KEY_IN:
+                # a generated thousand-key list would bloat the plan's
+                # isin literals AND the bucket-union partition filter
+                # (past ~N distinct buckets the union prunes nothing);
+                # the set-shaped fetch belongs in a JOIN against a keys
+                # topic, which plans as one broadcast hash join
+                raise ParseError(
+                    f"_key IN lists {len(q.key_in)} keys (max "
+                    f"{MAX_KEY_IN}); for batch fetches this large, JOIN "
+                    "against a topic holding the keys instead"
+                )
             continue
         # the reference rejects every other predicate (parser.go:259-261)
         raise ParseError(f"unsupported WHERE predicate: {pred!r}")

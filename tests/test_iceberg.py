@@ -1316,13 +1316,22 @@ def test_commit_conflict_budget_is_bounded(spark, table_loc):
             self.attempts += 1
             raise CommitConflict(f"wedged at v{expected_version}")
 
+    from platform_spark.iceberg.table import compact_table
+
     for op in (
+        # metadata-only paths (_commit_metadata_update)
         lambda w: w.create_tag("v1"),
         lambda w: w.evolve_sort_order(("id",)),
         lambda w: w.evolve_partition_spec(("bucket(id, 4)",)),
         lambda w: w.rollback_to(w.metadata["current-snapshot-id"]),
         lambda w: w.rename_column("id", "id2"),
         lambda w: w.expire_snapshots(keep_last=1),
+        # file-commit paths share the SAME budget via
+        # _commit_with_retries (r13 verdict #4): an append and a
+        # compaction against the wedged protocol give up just as loudly
+        lambda w: append_dataframe(w, df),
+        lambda w: compact_table(w, spark),
+        lambda w: w.rewrite_manifests(),
     ):
         proto = WedgedCommit()
         wedged = IcebergTable.load(table_loc, clock=CLOCK, protocol=proto)
@@ -1901,6 +1910,92 @@ def test_kafsql_bucket_point_lookup(spark, tmp_path):
     assert canon(df_in) == canon(peng.sql(q_in)) and df_in.count() > 0
 
 
+def test_bucket_point_lookup_across_spec_evolution(spark, tmp_path):
+    """Point lookup stays CORRECT — and still prunes — after
+    evolve_partition_spec changes the bucket count (r13 ADVICE medium):
+    both eras' spec fields are named `_key_bucket`, so a by-name filter
+    carrying the CURRENT spec's bucket[8] id would silently mis-prune
+    the bucket[4] manifests and drop their rows from the lookup. The
+    BucketLookup filter re-hashes the raw key per manifest spec, so the
+    old era plans its own 1/4 and the new era its own 1/8."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "evtopics")
+    os.makedirs(root, exist_ok=True)
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema,
+        partition_by=("bucket(_key, 4)",), clock=CLOCK,
+    )
+    # era 1: two appends under bucket[4]
+    append_dataframe(t, ev.filter(F.col("_partition") < 2))
+    append_dataframe(t, ev.filter(F.col("_partition") == 2))
+    old_entries = {
+        e["data_file"]["file_path"] for e in t.scan_files(spark=spark)
+    }
+    t.evolve_partition_spec(("bucket(_key, 8)",))
+    # era 2: one append under bucket[8]
+    append_dataframe(t, ev.filter(F.col("_partition") == 3))
+
+    from platform_spark.iceberg.bucket import bucket_value as bv
+
+    # a key whose bucket[4] id differs from bucket[8] id — the shape
+    # where the by-name bug actually drops rows (ids equal by luck
+    # would mask it)
+    key = next(
+        r.k
+        for r in ev.filter(F.col("_key").isNotNull())
+        .select(F.col("_key").cast("string").alias("k"))
+        .distinct()
+        .collect()
+        if bv(r.k, "string", 4) != bv(r.k, "string", 8)
+    )
+    b4, b8 = bv(key, "string", 4), bv(key, "string", 8)
+
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    planned = icat._pruned_entries(t, None, None, None, key_eq=key)
+    planned_old = [
+        e for e in planned if e["data_file"]["file_path"] in old_entries
+    ]
+    planned_new = [
+        e for e in planned if e["data_file"]["file_path"] not in old_entries
+    ]
+    # BOTH eras contribute files, each pruned under its OWN bucket id
+    assert planned_old and planned_new
+    for e in planned_old:
+        assert e["data_file"]["partition"]["_key_bucket"] == b4
+    for e in planned_new:
+        assert e["data_file"]["partition"]["_key_bucket"] == b8
+    # and the prune is real: a strict subset of each era's files
+    all_entries = t.scan_files(spark=spark)
+    assert len(planned) < len(all_entries)
+
+    now = datetime(2024, 1, 31)
+    ieng = KafSqlEngine(icat, now=now)
+    q = (
+        f"SELECT _partition, _offset, _key FROM events WHERE _key = '{key}' "
+        "LAST 30d LIMIT 100000"
+    )
+    df = ieng.sql(q)
+    norm = lambda p: p.replace("file:", "").lstrip("/")  # noqa: E731
+    assert {norm(f) for f in df.inputFiles()} == {
+        norm(e["data_file"]["file_path"]) for e in planned
+    }
+    # row-identical to the parquet engine's full-scan answer — rows from
+    # the old era included (the bug dropped exactly these)
+    peng = KafSqlEngine(cat, now=now)
+    canon = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    got = canon(df)
+    assert got == canon(
+        peng.sql(q).filter(F.col("_partition") <= 3)
+    ) and len(got) > 0
+
+
 def test_kafsql_system_time_as_of(spark, tmp_path):
     """`FROM t FOR SYSTEM_TIME AS OF <ts>` through the dialect (r12
     verdict #5): replays the snapshot current at the instant — the
@@ -1987,6 +2082,20 @@ def test_kafsql_system_time_as_of(spark, tmp_path):
     assert len(snaps) == 2
     assert snaps[0].made_current_at < snaps[1].made_current_at
     assert all(r.is_current_ancestor for r in snaps)
+    # made_current_at renders through F4's text convention (r13 verdict
+    # #7) — the pinned metadata clock makes the text exact, and quoted
+    # back into FOR SYSTEM_TIME AS OF it replays the same snapshot
+    assert snaps[0].made_current_at == "2023-11-14 22:13:20.000"
+    assert snaps[1].made_current_at == "2023-11-14 23:13:20.000"
+    replay = {
+        r._segment: r.n
+        for r in ieng.sql(
+            "SELECT _segment, count(*) AS n FROM events "
+            f"FOR SYSTEM_TIME AS OF '{snaps[0].made_current_at}' "
+            "LAST 30d GROUP BY _segment"
+        ).collect()
+    }
+    assert replay == before
     with pytest.raises(ValidationError, match="Iceberg-backed"):
         peng.sql("SHOW SNAPSHOTS FROM events")
 
@@ -2030,6 +2139,255 @@ def test_kafsql_system_time_as_of(spark, tmp_path):
             "SELECT _segment, count(*) AS n FROM events "
             f"FOR SYSTEM_VERSION AS OF {first_id} LAST 30d "
             "GROUP BY _segment"
+        )
+
+
+def test_key_lookup_budget_admission(spark, tmp_path):
+    """`WHERE _key = 'x'` with NO time bound is admitted over a
+    _key-BUCKETED Iceberg topic (r13 verdict #2): the catalog plans 1/N
+    of the files from manifests and the engine's ScanBudget prices that
+    plan, so the blanket clause-shape guard would only force a
+    max_unbounded_scan row cap onto a measured, cheap read. The
+    rejection stays loud where the lookup is NOT metadata-planned: a
+    parquet (non-Iceberg) catalog and a non-bucketed Iceberg topic; and
+    the admitted form still dies on the budget when the priced plan
+    exceeds the cap."""
+    from datetime import datetime
+
+    from platform_spark.errors import GovernanceError, ValidationError
+    from platform_spark.governance import ScanBudget
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.sql.engine import EngineOptions, KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "badm")
+    os.makedirs(root, exist_ok=True)
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema,
+        partition_by=("bucket(_key, 8)",), clock=CLOCK,
+    )
+    for p in range(4):
+        append_dataframe(t, ev.filter(F.col("_partition") == p))
+    # non-bucketed twin topic
+    t2 = IcebergTable.create(
+        os.path.join(root, "orders"), ev.schema, clock=CLOCK
+    )
+    append_dataframe(t2, ev.filter(F.col("_partition") == 0))
+
+    key = (
+        ev.filter(F.col("_key").isNotNull())
+        .select(F.col("_key").cast("string").alias("k"))
+        .first()
+        .k
+    )
+    now = datetime(2024, 1, 31)
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    ieng = KafSqlEngine(icat, now=now)
+    q = (
+        "SELECT _partition, _offset, _key FROM events "
+        f"WHERE _key = '{key}' LIMIT 100000"
+    )
+    got = sorted(map(tuple, ieng.sql(q).collect()))
+    # identical to the time-bounded form (the events topic fits in 30d)
+    want = sorted(
+        map(tuple, ieng.sql(q.replace("LIMIT", "LAST 30d LIMIT")).collect())
+    )
+    assert got == want and len(got) > 0
+    # IN-list form is admitted the same way
+    assert (
+        ieng.sql(
+            "SELECT count(*) AS n FROM events "
+            f"WHERE _key IN ('{key}') LIMIT 100000"
+        ).first().n
+        == len(got)
+    )
+
+    # parquet catalog: no metadata planning — loud rejection stands
+    peng = KafSqlEngine(cat, now=now)
+    with pytest.raises(ValidationError, match="unbounded"):
+        peng.sql(q)
+    # non-bucketed Iceberg topic: same rejection
+    with pytest.raises(ValidationError, match="unbounded"):
+        ieng.sql(q.replace("FROM events", "FROM orders"))
+    # admitted ≠ unpriced: a tiny budget kills the lookup pre-execution
+    tight = KafSqlEngine(
+        icat, now=now, options=EngineOptions(budget=ScanBudget(max_scan_bytes=1))
+    )
+    with pytest.raises(GovernanceError, match="max_scan_bytes"):
+        tight.sql(q).collect()
+
+
+def test_catalog_capabilities_survive_wrapped_topic_scan(spark, tmp_path):
+    """Declared `topic_scan_capabilities` beats signature sniffing (r13
+    verdict #3): a catalog whose topic_scan is shadowed by a
+    ``(*args, **kwargs)`` wrapper used to advertise NOTHING under the
+    r13 inspect.signature check — time travel falsely rejected, key_eq
+    pruning silently skipped. The declared frozenset (inherited by
+    subclasses) routes both correctly; the signature fallback follows
+    ``__wrapped__`` and treats bare ``**kwargs`` as full-vocabulary."""
+    import functools
+
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.sql.compiler import (
+        SCAN_CAPABILITIES,
+        scan_capabilities,
+    )
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    # -- unit: the resolution order ------------------------------------
+    class Declared:
+        topic_scan_capabilities = frozenset({"as_of"})
+
+        def topic_scan(self, name):  # signature says nothing
+            return None
+
+    d = Declared()
+    assert scan_capabilities(d, d.topic_scan) == frozenset({"as_of"})
+    assert scan_capabilities(d, None) == frozenset()  # no hook, no caps
+
+    class Sniffed:
+        def topic_scan(self, name, ts_min=None, key_eq=None):
+            return None
+
+    s = Sniffed()
+    assert scan_capabilities(s, s.topic_scan) == frozenset(
+        {"ts_min", "key_eq"}
+    )
+
+    class VarKw:
+        def topic_scan(self, *args, **kwargs):
+            return None
+
+    v = VarKw()
+    assert scan_capabilities(v, v.topic_scan) == SCAN_CAPABILITIES
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def inner(*a):  # no **kwargs: only __wrapped__ reveals the caps
+            return fn(*a)
+
+        return inner
+
+    class Wrapped:
+        @deco
+        def topic_scan(self, name, snapshot_id=None):
+            return None
+
+    w = Wrapped()
+    assert scan_capabilities(w, w.topic_scan) == frozenset(
+        {"snapshot_id"}
+    )
+
+    # -- end-to-end: a subclass shadowing topic_scan with *args/**kwargs
+    class WrappedCatalog(IcebergTopicCatalog):
+        def topic_scan(self, *args, **kwargs):
+            return super().topic_scan(*args, **kwargs)
+
+        def estimate_topic_scan(self, *args, **kwargs):
+            return super().estimate_topic_scan(*args, **kwargs)
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "captopics")
+    os.makedirs(root, exist_ok=True)
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema, clock=CLOCK
+    )
+    append_dataframe(t, ev.filter(F.col("_partition") == 0))
+    append_dataframe(t, ev.filter(F.col("_partition") == 1))
+    first_id = t.metadata["snapshots"][0]["snapshot-id"]
+
+    eng = KafSqlEngine(
+        WrappedCatalog(spark, root, configs=cat.configs),
+        now=datetime(2024, 1, 31),
+    )
+    # time travel routes through the wrapper instead of being rejected
+    n_first = eng.sql(
+        "SELECT count(*) AS n FROM events "
+        f"FOR SYSTEM_VERSION AS OF {first_id} LAST 30d"
+    ).first().n
+    n_now = eng.sql("SELECT count(*) AS n FROM events LAST 30d").first().n
+    assert 0 < n_first < n_now
+    # EXPLAIN's estimate hook takes the same route
+    plan = eng.sql(
+        "EXPLAIN SELECT count(*) AS n FROM events "
+        f"FOR SYSTEM_VERSION AS OF {first_id} LAST 30d"
+    )
+    assert plan is not None
+
+
+def test_kafsql_join_side_time_travel(spark, tmp_path):
+    """Per-side FOR SYSTEM_TIME in joins (r13 verdict #6): pinning the
+    RIGHT side to its pre-upsert snapshot changes exactly that side's
+    rows while the left reads current; a parquet catalog still rejects
+    loudly; WITHIN/LAST governance is unchanged."""
+    from datetime import datetime
+
+    from platform_spark.errors import ValidationError
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.iceberg.table import upsert_dataframe
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "jtt")
+    os.makedirs(root, exist_ok=True)
+    times = [1_700_000_000.0]
+    for name in ("orders", "payments"):
+        df = cat.topic(name, with_schema_columns=False).filter(
+            F.col("_partition") == 0
+        )
+        t = IcebergTable.create(
+            os.path.join(root, name), df.schema, clock=lambda: times[0]
+        )
+        append_dataframe(t, df)
+    times[0] += 3600.0
+    pay = IcebergTable.load(
+        os.path.join(root, "payments"), clock=lambda: times[0]
+    )
+    upsert_dataframe(
+        pay,
+        cat.topic("payments", with_schema_columns=False)
+        .filter((F.col("_partition") == 0) & (F.col("_offset") % 3 == 0))
+        .withColumn("_segment", F.lit("upserted")),
+        ["_partition", "_offset"],
+    )
+
+    eng = KafSqlEngine(
+        IcebergTopicCatalog(spark, root, configs=cat.configs),
+        now=datetime(1998, 8, 2),
+    )
+    q_tpl = (
+        "SELECT o._offset AS ooffset, p._offset AS poffset, "
+        "p._segment AS pseg "
+        "FROM orders o JOIN payments p{pin} ON o._key = p._key "
+        "WITHIN 10m LAST 15000d LIMIT 100000"
+    )
+    cur = eng.sql(q_tpl.format(pin="")).collect()
+    assert any(r.pseg == "upserted" for r in cur)
+    pinned = eng.sql(
+        q_tpl.format(pin=" FOR SYSTEM_TIME AS OF 1700001800000")
+    ).collect()
+    # same join pairs, pre-upsert right-side segments
+    assert {(r.ooffset, r.poffset) for r in pinned} == {
+        (r.ooffset, r.poffset) for r in cur
+    }
+    assert pinned and not any(r.pseg == "upserted" for r in pinned)
+    # parquet catalog: loud rejection for a pinned join side
+    peng = KafSqlEngine(cat, now=datetime(1998, 8, 2))
+    with pytest.raises(ValidationError, match="Iceberg-backed"):
+        peng.sql(q_tpl.format(pin=" FOR SYSTEM_TIME AS OF 1700001800000"))
+    # governance unchanged: a pinned join still requires WITHIN+LAST
+    with pytest.raises(ValidationError, match="WITHIN and LAST"):
+        eng.sql(
+            "SELECT o._offset AS a FROM orders o "
+            "JOIN payments p FOR SYSTEM_TIME AS OF 1700001800000 "
+            "ON o._key = p._key LIMIT 10"
         )
 
 

@@ -217,6 +217,34 @@ def test_for_system_version_and_show_snapshots():
     assert q.version_ref == "corpus-v1" and q.version_of is None
 
 
+def test_join_side_time_travel_parses():
+    """Per-side FOR SYSTEM_TIME/VERSION on either join topic (r13
+    verdict #6): each side pins independently; FOR is not swallowed as
+    a join alias; the one-of rule applies per side."""
+    q = parser.parse(
+        "SELECT o._key FROM orders o FOR SYSTEM_TIME AS OF 1700001800000 "
+        "JOIN payments p FOR SYSTEM_VERSION AS OF 42 "
+        "ON o._key = p._key WITHIN 10m LAST 1h"
+    )
+    assert q.as_of is not None and q.version_of is None
+    assert q.join_version_of == 42 and q.join_as_of is None
+    assert q.join_alias == "p"
+    # right side only, named ref, no alias — FOR must not parse as alias
+    q = parser.parse(
+        "SELECT _offset FROM orders "
+        "JOIN payments FOR SYSTEM_VERSION AS OF 'cut-v1' "
+        "ON _key = _key WITHIN 10m LAST 1h"
+    )
+    assert q.join_version_ref == "cut-v1" and q.join_alias == ""
+    assert q.as_of is None and q.version_of is None
+    with pytest.raises(ParseError, match="ONE of"):
+        parser.parse(
+            "SELECT _offset FROM orders JOIN payments "
+            "FOR SYSTEM_VERSION AS OF 42 FOR SYSTEM_TIME AS OF 170 "
+            "ON _key = _key WITHIN 10m LAST 1h"
+        )
+
+
 def test_key_in_predicate():
     q = parser.parse(
         "SELECT _offset FROM events WHERE _key IN ('a', 'b', 'c') LAST 1h"
@@ -231,3 +259,17 @@ def test_key_in_predicate():
         parser.parse("SELECT * FROM events WHERE _key IN (42) LAST 1h")
     with pytest.raises(ParseError):
         parser.parse("SELECT * FROM events WHERE _value IN ('a') LAST 1h")
+    # boundary at MAX_KEY_IN: exactly at the cap parses; one more is a
+    # loud error pointing at the join alternative (r13 verdict #5 — a
+    # generated thousand-key list bloats the isin plan and the
+    # bucket-union partition filter without pruning anything)
+    at_cap = ", ".join(f"'k{i}'" for i in range(parser.MAX_KEY_IN))
+    q = parser.parse(
+        f"SELECT _offset FROM events WHERE _key IN ({at_cap}) LAST 1h"
+    )
+    assert len(q.key_in) == parser.MAX_KEY_IN
+    over = at_cap + ", 'one-more'"
+    with pytest.raises(ParseError, match="JOIN against a topic"):
+        parser.parse(
+            f"SELECT _offset FROM events WHERE _key IN ({over}) LAST 1h"
+        )
