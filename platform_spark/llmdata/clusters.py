@@ -39,12 +39,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: at or below this many directed edges the component resolution runs as
+#: ONE driver-side union-find instead of iterative Spark rounds. The
+#: rep-collapsed dup graph is tiny relative to the corpus (exact-dup
+#: collapse removes the cliques; what remains is near-dup bridges —
+#: at sf0.1 the gate graphs carry a few hundred edges), and each Spark
+#: propagation round costs 3 shuffles + a checkpoint + a count action
+#: regardless of size, so small graphs were paying ~seconds of pure
+#: scheduler overhead. 1M edges collect to ~50 MB via Arrow and
+#: union-find in ~1 s of driver CPU — bounded and cheap — while a graph
+#: that big or bigger (a 100 TB corpus CAN exceed it) takes the
+#: distributed path unchanged.
+_DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_min_labels(edges: DataFrame) -> DataFrame:
+    """(node, label) by union-find on the driver — the small-graph fast
+    path. ``edges`` already holds BOTH directions, so src covers every
+    node. Min-root union keeps the label = component-min invariant the
+    distributed path produces (string ids compare identically: UTF-8
+    byte order preserves code-point order), so the two paths are
+    result-identical and the oracle gates cover whichever fires."""
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs  # min root wins ⇒ root IS the component min
+
+    nodes = set(pdf["src"].tolist())
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("label", node_type),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        sorted((n, find(n)) for n in nodes), schema
+    )
+
+
 def _propagate_min_labels(
     pairs: DataFrame, a_col: str, b_col: str, max_iterations: int
 ) -> DataFrame:
     """(node, label) for every node in `pairs`, label = min node id of its
-    connected component. Iterative min-label propagation; raises if not
-    converged (a silent partial result would split components)."""
+    connected component. Small graphs resolve as one driver union-find
+    (_DRIVER_CC_MAX_EDGES); larger ones run iterative min-label
+    propagation and raise if not converged (a silent partial result
+    would split components)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -53,6 +109,10 @@ def _propagate_min_labels(
         # similarity join) must not re-execute every propagation round
         .localCheckpoint(eager=True)
     )
+    # the checkpoint materialized the blocks, so this count is a cheap
+    # metadata-ish pass — it picks the resolution strategy
+    if edges.count() <= _DRIVER_CC_MAX_EDGES:
+        return _driver_min_labels(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -89,7 +149,13 @@ def _propagate_min_labels(
                 (F.col("__chg") | (F.col("__l2") < F.col("label"))).alias("__chg"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate the lineage
+        # lazy checkpoint + count = ONE job per round: the count is the
+        # materializing action, so the lineage truncation rides the
+        # convergence check instead of running as its own job (the legs
+        # are fixed-overhead-bound — at sf0.001 and sf0.1 they time
+        # within 2x of each other — so halving the actions per round is
+        # the lever, not shuffle volume)
+        updated = updated.localCheckpoint(eager=False)
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.select("node", "label")
         if changed == 0:

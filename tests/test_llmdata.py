@@ -474,6 +474,41 @@ def test_dedup_clusters_label_propagation(spark):
     assert summ == {1: 4, 10: 2}
 
 
+def test_min_labels_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The r14 small-graph fast path (driver union-find) and the
+    distributed min-label propagation are result-identical — on long
+    ids, string ids (UTF-8 vs code-point order), a diameter-heavy
+    chain, and singleton-free multi-component graphs. The monkeypatched
+    threshold forces the distributed loop, which otherwise no small
+    test graph would exercise anymore."""
+    import platform_spark.llmdata.clusters as cl
+
+    cases = [
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (7, 5), (5, 6)],
+            "doc_a: long, doc_b: long",
+        ),
+        # chain of diameter 9 — pointer jumping territory
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(20, 30)], "doc_a: long, doc_b: long"
+        ),
+        spark.createDataFrame(
+            [("zz", "ab"), ("ab", "Z9"), ("m", "n")],
+            "doc_a: string, doc_b: string",
+        ),
+    ]
+    for pairs in cases:
+        fast = sorted(
+            map(tuple, cl._propagate_min_labels(pairs, "doc_a", "doc_b", 25).collect())
+        )
+        monkeypatch.setattr(cl, "_DRIVER_CC_MAX_EDGES", -1)
+        dist = sorted(
+            map(tuple, cl._propagate_min_labels(pairs, "doc_a", "doc_b", 25).collect())
+        )
+        monkeypatch.undo()
+        assert fast == dist and len(fast) > 0
+
+
 def test_dedup_lines_corpus_semantics(spark):
     """Lines occurring >= min_count times across the corpus disappear from
     EVERY doc; surviving lines keep original order; an all-duplicate doc
