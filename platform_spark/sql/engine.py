@@ -369,10 +369,25 @@ class KafSqlEngine:
                     offset_max=off_max,
                     **self._est_kwargs(est_fn, ext),
                 )
+                key_sel, as_of, version_of, version_ref = ext
+                notes = ""
+                if key_sel is not None:
+                    n_keys = len(key_sel) if isinstance(key_sel, tuple) else 1
+                    plans = getattr(self.catalog, "plans_key_lookup", None)
+                    how = (
+                        "bucket-planned"
+                        if plans is not None and plans(topic)
+                        else "row-filter"
+                    )
+                    notes += f" key_lookup={n_keys}keys-{how}"
+                if as_of is not None:
+                    notes += " pinned=system_time"
+                elif version_of is not None or version_ref is not None:
+                    notes += " pinned=system_version"
                 lines.append(
                     f"topic={topic} candidate_files={est.files} "
                     f"est_bytes={est.bytes} est_rows={est.rows} "
-                    "source=iceberg-manifest-estimate"
+                    f"source=iceberg-manifest-estimate{notes}"
                 )
                 continue
             path = self.catalog._materialized.get(topic)

@@ -2586,6 +2586,14 @@ def test_kafsql_explain_prices_iceberg_scans_from_manifests(spark, tmp_path):
     assert n(full, "candidate_files") > n(part, "candidate_files") > 0
     assert n(full, "est_bytes") > n(part, "est_bytes") > 0
     assert n(narrow, "est_rows") == 0  # _ts bounds prune via column bounds
+    # extension clauses annotate the estimate line (r14): a key filter
+    # over this NON-bucketed table is an exact row filter, not a bucket
+    # plan, and EXPLAIN must say so honestly
+    keyed = est_line(
+        "EXPLAIN SELECT * FROM events WHERE _key = 'x' LAST 365d"
+    )
+    assert "key_lookup=1keys-row-filter" in keyed
+    assert "key_lookup" not in full and "pinned" not in full
 
 
 def test_kafsql_time_pruning_over_day_partitioned_iceberg_topic(spark, tmp_path):
