@@ -1018,21 +1018,35 @@ def simhash_table(
     hashed = toked.select(
         "doc_id", F.transform(F.col("toks"), lambda t: md5_int(t)).alias("hs")
     )
-
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("bigint")
+    # explode + 60 codegen'd SUM aggregates instead of 60 interpreted
+    # array folds (the r13 shape re-walked the hs array once per bit
+    # AND its 60x-duplicated expression tree cost ~2.4 s of driver-side
+    # analysis per query — r14 profile). The whole majority vote now
+    # runs inside whole-stage codegen with map-side partial aggregation,
+    # so the shuffle carries one 60-count row per doc, not per token.
+    # explode_outer keeps empty/NULL token arrays as a NULL-hash row:
+    # their sums are all NULL -> every `count > 0` is false -> sh = 0,
+    # the same fold-identity value as before (NULL text must stay its
+    # own banding group, see simhash_rep_graph). Semantics unchanged:
+    # per-bit +/-1 majority, bit set when the count is > 0 — the DuckDB
+    # oracle pins it.
+    exploded = hashed.select("doc_id", F.explode_outer("hs").alias("h"))
+    sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    sh = F.lit(0).cast("bigint")
     for b in range(bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return hashed.select("doc_id", out.alias("sh"))
+        sh = sh + F.when(
+            F.col(f"__b{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sums.select("doc_id", sh.alias("sh"))
 
 
 def simhash(col: Column, bits: int = 64) -> Column:
