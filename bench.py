@@ -76,8 +76,8 @@ _EXTRA_SHORT = {
     "ann_sq_topk": "sq",
     "ann_pq_topk": "pq",
     "dd_jaccard": "ddj",
-    "unigram_lp": "u_lp",
-    "bigram_lp": "bi_lp",
+    "unigram_lp": "ulp",
+    "bigram_lp": "blp",
     "qual_rules": "qrul",
     "qual_clf": "qclf",
     "strip_html": "html",
@@ -87,15 +87,15 @@ _EXTRA_SHORT = {
     "ann_ivfkm": "ivk",
     "mat_packs": "mpk",
     "chunkdocs": "chd",
-    "a_sliding": "a_sld",
+    "a_sliding": "asl",
     "dup_spans": "dsp",
-    "a_ivljoin": "a_ivl",
+    "a_ivljoin": "aiv",
     "oov_rate": "oov",
     "a_runrev": "a_rr",
     "shufcorp": "shuf",
-    "url_dedup": "url_dd",
+    "url_dedup": "udd",
     "dd_incr": "ddi",
-    "s_produce": "s_prod",
+    "s_produce": "spr",
     "phash_rp": "ph_rp",
     "rm_spans": "rm_sp",
     "s_compact": "s_cmp",
@@ -108,11 +108,13 @@ _EXTRA_SHORT = {
     "iceberg_branch_changelog_scan": "i_bcl",
     "iceberg_spec_evolution_scan": "i_evo",
     "iceberg_rename_scan": "i_ren",
-    "iceberg_kafsql_evolved_scan": "i_esql",
+    "iceberg_kafsql_evolved_scan": "iesq",
     "iceberg_bucket_scan": "i_bkt",
     "iceberg_kafsql_bucket_lookup": "i_bk",
     "iceberg_kafsql_key_in_lookup": "i_kin",
     "iceberg_kafsql_time_travel": "i_tt",
+    "iceberg_kafsql_key_lookup_unbounded": "i_bku",
+    "iceberg_kafsql_join_time_travel": "i_jtt",
     # r13 line-budget trims (same rule as r12: full names stay in the
     # detail file and the leg_history ledger)
     "ice_mrg": "i_mrg",
@@ -141,13 +143,13 @@ _EXTRA_SHORT = {
     "mh_pairs": "mh_p",
     "sh_pairs": "sh_p",
     "ngram_rp": "ng_rp",
-    "a_pctl": "pctl",
-    "splits": "splt",
+    "a_pctl": "pct",
+    "splits": "spl",
     "dd_lines": "dd_ln",
     "cstats": "cst",
     "bpe_pc": "bpe",
-    "mm_audio": "mm_au",
-    "mm_resize": "mm_rsz",
+    "mm_audio": "mau",
+    "mm_resize": "mrz",
     "dd_keepl": "dd_kl",
     "mh_join": "mh_j",
     "a_sessw": "a_sw",
@@ -246,6 +248,8 @@ HEADLINE_GATES = (
     "iceberg_kafsql_bucket_lookup",
     "iceberg_kafsql_key_in_lookup",
     "iceberg_kafsql_time_travel",
+    "iceberg_kafsql_key_lookup_unbounded",
+    "iceberg_kafsql_join_time_travel",
     "llm_bpe_pair_counts",
     "llm_duplicate_spans",
     "llm_strip_html",
@@ -321,7 +325,7 @@ def _short(k: str) -> str:
         .replace("minhash_join", "mh_join")
         .replace("produce_offsets", "produce")
         .replace("running_revenue", "running_rev")
-        .replace("heavy_hitters", "heavy")
+        .replace("heavy_hitters", "hvy")
         .replace("edit_distance_pairs", "edp")
         .replace("mix_temperature", "mixt")
         .replace("scan_events_full", "scan_events")
@@ -334,7 +338,7 @@ def _short(k: str) -> str:
         .replace("bigram_logprob", "bigram_lp")
         .replace("unigram_logprob", "unigram_lp")
         .replace("unicode_nfc", "nfc")
-        .replace("calibrate_scores", "calib")
+        .replace("calibrate_scores", "cal")
         .replace("semantic_decontam", "sem_dec")
         .replace("pivot_event_counts", "pivot")
         .replace("dd_incremental", "dd_incr")
@@ -363,11 +367,11 @@ def _short(k: str) -> str:
         .replace("weighted_mix", "wmix")
         .replace("corpus_stats", "cstats")
         .replace("a_moving_avg", "a_mavg")
-        .replace("stratified_sample", "strat")
+        .replace("stratified_sample", "strf")
         .replace("chunk_documents", "chunkdocs")
         .replace("collapse_repeats", "collapse")
         .replace("s_lfs_reference", "s_lfs")
-        .replace("pack_sequences", "packs")
+        .replace("pack_sequences", "pks")
         .replace("image_phash_rp", "phash_rp")
     )
     return _EXTRA_SHORT.get(k, k)

@@ -6339,6 +6339,36 @@ GROUP BY 1, 2"""
 )
 
 
+def _iceberg_kafsql_show_snapshots_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+
+    root = _ensure_iceberg_kafsql_bkt_root(spark, sf_dir)
+    eng = KafSqlEngine(IcebergTopicCatalog(spark, root), now=NOW)
+    return eng.sql("SHOW SNAPSHOTS FROM events")
+
+
+# SHOW SNAPSHOTS — the discovery half of time travel, C-surface through
+# the renderer (r13 verdict #7). The oracle is a constant table, which
+# is honest here because every value is DERIVED from pinned inputs, not
+# copied from a run: the builder's metadata clock is 1_700_000_000 s
+# (= 2023-11-14 22:13:20 UTC, F4-rendered) with the upsert exactly one
+# hour later; snapshot ids are the table's sequence numbers (1 = append,
+# 2 = upsert); the upsert's parent is the append; both lie on the
+# current lineage. A hash match pins the renderer format, the id
+# assignment, the parent chain, and the ancestry flag at any SF.
+_add(
+    "iceberg_kafsql_show_snapshots",
+    _iceberg_kafsql_show_snapshots_gate,
+    """
+SELECT * FROM (VALUES
+  ('2023-11-14 22:13:20.000', CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE),
+  ('2023-11-14 23:13:20.000', CAST(2 AS BIGINT), CAST(1 AS BIGINT), TRUE)
+) AS t(made_current_at, snapshot_id, parent_id, is_current_ancestor)""",
+)
+
+
 def _ensure_iceberg_kafsql_jtt_root(spark: SparkSession, sf_dir: str) -> str:
     """Scratch topic ROOT for the per-side join time travel gate: orders
     AND payments envelopes committed as Iceberg topics at t0; orders
@@ -6853,6 +6883,7 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 _TAIL_SUBSETS = [
     "iceberg_kafsql_key_lookup_unbounded",  # bare (no LAST) twin of iceberg_kafsql_bucket_lookup (tail, same bucket planning + upsert merge — this gate only DROPS the ts bounds, whose machinery stays head-pinned by kafsql_last); the unbounded-guard admission + budget enforcement are pytest-pinned (test_key_lookup_budget_admission)
     "iceberg_kafsql_join_time_travel",  # per-side AS OF = iceberg_kafsql_time_travel's snapshot pin (tail, pre-upsert oracle proves data+delete planning) threaded into kafsql_join_inner's head-pinned join machinery (same ON/WITHIN/LAST band over orders/payments); the only new code is the parser suffix + per-side kwargs plumb, and THIS gate's own full relational oracle (pre-upsert left x current right) pins exactly that composition
+    "iceberg_kafsql_show_snapshots",  # C-surface metadata listing over the SAME scratch table as iceberg_kafsql_time_travel (tail): snapshot creation/lineage machinery is pinned by every iceberg tail gate, the F4 renderer by kafsql_select_star (head); this gate's constant-derived oracle (pinned clock + sequence-number ids) adds only the rendered listing itself, also pytest-pinned in test_kafsql_system_time_as_of
     # subset-of gate                 superset that stays in the window
     # NOTE llm_dedup_clusters (pairwise path) deliberately stays in the
     # HEAD window: its full-pair oracle independently pins the expansion
