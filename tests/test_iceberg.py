@@ -2538,6 +2538,13 @@ def test_kafsql_join_side_time_travel(spark, tmp_path):
         (r.ooffset, r.poffset) for r in cur
     }
     assert pinned and not any(r.pseg == "upserted" for r in pinned)
+    # SYSTEM_VERSION by named ref on the join side reads the same
+    # pre-upsert snapshot (the 'training cut' tag shape)
+    pay.create_tag("cut-v1", snapshot_id=pay.metadata["snapshots"][0]["snapshot-id"])
+    tagged = eng.sql(
+        q_tpl.format(pin=" FOR SYSTEM_VERSION AS OF 'cut-v1'")
+    ).collect()
+    assert sorted(map(tuple, tagged)) == sorted(map(tuple, pinned))
     # parquet catalog: loud rejection for a pinned join side
     peng = KafSqlEngine(cat, now=datetime(1998, 8, 2))
     with pytest.raises(ValidationError, match="Iceberg-backed"):
