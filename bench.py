@@ -429,29 +429,56 @@ def compute_delta(
     sf: float,
     sentinel_now: float | None = None,
     sentinel_prior_best: float | None = None,
+    prior_sentinels: list | None = None,
 ) -> dict:
     """The BENCH_DELTA.json document (r12 verdict #7), pure so the
     slow-host behavior is unit-testable without running the suite.
     Each leg's best is compared to its prior ledger best; with sentinel
-    data on both sides the ratio is NORMALIZED by the host-speed ratio
-    (sentinel_now / sentinel_prior_best) and flags fire on the
-    normalized value — a uniformly 1.4x-slower container moves the
-    sentinel 1.4x too and produces ZERO flags, while a genuine
-    regression moves a leg without moving the sentinel. Raw ratios stay
-    recorded for the audit trail."""
+    data on both sides the ratio is NORMALIZED by host speed and flags
+    fire on the normalized value — a uniformly 1.4x-slower container
+    moves the sentinel 1.4x too and produces ZERO flags, while a
+    genuine regression moves a leg without moving the sentinel. Raw
+    ratios stay recorded for the audit trail.
+
+    ``prior_sentinels`` is the per-invocation sentinel list aligned to
+    the leg ledgers by SUFFIX (every invocation appends one entry to
+    each leg it ran AND one to the ``__runs__`` list, so a leg list of
+    length L pairs with the last L sentinels; legs added later simply
+    have shorter lists). When a leg has sentinel-paired entries, its
+    normalized prior best is min(time_i / sentinel_i) over the paired
+    entries — exact per-invocation host correction. Entries recorded
+    before the sentinel existed (or when the lists cannot pair) fall
+    back to the coarse window ratio ``sentinel_now /
+    sentinel_prior_best``, and with no sentinel data at all the raw
+    ratio flags (r13 behavior)."""
     sent_ratio = None
     if sentinel_now and sentinel_prior_best:
         sent_ratio = round(sentinel_now / sentinel_prior_best, 3)
     flags = {}
     deltas = {}
     for k, v in timings.items():
-        pb = min(prior[k]) if prior.get(k) else None
+        hist = prior.get(k) or []
+        pb = min(hist) if hist else None
         ratio = round(v / pb, 3) if pb else None
-        norm = (
-            round(ratio / sent_ratio, 3)
-            if ratio is not None and sent_ratio
-            else ratio
-        )
+        norm = None
+        if ratio is not None:
+            paired_best = None
+            if sentinel_now and prior_sentinels:
+                sents = prior_sentinels[-len(hist):] if hist else []
+                pad = len(hist) - len(sents)
+                paired = [
+                    (t, s)
+                    for t, s in zip(hist[pad:], sents)
+                    if s
+                ]
+                if paired:
+                    paired_best = min(t / s for t, s in paired)
+            if paired_best is not None:
+                norm = round((v / sentinel_now) / paired_best, 3)
+            elif sent_ratio:
+                norm = round(ratio / sent_ratio, 3)
+            else:
+                norm = ratio
         deltas[k] = {
             "prev_best": pb, "now": v, "ratio": ratio,
             "norm_ratio": norm,
@@ -471,6 +498,7 @@ def compute_delta(
             "now": sentinel_now,
             "prev_best": sentinel_prior_best,
             "host_speed_ratio": sent_ratio,
+            "n_paired_runs": len(prior_sentinels or []),
         },
         "flagged_over_1.25x": flags,
         "n_legs": len(deltas),
@@ -690,13 +718,19 @@ def main() -> None:
         ledger = {}
     sf_ledger = ledger.setdefault(str(float(sf)), {})
     prior = {k: list(v) for k, v in sf_ledger.items()}
+    prior_runs = list(sf_ledger.get("__runs__", []))
     for k, v in timings.items():
         sf_ledger.setdefault(k, []).append(v)
         sf_ledger[k] = sf_ledger[k][-HISTORY_KEEP:]
-    # the sentinel ledger is ROOT-level (host speed is SF-independent):
-    # its window best approximates the host speed at which the leg
-    # ledger bests were recorded, since both are minima over the same
-    # invocation window
+    # per-invocation sentinel, PAIRED with this sf's leg appends: every
+    # invocation appends one entry per leg AND one here, both trimmed
+    # to the same window, so a leg list of length L aligns with the
+    # last L sentinels (compute_delta's exact per-run normalization)
+    sf_ledger.setdefault("__runs__", []).append(sentinel)
+    sf_ledger["__runs__"] = sf_ledger["__runs__"][-HISTORY_KEEP:]
+    # the root-level sentinel window is the coarse fallback (host speed
+    # is SF-independent): its best approximates the host speed at which
+    # pre-pairing leg bests were recorded
     sent_hist = ledger.setdefault("__sentinel__", [])
     sent_prior_best = min(sent_hist) if sent_hist else None
     sent_hist.append(sentinel)
@@ -716,6 +750,7 @@ def main() -> None:
     delta_doc = compute_delta(
         timings, prior, spread, n_runs, float(sf),
         sentinel_now=sentinel, sentinel_prior_best=sent_prior_best,
+        prior_sentinels=prior_runs,
     )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

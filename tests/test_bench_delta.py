@@ -98,6 +98,66 @@ def test_new_leg_has_no_ratio_and_no_flag():
     assert doc["legs"]["brand_new"]["ratio"] is None
 
 
+def test_paired_runs_normalize_per_invocation():
+    """Exact pairing (r14): with a per-invocation `__runs__` sentinel
+    list, each leg history entry normalizes by the sentinel of ITS OWN
+    invocation, and the prior best is the best TIME-PER-SENTINEL-UNIT
+    run. Prior window: 1.0 s @ sentinel 0.10 and 2.0 s @ 0.20 — the
+    same relative speed (10.0 units) on a fast and a 2x-slower host. A
+    new run at 1.4 s on a 0.14-sentinel host is also 10.0 units → norm
+    1.0, no flag (the raw ratio 1.4 would have false-flagged)."""
+    b = _bench()
+    prior = {"q1": [1.0, 2.0]}
+    doc = b.compute_delta(
+        {"q1": 1.4}, prior, {}, {}, 0.1,
+        sentinel_now=0.14, sentinel_prior_best=0.10,
+        prior_sentinels=[0.10, 0.20],
+    )
+    assert doc["legs"]["q1"]["norm_ratio"] == 1.0
+    assert doc["flagged_over_1.25x"] == {}
+    # divergence from the coarse window ratio: swap the pairing so the
+    # 1.0 s entry happened on the SLOW host (1.0/0.20 = 5.0 units, the
+    # engine's demonstrated best). The coarse ratio (min time / min
+    # sentinel windows) cannot see that; paired pairing normalizes now
+    # = 10.0 units against best 5.0 -> 2.0, flagged.
+    doc2 = b.compute_delta(
+        {"q1": 1.4}, prior, {}, {}, 0.1,
+        sentinel_now=0.14, sentinel_prior_best=0.10,
+        prior_sentinels=[0.20, 0.10],
+    )
+    assert doc2["legs"]["q1"]["norm_ratio"] == 2.0
+    assert set(doc2["flagged_over_1.25x"]) == {"q1"}
+
+
+def test_paired_runs_suffix_alignment_for_new_legs():
+    """A leg added after the pairing began has a SHORTER history than
+    the runs list: its L entries pair with the LAST L sentinels. And a
+    leg whose history PREDATES every sentinel (no pairable entries)
+    falls back to the coarse window ratio."""
+    b = _bench()
+    doc = b.compute_delta(
+        {"new_leg": 2.0, "old_leg": 2.0},
+        {"new_leg": [1.0], "old_leg": [1.0, 1.0, 1.0]},
+        {}, {}, 0.1,
+        sentinel_now=0.2, sentinel_prior_best=0.1,
+        # runs began two invocations ago; old_leg's first entry has no
+        # paired sentinel and drops out of the paired min
+        prior_sentinels=[0.1, 0.1],
+    )
+    # new_leg: pairs its single entry with the LAST sentinel (0.1):
+    # prior 1.0/0.1=10, now 2.0/0.2=10 -> 1.0, unflagged
+    assert doc["legs"]["new_leg"]["norm_ratio"] == 1.0
+    # old_leg: last two entries pair (1.0/0.1); same normalized best
+    assert doc["legs"]["old_leg"]["norm_ratio"] == 1.0
+    # no runs at all -> coarse ratio fallback
+    doc2 = b.compute_delta(
+        {"old_leg": 2.0}, {"old_leg": [1.0]}, {}, {}, 0.1,
+        sentinel_now=0.2, sentinel_prior_best=0.1,
+        prior_sentinels=[],
+    )
+    assert doc2["legs"]["old_leg"]["norm_ratio"] == 1.0  # 2.0 / (0.2/0.1)
+
+
 def test_sentinel_is_fast_and_deterministic_shape():
     """The sentinel itself: Spark-free, sub-second per measurement,
     positive. (Determinism of the WORKLOAD is by construction — pinned
