@@ -384,6 +384,49 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sentinel_kernel(block):
+    """FROZEN numpy workload for the host-speed sentinel (r14 verdict
+    #1): a murmur3_x86_32-shaped pass over an (N, 24) uint8 block.
+    This is deliberately NOT imported from platform_spark — the
+    sentinel is the arbiter of every cross-round perf claim, so its
+    workload must be decoupled from code under optimization (speeding
+    up iceberg/bucket.py must move the LEGS, never the yardstick).
+    The arithmetic shape (uint32 multiply / rotate / xor rounds over
+    '<u4' views) matches the engine's hot write-path kernel as of r14
+    so the normalization stays representative, but this copy is frozen
+    forever: tests/test_bench_delta.py pins its output checksum, and
+    any edit here invalidates the entire .bench ledger's pairing."""
+    import numpy as np
+
+    n_rows, length = block.shape
+    h = np.zeros(n_rows, dtype=np.uint32)
+    k_all = np.ascontiguousarray(block[:, : (length // 4) * 4]).view("<u4")
+    for i in range(length // 4):
+        k = k_all[:, i] * np.uint32(0xCC9E2D51)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * np.uint32(0x1B873593)
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(length)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _sentinel_block():
+    """Pinned sentinel input: byte i,j = (i*31 + j*7) % 256 — content is
+    irrelevant, identical bytes every invocation is what matters."""
+    import numpy as np
+
+    i = np.arange(4096, dtype=np.uint32)[:, None]
+    j = np.arange(24, dtype=np.uint32)[None, :]
+    return ((i * 31 + j * 7) % 256).astype(np.uint8)
+
+
 def sentinel_sec() -> float:
     """Host-speed sentinel (r13 verdict #1): a FIXED, Spark-free,
     CPU-bound workload timed best-of-3, so cross-round leg deltas can be
@@ -391,25 +434,17 @@ def sentinel_sec() -> float:
     running, >1.25x flags were dominated by container CPU variance
     (r13: 49 false flags, adjudicated only via bisect + isolated
     traces); the sentinel makes that adjudication mechanical. The
-    workload is half numpy (the engine's own vectorized murmur3 over a
-    pinned 4096x24 block — the write path's hot kernel) and half pure
-    Python bytecode (many legs are driver/planning-bound), deterministic
-    by construction: no RNG, no I/O, no Spark."""
-    import numpy as np
-
-    from platform_spark.iceberg.bucket import _hash_bytes_same_len_numpy
-
-    # pinned input: byte i,j = (i*31 + j*7) % 256 — content is irrelevant,
-    # identical bytes every invocation is what matters
-    i = np.arange(4096, dtype=np.uint32)[:, None]
-    j = np.arange(24, dtype=np.uint32)[None, :]
-    block = ((i * 31 + j * 7) % 256).astype(np.uint8)
+    workload is half numpy (a FROZEN murmur3-shaped kernel above —
+    see _sentinel_kernel for why it must not import from the engine)
+    and half pure Python bytecode (many legs are driver/planning-bound),
+    deterministic by construction: no RNG, no I/O, no Spark."""
+    block = _sentinel_block()
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         acc = 0
         for _rep in range(400):  # ~0.2 s numpy half on the r13 host
-            acc ^= int(_hash_bytes_same_len_numpy(block)[-1])
+            acc ^= int(_sentinel_kernel(block)[-1])
         s = 0
         for k in range(2_000_000):  # ~0.15 s bytecode half
             s += k * k & 0xFFFF
@@ -440,17 +475,18 @@ def compute_delta(
     genuine regression moves a leg without moving the sentinel. Raw
     ratios stay recorded for the audit trail.
 
-    ``prior_sentinels`` is the per-invocation sentinel list aligned to
-    the leg ledgers by SUFFIX (every invocation appends one entry to
-    each leg it ran AND one to the ``__runs__`` list, so a leg list of
-    length L pairs with the last L sentinels; legs added later simply
-    have shorter lists). When a leg has sentinel-paired entries, its
-    normalized prior best is min(time_i / sentinel_i) over the paired
-    entries — exact per-invocation host correction. Entries recorded
-    before the sentinel existed (or when the lists cannot pair) fall
-    back to the coarse window ratio ``sentinel_now /
-    sentinel_prior_best``, and with no sentinel data at all the raw
-    ratio flags (r13 behavior)."""
+    Ledger entries are ``[time, sentinel]`` PAIRS (r15, per ADVICE):
+    each append records the invocation's own sentinel alongside the
+    time, so pairing is exact by construction — a leg that skips an
+    invocation (gate failure, partial run) can never mis-pair with a
+    neighbouring invocation's sentinel. A leg's normalized prior best
+    is min(time_i / sentinel_i) over its paired entries. Legacy bare-
+    float entries (pre-r15 window) fall back to SUFFIX alignment with
+    ``prior_sentinels`` (the r14 scheme — every r14 invocation appended
+    one entry to each leg it ran AND one to ``__runs__``); entries
+    recorded before any sentinel existed fall back to the coarse window
+    ratio ``sentinel_now / sentinel_prior_best``, and with no sentinel
+    data at all the raw ratio flags (r13 behavior)."""
     sent_ratio = None
     if sentinel_now and sentinel_prior_best:
         sent_ratio = round(sentinel_now / sentinel_prior_best, 3)
@@ -458,19 +494,32 @@ def compute_delta(
     deltas = {}
     for k, v in timings.items():
         hist = prior.get(k) or []
-        pb = min(hist) if hist else None
+        hist_t = [
+            e[0] if isinstance(e, (list, tuple)) else e for e in hist
+        ]
+        hist_s = [
+            e[1] if isinstance(e, (list, tuple)) and len(e) > 1 else None
+            for e in hist
+        ]
+        pb = min(hist_t) if hist_t else None
         ratio = round(v / pb, 3) if pb else None
         norm = None
         if ratio is not None:
             paired_best = None
-            if sentinel_now and prior_sentinels:
-                sents = prior_sentinels[-len(hist):] if hist else []
-                pad = len(hist) - len(sents)
-                paired = [
-                    (t, s)
-                    for t, s in zip(hist[pad:], sents)
-                    if s
-                ]
+            if sentinel_now:
+                # positional fallback sentinels for LEGACY float
+                # entries only; embedded pairs always win
+                pos = (
+                    prior_sentinels[-len(hist):]
+                    if prior_sentinels and hist else []
+                )
+                pad = len(hist) - len(pos)
+                paired = []
+                for idx, (t, s) in enumerate(zip(hist_t, hist_s)):
+                    if s is None and pos and idx >= pad:
+                        s = pos[idx - pad]
+                    if s:
+                        paired.append((t, s))
                 if paired:
                     paired_best = min(t / s for t, s in paired)
             if paired_best is not None:
@@ -719,13 +768,15 @@ def main() -> None:
     sf_ledger = ledger.setdefault(str(float(sf)), {})
     prior = {k: list(v) for k, v in sf_ledger.items()}
     prior_runs = list(sf_ledger.get("__runs__", []))
+    # each leg entry is a [time, sentinel] PAIR (r15): pairing is exact
+    # by construction even if a leg skips an invocation — compute_delta
+    # reads the embedded sentinel, no positional alignment involved
     for k, v in timings.items():
-        sf_ledger.setdefault(k, []).append(v)
+        sf_ledger.setdefault(k, []).append([v, sentinel])
         sf_ledger[k] = sf_ledger[k][-HISTORY_KEEP:]
-    # per-invocation sentinel, PAIRED with this sf's leg appends: every
-    # invocation appends one entry per leg AND one here, both trimmed
-    # to the same window, so a leg list of length L aligns with the
-    # last L sentinels (compute_delta's exact per-run normalization)
+    # __runs__ stays appended for the LEGACY bare-float window (r14
+    # entries pair by suffix alignment until they age out of the
+    # 8-entry window), after which it is just an invocation log
     sf_ledger.setdefault("__runs__", []).append(sentinel)
     sf_ledger["__runs__"] = sf_ledger["__runs__"][-HISTORY_KEEP:]
     # the root-level sentinel window is the coarse fallback (host speed

@@ -165,3 +165,93 @@ def test_sentinel_is_fast_and_deterministic_shape():
     b = _bench()
     s = b.sentinel_sec()
     assert 0.01 < s < 5.0
+
+
+def test_sentinel_workload_frozen():
+    """r14 verdict #1: the sentinel is the arbiter of every cross-round
+    perf claim, so its workload is FROZEN — pinned input bytes, pinned
+    kernel output, and no import from the package under optimization
+    (speeding up iceberg/bucket.py must move the legs, not the
+    yardstick). Any change to _sentinel_block/_sentinel_kernel breaks
+    these hashes and invalidates the .bench ledger's pairing."""
+    import hashlib
+
+    b = _bench()
+    blk = b._sentinel_block()
+    assert blk.shape == (4096, 24) and blk.dtype.name == "uint8"
+    assert hashlib.sha256(blk.tobytes()).hexdigest() == (
+        "9f627e5e510abe8878c4c9ed762e40a0a16cdb8296ca48814134dff16f9f42a2"
+    )
+    h = b._sentinel_kernel(blk)
+    assert hashlib.sha256(h.astype("<u4").tobytes()).hexdigest() == (
+        "0f395d119569f0c63bbe45527f795d89f74af176baafbb8f310441655d146222"
+    )
+    # decoupled from the engine: nothing in the sentinel path may
+    # import platform_spark (source-level check on both functions)
+    import inspect
+
+    src = inspect.getsource(b._sentinel_kernel)
+    src += inspect.getsource(b._sentinel_block)
+    src += inspect.getsource(b.sentinel_sec)
+    imports = [
+        ln for ln in src.splitlines()
+        if ln.strip().startswith(("import ", "from "))
+    ]
+    assert imports and not any("platform_spark" in ln for ln in imports)
+
+
+def test_paired_tuple_entries_normalize_exactly():
+    """r15 (ADVICE): ledger entries are [time, sentinel] pairs — the
+    sentinel travels WITH the time, so a leg that skipped an invocation
+    cannot mis-pair with a neighbour's sentinel. Prior: 1.0 s @ 0.10
+    and 2.0 s @ 0.20 — same 10.0 time-per-sentinel-unit speed. A new
+    1.4 s run on a 0.14 host is also 10.0 units -> norm 1.0, no flag."""
+    b = _bench()
+    prior = {"q1": [[1.0, 0.10], [2.0, 0.20]]}
+    doc = b.compute_delta(
+        {"q1": 1.4}, prior, {}, {}, 0.1,
+        sentinel_now=0.14, sentinel_prior_best=0.10,
+    )
+    assert doc["legs"]["q1"]["norm_ratio"] == 1.0
+    assert doc["legs"]["q1"]["prev_best"] == 1.0  # raw-time best
+    assert doc["flagged_over_1.25x"] == {}
+
+
+def test_skipped_invocation_cannot_mispair():
+    """THE advice scenario: leg q1 ran in invocations 1 and 3 only,
+    while __runs__ logged sentinels for 1,2,3. Positional suffix
+    alignment would pair q1's first entry with invocation 2's wildly
+    slow sentinel (0.50) and grossly understate its demonstrated speed;
+    embedded pairs ignore __runs__ entirely and get it right."""
+    b = _bench()
+    prior = {"q1": [[1.0, 0.10], [1.0, 0.10]]}
+    doc = b.compute_delta(
+        {"q1": 2.0}, prior, {}, {}, 0.1,
+        sentinel_now=0.10, sentinel_prior_best=0.10,
+        # the runs log contains a middle invocation q1 skipped; with
+        # suffix alignment q1's first 1.0 s would pair with 0.50 ->
+        # paired_best 2.0 units -> norm 2.0/... masked to 1.0. Embedded
+        # pairs give paired_best 10.0 -> norm 2.0: flagged, correctly.
+        prior_sentinels=[0.10, 0.50, 0.10],
+    )
+    assert doc["legs"]["q1"]["norm_ratio"] == 2.0
+    assert set(doc["flagged_over_1.25x"]) == {"q1"}
+
+
+def test_mixed_legacy_and_tuple_entries():
+    """Migration window: a history holding r14 bare floats followed by
+    r15 pairs. Floats use positional suffix alignment against
+    prior_sentinels; pairs use their embedded sentinel; both feed the
+    same paired min."""
+    b = _bench()
+    prior = {"q1": [1.0, [2.0, 0.20]]}
+    doc = b.compute_delta(
+        {"q1": 1.4}, prior, {}, {}, 0.1,
+        sentinel_now=0.14, sentinel_prior_best=0.10,
+        # suffix alignment: hist len 2 pairs with last 2 sentinels;
+        # the float 1.0 pairs with 0.10, the pair keeps its own 0.20
+        # (NOT the positional 0.99 — embedded wins)
+        prior_sentinels=[0.10, 0.99],
+    )
+    assert doc["legs"]["q1"]["norm_ratio"] == 1.0
+    assert doc["flagged_over_1.25x"] == {}
