@@ -39,6 +39,7 @@ from platform_spark.sql.ast import (
     Query,
     SelectColumn,
 )
+from platform_spark.sql.parser import MAX_KEY_IN
 from platform_spark.topics import IMPLICIT_COLUMNS, TopicCatalog
 
 GROUP_KEY_SEP = "\x1f"
@@ -54,6 +55,13 @@ SCAN_CAPABILITIES = frozenset(
     }
 )
 
+#: the time-travel keys: a hook that accepts-and-IGNORES one of these
+#: serves CURRENT state as historical — wrong data, not merely unpruned
+#: data (dropping a prune key like ts_min only costs pruning). A bare
+#: ``**kwargs`` signature therefore never implies these; they require a
+#: declared ``topic_scan_capabilities`` or an explicitly named parameter.
+TIME_TRAVEL_CAPABILITIES = frozenset({"as_of", "snapshot_id", "ref"})
+
 
 def scan_capabilities(owner, fn) -> frozenset:
     """The optional-kwarg capabilities of a catalog hook (``topic_scan``
@@ -62,9 +70,12 @@ def scan_capabilities(owner, fn) -> frozenset:
     (the r13 shape) silently breaks on a decorator-wrapped hook (whose
     visible signature is ``*args, **kwargs``) and mis-fires time
     travel's loud-rejection contract. The fallback inspects the
-    signature FOLLOWING ``__wrapped__`` chains, and treats a bare
-    ``**kwargs`` as supporting the full vocabulary (a wrapper that
-    forwards everything)."""
+    signature FOLLOWING ``__wrapped__`` chains; a bare ``**kwargs``
+    grants only the PRUNE keys (a forwarding wrapper that drops one of
+    those merely skips pruning), never the time-travel keys, where an
+    accept-and-ignore hook would silently serve current state as
+    historical (r14 ADVICE) — those demand a declaration or a named
+    parameter."""
     if fn is None:
         return frozenset()  # no hook ⇒ no capabilities, declared or not
     caps = getattr(owner, "topic_scan_capabilities", None)
@@ -77,11 +88,12 @@ def scan_capabilities(owner, fn) -> frozenset:
     except (TypeError, ValueError):
         return frozenset()
     params = sig.parameters
+    named = frozenset(params) & SCAN_CAPABILITIES
     if any(
         p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
     ):
-        return SCAN_CAPABILITIES
-    return frozenset(params) & SCAN_CAPABILITIES
+        return (SCAN_CAPABILITIES - TIME_TRAVEL_CAPABILITIES) | named
+    return named
 
 
 @dataclass
@@ -172,6 +184,22 @@ class Compiler:
             # loudly on catalogs without snapshot history
             if q.has_aggregates():
                 raise ValidationError("joins do not support aggregates")
+        if (
+            q.key_in is not None
+            and len(q.key_in) > MAX_KEY_IN
+            and not q.has_time_bound()
+        ):
+            # the cap bites only TIME-UNBOUNDED lists (r14 ADVICE —
+            # parse-time enforcement broke valid LAST-bounded batch
+            # fetches): on the admitted unbounded path >100 random keys
+            # cover essentially every bucket of a bucket[16..64] spec,
+            # so the bucket-union prunes nothing and the isin plan
+            # bloats; a bounded list's files are already time-pruned
+            raise ValidationError(
+                f"_key IN lists {len(q.key_in)} keys (max {MAX_KEY_IN} "
+                "without a time bound); add LAST/_ts bounds, or JOIN "
+                "against a topic holding the keys instead"
+            )
         if (
             self.opt.require_time_bound
             and not q.scan_full

@@ -29,11 +29,13 @@ _JSON_FUNCS = {"json_value", "json_query", "json_exists"}  # parser.go:553-563
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
-#: parse-time cap on `_key IN (...)` members — past this, the batch
-#: fetch belongs in a join (see the ParseError below): 100 random keys
-#: already cover essentially every bucket of a bucket[16..64] spec
+#: cap on `_key IN (...)` members for TIME-UNBOUNDED queries (enforced
+#: in Compiler._validate, where the bounds are visible — r14 ADVICE):
+#: past this, the unbounded batch fetch belongs in a join — 100 random
+#: keys already cover essentially every bucket of a bucket[16..64] spec
 #: (coupon collector), so a longer list bloats the plan's isin literals
-#: without the bucket union pruning anything
+#: without the bucket union pruning anything. LAST/_ts-bounded lists may
+#: exceed it: their files are already pruned by time.
 MAX_KEY_IN = 100
 
 
@@ -345,17 +347,11 @@ def _parse_where(q: Query, tail: str) -> str:
             q.key_in = tuple(
                 m.group(1) for m in re.finditer(r"'([^']*)'", kin.group(1))
             )
-            if len(q.key_in) > MAX_KEY_IN:
-                # a generated thousand-key list would bloat the plan's
-                # isin literals AND the bucket-union partition filter
-                # (past ~N distinct buckets the union prunes nothing);
-                # the set-shaped fetch belongs in a JOIN against a keys
-                # topic, which plans as one broadcast hash join
-                raise ParseError(
-                    f"_key IN lists {len(q.key_in)} keys (max "
-                    f"{MAX_KEY_IN}); for batch fetches this large, JOIN "
-                    "against a topic holding the keys instead"
-                )
+            # cap enforcement moved to Compiler._validate (r14 ADVICE):
+            # only TIME-UNBOUNDED large lists are rejected there — the
+            # bucket-union-prunes-nothing rationale applies to the
+            # budget-admitted unbounded path, not to a LAST-bounded
+            # batch fetch whose files are already pruned by time
             continue
         # the reference rejects every other predicate (parser.go:259-261)
         raise ParseError(f"unsupported WHERE predicate: {pred!r}")

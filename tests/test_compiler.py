@@ -408,3 +408,27 @@ def test_budget_prices_join_right_side_with_widened_frame(catalog, monkeypatch):
     assert rpart is None
     w = timedelta(seconds=60)
     assert rmin == lmin - w and rmax == lmax + w
+
+
+def test_key_in_cap_only_when_unbounded(engine):
+    """MAX_KEY_IN enforcement lives in _validate, not the parser (r14
+    ADVICE): a LAST-bounded batch fetch may exceed 100 keys (its files
+    are already time-pruned), while the same list without a time bound
+    is rejected with the JOIN alternative — on the unbounded path >100
+    random keys cover every bucket, so the union prunes nothing."""
+    from platform_spark.sql.parser import MAX_KEY_IN
+
+    over = ", ".join(f"'k{i}'" for i in range(MAX_KEY_IN + 1))
+    # bounded: valid (parses AND compiles; zero matching rows is fine)
+    df = engine.sql(
+        f"SELECT _offset FROM events WHERE _key IN ({over}) LAST 30d"
+    )
+    assert df.count() == 0
+    # unbounded: loud rejection naming the cap and the alternative
+    with pytest.raises(ValidationError, match="JOIN against a topic"):
+        engine.sql(f"SELECT _offset FROM events WHERE _key IN ({over})")
+    # SCAN FULL with an over-cap list: also time-unbounded -> rejected
+    with pytest.raises(ValidationError, match="max 100"):
+        engine.sql(
+            f"SELECT _offset FROM events WHERE _key IN ({over}) SCAN FULL"
+        )

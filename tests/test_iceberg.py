@@ -2424,7 +2424,26 @@ def test_catalog_capabilities_survive_wrapped_topic_scan(spark, tmp_path):
             return None
 
     v = VarKw()
-    assert scan_capabilities(v, v.topic_scan) == SCAN_CAPABILITIES
+    # bare **kwargs grants the PRUNE keys only (r14 ADVICE): an
+    # accept-and-ignore hook that drops ts_min merely skips pruning,
+    # but one that drops as_of serves CURRENT data as historical — the
+    # time-travel keys demand a declaration or a named parameter
+    from platform_spark.sql.compiler import TIME_TRAVEL_CAPABILITIES
+
+    assert scan_capabilities(v, v.topic_scan) == (
+        SCAN_CAPABILITIES - TIME_TRAVEL_CAPABILITIES
+    )
+
+    class VarKwNamedAsOf:
+        def topic_scan(self, name, as_of=None, **kwargs):
+            return None
+
+    va = VarKwNamedAsOf()
+    # an explicitly NAMED time-travel param is a real commitment — it
+    # composes with the **kwargs prune grant
+    assert scan_capabilities(va, va.topic_scan) == (
+        (SCAN_CAPABILITIES - TIME_TRAVEL_CAPABILITIES) | {"as_of"}
+    )
 
     def deco(fn):
         @functools.wraps(fn)

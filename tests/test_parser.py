@@ -259,17 +259,12 @@ def test_key_in_predicate():
         parser.parse("SELECT * FROM events WHERE _key IN (42) LAST 1h")
     with pytest.raises(ParseError):
         parser.parse("SELECT * FROM events WHERE _value IN ('a') LAST 1h")
-    # boundary at MAX_KEY_IN: exactly at the cap parses; one more is a
-    # loud error pointing at the join alternative (r13 verdict #5 — a
-    # generated thousand-key list bloats the isin plan and the
-    # bucket-union partition filter without pruning anything)
-    at_cap = ", ".join(f"'k{i}'" for i in range(parser.MAX_KEY_IN))
+    # MAX_KEY_IN is NOT a parse-time cap (r14 ADVICE moved enforcement
+    # to Compiler._validate, where time bounds are visible): an
+    # over-cap list with LAST parses fine — the compiler rejects it
+    # only when the query is time-unbounded (tests/test_compiler.py)
+    over = ", ".join(f"'k{i}'" for i in range(parser.MAX_KEY_IN + 1))
     q = parser.parse(
-        f"SELECT _offset FROM events WHERE _key IN ({at_cap}) LAST 1h"
+        f"SELECT _offset FROM events WHERE _key IN ({over}) LAST 1h"
     )
-    assert len(q.key_in) == parser.MAX_KEY_IN
-    over = at_cap + ", 'one-more'"
-    with pytest.raises(ParseError, match="JOIN against a topic"):
-        parser.parse(
-            f"SELECT _offset FROM events WHERE _key IN ({over}) LAST 1h"
-        )
+    assert len(q.key_in) == parser.MAX_KEY_IN + 1
