@@ -52,6 +52,19 @@ from pyspark.sql import functions as F
 #: distributed path unchanged.
 _DRIVER_CC_MAX_EDGES = 1_000_000
 
+#: …and a BYTE gate alongside the edge count (r14 verdict #3): the
+#: 1M-edge cap assumed ~50 B/id, which URL-keyed or content-hash-keyed
+#: graphs break — 1M edges of 2 kB URLs would collect ~4 GB and stall
+#: the driver. The same strategy-picking job therefore also sums the
+#: ids' rendered lengths; past this many estimated collected bytes the
+#: distributed path runs regardless of edge count.
+_DRIVER_CC_MAX_BYTES = 256 * 1024 * 1024
+
+#: pandas object-dtype per-cell overhead (PyObject str header +
+#: pointer): ~60 B per value on CPython/x86-64, two values per edge —
+#: counted so the byte estimate reflects driver heap, not raw char mass.
+_DRIVER_CC_CELL_OVERHEAD = 120
+
 
 def _driver_min_labels(edges: DataFrame) -> DataFrame:
     """(node, label) by union-find on the driver — the small-graph fast
@@ -98,7 +111,9 @@ def _propagate_min_labels(
 ) -> DataFrame:
     """(node, label) for every node in `pairs`, label = min node id of its
     connected component. Small graphs resolve as one driver union-find
-    (_DRIVER_CC_MAX_EDGES); larger ones run iterative min-label
+    (capped by BOTH _DRIVER_CC_MAX_EDGES and the estimated collected
+    bytes _DRIVER_CC_MAX_BYTES — long URL ids trip the byte gate well
+    before the edge gate); larger ones run iterative min-label
     propagation and raise if not converged (a silent partial result
     would split components)."""
     edges = (
@@ -109,9 +124,20 @@ def _propagate_min_labels(
         # similarity join) must not re-execute every propagation round
         .localCheckpoint(eager=True)
     )
-    # the checkpoint materialized the blocks, so this count is a cheap
-    # metadata-ish pass — it picks the resolution strategy
-    if edges.count() <= _DRIVER_CC_MAX_EDGES:
+    # the checkpoint materialized the blocks, so this is a cheap
+    # single-pass aggregate — it picks the resolution strategy. Count
+    # AND byte estimate ride the same job (r14 verdict #3): the edge cap
+    # alone assumed ~50 B/id, which URL-/hash-keyed graphs break.
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.length(F.col("src").cast("string"))
+            + F.length(F.col("dst").cast("string"))
+        ).alias("chars"),
+    ).first()
+    n_edges = stats["n"]
+    est_bytes = (stats["chars"] or 0) + n_edges * _DRIVER_CC_CELL_OVERHEAD
+    if n_edges <= _DRIVER_CC_MAX_EDGES and est_bytes <= _DRIVER_CC_MAX_BYTES:
         return _driver_min_labels(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")

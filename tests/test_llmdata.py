@@ -509,6 +509,47 @@ def test_min_labels_driver_and_distributed_paths_agree(spark, monkeypatch):
         assert fast == dist and len(fast) > 0
 
 
+def test_long_ids_trip_byte_gate_before_edge_gate(spark, monkeypatch):
+    """r14 verdict #3: the driver union-find's 1M-edge cap assumed
+    ~50 B/id; URL-keyed graphs break that. The strategy pick now also
+    estimates collected bytes, so a graph with FEW edges but huge ids
+    takes the distributed path — asserted by making the driver path
+    explode if chosen. Short ids on the same edge count still take the
+    driver path (the byte gate is not a blanket fallback)."""
+    import platform_spark.llmdata.clusters as cl
+
+    url = "https://example.com/" + "x" * 2000 + "/{}"
+    pairs = spark.createDataFrame(
+        [(url.format(i), url.format(i + 1)) for i in range(20)],
+        "doc_a: string, doc_b: string",
+    )
+    # ~40 edges x ~4 kB rendered chars >> a 64 kB byte budget, while the
+    # edge gate (left at 1M) would have admitted it
+    monkeypatch.setattr(cl, "_DRIVER_CC_MAX_BYTES", 64 * 1024)
+
+    def boom(edges):
+        raise AssertionError("driver union-find chosen past the byte gate")
+
+    monkeypatch.setattr(cl, "_driver_min_labels", boom)
+    out = sorted(
+        map(tuple, cl._propagate_min_labels(pairs, "doc_a", "doc_b", 25).collect())
+    )
+    assert len(out) == 21 and all(lab == url.format(0) for _, lab in out)
+    # control: short ids under the same byte budget go driver-side
+    monkeypatch.undo()
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a: long, doc_b: long"
+    )
+    calls = []
+    real = cl._driver_min_labels
+    monkeypatch.setattr(
+        cl, "_driver_min_labels", lambda e: calls.append(1) or real(e)
+    )
+    monkeypatch.setattr(cl, "_DRIVER_CC_MAX_BYTES", 64 * 1024)
+    out2 = cl._propagate_min_labels(short, "doc_a", "doc_b", 25).collect()
+    assert calls and len(out2) == 21
+
+
 def test_dedup_lines_corpus_semantics(spark):
     """Lines occurring >= min_count times across the corpus disappear from
     EVERY doc; surviving lines keep original order; an all-duplicate doc
