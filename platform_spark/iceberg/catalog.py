@@ -78,6 +78,38 @@ class IcebergTopicCatalog:
         self.configs = configs or {}
         self._materialized: dict[str, str] = {}
         self.cache_root = None
+        #: version-keyed metadata memo (r14 verdict #4): one query used
+        #: to parse the table's metadata JSON 2-3 times (validation's
+        #: plans_key_lookup, the budget/EXPLAIN estimate, the scan) —
+        #: multi-MB parses on the driver critical path at 100 TB
+        #: metadata sizes. The memo revalidates against the commit
+        #: protocol's version pointer (one tiny version-hint read), so
+        #: freshness across queries is unchanged: a concurrent writer
+        #: bumps the version and the next lookup reloads.
+        self._table_memo: dict[str, "IcebergTable"] = {}
+
+    def _load_table(self, name: str) -> IcebergTable:
+        """The catalog's ONLY metadata loader: returns the memoized
+        table when its version still matches the commit pointer,
+        re-parsing the metadata JSON only on version change. Raises
+        FileNotFoundError for unknown topics (sites wanting KeyError
+        guard with exists() first, unchanged)."""
+        from platform_spark.iceberg.commit import FilesystemCommit
+
+        loc = os.path.join(self.root, name)
+        cur = FilesystemCommit().current(loc)
+        if cur is None:
+            raise FileNotFoundError(
+                f"iceberg: no table at {loc} (catalog has no current "
+                "metadata pointer)"
+            )
+        version, _path = cur
+        memo = self._table_memo.get(name)
+        if memo is not None and memo.version == version:
+            return memo
+        table = IcebergTable.load(loc)
+        self._table_memo[name] = table
+        return table
 
     def topic_names(self) -> list[str]:
         return sorted(
@@ -90,7 +122,7 @@ class IcebergTopicCatalog:
         loc = os.path.join(self.root, name)
         if not IcebergTable.exists(loc):
             raise KeyError(f"unknown topic {name!r}")
-        df = IcebergTable.load(loc).to_spark(self.spark)
+        df = self._load_table(name).to_spark(self.spark)
         if with_schema_columns:
             cfg = self.configs.get(name)
             if cfg:
@@ -124,7 +156,7 @@ class IcebergTopicCatalog:
         loc = os.path.join(self.root, name)
         if not IcebergTable.exists(loc):
             raise KeyError(f"unknown topic {name!r}")
-        return IcebergTable.load(loc).inspect_history(self.spark)
+        return self._load_table(name).inspect_history(self.spark)
 
     @staticmethod
     def _bucket_spec_field(
@@ -149,7 +181,7 @@ class IcebergTopicCatalog:
         ScanBudget, unlike the blanket clause-shape guard (r13 verdict
         #2). Non-bucketed tables return False and keep the loud
         unbounded-query rejection."""
-        table = IcebergTable.load(os.path.join(self.root, name))
+        table = self._load_table(name)
         return self._bucket_spec_field(table, "_key") is not None
 
     def _pruned_entries(
@@ -261,7 +293,7 @@ class IcebergTopicCatalog:
         loc = os.path.join(self.root, name)
         if not IcebergTable.exists(loc):
             raise KeyError(f"unknown topic {name!r}")
-        table = IcebergTable.load(loc)
+        table = self._load_table(name)
         if sum(x is not None for x in (as_of, snapshot_id, ref)) > 1:
             raise ValueError("pass ONE of as_of / snapshot_id / ref")
         if ref is not None:
@@ -312,7 +344,7 @@ class IcebergTopicCatalog:
         one manifest walk, not 10^5 footer GETs."""
         from platform_spark.governance import ScanEstimate
 
-        table = IcebergTable.load(os.path.join(self.root, name))
+        table = self._load_table(name)
         if ref is not None:
             snapshot_id = table.ref_snapshot_id(ref)
         elif as_of is not None:

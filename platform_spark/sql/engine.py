@@ -380,6 +380,20 @@ class KafSqlEngine:
                         else "row-filter"
                     )
                     notes += f" key_lookup={n_keys}keys-{how}"
+                    if how == "bucket-planned" and not q.has_time_bound():
+                        # the ADMITTED unbounded path (r14 verdict #5):
+                        # surface the ScanBudget verdict the engine will
+                        # apply pre-execution — the admission is by
+                        # MEASURED cost, so EXPLAIN shows the measure
+                        b = self.opt.budget
+                        fits = (
+                            est.bytes <= b.max_scan_bytes
+                            and est.files <= b.max_scan_segments
+                        )
+                        notes += (
+                            f" budget={est.bytes}B/cap={b.max_scan_bytes}B"
+                            f"-{'admitted' if fits else 'REJECTED'}"
+                        )
                 if as_of is not None:
                     notes += " pinned=system_time"
                 elif version_of is not None or version_ref is not None:

@@ -2235,6 +2235,9 @@ def test_bucket_lookup_multi_era_and_truncate_guard(spark, tmp_path):
     # the transform-mismatch guard keeps them, the row data proves it
     entries = t2.scan_files(partition_filter={"k_trunc": "ab"})
     assert len(entries) == 2  # both eras survive planning
+
+
+def test_bare_key_lookup_admitted_by_measured_cost(spark, tmp_path):
     """`WHERE _key = 'x'` with NO time bound is admitted over a
     _key-BUCKETED Iceberg topic (r13 verdict #2): the catalog plans 1/N
     of the files from manifests and the engine's ScanBudget prices that
@@ -2309,6 +2312,30 @@ def test_bucket_lookup_multi_era_and_truncate_guard(spark, tmp_path):
     )
     with pytest.raises(GovernanceError, match="max_scan_bytes"):
         tight.sql(q).collect()
+
+    # EXPLAIN surfaces the admission verdict (r14 verdict #5): the
+    # admitted unbounded lookup prints the priced bytes against the
+    # budget cap, and under the tight cap the same plan line says
+    # REJECTED — the admission decision is visible, not implicit
+    import re as _re
+
+    plan = " ".join(r["plan"] for r in ieng.sql(f"EXPLAIN {q}").collect())
+    m = _re.search(
+        r"key_lookup=1keys-bucket-planned budget=(\d+)B/cap=(\d+)B-admitted",
+        plan,
+    )
+    assert m, plan
+    assert int(m.group(1)) > 0
+    tplan = " ".join(r["plan"] for r in tight.sql(f"EXPLAIN {q}").collect())
+    assert "/cap=1B-REJECTED" in tplan, tplan
+    # a TIME-BOUNDED lookup is not on the admitted path: no budget note
+    bplan = " ".join(
+        r["plan"]
+        for r in ieng.sql(
+            f"EXPLAIN {q.replace('LIMIT', 'LAST 30d LIMIT')}"
+        ).collect()
+    )
+    assert "budget=" not in bplan and "bucket-planned" in bplan
 
 
 def test_key_lookup_composes_with_time_travel(spark, tmp_path):
@@ -5147,3 +5174,80 @@ def test_kafsql_offset_pruning_over_iceberg_topic(spark, tmp_path):
     # upper bounds prune the other side too
     est_head = icat.estimate_topic_scan("events", offset_max=cut - 1)
     assert est_head.files < est_full.files
+
+
+def test_one_metadata_load_per_query(spark, tmp_path, monkeypatch):
+    """r14 verdict #4: one KAFSQL query over an Iceberg topic used to
+    parse the table's metadata JSON 2-3 times (plans_key_lookup in
+    validation, the budget estimate, the scan). The catalog now routes
+    every read through a version-keyed memo, so a full engine.sql()
+    round — including the metadata-heaviest shape, a budget-admitted
+    bare key lookup — costs exactly ONE IcebergTable.load; freshness
+    across queries is unchanged (a concurrent commit bumps the version
+    pointer and the next query reloads exactly once)."""
+    from datetime import datetime
+
+    from platform_spark.iceberg.catalog import IcebergTopicCatalog
+    import platform_spark.iceberg.catalog as cat_mod
+    from platform_spark.sql.engine import KafSqlEngine
+    from platform_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, "/root/testdata/sf0.001")
+    ev = cat.topic("events", with_schema_columns=False)
+    root = str(tmp_path / "memo")
+    os.makedirs(root, exist_ok=True)
+    t = IcebergTable.create(
+        os.path.join(root, "events"), ev.schema,
+        partition_by=("bucket(_key, 4)",), clock=CLOCK,
+    )
+    append_dataframe(t, ev.filter(F.col("_partition") == 0))
+    key = (
+        ev.filter(F.col("_key").isNotNull())
+        .select(F.col("_key").cast("string").alias("k"))
+        .first()
+        .k
+    )
+
+    icat = IcebergTopicCatalog(spark, root, configs=cat.configs)
+    eng = KafSqlEngine(icat, now=datetime(2024, 1, 31))
+    # the C8 result cache would serve the repeated count() below from
+    # memory (no scan, no load) and mask what this test measures
+    eng.sql("SET enable_cache = false")
+
+    calls = []
+    real_load = IcebergTable.load
+
+    def counting_load(cls, location, *a, **kw):
+        calls.append(location)
+        return real_load.__func__(cls, location, *a, **kw)
+
+    monkeypatch.setattr(
+        IcebergTable, "load", classmethod(counting_load)
+    )
+
+    # budget-admitted bare key lookup: validation + estimate + scan
+    n = eng.sql(
+        f"SELECT _offset FROM events WHERE _key = '{key}'"
+    ).count()
+    assert n > 0
+    assert len(calls) == 1, calls
+    # second query on the unchanged table: memo hit, ZERO loads
+    calls.clear()
+    eng.sql("SELECT count(*) AS n FROM events LAST 30d").first()
+    assert calls == []
+    # EXPLAIN routes through the same memo
+    eng.sql(f"EXPLAIN SELECT _offset FROM events WHERE _key = '{key}'")
+    assert calls == []
+
+    # concurrent writer: version bump -> exactly one reload, new rows
+    # visible (freshness across queries unchanged by the memo)
+    before = eng.sql(
+        "SELECT count(*) AS n FROM events LAST 30d"
+    ).first().n
+    append_dataframe(t, ev.filter(F.col("_partition") == 1))
+    calls.clear()
+    after = eng.sql(
+        "SELECT count(*) AS n FROM events LAST 30d"
+    ).first().n
+    assert after > before
+    assert len(calls) == 1, calls
