@@ -391,7 +391,12 @@ def test_compaction_and_snapshot_expiry(spark, table_loc):
     scan planning O(live files) under thousands of micro-batch commits.
     Compaction must not change content; history survives until expiry;
     expiry physically removes only what no kept snapshot references."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     df = _mk(spark, 0, 60)
     t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
@@ -433,7 +438,12 @@ def test_position_deletes_merge_on_read(spark, table_loc):
     accumulate across snapshots, overlap is idempotent, time travel sees
     the pre-delete rows, compaction folds deletes in and retires the
     delete files, expiry reclaims them physically."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     df = _mk(spark, 0, 100)
     t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
@@ -616,7 +626,12 @@ def test_partition_scoped_compaction(spark, table_loc):
     maintenance shape for huge tables. Delete files survive (they may
     still apply elsewhere); content is identical; other partitions'
     files are untouched."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     df = _mk(spark, 0, 60)
     t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
@@ -761,7 +776,12 @@ def test_incremental_changes(spark, table_loc):
     """changes(): exactly the rows appended in (from, to], replace
     snapshots skipped as content-neutral, delete/overwrite in range
     rejected, evolution-added columns read as NULL for older files."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     df = _mk(spark, 0, 30)
     t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
@@ -798,7 +818,12 @@ def test_tags_pin_snapshots_against_expiry(spark, table_loc):
     """A tag names a snapshot and PINS it: compaction + expiry reclaim
     everything else, but the tagged corpus version stays byte-for-byte
     reproducible; dropping the tag releases it."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     df = _mk(spark, 0, 40)
     t = IcebergTable.create(table_loc, df.schema, partition_by=("part",), clock=CLOCK)
@@ -1305,6 +1330,10 @@ def test_commit_conflict_budget_is_bounded(spark, table_loc):
     t = IcebergTable.create(table_loc, df.schema, clock=CLOCK)
     append_dataframe(t, df)
     append_dataframe(t, df)  # 2 snapshots: expire below has real work
+    # one committed no-match equality delete so rewrite_deletes below
+    # has a live delete file to fold (its wedged run must reach the
+    # commit, not return early) — id=99 matches nothing, count stays 20
+    t.delete_keys(spark, spark.createDataFrame([(99,)], "id: long"))
 
     class WedgedCommit(FilesystemCommit):
         """Reads fine; every commit loses the race."""
@@ -1316,7 +1345,12 @@ def test_commit_conflict_budget_is_bounded(spark, table_loc):
             self.attempts += 1
             raise CommitConflict(f"wedged at v{expected_version}")
 
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     for op in (
         # metadata-only paths (_commit_metadata_update)
@@ -1332,6 +1366,14 @@ def test_commit_conflict_budget_is_bounded(spark, table_loc):
         lambda w: append_dataframe(w, df),
         lambda w: compact_table(w, spark),
         lambda w: w.rewrite_manifests(),
+        # r14 verdict #6: the delete/upsert/maintenance sites joined
+        # the shared budget in r14 — every one of them gives up just
+        # as loudly, leaving the table untouched
+        lambda w: w.delete_where(spark, "id < 5"),
+        lambda w: w.delete_keys(spark, df.limit(3)),
+        lambda w: upsert_dataframe(w, df, ["id"]),
+        lambda w: merge_into(w, df, ["id"], spark=spark),
+        lambda w: rewrite_deletes(w, spark),
     ):
         proto = WedgedCommit()
         wedged = IcebergTable.load(table_loc, clock=CLOCK, protocol=proto)
@@ -1342,7 +1384,7 @@ def test_commit_conflict_budget_is_bounded(spark, table_loc):
     t2 = IcebergTable.load(table_loc)
     assert t2.metadata.get("refs", {}) == {}
     assert t2.to_spark(spark).count() == 20
-    assert len(t2.metadata["snapshots"]) == 2  # nothing expired
+    assert len(t2.metadata["snapshots"]) == 3  # nothing expired
 
 
 def test_cas_commit_protocol_concurrent_appends(spark, table_loc):
@@ -3565,7 +3607,12 @@ def test_zorder_all_null_column(spark, table_loc):
     raising at analysis time (r12 ADVICE)."""
     from pyspark.sql import types as T
 
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     schema = T.StructType(
         [
@@ -3739,7 +3786,12 @@ def test_sort_order_evolution(spark, table_loc):
     the whole table to the new order lazily, restoring selective
     manifest bounds; an identical order reuses its id; () reverts to
     unsorted (order-id 0). Content never changes."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     df = spark.range(0, 4000).select(
         (F.col("id") * 2654435761 % 4000).alias("id"),  # scattered ids
@@ -3819,7 +3871,12 @@ def test_zorder_compaction_prunes_both_dimensions(spark, table_loc):
     ~equal selectivity — where the same table linearly sorted by x
     prunes x but reads ~everything for a y range. Content is unchanged
     (compaction is a replace snapshot)."""
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     n = 20_000
     df = spark.range(0, n).select(
@@ -4572,7 +4629,12 @@ def test_partition_spec_evolution(spark, table_loc):
 
     from pyspark.sql import types as T
 
-    from platform_spark.iceberg.table import compact_table
+    from platform_spark.iceberg.table import (
+        compact_table,
+        merge_into,
+        rewrite_deletes,
+        upsert_dataframe,
+    )
 
     schema = T.StructType(
         [
