@@ -6301,6 +6301,67 @@ WHERE _key IN ({_BKT_KEYS2_SQL})
 )
 
 
+def _kafsql_key_in_large_bounded_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAST-bounded `_key IN` batch fetch with MORE than MAX_KEY_IN
+    members (r15, per r14 ADVICE): the cap moved from parse time to
+    validation and bites only time-unbounded lists, so a bounded
+    120-key fetch — the reference's S7 batch-fetch shape at client
+    scale — compiles to one time-pruned scan with an exact isin row
+    filter. 120 > the 100-member cap at sf >= 0.01 (150 distinct keys);
+    the derivation (first-occurrence order) is computed identically by
+    the oracle in SQL."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        r.k
+        for r in catalog_for(spark, sf_dir)
+        .topic("events", with_schema_columns=False)
+        .filter(
+            F.col("_key").isNotNull()
+            & ~F.col("_key").cast("string").contains("'")
+        )
+        .groupBy(F.col("_key").cast("string").alias("k"))
+        .agg(
+            F.min(
+                F.col("_partition").cast("long") * F.lit(1_000_000_000)
+                + F.col("_offset")
+            ).alias("ord")
+        )
+        .orderBy("ord")
+        .limit(120)
+        .collect()
+    ]
+    eng = engine_for(spark, sf_dir)
+    in_list = ", ".join(f"'{k}'" for k in keys)
+    return eng.sql(
+        "SELECT _partition, _offset, _key FROM events "
+        f"WHERE _key IN ({in_list}) LAST 30d LIMIT 100000"
+    )
+
+
+# Bounded large-IN batch fetch (> MAX_KEY_IN members WITH a time bound):
+# legal as of r15 — the member cap applies only to time-unbounded lists.
+# The oracle derives the same first-120-by-first-occurrence key set in
+# SQL and applies the identical IN + ts-bound predicate.
+_add(
+    "kafsql_key_in_large_bounded",
+    _kafsql_key_in_large_bounded_gate,
+    orc.with_topics(
+        f"""
+SELECT _partition, _offset, {orc.bytea('_key')} AS _key
+FROM t_events
+WHERE _key IN (
+    SELECT _key FROM t_events WHERE _key IS NOT NULL
+    AND _key NOT LIKE '%''%' GROUP BY _key
+    ORDER BY MIN(CAST(_partition AS BIGINT) * 1000000000 + _offset)
+    LIMIT 120)
+  AND _ts >= TIMESTAMP '{_last_lo(30)}' AND _ts <= TIMESTAMP '{_NOW_S}'"""
+    ),
+)
+
+
 def _iceberg_kafsql_time_travel_gate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6881,6 +6942,7 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 # driver replica `tools/check_oracle.py` — see COVERAGE.md.
 # ---------------------------------------------------------------------------
 _TAIL_SUBSETS = [
+    "kafsql_key_in_large_bounded",  # NEW r15, tail-placed from birth: the over-cap bounded twin of iceberg_kafsql_key_in_lookup (tail) and kafsql_last (head, which pins the LAST/ts-bound machinery) — the only new code is _validate's unbounded-only cap placement (pytest-pinned in test_compiler.test_key_in_cap_only_when_unbounded); this gate's own full relational oracle (same first-occurrence key derivation in SQL) proves the 120-member bounded fetch end-to-end
     "iceberg_kafsql_key_lookup_unbounded",  # bare (no LAST) twin of iceberg_kafsql_bucket_lookup (tail, same bucket planning + upsert merge — this gate only DROPS the ts bounds, whose machinery stays head-pinned by kafsql_last); the unbounded-guard admission + budget enforcement are pytest-pinned (test_key_lookup_budget_admission)
     "iceberg_kafsql_join_time_travel",  # per-side AS OF = iceberg_kafsql_time_travel's snapshot pin (tail, pre-upsert oracle proves data+delete planning) threaded into kafsql_join_inner's head-pinned join machinery (same ON/WITHIN/LAST band over orders/payments); the only new code is the parser suffix + per-side kwargs plumb, and THIS gate's own full relational oracle (pre-upsert left x current right) pins exactly that composition
     "iceberg_kafsql_show_snapshots",  # C-surface metadata listing over the SAME scratch table as iceberg_kafsql_time_travel (tail): snapshot creation/lineage machinery is pinned by every iceberg tail gate, the F4 renderer by kafsql_select_star (head); this gate's constant-derived oracle (pinned clock + sequence-number ids) adds only the rendered listing itself, also pytest-pinned in test_kafsql_system_time_as_of
