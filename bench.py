@@ -456,6 +456,45 @@ def sentinel_sec() -> float:
 _SENTINEL_SINK = [0]
 
 
+def sentinel_mt_sec(n_threads: int = 8) -> float:
+    """OBSERVATIONAL multi-threaded sentinel (r15): the scalar sentinel
+    is single-threaded, so a container window that throttles PARALLEL
+    throughput (cgroup quota, noisy neighbour on the other cores) while
+    single-thread speed stays nominal is invisible to it — bench 2 of
+    r15 showed exactly that shape (68 legs ~1.3x slower, sentinel ratio
+    1.005). This runs the SAME frozen kernel on a 16x-taller block from
+    ``n_threads`` concurrent threads (numpy releases the GIL inside the
+    array ops, so the threads genuinely overlap) and times the slowest
+    join, best-of-2. Recorded alongside the scalar sentinel in the
+    detail file and the ledger's ``__runs_mt__`` list; NOT yet used for
+    flag normalization — first collect cross-round data, then decide
+    (PLANS.md r15 adjudication note)."""
+    import threading
+
+    import numpy as np
+
+    i = np.arange(65536, dtype=np.uint32)[:, None]
+    j = np.arange(24, dtype=np.uint32)[None, :]
+    block = ((i * 31 + j * 7) % 256).astype(np.uint8)
+
+    def work():
+        acc = 0
+        for _rep in range(25):
+            acc ^= int(_sentinel_kernel(block)[-1])
+        _SENTINEL_SINK[0] ^= acc
+
+    best = float("inf")
+    for _ in range(2):
+        ts = [threading.Thread(target=work) for _ in range(n_threads)]
+        t0 = time.time()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def compute_delta(
     timings: dict,
     prior: dict,
@@ -752,7 +791,10 @@ def main() -> None:
     # semantics — a throttled window inflates the other sample)
     sent_end = sentinel_sec()
     sentinel = min(sent_start, sent_end)
-    detail["sentinel"] = {"start": sent_start, "end": sent_end}
+    sentinel_mt = sentinel_mt_sec()
+    detail["sentinel"] = {
+        "start": sent_start, "end": sent_end, "mt": sentinel_mt,
+    }
 
     # cross-round variance ledger: per-leg best-time history (last N
     # invocations at this SF), so a verdict can tell drift from a step
@@ -779,6 +821,10 @@ def main() -> None:
     # 8-entry window), after which it is just an invocation log
     sf_ledger.setdefault("__runs__", []).append(sentinel)
     sf_ledger["__runs__"] = sf_ledger["__runs__"][-HISTORY_KEEP:]
+    # observational multi-thread sentinel (parallel-throughput window
+    # detector) — aligned with __runs__, not yet used for flags
+    sf_ledger.setdefault("__runs_mt__", []).append(sentinel_mt)
+    sf_ledger["__runs_mt__"] = sf_ledger["__runs_mt__"][-HISTORY_KEEP:]
     # the root-level sentinel window is the coarse fallback (host speed
     # is SF-independent): its best approximates the host speed at which
     # pre-pairing leg bests were recorded
