@@ -101,9 +101,14 @@ def _driver_min_labels(edges: DataFrame) -> DataFrame:
             T.StructField("label", node_type),
         ]
     )
-    return edges.sparkSession.createDataFrame(
-        sorted((n, find(n)) for n in nodes), schema
-    )
+    # ship the labels back through Arrow (pandas createDataFrame) instead
+    # of pickled Python rows: the row path serializes each tuple via py4j
+    # and showed up as pure wait time in the final stage's task profile
+    import pandas as pd
+
+    labels = sorted((n, find(n)) for n in nodes)
+    pdf_out = pd.DataFrame(labels, columns=["node", "label"])
+    return edges.sparkSession.createDataFrame(pdf_out, schema)
 
 
 def _propagate_min_labels(
@@ -117,11 +122,29 @@ def _propagate_min_labels(
     propagation and raise if not converged (a silent partial result
     would split components)."""
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        # BOTH edge directions from ONE pass over `pairs` (r15): the old
+        # union(select(a,b), select(b,a)) shape embedded the whole
+        # pair-generating plan — often an expensive similarity join —
+        # TWICE in the logical plan, and the checkpoint job executed both
+        # copies (exchange reuse does not cover the asymmetric projections
+        # above the join). explode of a 2-struct array emits the same row
+        # multiset in a single execution of the pair plan.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
-        # materialize once: the pair-generating plan (often an expensive
-        # similarity join) must not re-execute every propagation round
+        # materialize once: the pair-generating plan must not re-execute
+        # every propagation round
         .localCheckpoint(eager=True)
     )
     # the checkpoint materialized the blocks, so this is a cheap
@@ -220,10 +243,20 @@ def _cluster_rep_graph(graph, max_iterations: int) -> DataFrame:
     cluster_id over the expanded graph = min doc id of the component =
     min rep id (each rep is already the min id among its copies), which is
     exactly the propagated label."""
-    cross = graph.pairs.filter(F.col("rep_a") != F.col("rep_b")).select(
+    # materialize the rep-level pair list ONCE (r15): `pairs` is consumed
+    # by the cross-edge branch AND the self-row branch, and the cross
+    # branch is consumed again inside the propagation edge build — without
+    # a barrier the expensive candidate-join plan executes 2-3x per query.
+    # Rep pairs are ~linear in distinct contents (tiny next to the
+    # corpus), so the checkpoint is bounded state, same stance as the
+    # edge checkpoint in _propagate_min_labels.
+    rep_pairs = graph.pairs.select("rep_a", "rep_b").localCheckpoint(
+        eager=True
+    )
+    cross = rep_pairs.filter(F.col("rep_a") != F.col("rep_b")).select(
         F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
     )
-    selfs = graph.pairs.filter(F.col("rep_a") == F.col("rep_b")).select(
+    selfs = rep_pairs.filter(F.col("rep_a") == F.col("rep_b")).select(
         F.col("rep_a").alias("rep_id")
     )
     labels = _propagate_min_labels(cross, "doc_a", "doc_b", max_iterations)

@@ -164,10 +164,18 @@ class _BenchLits:
         self.n = len(rows)
 
     def cols(self) -> tuple[Column, Column, Column]:
+        # literals rendered as SQL text and parsed with one F.expr each
+        # (r15): F.lit recurses one py4j round trip per element, which on
+        # a thousands-x-dim bench matrix costs seconds of pure driver
+        # socket latency per query; the parsed CreateArray(Literal) tree
+        # is identical and constant-folds the same way
+        from platform_spark.llmdata.similarity import double_matrix_lit
+
+        ids_sql = "array(" + ",".join(f"{int(i)}L" for i in self.ids) + ")"
         return (
-            F.lit(self.vecs).cast("array<array<double>>"),
-            F.lit(self.ids).cast("array<bigint>"),
-            F.lit(self.norms).cast("array<double>"),
+            double_matrix_lit(self.vecs).cast("array<array<double>>"),
+            F.expr(ids_sql).cast("array<bigint>"),
+            double_matrix_lit(self.norms).cast("array<double>"),
         )
 
 

@@ -139,15 +139,25 @@ class RepGraph(NamedTuple):
 
 
 def _collapse(df: DataFrame, content_hash: Column, id_col: str) -> tuple[DataFrame, DataFrame]:
-    """(membership, counts) for exact-duplicate groups under content_hash."""
+    """(membership, counts) for exact-duplicate groups under content_hash.
+
+    Both outputs are cached (r15): every rep-graph family references
+    `counts` in 3-4 plan branches (rep_docs filter, self rows, both
+    per-side copy-count joins) and `membership` in 2 (each expand side),
+    and without the cache each reference re-scans the corpus and re-runs
+    the md5-collapse aggregate. Both tables are one row per doc /
+    distinct content — bounded, orders of magnitude smaller than the
+    shingle/vector state this module already caches."""
     hashes = df.select(F.col(id_col).alias("doc_id"), content_hash.alias("__ch"))
     reps = hashes.groupBy("__ch").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies")
     )
-    membership = hashes.join(reps.select("__ch", "rep_id"), "__ch").select(
-        "doc_id", "rep_id"
+    membership = (
+        hashes.join(reps.select("__ch", "rep_id"), "__ch")
+        .select("doc_id", "rep_id")
+        .cache()
     )
-    return membership, reps.select("rep_id", "n_copies")
+    return membership, reps.select("rep_id", "n_copies").cache()
 
 
 def expand_pairs(
@@ -278,9 +288,22 @@ def _ngram_rep_common(
     rep_docs = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).join(counts.select(F.col("rep_id").alias("doc_id"), "n_copies"), "doc_id")
+    # the cached shingle table CARRIES n_copies (r15): n_copies is a pure
+    # function of doc_id, so folding it into the explode costs one int
+    # column — and the copy-weighted hot cutoff below becomes a plain
+    # aggregate over this cache instead of a SortMergeJoin of the whole
+    # shingle table back against rep_docs (2 exchanges + a sort, and the
+    # hot subtree used to execute once per self-join side)
+    toked = rep_docs.select(
+        "doc_id", "n_copies", tokens(F.lower(F.col("__text"))).alias("toks")
+    )
     sh = (
-        _shingle_table(rep_docs, "__text", "doc_id", k)
-        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+        toked.select(
+            "doc_id",
+            "n_copies",
+            F.explode(shingles_from_tokens(F.col("toks"), k)).alias("shingle"),
+        )
+        .select("doc_id", "n_copies", md5_int(F.col("shingle")).alias("sh"))
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -288,14 +311,13 @@ def _ngram_rep_common(
     # filter) — no driver-side action, no extra full pass at scale
     n_docs_df = df.select(F.count("*").alias("__n_docs"))
     hot = (
-        sh.join(rep_docs.select("doc_id", "n_copies"), "doc_id")
-        .groupBy("sh")
+        sh.groupBy("sh")
         .agg(F.sum("n_copies").alias("df_"))
         .crossJoin(F.broadcast(n_docs_df))
         .filter(F.col("df_") > F.col("__n_docs") * stop_shingle_df)
         .select("sh")
     )
-    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    idx = sh.select("doc_id", "sh").join(F.broadcast(hot), "sh", "left_anti")
     a, b = idx.alias("a"), idx.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -475,8 +497,10 @@ def minhash_signatures(
         md5_int(F.col("shingle"), seed="h1:", hex_digits=12).alias("h1"),
         md5_int(F.col("shingle"), seed="h2:", hex_digits=12).alias("h2"),
     )
+    # SQL-text aggregates (r15): same min(h1 + j*h2) trees for a fraction
+    # of the py4j construction cost (see simhash_table)
     aggs = [
-        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh_{j}")
+        F.expr(f"min(h1 + {j} * h2)").alias(f"mh_{j}")
         for j in range(num_perm)
     ]
     return hashed.groupBy(F.col("doc_id")).agg(*aggs)
@@ -486,15 +510,21 @@ def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(doc_id, band, bucket) rows from a signature table: each band of the
     signature hashed to one bucket string."""
     rows_per_band = num_perm // bands
-    band_cols = []
+    # SQL-text struct array (r15, same rationale as simhash_table): one
+    # parsed expression instead of ~bands×(struct+md5+concat) py4j calls
+    band_structs = []
     for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols).cast("binary")).alias("bucket"))
+        cols = ",".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
         )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+        band_structs.append(
+            f"named_struct('band', {b}, 'bucket', "
+            f"md5(CAST(concat_ws('_', {cols}) AS BINARY)))"
+        )
+    bb = "explode(array(" + ",".join(band_structs) + "))"
+    return sig.select("doc_id", F.expr(bb).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
 
 
 def minhash_lsh_candidates(
@@ -553,10 +583,17 @@ def minhash_rep_graph(
     rep_docs = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).join(counts.select(F.col("rep_id").alias("doc_id")), "doc_id")
-    sig = minhash_signatures(rep_docs, "__text", "doc_id", k, num_perm)
+    # cache the two per-doc tables the plan re-references (r15): the
+    # signature table feeds BOTH aliases of the band-bucket self-join
+    # (one row of 32 longs per doc), and the hashed-shingle index feeds
+    # the sizes aggregate plus both sides of the candidate verify —
+    # uncached, tokenize+shingle+hash re-executed once per reference
+    sig = minhash_signatures(rep_docs, "__text", "doc_id", k, num_perm).cache()
     cand = minhash_lsh_candidates(sig, num_perm, bands)
-    sh = _shingle_table(rep_docs, "__text", "doc_id", k).select(
-        "doc_id", md5_int(F.col("shingle")).alias("sh")
+    sh = (
+        _shingle_table(rep_docs, "__text", "doc_id", k)
+        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+        .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -688,11 +725,23 @@ def minhash_join(
         .select("left_id", "right_id")
         .distinct()
     )
-    sh_l = _shingle_table(l_docs, "__t", "doc_id", k).select(
-        F.col("doc_id").alias("left_id"), md5_int(F.col("shingle")).alias("sh_a")
+    # each side's shingle index feeds the verify join AND its size
+    # aggregate — cache so tokenization runs once per side (r15)
+    sh_l = (
+        _shingle_table(l_docs, "__t", "doc_id", k)
+        .select(
+            F.col("doc_id").alias("left_id"),
+            md5_int(F.col("shingle")).alias("sh_a"),
+        )
+        .cache()
     )
-    sh_r = _shingle_table(r_docs, "__t", "doc_id", k).select(
-        F.col("doc_id").alias("__rid"), md5_int(F.col("shingle")).alias("sh_b")
+    sh_r = (
+        _shingle_table(r_docs, "__t", "doc_id", k)
+        .select(
+            F.col("doc_id").alias("__rid"),
+            md5_int(F.col("shingle")).alias("sh_b"),
+        )
+        .cache()
     )
     common = (
         cand.join(sh_l, "left_id")
@@ -798,7 +847,10 @@ def build_dedup_index(
     c = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     )
-    # exact-collapse: one rep (smallest id) per distinct content
+    # exact-collapse: one rep (smallest id) per distinct content. Cached
+    # (r15): the inline-index path references reps via hashes AND
+    # rep_docs, and the shingle index via the verify join AND sizes —
+    # uncached, the corpus is re-scanned and re-shingled per reference.
     reps = (
         c.filter(F.col("__t").isNotNull())
         .groupBy(F.md5(F.col("__t")).alias("content_hash"))
@@ -808,13 +860,16 @@ def build_dedup_index(
             F.col("__m.doc_id").alias("rep_id"),
             F.col("__m.__t").alias("__t"),
         )
+        .cache()
     )
     hashes = reps.select("content_hash", F.col("rep_id"))
     rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "__t")
     sig = minhash_signatures(rep_docs, "__t", "doc_id", k, num_perm)
     buckets = _band_buckets(sig, num_perm, bands)
-    shingles = _shingle_table(rep_docs, "__t", "doc_id", k).select(
-        "doc_id", md5_int(F.col("shingle")).alias("sh")
+    shingles = (
+        _shingle_table(rep_docs, "__t", "doc_id", k)
+        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+        .cache()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     return CorpusDedupIndex(hashes, buckets, shingles, sizes)
@@ -887,6 +942,10 @@ def dedup_incremental_report(
             F.col("__m.doc_id").alias("doc_id"),
             F.col("__m.__t").alias("__t"),
         )
+        # cached (r15): feeds the signature build, the shingle index,
+        # and the rep->doc expansion join — 3 references, and `rest`
+        # above it embeds the whole exact-layer anti-join each time
+        .cache()
     )
     sig_n = minhash_signatures(nreps, "__t", "doc_id", k, num_perm)
     bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
@@ -900,8 +959,13 @@ def dedup_incremental_report(
         .select("left_id", "right_id")
         .distinct()
     )
-    sh_n = _shingle_table(nreps, "__t", "doc_id", k).select(
-        F.col("doc_id").alias("left_id"), md5_int(F.col("shingle")).alias("sh")
+    sh_n = (
+        _shingle_table(nreps, "__t", "doc_id", k)
+        .select(
+            F.col("doc_id").alias("left_id"),
+            md5_int(F.col("shingle")).alias("sh"),
+        )
+        .cache()  # verify join + size aggregate (r15)
     )
     common = (
         cand.join(sh_n, "left_id")
@@ -1030,23 +1094,27 @@ def simhash_table(
     # own banding group, see simhash_rep_graph). Semantics unchanged:
     # per-bit +/-1 majority, bit set when the count is > 0 — the DuckDB
     # oracle pins it.
+    # the 60 per-bit aggregates and the 60-term fingerprint reassembly are
+    # rendered as SQL text (r15): the pyspark-DSL construction of the same
+    # expressions costs ~9k py4j round trips (~2 s of driver socket
+    # latency per query, cProfile-measured); one F.expr per column parses
+    # to the same CASE WHEN / sum trees and identical values (the DuckDB
+    # oracle pins them)
     exploded = hashed.select("doc_id", F.explode_outer("hs").alias("h"))
     sums = exploded.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)"
             ).alias(f"__b{b}")
             for b in range(bits)
         ]
     )
-    sh = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sh = sh + F.when(
-            F.col(f"__b{b}") > 0, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return sums.select("doc_id", sh.alias("sh"))
+    sh_sql = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"CASE WHEN __b{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return sums.select("doc_id", F.expr(sh_sql).alias("sh"))
 
 
 def simhash(col: Column, bits: int = 64) -> Column:
@@ -1163,7 +1231,10 @@ def _simhash_banded_pairs(
     """Banded Hamming join over one row per doc (callers pre-collapse)."""
     bits = 60
     per = bits // bands
-    sh = simhash_table(df, text_col, "doc_id")
+    # cache the fingerprint table (r15): one (doc_id, sh) row per doc —
+    # tiny — but the self-join's two aliases otherwise re-execute the
+    # whole explode + 60-aggregate majority vote once per side
+    sh = simhash_table(df, text_col, "doc_id").cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1227,6 +1298,7 @@ def _lsh_cosine_pairs(
     from platform_spark.llmdata.similarity import (
         cosine_prenorm,
         dot_expr,
+        double_matrix_lit,
         norm_expr,
     )
 
@@ -1242,10 +1314,9 @@ def _lsh_cosine_pairs(
         return vals
 
     per = max(1, n_hyperplanes // bands)
-    # single nested-array Literal (one plan node, not n_hyperplanes*dim
-    # CreateArray nodes — keeps codegen compile flat as the matrix grows);
-    # sketch = Σ (dot_p >= 0) << p folded over the matrix
-    plane_matrix = F.lit([plane(p) for p in range(n_hyperplanes)])
+    # single nested-array literal built in ONE py4j call (see
+    # double_matrix_lit); sketch = Σ (dot_p >= 0) << p folded over it
+    plane_matrix = double_matrix_lit([plane(p) for p in range(n_hyperplanes)])
     dots = F.transform(plane_matrix, lambda w: dot_expr(F.col("v"), w))
     sketch = F.aggregate(
         F.zip_with(
@@ -1266,9 +1337,13 @@ def _lsh_cosine_pairs(
     # O(candidate pairs). Same expression tree on the same doubles ⇒
     # bit-identical cosines (the 6-dp rounding the oracles hash is
     # untouched); measured 1.9x on the ecf verify stage.
+    # cached (r15): `base` feeds both aliases of the band self-join AND
+    # both per-side vector re-joins of the verify — four references, each
+    # of which would otherwise recompute the interpreted n_hyperplanes×dim
+    # sketch fold (the dominant per-vector cost) plus the norm
     base = staged.select(
         "vid", "v", sketch.alias("sk"), norm_expr(F.col("v")).alias("nrm")
-    )
+    ).cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1499,6 +1574,10 @@ def duplicate_spans(
     exactly this per-doc summary.
     """
     toked, spans = _positional_spans(df, k, text_col, id_col)
+    # cached (r15): the positional-span table feeds the occurrence count
+    # AND the join back — uncached, the k-token concat+md5 window pass
+    # (the dominant per-row cost) executes twice
+    spans = spans.cache()
     n = F.size("__toks")
     occ = spans.groupBy("h").agg(
         F.count("*").alias("n_occ"),
@@ -1555,6 +1634,9 @@ def remove_duplicate_spans(
     if scope not in ("corpus", "cross"):
         raise ValueError(f"scope must be 'corpus' or 'cross', got {scope!r}")
     toked, spans = _positional_spans(df, k, text_col, id_col)
+    # cached (r15): same double-reference as duplicate_spans (count +
+    # join back over the span table)
+    spans = spans.cache()
     occ = spans.groupBy("h").agg(
         F.count("*").alias("n_occ"),
         F.count_distinct("doc_id").alias("n_docs"),

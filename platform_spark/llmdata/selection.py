@@ -74,10 +74,22 @@ def dsir_scores(
     with no features (empty text) emit no row."""
     raw_feats = hashed_ngram_buckets(df, text_col, id_col, n_buckets)
     tgt_feats = hashed_ngram_buckets(target, text_col, id_col, n_buckets)
-    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
-    raw_total = raw_feats.select(F.count("*").alias("tr"))
-    tgt_total = tgt_feats.select(F.count("*").alias("tt"))
+    # per-bucket count tables are ≤ n_buckets rows — cached (r15) so the
+    # weight join and the totals below share one tokenize+explode pass
+    # per side instead of re-running it per reference
+    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr")).cache()
+    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct")).cache()
+    # totals derived from the per-bucket counts (r15): sum(cr) over the
+    # ≤ n_buckets count rows IS count(*) over the feature table — same
+    # bigint, exactly — so neither side pays an extra full
+    # tokenize+explode pass just for its total. coalesce keeps the
+    # empty-input value at 0, matching count(*) semantics.
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("tr")
+    )
+    tgt_total = tgt_counts.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt")
+    )
     # every bucket a document can hash to appears in raw_counts (raw = df),
     # so a left join from raw_counts covers the scoring domain; ct fills 0
     weights = (

@@ -18,6 +18,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def double_matrix_lit(val) -> Column:
+    """Nested double-array literal built in ONE py4j round trip.
+
+    ``F.lit`` on a (nested) Python list recurses into one ``lit()`` +
+    ``array()`` py4j call PER ELEMENT — a 16x64 centroid matrix costs
+    ~1k driver round trips (~0.5-1 s of pure socket latency, measured via
+    cProfile on the ivfpq gate: 13k py4j commands, 2.9 s). Rendering the
+    same structure as SQL text and parsing it with one ``F.expr`` yields
+    the IDENTICAL CreateArray(Literal<double>) tree — 'D'-suffixed
+    literals are doubles, and Python's repr round-trips bit-exactly
+    through Java's correctly-rounded double parse — which Catalyst
+    constant-folds to the same single Literal either way."""
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return repr(float(v)) + "D"
+
+    return F.expr(render(val))
+
+
 def to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -188,7 +209,7 @@ def ivf_topk(
     # single nested-array Literal (NOT n_centroids*dim CreateArray nodes):
     # the one-node tree keeps whole-stage-codegen compile time flat as
     # n_centroids*dim grows — measured ~0.4 s off the fixed overhead at 16x64
-    cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
+    cent_matrix = double_matrix_lit(matrix)
 
     def nearest(vec: Column, n: int) -> Column:
         return nearest_centroids_expr(cent_matrix, n_centroids, vec, n)
@@ -196,12 +217,19 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("bucket", nearest(F.col("cv"), 1)[0]).withColumn(
-        "cn", norm_expr(F.col("cv"))
+    # one select instead of chained withColumns (r15): every DataFrame
+    # call re-analyzes the full centroid-matrix tree on the driver
+    c = c.select(
+        "corpus_id",
+        "cv",
+        nearest(F.col("cv"), 1)[0].alias("bucket"),
+        norm_expr(F.col("cv")).alias("cn"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_expr(F.col("qv")))
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+        norm_expr(to_double(F.col(vec_col))).alias("qn"),
+    )
     q = q.withColumn("bucket", F.explode(nearest(F.col("qv"), n_probe)))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("corpus_id") != F.col("query_id")
@@ -267,7 +295,7 @@ def semantic_dedup(
     else:
         matrix = centroids
         n_clusters = len(matrix)
-    cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
+    cent_matrix = double_matrix_lit(matrix)
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
@@ -281,7 +309,12 @@ def semantic_dedup(
         F.desc("centroid_cosine"), F.asc("vec_id")
     )
     ranked = c.withColumn("rank", F.row_number().over(w))
-    with_norm = ranked.withColumn("nrm", norm_expr(F.col("v")))
+    # cached (r15): the ranked-with-norm table feeds BOTH sides of the
+    # within-bucket upper-triangle join plus the final keeper join — three
+    # references that would each re-run the interpreted centroid
+    # assignment (n_clusters × dim cosine folds per vector) and the rank
+    # window
+    with_norm = ranked.withColumn("nrm", norm_expr(F.col("v"))).cache()
     left = with_norm.select(
         "bucket", F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -308,7 +341,12 @@ def semantic_dedup(
         .distinct()
     )
     return (
-        ranked.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        # join from the cached with_norm (same rows as `ranked` plus the
+        # norm column, projected away below) so the assignment+window
+        # subtree is not executed a third time
+        with_norm.join(
+            dropped.withColumn("__drop", F.lit(True)), "vec_id", "left"
+        )
         .select(
             "vec_id",
             "bucket",
@@ -370,8 +408,8 @@ def sq_topk(
     if codebook is None:
         codebook = fit_scalar_quantizer(corpus, vec_col)
     mins, maxs = codebook
-    mins_lit = F.lit([float(x) for x in mins])
-    maxs_lit = F.lit([float(x) for x in maxs])
+    mins_lit = double_matrix_lit(mins)
+    maxs_lit = double_matrix_lit(maxs)
 
     def dequantized(vec: Column) -> Column:
         # quantize + dequantize in one expression: v̂ = min + q*(max-min)/255
@@ -389,14 +427,19 @@ def sq_topk(
             lambda x, lo: x + lo,
         )
 
+    # few-call staging (r15): each chained withColumn re-analyzed the
+    # whole quantize tree on the driver; two selects pay it twice total
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cq", dequantized(F.col("cv"))).withColumn(
-        "cqn", norm_expr(F.col("cq"))
-    ).withColumn("cn", norm_expr(F.col("cv")))
+    ).select("corpus_id", "cv", dequantized(F.col("cv")).alias("cq"))
+    c = c.select(
+        "*", norm_expr(F.col("cq")).alias("cqn"), norm_expr(F.col("cv")).alias("cn")
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_expr(F.col("qv")))
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+        norm_expr(to_double(F.col(vec_col))).alias("qn"),
+    )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
@@ -460,7 +503,7 @@ def project_expr(vec: Column, components: list[list[float]]) -> Column:
     """Project a vector column onto a component matrix (plain uncentered
     dot products — mirrorable verbatim in SQL, unlike PCAModel.transform's
     internals). One nested-array Literal, codegen-flat."""
-    matrix = F.lit([[float(x) for x in c] for c in components])
+    matrix = double_matrix_lit(components)
     return F.transform(matrix, lambda c: dot_expr(vec, c))
 
 
@@ -538,17 +581,24 @@ def fit_pq_codebook(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    out = []
-    for j in range(m):
+    # the m sub-fits are independent single-partition k-means jobs, each
+    # dominated by fixed per-iteration job overhead — submit them from a
+    # thread pool so they overlap on the cluster (guide-standard
+    # concurrent-jobs pattern). Each fit's input, seed and row order are
+    # untouched, so every sub-codebook is bit-identical to the
+    # sequential loop's; only the wall time changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_sub(j: int) -> list[list[float]]:
         sub = corpus.select(
             F.slice(to_double(F.col(vec_col)), j * dsub + 1, dsub).alias("sub")
         )
-        out.append(
-            fit_kmeans_centroids(
-                sub, ksub, vec_col="sub", deterministic=deterministic
-            )
+        return fit_kmeans_centroids(
+            sub, ksub, vec_col="sub", deterministic=deterministic
         )
-    return out
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(_fit_sub, range(m)))
 
 
 def _pq_code_j(
@@ -568,7 +618,7 @@ def _pq_code_j(
 
 def _pq_cb_lit(codebook: list[list[list[float]]]) -> Column:
     # ONE nested Literal node (codegen-flat, not a CreateArray tree)
-    return F.lit([[[float(x) for x in c] for c in sub] for sub in codebook])
+    return double_matrix_lit(codebook)
 
 
 def pq_codes_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
@@ -580,7 +630,11 @@ def pq_codes_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
     return F.array(*[_pq_code_j(vec, cb, j, dsub) for j in range(1, m + 1)])
 
 
-def pq_dequantize_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
+def pq_dequantize_expr(
+    vec: Column,
+    codebook: list[list[list[float]]],
+    cb: Column | None = None,
+) -> Column:
     """Quantize + dequantize in one expression: the concatenation of each
     subspace's nearest centroid (what an ADC scan actually compares
     against). Each subspace's argmin is inlined exactly ONCE — routing
@@ -588,10 +642,19 @@ def pq_dequantize_expr(vec: Column, codebook: list[list[list[float]]]) -> Column
     trap: when column pruning drops the intermediate, CollapseProject
     inlines the FULL m-subspace assignment into every one of the m
     element_at references, multiplying the work m-fold (measured 2 s →
-    17 s on 20k vectors before this was flattened)."""
+    17 s on 20k vectors before this was flattened).
+
+    ``cb`` optionally supplies the codebook as a COLUMN (see
+    pq_codebook_frame): the inlined literal tree is ~1k nodes and this
+    expression references it ~3 times per subspace, so every eager
+    analysis pass walks ~24k effective nodes — a measured ~2 s of driver
+    time per pq/ivfpq query construction. A one-row broadcast column
+    reference keeps the values identical (element_at over the same
+    array) while the analyzed tree stays ~100x smaller."""
     m = len(codebook)
     dsub = len(codebook[0][0])
-    cb = _pq_cb_lit(codebook)
+    if cb is None:
+        cb = _pq_cb_lit(codebook)
     return F.flatten(
         F.array(
             *[
@@ -600,6 +663,53 @@ def pq_dequantize_expr(vec: Column, codebook: list[list[list[float]]]) -> Column
             ]
         )
     )
+
+
+def _pq_dequantize_sql(vec_name: str, cb_name: str, m: int, dsub: int) -> str:
+    """SQL-text twin of ``pq_dequantize_expr`` over NAMED columns (r15).
+
+    Each pyspark higher-order-function lambda costs ~10 py4j round trips
+    to construct; the dequantize tree holds ~50 of them, measured ~1 s of
+    pure driver socket latency per pq/ivfpq query construction. This
+    renders the SAME expression as one SQL string — one round trip, one
+    parse. Tree equivalence, node for node: ``aggregate(zip_with(a, b,
+    (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)`` is exactly
+    ``dot_expr``; ``2.0D *`` binds before ``-`` as in the DSL's
+    ``Subtract(dot, Multiply(2.0, dot))``; ``CAST(array_position(..) AS
+    INT)`` is the DSL's ``.cast("int")``; integer ``element_at`` indices
+    parse to the same int literals. Values are pinned by the pq/ivfpq
+    oracle gates."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+
+    pieces = []
+    for j in range(1, m + 1):
+        sub = f"slice({vec_name}, {(j - 1) * dsub + 1}, {dsub})"
+        cents = f"element_at({cb_name}, {j})"
+        dists = (
+            f"transform({cents}, c -> {dot('c', 'c')} - 2.0D * "
+            f"{dot(sub, 'c')})"
+        )
+        code = (
+            f"CAST(array_position({dists}, array_min({dists})) AS INT)"
+        )
+        pieces.append(f"element_at({cents}, {code})")
+    return "flatten(array(" + ",".join(pieces) + "))"
+
+
+def pq_codebook_frame(spark, codebook: list[list[list[float]]]) -> DataFrame:
+    """One-row frame carrying the codebook as a single array column —
+    cross-joined (broadcast) into the corpus scan so the PQ expressions
+    reference it as data instead of re-inlining a ~1k-node literal tree
+    per use (r15; see pq_dequantize_expr). The broadcast of one folded
+    literal row is also the right 100 TB shape: the codebook ships once
+    per executor, not once per expression reference in every task's
+    codegen."""
+    return spark.range(1).select(_pq_cb_lit(codebook).alias("__cb"))
 
 
 def pq_topk(
@@ -632,16 +742,34 @@ def pq_topk(
         if dim is None:
             raise ValueError("pass a codebook or dim to fit one")
         codebook = fit_pq_codebook(corpus, dim=dim, deterministic=True)
+    # staged in THREE transformation calls, then a plan-truncating lazy
+    # localCheckpoint (r15): Spark analyzes the full logical plan eagerly
+    # on every DataFrame call, and the PQ dequantize tree is large enough
+    # (m argmin subtrees over the codebook) that each of the old chained
+    # withColumns re-paid a full JVM analysis of it — 8 withColumns
+    # measured 1.9 s of pure driver latency on the ivfpq gate. The
+    # checkpoint also keeps every downstream join/window analysis O(small)
+    # and materializes the quantized columns once per run (no cross-run
+    # state; values unchanged).
+    cb_df = F.broadcast(pq_codebook_frame(corpus.sparkSession, codebook))
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("cq", pq_dequantize_expr(F.col("cv"), codebook))
-    c = c.withColumn("cqn", norm_expr(F.col("cq"))).withColumn(
-        "cn", norm_expr(F.col("cv"))
+    c = c.crossJoin(cb_df).select(
+        "corpus_id",
+        "cv",
+        F.expr(
+            _pq_dequantize_sql("cv", "__cb", len(codebook), len(codebook[0][0]))
+        ).alias("cq"),
     )
+    c = c.select(
+        "*", norm_expr(F.col("cq")).alias("cqn"), norm_expr(F.col("cv")).alias("cn")
+    ).localCheckpoint(eager=False)
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_expr(F.col("qv")))
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+        norm_expr(to_double(F.col(vec_col))).alias("qn"),
+    )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
@@ -719,22 +847,35 @@ def ivfpq_topk(
     else:
         matrix = centroids
         n_centroids = len(matrix)
-    cent_matrix = F.lit([[float(x) for x in c] for c in matrix])
+    cent_matrix = double_matrix_lit(matrix)
 
     def nearest(vec: Column, n: int) -> Column:
         return nearest_centroids_expr(cent_matrix, n_centroids, vec, n)
 
+    # same few-call staging + lazy plan-truncating checkpoint as pq_topk
+    # (r15): the bucket + PQ trees are the analysis-heavy part, and the
+    # old 8-withColumn chain re-analyzed them per call (measured 1.9 s
+    # driver-side on this gate)
+    cb_df = F.broadcast(pq_codebook_frame(corpus.sparkSession, codebook))
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("bucket", nearest(F.col("cv"), 1)[0])
-    c = c.withColumn("cq", pq_dequantize_expr(F.col("cv"), codebook))
-    c = c.withColumn("cqn", norm_expr(F.col("cq"))).withColumn(
-        "cn", norm_expr(F.col("cv"))
+    c = c.crossJoin(cb_df).select(
+        "corpus_id",
+        "cv",
+        nearest(F.col("cv"), 1)[0].alias("bucket"),
+        F.expr(
+            _pq_dequantize_sql("cv", "__cb", len(codebook), len(codebook[0][0]))
+        ).alias("cq"),
     )
+    c = c.select(
+        "*", norm_expr(F.col("cq")).alias("cqn"), norm_expr(F.col("cv")).alias("cn")
+    ).localCheckpoint(eager=False)
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_expr(F.col("qv")))
+        F.col(id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+        norm_expr(to_double(F.col(vec_col))).alias("qn"),
+    )
     q = q.withColumn("bucket", F.explode(nearest(F.col("qv"), n_probe)))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("corpus_id") != F.col("query_id")
