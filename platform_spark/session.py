@@ -100,6 +100,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES, but several
+        # engine stages are CPU-dense per byte (interpreted vector folds,
+        # candidate verifies over array columns): the default 1 MB floor
+        # collapses a 3 MB / 5-CPU-second shuffle onto 3 tasks (r15
+        # profile of the embedding verify). 128 KB keeps task overhead
+        # amortized (~2k vector rows per task) while leaving any
+        # normally-sized shuffle untouched — at production volumes
+        # partitions are far above either floor, so this only affects
+        # small-but-expensive exchanges. Env-overridable for deployments.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "128k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
