@@ -3080,3 +3080,83 @@ def test_ivfpq_topk_composition_degenerates_to_brute(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert ranks and sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# -- r15 optimization internals: SQL-text builders must equal the DSL -------
+
+
+def test_double_matrix_lit_equals_f_lit(spark):
+    """The one-py4j-call literal renderer (r15) must produce the same
+    values AND schema as pyspark's recursive F.lit, including
+    round-trip-critical doubles (negatives, exponents, exact halves)."""
+    vals = [
+        [0.1, -0.5, 1e-07, 123456.789012345, 2.0, -1e16],
+        [(1 / 3), -(2 / 7), 5e-324, 1.7976931348623157e308, 0.0, -0.0],
+    ]
+    row = spark.range(1).select(
+        S.double_matrix_lit(vals).alias("a"),
+        F.lit(vals).alias("b"),
+    ).first()
+    assert row["a"] == row["b"]
+    # bit-exact, not just == (row equality on lists of floats is exact
+    # for non-NaN values, but make the intent explicit)
+    import struct
+
+    for x, y in zip(sum(row["a"], []), sum(row["b"], [])):
+        assert struct.pack("<d", x) == struct.pack("<d", y)
+
+
+def test_pq_dequantize_sql_equals_dsl(spark):
+    """_pq_dequantize_sql (r15) must reproduce pq_dequantize_expr
+    bit-exactly: same argmin (first-occurrence ties), same fold order,
+    same doubles."""
+    import hashlib
+    import struct as st
+
+    def h(s, n):  # deterministic pseudo-random doubles
+        u = st.unpack(">Q", hashlib.md5(f"{s}-{n}".encode()).digest()[:8])[0]
+        return (u / float(1 << 64)) * 2.0 - 1.0
+
+    m, ksub, dsub = 4, 3, 2
+    codebook = [
+        [[h(f"cb{j}-{k}", i) for i in range(dsub)] for k in range(ksub)]
+        for j in range(m)
+    ]
+    vecs = [
+        (i, [h("v", i * 8 + d) for d in range(m * dsub)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, "vid int, cv array<double>")
+    cb_df = F.broadcast(S.pq_codebook_frame(spark, codebook))
+    out = df.crossJoin(cb_df).select(
+        "vid",
+        S.pq_dequantize_expr(F.col("cv"), codebook).alias("dsl"),
+        F.expr(S._pq_dequantize_sql("cv", "__cb", m, dsub)).alias("sql"),
+    )
+    for r in out.collect():
+        assert len(r["dsl"]) == len(r["sql"]) == m * dsub
+        for x, y in zip(r["dsl"], r["sql"]):
+            assert st.pack("<d", x) == st.pack("<d", y)
+
+
+def test_simhash_sql_aggregates_match_reference_fold(spark):
+    """The SQL-text majority vote (r15) must equal the per-row reference
+    fold (dedup.simhash) on mixed inputs incl. empty and NULL text."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two three four five six"),
+        (4, ""),
+        (5, None),
+        (6, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    table = {r["doc_id"]: r["sh"] for r in D.simhash_table(df).collect()}
+    ref = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", D.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert table == ref
+    assert table[1] == table[2]
+    assert table[4] == 0 and table[5] == 0
