@@ -573,11 +573,18 @@ def _quality_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_spark.llmdata.quality_model import (
         classify_quality,
         fit_quality_classifier,
+        quality_features,
     )
 
     docs = _doc_table(spark, sf_dir)
-    coefs = fit_quality_classifier(docs, deterministic=True)
-    return classify_quality(docs, coefs)
+    # one text-analysis pass, materialized at scan parallelism (r15): the
+    # deterministic fit's coalesce(1) then concatenates the checkpointed
+    # partitions in index order (same rows, same order → same vector)
+    # instead of recomputing the whole feature pipeline inside one task,
+    # and the classify pass below reuses the same frame
+    feats = quality_features(docs).localCheckpoint(eager=True)
+    coefs = fit_quality_classifier(docs, deterministic=True, features=feats)
+    return classify_quality(docs, coefs, features=feats)
 
 
 def _pinned_quality_z() -> str:

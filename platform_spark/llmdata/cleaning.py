@@ -308,16 +308,21 @@ def repetition_metrics(
       chars, capped at 1)
 
     Both follow the standard open implementations' approximation of the
-    Gopher rule (overlaps counted multiply, hence the cap). Scale shape:
-    ONE explode producing (doc, n, gram) for every n together, one
-    partial-aggregating shuffle keyed on doc_id — per-doc state only,
-    no corpus-wide structures.
+    Gopher rule (overlaps counted multiply, hence the cap). Scale shape
+    (r15): ONE shuffle total — the doc rows are hash-partitioned by
+    doc_id BEFORE the gram explode, so all three aggregation levels
+    (doc×n×gram, doc×n, doc) satisfy their clustering from that single
+    exchange and the shuffled bytes are tokenized-text-sized instead of
+    ~5x gram-table-sized; explode_outer keeps too-short docs as a
+    null-gram row, which removes the join back against the input (and
+    its second scan) entirely. Per-doc state only, no corpus-wide
+    structures.
     """
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).alias("__chars"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
-    )
+    ).repartition("doc_id")
 
     def grams(n: int) -> Column:
         size = F.size("__w")
@@ -338,7 +343,7 @@ def repetition_metrics(
     exploded = toked.select(
         "doc_id",
         "__chars",
-        F.explode(F.concat(*[grams(n) for n in ns])).alias("__g"),
+        F.explode_outer(F.concat(*[grams(n) for n in ns])).alias("__g"),
     ).select("doc_id", "__chars", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
     counted = exploded.groupBy("doc_id", "n", "gram").agg(
         F.count("*").alias("cnt"), F.first("__chars").alias("__chars")
@@ -385,20 +390,11 @@ def repetition_metrics(
                 F.lit(0.0),
             ).alias(f"dup_{n}gram_char_frac")
         )
-    pivoted = per_n.groupBy("doc_id").agg(*aggs)
-    # docs too short for ANY n still get a row (all-zero metrics)
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(pivoted, "doc_id", "left")
-        .select(
-            "doc_id",
-            *[
-                F.coalesce(c, F.lit(0.0)).alias(c)
-                for n in ns
-                for c in (f"top_{n}gram_char_frac", f"dup_{n}gram_char_frac")
-            ],
-        )
-    )
+    # docs too short for ANY n arrive as a single null-gram row via
+    # explode_outer (null n matches no F.when arm → the aggs' coalesce
+    # yields the all-zero metrics), so every input doc already has
+    # exactly one output row — no join back against the input needed
+    return per_n.groupBy("doc_id").agg(*aggs)
 
 
 def quality_rules_rowwise(

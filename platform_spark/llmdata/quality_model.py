@@ -56,6 +56,7 @@ def fit_quality_classifier(
     max_iter: int = 100,
     reg_param: float = 0.1,
     deterministic: bool = False,
+    features: DataFrame | None = None,
 ) -> list[float]:
     """[intercept, w_punct, w_stop, w_mwl, w_logtok], 6-dp rounded.
 
@@ -64,11 +65,23 @@ def fit_quality_classifier(
     the separating direction); ``deterministic=True`` coalesces the fit
     input to one partition so the LBFGS reduction order — and hence the
     coefficient vector — is bit-stable across sessions, same convention
-    as `fit_kmeans_centroids`. Fit on a sample at 100 TB."""
+    as `fit_kmeans_centroids`. Fit on a sample at 100 TB.
+
+    ``features`` accepts a precomputed `quality_features` frame (same
+    rows, same partition order) so a caller that also classifies can run
+    the text-analysis pass once — and, when the frame is materialized
+    (localCheckpoint), the deterministic coalesce(1) merely concatenates
+    its partitions instead of serially recomputing the whole feature
+    pipeline inside one task. Partition-index concatenation order is
+    unchanged, so the fitted vector is identical."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
-    feats = quality_features(df, text_col, id_col)
+    feats = (
+        features
+        if features is not None
+        else quality_features(df, text_col, id_col)
+    )
     data = feats.select(
         array_to_vector(
             F.array(*[F.col(c) for c in FEATURE_COLS])
@@ -99,10 +112,16 @@ def classify_quality(
     coefs: list[float],
     text_col: str = "text",
     id_col: str = "doc_id",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, quality_prob, is_quality) for every document — one
-    shuffle-free map over the corpus."""
-    feats = quality_features(df, text_col, id_col)
+    shuffle-free map over the corpus. ``features`` accepts a precomputed
+    `quality_features` frame (see `fit_quality_classifier`)."""
+    feats = (
+        features
+        if features is not None
+        else quality_features(df, text_col, id_col)
+    )
     prob = quality_prob_expr(coefs)
     return feats.select(
         "doc_id",
