@@ -31,12 +31,15 @@ def double_matrix_lit(val) -> Column:
     through Java's correctly-rounded double parse — which Catalyst
     constant-folds to the same single Literal either way."""
 
-    def render(v) -> str:
-        if isinstance(v, (list, tuple)):
-            return "array(" + ",".join(render(x) for x in v) + ")"
-        return repr(float(v)) + "D"
+    return F.expr(_double_matrix_sql(val))
 
-    return F.expr(render(val))
+
+def _double_matrix_sql(val) -> str:
+    """The SQL text behind `double_matrix_lit` — exposed so larger
+    SQL-text builders can embed the matrix without a Column detour."""
+    if isinstance(val, (list, tuple)):
+        return "array(" + ",".join(_double_matrix_sql(x) for x in val) + ")"
+    return repr(float(val)) + "D"
 
 
 def to_double(vec: Column) -> Column:
@@ -173,6 +176,49 @@ def nearest_centroids_expr(
     return F.slice(F.transform(ranked, lambda r: r["i"]), 1, n)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of `dot_expr` — same zip_with/aggregate tree, same fold
+    order, parsed in the enclosing expression's single py4j call."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _to_double_sql(col: str) -> str:
+    """SQL text of `to_double` — the same Cast-under-transform tree."""
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def _norm_sql(a: str) -> str:
+    """SQL text of `norm_expr`."""
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def _nearest_centroids_sql(
+    matrix_sql: str, n_centroids: int, vec_sql: str, n: int
+) -> str:
+    """SQL text of `nearest_centroids_expr` (r15): the DSL form costs
+    ~10 py4j round trips per higher-order-function lambda (~8 lambdas
+    here, plus one per cosine term), so each use burned ~0.15-0.3 s of
+    driver socket latency; the text form parses to the same analyzed
+    tree in ONE call. Equivalence (same indices, same tie-break) is
+    pinned by a dedicated pytest against the DSL form."""
+    return (
+        "slice(transform(sort_array(zip_with("
+        f"transform({matrix_sql}, c -> {_cosine_sql(vec_sql, 'c')}), "
+        f"sequence(0, {n_centroids - 1}), "
+        "(s, i) -> struct(s, i)), false), r -> r.i), "
+        f"1, {n})"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -209,28 +255,29 @@ def ivf_topk(
     # single nested-array Literal (NOT n_centroids*dim CreateArray nodes):
     # the one-node tree keeps whole-stage-codegen compile time flat as
     # n_centroids*dim grows — measured ~0.4 s off the fixed overhead at 16x64
-    cent_matrix = double_matrix_lit(matrix)
+    matrix_sql = _double_matrix_sql(matrix)
 
-    def nearest(vec: Column, n: int) -> Column:
-        return nearest_centroids_expr(cent_matrix, n_centroids, vec, n)
+    def nearest(vec: str, n: int) -> Column:
+        return F.expr(_nearest_centroids_sql(matrix_sql, n_centroids, vec, n))
 
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("corpus_id"),
+        F.expr(_to_double_sql(vec_col)).alias("cv"),
     )
     # one select instead of chained withColumns (r15): every DataFrame
     # call re-analyzes the full centroid-matrix tree on the driver
     c = c.select(
         "corpus_id",
         "cv",
-        nearest(F.col("cv"), 1)[0].alias("bucket"),
-        norm_expr(F.col("cv")).alias("cn"),
+        nearest("cv", 1)[0].alias("bucket"),
+        F.expr(_norm_sql("cv")).alias("cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        to_double(F.col(vec_col)).alias("qv"),
-        norm_expr(to_double(F.col(vec_col))).alias("qn"),
+        F.expr(_to_double_sql(vec_col)).alias("qv"),
+        F.expr(_norm_sql(_to_double_sql(vec_col))).alias("qn"),
     )
-    q = q.withColumn("bucket", F.explode(nearest(F.col("qv"), n_probe)))
+    q = q.withColumn("bucket", F.explode(nearest("qv", n_probe)))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("corpus_id") != F.col("query_id")
     )
@@ -295,15 +342,21 @@ def semantic_dedup(
     else:
         matrix = centroids
         n_clusters = len(matrix)
-    cent_matrix = double_matrix_lit(matrix)
+    matrix_sql = _double_matrix_sql(matrix)
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     ).withColumn(
-        "bucket", nearest_centroids_expr(cent_matrix, n_clusters, F.col("v"), 1)[0]
+        "bucket",
+        F.expr(_nearest_centroids_sql(matrix_sql, n_clusters, "v", 1))[0],
     ).withColumn(
         "centroid_cosine",
-        F.round(cosine_expr(F.col("v"), F.element_at(cent_matrix, F.col("bucket") + 1)), 6),
+        F.round(
+            F.expr(
+                _cosine_sql("v", f"element_at({matrix_sql}, bucket + 1)")
+            ),
+            6,
+        ),
     )
     w = Window.partitionBy("bucket").orderBy(
         F.desc("centroid_cosine"), F.asc("vec_id")
@@ -847,10 +900,10 @@ def ivfpq_topk(
     else:
         matrix = centroids
         n_centroids = len(matrix)
-    cent_matrix = double_matrix_lit(matrix)
+    matrix_sql = _double_matrix_sql(matrix)
 
-    def nearest(vec: Column, n: int) -> Column:
-        return nearest_centroids_expr(cent_matrix, n_centroids, vec, n)
+    def nearest(vec: str, n: int) -> Column:
+        return F.expr(_nearest_centroids_sql(matrix_sql, n_centroids, vec, n))
 
     # same few-call staging + lazy plan-truncating checkpoint as pq_topk
     # (r15): the bucket + PQ trees are the analysis-heavy part, and the
@@ -863,7 +916,7 @@ def ivfpq_topk(
     c = c.crossJoin(cb_df).select(
         "corpus_id",
         "cv",
-        nearest(F.col("cv"), 1)[0].alias("bucket"),
+        nearest("cv", 1)[0].alias("bucket"),
         F.expr(
             _pq_dequantize_sql("cv", "__cb", len(codebook), len(codebook[0][0]))
         ).alias("cq"),
@@ -876,7 +929,7 @@ def ivfpq_topk(
         to_double(F.col(vec_col)).alias("qv"),
         norm_expr(to_double(F.col(vec_col))).alias("qn"),
     )
-    q = q.withColumn("bucket", F.explode(nearest(F.col("qv"), n_probe)))
+    q = q.withColumn("bucket", F.explode(nearest("qv", n_probe)))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("corpus_id") != F.col("query_id")
     )

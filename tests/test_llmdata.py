@@ -3160,3 +3160,31 @@ def test_simhash_sql_aggregates_match_reference_fold(spark):
     assert table == ref
     assert table[1] == table[2]
     assert table[4] == 0 and table[5] == 0
+
+
+def test_nearest_centroids_sql_equals_dsl(spark):
+    """_nearest_centroids_sql (r15) must reproduce nearest_centroids_expr
+    exactly: same cosine tree, same DESC (sim, idx) tie-break, for every
+    probe depth."""
+    from platform_spark.llmdata.similarity import (
+        _double_matrix_sql,
+        _nearest_centroids_sql,
+    )
+
+    matrix = S.hash_centroid_matrix(8, 16)
+    # duplicate one centroid so the (sim, idx) tie-break is exercised
+    matrix[5] = list(matrix[2])
+    vecs = [
+        (i, [((i * 31 + d * 17) % 97) / 48.5 - 1.0 for d in range(16)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vid int, v array<double>")
+    cm = S.double_matrix_lit(matrix)
+    ms = _double_matrix_sql(matrix)
+    for n in (1, 3, 8):
+        out = df.select(
+            S.nearest_centroids_expr(cm, 8, F.col("v"), n).alias("dsl"),
+            F.expr(_nearest_centroids_sql(ms, 8, "v", n)).alias("sql"),
+        ).collect()
+        for r in out:
+            assert r["dsl"] == r["sql"], (n, r)
