@@ -53,9 +53,14 @@ def contamination(
     Filter the training set with an anti-join on the result to drop, or
     join it back to keep the counts as features.
     """
-    d_sh = _shingle_table(docs, text_col, id_col, k).select(
-        "doc_id", md5_int(F.col("shingle")).alias("sh")
-    )
+    # hash-partition the DOC rows by doc_id before shingling (r15): the
+    # exchange carries text-sized bytes (pre-explode) and lifts the
+    # shingle+hash pass off the scan's split layout to full parallelism
+    # (one small parquet file ⇒ ~3 splits otherwise — and at production
+    # sizes the same move spreads any skewed split layout)
+    d_sh = _shingle_table(
+        docs.repartition(F.col(id_col)), text_col, id_col, k
+    ).select("doc_id", md5_int(F.col("shingle")).alias("sh"))
     b_sh = (
         _shingle_table(bench, bench_text_col, bench_id_col, k)
         .select(
@@ -64,7 +69,9 @@ def contamination(
     )
     if broadcast_bench:
         b_sh = F.broadcast(b_sh)
-    hits = d_sh.join(b_sh, "sh")
+    # cached (r15): the shingle+probe pass feeds BOTH the per-pair and
+    # the per-doc branches — one execution instead of two
+    hits = d_sh.join(b_sh, "sh").cache()
     per_pair = hits.groupBy("doc_id", "bench_id").agg(
         F.count("*").alias("pair_common")
     )
