@@ -53,14 +53,15 @@ def contamination(
     Filter the training set with an anti-join on the result to drop, or
     join it back to keep the counts as features.
     """
-    # hash-partition the DOC rows by doc_id before shingling (r15): the
-    # exchange carries text-sized bytes (pre-explode) and lifts the
-    # shingle+hash pass off the scan's split layout to full parallelism
-    # (one small parquet file ⇒ ~3 splits otherwise — and at production
-    # sizes the same move spreads any skewed split layout)
-    d_sh = _shingle_table(
-        docs.repartition(F.col(id_col)), text_col, id_col, k
-    ).select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+    # NOTE (r15): a doc-side repartition before shingling was tried and
+    # REVERTED — it cut ~1 s locally purely because the one small bench
+    # parquet file scans as ~3 splits, but it would shuffle the ENTIRE
+    # training corpus's text at production scale, breaking this
+    # operator's design invariant (map-only corpus pass against a
+    # broadcast index — the module docstring's 100 TB plan)
+    d_sh = _shingle_table(docs, text_col, id_col, k).select(
+        "doc_id", md5_int(F.col("shingle")).alias("sh")
+    )
     b_sh = (
         _shingle_table(bench, bench_text_col, bench_id_col, k)
         .select(
