@@ -18,6 +18,7 @@ import struct
 import zlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -195,7 +196,7 @@ def real_decode(content: bytes) -> dict:
             "JPEG/video/audio need external libraries — pass a PIL/ffmpeg-"
             "backed decoder callable)"
         )
-    total = sum(px)
+    total = int(np.frombuffer(px, dtype=np.uint8).astype(np.int64).sum())
     n = w * h * nch
     return {
         "width": w,
@@ -516,17 +517,18 @@ def audio_energy_bits(samples: list[int], frames: int = 57) -> int:
     n = len(samples)
     if n == 0:
         return 0
-    sums = [0] * frames
-    cnts = [0] * frames
-    for i, s in enumerate(samples):
-        f = i * frames // n
-        sums[f] += abs(s)
-        cnts[f] += 1
-    val = 0
-    for f in range(frames - 1):
-        if cnts[f] and cnts[f + 1] and sums[f + 1] * cnts[f] > sums[f] * cnts[f + 1]:
-            val |= 1 << f
-    return val
+    # vectorized (r15): identical integer arithmetic in int64 (bin index
+    # i*frames//n, |amplitude| sums via np.add.at, cross-multiplied mean
+    # compare) — ~10x less Python-worker time per stream (guide §4)
+    s = np.abs(np.asarray(samples, dtype=np.int64))
+    f = np.arange(n, dtype=np.int64) * frames // n
+    sums = np.zeros(frames, dtype=np.int64)
+    np.add.at(sums, f, s)
+    cnts = np.bincount(f, minlength=frames).astype(np.int64)
+    a, b = sums[:-1], sums[1:]
+    ca, cb = cnts[:-1], cnts[1:]
+    bits = ((ca > 0) & (cb > 0) & (b * ca > a * cb)).astype(np.int64)
+    return int((bits << np.arange(frames - 1, dtype=np.int64)).sum())
 
 
 def audio_fingerprints(
@@ -550,13 +552,12 @@ def audio_fingerprints(
                 with wave.open(io.BytesIO(bytes(content))) as w:
                     nch = w.getnchannels()
                     raw = w.readframes(w.getnframes())
-                vals = _struct.unpack(f"<{len(raw) // 2}h", raw)
+                if len(raw) % 2:
+                    raise _struct.error("unpack requires a multiple of 2")
+                vals = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 if nch > 1:  # mean across channels per frame index
-                    vals = [
-                        sum(vals[i : i + nch]) // nch
-                        for i in range(0, len(vals), nch)
-                    ]
-                rows.append((int(mid), audio_energy_bits(list(vals), frames)))
+                    vals = vals.reshape(-1, nch).sum(axis=1) // nch
+                rows.append((int(mid), audio_energy_bits(vals, frames)))
             yield pd.DataFrame(rows, columns=["media_id", "afp"])
 
     return df.select(id_col, content_col).mapInPandas(
@@ -726,7 +727,10 @@ def resize_media(
 
 def encode_wav(samples: list[int], sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal PCM16 RIFF/WAVE writer (synthetic fixtures / gate input)."""
-    data = b"".join(struct.pack("<h", s) for s in samples)
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise struct.error("short format requires -32768 <= number <= 32767")
+    data = arr.astype("<i2").tobytes()
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -756,14 +760,21 @@ def real_audio_decode(content: bytes) -> dict:
         raw = w.readframes(n)
     if width != 2:
         raise NotImplementedError("only PCM16 WAV is stdlib-decodable here")
-    vals = struct.unpack(f"<{n * channels}h", raw)
+    # vectorized (r15): |v| in int64 (abs on raw int16 would wrap -32768),
+    # exact integer sum/peak — same values as the per-sample loop; keep
+    # the struct.unpack length validation the loop form had
+    if len(raw) != 2 * n * channels:
+        raise struct.error(
+            f"unpack requires a buffer of {2 * n * channels} bytes"
+        )
+    a = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
     return {
         "n_channels": channels,
         "sample_rate": rate,
         "n_frames": n,
         "duration_ms": n * 1000 // rate,
-        "amp_sum": sum(abs(v) for v in vals),
-        "peak": max((abs(v) for v in vals), default=0),
+        "amp_sum": int(a.sum()),
+        "peak": int(a.max()) if a.size else 0,
     }
 
 
@@ -812,4 +823,5 @@ def decode_audio(
 def synth_samples(media_id: int, n: int) -> list[int]:
     """Closed-form PCM16 samples: ((id*31 + i*7) % 4096) - 2048 — a SQL
     oracle predicts every decode output exactly."""
-    return [((media_id * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id * 31 + i * 7) % 4096 - 2048).tolist()
