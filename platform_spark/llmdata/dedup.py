@@ -497,13 +497,32 @@ def minhash_signatures(
         md5_int(F.col("shingle"), seed="h1:", hex_digits=12).alias("h1"),
         md5_int(F.col("shingle"), seed="h2:", hex_digits=12).alias("h2"),
     )
-    # SQL-text aggregates (r15): same min(h1 + j*h2) trees for a fraction
-    # of the py4j construction cost (see simhash_table)
-    aggs = [
+    return hashed.groupBy(F.col("doc_id")).agg(*_sig_aggs(num_perm))
+
+
+def _sig_aggs(num_perm: int) -> list[Column]:
+    """The num_perm `min(h1 + j*h2)` signature aggregates as SQL text
+    (r15): same trees for a fraction of the py4j construction cost (see
+    simhash_table)."""
+    return [
         F.expr(f"min(h1 + {j} * h2)").alias(f"mh_{j}")
         for j in range(num_perm)
     ]
-    return hashed.groupBy(F.col("doc_id")).agg(*aggs)
+
+
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, sh, h1, h2) — the verify hash and both signature base
+    hashes from ONE tokenize+shingle+explode pass (r15: the rep-graph /
+    index paths previously shingled the same frame twice, once inside
+    `minhash_signatures` and once for the verify shingle index)."""
+    return _shingle_table(df, text_col, id_col, k).select(
+        "doc_id",
+        md5_int(F.col("shingle")).alias("sh"),
+        md5_int(F.col("shingle"), seed="h1:", hex_digits=12).alias("h1"),
+        md5_int(F.col("shingle"), seed="h2:", hex_digits=12).alias("h2"),
+    )
 
 
 def _band_buckets(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
@@ -583,18 +602,18 @@ def minhash_rep_graph(
     rep_docs = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).join(counts.select(F.col("rep_id").alias("doc_id")), "doc_id")
-    # cache the two per-doc tables the plan re-references (r15): the
-    # signature table feeds BOTH aliases of the band-bucket self-join
-    # (one row of 32 longs per doc), and the hashed-shingle index feeds
-    # the sizes aggregate plus both sides of the candidate verify —
-    # uncached, tokenize+shingle+hash re-executed once per reference
-    sig = minhash_signatures(rep_docs, "__text", "doc_id", k, num_perm).cache()
+    # ONE tokenize+shingle+hash pass for the whole graph (r15): the
+    # combined (sh, h1, h2) table is cached and feeds the signature
+    # aggregate, the sizes aggregate, and both sides of the candidate
+    # verify — previously the frame was shingled twice (once inside
+    # minhash_signatures, once for the verify index) and each cache
+    # materialized its own explode
+    hashed = _hashed_shingles(rep_docs, "__text", "doc_id", k).cache()
+    # sig still caches separately: one row of num_perm longs per doc,
+    # referenced by BOTH aliases of the band-bucket self-join
+    sig = hashed.groupBy("doc_id").agg(*_sig_aggs(num_perm)).cache()
     cand = minhash_lsh_candidates(sig, num_perm, bands)
-    sh = (
-        _shingle_table(rep_docs, "__text", "doc_id", k)
-        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
-        .cache()
-    )
+    sh = hashed.select("doc_id", "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("__b_doc"), F.col("sh").alias("sh_b"))
@@ -864,13 +883,14 @@ def build_dedup_index(
     )
     hashes = reps.select("content_hash", F.col("rep_id"))
     rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "__t")
-    sig = minhash_signatures(rep_docs, "__t", "doc_id", k, num_perm)
+    # ONE tokenize+shingle+hash pass for all three derived tables (r15):
+    # signatures, the verify shingle index, and the sizes aggregate all
+    # read the cached combined (sh, h1, h2) table instead of shingling
+    # rep_docs twice
+    hashed = _hashed_shingles(rep_docs, "__t", "doc_id", k).cache()
+    sig = hashed.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     buckets = _band_buckets(sig, num_perm, bands)
-    shingles = (
-        _shingle_table(rep_docs, "__t", "doc_id", k)
-        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
-        .cache()
-    )
+    shingles = hashed.select("doc_id", "sh")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     return CorpusDedupIndex(hashes, buckets, shingles, sizes)
 
@@ -947,7 +967,11 @@ def dedup_incremental_report(
         # above it embeds the whole exact-layer anti-join each time
         .cache()
     )
-    sig_n = minhash_signatures(nreps, "__t", "doc_id", k, num_perm)
+    # one shingle pass for the batch side too (r15, same recipe as the
+    # index): signatures and the verify table share the cached combined
+    # hash table instead of shingling the remainder twice
+    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k).cache()
+    sig_n = hashed_n.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
         "doc_id", "left_id"
     )
@@ -959,14 +983,7 @@ def dedup_incremental_report(
         .select("left_id", "right_id")
         .distinct()
     )
-    sh_n = (
-        _shingle_table(nreps, "__t", "doc_id", k)
-        .select(
-            F.col("doc_id").alias("left_id"),
-            md5_int(F.col("shingle")).alias("sh"),
-        )
-        .cache()  # verify join + size aggregate (r15)
-    )
+    sh_n = hashed_n.select(F.col("doc_id").alias("left_id"), "sh")
     common = (
         cand.join(sh_n, "left_id")
         .join(

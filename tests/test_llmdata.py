@@ -3188,3 +3188,37 @@ def test_nearest_centroids_sql_equals_dsl(spark):
         ).collect()
         for r in out:
             assert r["dsl"] == r["sql"], (n, r)
+
+
+def test_hashed_shingles_signature_path_matches_public(spark):
+    """The combined (sh, h1, h2) single-pass table (r15) must yield the
+    same signatures as minhash_signatures and the same verify hashes as
+    the standalone shingle table."""
+    from platform_spark.llmdata.dedup import (
+        _hashed_shingles,
+        _shingle_table,
+        _sig_aggs,
+        md5_int,
+    )
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u t"),
+            (4, "ab"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    hashed = _hashed_shingles(df, "text", "doc_id", 3)
+    sig_new = {
+        r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+        for r in hashed.groupBy("doc_id").agg(*_sig_aggs(8)).collect()
+    }
+    sig_old = {
+        r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+        for r in D.minhash_signatures(df, "text", "doc_id", 3, 8).collect()
+    }
+    assert sig_new == sig_old
+    sh_new = {(r["doc_id"], r["sh"]) for r in hashed.select("doc_id", "sh").collect()}
+    sh_old = {
+        (r["doc_id"], r["sh"])
+        for r in _shingle_table(df, "text", "doc_id", 3)
+        .select("doc_id", md5_int(F.col("shingle")).alias("sh"))
+        .collect()
+    }
+    assert sh_new == sh_old
