@@ -219,6 +219,46 @@ def _nearest_centroids_sql(
     )
 
 
+def _norms_sql(matrix: list[list[float]]) -> str:
+    """Literal array of the matrix's row norms, computed with the SAME
+    left fold (((0.0 + x0*x0) + x1*x1) + ...) and sqrt the engine's
+    `_norm_sql` evaluates — Python floats ARE IEEE doubles, `sum()`
+    folds left from 0, and `repr` round-trips exactly, so each literal
+    is bit-identical to sqrt(dot_expr(c, c)) over the parsed matrix
+    literal (pinned in pytest next to the prenorm equivalence test)."""
+    import math
+
+    norms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in matrix]
+    return "array(" + ",".join(repr(n) + "D" for n in norms) + ")"
+
+
+def _nearest_centroids_prenorm_sql(
+    matrix_sql: str,
+    norms_sql: str,
+    n_centroids: int,
+    vec_sql: str,
+    nv_sql: str,
+    n: int,
+) -> str:
+    """`_nearest_centroids_sql` with both norms HOISTED (r15, guide §1.2
+    step 2 / §4.1): the cosine form re-folds sqrt(dot(v,v)) AND
+    sqrt(dot(c,c)) afresh for every centroid — 2 redundant dim-length
+    interpreted folds per (vector, centroid) — although the vector norm
+    is a pure per-row function (stage it once as ``nv_sql``) and the
+    centroid norms are compile-time literals (``_norms_sql``). Same
+    dots divided by bit-identical norm products ⇒ identical similarity
+    values, order, and (sim, idx) tie-break; equivalence pinned in
+    pytest against the DSL form on a tie-exercising matrix."""
+    return (
+        "slice(transform(sort_array(zip_with("
+        f"zip_with({matrix_sql}, {norms_sql}, "
+        f"(c, nb) -> {_dot_sql(vec_sql, 'c')} / ({nv_sql} * nb)), "
+        f"sequence(0, {n_centroids - 1}), "
+        "(s, i) -> struct(s, i)), false), r -> r.i), "
+        f"1, {n})"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -256,28 +296,33 @@ def ivf_topk(
     # the one-node tree keeps whole-stage-codegen compile time flat as
     # n_centroids*dim grows — measured ~0.4 s off the fixed overhead at 16x64
     matrix_sql = _double_matrix_sql(matrix)
+    # prenorm assignment (r15): the vector norm is staged once per row
+    # and the centroid norms are literals, so assignment costs
+    # n_centroids dots + 1 norm per vector instead of 3*n_centroids
+    # folds (bit-identical ranking; see _nearest_centroids_prenorm_sql)
+    norms_sql = _norms_sql(matrix)
 
-    def nearest(vec: str, n: int) -> Column:
-        return F.expr(_nearest_centroids_sql(matrix_sql, n_centroids, vec, n))
+    def nearest(vec: str, nv: str, n: int) -> Column:
+        return F.expr(
+            _nearest_centroids_prenorm_sql(
+                matrix_sql, norms_sql, n_centroids, vec, nv, n
+            )
+        )
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.expr(_to_double_sql(vec_col)).alias("cv"),
     )
-    # one select instead of chained withColumns (r15): every DataFrame
-    # call re-analyzes the full centroid-matrix tree on the driver
+    c = c.select("corpus_id", "cv", F.expr(_norm_sql("cv")).alias("cn"))
     c = c.select(
-        "corpus_id",
-        "cv",
-        nearest("cv", 1)[0].alias("bucket"),
-        F.expr(_norm_sql("cv")).alias("cn"),
+        "corpus_id", "cv", "cn", nearest("cv", "cn", 1)[0].alias("bucket")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.expr(_to_double_sql(vec_col)).alias("qv"),
         F.expr(_norm_sql(_to_double_sql(vec_col))).alias("qn"),
     )
-    q = q.withColumn("bucket", F.explode(nearest("qv", n_probe)))
+    q = q.withColumn("bucket", F.explode(nearest("qv", "qn", n_probe)))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("corpus_id") != F.col("query_id")
     )
@@ -343,31 +388,42 @@ def semantic_dedup(
         matrix = centroids
         n_clusters = len(matrix)
     matrix_sql = _double_matrix_sql(matrix)
+    # prenorm assignment (r15): the vector norm is staged once per row —
+    # it is ALSO the `nrm` column the pairwise verify needs below — and
+    # the centroid norms are literals, so assignment + centroid_cosine
+    # cost n_clusters dots + 1 norm per vector instead of ~3*n_clusters
+    # folds (bit-identical; see _nearest_centroids_prenorm_sql)
+    norms_sql = _norms_sql(matrix)
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
-    ).withColumn(
-        "bucket",
-        F.expr(_nearest_centroids_sql(matrix_sql, n_clusters, "v", 1))[0],
-    ).withColumn(
-        "centroid_cosine",
+    ).select("*", norm_expr(F.col("v")).alias("nrm"))
+    c = c.select(
+        "*",
+        F.expr(
+            _nearest_centroids_prenorm_sql(
+                matrix_sql, norms_sql, n_clusters, "v", "nrm", 1
+            )
+        )[0].alias("bucket"),
+    )
+    c = c.select(
+        "*",
         F.round(
             F.expr(
-                _cosine_sql("v", f"element_at({matrix_sql}, bucket + 1)")
+                _dot_sql("v", f"element_at({matrix_sql}, bucket + 1)")
+                + f" / (nrm * element_at({norms_sql}, bucket + 1))"
             ),
             6,
-        ),
+        ).alias("centroid_cosine"),
     )
     w = Window.partitionBy("bucket").orderBy(
         F.desc("centroid_cosine"), F.asc("vec_id")
     )
-    ranked = c.withColumn("rank", F.row_number().over(w))
     # cached (r15): the ranked-with-norm table feeds BOTH sides of the
     # within-bucket upper-triangle join plus the final keeper join — three
     # references that would each re-run the interpreted centroid
-    # assignment (n_clusters × dim cosine folds per vector) and the rank
-    # window
-    with_norm = ranked.withColumn("nrm", norm_expr(F.col("v"))).cache()
+    # assignment (n_clusters dot folds per vector) and the rank window
+    with_norm = c.withColumn("rank", F.row_number().over(w)).cache()
     left = with_norm.select(
         "bucket", F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -901,9 +957,16 @@ def ivfpq_topk(
         matrix = centroids
         n_centroids = len(matrix)
     matrix_sql = _double_matrix_sql(matrix)
+    # prenorm assignment (r15): see ivf_topk — staged vector norm +
+    # literal centroid norms, bit-identical bucket ranking
+    norms_sql = _norms_sql(matrix)
 
-    def nearest(vec: str, n: int) -> Column:
-        return F.expr(_nearest_centroids_sql(matrix_sql, n_centroids, vec, n))
+    def nearest(vec: str, nv: str, n: int) -> Column:
+        return F.expr(
+            _nearest_centroids_prenorm_sql(
+                matrix_sql, norms_sql, n_centroids, vec, nv, n
+            )
+        )
 
     # same few-call staging + lazy plan-truncating checkpoint as pq_topk
     # (r15): the bucket + PQ trees are the analysis-heavy part, and the
@@ -913,23 +976,25 @@ def ivfpq_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
     )
+    c = c.select("corpus_id", "cv", norm_expr(F.col("cv")).alias("cn"))
     c = c.crossJoin(cb_df).select(
         "corpus_id",
         "cv",
-        nearest("cv", 1)[0].alias("bucket"),
+        "cn",
+        nearest("cv", "cn", 1)[0].alias("bucket"),
         F.expr(
             _pq_dequantize_sql("cv", "__cb", len(codebook), len(codebook[0][0]))
         ).alias("cq"),
     )
     c = c.select(
-        "*", norm_expr(F.col("cq")).alias("cqn"), norm_expr(F.col("cv")).alias("cn")
+        "*", norm_expr(F.col("cq")).alias("cqn")
     ).localCheckpoint(eager=False)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double(F.col(vec_col)).alias("qv"),
         norm_expr(to_double(F.col(vec_col))).alias("qn"),
     )
-    q = q.withColumn("bucket", F.explode(nearest("qv", n_probe)))
+    q = q.withColumn("bucket", F.explode(nearest("qv", "qn", n_probe)))
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("corpus_id") != F.col("query_id")
     )

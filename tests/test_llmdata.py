@@ -3190,6 +3190,52 @@ def test_nearest_centroids_sql_equals_dsl(spark):
             assert r["dsl"] == r["sql"], (n, r)
 
 
+def test_nearest_centroids_prenorm_equals_dsl(spark):
+    """The prenorm form (r15: staged vector norm + literal centroid
+    norms) must reproduce nearest_centroids_expr exactly — same
+    similarity values, same DESC (sim, idx) tie-break — including on a
+    duplicated centroid (tie) and a zero vector (NULL sims)."""
+    from platform_spark.llmdata.similarity import (
+        _double_matrix_sql,
+        _nearest_centroids_prenorm_sql,
+        _norm_sql,
+        _norms_sql,
+        norm_expr,
+    )
+
+    matrix = S.hash_centroid_matrix(8, 16)
+    matrix[5] = list(matrix[2])  # exercise the (sim, idx) tie-break
+    vecs = [
+        (i, [((i * 31 + d * 17) % 97) / 48.5 - 1.0 for d in range(16)])
+        for i in range(40)
+    ]
+    vecs.append((100, [0.0] * 16))  # zero norm -> NULL sims
+    df = spark.createDataFrame(vecs, "vid int, v array<double>")
+    cm = S.double_matrix_lit(matrix)
+    ms = _double_matrix_sql(matrix)
+    ns = _norms_sql(matrix)
+    staged = df.select("vid", "v", norm_expr(F.col("v")).alias("nv"))
+    for n in (1, 3, 8):
+        out = staged.select(
+            S.nearest_centroids_expr(cm, 8, F.col("v"), n).alias("dsl"),
+            F.expr(
+                _nearest_centroids_prenorm_sql(ms, ns, 8, "v", "nv", n)
+            ).alias("pre"),
+        ).collect()
+        for r in out:
+            assert r["dsl"] == r["pre"], (n, r)
+    # the Python-side norm literals are bit-identical to the engine fold
+    eng = (
+        spark.range(1)
+        .select(F.expr(f"transform({ms}, c -> {_norm_sql('c')})").alias("n"))
+        .first()["n"]
+    )
+    lit = (
+        spark.range(1).select(F.expr(ns).alias("n")).first()["n"]
+    )
+    assert eng == lit
+
+
 def test_hashed_shingles_signature_path_matches_public(spark):
     """The combined (sh, h1, h2) single-pass table (r15) must yield the
     same signatures as minhash_signatures and the same verify hashes as
