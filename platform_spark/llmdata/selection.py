@@ -74,10 +74,24 @@ def dsir_scores(
     with no features (empty text) emit no row."""
     raw_feats = hashed_ngram_buckets(df, text_col, id_col, n_buckets)
     tgt_feats = hashed_ngram_buckets(target, text_col, id_col, n_buckets)
+    # ONE tokenize+explode pass over the raw corpus (r15): the
+    # per-(doc, bucket) occurrence count is the partial aggregate BOTH
+    # consumers need — the per-bucket distribution sums it and the
+    # per-doc scorer weights __w by it — so the corpus no longer pays a
+    # second full pass (once for the cached bucket counts, once for the
+    # scoring join). The cache holds ≤ min(n_features, n_docs*n_buckets)
+    # rows, smaller than the exploded feature table by the per-doc
+    # bucket-repeat factor; guide §2.3: aggregate before you shuffle.
+    doc_buckets = (
+        raw_feats.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("__cnt"))
+        .cache()
+    )
     # per-bucket count tables are ≤ n_buckets rows — cached (r15) so the
-    # weight join and the totals below share one tokenize+explode pass
-    # per side instead of re-running it per reference
-    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr")).cache()
+    # weight join and the totals below share the one pass per side
+    raw_counts = (
+        doc_buckets.groupBy("bucket").agg(F.sum("__cnt").alias("cr")).cache()
+    )
     tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct")).cache()
     # totals derived from the per-bucket counts (r15): sum(cr) over the
     # ≤ n_buckets count rows IS count(*) over the feature table — same
@@ -111,14 +125,20 @@ def dsir_scores(
             .alias("__w"),
         )
     )
+    # scoring over the (doc, bucket, __cnt) partial aggregate: summing
+    # __w * __cnt (exact decimal * bigint) equals adding __w once per
+    # occurrence — decimal arithmetic is exact integer math — so the
+    # cast-to-double mean is bit-identical to the per-occurrence sum
     return (
-        raw_feats.join(F.broadcast(weights), "bucket")
+        doc_buckets.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_features"),
-            F.round(F.sum("__w").cast("double") / F.count("*"), 6).alias(
-                "dsir_score"
-            ),
+            F.sum("__cnt").cast("bigint").alias("n_features"),
+            F.round(
+                F.sum(F.col("__w") * F.col("__cnt")).cast("double")
+                / F.sum("__cnt"),
+                6,
+            ).alias("dsir_score"),
         )
     )
 
