@@ -2197,6 +2197,33 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ids per synth task: at ~150 µs of Python codec work per image this is
+#: ~0.15 s of compute per task, comfortably above the ~25 ms per-task
+#: scheduling/Arrow overhead at any cluster size (the bytes-per-partition
+#: analogue of guide §6's split sizing, expressed in the unit that prices
+#: THIS stage — rows, because the input is 8-byte ids and the cost is CPU)
+_IDS_PER_TASK = 1024
+
+
+def _parallel_ids(ids: DataFrame) -> DataFrame:
+    """Round-robin an id-only media fixture frame to useful parallelism
+    before its CPU-heavy synth `mapInPandas` (r15, guide §8 / §2.6): the
+    documents parquet scans as a SINGLE split at bench scale, which fused
+    the whole Python encode+decode media pipeline into one task on one
+    core. The exchange moves 8-byte ids only — the heavy media bytes are
+    then created already-parallel. Width = ceil(rows / _IDS_PER_TASK)
+    capped at ``defaultParallelism`` (a metadata-priced count job), so the
+    same code sizes itself at any corpus or cluster scale instead of
+    hard-coding the local core count; AQE cannot make this choice because
+    it coalesces by BYTES, and an id column is tiny precisely when the
+    per-row CPU behind it is the real cost. Row order within partitions
+    is irrelevant: every downstream consumer is per-id or
+    order-insensitive."""
+    sc = ids.sparkSession.sparkContext
+    width = max(1, min(sc.defaultParallelism, -(-ids.count() // _IDS_PER_TASK)))
+    return ids.repartition(width)
+
+
 def _mm_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic raster corpus: one image per document id, format cycling
     PNG / PPM / BMP (the PNG writer cycles all five filter types per row),
@@ -2213,7 +2240,9 @@ def _mm_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    ids = _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    ids = _parallel_ids(
+        _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    )
 
     def gen(batches):
         encs = (encode_png, encode_ppm, encode_bmp)
@@ -4841,7 +4870,9 @@ def _mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_samples,
     )
 
-    ids = _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    ids = _parallel_ids(
+        _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -4892,7 +4923,9 @@ def _audio_fp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_samples,
     )
 
-    ids = _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    ids = _parallel_ids(
+        _doc_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    )
 
     def gen(batches):
         for pdf in batches:

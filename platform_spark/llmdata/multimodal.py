@@ -96,36 +96,56 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(idat)
     stride = w * nch
+    # vectorized unfilter (r15, guide §4.2): None is a copy, Sub is a
+    # per-channel cumulative sum mod 256, Up adds the previous
+    # reconstructed row elementwise — all whole-row numpy in the same
+    # integer arithmetic as the byte loops. Average and Paeth recurse on
+    # the CURRENT row's reconstructed left neighbor, so those rows keep
+    # the sequential scan (2 of 5 rows from our own writer's f = y % 5).
     out = bytearray()
-    prev = bytearray(stride)
+    prev_arr = np.zeros(stride, dtype=np.uint8)
     p = 0
     for _ in range(h):
         f = raw[p]
         p += 1
-        row = bytearray(raw[p : p + stride])
+        seg = raw[p : p + stride]
         p += stride
-        if f == 1:  # Sub
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
-                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif f != 0:
+        if f == 0:
+            rec = np.frombuffer(seg, dtype=np.uint8)
+        elif f == 1:  # Sub: rec[x,c] = sum(raw[0..x, c]) mod 256
+            c = np.cumsum(
+                np.frombuffer(seg, dtype=np.uint8).reshape(-1, max(nch, 1)),
+                axis=0,
+                dtype=np.int64,
+            )
+            rec = (c & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            rec = np.frombuffer(seg, dtype=np.uint8) + prev_arr
+        elif f in (3, 4):  # Average / Paeth: left-recursive scan
+            row = bytearray(seg)
+            prev = prev_arr.tobytes()
+            if f == 3:
+                for i in range(stride):
+                    left = row[i - nch] if i >= nch else 0
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    left = row[i - nch] if i >= nch else 0
+                    ul = prev[i - nch] if i >= nch else 0
+                    row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+            rec = np.frombuffer(bytes(row), dtype=np.uint8)
+        else:
             raise ValueError(f"bad PNG filter byte {f}")
-        out += row
-        prev = row
-    if ctype == 3:  # palette -> RGB
-        out = bytearray(b for px in out for b in plte[3 * px : 3 * px + 3])
+        out += rec.tobytes()
+        prev_arr = rec
+    if ctype == 3:  # palette -> RGB (vectorized gather)
+        idxs = np.frombuffer(bytes(out), dtype=np.uint8)
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        out = pal[
+            (idxs[:, None].astype(np.int64) * 3 + np.arange(3)).reshape(-1)
+        ].tobytes()
         nch = 3
+        return w, h, nch, out
     return w, h, nch, bytes(out)
 
 
@@ -145,13 +165,13 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
-    px = bytearray()
-    rows = range(h) if top_down else range(h - 1, -1, -1)
-    for r in rows:
-        row = data[off + r * stride : off + r * stride + w * 3]
-        for x in range(w):  # stored BGR -> RGB
-            px += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
-    return w, h, 3, bytes(px)
+    # vectorized (r15, guide §4.2): one reshape + row flip + BGR→RGB
+    # channel reversal instead of per-pixel byte copies
+    body = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=off)
+    rows = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 3, rows[:, :, ::-1].tobytes()
 
 
 def _decode_pnm(data: bytes) -> tuple[int, int, int, bytes]:
@@ -256,12 +276,13 @@ def synth_pixels(media_id: int, width: int, height: int) -> bytes:
     """Deterministic RGB gradient raster: channel value (x*7 + y*11 +
     c*13 + media_id) % 256 — closed-form, so a SQL oracle can predict the
     decode output exactly."""
-    return bytes(
-        (x * 7 + y * 11 + c * 13 + media_id) % 256
-        for y in range(height)
-        for x in range(width)
-        for c in range(3)
-    )
+    # vectorized (r15): identical closed form via int64 broadcasting
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((x * 7 + y * 11 + c * 13 + media_id) % 256).astype(
+        np.uint8
+    ).tobytes()
 
 
 def encode_png(width: int, height: int, pixels_rgb: bytes) -> bytes:
@@ -272,41 +293,38 @@ def encode_png(width: int, height: int, pixels_rgb: bytes) -> bytes:
 
     nch = 3
     stride = width * nch
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels_rgb[y * stride : (y + 1) * stride]
-        f = y % 5
-        raw.append(f)
-        if f == 0:
-            raw += row
-        elif f == 1:
-            raw += bytes(
-                (row[i] - (row[i - nch] if i >= nch else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif f == 2:
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
-        elif f == 3:
-            raw += bytes(
-                (row[i] - (((row[i - nch] if i >= nch else 0) + prev[i]) >> 1))
-                & 0xFF
-                for i in range(stride)
-            )
-        else:
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - nch] if i >= nch else 0,
-                        prev[i],
-                        prev[i - nch] if i >= nch else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = row
+    # vectorized filter pass (r15, guide §4.2): every filter references
+    # only the RAW previous row / left neighbor (the encoder's `prev`
+    # was the unfiltered source row), so all five filtered variants are
+    # whole-image numpy expressions in the same mod-256 integer
+    # arithmetic as the byte loops; each row then selects its y % 5
+    # variant and gains its filter-type byte.
+    pix = np.frombuffer(
+        pixels_rgb, dtype=np.uint8, count=height * stride
+    ).reshape(height, stride).astype(np.int16)
+    left = np.zeros_like(pix)
+    left[:, nch:] = pix[:, : stride - nch]
+    up = np.zeros_like(pix)
+    up[1:] = pix[:-1]
+    ul = np.zeros_like(pix)
+    ul[1:, nch:] = pix[:-1, : stride - nch]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    variants = np.stack(
+        [
+            pix,
+            (pix - left) & 0xFF,
+            (pix - up) & 0xFF,
+            (pix - ((left + up) >> 1)) & 0xFF,
+            (pix - paeth) & 0xFF,
+        ]
+    ).astype(np.uint8)
+    fsel = np.arange(height) % 5
+    body = np.empty((height, 1 + stride), dtype=np.uint8)
+    body[:, 0] = fsel
+    body[:, 1:] = variants[fsel, np.arange(height)]
+    raw = body.tobytes()
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
@@ -332,13 +350,14 @@ def encode_ppm(width: int, height: int, pixels_rgb: bytes) -> bytes:
 def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
     """Minimal bottom-up 24-bit BI_RGB BMP writer (4-byte row padding)."""
     stride = (width * 3 + 3) & ~3
-    pad = b"\x00" * (stride - width * 3)
-    raster = bytearray()
-    for y in range(height - 1, -1, -1):
-        row = pixels_rgb[y * width * 3 : (y + 1) * width * 3]
-        for x in range(width):  # RGB -> stored BGR
-            raster += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
-        raster += pad
+    # vectorized (r15): bottom-up row flip + RGB→BGR channel reversal +
+    # zero row padding as one numpy layout pass
+    pix = np.frombuffer(
+        pixels_rgb, dtype=np.uint8, count=height * width * 3
+    ).reshape(height, width, 3)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    out[:, : width * 3] = pix[::-1, :, ::-1].reshape(height, width * 3)
+    raster = out.tobytes()
     off = 14 + 40
     size = off + len(raster)
     file_header = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
@@ -411,18 +430,23 @@ def dhash_bits(
     per adjacent-column comparison (right > left). hash_w*hash_h ≤ 56 bits
     so the value stays a positive BIGINT in every engine (bit 63 would
     wrap differently under DuckDB's HUGEINT-promoting SUM)."""
-    val = 0
-    for y in range(hash_h):
-        sy = y * h // hash_h
-        row = [0] * (hash_w + 1)
-        for x in range(hash_w + 1):
-            sx = x * w // (hash_w + 1)
-            base = (sy * w + sx) * nch
-            row[x] = sum(px[base : base + nch]) // nch
-        for x in range(hash_w):
-            if row[x + 1] > row[x]:
-                val |= 1 << (y * hash_w + x)
-    return val
+    # vectorized (r15, guide §4.2): same nearest-neighbor sample indices,
+    # same integer-mean grayscale (sum // nch), same right > left bit
+    # positions — whole-grid numpy instead of per-cell byte loops
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    if a.size == 0:  # empty raster: the loop form summed empty slices → 0
+        return 0
+    sy = np.arange(hash_h, dtype=np.int64) * h // hash_h
+    sx = np.arange(hash_w + 1, dtype=np.int64) * w // (hash_w + 1)
+    base = (sy[:, None] * w + sx[None, :]) * nch
+    idx = base[:, :, None] + np.arange(nch, dtype=np.int64)
+    grid = a[idx].sum(axis=-1) // nch
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+    pos = (
+        np.arange(hash_h, dtype=np.int64)[:, None] * hash_w
+        + np.arange(hash_w, dtype=np.int64)[None, :]
+    )
+    return int((bits << pos).sum())
 
 
 def dhash_media(
@@ -675,18 +699,19 @@ def real_resize(content: bytes, width: int, height: int) -> dict:
             "unrecognized media magic (stdlib resize covers PNG/PNM/BMP; "
             "JPEG/video need external libraries — pass a PIL-backed callable)"
         )
-    out = bytearray()
-    for y in range(height):
-        sy = y * sh // height
-        row_base = sy * sw * nch
-        for x in range(width):
-            sx = x * sw // width
-            base = row_base + sx * nch
-            if nch == 3:
-                out += px[base : base + 3]
-            else:  # grayscale → replicate into RGB for the P6 container
-                out += px[base : base + 1] * 3
-    return {"content": encode_ppm(width, height, bytes(out)),
+    # vectorized (r15, guide §4.2): identical src = dst * src_dim //
+    # dst_dim sample indices via fancy indexing; grayscale replicates
+    # into RGB exactly as the per-pixel loop did
+    a = np.frombuffer(px, dtype=np.uint8).reshape(sh, sw, nch)
+    if a.size == 0:  # empty raster: the loop form emitted no bytes
+        return {"content": encode_ppm(width, height, b""),
+                "width": width, "height": height}
+    sy = np.arange(height, dtype=np.int64) * sh // height
+    sx = np.arange(width, dtype=np.int64) * sw // width
+    sampled = a[sy][:, sx]
+    if nch == 1:
+        sampled = np.repeat(sampled, 3, axis=2)
+    return {"content": encode_ppm(width, height, sampled.tobytes()),
             "width": width, "height": height}
 
 
