@@ -1289,6 +1289,99 @@ def _simhash_banded_pairs(
 # -- embedding near-dup -----------------------------------------------------
 
 
+def _sketch_norm_expr(staged: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """(vid, v, sk, nrm) via interpreted Column folds — the pre-r15
+    reference semantics for `_sketch_norm_arrow`, kept so pytest can pin
+    the Arrow kernel's bit-identity; the hot path uses the kernel."""
+    from platform_spark.llmdata.similarity import (
+        dot_expr,
+        double_matrix_lit,
+        norm_expr,
+    )
+
+    n_hyperplanes = len(planes)
+    plane_matrix = double_matrix_lit(planes)
+    dots = F.transform(plane_matrix, lambda w: dot_expr(F.col("v"), w))
+    sketch = F.aggregate(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(n_hyperplanes - 1)),
+            lambda d, i: F.when(
+                d >= 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "vid", "v", sketch.alias("sk"), norm_expr(F.col("v")).alias("nrm")
+    )
+
+
+def _sketch_norm_arrow(staged: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """(vid, v, sk, nrm) through one `mapInArrow` batch kernel (r15,
+    guide §4.2): the list column's values buffer reshapes to an (n, dim)
+    float64 matrix with zero per-row conversion, and both reductions run
+    as per-DIMENSION accumulation loops — ``acc[:, p] += v[:, j] *
+    P[p, j]`` and ``nrm2 += v[:, j]²`` — i.e. the SAME IEEE-754 left
+    fold per row, in order, as the interpreted `aggregate` trees in
+    `_sketch_norm_expr`, so every sketch bit (dot >= 0), the integer
+    sketch sum, and sqrt(nrm2) are bit-identical (np.sqrt and Java
+    Math.sqrt are both correctly rounded). Vectors must be fixed-dim
+    and non-null (declared-dim embedding tables; anything else raises
+    loudly in the kernel)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pm = np.array(planes, dtype=np.float64)
+    out_schema = StructType(
+        list(staged.schema.fields)
+        + [StructField("sk", LongType()), StructField("nrm", DoubleType())]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        shifts = np.arange(pm.shape[0], dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            v = batch.column(1)
+            if v.null_count:
+                raise ValueError("NULL vector in sketch staging")
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            if n and not (lens == lens[0]).all():
+                raise ValueError("ragged vectors in sketch staging")
+            d = int(lens[0]) if n else 0
+            mat = (
+                v.flatten().to_numpy(zero_copy_only=False).reshape(n, d)
+            )
+            acc = np.zeros((n, pm.shape[0]), dtype=np.float64)
+            nrm2 = np.zeros(n, dtype=np.float64)
+            for j in range(min(d, pm.shape[1])):
+                col = mat[:, j]
+                acc = acc + col[:, None] * pm[None, :, j]
+                nrm2 = nrm2 + col * col
+            for j in range(pm.shape[1], d):  # norm folds the FULL vector
+                col = mat[:, j]
+                nrm2 = nrm2 + col * col
+            sk = ((acc >= 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(sk, type=pa.int64()),
+                    pa.array(np.sqrt(nrm2), type=pa.float64()),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return staged.mapInArrow(run, out_schema)
+
+
 def _lsh_cosine_pairs(
     staged: DataFrame,  # (vid, v) — v already array<double>
     threshold: float,
@@ -1331,21 +1424,6 @@ def _lsh_cosine_pairs(
         return vals
 
     per = max(1, n_hyperplanes // bands)
-    # single nested-array literal built in ONE py4j call (see
-    # double_matrix_lit); sketch = Σ (dot_p >= 0) << p folded over it
-    plane_matrix = double_matrix_lit([plane(p) for p in range(n_hyperplanes)])
-    dots = F.transform(plane_matrix, lambda w: dot_expr(F.col("v"), w))
-    sketch = F.aggregate(
-        F.zip_with(
-            dots,
-            F.sequence(F.lit(0), F.lit(n_hyperplanes - 1)),
-            lambda d, i: F.when(
-                d >= 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     # the norm is hoisted to the per-VECTOR stage: the exact verify
     # below evaluates interpreted higher-order aggregates per candidate
     # pair, and cosine_expr's 3 dim-length folds per pair (dot + both
@@ -1356,10 +1434,15 @@ def _lsh_cosine_pairs(
     # untouched); measured 1.9x on the ecf verify stage.
     # cached (r15): `base` feeds both aliases of the band self-join AND
     # both per-side vector re-joins of the verify — four references, each
-    # of which would otherwise recompute the interpreted n_hyperplanes×dim
-    # sketch fold (the dominant per-vector cost) plus the norm
-    base = staged.select(
-        "vid", "v", sketch.alias("sk"), norm_expr(F.col("v")).alias("nrm")
+    # of which would otherwise recompute the n_hyperplanes×dim sketch
+    # fold (the dominant per-vector cost) plus the norm.
+    # Arrow-vectorized staging (r15, guide §4.2): the interpreted
+    # transform/aggregate sketch fold cost ~1 ms per VECTOR (16×64
+    # scalar expression evaluations); `_sketch_norm_arrow` runs the same
+    # per-dimension IEEE left folds batch-wide in numpy — bit-identical
+    # sketches and norms (pinned by pytest against the expression form).
+    base = _sketch_norm_arrow(
+        staged, [plane(p) for p in range(n_hyperplanes)]
     ).cache()
     band_cols = [
         F.struct(

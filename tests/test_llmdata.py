@@ -3361,3 +3361,42 @@ def test_vectorized_raster_codecs_match_scalar_reference():
                     base = (sy * w + sx) * 3
                     want += px[base : base + 3]
             assert r["content"] == encode_ppm(5, 7, bytes(want))
+
+
+def test_sketch_norm_arrow_matches_expr(spark):
+    """The r15 Arrow sketch/norm staging kernel must be bit-identical to
+    the interpreted Column-fold reference (`_sketch_norm_expr`): same
+    hyperplane sketch bits (dot >= 0 on the same left-folded dots) and
+    the same float64 norm — including a zero vector (norm 0.0) and
+    sign-boundary dots."""
+    import struct as _st
+
+    from platform_spark.llmdata.dedup import (
+        _sketch_norm_arrow,
+        _sketch_norm_expr,
+    )
+
+    dim = 16
+    rows = [
+        (i, [((i * 31 + d * 17) % 97) / 48.5 - 1.0 for d in range(dim)])
+        for i in range(300)
+    ]
+    rows.append((1000, [0.0] * dim))
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    import hashlib
+
+    def plane(p):
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane-{p}-{i}".encode()).digest()
+            (u,) = _st.unpack(">Q", h[:8])
+            vals.append((u / float(1 << 64)) * 2.0 - 1.0)
+        return vals
+
+    planes = [plane(p) for p in range(12)]
+    exp = {r["vid"]: (r["sk"], r["nrm"]) for r in _sketch_norm_expr(df, planes).collect()}
+    arr = {r["vid"]: (r["sk"], r["nrm"]) for r in _sketch_norm_arrow(df, planes).collect()}
+    assert exp.keys() == arr.keys()
+    for k in exp:
+        assert exp[k][0] == arr[k][0], k
+        assert _st.pack(">d", exp[k][1]) == _st.pack(">d", arr[k][1]), k
