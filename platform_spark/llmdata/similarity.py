@@ -14,7 +14,6 @@ codegen, no Python in the per-row path.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,52 +69,6 @@ def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     measured 1.9x on the ecf leg). Same expression tree over the same
     doubles ⇒ bit-identical to cosine_expr."""
     return dot_expr(a, b) / (na * nb)
-
-
-def _cosine_prenorm_arrow_udf():
-    """Arrow-vectorized twin of `cosine_prenorm` for pair-HEAVY verify
-    joins (r15, guide §4.1/§4.2): the interpreted `aggregate` fold costs
-    ~dim scalar expression evaluations per candidate pair; here the dot
-    accumulates dimension-at-a-time across the whole Arrow batch
-    (``acc = acc + A[:, j] * B[:, j]``), which performs THE SAME IEEE-754
-    left fold per pair — each partial sum is one float64 multiply and one
-    add in identical order — so the result is bit-identical to the SQL
-    tree. A zero norm product returns NaN (0/0), which Arrow hands back
-    to Spark as NULL — exactly what Spark's double `Divide` yields on a
-    zero divisor — and NULL inputs stay NULL. Marked nondeterministic so
-    the optimizer cannot duplicate the Python evaluation below a pushed
-    filter (guide §4.4). Callers must stage fixed-dimension vectors
-    (declared-dim embedding tables; ragged input raises loudly)."""
-    import numpy as np
-
-    def _cos(va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
-        valid = va.notna() & vb.notna() & na.notna() & nb.notna()
-        out = np.full(len(va), np.nan)
-        if valid.any():
-            A = np.vstack(va[valid].to_numpy())
-            B = np.vstack(vb[valid].to_numpy())
-            acc = np.zeros(A.shape[0], dtype=np.float64)
-            for j in range(A.shape[1]):
-                acc = acc + A[:, j] * B[:, j]
-            den = na[valid].to_numpy(dtype=np.float64) * nb[valid].to_numpy(
-                dtype=np.float64
-            )
-            safe = den != 0.0
-            res = np.full(A.shape[0], np.nan)
-            res[safe] = acc[safe] / den[safe]
-            out[np.asarray(valid)] = res
-        return pd.Series(out)
-
-    return F.pandas_udf(_cos, "double").asNondeterministic()
-
-
-def cosine_prenorm_batch(
-    a: Column, b: Column, na: Column, nb: Column
-) -> Column:
-    """`cosine_prenorm` evaluated through the Arrow batch kernel — use on
-    verify joins whose pair count dwarfs the vector count; see
-    `_cosine_prenorm_arrow_udf` for the bit-identity argument."""
-    return _cosine_prenorm_arrow_udf()(a, b, na, nb)
 
 
 def brute_force_topk(
