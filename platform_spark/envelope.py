@@ -223,10 +223,26 @@ PASSTHROUGH_TABLES: dict[str, tuple[str, list[tuple[str, str]]]] = {
 }
 
 
-def passthrough_envelope_sql(dialect: str, table: str) -> str:
+def passthrough_envelope_sql(dialect: str, table: str, rel: str | None = None) -> str:
     """Generic topic envelope: `_key` = pk, `_value` = flat JSON of all
     columns, `_ts` = 2024-01-01 + (pk % 30d) seconds (inside the pinned
-    LAST window; FIXTURES.md §1 timestamp rule)."""
+    LAST window; FIXTURES.md §1 timestamp rule).
+
+    ``rel`` substitutes the FROM relation (e.g. a repartitioned staging
+    view for the materialize path) without changing the emitted columns;
+    the default keeps the canonical SQL byte-stable for version hashing
+    and the DuckDB oracle twin.
+
+    `_offset`'s ROW_NUMBER orders by (pk, _value) — the `_value`
+    tiebreak (r15) makes the order TOTAL when a synthetic pk collides
+    (the lineitem fixture carries duplicate ``l_orderkey*10 +
+    l_linenumber`` values): without it, offsets among tied rows follow
+    physical arrival order, which changes with scan split count — i.e.
+    the materialized topic was only deterministic while the source
+    scanned as one split. Rows whose pk AND rendered payload are both
+    equal remain interchangeable (swapping them is output-identical).
+    Both dialect twins share this expression, so Spark and the DuckDB
+    oracle stay in lockstep by construction."""
     s = _str_t(dialect)
     pk, cols = PASSTHROUGH_TABLES[table]
     parts = []
@@ -253,19 +269,19 @@ def passthrough_envelope_sql(dialect: str, table: str) -> str:
 SELECT
   '{table}' AS _topic,
   CAST(({pk}) % {N_PARTITIONS} AS INT) AS _partition,
-  CAST(ROW_NUMBER() OVER (PARTITION BY ({pk}) % {N_PARTITIONS} ORDER BY {pk}) - 1 AS BIGINT) AS _offset,
+  CAST(ROW_NUMBER() OVER (PARTITION BY ({pk}) % {N_PARTITIONS} ORDER BY {pk}, {value_json}) - 1 AS BIGINT) AS _offset,
   {ts} AS _ts,
   CAST({pk} AS {s}) AS _key,
   {value_json} AS _value,
   '{{"source":"fixture","seq":"' || CAST({pk} AS {s}) || '"}}' AS _headers,
   's3://topics/{table}/' || CAST(({pk}) % {N_PARTITIONS} AS {s}) || '/segment-0.kfs' AS _segment
-FROM {table}
+FROM {rel or table}
 """.strip()
 
 
 def _passthrough_builder(table: str):
     def build(dialect: str, rel: str | None = None) -> str:
-        return passthrough_envelope_sql(dialect, table)
+        return passthrough_envelope_sql(dialect, table, rel)
 
     return build
 

@@ -100,7 +100,9 @@ _OFFSET_ORDER: dict[str, tuple[str, tuple[str, ...]]] = {
 }
 
 
-def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
+def assign_partition_offsets(
+    df, chunk_key, order_cols, n_chunks: int, sizing_df=None
+):
     """Bit-identical replacement for
     ``ROW_NUMBER() OVER (PARTITION BY _partition ORDER BY ...) - 1`` that
     never sorts a whole topic partition in one task: rows chunk into
@@ -115,8 +117,17 @@ def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    # sizing jobs (key bounds + per-group counts) run over ``sizing_df``
+    # when given (r15): the caller may stage ``df`` behind an extra
+    # exchange for the RANK job's parallelism (see _rr_source_rel), and
+    # the sizing jobs — which column-prune down to the key columns and
+    # never benefit from that staging — must not pay the exchange 2x
+    # more. Both frames hold the same rows, so bounds and counts are
+    # identical either way; the rank below composes them with the same
+    # driver-computed constants.
+    s = sizing_df if sizing_df is not None else df
     key = F.expr(chunk_key).cast("long")
-    mn, mx, n, n_key = df.agg(
+    mn, mx, n, n_key = s.agg(
         F.min(key), F.max(key), F.count(F.lit(1)), F.count(key)
     ).first()
     if n == 0:
@@ -131,23 +142,50 @@ def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
             "for this topic (see _OFFSET_ORDER)"
         )
     span = max(1, (int(mx) - int(mn) + 1) // max(1, n_chunks))
-    # key values are ints well under 2**53, so the double division is exact
-    chunked = df.withColumn(
-        "__chunk", F.floor((key - F.lit(int(mn))) / F.lit(span)).cast("int")
-    )
-    counts = chunked.groupBy("__chunk", "_partition").count().collect()
+
+    def with_chunk(frame):
+        # key values are ints well under 2**53, so the double division
+        # is exact — and the expression is identical on both frames
+        return frame.withColumn(
+            "__chunk",
+            F.floor((F.expr(chunk_key).cast("long") - F.lit(int(mn))) / F.lit(span)).cast("int"),
+        )
+
+    chunked = with_chunk(df)
+    counts = with_chunk(s).groupBy("__chunk", "_partition").count().collect()
     bases, cum = [], {}
     for r in sorted(counts, key=lambda r: (r["_partition"], r["__chunk"])):
         bases.append((r["__chunk"], r["_partition"], cum.get(r["_partition"], 0)))
         cum[r["_partition"]] = cum.get(r["_partition"], 0) + r["count"]
+    # inline VALUES → LocalRelation: `createDataFrame(list)` parallelizes
+    # the driver rows into defaultParallelism Python-runner tasks (~0.3 s
+    # of worker round trips for a dozen rows, measured r15); the VALUES
+    # form resolves driver-side and broadcasts with zero tasks. Bounded:
+    # n_chunks <= 256 keeps this under ~1k rows of SQL text.
+    values = ",".join(f"({c},{p},{b})" for c, p, b in bases)
     base_df = F.broadcast(
-        spark.createDataFrame(bases, "__chunk int, _partition int, __base long")
+        spark.sql(
+            "SELECT CAST(col1 AS INT) AS __chunk, CAST(col2 AS INT) AS _partition, "
+            f"CAST(col3 AS BIGINT) AS __base FROM (VALUES {values})"
+        )
     )
     w = Window.partitionBy("__chunk", "_partition").orderBy(
         *[F.expr(c) for c in order_cols]
     )
+    # the rank's exchange is an EXPLICIT repartition-by-num instead of
+    # the implicit window shuffle (r15): AQE coalesces implicit shuffle
+    # reads by BYTES, and rendered-envelope bytes per group sit well
+    # under the advisory size at small inputs — coalescing the groups
+    # back onto a few tasks re-creates exactly the one-big-sort-task
+    # shape this path exists to avoid. REPARTITION_BY_NUM is exempt from
+    # AQE coalescing, and hash(__chunk, _partition) into 4x the group
+    # count keeps most groups alone in their slot (empty slots are
+    # free); the window's ClusteredDistribution is satisfied by this
+    # partitioning, so no second exchange appears.
+    n_slots = max(1, min(4 * len(bases), 4096))
     return (
         chunked.join(base_df, ["__chunk", "_partition"])
+        .repartition(n_slots, "__chunk", "_partition")
         .withColumn(
             "_offset",
             (F.row_number().over(w) - 1 + F.col("__base")).cast("bigint"),
@@ -157,7 +195,11 @@ def assign_partition_offsets(df, chunk_key, order_cols, n_chunks: int):
 
 
 def materialize_envelope(
-    name: str, df, rows_per_chunk: int = 2_000_000, approx_rows: int | None = None
+    name: str,
+    df,
+    rows_per_chunk: int = 2_000_000,
+    approx_rows: int | None = None,
+    sizing_df=None,
 ):
     """Envelope DataFrame with `_offset`/`_segment` recomputed through the
     chunked rank when a topic is big enough that the window's one-sort-
@@ -170,14 +212,38 @@ def materialize_envelope(
     n_rows = approx_rows
     if n_rows is None:
         n_rows = df.drop("_offset", "_segment").count()  # column-pruned scan
-    n_chunks = max(1, min(256, n_rows // rows_per_chunk + 1))
+    # chunk count = max(spill bound, parallelism floor): the spill bound
+    # (rows/chunk <= rows_per_chunk) is what matters at scale; the floor
+    # (r15) matters when a topic is big enough to be the ingest critical
+    # path yet small enough that rows/rows_per_chunk rounds to 1 chunk —
+    # the rank+encode+write stage then runs one task per `_partition`
+    # VALUE (4 in the fixtures) regardless of cluster width. The floor
+    # derives from the session's parallelism and is capped so chunks
+    # never shrink below ~32k rows (per-task overhead would dominate);
+    # genuinely small topics keep the plain window plan.
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    floor = min(max(1, dp // 4), n_rows // 32_000)
+    n_chunks = max(1, min(256, max(n_rows // rows_per_chunk + 1, floor)))
     if n_chunks <= 1:
         return df
+    # passthrough default mirrors the envelope window's total order
+    # (pk, rendered payload) — see passthrough_envelope_sql: the `_value`
+    # tiebreak keeps tied synthetic pks deterministic at any split count
     chunk_key, order_cols = _OFFSET_ORDER.get(
-        name, ("CAST(_key AS BIGINT)", ("CAST(_key AS BIGINT)",))
+        name, ("CAST(_key AS BIGINT)", ("CAST(_key AS BIGINT)", "_value"))
     )
     base = df.drop("_offset", "_segment")
-    ranked = assign_partition_offsets(base, chunk_key, order_cols, n_chunks)
+    ranked = assign_partition_offsets(
+        base,
+        chunk_key,
+        order_cols,
+        n_chunks,
+        sizing_df=(
+            sizing_df.drop("_offset", "_segment")
+            if sizing_df is not None
+            else None
+        ),
+    )
     if name == "events":  # one synthetic segment per 1000 offsets
         seg = F.concat(
             F.lit("s3://topics/events/"),
@@ -457,6 +523,64 @@ class TopicCatalog:
         except OSError:
             return 0  # unknown -> single chunk (the safe small-scale plan)
 
+    def _rr_source_rel(
+        self, name: str, min_rows_per_task: int = 20_000
+    ) -> str | None:
+        """Round-robin-repartitioned staging view of a topic's raw source,
+        or None when the scan parallelizes on its own (guide §2.5's
+        input-skew rule: one small/unsplittable file → repartition right
+        after the read). The envelope's `_value` JSON render is CPU-dense
+        per row and Catalyst evaluates it below the rank's exchange, i.e.
+        at SCAN parallelism — a small source file scans as 1-3 splits no
+        matter how many cores the cluster has, single-threading the
+        render. Repartitioning the RAW columns first costs one exchange
+        of the small source's bytes (cheap exactly when the gate fires)
+        and lifts the render to full width; the rank result is unchanged
+        (deterministic total order per group). At any real scale the
+        split-count estimate exceeds the row-derived target and this
+        returns None — no extra shuffle of a 100 TB corpus, ever."""
+        path = self.raw_source_path(name)
+        if path is None:
+            return None
+        n_rows = self._approx_source_rows(name)
+        dp = self.spark.sparkContext.defaultParallelism
+        # >=min_rows_per_task rows per render task (default 20k): below
+        # that, task overhead dominates the render itself
+        n_rr = min(dp, n_rows // max(1, min_rows_per_task))
+        if n_rr < 2:
+            return None
+        try:
+            if os.path.isdir(path):
+                n_bytes = sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for d, _dirs, files in os.walk(path)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            else:
+                n_bytes = os.path.getsize(path)
+        except OSError:
+            return None
+
+        def _conf_bytes(key: str, default: int) -> int:
+            try:
+                v = self.spark.conf.get(key)
+                return int(v.lower().rstrip("b"))
+            except Exception:
+                return default
+
+        max_pb = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+        open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+        # Spark's own split sizing: files pack into splits of this size
+        split = min(max_pb, max(open_cost, n_bytes // max(1, dp)))
+        est_scan_tasks = -(-n_bytes // max(1, split))
+        if n_rr <= est_scan_tasks:
+            return None
+        src = "orders" if name == "payments" else name
+        view = f"__mat_src_{name}"
+        self.spark.table(src).repartition(n_rr).createOrReplaceTempView(view)
+        return view
+
     def materialize(self, name: str, root: str) -> str:
         """Write the topic as Parquet partitioned by `_partition` — the
         engine's real storage layout (segment files → parquet files within a
@@ -500,7 +624,17 @@ class TopicCatalog:
                 if age >= self.PRUNE_GRACE_SECONDS:
                     shutil.rmtree(stale, ignore_errors=True)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            df = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
+            # build from the repartitioned staging view when the raw
+            # source is too small to scan in parallel (the version hash
+            # above stays keyed on the CANONICAL envelope SQL — the
+            # staging relation changes the plan, never the output)
+            rr_rel = self._rr_source_rel(name)
+            canonical = self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK))
+            df = (
+                self.spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK, rr_rel))
+                if rr_rel
+                else canonical
+            )
             # recompute `_offset`/`_segment` through the chunked two-phase
             # rank instead of the envelope's ROW_NUMBER window: the window
             # is one sort task per `_partition` VALUE (4 in the fixtures),
@@ -510,7 +644,10 @@ class TopicCatalog:
             # Output is bit-identical (tests/test_topics.py equality sweep
             # + every topic gate hash); small topics keep the window plan.
             df = materialize_envelope(
-                name, df, approx_rows=self._approx_source_rows(name)
+                name,
+                df,
+                approx_rows=self._approx_source_rows(name),
+                sizing_df=canonical if rr_rel else None,
             )
             (
                 df.select(*IMPLICIT_COLUMNS)

@@ -89,6 +89,51 @@ def test_assign_offsets_edge_cases(spark):
     assert empty.count() == 0
 
 
+@pytest.mark.parametrize("name", ["events", "payments", "lineitem"])
+def test_rr_staged_envelope_matches_canonical(spark, raw_views, name):
+    """The repartitioned staging view (r15: parallelizes the `_value`
+    render when a small source scans as 1-3 splits) must leave the
+    envelope output bit-identical — the RR exchange only changes WHERE
+    rows are rendered, and the ROW_NUMBER order keys are total."""
+    rel = raw_views._rr_source_rel(name, min_rows_per_task=10)
+    assert rel is not None  # the gate fires once the rows/task floor allows
+    ref = spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK)).collect()
+    got = spark.sql(env.ENVELOPE_BUILDERS[name](env.SPARK, rel)).collect()
+    key = lambda r: (r["_partition"], r["_offset"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(ref, key=key)
+
+
+def test_rr_source_gate_stays_off_at_scale_or_tiny(spark, raw_views):
+    """No staging shuffle when the source already scans wide (bytes >>
+    split size) or is too small to benefit (rows/task floor)."""
+    # tiny: sf0.001 sources are ~1k rows — the default 20k-rows/task
+    # floor yields n_rr < 2 for every topic
+    for name in ("events", "lineitem", "customer"):
+        assert raw_views._rr_source_rel(name) is None
+
+
+def test_assign_offsets_sizing_df_equivalence(spark):
+    """Sizing jobs may run over a physically different (but row-equal)
+    frame; ranks must match the single-frame result exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        (F.col("id") * 7 % 501).alias("k"),
+        (F.col("id") % 4).cast("int").alias("_partition"),
+    )
+    ref = {
+        (r["_partition"], r["k"]): r["_offset"]
+        for r in assign_partition_offsets(df, "k", ("k",), 8).collect()
+    }
+    got = {
+        (r["_partition"], r["k"]): r["_offset"]
+        for r in assign_partition_offsets(
+            df.repartition(32), "k", ("k",), 8, sizing_df=df.coalesce(1)
+        ).collect()
+    }
+    assert got == ref
+
+
 def test_assign_offsets_null_chunk_key_fails_loudly(spark):
     """A chunk key that casts to NULL (e.g. a string _key under the
     default CAST(_key AS BIGINT)) must raise, not silently drop the
