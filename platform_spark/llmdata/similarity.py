@@ -466,6 +466,25 @@ def semantic_dedup(
     )
 
 
+def _sq_dequantize_sql(vec: str, mins_sql: str, maxs_sql: str) -> str:
+    """Scalar quantize+dequantize (v̂ = lo + q·(hi−lo)/255, q = half-up
+    int8 code) as SQL text: the SAME zip_with tree the former Column
+    lambdas built — element-wise arithmetic in identical order, CASE on
+    a zero range exactly where the F.when sat — parsed with one F.expr
+    instead of ~10 py4j round trips per lambda. Equivalence pinned by
+    pytest against a Column-DSL reference."""
+    rng = f"zip_with({maxs_sql}, {mins_sql}, (hi, lo) -> hi - lo)"
+    q = (
+        f"zip_with(zip_with({vec}, {mins_sql}, (x, lo) -> x - lo), {rng}, "
+        f"(d, r) -> CASE WHEN r = 0.0D THEN 0.0D "
+        f"ELSE FLOOR(d / r * 255.0D + 0.5D) END)"
+    )
+    return (
+        f"zip_with(zip_with({q}, {rng}, (qq, r) -> qq * r / 255.0D), "
+        f"{mins_sql}, (x, lo) -> x + lo)"
+    )
+
+
 def fit_scalar_quantizer(
     corpus: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> tuple[list[float], list[float]]:
@@ -476,14 +495,22 @@ def fit_scalar_quantizer(
     matrix; fit on a sample at 100 TB."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    v = to_double(F.col(vec_col))
-    row = corpus.select(
-        *[F.min(F.element_at(v, i + 1)).alias(f"mn_{i}") for i in range(dim)],
-        *[F.max(F.element_at(v, i + 1)).alias(f"mx_{i}") for i in range(dim)],
-    ).first()
-    mins = [float(row[f"mn_{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx_{i}"]) for i in range(dim)]
-    return mins, maxs
+    # the 2×dim scalar aggregates ride TWO array() expressions parsed in
+    # one F.expr each (r15): building them as individual Columns cost
+    # ~900 py4j round trips (~0.6 s measured on the sq gate) for the
+    # same aggregate tree
+    mins_sql = "array(" + ",".join(
+        f"min(element_at(__v, {i + 1}))" for i in range(dim)
+    ) + ")"
+    maxs_sql = "array(" + ",".join(
+        f"max(element_at(__v, {i + 1}))" for i in range(dim)
+    ) + ")"
+    row = (
+        corpus.select(to_double(F.col(vec_col)).alias("__v"))
+        .agg(F.expr(mins_sql).alias("mn"), F.expr(maxs_sql).alias("mx"))
+        .first()
+    )
+    return [float(x) for x in row["mn"]], [float(x) for x in row["mx"]]
 
 
 def sq_topk(
@@ -517,30 +544,24 @@ def sq_topk(
     if codebook is None:
         codebook = fit_scalar_quantizer(corpus, vec_col)
     mins, maxs = codebook
-    mins_lit = double_matrix_lit(mins)
-    maxs_lit = double_matrix_lit(maxs)
-
-    def dequantized(vec: Column) -> Column:
-        # quantize + dequantize in one expression: v̂ = min + q*(max-min)/255
-        rng = F.zip_with(maxs_lit, mins_lit, lambda hi, lo: hi - lo)
-        q = F.zip_with(
-            F.zip_with(vec, mins_lit, lambda x, lo: x - lo),
-            rng,
-            lambda d, r: F.when(r == 0.0, F.lit(0.0)).otherwise(
-                F.floor(d / r * 255.0 + 0.5)
-            ),
-        )
-        return F.zip_with(
-            F.zip_with(q, rng, lambda qq, r: qq * r / 255.0),
-            mins_lit,
-            lambda x, lo: x + lo,
-        )
 
     # few-call staging (r15): each chained withColumn re-analyzed the
-    # whole quantize tree on the driver; two selects pay it twice total
+    # whole quantize tree on the driver; two selects pay it twice total.
+    # The quantize+dequantize expression itself is rendered as SQL text
+    # (`_sq_dequantize_sql`, same recipe as _pq_dequantize_sql): the
+    # zip_with lambda chain cost ~10 py4j round trips per lambda while
+    # the one F.expr parses the identical tree.
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv")
-    ).select("corpus_id", "cv", dequantized(F.col("cv")).alias("cq"))
+    ).select(
+        "corpus_id",
+        "cv",
+        F.expr(
+            _sq_dequantize_sql(
+                "cv", _double_matrix_sql(mins), _double_matrix_sql(maxs)
+            )
+        ).alias("cq"),
+    )
     c = c.select(
         "*", norm_expr(F.col("cq")).alias("cqn"), norm_expr(F.col("cv")).alias("cn")
     )

@@ -3138,6 +3138,57 @@ def test_pq_dequantize_sql_equals_dsl(spark):
             assert st.pack("<d", x) == st.pack("<d", y)
 
 
+def test_sq_dequantize_sql_equals_dsl(spark):
+    """_sq_dequantize_sql (r15) must reproduce the former zip_with
+    Column chain bit-exactly — including the zero-range CASE branch —
+    and fit_scalar_quantizer's array-aggregate form must return the
+    same exact min/max doubles as per-dimension aggregates."""
+    import struct as st
+
+    dim = 6
+    vecs = [
+        (i, [((i * 13 + d * 29) % 101) / 50.5 - 1.0 for d in range(dim)])
+        for i in range(40)
+    ]
+    # constant dimension 3 → range 0 → the CASE WHEN r = 0 branch
+    vecs = [(i, v[:3] + [0.25] + v[4:]) for i, v in vecs]
+    df = spark.createDataFrame(vecs, "vid int, cv array<double>")
+    mins, maxs = S.fit_scalar_quantizer(df, "cv", dim=dim)
+    ref = df.select(
+        *[F.min(F.element_at(F.col("cv"), i + 1)) for i in range(dim)],
+        *[F.max(F.element_at(F.col("cv"), i + 1)) for i in range(dim)],
+    ).first()
+    assert [st.pack("<d", x) for x in mins + maxs] == [
+        st.pack("<d", x) for x in ref
+    ]
+    mins_lit, maxs_lit = S.double_matrix_lit(mins), S.double_matrix_lit(maxs)
+    rng = F.zip_with(maxs_lit, mins_lit, lambda hi, lo: hi - lo)
+    q = F.zip_with(
+        F.zip_with(F.col("cv"), mins_lit, lambda x, lo: x - lo),
+        rng,
+        lambda d, r: F.when(r == 0.0, F.lit(0.0)).otherwise(
+            F.floor(d / r * 255.0 + 0.5)
+        ),
+    )
+    dsl = F.zip_with(
+        F.zip_with(q, rng, lambda qq, r: qq * r / 255.0),
+        mins_lit,
+        lambda x, lo: x + lo,
+    )
+    out = df.select(
+        dsl.alias("dsl"),
+        F.expr(
+            S._sq_dequantize_sql(
+                "cv", S._double_matrix_sql(mins), S._double_matrix_sql(maxs)
+            )
+        ).alias("sql"),
+    )
+    for r in out.collect():
+        assert len(r["dsl"]) == len(r["sql"]) == dim
+        for x, y in zip(r["dsl"], r["sql"]):
+            assert st.pack("<d", x) == st.pack("<d", y)
+
+
 def test_simhash_sql_aggregates_match_reference_fold(spark):
     """The SQL-text majority vote (r15) must equal the per-row reference
     fold (dedup.simhash) on mixed inputs incl. empty and NULL text."""
