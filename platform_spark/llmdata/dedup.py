@@ -22,7 +22,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from platform_spark.llmdata.text import fingerprint, tokens
+from platform_spark.llmdata.text import fingerprint, tokens, widen_small_scan
 
 # -- portable 60-bit hash: md5 hex prefix as integer ------------------------
 # (identical in DuckDB: CAST(('0x' || substr(md5(s),1,15)) AS BIGINT))
@@ -97,9 +97,16 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     )
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) exploded table; tokenizes once per row."""
-    toked = df.select(
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, k: int, widen: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) exploded table; tokenizes once per row.
+    The source widens first when it scans narrower than the session
+    (guide §2.5 — a small parquet file is one split, and the fused
+    tokenize+shingle pass would run single-threaded on it). Callers
+    whose input is already exchange-shaped pass ``widen=False``: the
+    partition probe costs a physical planning pass, pointless there."""
+    toked = (widen_small_scan(df) if widen else df).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("toks"),
     )
@@ -294,7 +301,11 @@ def _ngram_rep_common(
     # aggregate over this cache instead of a SortMergeJoin of the whole
     # shingle table back against rep_docs (2 exchanges + a sort, and the
     # hot subtree used to execute once per self-join side)
-    toked = rep_docs.select(
+    # widen the tokenize input when it rides a single-split scan (guide
+    # §2.5): the broadcast join preserves the scan's partitioning, so a
+    # small parquet source would single-thread the fused
+    # tokenize+shingle+hash pass that builds the cache below
+    toked = widen_small_scan(rep_docs).select(
         "doc_id", "n_copies", tokens(F.lower(F.col("__text"))).alias("toks")
     )
     sh = (
@@ -511,13 +522,13 @@ def _sig_aggs(num_perm: int) -> list[Column]:
 
 
 def _hashed_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int, widen: bool = True
 ) -> DataFrame:
     """(doc_id, sh, h1, h2) — the verify hash and both signature base
     hashes from ONE tokenize+shingle+explode pass (r15: the rep-graph /
     index paths previously shingled the same frame twice, once inside
     `minhash_signatures` and once for the verify shingle index)."""
-    return _shingle_table(df, text_col, id_col, k).select(
+    return _shingle_table(df, text_col, id_col, k, widen=widen).select(
         "doc_id",
         md5_int(F.col("shingle")).alias("sh"),
         md5_int(F.col("shingle"), seed="h1:", hex_digits=12).alias("h1"),
@@ -970,7 +981,7 @@ def dedup_incremental_report(
     # one shingle pass for the batch side too (r15, same recipe as the
     # index): signatures and the verify table share the cached combined
     # hash table instead of shingling the remainder twice
-    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k).cache()
+    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k, widen=False).cache()
     sig_n = hashed_n.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
         "doc_id", "left_id"
@@ -1092,7 +1103,8 @@ def simhash_table(
     duplication would cost 60× otherwise). 60-bit portable hash → bits ≤ 60.
     """
     bits = min(bits, 60)
-    toked = df.select(
+    # widen a single-split source before the fused tokenize (guide §2.5)
+    toked = widen_small_scan(df).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("toks"),
     )

@@ -19,6 +19,31 @@ EN_STOPWORDS = (
 ).split()
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a frame whose plan parallelizes far below the session
+    (guide §2.5's input-skew rule: one small/unsplittable source file →
+    repartition right after the read). The tokenize/shingle/render
+    passes downstream are CPU-dense per row, and a small parquet source
+    scans as a single split no matter how many cores exist — every
+    narrow transformation fused onto it then runs single-threaded.
+
+    Gated on the frame's ACTUAL planned partition count: fires only when
+    it is under a quarter of the session's parallelism, so a real-scale
+    scan (thousands of splits) or an already-shuffled input is a no-op —
+    the extra exchange is paid exactly when its input is small. The
+    round-robin exchange changes physical row order only; every consumer
+    in this package is order-insensitive (aggregates, joins, windows
+    over explicit total keys)."""
+    try:
+        cur = df.rdd.getNumPartitions()
+        dp = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if cur * 4 > dp:
+        return df
+    return df.repartition(min(dp, cur * 32))
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of trimmed text (empty text → empty array)."""
     t = F.trim(col)

@@ -3189,6 +3189,26 @@ def test_sq_dequantize_sql_equals_dsl(spark):
             assert st.pack("<d", x) == st.pack("<d", y)
 
 
+def test_widen_small_scan_gate_and_identity(spark, tmp_path):
+    """widen_small_scan (r15, guide §2.5): widens a frame planned far
+    below the session's parallelism, leaves an already-wide frame
+    untouched (same object), and never changes the row set."""
+    from platform_spark.llmdata.text import widen_small_scan
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(200).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text"
+    ).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    dp = spark.sparkContext.defaultParallelism
+    wide = widen_small_scan(narrow)
+    assert narrow.rdd.getNumPartitions() * 4 <= dp
+    assert wide.rdd.getNumPartitions() == min(dp, narrow.rdd.getNumPartitions() * 32)
+    assert sorted(r["doc_id"] for r in wide.collect()) == list(range(200))
+    already = narrow.repartition(dp)
+    assert widen_small_scan(already) is already
+
+
 def test_simhash_sql_aggregates_match_reference_fold(spark):
     """The SQL-text majority vote (r15) must equal the per-row reference
     fold (dedup.simhash) on mixed inputs incl. empty and NULL text."""
