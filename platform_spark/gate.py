@@ -4196,7 +4196,11 @@ def _strip_html_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from platform_spark.llmdata.cleaning import strip_html
 
-    docs = _doc_table(spark, sf_dir)
+    from platform_spark.llmdata.text import widen_small_scan
+
+    # map-only regex-dense leg: widen the single-split local source
+    # (guide §2.5; no-op whenever the scan is already parallel)
+    docs = widen_small_scan(_doc_table(spark, sf_dir))
     esc = F.col("text")
     for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
         esc = F.replace(esc, F.lit(a), F.lit(b))
@@ -4976,9 +4980,11 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 def _lang_multi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from platform_spark.llmdata.text import lang_id_multi
+    from platform_spark.llmdata.text import lang_id_multi, widen_small_scan
 
-    return _doc_table(spark, sf_dir).select(
+    # map-only token-membership leg: widen the single-split local source
+    # (guide §2.5; no-op whenever the scan is already parallel)
+    return widen_small_scan(_doc_table(spark, sf_dir)).select(
         "doc_id", lang_id_multi(F.col("text")).alias("lang_pred")
     )
 

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from platform_spark.llmdata.text import widen_small_scan
+
 # Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
 # identical string works in Spark (Java regex) and DuckDB (RE2). Applied
 # in THIS order; each count is taken on the text as it stands before that
@@ -42,7 +44,11 @@ def redact_pii(
     Adds `out_col` (the scrubbed text) and one `n_<kind>` count per
     pattern. Counts are per-stage (on the partially-redacted text), so
     they sum to the total number of replacements made.
+
+    Map-only and regex-dense: the widen below lifts a single-split
+    source to session parallelism (guide §2.5; no-op at scale).
     """
+    df = widen_small_scan(df)
     cur = df.withColumn(out_col, F.col(text_col))
     for kind, pat, token in PII_PATTERNS:
         # layered selects: count the CURRENT redaction state once, then
@@ -277,8 +283,10 @@ def filter_boilerplate_lines(
 
     Pure per-row array expressions — no explode, NO shuffle at all: at
     100 TB this runs inside whole-stage codegen at scan parallelism,
-    exactly like redact_pii.
+    exactly like redact_pii (a single-split LOCAL source widens first,
+    guide §2.5 — a no-op whenever the scan is already parallel).
     """
+    df = widen_small_scan(df)
     lines = F.split(F.col(text_col), sep)
     kept = F.filter(lines, lambda l: _line_ok(l, min_words))
     return df.select(

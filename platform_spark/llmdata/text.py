@@ -137,7 +137,9 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     helpers would duplicate the tokenizer tree into each metric).
     """
     c = F.col(text_col)
-    staged = df.select(
+    # widen a single-split source first (guide §2.5): the whole metric
+    # family fuses onto the scan, single-threading on a small file
+    staged = widen_small_scan(df).select(
         "*",
         tokens(c).alias("__toks"),
         tokens(F.lower(c)).alias("__ltoks"),
