@@ -98,7 +98,7 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
 
 
 def _shingle_table(
-    df: DataFrame, text_col: str, id_col: str, k: int, widen: bool = True
+    df: DataFrame, text_col: str, id_col: str, k: int, widen: bool = False
 ) -> DataFrame:
     """(doc_id, shingle) exploded table; tokenizes once per row.
     The source widens first when it scans narrower than the session
@@ -502,7 +502,12 @@ def minhash_signatures(
     One explode + one groupBy — no per-row Python. A production cluster
     would swap md5 for xxhash64 (same structure, cheaper hash).
     """
-    sh = _shingle_table(df, text_col, id_col, k)
+    # widen=True: the standalone signature build is scan-rooted and
+    # measured 1.15 -> 0.65 s widened; the PAIR paths that reference the
+    # shingle subtree from several branches measured WORSE with the
+    # extra exchange per branch (mh_p 1.49 -> 2.09 interleaved) and use
+    # the default-off form
+    sh = _shingle_table(df, text_col, id_col, k, widen=True)
     hashed = sh.select(
         "doc_id",
         md5_int(F.col("shingle"), seed="h1:", hex_digits=12).alias("h1"),
@@ -522,7 +527,7 @@ def _sig_aggs(num_perm: int) -> list[Column]:
 
 
 def _hashed_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int, widen: bool = True
+    df: DataFrame, text_col: str, id_col: str, k: int, widen: bool = False
 ) -> DataFrame:
     """(doc_id, sh, h1, h2) — the verify hash and both signature base
     hashes from ONE tokenize+shingle+explode pass (r15: the rep-graph /
@@ -981,7 +986,7 @@ def dedup_incremental_report(
     # one shingle pass for the batch side too (r15, same recipe as the
     # index): signatures and the verify table share the cached combined
     # hash table instead of shingling the remainder twice
-    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k, widen=False).cache()
+    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k).cache()
     sig_n = hashed_n.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
         "doc_id", "left_id"
