@@ -16,7 +16,10 @@ Phases:
    which on a long-lived cluster amortizes to zero. Cold (first-run) times
    are reported separately under "queries_cold" for transparency; "value"
    sums ingest + steady-state runs. The engine's row-level result cache is
-   disabled for the whole bench so every run executes the full plan.
+   disabled for the whole bench so every run executes the full plan, and
+   (r16) `spark.catalog.clearCache()` runs before EVERY timed run so a
+   repeat can never read the previous run's intermediate `.cache()`
+   tables — min-of-runs measures the recompute, per r15 verdict #3.
 
 Repeat policy (noise control): this host's run-to-run wall variance
 (±15% observed on identical code, r8→r9, re-confirmed r10) exceeds any
@@ -644,12 +647,27 @@ def main() -> None:
     SLOW_MAX_RUNS = 4
 
     def timed(name: str, fn) -> None:
+        # r16 (measurement integrity, r15 verdict #3): Spark's CacheManager
+        # matches ANALYZED PLANS, so a leg's warm repeats would otherwise
+        # read the intermediate `.cache()` tables materialized by the
+        # PREVIOUS run of the same plan — min-of-runs then partially times
+        # cache reads, not the recompute. Clearing before every run (cold
+        # included, so a prior leg's residue never leaks in) keeps each
+        # timed run computing from the parquet inputs; the caches still
+        # pay off WITHIN a run wherever one plan references a subtree
+        # 2-4x, which is the legitimate §5 win. Also drops the
+        # accumulated cache blocks that squeezed execution memory for
+        # late-suite legs (the r16 baseline measured dsp 4.6 s in-suite
+        # vs 1.0 s isolated). Cached legs step UP vs r15's ledger by
+        # construction — see OPTIMIZATION_r16.md.
+        spark.catalog.clearCache()
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
         runs: list[float] = []
         no_improve = 0
         while True:
+            spark.catalog.clearCache()
             t1 = time.time()
             fn()
             r = time.time() - t1
@@ -777,7 +795,8 @@ def main() -> None:
             f"steady = best of >=2 runs for every leg (>=3 under "
             f"{REPEAT3_S}s), ingest included; legs under {WARM_CAP_S}s "
             f"keep warming while a run improves the best >2%, up to "
-            f"{WARM_MAX_RUNS} runs (JIT warm-down)"
+            f"{WARM_MAX_RUNS} runs (JIT warm-down); spark cache cleared "
+            f"before every run (r16) so repeats measure recompute"
         ),
         "repeat_runs": n_runs,
         "repeat_spread": spread,

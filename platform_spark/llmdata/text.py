@@ -39,7 +39,10 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
         dp = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
         return df
-    if cur * 4 > dp:
+    # cur < 1: an empty LocalRelation (or a subtree Catalyst folded to
+    # empty) reports 0 planned partitions — repartition(0) would throw,
+    # and there is nothing to widen anyway (ADVICE r15)
+    if cur < 1 or cur * 4 > dp:
         return df
     return df.repartition(min(dp, cur * 32))
 

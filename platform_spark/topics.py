@@ -162,6 +162,17 @@ def assign_partition_offsets(
     # of worker round trips for a dozen rows, measured r15); the VALUES
     # form resolves driver-side and broadcasts with zero tasks. Bounded:
     # n_chunks <= 256 keeps this under ~1k rows of SQL text.
+    for c, p, b in bases:
+        # a NULL _partition (or chunk) would render as the token 'None'
+        # and die in an opaque SQL parse error; fail with the real cause
+        # (ADVICE r15 — unreachable for current envelopes, whose
+        # _partition derives from a non-NULL pk, but this is a general
+        # helper)
+        if not isinstance(c, int) or not isinstance(p, int) or not isinstance(b, int):
+            raise ValueError(
+                f"assign_partition_offsets: non-int chunk/partition/base "
+                f"({c!r}, {p!r}, {b!r}) — NULL _partition in the input?"
+            )
     values = ",".join(f"({c},{p},{b})" for c, p, b in bases)
     base_df = F.broadcast(
         spark.sql(
@@ -178,11 +189,14 @@ def assign_partition_offsets(
     # under the advisory size at small inputs — coalescing the groups
     # back onto a few tasks re-creates exactly the one-big-sort-task
     # shape this path exists to avoid. REPARTITION_BY_NUM is exempt from
-    # AQE coalescing, and hash(__chunk, _partition) into 4x the group
-    # count keeps most groups alone in their slot (empty slots are
-    # free); the window's ClusteredDistribution is satisfied by this
-    # partitioning, so no second exchange appears.
-    n_slots = max(1, min(4 * len(bases), 4096))
+    # AQE coalescing; the window's ClusteredDistribution is satisfied by
+    # this partitioning, so no second exchange appears. r16: one slot
+    # per (chunk, partition) group (was 4x over-provisioned) — hash
+    # collisions merge a few groups into one task, which the window
+    # handles, while the downstream write emits at most one file per
+    # non-empty slot per partition value, bounding the per-partition
+    # file count the topic scans pay for (guide §6 small-files rule).
+    n_slots = max(1, min(len(bases), 4096))
     return (
         chunked.join(base_df, ["__chunk", "_partition"])
         .repartition(n_slots, "__chunk", "_partition")
@@ -212,17 +226,21 @@ def materialize_envelope(
     n_rows = approx_rows
     if n_rows is None:
         n_rows = df.drop("_offset", "_segment").count()  # column-pruned scan
-    # chunk count = max(spill bound, parallelism floor): the spill bound
+    # chunk count = max(spill bound, data floor): the spill bound
     # (rows/chunk <= rows_per_chunk) is what matters at scale; the floor
-    # (r15) matters when a topic is big enough to be the ingest critical
-    # path yet small enough that rows/rows_per_chunk rounds to 1 chunk —
-    # the rank+encode+write stage then runs one task per `_partition`
-    # VALUE (4 in the fixtures) regardless of cluster width. The floor
-    # derives from the session's parallelism and is capped so chunks
-    # never shrink below ~32k rows (per-task overhead would dominate);
-    # genuinely small topics keep the plain window plan.
-    dp = df.sparkSession.sparkContext.defaultParallelism
-    floor = min(max(1, dp // 4), n_rows // 32_000)
+    # matters when a topic is big enough to be the ingest critical path
+    # yet small enough that rows/rows_per_chunk rounds to 1 chunk — the
+    # rank+encode+write stage then runs one task per `_partition` VALUE
+    # (4 in the fixtures) regardless of cluster width. r16 (r15 verdict
+    # #1): the floor is sized by DATA only — one chunk per ~150k rows,
+    # i.e. rank/write tasks of ~40k rows per (chunk, partition) group —
+    # never by defaultParallelism. The r15 `dp//4` term over-parallelized
+    # the canonical local[32] run (8 chunks x 4 partitions x 4-slot
+    # over-provision = a 128-task write emitting ~8 small files per
+    # partition, taxing every downstream topic scan); the data floor
+    # yields 4 chunks for the same topic and is width-independent, so an
+    # 8-core and a 32-core run execute the identical plan.
+    floor = n_rows // 150_000
     n_chunks = max(1, min(256, max(n_rows // rows_per_chunk + 1, floor)))
     if n_chunks <= 1:
         return df
@@ -563,9 +581,13 @@ class TopicCatalog:
             return None
 
         def _conf_bytes(key: str, default: int) -> int:
+            # accept the unit-suffixed forms Spark does ('128m', '1g',
+            # '128MB') — a bare int() on those silently fell back to the
+            # default, ignoring a user-tuned split size (ADVICE r15)
             try:
-                v = self.spark.conf.get(key)
-                return int(v.lower().rstrip("b"))
+                v = self.spark.conf.get(key).lower().rstrip("b")
+                mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1:], 1)
+                return int(v[:-1] if mult > 1 else v) * mult
             except Exception:
                 return default
 

@@ -3202,11 +3202,21 @@ def test_widen_small_scan_gate_and_identity(spark, tmp_path):
     narrow = spark.read.parquet(p)
     dp = spark.sparkContext.defaultParallelism
     wide = widen_small_scan(narrow)
-    assert narrow.rdd.getNumPartitions() * 4 <= dp
-    assert wide.rdd.getNumPartitions() == min(dp, narrow.rdd.getNumPartitions() * 32)
+    if narrow.rdd.getNumPartitions() * 4 <= dp:
+        # the gate fires only on sessions wide enough to make the 1-split
+        # scan "narrow" (ADVICE r15: on local[<4] the production gate is
+        # correctly a no-op, so only check the widen shape where it fires)
+        assert wide.rdd.getNumPartitions() == min(
+            dp, narrow.rdd.getNumPartitions() * 32
+        )
     assert sorted(r["doc_id"] for r in wide.collect()) == list(range(200))
     already = narrow.repartition(dp)
     assert widen_small_scan(already) is already
+    # degenerate 0-partition input (empty LocalRelation): must not throw
+    empty = spark.sql("SELECT CAST(1 AS LONG) AS doc_id, 'x' AS text").filter(
+        "doc_id < 0"
+    )
+    assert widen_small_scan(empty).count() == 0
 
 
 def test_simhash_sql_aggregates_match_reference_fold(spark):

@@ -34,6 +34,9 @@ def main() -> None:
     fn, _oracle = GATE[name]
     times = []
     for i in range(runs):
+        # match the r16 bench methodology: a repeat must recompute the
+        # intermediate .cache() tables, not read the previous run's
+        spark.catalog.clearCache()
         t0 = time.time()
         force(fn(spark, sf_dir))
         times.append(round(time.time() - t0, 3))
