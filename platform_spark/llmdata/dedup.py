@@ -751,8 +751,15 @@ def minhash_join(
     """
     l_docs = left.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
     r_docs = right.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
-    sig_l = minhash_signatures(l_docs, "__t", "doc_id", k, num_perm)
-    sig_r = minhash_signatures(r_docs, "__t", "doc_id", k, num_perm)
+    # ONE tokenize+shingle+hash pass per side (r16, the minhash_rep_graph
+    # recipe): the cached (sh, h1, h2) table feeds that side's signature
+    # aggregate, the verify shingle index, AND the size aggregate — the
+    # r15 form ran `minhash_signatures` and `_shingle_table` separately,
+    # tokenizing each side twice and holding two caches per side
+    hashed_l = _hashed_shingles(l_docs, "__t", "doc_id", k, widen=True).cache()
+    hashed_r = _hashed_shingles(r_docs, "__t", "doc_id", k, widen=True).cache()
+    sig_l = hashed_l.groupBy("doc_id").agg(*_sig_aggs(num_perm))
+    sig_r = hashed_r.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     bl = _band_buckets(sig_l, num_perm, bands).withColumnRenamed("doc_id", "left_id")
     br = _band_buckets(sig_r, num_perm, bands).withColumnRenamed("doc_id", "right_id")
     cand = (
@@ -760,23 +767,11 @@ def minhash_join(
         .select("left_id", "right_id")
         .distinct()
     )
-    # each side's shingle index feeds the verify join AND its size
-    # aggregate — cache so tokenization runs once per side (r15)
-    sh_l = (
-        _shingle_table(l_docs, "__t", "doc_id", k)
-        .select(
-            F.col("doc_id").alias("left_id"),
-            md5_int(F.col("shingle")).alias("sh_a"),
-        )
-        .cache()
+    sh_l = hashed_l.select(
+        F.col("doc_id").alias("left_id"), F.col("sh").alias("sh_a")
     )
-    sh_r = (
-        _shingle_table(r_docs, "__t", "doc_id", k)
-        .select(
-            F.col("doc_id").alias("__rid"),
-            md5_int(F.col("shingle")).alias("sh_b"),
-        )
-        .cache()
+    sh_r = hashed_r.select(
+        F.col("doc_id").alias("__rid"), F.col("sh").alias("sh_b")
     )
     common = (
         cand.join(sh_l, "left_id")

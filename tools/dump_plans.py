@@ -1,4 +1,4 @@
-"""Dump `.explain("formatted")` output for named gates into plans/r15/.
+"""Dump `.explain("formatted")` output for named gates into plans/r16/ (r16).
 
     python tools/dump_plans.py [--suffix after] [--sf DIR] name [name ...]
 
@@ -28,7 +28,7 @@ def main() -> None:
     from platform_spark.session import get_spark
 
     spark = get_spark("plan-dump")
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(REPO, "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
     for name in args.names:
         fn, _oracle = GATE[name]
