@@ -148,23 +148,22 @@ class RepGraph(NamedTuple):
 def _collapse(df: DataFrame, content_hash: Column, id_col: str) -> tuple[DataFrame, DataFrame]:
     """(membership, counts) for exact-duplicate groups under content_hash.
 
-    Both outputs are cached (r15): every rep-graph family references
-    `counts` in 3-4 plan branches (rep_docs filter, self rows, both
-    per-side copy-count joins) and `membership` in 2 (each expand side),
-    and without the cache each reference re-scans the corpus and re-runs
-    the md5-collapse aggregate. Both tables are one row per doc /
-    distinct content — bounded, orders of magnitude smaller than the
-    shingle/vector state this module already caches."""
+    Deliberately UNcached (r16): the r15 round cached both outputs for
+    their 2-4 plan references, but the honest-methodology A/B (caches
+    cleared between runs, interleaved on/off in one session) measured the
+    cache barrier + materialization COSTING more than the repeated
+    references save — mh_p med 4.33 -> 3.77 s with the caches dropped,
+    ddj/dcf/ctn equal or slightly better. The references stay cheap
+    without a cache because the collapse aggregate is one exchange that
+    Spark's exchange reuse dedups within the plan."""
     hashes = df.select(F.col(id_col).alias("doc_id"), content_hash.alias("__ch"))
     reps = hashes.groupBy("__ch").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies")
     )
-    membership = (
-        hashes.join(reps.select("__ch", "rep_id"), "__ch")
-        .select("doc_id", "rep_id")
-        .cache()
+    membership = hashes.join(reps.select("__ch", "rep_id"), "__ch").select(
+        "doc_id", "rep_id"
     )
-    return membership, reps.select("rep_id", "n_copies").cache()
+    return membership, reps.select("rep_id", "n_copies")
 
 
 def expand_pairs(
@@ -618,16 +617,18 @@ def minhash_rep_graph(
     rep_docs = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).join(counts.select(F.col("rep_id").alias("doc_id")), "doc_id")
-    # ONE tokenize+shingle+hash pass for the whole graph (r15): the
-    # combined (sh, h1, h2) table is cached and feeds the signature
+    # ONE combined (sh, h1, h2) projection feeds the signature
     # aggregate, the sizes aggregate, and both sides of the candidate
-    # verify — previously the frame was shingled twice (once inside
-    # minhash_signatures, once for the verify index) and each cache
-    # materialized its own explode
-    hashed = _hashed_shingles(rep_docs, "__text", "doc_id", k).cache()
-    # sig still caches separately: one row of num_perm longs per doc,
-    # referenced by BOTH aliases of the band-bucket self-join
-    sig = hashed.groupBy("doc_id").agg(*_sig_aggs(num_perm)).cache()
+    # verify. UNcached (r16): the r15 caches (hashed + sig) were measured
+    # under the honest clear-cache methodology and LOST — interleaved
+    # on/off A/B reads mh_p med 3.84 (both cached) vs 3.30 (none) and
+    # mh_rp 4.20 vs 3.61. The docs source scans as one split at bench
+    # scale, so a cache build serializes the whole tokenize+hash pass
+    # into one task and every consumer waits on that barrier; uncached,
+    # the consumers' independent 1-task map stages run CONCURRENTLY and
+    # the band self-join still shares its aggregate via exchange reuse.
+    hashed = _hashed_shingles(rep_docs, "__text", "doc_id", k)
+    sig = hashed.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     cand = minhash_lsh_candidates(sig, num_perm, bands)
     sh = hashed.select("doc_id", "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
