@@ -300,11 +300,15 @@ def _ngram_rep_common(
     # aggregate over this cache instead of a SortMergeJoin of the whole
     # shingle table back against rep_docs (2 exchanges + a sort, and the
     # hot subtree used to execute once per self-join side)
-    # widen the tokenize input when it rides a single-split scan (guide
-    # §2.5): the broadcast join preserves the scan's partitioning, so a
-    # small parquet source would single-thread the fused
-    # tokenize+shingle+hash pass that builds the cache below
-    toked = widen_small_scan(rep_docs).select(
+    # UNwidened (r16): the r15 round widened this tokenize input, but the
+    # honest-methodology interleaved A/B (caches cleared between runs)
+    # reads the widen as a small consistent LOSS on every consumer leg —
+    # ddj med 4.59 -> 4.30, ctn 4.73 -> 4.39, dcf 6.80 -> 6.18, ng_rp
+    # equal — the repartition's exchange (plus its sort-before-repartition)
+    # costs more than the extra build parallelism buys at any width
+    # where the gate fires; at real scale the scan is already wide and
+    # the gate is a no-op either way.
+    toked = rep_docs.select(
         "doc_id", "n_copies", tokens(F.lower(F.col("__text"))).alias("toks")
     )
     sh = (
@@ -752,13 +756,16 @@ def minhash_join(
     """
     l_docs = left.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
     r_docs = right.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
-    # ONE tokenize+shingle+hash pass per side (r16, the minhash_rep_graph
-    # recipe): the cached (sh, h1, h2) table feeds that side's signature
-    # aggregate, the verify shingle index, AND the size aggregate — the
-    # r15 form ran `minhash_signatures` and `_shingle_table` separately,
-    # tokenizing each side twice and holding two caches per side
-    hashed_l = _hashed_shingles(l_docs, "__t", "doc_id", k, widen=True).cache()
-    hashed_r = _hashed_shingles(r_docs, "__t", "doc_id", k, widen=True).cache()
+    # ONE combined (sh, h1, h2) projection per side (r16, the
+    # minhash_rep_graph recipe) feeds that side's signature aggregate AND
+    # the verify shingle index — the r15 form ran `minhash_signatures`
+    # and `_shingle_table` separately per side and cached both. Uncached
+    # and unwidened like minhash_rep_graph: the honest-methodology A/B
+    # (clear-cache repeats, interleaved) reads cache as a wash (med 2.48
+    # cached vs 2.29 plain) and the widen as a small loss; the plain form
+    # keeps no executor-memory state at any scale.
+    hashed_l = _hashed_shingles(l_docs, "__t", "doc_id", k)
+    hashed_r = _hashed_shingles(r_docs, "__t", "doc_id", k)
     sig_l = hashed_l.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     sig_r = hashed_r.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     bl = _band_buckets(sig_l, num_perm, bands).withColumnRenamed("doc_id", "left_id")
@@ -878,10 +885,12 @@ def build_dedup_index(
     c = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     )
-    # exact-collapse: one rep (smallest id) per distinct content. Cached
-    # (r15): the inline-index path references reps via hashes AND
-    # rep_docs, and the shingle index via the verify join AND sizes —
-    # uncached, the corpus is re-scanned and re-shingled per reference.
+    # exact-collapse: one rep (smallest id) per distinct content.
+    # Deliberately uncached (r16): the r15 caches on reps/hashed (and the
+    # batch-side nreps/hashed_n) measured as a 22% LOSS under the honest
+    # clear-cache methodology (ddi med 5.01 cached vs 3.90 plain,
+    # interleaved) — the barrier serializes the one-split builds while
+    # the uncached references run concurrently and share exchanges.
     reps = (
         c.filter(F.col("__t").isNotNull())
         .groupBy(F.md5(F.col("__t")).alias("content_hash"))
@@ -891,7 +900,6 @@ def build_dedup_index(
             F.col("__m.doc_id").alias("rep_id"),
             F.col("__m.__t").alias("__t"),
         )
-        .cache()
     )
     hashes = reps.select("content_hash", F.col("rep_id"))
     rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "__t")
@@ -899,7 +907,7 @@ def build_dedup_index(
     # signatures, the verify shingle index, and the sizes aggregate all
     # read the cached combined (sh, h1, h2) table instead of shingling
     # rep_docs twice
-    hashed = _hashed_shingles(rep_docs, "__t", "doc_id", k).cache()
+    hashed = _hashed_shingles(rep_docs, "__t", "doc_id", k)
     sig = hashed.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     buckets = _band_buckets(sig, num_perm, bands)
     shingles = hashed.select("doc_id", "sh")
@@ -974,15 +982,10 @@ def dedup_incremental_report(
             F.col("__m.doc_id").alias("doc_id"),
             F.col("__m.__t").alias("__t"),
         )
-        # cached (r15): feeds the signature build, the shingle index,
-        # and the rep->doc expansion join — 3 references, and `rest`
-        # above it embeds the whole exact-layer anti-join each time
-        .cache()
     )
-    # one shingle pass for the batch side too (r15, same recipe as the
-    # index): signatures and the verify table share the cached combined
-    # hash table instead of shingling the remainder twice
-    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k).cache()
+    # one combined-hash projection for the batch side too (r15 recipe,
+    # r16 uncached — see build_dedup_index)
+    hashed_n = _hashed_shingles(nreps, "__t", "doc_id", k)
     sig_n = hashed_n.groupBy("doc_id").agg(*_sig_aggs(num_perm))
     bn = _band_buckets(sig_n, num_perm, bands).withColumnRenamed(
         "doc_id", "left_id"
@@ -1104,8 +1107,12 @@ def simhash_table(
     duplication would cost 60× otherwise). 60-bit portable hash → bits ≤ 60.
     """
     bits = min(bits, 60)
-    # widen a single-split source before the fused tokenize (guide §2.5)
-    toked = widen_small_scan(df).select(
+    # UNwidened (r16): the r15 widen measured as a loss once the bench
+    # cleared caches between runs (sh_f med 0.88 -> 0.78, sh_p 3.15 ->
+    # 2.52 interleaved) — the repartition exchange costs more than the
+    # parallel tokenize saves; the majority-vote aggregate below already
+    # widens at its own exchange.
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("toks"),
     )
@@ -1176,6 +1183,7 @@ def simhash_rep_graph(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    cache_fps: bool = True,
 ) -> RepGraph:
     """Content-collapsed SimHash Hamming graph; the core behind
     simhash_dedup_pairs.
@@ -1198,7 +1206,9 @@ def simhash_rep_graph(
     rep_docs = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).join(counts.select(F.col("rep_id").alias("doc_id")), "doc_id")
-    cross = _simhash_banded_pairs(rep_docs, "__text", max_hamming, bands).select(
+    cross = _simhash_banded_pairs(
+        rep_docs, "__text", max_hamming, bands, cache_fps=cache_fps
+    ).select(
         F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"), "hamming"
     )
     selfs = counts.filter(F.col("n_copies") >= 2).select(
@@ -1246,7 +1256,9 @@ def simhash_dedup_pairs(
     full-pair oracle gate): fingerprinting and the banded join run once
     per DISTINCT content; only the output is quadratic in copy counts.
     """
-    g = simhash_rep_graph(df, text_col, id_col, max_hamming, bands)
+    g = simhash_rep_graph(
+        df, text_col, id_col, max_hamming, bands, cache_fps=False
+    )
     return expand_pairs(
         g.pairs.drop("n_copies_a", "n_copies_b"), g.membership
     ).select("doc_a", "doc_b", "hamming")
@@ -1257,14 +1269,22 @@ def _simhash_banded_pairs(
     text_col: str,
     max_hamming: int,
     bands: int,
+    cache_fps: bool = True,
 ) -> DataFrame:
-    """Banded Hamming join over one row per doc (callers pre-collapse)."""
+    """Banded Hamming join over one row per doc (callers pre-collapse).
+
+    ``cache_fps`` caches the (doc_id, sh) fingerprint table so the
+    self-join's two aliases share one majority-vote execution. The r16
+    honest-methodology A/B split by caller: the rep-pairs deliverable is
+    ~25% faster WITH the cache (med 1.80 vs 2.24), while the expanding
+    doc-level path is ~25% faster WITHOUT it (med 2.35 vs 3.04) — its
+    bigger plan overlaps the duplicate branches concurrently, and the
+    cache barrier serializes them. Callers pass what measured best."""
     bits = 60
     per = bits // bands
-    # cache the fingerprint table (r15): one (doc_id, sh) row per doc —
-    # tiny — but the self-join's two aliases otherwise re-execute the
-    # whole explode + 60-aggregate majority vote once per side
-    sh = simhash_table(df, text_col, "doc_id").cache()
+    sh = simhash_table(df, text_col, "doc_id")
+    if cache_fps:
+        sh = sh.cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1687,9 +1707,10 @@ def duplicate_spans(
     exactly this per-doc summary.
     """
     toked, spans = _positional_spans(df, k, text_col, id_col)
-    # cached (r15): the positional-span table feeds the occurrence count
-    # AND the join back — uncached, the k-token concat+md5 window pass
-    # (the dominant per-row cost) executes twice
+    # cached: the positional-span table feeds the occurrence count AND
+    # the join back — uncached, the k-token concat+md5 window pass (the
+    # dominant per-row cost) executes twice. RE-VERIFIED r16 under the
+    # honest clear-cache methodology: dsp med 2.43 cached vs 3.67 plain.
     spans = spans.cache()
     n = F.size("__toks")
     occ = spans.groupBy("h").agg(
@@ -1747,8 +1768,8 @@ def remove_duplicate_spans(
     if scope not in ("corpus", "cross"):
         raise ValueError(f"scope must be 'corpus' or 'cross', got {scope!r}")
     toked, spans = _positional_spans(df, k, text_col, id_col)
-    # cached (r15): same double-reference as duplicate_spans (count +
-    # join back over the span table)
+    # same double-reference as duplicate_spans; cache re-verified r16
+    # (rm_sp med 2.03 cached vs 3.31 plain)
     spans = spans.cache()
     occ = spans.groupBy("h").agg(
         F.count("*").alias("n_occ"),
